@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local SparkSession for the whole forked test JVM. */
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.host", "localhost")
+    .getOrCreate()
+}
+
+trait SparkSpecBase {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  def sf(dir: String): String = s"/root/testdata/$dir"
+}
