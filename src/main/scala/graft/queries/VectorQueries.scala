@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.ann.ExactNN
+import graft.functions.exprs
+
+/** Vector-search query surface over `embeddings.parquet`
+  * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+  *
+  * Covers the reference operators: parquet ingestion + projection
+  * (O20/O21), per-vector norms (annbench/annbench.go:241), global value
+  * range (O19, annbench/annbench.go:127-141), and the flagship exact-NN
+  * top-k (O14 + O13c/d/f, annbench/annbench.go:56-125) for both metrics.
+  *
+  * Distances are rounded to 6 decimals on BOTH engines so the driver's
+  * hash compare is immune to double-precision fold noise; ordering uses
+  * the rounded value with vec_id tiebreak (SURVEY.md §7.4).
+  */
+object VectorQueries extends QueryPack {
+
+  /** Number of query vectors for the NN benchmarks: the 100 lowest vec_ids. */
+  val NumQueries = 100
+  val K = 10
+
+  private def queriesDf(emb: DataFrame): DataFrame =
+    emb.orderBy("vec_id").limit(NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  def exactNn(s: SparkSession, dir: String, metric: ExactNN.Metric): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    ExactNN.topK(queriesDf(emb), emb, K, metric)
+      .orderBy("query_id", "dist", "vec_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> ((s, dir) =>
+      tbl(s, dir, "embeddings").select("vec_id", "label").orderBy("vec_id")),
+
+    "q_vec_norms" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"), round(exprs.vecNormNative(col("embedding")), 6).as("norm"))
+        .orderBy("vec_id")),
+
+    "q_range_minmax" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(explode(col("embedding")).as("vf"))
+        .select(col("vf").cast(DoubleType).as("v"))
+        .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))),
+
+    "q_exact_nn_l2" -> ((s, dir) => exactNn(s, dir, ExactNN.L2)),
+
+    "q_exact_nn_cosine" -> ((s, dir) => exactNn(s, dir, ExactNN.Cosine))
+  )
+
+  private val qCte =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT $NumQueries
+       |)""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT vec_id, label FROM embeddings ORDER BY vec_id",
+
+    "q_vec_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_range_minmax" ->
+      """SELECT min(v) AS vmin, max(v) AS vmax
+        |FROM (SELECT unnest(embedding)::DOUBLE AS v FROM embeddings)""".stripMargin,
+
+    "q_exact_nn_l2" ->
+      s"""$qCte,
+         |d AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         round(list_distance(q.qv, e.embedding::DOUBLE[]), 6) AS dist
+         |  FROM q CROSS JOIN embeddings e
+         |),
+         |r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |  FROM d
+         |)
+         |SELECT query_id, vec_id, dist FROM r WHERE rn <= $K
+         |ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    "q_exact_nn_cosine" ->
+      s"""$qCte,
+         |d AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         round(CASE WHEN 1.0 - list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) < 1e-6
+         |               THEN 0.0
+         |               ELSE 1.0 - list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) END, 6) AS dist
+         |  FROM q CROSS JOIN embeddings e
+         |),
+         |r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |  FROM d
+         |)
+         |SELECT query_id, vec_id, dist FROM r WHERE rn <= $K
+         |ORDER BY query_id, dist, vec_id""".stripMargin
+  )
+}
