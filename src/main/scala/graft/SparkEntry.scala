@@ -15,7 +15,9 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    VectorQueries
+    VectorQueries,
+    StatsQueries,
+    RelationalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,69 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Evaluation operators — set-membership precision/recall (reference O17,
+  * annbench/annbench.go:144-162) and the ann-benchmarks distance-based
+  * variant with epsilon slack (reference O18, annbench/annbench.go:165-187,
+  * arXiv:1807.05614).
+  *
+  * All joins here are per-query-key equi-joins over small ranked lists —
+  * at scale these shuffle only k rows per query, never the corpus.
+  */
+object Eval {
+
+  /** Set precision/recall per query.
+    * @param pred (query_id, vec_id)
+    * @param gt   (query_id, vec_id)
+    * @return (query_id, precision, recall), ratios rounded to 6 decimals.
+    *
+    * precision = |pred ∩ gt| / |pred|, recall = |pred ∩ gt| / |gt|
+    * (reference: annbench/annbench.go:144-162).
+    */
+  def setPrecisionRecall(pred: DataFrame, gt: DataFrame): DataFrame = {
+    val nPred = pred.groupBy("query_id").agg(count("*").as("n_pred"))
+    val nGt = gt.groupBy("query_id").agg(count("*").as("n_gt"))
+    val hits = pred
+      .join(gt.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count("*").as("valid"))
+    nPred.join(nGt, Seq("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("valid"))
+      .select(
+        col("query_id"),
+        round(col("valid") / col("n_pred"), 6).as("precision"),
+        round(col("valid") / col("n_gt"), 6).as("recall"))
+  }
+
+  /** Distance-based precision/recall per query (reference O18): position i
+    * of the prediction (truncated to min(|pred|, |gt|)) counts as valid iff
+    * its id is anywhere in the gt set AND pred.dist[i] <= (1+eps)*gt.dist[i].
+    *
+    * @param pred (query_id, pos, vec_id, dist) — pos is 1-based rank
+    * @param gt   (query_id, pos, vec_id, dist)
+    * @return (query_id, precision, recall) rounded to 6 decimals.
+    */
+  def distanceBasedPrecisionRecall(pred: DataFrame, gt: DataFrame, eps: Double): DataFrame = {
+    val nPred = pred.groupBy("query_id").agg(count("*").as("n_pred"))
+    val nGt = gt.groupBy("query_id").agg(count("*").as("n_gt"))
+    val gtIds = gt.select("query_id", "vec_id").distinct()
+      .withColumn("is_member", lit(1))
+    val paired = pred
+      .join(gt.select(col("query_id"), col("pos"), col("dist").as("gt_dist")),
+        Seq("query_id", "pos")) // inner join == truncation to min length
+      .join(gtIds, Seq("query_id", "vec_id"), "left")
+    val valid = paired
+      .groupBy("query_id")
+      .agg(sum(
+        when(col("is_member") === 1 && col("dist") <= (lit(1.0) + eps) * col("gt_dist"), 1L)
+          .otherwise(0L)).as("valid"))
+    nPred.join(nGt, Seq("query_id"))
+      .join(valid, Seq("query_id"), "left")
+      .na.fill(0L, Seq("valid"))
+      .select(
+        col("query_id"),
+        round(col("valid") / col("n_pred"), 6).as("precision"),
+        round(col("valid") / col("n_gt"), 6).as("recall"))
+  }
+}

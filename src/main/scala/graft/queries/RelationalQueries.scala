@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Broad relational operator coverage over the TPC-H-ish star schema
+  * (SURVEY.md §2.13 "+ relational coverage"): scan+filter+project with
+  * parquet pushdown, hash aggregation, broadcast joins along the
+  * region→nation→customer→orders→lineitem chain, window functions,
+  * semi/anti joins, rollup, distinct and set ops.
+  *
+  * Scale notes: every join keeps the big fact table (lineitem) unshuffled
+  * where possible — dimensions are broadcast; the only wide shuffles are
+  * the groupBy aggregations (partial agg map-side first) and the window
+  * partition. Float aggregates are rounded on both engines (sum→4dp,
+  * avg→6dp) so hash compares are immune to summation-order noise.
+  */
+object RelationalQueries extends QueryPack {
+
+  private val Cutoff = "1998-06-01"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: filter pushed to parquet scan,
+    // partial+final hash agg on 2 low-cardinality keys.
+    "q_pricing_summary" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3-style: broadcast the filtered orders onto the lineitem scan,
+    // top-10 revenue orders.
+    "q_top_revenue_orders" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .where(col("o_orderdate") < lit(Cutoff).cast(TimestampType))
+      val li = tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit(Cutoff).cast(TimestampType))
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style: revenue per region through the full dimension chain.
+    "q_region_revenue" -> ((s, dir) => {
+      val r = tbl(s, dir, "region")
+      val n = tbl(s, dir, "nation")
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      val dims = c
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "r_name")
+      li.join(o.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy("r_name")
+    }),
+
+    // Running per-supplier quantity: window with deterministic total order.
+    "q_window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("running_qty", round(sum("l_quantity").over(w), 4))
+        .drop("l_quantity")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // Semi join: customers that have at least one order, by segment.
+    "q_semi_join_customers" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")),
+
+    // Anti join: customers with no orders at all.
+    "q_anti_join_customers" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_customers"))),
+
+    // Rollup: counts + quantity subtotals at (flag, status), (flag), ().
+    "q_rollup_counts" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Distinct pairs (reference O13b dedup shape).
+    "q_distinct_flags" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Set op: union of supplier keys seen in facts and in the dim table.
+    "q_union_suppkeys" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").select(col("l_suppkey").as("suppkey"))
+        .union(tbl(s, dir, "supplier").select(col("s_suppkey").as("suppkey")))
+        .distinct()
+        .orderBy("suppkey")),
+
+    // Q4-style: orders with at least one lineitem, per priority.
+    "q_exists_priority" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round(sum(l_quantity), 4) AS sum_qty,
+         |  round(sum(l_extendedprice), 4) AS sum_base_price,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+         |  round(avg(l_quantity), 6) AS avg_qty,
+         |  round(avg(l_extendedprice), 6) AS avg_price,
+         |  round(avg(l_discount), 6) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_top_revenue_orders" ->
+      s"""SELECT o_orderkey,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate < TIMESTAMP '$Cutoff' AND l_shipdate > TIMESTAMP '$Cutoff'
+         |GROUP BY o_orderkey
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_region_revenue" ->
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_semi_join_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_anti_join_customers" ->
+      """SELECT count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_rollup_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_union_suppkeys" ->
+      """SELECT DISTINCT suppkey FROM (
+        |  SELECT l_suppkey AS suppkey FROM lineitem
+        |  UNION ALL
+        |  SELECT s_suppkey AS suppkey FROM supplier
+        |) ORDER BY suppkey""".stripMargin,
+
+    "q_exists_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}
