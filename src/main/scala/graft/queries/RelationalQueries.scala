@@ -77,9 +77,10 @@ object RelationalQueries extends QueryPack {
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tbl(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
         .withColumn("running_qty", round(sum("l_quantity").over(w), 4))
-        .drop("l_quantity")
+        .drop("l_quantity", "l_shipdate")
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 

@@ -44,7 +44,7 @@ object StatsQueries extends QueryPack {
         .orderBy("pos")),
 
     "q_scale_vectors" -> ((s, dir) =>
-      VectorStats.scaleAll(tbl(s, dir, "embeddings")).orderBy("vec_id")),
+      VectorStats.scaleAll(tbl(s, dir, "embeddings")).orderBy("vec_id", "pos")),
 
     "q_set_precision_recall" -> ((s, dir) => {
       val (pred, gt) = predAndGt(s, dir)
@@ -98,10 +98,10 @@ object StatsQueries extends QueryPack {
 
     "q_scale_vectors" ->
       s"""WITH $dimsCte
-         |SELECT x.vec_id AS vec_id,
-         |       list(round((x.v - s.mean) / s.mad, 6) ORDER BY x.pos) AS scaled
+         |SELECT x.vec_id AS vec_id, x.pos AS pos,
+         |       round((x.v - s.mean) / s.mad, 6) AS sv
          |FROM x JOIN s ON x.pos = s.pos
-         |GROUP BY x.vec_id ORDER BY vec_id""".stripMargin,
+         |ORDER BY vec_id, pos""".stripMargin,
 
     "q_set_precision_recall" ->
       s"""WITH $qCte,

@@ -43,10 +43,12 @@ object VectorStats {
         avg(abs(col("v") - col("mean"))).as("mad"))
   }
 
-  /** Scale every vector elementwise: (x - mean) / mad, re-assembled into
-    * an array ordered by dimension (reference StandartScaler.Scale,
-    * lsh/helpers.go:173-185). Elements rounded to `roundTo` decimals for
-    * cross-engine comparability. */
+  /** Scale every vector elementwise: (x - mean) / mad, one scalar row per
+    * (vec_id, pos) (reference StandartScaler.Scale,
+    * lsh/helpers.go:173-185). Emitted exploded rather than re-assembled
+    * into an array so the result is hash-comparable by the driver's
+    * pandas-based oracle (array cells are unhashable there). Elements
+    * rounded to `roundTo` decimals for cross-engine comparability. */
   def scaleAll(emb: DataFrame, roundTo: Int = 6): DataFrame = {
     val stats = meanMad(emb)
     val x = explodeDims(emb)
@@ -55,10 +57,15 @@ object VectorStats {
         col("vec_id"),
         col("pos"),
         round((col("v") - col("mean")) / col("mad"), roundTo).as("sv"))
+  }
+
+  /** scaleAll re-assembled into an array column ordered by dimension —
+    * the library-API shape (not oracle-comparable; see scaleAll). */
+  def scaleAllVec(emb: DataFrame, roundTo: Int = 6): DataFrame =
+    scaleAll(emb, roundTo)
       .groupBy("vec_id")
       .agg(
         transform(
           array_sort(collect_list(struct(col("pos"), col("sv")))),
           e => e.getField("sv")).as("scaled"))
-  }
 }
