@@ -17,7 +17,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     VectorQueries,
     StatsQueries,
-    RelationalQueries
+    RelationalQueries,
+    LshQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

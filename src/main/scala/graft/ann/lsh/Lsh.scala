@@ -1,0 +1,246 @@
+package graft.ann.lsh
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ann.ExactNN
+import graft.ann.lsh.Forest.{Leaf, Plane, Split, TreeNode}
+
+/** LSH index configuration (reference `Config`, lsh/lsh.go:79-82 +
+  * hasher.go:59-64).
+  *
+  *   - `dims` is intentionally absent: the reference declares it but never
+  *     reads it — dimensionality derives from the data (hasher.go:104,
+  *     SURVEY.md §1.2).
+  *   - `batchSize` is absent: train parallelism is Spark task partitioning,
+  *     not a goroutine batch knob (lsh.go:112-131).
+  *   - `sampleCap` bounds the driver-side forest-fit sample — the 100 TB
+  *     scaling deviation documented in SURVEY.md §7.3: the reference fits
+  *     every tree over ALL vectors in RAM, which cannot hold at scale.
+  */
+final case class LshConfig(
+    nTrees: Int = 10,
+    kMinVecs: Int = 50,
+    angular: Boolean = false,
+    seed: Long = 42L,
+    sampleCap: Int = 100000)
+
+/** Fitted forest + Spark-side transform (reference `Hasher` + the hashing
+  * half of `LSHIndex.Train`, lsh.go:106-134). The forest is a small
+  * driver-side object captured in a UDF closure — Spark broadcasts it with
+  * the task closure; hashing is then map-side only (no shuffle). */
+final class LshModel(val config: LshConfig, val trees: Array[TreeNode])
+    extends Serializable {
+
+  import LshModel._
+
+  /** All per-tree hashes of one (already double-widened) vector —
+    * normalizes first in angular mode (reference getHashes,
+    * hasher.go:191-219: pass-through when norm <= tol). */
+  def hashes(v: Array[Double]): Array[Long] = {
+    val vv =
+      if (!config.angular) v
+      else {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n <= Forest.Tol) v else v.map(_ / n)
+      }
+    trees.map(t => Forest.hash(t, vv))
+  }
+
+  /** Per-tree probe pair: own bucket + highest-set-bit-flip neighbor
+    * (reference Search, lsh.go:146-155). Flat layout: index 2t = tree t's
+    * own hash, 2t+1 = its neighbor probe. */
+  def probes(v: Array[Double]): Array[Long] =
+    hashes(v).flatMap(h => Array(h, Forest.neighborHash(h)))
+
+  private def hashesUdf = udf { v: Seq[Double] => hashes(v.toArray) }
+  private def probesUdf = udf { v: Seq[Double] => probes(v.toArray) }
+
+  /** (id, tree_id, hash) bucket rows for every input vector — the index
+    * "write path" (reference Train's SetHash loop, lsh.go:123-128),
+    * reshaped as one narrow DataFrame. Map-side only. */
+  def transform(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+        col(idCol),
+        posexplode(hashesUdf(col(vecCol).cast(ArrayType(DoubleType)))))
+      .select(col(idCol), col("pos").as("tree_id"), col("col").as("hash"))
+
+  /** (query-id, tree_id, hash) probe rows: two per tree per query. */
+  def probeRows(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    queries.select(
+        col(idCol),
+        posexplode(probesUdf(col(vecCol).cast(ArrayType(DoubleType)))))
+      .select(col(idCol), (col("pos") / 2).cast(IntegerType).as("tree_id"),
+        col("col").as("hash"))
+
+  /** Persist as two parquet tables under `path`: flattened tree nodes and
+    * a one-row meta table — the Spark-native stand-in for the reference's
+    * gob dump (hasher.go:222-251; format is ours to define, SURVEY.md O22). */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val rows = trees.zipWithIndex.flatMap { case (t, ti) => flatten(t, ti) }
+    spark.createDataset(rows).toDF()
+      .write.mode("overwrite").parquet(s"$path/nodes")
+    Seq((config.nTrees, config.kMinVecs, config.angular, config.seed, config.sampleCap))
+      .toDF("n_trees", "k_min_vecs", "angular", "seed", "sample_cap")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+}
+
+object LshModel {
+
+  /** One flattened tree node; `nodeId` is preorder, -1 = Leaf child. */
+  private[lsh] final case class NodeRow(
+      treeId: Int, nodeId: Int, leftId: Int, rightId: Int,
+      normal: Array[Double], offset: Double)
+
+  private[lsh] def flatten(root: TreeNode, treeId: Int): Seq[NodeRow] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[NodeRow]
+    var nextId = 0
+    def walk(n: TreeNode): Int = n match {
+      case Leaf => -1
+      case Split(p, l, r) =>
+        val id = nextId; nextId += 1
+        val idx = out.length
+        out += NodeRow(treeId, id, -1, -1, p.normal, p.offset) // placeholder
+        val li = walk(l); val ri = walk(r)
+        out(idx) = NodeRow(treeId, id, li, ri, p.normal, p.offset)
+        id
+    }
+    walk(root)
+    out.toSeq
+  }
+
+  private[lsh] def unflatten(rows: Seq[NodeRow]): TreeNode = {
+    if (rows.isEmpty) return Leaf
+    val byId = rows.map(r => r.nodeId -> r).toMap
+    def build(id: Int): TreeNode =
+      if (id < 0) Leaf
+      else {
+        val r = byId(id)
+        Split(Plane(r.normal, r.offset), build(r.leftId), build(r.rightId))
+      }
+    build(0)
+  }
+
+  def load(spark: SparkSession, path: String): LshModel = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val config = LshConfig(
+      nTrees = meta.getAs[Int]("n_trees"),
+      kMinVecs = meta.getAs[Int]("k_min_vecs"),
+      angular = meta.getAs[Boolean]("angular"),
+      seed = meta.getAs[Long]("seed"),
+      sampleCap = meta.getAs[Int]("sample_cap"))
+    val nodes = spark.read.parquet(s"$path/nodes")
+      .select($"treeId", $"nodeId", $"leftId", $"rightId", $"normal", $"offset")
+      .as[NodeRow].collect()
+    val trees = (0 until config.nTrees).map { ti =>
+      unflatten(nodes.filter(_.treeId == ti).toSeq)
+    }.toArray
+    new LshModel(config, trees)
+  }
+}
+
+/** A trained index: the fitted model plus the two persisted-shape
+  * DataFrames (reference `Store` namespaces, store/store.go:12-18 →
+  * SURVEY.md §1.1: `vectors(id, vec)` + `buckets(tree_id, hash, id)`). */
+final class LshIndex(
+    val model: LshModel,
+    val vectors: DataFrame, // (vec_id, embedding)
+    val buckets: DataFrame  // (tree_id, hash, vec_id)
+) {
+
+  /** Batch ANN search (reference Search, lsh.go:137-197), Spark-first:
+    *
+    *   1. probe generation: 2 buckets per tree per query (own + flipped
+    *      highest bit) — map-side explode;
+    *   2. candidate retrieval: probes ⋈ buckets on (tree_id, hash) — the
+    *      probe side is tiny and broadcast, so the big buckets table is
+    *      never shuffled (= the reference's bucket pruning, its whole
+    *      point, SURVEY.md §4);
+    *   3. dedup (query_id, vec_id) — reference closestSet (lsh.go:169-171);
+    *   4. vec join + distance + threshold filter (lsh.go:172-177);
+    *   5. per-query top-k window (reference min-heap pop, lsh.go:192-195),
+    *      ties pinned by vec_id for determinism.
+    *
+    * Deviation (SURVEY.md §7.4): no `MaxCandidates` early exit — the
+    * reference's cap is nondeterministic (Go map iteration order decides
+    * which buckets win); we evaluate all probed candidates, a strict
+    * superset, so recall can only improve.
+    */
+  def searchAll(queries: DataFrame, k: Int, distanceThreshold: Double,
+                metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6): DataFrame = {
+    val probes = model.probeRows(queries, "query_id", "qv")
+      .dropDuplicates("query_id", "tree_id", "hash")
+    val cands = buckets
+      .join(broadcast(probes.select("query_id", "tree_id", "hash")),
+        Seq("tree_id", "hash"))
+      .select("query_id", "vec_id")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cands
+      .join(vectors, "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"))
+      .where(col("dist") <= distanceThreshold)
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "vec_id", "dist")
+  }
+
+  /** Bucket occupancy summary — used for diagnostics and the
+    * `q_lsh_bucket_stats` driver query. */
+  def bucketStats: DataFrame =
+    buckets.groupBy("tree_id")
+      .agg(
+        countDistinct("hash").as("n_buckets"),
+        count(lit(1)).as("n_entries"),
+        max("hash").as("max_hash"))
+      .orderBy("tree_id")
+}
+
+/** Entry points (reference NewLsh + Train, lsh.go:93-134). */
+object Lsh {
+
+  /** Fit the forest over a (capped) sample of the vector column. The
+    * sample is collected to the driver — trees are fitted over at most
+    * `config.sampleCap` rows; the reference fits over everything
+    * (hasher.go:172-188), which our cap degrades to whenever the data
+    * fits (sample(fraction=1) short-circuits to the full set). */
+  def fit(df: DataFrame, vecCol: String, config: LshConfig): LshModel = {
+    val total = df.count()
+    val sampled =
+      if (total <= config.sampleCap) df
+      else df.sample(withReplacement = false,
+        fraction = config.sampleCap.toDouble / total, seed = config.seed)
+    val vecs = sampled
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val trees = (0 until config.nTrees).map { ti =>
+      Forest.buildTree(vecs.toSeq, config.kMinVecs, config.angular,
+        config.seed + ti)
+    }.toArray
+    new LshModel(config, trees)
+  }
+
+  /** Train = fit + index both storage namespaces (reference Train,
+    * lsh.go:106-134; Clear() ≡ these DataFrames replacing any previous
+    * ones). `vectors` keeps original ids/embeddings untouched (angular
+    * normalization happens only inside hashing, never on stored data —
+    * hasher.go:198-205 vs helpers.go:219-234). */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            config: LshConfig): LshIndex = {
+    val model = fit(df, vecCol, config)
+    val vectors = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val buckets = model.transform(df, idCol, vecCol)
+      .select(col("tree_id"), col("hash"), col(idCol).as("vec_id"))
+    new LshIndex(model, vectors, buckets)
+  }
+}
