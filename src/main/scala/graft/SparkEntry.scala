@@ -18,7 +18,8 @@ object SparkEntry {
     VectorQueries,
     StatsQueries,
     RelationalQueries,
-    LshQueries
+    LshQueries,
+    TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

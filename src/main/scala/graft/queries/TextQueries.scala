@@ -1,0 +1,402 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.text.TextFunctions._
+
+/** Text-analysis + deduplication operators over `documents.parquet`
+  * (doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars
+  * BIGINT) — the LLM-training-data-pipeline surface (SURVEY.md §7.5).
+  *
+  * Every query here is deterministic, UDF-free (whole-stage codegen'd
+  * built-ins only) and carries a DuckDB oracle. The shared cross-engine
+  * hash is md5-derived (see [[graft.text.TextFunctions]]).
+  *
+  * Scale design (100 TB): the near-dup pipelines never materialize
+  * all-pairs. MinHash banding shuffles on (band, band_key) so only
+  * bucket-colliding docs meet; the n-gram pair join shuffles on the
+  * shingle value (a 100 TB run would additionally drop ultra-frequent
+  * shingles — stopword-shingle skew — before the join); SimHash pairs are
+  * the one quadratic verifier, bounded here to the doc count of the test
+  * tables (the scale path is banding the simhash prefix exactly like
+  * MinHash). Per-doc projections (tokens, quality, fingerprints,
+  * signatures) are pure map-side work.
+  */
+object TextQueries extends QueryPack {
+
+  val ShingleN = 3
+  val NumHashes = 8 // MinHash signature length
+  val BandRows = 2  // rows per LSH band -> 4 bands
+  val JaccardThreshold = 0.5
+  val HammingThreshold = 8
+  val Stopwords = Seq("a", "the", "and", "of", "to", "in", "is")
+  val EnMarkers = Seq("the", "a", "of", "and")
+  val DeMarkers = Seq("der", "die", "das", "und")
+  val FrMarkers = Seq("le", "la", "les", "et")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        tokens(col("text")).as("toks"))
+
+  /** (doc_id, s): DISTINCT word-3-gram shingles per doc. */
+  private def shingleRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      explode(array_distinct(shingles(col("toks"), ShingleN))).as("s"))
+
+  /** (doc_id, hash_id, sig): MinHash signatures, `sig = min over shingles
+    * of hash60(hash_id, shingle)`. */
+  private def minhashSig(d: DataFrame): DataFrame =
+    shingleRows(d)
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(0), lit(NumHashes - 1))).as("hash_id"))
+      .groupBy("doc_id", "hash_id")
+      .agg(min(hash60(col("hash_id"), col("s"))).as("sig"))
+
+  /** (doc_id, simhash): 48-bit SimHash over ALL shingle instances
+    * (frequency-weighted, the standard formulation). */
+  private def simhash(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(shingles(col("toks"), ShingleN)).as("sgl"))
+      .select(col("doc_id"), hash48(0, col("sgl")).as("h48"))
+      .select(col("doc_id"), col("h48"),
+        explode(sequence(lit(0), lit(47))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(h48 >> b) & 1") === 1, 1L).otherwise(-1L)).as("sgn"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sgn") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("simhash"))
+
+  /** Exact-Jaccard scoring of candidate (doc_a, doc_b) pairs via the
+    * shingle-intersection join — the shared verification tail of the
+    * n-gram and MinHash near-dup pipelines. */
+  private def jaccardOf(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))).as("jac"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens, distinct tokens, mean token
+    // length — pure map-side projection.
+    "q_doc_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_distinct_tokens"),
+        round(aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (a, x) => a + x).cast(DoubleType) / size(col("toks")), 6)
+          .as("avg_token_len"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: stopword ratio, punctuation ratio, composite score.
+    "q_text_quality" -> ((s, dir) => {
+      val stopR = tokenSetRatio(col("toks"), Stopwords)
+      val punctR = punctRatio(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        round(stopR, 6).as("stopword_ratio"),
+        round(punctR, 6).as("punct_ratio"),
+        round(log(size(col("toks")).cast(DoubleType) + lit(1.0))
+          * (lit(1.0) - stopR) * (lit(1.0) - punctR), 6).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic (marker-stopword argmax) vs the lang label:
+    // confusion-matrix counts. The synthetic corpus is English-ish word
+    // salad for every label, so the matrix is honest about that.
+    "q_lang_id_confusion" -> ((s, dir) => {
+      def hits(words: Seq[String]): Column =
+        size(filter(col("toks"), t => t.isin(words.map(lit): _*)))
+      val (se, sd, sf) = (hits(EnMarkers), hits(DeMarkers), hits(FrMarkers))
+      docs(s, dir)
+        .select(col("lang"),
+          when(se > 0 && se >= sd && se >= sf, "en")
+            .when(sd > 0 && sd >= sf, "de")
+            .when(sf > 0, "fr")
+            .otherwise("und").as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Order-sensitive rolling-hash document fingerprint.
+    "q_doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), fingerprint(col("toks")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Exact + bag-of-words dedup summary: one row
+    // (n_docs, n_distinct_text, n_tokenset_keys, n_dup_docs).
+    "q_exact_dedup" -> ((s, dir) => {
+      val keyed = docs(s, dir).select(
+        md5(col("text")).as("tkey"), tokenSetKey(col("toks")).as("skey"))
+      val totals = keyed.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("tkey")).as("n_distinct_text"))
+      val groups = keyed.groupBy("skey").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_tokenset_keys"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_docs"))
+      totals.crossJoin(groups)
+    }),
+
+    // n-gram Jaccard near-dup pairs: shuffle on shingle value, never
+    // all-pairs; emit pairs at jac >= 0.5.
+    "q_ngram_jaccard_pairs" -> ((s, dir) => {
+      val sh = shingleRows(docs(s, dir))
+      val cands = sh.as("a")
+        .join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      jaccardOf(cands, sh)
+        .where(col("jac") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash signatures (8 hashes per doc, exploded rows).
+    "q_minhash_signatures" -> ((s, dir) =>
+      minhashSig(docs(s, dir)).orderBy("doc_id", "hash_id")),
+
+    // MinHash+LSH near-dup: band signatures (4 bands x 2 rows), bucket-join
+    // candidates, verify with exact Jaccard. The banding shuffle key is
+    // (band, band_key) — this is the shape that scales.
+    "q_minhash_near_dup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bands = minhashSig(d)
+        .withColumn("band", floor(col("hash_id") / BandRows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("hash_id"), col("sig")))),
+            e => e.getField("sig").cast("string")))).as("bkey"))
+      val cands = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      jaccardOf(cands, shingleRows(d))
+        .where(col("jac") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // 48-bit shingle SimHash per document.
+    "q_simhash" -> ((s, dir) => simhash(docs(s, dir)).orderBy("doc_id")),
+
+    // SimHash near-dup pairs at hamming <= 8 (quadratic verifier — scale
+    // path is banding the simhash prefix; see scaladoc above).
+    "q_simhash_near_pairs" -> ((s, dir) => {
+      val sh = simhash(docs(s, dir))
+      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .cast(LongType).as("ham"))
+        .where(col("ham") <= HammingThreshold)
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  // ---- DuckDB oracle SQL ----------------------------------------------
+
+  /** Shared fragments mirroring TextFunctions (see its scaladoc for the
+    * cross-engine hash contract). */
+  private val tokCte =
+    """tok AS (
+      |  SELECT doc_id, lang, text,
+      |         string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  private val shgCte = // distinct shingles per doc
+    s"""shg AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(0, len(toks)-${ShingleN - 1}),
+       |           i -> array_to_string(toks[i+1:i+$ShingleN], ' ')))) AS s
+       |  FROM tok
+       |)""".stripMargin
+
+  private val sigCte =
+    s"""sig AS (
+       |  SELECT doc_id, hid,
+       |         min(('0x' || substr(md5(hid::VARCHAR || ':' || s), 1, 15))::BIGINT) AS sig
+       |  FROM shg, (SELECT unnest(range($NumHashes)) AS hid)
+       |  GROUP BY doc_id, hid
+       |)""".stripMargin
+
+  private val simhashCte =
+    s"""shu AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, len(toks)-${ShingleN - 1}),
+       |           i -> array_to_string(toks[i+1:i+$ShingleN], ' '))) AS sgl
+       |  FROM tok
+       |),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5('0:' || sgl), 1, 12))::BIGINT AS h48
+       |  FROM shu
+       |),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         sum(CASE WHEN (h48 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+       |  FROM h, (SELECT unnest(range(48)) AS b)
+       |  GROUP BY doc_id, b
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)""".stripMargin
+
+  /** jac scoring of `cand(doc_a, doc_b)` against shg — mirrors jaccardOf. */
+  private def jacSql(candCte: String): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM $candCte c
+       |  JOIN shg sa ON c.doc_a = sa.doc_id
+       |  JOIN shg sb ON c.doc_b = sb.doc_id AND sa.s = sb.s
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |         i::DOUBLE / (na.n + nb.n - i) AS jac
+       |  FROM inter
+       |  JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id
+       |)""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_doc_token_stats" ->
+      s"""WITH $tokCte
+         |SELECT doc_id,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+         |  round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 6)
+         |    AS avg_token_len
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH $tokCte,
+         |r AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, t -> t IN ${inList(Stopwords)}))::DOUBLE
+         |      / len(toks) AS stop_r,
+         |    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+         |      / length(text) AS punct_r,
+         |    len(toks) AS n_tokens
+         |  FROM tok
+         |)
+         |SELECT doc_id,
+         |  round(stop_r, 6) AS stopword_ratio,
+         |  round(punct_r, 6) AS punct_ratio,
+         |  round(ln(n_tokens::DOUBLE + 1.0) * (1.0 - stop_r) * (1.0 - punct_r), 6)
+         |    AS quality_score
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id_confusion" ->
+      s"""WITH $tokCte,
+         |sc AS (
+         |  SELECT lang,
+         |    len(list_filter(toks, t -> t IN ${inList(EnMarkers)})) AS se,
+         |    len(list_filter(toks, t -> t IN ${inList(DeMarkers)})) AS sd,
+         |    len(list_filter(toks, t -> t IN ${inList(FrMarkers)})) AS sf
+         |  FROM tok
+         |)
+         |SELECT lang,
+         |  CASE WHEN se > 0 AND se >= sd AND se >= sf THEN 'en'
+         |       WHEN sd > 0 AND sd >= sf THEN 'de'
+         |       WHEN sf > 0 THEN 'fr'
+         |       ELSE 'und' END AS pred_lang,
+         |  count(*) AS n_docs
+         |FROM sc GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      s"""WITH $tokCte
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT, list_transform(toks,
+         |      t -> ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT % ${FpMod})),
+         |    (a, x) -> (a * ${FpMul} + x) % ${FpMod}) AS fp
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q_exact_dedup" ->
+      s"""WITH $tokCte,
+         |keyed AS (
+         |  SELECT md5(text) AS tkey,
+         |         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS skey
+         |  FROM tok
+         |),
+         |totals AS (
+         |  SELECT count(*) AS n_docs, count(DISTINCT tkey) AS n_distinct_text
+         |  FROM keyed
+         |),
+         |grp AS (SELECT skey, count(*) AS c FROM keyed GROUP BY skey),
+         |gsum AS (
+         |  SELECT count(*) AS n_tokenset_keys,
+         |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs
+         |  FROM grp
+         |)
+         |SELECT * FROM totals CROSS JOIN gsum""".stripMargin,
+
+    "q_ngram_jaccard_pairs" ->
+      s"""WITH $tokCte, $shgCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+         |),
+         |${jacSql("cand")}
+         |SELECT doc_a, doc_b, round(jac, 6) AS jac
+         |FROM jac WHERE jac >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_minhash_signatures" ->
+      s"""WITH $tokCte, $shgCte, $sigCte
+         |SELECT doc_id, hid AS hash_id, sig
+         |FROM sig ORDER BY doc_id, hash_id""".stripMargin,
+
+    "q_minhash_near_dup" ->
+      s"""WITH $tokCte, $shgCte, $sigCte,
+         |bands AS (
+         |  SELECT doc_id, hid // $BandRows AS band,
+         |         md5(string_agg(sig::VARCHAR, ',' ORDER BY hid)) AS bkey
+         |  FROM sig GROUP BY doc_id, band
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |              AND a.doc_id < b.doc_id
+         |),
+         |${jacSql("cand")}
+         |SELECT doc_a, doc_b, round(jac, 6) AS jac
+         |FROM jac WHERE jac >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH $tokCte, $simhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_near_pairs" ->
+      s"""WITH $tokCte, $simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS ham
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Column builders for the text-analysis / dedup operators over the
+  * `documents` table — the LLM-training-data-pipeline surface layered on
+  * top of the reference's vector engine (SURVEY.md §7.5).
+  *
+  * Everything here is deterministic and built from codegen'd built-ins
+  * (no UDFs), so each operator is expressible in ANSI-ish SQL for the
+  * DuckDB oracle. The cross-engine hash primitive is md5: both engines
+  * produce identical digests, and the first 15/12 hex chars cast to a
+  * 60/48-bit non-negative BIGINT — wide enough for MinHash/SimHash, small
+  * enough that signed-64 arithmetic never overflows (DuckDB raises on
+  * BIGINT overflow while the JVM wraps, so staying < 2^61 is load-bearing
+  * for oracle parity).
+  *
+  * Scale notes (100 TB): every builder is a per-row projection (map-side,
+  * whole-stage codegen); the pair-finding operators in
+  * [[graft.queries.TextQueries]] shuffle only on shingle/band/signature
+  * keys, never all-pairs, except the explicitly-bounded verification
+  * joins.
+  */
+object TextFunctions {
+
+  /** Modulus for the rolling-fingerprint arithmetic (< 2^30 so
+    * `acc*131 + x` stays far below 2^63 in both engines). */
+  val FpMod = 1000000007L
+  val FpMul = 131L
+
+  /** Whitespace tokenizer (DuckDB: `string_split_regex(trim(text), '\s+')`). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Seeded 60-bit hash of a string: first 15 hex chars of
+    * md5("<seed>:<s>") (DuckDB: `('0x' || substr(md5(...),1,15))::BIGINT`). */
+  def hash60(seed: Column, s: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), s)), 1, 15), 16, 10)
+      .cast(LongType)
+
+  def hash60(seed: Int, s: Column): Column = hash60(lit(seed), s)
+
+  /** 48-bit variant used for SimHash (12 hex chars) — keeps the
+    * per-bit popcount sum and the final Σ 2^b comfortably signed-64. */
+  def hash48(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 12), 16, 10)
+      .cast(LongType)
+
+  /** Word n-gram shingles: `size-n+1` space-joined windows over the token
+    * array; empty when the document is shorter than `n` tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Ratio of tokens that appear in `words` (stopword ratio etc.). */
+  def tokenSetRatio(toks: Column, words: Seq[String]): Column = {
+    val hit = size(filter(toks, t => t.isin(words.map(lit): _*)))
+    hit.cast(DoubleType) / size(toks)
+  }
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+      .cast(DoubleType) / length(text)
+
+  /** Order-sensitive polynomial rolling hash over the token stream —
+    * document fingerprint (reference has no text ops; this is the
+    * rolling-hash fingerprint from the LLM-pipeline surface). Matches
+    * DuckDB `list_reduce(list_prepend(0, list_transform(toks, t ->
+    * hash60 % FpMod)), (a,x) -> (a*131+x) % FpMod)`. */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => hash60(0, t) % FpMod),
+      lit(0L),
+      (acc, x) => (acc * FpMul + x) % FpMod)
+
+  /** Canonical key of the document's token SET (order- and
+    * multiplicity-insensitive) — "bag-of-words dedup" key. */
+  def tokenSetKey(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+}
