@@ -19,7 +19,8 @@ object SparkEntry {
     StatsQueries,
     RelationalQueries,
     LshQueries,
-    TextQueries
+    TextQueries,
+    EventQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

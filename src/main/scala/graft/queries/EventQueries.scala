@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over `events.parquet` (event_id BIGINT, ts
+  * TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props
+  * JSON-string) — batch forms of the streaming surface; the same
+  * transforms are reused by [[graft.streaming.EventTransforms]] over a
+  * `readStream` source, which is how one pipeline serves both batch and
+  * Structured Streaming.
+  *
+  * Timestamps are compared cross-engine in epoch MICROseconds: the
+  * testdata parquet stores nanosecond timestamps, and both Spark's
+  * parquet reader and DuckDB's `epoch_us` truncate ns -> us identically.
+  *
+  * Scale notes: hourly rollup and sessionization shuffle once on their
+  * natural keys (hour/user); the as-of join is the union-then-window
+  * carry-forward form — one shuffle on user_id, no range join blowup —
+  * the standard scalable as-of shape on Spark (DuckDB oracles it with a
+  * native ASOF JOIN).
+  */
+object EventQueries extends QueryPack {
+
+  /** Session gap: 6 hours, in microseconds. */
+  val SessionGapUs: Long = 6L * 3600 * 1000000
+
+  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
+    * refuses as a timestamp; read it as raw nanosecond longs (runtime
+    * conf, so this works under any caller's session) and derive both a
+    * microsecond long (`ts_us`, integer `div` — NOT double division,
+    * which loses precision above 2^53) and a proper timestamp column.
+    * DuckDB's `epoch_us` truncates ns->us the same way. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour rollup per event type (batch twin of the streaming
+    // windowed aggregation).
+    "q_event_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // Gap-based sessionization: new session when > 6h since the user's
+    // previous event; per-user session stats.
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val x = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > SessionGapUs, 1)
+            .when(lag("ts_us", 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // durations stay exact integer microseconds end-to-end: a rounded
+      // float average can land exactly on a rounding boundary where the
+      // engines' round() implementations diverge, so the average duration
+      // is emitted as integer floor-division to milliseconds instead
+      val perSession = x.groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_ev"),
+          (max("ts_us") - min("ts_us")).as("dur_us"))
+      perSession.groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum("n_ev").as("n_events"),
+          round(avg("n_ev"), 6).as("avg_session_events"),
+          sum("dur_us").as("total_dur_us"))
+        .withColumn("avg_dur_ms", expr("total_dur_us div (n_sessions * 1000)"))
+        .orderBy("user_id")
+    }),
+
+    // As-of join: for each purchase, the user's most recent prior-or-equal
+    // click. Union + carry-forward window — one user_id shuffle.
+    "q_asof_purchase_click" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+      // clicks sort before purchases at equal ts so ">= c.ts" is inclusive
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("click_us",
+          last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("event_id"), col("click_us"))
+        .orderBy("event_id")
+    }),
+
+    // JSON property extraction + aggregate per type.
+    "q_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("avg_k"))
+        .orderBy("event_type")),
+
+    // Top-3 users by summed value within each event type (rank window).
+    "q_top_users_by_type" -> ((s, dir) => {
+      val totals = events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(round(sum("value"), 4).as("total_value"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("total_value").desc, col("user_id"))
+      totals.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .orderBy("event_type", "rnk")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_event_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY hour, event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH x AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+         |             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |           > $SessionGapUs THEN 1
+         |         WHEN lag(epoch_us(ts))
+         |             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |           IS NULL THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM events
+         |),
+         |y AS (
+         |  SELECT user_id, ts_us,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM x
+         |),
+         |per_sess AS (
+         |  SELECT user_id, sess_id, count(*) AS n_ev,
+         |    max(ts_us) - min(ts_us) AS dur_us
+         |  FROM y GROUP BY user_id, sess_id
+         |)
+         |SELECT user_id,
+         |  count(*) AS n_sessions,
+         |  sum(n_ev)::BIGINT AS n_events,
+         |  round(avg(n_ev), 6) AS avg_session_events,
+         |  sum(dur_us)::BIGINT AS total_dur_us,
+         |  (sum(dur_us)::BIGINT // (count(*) * 1000))::BIGINT AS avg_dur_ms
+         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_asof_purchase_click" ->
+      """SELECT p.event_id, epoch_us(c.ts) AS click_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(json_extract_string(props, '$.k')::INT), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_top_users_by_type" ->
+      """WITH totals AS (
+        |  SELECT event_type, user_id, round(sum(value), 4) AS total_value
+        |  FROM events GROUP BY event_type, user_id
+        |),
+        |r AS (
+        |  SELECT event_type, user_id, total_value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY total_value DESC, user_id) AS rnk
+        |  FROM totals
+        |)
+        |SELECT event_type, user_id, total_value, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
+  )
+}
