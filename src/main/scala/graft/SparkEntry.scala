@@ -20,7 +20,8 @@ object SparkEntry {
     RelationalQueries,
     LshQueries,
     TextQueries,
-    EventQueries
+    EventQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,189 @@
+package graft.ann.ivf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ann.ExactNN
+
+/** IVF (inverted-file) ANN index — the classic coarse-quantizer scale
+  * path for similarity search, complementing the Annoy-style LSH forest
+  * (reference lsh/hasher.go) with the other standard bucketing scheme:
+  * k-means cells instead of random-projection trees.
+  *
+  * Spark-first shape (same as [[graft.ann.lsh.Lsh]]):
+  *   - `fit`: Lloyd's k-means over a driver-side seeded sample (the
+  *     centroid table is tiny — nCells x dims — and rides to executors in
+  *     the task closure, like Annoy's broadcast forest);
+  *   - `transform`: map-side argmin cell assignment — no shuffle;
+  *   - `searchAll`: queries probe their `nProbe` closest cells, the cell
+  *     table is equi-joined on cell id (partition-prunable at scale when
+  *     the cell table is written partitioned by cell), then exact
+  *     distance + per-query top-k.
+  *
+  * At 100 TB: nCells grows with corpus size (sqrt(N) rule of thumb), the
+  * cells DataFrame is bucketed/partitioned by `cell`, and the probe join
+  * touches nProbe/nCells of the data — the IVF pruning ratio.
+  *
+  * Deterministic: seeded sample, seeded init (k-means++ replaced by
+  * deterministic farthest-first over the sample), fixed iteration count —
+  * no wall-clock nondeterminism (SURVEY.md §7.4 applies here too).
+  */
+final case class IvfConfig(
+    nCells: Int = 16,
+    nProbe: Int = 4,
+    iters: Int = 10,
+    seed: Long = 42L,
+    sampleCap: Int = 100000)
+
+final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
+    extends Serializable {
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Index of the closest centroid (ties -> lowest cell id). */
+  def cellOf(v: Array[Double]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      val d = dist2(v, centroids(c))
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cell ids of the `nProbe` closest centroids, ascending distance. */
+  def probeCells(v: Array[Double]): Array[Int] =
+    centroids.indices
+      .map(c => (dist2(v, centroids(c)), c))
+      .sortBy(identity)
+      .take(config.nProbe)
+      .map(_._2)
+      .toArray
+
+  private def cellUdf = udf { v: Seq[Double] => cellOf(v.toArray) }
+  private def probesUdf = udf { v: Seq[Double] => probeCells(v.toArray) }
+
+  /** (id, cell) assignment — map-side only. */
+  def transform(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+      cellUdf(col(vecCol).cast(ArrayType(DoubleType))).as("cell"))
+
+  /** (query-id, cell) probe rows, nProbe per query. */
+  def probeRows(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol),
+      explode(probesUdf(col(vecCol).cast(ArrayType(DoubleType)))).as("cell"))
+}
+
+final class IvfIndex(
+    val model: IvfModel,
+    val vectors: DataFrame, // (vec_id, embedding)
+    val cells: DataFrame    // (vec_id, cell)
+) {
+
+  /** Batch ANN search: probe nProbe cells per query, exact distance over
+    * the candidates, per-query top-k (deterministic vec_id tiebreak). */
+  def searchAll(queries: DataFrame, k: Int,
+                metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6): DataFrame = {
+    val probes = model.probeRows(queries, "query_id", "qv")
+    val cands = cells
+      .join(broadcast(probes), "cell")
+      .select("query_id", "vec_id")
+    val scored = cands
+      .join(vectors, "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "vec_id", "dist")
+  }
+
+  /** Cell occupancy diagnostics. */
+  def cellStats: DataFrame =
+    cells.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cell")
+}
+
+object Ivf {
+
+  /** Deterministic farthest-first init: first centroid = sample row with
+    * the lowest original index under the seeded sample order; each next
+    * centroid maximizes distance to the chosen set (ties -> lowest index).
+    * Avoids k-means++'s RNG so builds are reproducible. */
+  private[ivf] def init(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    while (chosen.length < k && chosen.length < sample.length) {
+      var bestIdx = -1; var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        var dm = Double.MaxValue
+        chosen.foreach(c => dm = math.min(dm, d2(sample(i), c)))
+        if (dm > bestD) { bestD = dm; bestIdx = i }
+        i += 1
+      }
+      chosen += sample(bestIdx)
+    }
+    chosen.toArray
+  }
+
+  private[ivf] def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dims = sample(0).length
+    var cent = init(sample, k)
+    val model0 = new IvfModel(IvfConfig(nCells = cent.length), cent)
+    var assign = sample.map(model0.cellOf)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cent.length)(new Array[Double](dims))
+      val counts = new Array[Long](cent.length)
+      var i = 0
+      while (i < sample.length) {
+        val c = assign(i); counts(c) += 1
+        var d = 0
+        while (d < dims) { sums(c)(d) += sample(i)(d); d += 1 }
+        i += 1
+      }
+      cent = cent.indices.map { c =>
+        if (counts(c) == 0) cent(c) // empty cell keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      val m = new IvfModel(IvfConfig(nCells = cent.length), cent)
+      assign = sample.map(m.cellOf)
+      it += 1
+    }
+    cent
+  }
+
+  def fit(df: DataFrame, vecCol: String, config: IvfConfig): IvfModel = {
+    val total = df.count()
+    val sampled =
+      if (total <= config.sampleCap) df
+      else df.sample(withReplacement = false,
+        fraction = config.sampleCap.toDouble / total, seed = config.seed)
+    val vecs = sampled
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    new IvfModel(config, lloyd(vecs, config.nCells, config.iters))
+  }
+
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            config: IvfConfig): IvfIndex = {
+    val model = fit(df, vecCol, config)
+    val vectors = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val cells = model.transform(df, idCol, vecCol)
+      .select(col(idCol).as("vec_id"), col("cell"))
+    new IvfIndex(model, vectors, cells)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.ExactNN
+import graft.ann.ivf.{Ivf, IvfConfig}
+import graft.ann.lsh.{Lsh, LshConfig}
+import graft.eval.Eval
+import graft.functions.exprs
+
+/** Embedding-space near-duplicate detection + IVF similarity search over
+  * `embeddings.parquet` — the vector half of the LLM-pipeline dedup
+  * surface (the text half lives in [[TextQueries]]).
+  *
+  * `q_embedding_near_dup` is the exact quadratic baseline (oracle-checked
+  * against DuckDB's list_cosine_similarity); `q_lsh_near_dup_pairs` is
+  * the scale path — LSH-bucket candidate generation then exact cosine
+  * verification, a strict subset of the exact result at the same
+  * threshold (property-tested; seeded hashing is not SQL-expressible so
+  * the driver records a rows-only check, SURVEY.md §2.13).
+  */
+object SimilarityQueries extends QueryPack {
+
+  /** Cosine near-dup threshold: planted near-dup pairs in the testdata
+    * sit at dist ~0.49-0.55; the background distribution starts ~0.62. */
+  val CosineDupThreshold = 0.55
+  val K = VectorQueries.K
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+
+  private def queriesDf(e: DataFrame): DataFrame =
+    e.orderBy("vec_id").limit(VectorQueries.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact embedding near-dup pairs (quadratic baseline, oracle-checked).
+    "q_embedding_near_dup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(exprs.cosineDistNative(col("ea"), col("eb")), 6).as("cos_dist"))
+        .where(col("cos_dist") <= CosineDupThreshold)
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // Scale path: LSH-bucket candidates -> exact cosine verify. Bucket
+    // join shuffles on (tree_id, hash), never all-pairs.
+    "q_lsh_near_dup_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Lsh.train(e, "vec_id", "embedding",
+        LshConfig(nTrees = 10, kMinVecs = 50, angular = true, seed = 42L))
+      val bk = idx.buckets
+      val cands = bk.as("a")
+        .join(bk.as("b"),
+          col("a.tree_id") === col("b.tree_id") && col("a.hash") === col("b.hash") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cands
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          round(exprs.cosineDistNative(col("ea"), col("eb")), 6).as("cos_dist"))
+        .where(col("cos_dist") <= CosineDupThreshold)
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // IVF ANN search (L2) over the standard 100-query set.
+    "q_ivf_search_l2" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Ivf.train(e, "vec_id", "embedding",
+        IvfConfig(nCells = 16, nProbe = 8, seed = 42L))
+      idx.searchAll(queriesDf(e), K, ExactNN.L2)
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // IVF recall vs exact ground truth at the same k.
+    "q_ivf_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = Ivf.train(e, "vec_id", "embedding",
+        IvfConfig(nCells = 16, nProbe = 8, seed = 42L))
+      val pred = idx.searchAll(q, K, ExactNN.L2)
+      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      Eval.setPrecisionRecall(pred, gt)
+        .agg(
+          round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
+    }),
+
+    // IVF cell occupancy (partition-balance diagnostics).
+    "q_ivf_cell_stats" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ivf.train(e, "vec_id", "embedding",
+        IvfConfig(nCells = 16, nProbe = 8, seed = 42L)).cellStats
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_embedding_near_dup" ->
+      s"""WITH d AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6) AS cos_dist
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b, cos_dist FROM d
+         |WHERE cos_dist <= $CosineDupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}
