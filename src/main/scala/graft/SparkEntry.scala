@@ -21,7 +21,8 @@ object SparkEntry {
     LshQueries,
     TextQueries,
     EventQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
