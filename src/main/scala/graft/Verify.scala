@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any stale output from a previous run so a failure can't
+        // masquerade as a pass in the compare step
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -46,10 +46,10 @@ object TextQueries extends QueryPack {
     d.select(col("doc_id"),
       explode(array_distinct(shingles(col("toks"), ShingleN))).as("s"))
 
-  /** (doc_id, hash_id, sig): MinHash signatures, `sig = min over shingles
-    * of hash60(hash_id, shingle)`. */
-  private def minhashSig(d: DataFrame): DataFrame =
-    shingleRows(d)
+  /** (doc_id, hash_id, sig): MinHash signatures over a (doc_id, s)
+    * shingle table, `sig = min over shingles of hash60(hash_id, s)`. */
+  private def minhashSig(sh: DataFrame): DataFrame =
+    sh
       .select(col("doc_id"), col("s"),
         explode(sequence(lit(0), lit(NumHashes - 1))).as("hash_id"))
       .groupBy("doc_id", "hash_id")
@@ -68,16 +68,10 @@ object TextQueries extends QueryPack {
       .agg(sum(when(col("sgn") > 0, expr("shiftleft(cast(1 as bigint), b)"))
         .otherwise(0L)).as("simhash"))
 
-  /** Exact-Jaccard scoring of candidate (doc_a, doc_b) pairs via the
-    * shingle-intersection join — the shared verification tail of the
-    * n-gram and MinHash near-dup pipelines. */
-  private def jaccardOf(cands: DataFrame, sh: DataFrame): DataFrame = {
+  /** Jaccard from per-pair intersection counts + per-doc set sizes —
+    * the shared tail of the near-dup pipelines. */
+  private def jacFromInter(inter: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     inter
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n", "na")), "doc_a")
@@ -85,6 +79,20 @@ object TextQueries extends QueryPack {
         .withColumnRenamed("n", "nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))).as("jac"))
+  }
+
+  /** Exact-Jaccard scoring of an explicit candidate pair set: the (small)
+    * candidate list is broadcast against the shingle table so only
+    * candidate docs' shingles ever meet — the verification shape that
+    * holds when candidates << corpus. */
+  private def jaccardOf(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sa = sh.join(broadcast(cands), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("s").as("sa_s"))
+    val inter = sa
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa_s") === col("sb.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    jacFromInter(inter, sh)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -151,16 +159,20 @@ object TextQueries extends QueryPack {
       totals.crossJoin(groups)
     }),
 
-    // n-gram Jaccard near-dup pairs: shuffle on shingle value, never
-    // all-pairs; emit pairs at jac >= 0.5.
+    // n-gram Jaccard near-dup pairs: ONE self-join on the shingle value
+    // produces the intersection counts directly (no candidate
+    // materialization + re-join), never all-pairs; emit pairs at
+    // jac >= 0.5. The persisted shingle table is scanned by the join and
+    // the size aggregate without recomputing the md5-free but
+    // explode-heavy shingling.
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
-      val sh = shingleRows(docs(s, dir))
-      val cands = sh.as("a")
+      val sh = shingleRows(docs(s, dir)).persist()
+      val inter = sh.as("a")
         .join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      jaccardOf(cands, sh)
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      jacFromInter(inter, sh)
         .where(col("jac") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy("doc_a", "doc_b")
@@ -168,14 +180,15 @@ object TextQueries extends QueryPack {
 
     // MinHash signatures (8 hashes per doc, exploded rows).
     "q_minhash_signatures" -> ((s, dir) =>
-      minhashSig(docs(s, dir)).orderBy("doc_id", "hash_id")),
+      minhashSig(shingleRows(docs(s, dir))).orderBy("doc_id", "hash_id")),
 
     // MinHash+LSH near-dup: band signatures (4 bands x 2 rows), bucket-join
     // candidates, verify with exact Jaccard. The banding shuffle key is
     // (band, band_key) — this is the shape that scales.
     "q_minhash_near_dup" -> ((s, dir) => {
       val d = docs(s, dir)
-      val bands = minhashSig(d)
+      val sh = shingleRows(d).persist()
+      val bands = minhashSig(sh)
         .withColumn("band", floor(col("hash_id") / BandRows).cast("int"))
         .groupBy("doc_id", "band")
         .agg(md5(concat_ws(",",
@@ -187,7 +200,7 @@ object TextQueries extends QueryPack {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      jaccardOf(cands, shingleRows(d))
+      jaccardOf(cands, sh)
         .where(col("jac") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy("doc_a", "doc_b")
