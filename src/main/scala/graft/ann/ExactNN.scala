@@ -46,15 +46,32 @@ object ExactNN {
     */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int, metric: Metric = L2,
            threshold: Option[Double] = None, roundTo: Int = 6): DataFrame = {
-    val d = round(metric.dist(col("qv"), col("embedding")), roundTo)
-    val scored = corpus
-      .crossJoin(broadcast(queries))
-      .select(col("query_id"), col("vec_id"), d.as("dist"))
-    val filtered = threshold.fold(scored)(t => scored.where(col("dist") <= t))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    filtered
+    scored(queries, corpus, metric, threshold, roundTo)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("dist"))
+  }
+
+  /** Same result via the [[TopK]] partial aggregation: each corpus
+    * partition keeps at most k candidates per query map-side, so the
+    * per-query shuffle is `numPartitions * k` rows instead of the whole
+    * scored corpus — the form that survives a 100x corpus scale-up. */
+  def topKAgg(queries: DataFrame, corpus: DataFrame, k: Int, metric: Metric = L2,
+              threshold: Option[Double] = None, roundTo: Int = 6): DataFrame =
+    scored(queries, corpus, metric, threshold, roundTo)
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("n"))
+      .select(col("query_id"), col("n.vec_id").as("vec_id"),
+        col("n.dist").as("dist"))
+
+  private def scored(queries: DataFrame, corpus: DataFrame, metric: Metric,
+                     threshold: Option[Double], roundTo: Int): DataFrame = {
+    val d = round(metric.dist(col("qv"), col("embedding")), roundTo)
+    val s = corpus
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), d.as("dist"))
+    threshold.fold(s)(t => s.where(col("dist") <= t))
   }
 }
