@@ -109,9 +109,50 @@ final class IvfIndex(
   def cellStats: DataFrame =
     cells.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
       .orderBy("cell")
+
+  /** Persist centroids + vectors + cell table; cells are written
+    * `partitionBy(cell)` so a probe of nProbe cells prunes to nProbe
+    * partition directories (same at-rest layout rationale as
+    * [[graft.ann.lsh.LshIndex.save]]). */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((model.config.nCells, model.config.nProbe, model.config.iters,
+      model.config.seed, model.config.sampleCap))
+      .toDF("n_cells", "n_probe", "iters", "seed", "sample_cap")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    cells
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
 }
 
 object Ivf {
+
+  /** Reopen a saved index. */
+  def load(spark: SparkSession, path: String): IvfIndex = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val config = IvfConfig(
+      nCells = meta.getAs[Int]("n_cells"),
+      nProbe = meta.getAs[Int]("n_probe"),
+      iters = meta.getAs[Int]("iters"),
+      seed = meta.getAs[Long]("seed"),
+      sampleCap = meta.getAs[Int]("sample_cap"))
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    new IvfIndex(new IvfModel(config, centroids), vectors, cells)
+  }
 
   /** Deterministic farthest-first init: first centroid = sample row with
     * the lowest original index under the seeded sample order; each next

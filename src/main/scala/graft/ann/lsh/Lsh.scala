@@ -194,6 +194,23 @@ final class LshIndex(
       .select("query_id", "vec_id", "dist")
   }
 
+  /** Persist the full index: model (nodes+meta), vectors, and the
+    * buckets table written `partitionBy(tree_id)` and sorted by hash
+    * within files — so a probe `WHERE tree_id = t AND hash = h` prunes to
+    * one partition directory and min/max row-group stats skip within it.
+    * This is the at-rest layout that makes bucket pruning (the
+    * reference's whole point, SURVEY.md §4) a storage property. */
+  def save(spark: SparkSession, path: String): Unit = {
+    model.save(spark, s"$path/model")
+    vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    buckets
+      .repartition(col("tree_id"))
+      .sortWithinPartitions("hash")
+      .write.mode("overwrite")
+      .partitionBy("tree_id")
+      .parquet(s"$path/buckets")
+  }
+
   /** Bucket occupancy summary — used for diagnostics and the
     * `q_lsh_bucket_stats` driver query. */
   def bucketStats: DataFrame =
@@ -207,6 +224,16 @@ final class LshIndex(
 
 /** Entry points (reference NewLsh + Train, lsh.go:93-134). */
 object Lsh {
+
+  /** Reopen a saved index (reference LoadHasher + a Store pointing at the
+    * persisted namespaces, lsh.go:200-207). */
+  def load(spark: SparkSession, path: String): LshIndex = {
+    val model = LshModel.load(spark, s"$path/model")
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val buckets = spark.read.parquet(s"$path/buckets")
+      .select(col("tree_id").cast("int").as("tree_id"), col("hash"), col("vec_id"))
+    new LshIndex(model, vectors, buckets)
+  }
 
   /** Fit the forest over a (capped) sample of the vector column. The
     * sample is collected to the driver — trees are fitted over at most

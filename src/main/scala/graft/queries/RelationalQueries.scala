@@ -124,7 +124,58 @@ object RelationalQueries extends QueryPack {
         .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"))
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // Cube: all grouping-set combinations over (flag, status).
+    "q_cube_counts" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Set op: INTERSECT of customer keys with ordering customers.
+    "q_intersect_custkeys" -> ((s, dir) =>
+      tbl(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .intersect(tbl(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    // Set op: EXCEPT — customers that never ordered, as a set difference.
+    "q_except_custkeys" -> ((s, dir) =>
+      tbl(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(tbl(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    // Exact interpolated percentiles per return flag (Catalyst
+    // `percentile`; DuckDB quantile_cont — same linear interpolation).
+    "q_quantity_percentiles" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"))
+        .orderBy("l_returnflag")),
+
+    // TPC-H Q14-style promo revenue ratio: part dim broadcast onto the
+    // lineitem scan; one global agg row.
+    "q_promo_revenue" -> ((s, dir) => {
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), disc)
+            .otherwise(lit(0.0))) / sum(disc), 6).as("promo_pct"))
+    }),
+
+    // Pivot: order-status counts per market segment (fixed pivot values
+    // for determinism).
+    "q_pivot_segment_status" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy("c_mktsegment"))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -203,6 +254,48 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_cube_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_intersect_custkeys" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+
+    "q_except_custkeys" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+
+    "q_quantity_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_promo_revenue" ->
+      """SELECT round(
+        |  100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |                   THEN l_extendedprice * (1 - l_discount)
+        |                   ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q_pivot_segment_status" ->
+      """SELECT c_mktsegment,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
