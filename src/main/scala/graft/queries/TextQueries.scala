@@ -32,6 +32,9 @@ object TextQueries extends QueryPack {
   val JaccardThreshold = 0.5
   val HammingThreshold = 8
   val Stopwords = Seq("a", "the", "and", "of", "to", "in", "is")
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, or single
+    * non-alphanumeric glyphs (RE2- and Java-regex compatible). */
+  val BpeTokenRegex = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"""
   val EnMarkers = Seq("the", "a", "of", "and")
   val DeMarkers = Seq("der", "die", "das", "und")
   val FrMarkers = Seq("le", "la", "les", "et")
@@ -109,12 +112,15 @@ object TextQueries extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Token counting: whitespace tokens, distinct tokens, mean token
-    // length — pure map-side projection.
+    // Token counting: whitespace tokens, BPE-ish pre-tokenizer count
+    // (letter runs / digit runs / single punctuation, the GPT-2-style
+    // split shape), distinct tokens, mean token length — map-side only.
     "q_doc_token_stats" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
         size(col("toks")).cast(LongType).as("n_tokens"),
+        size(expr(s"regexp_extract_all(text, '$BpeTokenRegex', 0)"))
+          .cast(LongType).as("n_subtokens"),
         size(array_distinct(col("toks"))).cast(LongType).as("n_distinct_tokens"),
         round(aggregate(transform(col("toks"), t => length(t)), lit(0),
           (a, x) => a + x).cast(DoubleType) / size(col("toks")), 6)
@@ -320,6 +326,8 @@ object TextQueries extends QueryPack {
       s"""WITH $tokCte
          |SELECT doc_id,
          |  len(toks)::BIGINT AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+         |    AS n_subtokens,
          |  len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
          |  round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 6)
          |    AS avg_token_len
