@@ -49,14 +49,6 @@ object TextQueries extends QueryPack {
     d.select(col("doc_id"),
       explode(array_distinct(shingles(col("toks"), ShingleN))).as("s"))
 
-  /** Universal-hash family multipliers/offsets: the k MinHash functions
-    * are `(A[i] * h + B[i]) mod FpMod` over ONE md5-derived base hash per
-    * shingle — one digest instead of k per shingle (the standard
-    * construction; 8x fewer hash evaluations on the hot path). Constants
-    * small enough that `A * h` stays far below 2^63 (h < FpMod < 2^30). */
-  val HashA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
-  val HashB = Seq(17L, 29L, 43L, 59L, 71L, 83L, 97L, 109L)
-
   /** (doc_id, hash_id, sig): MinHash signatures over a (doc_id, s)
     * shingle table, `sig_i = min over shingles of (A_i*h + B_i) % M`. */
   private def minhashSig(sh: DataFrame): DataFrame = {

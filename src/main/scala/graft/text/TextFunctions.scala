@@ -30,6 +30,14 @@ object TextFunctions {
   val FpMod = 1000000007L
   val FpMul = 131L
 
+  /** Universal-hash family multipliers/offsets: the k MinHash functions
+    * are `(A[i] * h + B[i]) mod FpMod` over ONE md5-derived base hash per
+    * shingle — one digest instead of k per shingle (the standard
+    * construction). Constants small enough that `A * h` stays far below
+    * 2^63 (h < FpMod < 2^30). */
+  val HashA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
+  val HashB = Seq(17L, 29L, 43L, 59L, 71L, 83L, 97L, 109L)
+
   /** Whitespace tokenizer (DuckDB: `string_split_regex(trim(text), '\s+')`). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 

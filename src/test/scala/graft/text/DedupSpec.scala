@@ -1,0 +1,53 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+
+/** Dedup library API: exact groups, planted near-dup detection, and the
+  * document-frequency cap's effect on hot shingles. */
+class DedupSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val nearDup = base.replace("theta", "thetaX") // one token changed
+  private val docs = Seq(
+    (0L, base),
+    (1L, base),            // exact dup of 0
+    (2L, nearDup),         // near dup of 0/1
+    (3L, "completely different words here nothing shared with others at all"),
+    (4L, "unrelated content again still nothing in common whatsoever today"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups finds only the exact duplicate pair") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Seq[Long]]("doc_ids") === Seq(0L, 1L))
+  }
+
+  test("minhashNearDup finds planted near-dups and nothing else") {
+    val pairs = Dedup.minhashNearDup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical -> jac 1.0
+    // near-dup pair(s) with 0/1 allowed; nothing involving 3 or 4
+    assert(pairs.forall { case (a, b) => a <= 2 && b <= 2 })
+    assert(pairs.nonEmpty)
+  }
+
+  test("maxDocFreqRatio drops ubiquitous shingles") {
+    // every doc shares the same leading 3 tokens -> that shingle is hot
+    val shared = Seq(
+      (0L, "common prefix here alpha beta gamma"),
+      (1L, "common prefix here delta epsilon zeta"),
+      (2L, "common prefix here eta theta iota"),
+      (3L, "common prefix here kappa lambda mu")).toDF("doc_id", "text")
+    val uncapped = Dedup.shingleTable(shared, "doc_id", "text",
+      Dedup.MinHashConfig()).collect()
+    val capped = Dedup.shingleTable(shared, "doc_id", "text",
+      Dedup.MinHashConfig(maxDocFreqRatio = 0.5)).collect()
+    assert(uncapped.count(_.getAs[String]("s") == "common prefix here") === 4)
+    assert(capped.count(_.getAs[String]("s") == "common prefix here") === 0)
+    assert(capped.nonEmpty)
+  }
+}
