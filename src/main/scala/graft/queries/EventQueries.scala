@@ -26,18 +26,8 @@ object EventQueries extends QueryPack {
   /** Session gap: 6 hours, in microseconds. */
   val SessionGapUs: Long = 6L * 3600 * 1000000
 
-  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
-    * refuses as a timestamp; read it as raw nanosecond longs (runtime
-    * conf, so this works under any caller's session) and derive both a
-    * microsecond long (`ts_us`, integer `div` — NOT double division,
-    * which loses precision above 2^53) and a proper timestamp column.
-    * DuckDB's `epoch_us` truncates ns->us the same way. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.EventSource.read(s, dir)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour rollup per event type (batch twin of the streaming

@@ -52,7 +52,17 @@ object VectorQueries extends QueryPack {
 
     "q_exact_nn_l2" -> ((s, dir) => exactNn(s, dir, ExactNN.L2)),
 
-    "q_exact_nn_cosine" -> ((s, dir) => exactNn(s, dir, ExactNN.Cosine))
+    "q_exact_nn_cosine" -> ((s, dir) => exactNn(s, dir, ExactNN.Cosine)),
+
+    // Mean-pooled per-label centroids: the embedding-aggregation shape
+    // (explode to (label, dim) -> partial+final avg; one shuffle keyed by
+    // (label, pos) regardless of corpus size).
+    "q_label_centroids" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), (col("pos") + 1).as("pos"))
+        .agg(round(avg(col("col").cast(DoubleType)), 6).as("centroid"))
+        .orderBy("label", "pos"))
   )
 
   private val qCte =
@@ -73,6 +83,16 @@ object VectorQueries extends QueryPack {
     "q_range_minmax" ->
       """SELECT min(v) AS vmin, max(v) AS vmax
         |FROM (SELECT unnest(embedding)::DOUBLE AS v FROM embeddings)""".stripMargin,
+
+    "q_label_centroids" ->
+      """SELECT label, pos, round(avg(v), 6) AS centroid
+        |FROM (
+        |  SELECT label,
+        |         unnest(generate_series(1, len(embedding))) AS pos,
+        |         unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings
+        |)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "q_exact_nn_l2" ->
       s"""$qCte,
