@@ -168,20 +168,30 @@ final class LshIndex(
     *   5. per-query top-k window (reference min-heap pop, lsh.go:192-195),
     *      ties pinned by vec_id for determinism.
     *
-    * Deviation (SURVEY.md §7.4): no `MaxCandidates` early exit — the
-    * reference's cap is nondeterministic (Go map iteration order decides
-    * which buckets win); we evaluate all probed candidates, a strict
-    * superset, so recall can only improve.
+    * Deviation (SURVEY.md §7.4): the reference's `MaxCandidates` early
+    * exit is nondeterministic (Go map iteration order decides which
+    * buckets win); by default we evaluate all probed candidates — a
+    * strict superset, recall can only improve. Passing `maxCandidates`
+    * restores the bounded-work semantics deterministically: candidates
+    * are capped per query in vec_id order BEFORE the distance compute,
+    * which is the memory bound that matters when a hot bucket explodes
+    * at scale.
     */
   def searchAll(queries: DataFrame, k: Int, distanceThreshold: Double,
-                metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6): DataFrame = {
+                metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
+                maxCandidates: Option[Int] = None): DataFrame = {
     val probes = model.probeRows(queries, "query_id", "qv")
       .dropDuplicates("query_id", "tree_id", "hash")
-    val cands = buckets
+    val uncapped = buckets
       .join(broadcast(probes.select("query_id", "tree_id", "hash")),
         Seq("tree_id", "hash"))
       .select("query_id", "vec_id")
       .dropDuplicates("query_id", "vec_id")
+    val cands = maxCandidates.fold(uncapped) { cap =>
+      val cw = Window.partitionBy("query_id").orderBy("vec_id")
+      uncapped.withColumn("crn", row_number().over(cw))
+        .where(col("crn") <= cap).drop("crn")
+    }
     val scored = cands
       .join(vectors, "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")

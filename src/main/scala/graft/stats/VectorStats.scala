@@ -59,6 +59,24 @@ object VectorStats {
         round((col("v") - col("mean")) / col("mad"), roundTo).as("sv"))
   }
 
+  /** Sampled variant — the reference's actual semantics
+    * (`GetMeanStdSampled`, lsh/helpers.go:45-118 draws `sampleSize`
+    * uniform rows before the per-dimension stats). Spark-side sampling is
+    * Bernoulli-without-replacement rather than the reference's
+    * with-replacement draws — equivalent in expectation; the reference's
+    * own test only asserts a ±0.05 tolerance band (lsh_test.go:151-213),
+    * which is the contract [[graft.stats]]'s spec mirrors. Not
+    * oracle-comparable (seeded sampling differs per engine) — the exact
+    * [[meanMad]] is the oracle-checked form. */
+  def meanMadSampled(emb: DataFrame, sampleSize: Int, seed: Long): DataFrame = {
+    val total = emb.count()
+    val sampled =
+      if (total <= sampleSize) emb
+      else emb.sample(withReplacement = false,
+        fraction = sampleSize.toDouble / total, seed = seed)
+    meanMad(sampled)
+  }
+
   /** scaleAll re-assembled into an array column ordered by dimension —
     * the library-API shape (not oracle-comparable; see scaleAll). */
   def scaleAllVec(emb: DataFrame, roundTo: Int = 6): DataFrame =
