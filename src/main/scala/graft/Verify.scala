@@ -15,20 +15,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // drop any stale output from a previous run so a failure can't
-        // masquerade as a pass in the compare step
-        val dir = Paths.get(s"$outDir/$name")
-        if (Files.exists(dir)) {
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-        }
-      }
+    // Queries run concurrently on the shared scheduler (4 at a time):
+    // most of the suite is small jobs whose wall time is dominated by
+    // stage latency, not cores — overlapping them roughly halves the
+    // driver's correctness-gate round time.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            // drop any stale output from a previous run so a failure
+            // can't masquerade as a pass in the compare step
+            val dir = Paths.get(s"$outDir/$name")
+            if (Files.exists(dir)) {
+              Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => Files.deleteIfExists(p))
+            }
+          }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
