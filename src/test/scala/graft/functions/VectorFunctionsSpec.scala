@@ -77,4 +77,25 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkSpecBase {
     assert(math.abs(norms(0) - 1.0) < 1e-9)
     assert(norms(1) == 0.0)
   }
+
+  test("mismatched vector lengths yield NULL, never an out-of-bounds read") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val row = df.select(
+      graft.functions.exprs.l2DistNative(col("a"), col("b")).as("l2"),
+      graft.functions.exprs.cosineDistNative(col("a"), col("b")).as("cos"),
+      graft.functions.exprs.dotNative(col("a"), col("b")).as("dot"))
+      .head()
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("null input arrays yield NULL") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    val row = df.select(
+      graft.functions.exprs.l2DistNative(col("a"), col("b")).as("l2"),
+      graft.functions.exprs.vecNormNative(col("b")).as("nb"))
+      .head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
 }
