@@ -44,6 +44,20 @@ object Forest {
       // only for prod < 0 (and -0.0, irrelevant here)
       s - offset < 0.0
     }
+
+    /** Same test reading straight out of Tungsten ArrayData (codegen
+      * expression path — no row materialization). */
+    def negativeSideData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                         isFloat: Boolean): Boolean = {
+      var s = 0.0
+      var i = 0
+      while (i < normal.length) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        s += normal(i) * x
+        i += 1
+      }
+      s - offset < 0.0
+    }
   }
 
   sealed trait TreeNode extends Serializable
@@ -123,6 +137,23 @@ object Forest {
     while (!done) node match {
       case Split(plane, left, right) =>
         if (plane.negativeSide(v)) { h |= (1L << depth); node = left }
+        else node = right
+        depth += 1
+      case Leaf => done = true
+    }
+    h
+  }
+
+  /** Hash walking Tungsten ArrayData directly (codegen expression path). */
+  def hashData(tree: TreeNode, a: org.apache.spark.sql.catalyst.util.ArrayData,
+               isFloat: Boolean): Long = {
+    var node = tree
+    var h = 0L
+    var depth = 0
+    var done = false
+    while (!done) node match {
+      case Split(plane, left, right) =>
+        if (plane.negativeSideData(a, isFloat)) { h |= (1L << depth); node = left }
         else node = right
         depth += 1
       case Leaf => done = true

@@ -57,23 +57,52 @@ final class LshModel(val config: LshConfig, val trees: Array[TreeNode])
   def probes(v: Array[Double]): Array[Long] =
     hashes(v).flatMap(h => Array(h, Forest.neighborHash(h)))
 
-  private def hashesUdf = udf { v: Seq[Double] => hashes(v.toArray) }
-  private def probesUdf = udf { v: Seq[Double] => probes(v.toArray) }
+  /** All per-tree hashes reading straight out of Tungsten ArrayData —
+    * the expression path ([[LshHashesExpr]]): in the non-angular case the
+    * tree walk touches the array in place with zero per-row allocation;
+    * angular normalization needs one scratch copy (the normalized vector
+    * feeds every tree). */
+  def hashesData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 isFloat: Boolean): Array[Long] = {
+    if (!config.angular) {
+      val out = new Array[Long](trees.length)
+      var t = 0
+      while (t < trees.length) { out(t) = Forest.hashData(trees(t), a, isFloat); t += 1 }
+      out
+    } else {
+      val n = a.numElements()
+      val v = new Array[Double](n)
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        v(i) = x; s += x * x; i += 1
+      }
+      val norm = math.sqrt(s)
+      if (norm > Forest.Tol) { var j = 0; while (j < n) { v(j) /= norm; j += 1 } }
+      trees.map(t => Forest.hash(t, v))
+    }
+  }
+
+  def probesData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 isFloat: Boolean): Array[Long] =
+    hashesData(a, isFloat).flatMap(h => Array(h, Forest.neighborHash(h)))
 
   /** (id, tree_id, hash) bucket rows for every input vector — the index
     * "write path" (reference Train's SetHash loop, lsh.go:123-128),
-    * reshaped as one narrow DataFrame. Map-side only. */
+    * reshaped as one narrow DataFrame. Map-side only; the hash compute is
+    * a native expression, not a UDF, so rows never round-trip through
+    * Scala encoders on the 100 TB train path. */
   def transform(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(
         col(idCol),
-        posexplode(hashesUdf(col(vecCol).cast(ArrayType(DoubleType)))))
+        posexplode(LshExpressions.lshHashes(this, col(vecCol))))
       .select(col(idCol), col("pos").as("tree_id"), col("col").as("hash"))
 
   /** (query-id, tree_id, hash) probe rows: two per tree per query. */
   def probeRows(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
     queries.select(
         col(idCol),
-        posexplode(probesUdf(col(vecCol).cast(ArrayType(DoubleType)))))
+        posexplode(LshExpressions.lshProbes(this, col(vecCol))))
       .select(col(idCol), (col("pos") / 2).cast(IntegerType).as("tree_id"),
         col("col").as("hash"))
 
