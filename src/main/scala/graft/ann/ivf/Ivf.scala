@@ -66,18 +66,48 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
       .map(_._2)
       .toArray
 
-  private def cellUdf = udf { v: Seq[Double] => cellOf(v.toArray) }
-  private def probesUdf = udf { v: Seq[Double] => probeCells(v.toArray) }
+  private def readElem(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                       i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
-  /** (id, cell) assignment — map-side only. */
+  private def dist2Data(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                        isFloat: Boolean, c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { val d = readElem(a, i, isFloat) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Argmin cell reading straight out of Tungsten ArrayData (expression
+    * path — no per-row materialization). */
+  def cellOfData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 isFloat: Boolean): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      val d = dist2Data(a, isFloat, centroids(c))
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def probeCellsData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                     isFloat: Boolean): Array[Int] =
+    centroids.indices
+      .map(c => (dist2Data(a, isFloat, centroids(c)), c))
+      .sortBy(identity)
+      .take(config.nProbe)
+      .map(_._2)
+      .toArray
+
+  /** (id, cell) assignment — map-side only, native expression (no UDF
+    * encoder round-trip on the path that touches every corpus row). */
   def transform(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol),
-      cellUdf(col(vecCol).cast(ArrayType(DoubleType))).as("cell"))
+    df.select(col(idCol), IvfExpressions.ivfCell(this, col(vecCol)).as("cell"))
 
   /** (query-id, cell) probe rows, nProbe per query. */
   def probeRows(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
     queries.select(col(idCol),
-      explode(probesUdf(col(vecCol).cast(ArrayType(DoubleType)))).as("cell"))
+      explode(IvfExpressions.ivfProbes(this, col(vecCol))).as("cell"))
 }
 
 final class IvfIndex(
