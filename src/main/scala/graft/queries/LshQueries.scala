@@ -58,19 +58,28 @@ object LshQueries extends QueryPack {
 
     // Per-query recall of LSH vs exact NN at the same threshold (O17
     // grading O13) — the reference's README benchmark loop as one query.
-    "q_lsh_recall" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val q = queriesDf(emb)
-      val idx = Lsh.train(emb, "vec_id", "embedding", config(angular = false))
-      val pred = idx.searchAll(q, K, L2Threshold, ExactNN.L2)
-      val gt = ExactNN.topK(q, emb, K, ExactNN.L2, threshold = Some(L2Threshold))
-      Eval.setPrecisionRecall(pred, gt)
-        .agg(
-          round(avg("precision"), 4).as("avg_precision"),
-          round(avg("recall"), 4).as("avg_recall"),
-          count(lit(1)).as("n_queries"))
-    })
+    "q_lsh_recall" -> ((s, dir) =>
+      recall(s, dir, angular = false, ExactNN.L2, L2Threshold)),
+
+    // Angular variant (the reference publishes cosine recall separately
+    // and acknowledges degradation there, README.md:164-167).
+    "q_lsh_recall_cosine" -> ((s, dir) =>
+      recall(s, dir, angular = true, ExactNN.Cosine, CosineThreshold))
   )
+
+  private def recall(s: SparkSession, dir: String, angular: Boolean,
+                     metric: ExactNN.Metric, threshold: Double): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val q = queriesDf(emb)
+    val idx = Lsh.train(emb, "vec_id", "embedding", config(angular))
+    val pred = idx.searchAll(q, K, threshold, metric)
+    val gt = ExactNN.topK(q, emb, K, metric, threshold = Some(threshold))
+    Eval.setPrecisionRecall(pred, gt)
+      .agg(
+        round(avg("precision"), 4).as("avg_precision"),
+        round(avg("recall"), 4).as("avg_recall"),
+        count(lit(1)).as("n_queries"))
+  }
 
   override def oracleSql: Map[String, String] = Map.empty
 }
