@@ -289,10 +289,18 @@ object Lsh {
       .select(col(vecCol).cast(ArrayType(DoubleType)))
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    val trees = (0 until config.nTrees).map { ti =>
-      Forest.buildTree(vecs.toSeq, config.kMinVecs, config.angular,
-        config.seed + ti)
-    }.toArray
+    // trees are independent: build them concurrently (the reference's
+    // goroutine-per-tree, hasher.go:179-186) — each still seeded
+    // deterministically, so the forest is identical to a serial build
+    val trees = new Array[Forest.TreeNode](config.nTrees)
+    val threads = (0 until config.nTrees).map { ti =>
+      val t = new Thread(() => {
+        trees(ti) = Forest.buildTree(vecs.toSeq, config.kMinVecs,
+          config.angular, config.seed + ti)
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
     new LshModel(config, trees)
   }
 

@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ann.ExactNN
+import graft.ann.lsh.{Lsh, LshConfig}
+import graft.eval.Eval
+
+/** Scale probe: replicates the sf0.1 embeddings corpus K-fold with
+  * deterministic jitter, then measures exact-NN vs LSH search wall time
+  * and recall at growing corpus sizes — the local stand-in for the
+  * reference's ann-benchmarks runs (BASELINE.md: 30-70x speedup at
+  * ~0.94-0.95 recall on 60k-1M vectors).
+  *
+  * Usage: runMain graft.tools.ScaleProbe [replicas...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4, 20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val baseN = base.count()
+
+    for (k <- replicas) {
+      // replica r shifts ids by r*baseN and jitters each component by a
+      // small deterministic hash-derived offset so copies aren't identical
+      val corpus = spark.range(k).crossJoin(base)
+        .select(
+          (col("id") * baseN + col("vec_id")).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + (pmod(xxhash64(col("id"), col("vec_id"), i), lit(1000))
+              .cast("double") - 500.0) / 50000.0).as("embedding"))
+        .persist()
+      val n = corpus.count()
+      val queries = corpus.where(col("vec_id") < 500)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+      def time[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+
+      val (_, tExact0) = time(ExactNN.topK(queries, corpus, 10).count())
+      val (_, tExact) = time(ExactNN.topK(queries, corpus, 10).count())
+
+      val (idx, tTrain) = time {
+        val i = Lsh.train(corpus, "vec_id", "embedding",
+          LshConfig(nTrees = 20, kMinVecs = 80, seed = 42L))
+        i.buckets.persist().count()
+        i.vectors.persist().count()
+        i
+      }
+      val (_, tLsh0) = time(idx.searchAll(queries, 10, 1.4).count())
+      val (_, tLsh) = time(idx.searchAll(queries, 10, 1.4).count())
+      val gt = ExactNN.topK(queries, corpus, 10, ExactNN.L2, threshold = Some(1.4))
+      val recall = Eval.setPrecisionRecall(idx.searchAll(queries, 10, 1.4), gt)
+        .agg(avg("recall")).head().getDouble(0)
+
+      println(f"[scale] corpus=$n%,d exact=${tExact}%.2fs (warm ${tExact0}%.2f) " +
+        f"train=${tTrain}%.2fs lsh=${tLsh}%.2fs (warm ${tLsh0}%.2f) " +
+        f"speedup=${tExact / tLsh}%.1fx recall=$recall%.3f")
+      corpus.unpersist(); idx.buckets.unpersist(); idx.vectors.unpersist()
+    }
+    spark.stop()
+  }
+}
