@@ -21,6 +21,18 @@ object RelationalQueries extends QueryPack {
 
   private val Cutoff = "1998-06-01"
 
+  /** Money sums in EXACT decimal: the source doubles are clean 2dp
+    * values (prices) and 2dp fractions (discount/tax), so casting to
+    * DECIMAL recovers them exactly and the whole product/sum pipeline is
+    * order-independent integer arithmetic — immune to the cross-engine
+    * last-ulp divergence that double summation has when a rounded sum
+    * lands on a rounding boundary (observed at sf0.1). Cast back to
+    * DOUBLE only after the final round. */
+  private def decPrice = col("l_extendedprice").cast("decimal(18,2)")
+  private def decDisc = col("l_discount").cast("decimal(4,2)")
+  private def decTax = col("l_tax").cast("decimal(4,2)")
+  private def decRevenue = decPrice * (lit(1).cast("decimal(3,2)") - decDisc)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: filter pushed to parquet scan,
     // partial+final hash agg on 2 low-cardinality keys.
@@ -29,13 +41,14 @@ object RelationalQueries extends QueryPack {
         .where(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(sum("l_quantity"), 4).as("sum_qty"), // integer-valued: exact
+          round(sum(decPrice), 4).cast("double").as("sum_base_price"),
+          round(sum(decRevenue), 4).cast("double").as("sum_disc_price"),
+          round(sum(decRevenue * (lit(1).cast("decimal(3,2)") + decTax)), 4)
+            .cast("double").as("sum_charge"),
           round(avg("l_quantity"), 6).as("avg_qty"),
-          round(avg("l_extendedprice"), 6).as("avg_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          round(sum(decPrice).cast("double") / count(lit(1)), 6).as("avg_price"),
+          round(sum(decDisc).cast("double") / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -48,7 +61,7 @@ object RelationalQueries extends QueryPack {
         .where(col("l_shipdate") > lit(Cutoff).cast(TimestampType))
       li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .agg(round(sum(decRevenue), 4).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -67,21 +80,24 @@ object RelationalQueries extends QueryPack {
       li.join(o.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
         .groupBy("r_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .agg(round(sum(decRevenue), 4).cast("double").as("revenue"))
         .orderBy("r_name")
     }),
 
-    // Running per-supplier quantity: window with deterministic total order.
+    // Running per-supplier quantity: window with deterministic total
+    // order. The synthetic lineitem contains duplicate (orderkey,
+    // linenumber) rows, so l_quantity joins the sort key to make the
+    // running order total.
     "q_window_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tbl(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_shipdate"))
         .withColumn("running_qty", round(sum("l_quantity").over(w), 4))
         .drop("l_quantity", "l_shipdate")
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     }),
 
     // Semi join: customers that have at least one order, by segment.
@@ -158,14 +174,13 @@ object RelationalQueries extends QueryPack {
 
     // TPC-H Q14-style promo revenue ratio: part dim broadcast onto the
     // lineitem scan; one global agg row.
-    "q_promo_revenue" -> ((s, dir) => {
-      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    "q_promo_revenue" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .agg(round(
-          lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), disc)
-            .otherwise(lit(0.0))) / sum(disc), 6).as("promo_pct"))
-    }),
+          lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), decRevenue)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+            / sum(decRevenue).cast("double"), 6).as("promo_pct"))),
 
     // Pivot: order-status counts per market segment (fixed pivot values
     // for determinism).
@@ -182,12 +197,12 @@ object RelationalQueries extends QueryPack {
     "q_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  round(sum(l_quantity), 4) AS sum_qty,
-         |  round(sum(l_extendedprice), 4) AS sum_base_price,
-         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-         |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+         |  round(sum(l_extendedprice::DECIMAL(18,2)), 4)::DOUBLE AS sum_base_price,
+         |  round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(4,2))), 4)::DOUBLE AS sum_disc_price,
+         |  round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(4,2)) * (1 + l_tax::DECIMAL(4,2))), 4)::DOUBLE AS sum_charge,
          |  round(avg(l_quantity), 6) AS avg_qty,
-         |  round(avg(l_extendedprice), 6) AS avg_price,
-         |  round(avg(l_discount), 6) AS avg_disc,
+         |  round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_price,
+         |  round(sum(l_discount::DECIMAL(4,2))::DOUBLE / count(*), 6) AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -196,7 +211,7 @@ object RelationalQueries extends QueryPack {
 
     "q_top_revenue_orders" ->
       s"""SELECT o_orderkey,
-         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         |  round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(4,2))), 4)::DOUBLE AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderdate < TIMESTAMP '$Cutoff' AND l_shipdate > TIMESTAMP '$Cutoff'
          |GROUP BY o_orderkey
@@ -204,7 +219,7 @@ object RelationalQueries extends QueryPack {
 
     "q_region_revenue" ->
       """SELECT r_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(4,2))), 4)::DOUBLE AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -216,10 +231,10 @@ object RelationalQueries extends QueryPack {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_quantity) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
 
     "q_semi_join_customers" ->
       """SELECT c_mktsegment, count(*) AS n_customers
@@ -285,9 +300,9 @@ object RelationalQueries extends QueryPack {
     "q_promo_revenue" ->
       """SELECT round(
         |  100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-        |                   THEN l_extendedprice * (1 - l_discount)
-        |                   ELSE 0.0 END)
-        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+        |                   THEN l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(4,2))
+        |                   ELSE 0::DECIMAL(18,4) END)::DOUBLE
+        |  / sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(4,2)))::DOUBLE, 6) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "q_pivot_segment_status" ->
