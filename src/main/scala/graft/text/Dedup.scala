@@ -91,6 +91,53 @@ object Dedup {
     verifyJaccard(cands, sh).where(col("jac") >= cfg.jaccardThreshold)
   }
 
+  /** SimHash near-dup pairs WITHOUT the quadratic all-pairs join: the
+    * 48-bit simhash splits into `maxHamming + 1` contiguous bands — by
+    * pigeonhole, any pair within `maxHamming` bit flips matches exactly
+    * on at least one band — candidates come from a band-keyed
+    * equi-join, then `bit_count(xor)` verifies the true distance.
+    * Output: (doc_a, doc_b, ham). */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 48)
+    val nBands = maxHamming + 1
+    val bandBits = 48 / nBands // trailing bits fold into the last band
+    val sh = simhash48(docs, idCol, textCol, shingleN).persist()
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bkey",
+        when(col("band") === nBands - 1,
+          expr(s"shiftright(simhash, (${nBands - 1} * $bandBits))"))
+          .otherwise(expr(
+            s"shiftright(simhash, band * $bandBits) & ${(1L << bandBits) - 1}")))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+      .distinct()
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("ham"))
+      .where(col("ham") <= maxHamming)
+  }
+
+  /** (doc_id, simhash): 48-bit frequency-weighted shingle SimHash (same
+    * construction as the oracle-checked `q_simhash` driver query). */
+  def simhash48(docs: DataFrame, idCol: String, textCol: String,
+                shingleN: Int = 3): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), shingleN)).as("sgl"))
+      .select(col("doc_id"), hash48(0, col("sgl")).as("h48"))
+      .select(col("doc_id"), col("h48"), explode(sequence(lit(0), lit(47))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(h48 >> b) & 1") === 1, 1L).otherwise(-1L)).as("sgn"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sgn") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("simhash"))
+
   /** Exact Jaccard for explicit candidate pairs over a shingle table. */
   def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

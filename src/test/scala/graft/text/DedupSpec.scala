@@ -35,6 +35,23 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(pairs.nonEmpty)
   }
 
+  test("banded simhashNearDup == quadratic verifier on testdata docs") {
+    val docs01 = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val banded = Dedup.simhashNearDup(docs01, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = Dedup.simhash48(docs01, "doc_id", "text")
+    val quad = sh.as("a").join(sh.as("b"),
+        org.apache.spark.sql.functions.col("a.doc_id") <
+          org.apache.spark.sql.functions.col("b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+        "cast(bit_count(a.simhash ^ b.simhash) AS bigint) AS ham")
+      .where("ham <= 8")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pigeonhole banding is exact for hamming <= maxHamming: no misses
+    assert(banded === quad)
+    assert(banded.nonEmpty)
+  }
+
   test("maxDocFreqRatio drops ubiquitous shingles") {
     // every doc shares the same leading 3 tokens -> that shingle is hot
     val shared = Seq(
