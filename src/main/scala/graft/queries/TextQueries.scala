@@ -27,6 +27,8 @@ import graft.text.TextFunctions._
 object TextQueries extends QueryPack {
 
   val ShingleN = 3
+  val ChunkLen = 16
+  val ChunkStride = 12
   val NumHashes = 8 // MinHash signature length
   val BandRows = 2  // rows per LSH band -> 4 bands
   val JaccardThreshold = 0.5
@@ -219,6 +221,31 @@ object TextQueries extends QueryPack {
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy("doc_a", "doc_b")
     }),
+
+    // Sliding-window chunking (16-token windows, stride 12) — the
+    // context-window prep step; chunks identified by content hash so the
+    // output stays narrow. Pure map-side explode.
+    "q_doc_chunks" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ((size(col("toks")) - 1) / ChunkStride).cast("int")),
+            i => slice(col("toks"), i * ChunkStride + 1, lit(ChunkLen)))))
+        .select(col("doc_id"), col("pos").as("chunk_id"),
+          size(col("col")).cast(LongType).as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("col"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Deterministic stratified train/val split: md5-derived bucket of
+    // doc_id, 80/20, counted per language stratum.
+    "q_stratified_split" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"),
+          when(hash60(0, col("doc_id").cast("string")) % 10 < 8, "train")
+            .otherwise("val").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")),
 
     // 48-bit shingle SimHash per document.
     "q_simhash" -> ((s, dir) => simhash(docs(s, dir)).orderBy("doc_id")),
@@ -421,6 +448,30 @@ object TextQueries extends QueryPack {
          |SELECT doc_a, doc_b, round(jac, 6) AS jac
          |FROM jac WHERE jac >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_doc_chunks" ->
+      s"""WITH $tokCte,
+         |c AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(0, (len(toks)-1) // $ChunkStride + 1),
+         |           i -> toks[i*$ChunkStride+1 : i*$ChunkStride+$ChunkLen]))
+         |           AS chunk,
+         |         unnest(range(0, (len(toks)-1) // $ChunkStride + 1)) AS chunk_id
+         |  FROM tok
+         |  WHERE len(toks) > 0
+         |)
+         |SELECT doc_id, chunk_id,
+         |  len(chunk)::BIGINT AS n_chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_stratified_split" ->
+      """SELECT lang,
+        |  CASE WHEN ('0x' || substr(md5('0:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10 < 8
+        |       THEN 'train' ELSE 'val' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "q_simhash" ->
       s"""WITH $tokCte, $simhashCte

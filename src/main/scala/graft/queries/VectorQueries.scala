@@ -54,6 +54,21 @@ object VectorQueries extends QueryPack {
 
     "q_exact_nn_cosine" -> ((s, dir) => exactNn(s, dir, ExactNN.Cosine)),
 
+    // Per-vector scalar (int8-range) quantization: min/max calibration,
+    // uniform 255-level codes — the 4x storage cut for embedding columns
+    // at scale. Map-side only; emitted exploded as exact integers so the
+    // cross-engine compare is float-free.
+    "q_embedding_quantize" -> ((s, dir) => {
+      val e = col("embedding").cast("array<double>")
+      val mn = array_min(e)
+      val scale = (array_max(e) - array_min(e)) / lit(255.0)
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(transform(e, x => round((x - mn) / scale).cast("long"))))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").as("q"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // Mean-pooled per-label centroids: the embedding-aggregation shape
     // (explode to (label, dim) -> partial+final avg; one shuffle keyed by
     // (label, pos) regardless of corpus size).
@@ -83,6 +98,14 @@ object VectorQueries extends QueryPack {
     "q_range_minmax" ->
       """SELECT min(v) AS vmin, max(v) AS vmax
         |FROM (SELECT unnest(embedding)::DOUBLE AS v FROM embeddings)""".stripMargin,
+
+    "q_embedding_quantize" ->
+      """SELECT vec_id,
+        |  unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding::DOUBLE[],
+        |    x -> round((x - list_min(embedding::DOUBLE[]))
+        |         / ((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0))::BIGINT)) AS q
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
 
     "q_label_centroids" ->
       """SELECT label, pos, round(avg(v), 6) AS centroid
