@@ -84,6 +84,18 @@ object EventQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Sliding 1-hour windows every 15 minutes (each event lands in 4
+    // windows) via the declarative window() operator — the same call
+    // works under readStream with a watermark. Window starts emitted as
+    // epoch seconds (integers compare exactly across engines).
+    "q_event_sliding" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(expr("unix_micros(w.start) div 1000000").as("win_start_s"),
+          col("event_type"), col("n"))
+        .orderBy("win_start_s", "event_type")),
+
     // JSON property extraction + aggregate per type.
     "q_json_props" -> ((s, dir) =>
       events(s, dir)
@@ -150,6 +162,17 @@ object EventQueries extends QueryPack {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_event_sliding" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    unnest(list_transform(range(4),
+        |      k -> (epoch_us(ts) // 900000000 - k) * 900)) AS win_start_s
+        |  FROM events
+        |)
+        |SELECT win_start_s, event_type, count(*) AS n
+        |FROM x GROUP BY win_start_s, event_type
+        |ORDER BY win_start_s, event_type""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,

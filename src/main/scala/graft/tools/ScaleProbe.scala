@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ann.ExactNN
+import graft.ann.ivf.{Ivf, IvfConfig}
 import graft.ann.lsh.{Lsh, LshConfig}
 import graft.eval.Eval
 
@@ -47,6 +48,10 @@ object ScaleProbe {
 
       val (_, tExact0) = time(ExactNN.topK(queries, corpus, 10).count())
       val (_, tExact) = time(ExactNN.topK(queries, corpus, 10).count())
+      // ground truth computed once and cached for both index recalls
+      val gt = ExactNN.topK(queries, corpus, 10, ExactNN.L2, threshold = Some(1.4))
+        .persist()
+      gt.count()
 
       val (idx, tTrain) = time {
         val i = Lsh.train(corpus, "vec_id", "embedding",
@@ -57,14 +62,34 @@ object ScaleProbe {
       }
       val (_, tLsh0) = time(idx.searchAll(queries, 10, 1.4).count())
       val (_, tLsh) = time(idx.searchAll(queries, 10, 1.4).count())
-      val gt = ExactNN.topK(queries, corpus, 10, ExactNN.L2, threshold = Some(1.4))
       val recall = Eval.setPrecisionRecall(idx.searchAll(queries, 10, 1.4), gt)
         .agg(avg("recall")).head().getDouble(0)
 
       println(f"[scale] corpus=$n%,d exact=${tExact}%.2fs (warm ${tExact0}%.2f) " +
         f"train=${tTrain}%.2fs lsh=${tLsh}%.2fs (warm ${tLsh0}%.2f) " +
         f"speedup=${tExact / tLsh}%.1fx recall=$recall%.3f")
-      corpus.unpersist(); idx.buckets.unpersist(); idx.vectors.unpersist()
+
+      val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
+      val (ivf, tIvfTrain) = time {
+        val i = Ivf.train(corpus, "vec_id", "embedding",
+          IvfConfig(nCells = nCells, nProbe = nCells / 4, seed = 42L))
+        i.cells.persist().count()
+        i.vectors.persist().count()
+        i
+      }
+      val (_, tIvf0) = time(ivf.searchAll(queries, 10).count())
+      val (_, tIvf) = time(ivf.searchAll(queries, 10).count())
+      val ivfPred = ivf.searchAll(queries, 10)
+        .join(gt.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_semi")
+      val ivfRecall = Eval.setPrecisionRecall(
+        ivf.searchAll(queries, 10), gt).agg(avg("recall")).head().getDouble(0)
+      println(f"[scale] corpus=$n%,d ivf(nCells=$nCells, nProbe=${nCells / 4}): " +
+        f"train=${tIvfTrain}%.2fs search=${tIvf}%.2fs (warm ${tIvf0}%.2f) " +
+        f"speedup=${tExact / tIvf}%.1fx recall=$ivfRecall%.3f")
+
+      corpus.unpersist(); gt.unpersist()
+      idx.buckets.unpersist(); idx.vectors.unpersist()
+      ivf.cells.unpersist(); ivf.vectors.unpersist()
     }
     spark.stop()
   }
