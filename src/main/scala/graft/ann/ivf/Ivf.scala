@@ -184,36 +184,72 @@ object Ivf {
     new IvfIndex(new IvfModel(config, centroids), vectors, cells)
   }
 
-  /** Deterministic farthest-first init: first centroid = sample row with
-    * the lowest original index under the seeded sample order; each next
-    * centroid maximizes distance to the chosen set (ties -> lowest index).
-    * Avoids k-means++'s RNG so builds are reproducible. */
+  /** Deterministic init, two regimes. Small k: farthest-first (first
+    * centroid = first sample row; each next maximizes distance to the
+    * chosen set) — best geometry, but O(k^2 N), so above `FarthestMaxK`
+    * it switches to strided selection (every N/k-th sample row), which
+    * Lloyd's iterations then refine. Both avoid k-means++'s RNG so
+    * builds are reproducible. Incremental min-distance tracking keeps
+    * farthest-first at O(kN) per pick instead of O(k^2 N) total scan. */
+  private[ivf] val FarthestMaxK = 64
+
   private[ivf] def init(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
-    val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    while (chosen.length < k && chosen.length < sample.length) {
-      var bestIdx = -1; var bestD = -1.0
-      var i = 0
-      while (i < sample.length) {
-        var dm = Double.MaxValue
-        chosen.foreach(c => dm = math.min(dm, d2(sample(i), c)))
-        if (dm > bestD) { bestD = dm; bestIdx = i }
-        i += 1
+    val kk = math.min(k, sample.length)
+    if (kk > FarthestMaxK) {
+      // strided: deterministic, O(k)
+      Array.tabulate(kk)(i => sample((i.toLong * sample.length / kk).toInt))
+    } else {
+      val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
+      // minD(i) = distance of sample(i) to the closest chosen centroid
+      val minD = sample.map(v => d2(v, sample(0)))
+      while (chosen.length < kk) {
+        var bestIdx = 0; var bestD = -1.0
+        var i = 0
+        while (i < sample.length) {
+          if (minD(i) > bestD) { bestD = minD(i); bestIdx = i }
+          i += 1
+        }
+        val c = sample(bestIdx)
+        chosen += c
+        var j = 0
+        while (j < sample.length) {
+          val d = d2(sample(j), c)
+          if (d < minD(j)) minD(j) = d
+          j += 1
+        }
       }
-      chosen += sample(bestIdx)
+      chosen.toArray
     }
-    chosen.toArray
+  }
+
+  /** Argmin assignment parallelized across cores (the dominant cost of
+    * each Lloyd iteration: N*k*dims mult-adds). Deterministic: the
+    * per-row result does not depend on thread scheduling. */
+  private def assignAll(sample: Array[Array[Double]], model: IvfModel): Array[Int] = {
+    val out = new Array[Int](sample.length)
+    val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
+    val chunk = (sample.length + nThreads - 1) / nThreads
+    val threads = (0 until nThreads).map { t =>
+      val th = new Thread(() => {
+        var i = t * chunk
+        val end = math.min(sample.length, (t + 1) * chunk)
+        while (i < end) { out(i) = model.cellOf(sample(i)); i += 1 }
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    out
   }
 
   private[ivf] def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val dims = sample(0).length
     var cent = init(sample, k)
-    val model0 = new IvfModel(IvfConfig(nCells = cent.length), cent)
-    var assign = sample.map(model0.cellOf)
+    var assign = assignAll(sample, new IvfModel(IvfConfig(nCells = cent.length), cent))
     var it = 0
     while (it < iters) {
       val sums = Array.fill(cent.length)(new Array[Double](dims))
@@ -229,8 +265,7 @@ object Ivf {
         if (counts(c) == 0) cent(c) // empty cell keeps its centroid
         else sums(c).map(_ / counts(c))
       }.toArray
-      val m = new IvfModel(IvfConfig(nCells = cent.length), cent)
-      assign = sample.map(m.cellOf)
+      assign = assignAll(sample, new IvfModel(IvfConfig(nCells = cent.length), cent))
       it += 1
     }
     cent
