@@ -91,19 +91,11 @@ object TextQueries extends QueryPack {
         (col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))).as("jac"))
   }
 
-  /** Exact-Jaccard scoring of an explicit candidate pair set: the (small)
-    * candidate list is broadcast against the shingle table so only
-    * candidate docs' shingles ever meet — the verification shape that
-    * holds when candidates << corpus. */
-  private def jaccardOf(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val sa = sh.join(broadcast(cands), col("doc_id") === col("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("s").as("sa_s"))
-    val inter = sa
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa_s") === col("sb.s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    jacFromInter(inter, sh)
-  }
+  /** Exact-Jaccard scoring of an explicit candidate pair set — delegates
+    * to the library operator (broadcast candidates against the shingle
+    * table; the verification shape that holds when candidates << corpus). */
+  private def jaccardOf(cands: DataFrame, sh: DataFrame): DataFrame =
+    graft.text.Dedup.verifyJaccard(cands, sh)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, BPE-ish pre-tokenizer count
