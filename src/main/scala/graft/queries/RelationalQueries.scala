@@ -182,6 +182,41 @@ object RelationalQueries extends QueryPack {
             .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
             / sum(decRevenue).cast("double"), 6).as("promo_pct"))),
 
+    // Moment-based statistics from EXACT power sums: l_quantity is
+    // integer-valued, so sum(q), sum(q^2), sum(q^3) are exact BIGINTs in
+    // both engines and the derived mean/variance/skewness are single
+    // identical double computations — unlike built-in skewness()/corr(),
+    // whose streaming accumulation differs across engines.
+    "q_quantity_moments" -> ((s, dir) => {
+      val q = col("l_quantity").cast("long")
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+          sum(q * q).as("s2"), sum(q * q * q).as("s3"))
+        .select(col("l_returnflag"), col("n"), col("s1"), col("s2"), col("s3"),
+          round(col("s1").cast("double") / col("n"), 6).as("mean"),
+          round(col("s2").cast("double") / col("n")
+            - pow(col("s1").cast("double") / col("n"), 2), 6).as("variance"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Pearson correlation of quantity vs price from exact sums (decimal
+    // for the 2dp prices), one identical double formula on both engines.
+    "q_qty_price_corr" -> ((s, dir) => {
+      val q = col("l_quantity").cast("long")
+      val p = decPrice
+      tbl(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"), sum(q).as("sx"),
+          sum(q * q).as("sxx"), sum(p).as("sy"),
+          sum(p * p).as("syy"), sum(p * q).as("sxy"))
+        .select(round(
+          (col("n") * col("sxy").cast("double") - col("sx") * col("sy").cast("double"))
+            / sqrt((col("n") * col("sxx").cast("double") - col("sx") * col("sx"))
+              * (col("n") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("corr_qty_price"))
+    }),
+
     // Pivot: order-status counts per market segment (fixed pivot values
     // for determinism).
     "q_pivot_segment_status" -> ((s, dir) =>
@@ -304,6 +339,36 @@ object RelationalQueries extends QueryPack {
         |                   ELSE 0::DECIMAL(18,4) END)::DOUBLE
         |  / sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(4,2)))::DOUBLE, 6) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q_quantity_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(l_quantity::BIGINT) AS s1,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT) AS s2,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT * l_quantity::BIGINT) AS s3
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n, s1::BIGINT AS s1, s2::BIGINT AS s2, s3::BIGINT AS s3,
+        |  round(s1::DOUBLE / n, 6) AS mean,
+        |  round(s2::DOUBLE / n - pow(s1::DOUBLE / n, 2), 6) AS variance
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_qty_price_corr" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    sum(l_quantity::BIGINT) AS sx,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT) AS sxx,
+        |    sum(l_extendedprice::DECIMAL(18,2)) AS sy,
+        |    sum(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)) AS syy,
+        |    sum(l_extendedprice::DECIMAL(18,2) * l_quantity::BIGINT) AS sxy
+        |  FROM lineitem
+        |)
+        |SELECT round(
+        |  (n * sxy::DOUBLE - sx * sy::DOUBLE)
+        |  / sqrt((n * sxx::DOUBLE - sx::DOUBLE * sx)
+        |       * (n * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+        |  AS corr_qty_price
+        |FROM m""".stripMargin,
 
     "q_pivot_segment_status" ->
       """SELECT c_mktsegment,
