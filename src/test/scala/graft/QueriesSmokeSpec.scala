@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared driver query must execute and return rows on the
+  * smallest testdata — the in-suite twin of the driver's t1 smoke, so a
+  * broken query fails `sbt test` immediately instead of the next
+  * verify run. */
+class QueriesSmokeSpec extends AnyFunSuite with SparkSpecBase {
+
+  private val dir = sf("sf0.001")
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; no orphan oracle SQL") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  /** Semantically-allowed-empty at tiny scale: every sf0.001 customer
+    * has at least one order, so the EXCEPT difference is empty (the
+    * oracle agrees — the hash compare still gates it). */
+  private val mayBeEmpty = Set("q_except_custkeys")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows at sf0.001") {
+      val n = fn(spark, dir).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}
