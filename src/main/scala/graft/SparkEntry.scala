@@ -31,8 +31,13 @@ object SparkEntry {
     VectorQueries.exactNn(spark, "/root/testdata/sf0.001", graft.ann.ExactNN.L2)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    require(all.size == all.map(_._1).distinct.size,
+      "duplicate query keys across packs: " +
+        all.groupBy(_._1).collect { case (k, v) if v.size > 1 => k }.mkString(", "))
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
