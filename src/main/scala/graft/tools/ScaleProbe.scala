@@ -18,7 +18,9 @@ import graft.eval.Eval
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val replicas = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4, 20)
+    // usage: ScaleProbe [nQueries=500] [replica...]
+    val nQueries = if (args.nonEmpty) args.head.toInt else 500
+    val replicas = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(100)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -38,7 +40,7 @@ object ScaleProbe {
               .cast("double") - 500.0) / 50000.0).as("embedding"))
         .persist()
       val n = corpus.count()
-      val queries = corpus.where(col("vec_id") < 500)
+      val queries = corpus.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
       def time[T](f: => T): (T, Double) = {
