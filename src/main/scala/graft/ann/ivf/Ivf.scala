@@ -246,7 +246,7 @@ object Ivf {
     out
   }
 
-  private[ivf] def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+  private[ann] def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val dims = sample(0).length
     var cent = init(sample, k)
     var assign = assignAll(sample, new IvfModel(IvfConfig(nCells = cent.length), cent))

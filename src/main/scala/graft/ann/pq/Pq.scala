@@ -1,0 +1,180 @@
+package graft.ann.pq
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ann.TopK
+
+/** Product quantization — the memory-compression ANN scheme that
+  * complements the bucketing schemes (LSH forest, IVF cells): each
+  * vector splits into `m` subvectors, each quantized to one of `k`
+  * codebook centroids, so a d-dim float vector compresses to `m` small
+  * codes (here m bytes-ish: k <= 256). Search uses asymmetric distance
+  * (ADC): the query precomputes a (m x k) table of subvector distances,
+  * and a candidate's approximate distance is m table lookups — no float
+  * vector ever touched at scan time.
+  *
+  * Spark shape (same architecture as [[graft.ann.lsh.Lsh]] /
+  * [[graft.ann.ivf.Ivf]]): codebooks fit driver-side over a bounded
+  * sample (reusing the deterministic parallel Lloyd's from the IVF
+  * module); encoding is map-side; the codes table is the only thing the
+  * search scans (at 100 TB the 64-byte codes table replaces the 256-byte
+  * float table — the 4-75x footprint cut is the point); per-query top-k
+  * via the bounded [[TopK]] aggregation.
+  *
+  * Deterministic end-to-end (seeded sample, deterministic init, fixed
+  * iterations, ties by lowest code).
+  */
+final case class PqConfig(
+    numSubvectors: Int = 8,
+    codesPerSubvector: Int = 16,
+    iters: Int = 10,
+    seed: Long = 42L,
+    sampleCap: Int = 100000)
+
+/** codebooks(s)(c) = centroid c of subvector s (length dims/m each). */
+final class PqModel(val config: PqConfig, val dims: Int,
+                    val codebooks: Array[Array[Array[Double]]])
+    extends Serializable {
+
+  val subDim: Int = dims / config.numSubvectors
+
+  private def subDist2(v: Array[Double], offset: Int, c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { val d = v(offset + i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Code assignment for one full vector: argmin centroid per subvector. */
+  def encode(v: Array[Double]): Array[Int] = {
+    val out = new Array[Int](config.numSubvectors)
+    var s = 0
+    while (s < config.numSubvectors) {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      val cb = codebooks(s)
+      while (c < cb.length) {
+        val d = subDist2(v, s * subDim, cb(c))
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
+  /** ADC lookup table for a query: table(s)(c) = ||q_s - codebook(s)(c)||^2. */
+  def adcTable(q: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(config.numSubvectors) { s =>
+      codebooks(s).map(c => subDist2(q, s * subDim, c))
+    }
+
+  /** Approximate L2 distance from codes via a precomputed ADC table. */
+  def adcDist(table: Array[Array[Double]], codes: Seq[Int]): Double = {
+    var s = 0.0; var i = 0
+    while (i < table.length) { s += table(i)(codes(i)); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Reconstruction of a code sequence (for error analysis). */
+  def decode(codes: Seq[Int]): Array[Double] = {
+    val out = new Array[Double](dims)
+    var s = 0
+    while (s < config.numSubvectors) {
+      System.arraycopy(codebooks(s)(codes(s)), 0, out, s * subDim, subDim)
+      s += 1
+    }
+    out
+  }
+
+  private def encodeUdf = udf { v: Seq[Double] => encode(v.toArray) }
+
+  /** (id, codes ARRAY<INT>) — the compressed corpus; map-side only. */
+  def transform(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      encodeUdf(col(vecCol).cast(ArrayType(DoubleType))).as("codes"))
+}
+
+final class PqIndex(val model: PqModel, val codes: DataFrame) {
+
+  /** Batch ADC search: per query, distance = m table lookups per
+    * candidate over the codes table only; bounded top-k aggregation.
+    * Exact re-ranking of the ADC top-k against float vectors is the
+    * standard refinement step and composes by joining `vectors` back on
+    * the returned ids. */
+  def searchAll(queries: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
+    val m = model
+    val adcUdf = udf { (qv: Seq[Double], codes: Seq[Int]) =>
+      m.adcDist(m.adcTable(qv.toArray), codes)
+    }
+    val scored = codes
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(adcUdf(col("qv").cast(ArrayType(DoubleType)), col("codes")), roundTo)
+          .as("dist"))
+    scored.groupBy("query_id")
+      .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("n"))
+      .select(col("query_id"), col("n.vec_id").as("vec_id"),
+        col("n.dist").as("dist"))
+  }
+
+  /** The standard PQ deployment shape: ADC retrieves a deeper candidate
+    * list (`rerankDepth`) from the compressed codes, then ONLY those
+    * candidates touch the float vectors for exact re-ranking to the
+    * final top-k. At 100 TB the full scan reads m-byte codes; the float
+    * table is accessed for `rerankDepth` rows per query. */
+  def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
+                   rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
+    val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
+    val exact = cands
+      .join(vectors, "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.exprs.l2DistNative(col("qv"), col("embedding")),
+          roundTo).as("dist"))
+    exact.groupBy("query_id")
+      .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("n"))
+      .select(col("query_id"), col("n.vec_id").as("vec_id"),
+        col("n.dist").as("dist"))
+  }
+}
+
+object Pq {
+
+  def fit(df: DataFrame, vecCol: String, config: PqConfig): PqModel = {
+    val total = df.count()
+    val sampled =
+      if (total <= config.sampleCap) df
+      else df.sample(withReplacement = false,
+        fraction = config.sampleCap.toDouble / total, seed = config.seed)
+    val vecs = sampled
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dims = vecs(0).length
+    require(dims % config.numSubvectors == 0,
+      s"dims $dims must divide into ${config.numSubvectors} subvectors")
+    val subDim = dims / config.numSubvectors
+    // per-subvector codebooks are independent: fit them concurrently,
+    // reusing the IVF module's deterministic parallel Lloyd's
+    val codebooks = new Array[Array[Array[Double]]](config.numSubvectors)
+    val threads = (0 until config.numSubvectors).map { s =>
+      val t = new Thread(() => {
+        val sub = vecs.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+        codebooks(s) = graft.ann.ivf.Ivf.lloyd(sub, config.codesPerSubvector, config.iters)
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    new PqModel(config, dims, codebooks)
+  }
+
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            config: PqConfig = PqConfig()): PqIndex = {
+    val model = fit(df, vecCol, config)
+    new PqIndex(model, model.transform(df, idCol, vecCol))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ann.pq
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+import graft.ann.ExactNN
+
+/** Product quantization: deterministic fit, code-range invariants,
+  * reconstruction beats the worst case, and ADC top-k recall against
+  * exact NN (tolerance-banded, reference-style §5). */
+class PqSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  private val cfg = PqConfig(numSubvectors = 16, codesPerSubvector = 16, seed = 42L)
+
+  test("deterministic fit; codes within range; one code row per vector") {
+    val a = Pq.fit(emb, "embedding", cfg)
+    val b = Pq.fit(emb, "embedding", cfg)
+    assert(a.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      b.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+    val idx = Pq.train(emb, "vec_id", "embedding", cfg)
+    val codes = idx.codes.collect()
+    assert(codes.length === emb.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === cfg.numSubvectors)
+      assert(cs.forall(c => c >= 0 && c < cfg.codesPerSubvector))
+    }
+  }
+
+  test("reconstruction error is bounded and far below vector norms") {
+    val model = Pq.fit(emb, "embedding", cfg)
+    val vecs = emb.limit(100)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].collect()
+    val errs = vecs.map { v =>
+      val rec = model.decode(model.encode(v.toArray))
+      math.sqrt(v.toArray.zip(rec).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    // quantization noise must be well below signal
+    assert(errs.max < norms.min, s"max err ${errs.max} vs min norm ${norms.min}")
+  }
+
+  test("ADC + exact re-rank recovers exact-NN neighbors (the deployment shape)") {
+    val q = emb.orderBy("vec_id").limit(50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val idx = Pq.train(emb, "vec_id", "embedding", cfg)
+    val gt = ExactNN.topK(q, emb, 10, ExactNN.L2)
+
+    // raw ADC ranking on 16x-compressed codes of near-random 64-d data:
+    // the worst case for PQ — assert the honest floor
+    val adcRecall = graft.eval.Eval.setPrecisionRecall(
+      idx.searchAll(q, 10), gt).agg(avg("recall")).head().getDouble(0)
+    assert(adcRecall >= 0.4, s"raw ADC recall $adcRecall")
+
+    // ADC as candidate generator + exact re-rank of the top-100: the
+    // standard pipeline recovers most of the true neighborhood
+    val vectors = emb.select($"vec_id", $"embedding")
+    val reranked = idx.searchRerank(q, vectors, k = 10, rerankDepth = 100)
+    val rerankRecall = graft.eval.Eval.setPrecisionRecall(reranked, gt)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(rerankRecall >= 0.8, s"reranked recall $rerankRecall")
+    assert(rerankRecall > adcRecall)
+  }
+}
