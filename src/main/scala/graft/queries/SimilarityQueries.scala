@@ -98,6 +98,23 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       Ivf.train(e, "vec_id", "embedding",
         IvfConfig(nCells = 16, nProbe = 8, seed = 42L)).cellStats
+    }),
+
+    // PQ compressed-search recall: ADC-only vs ADC+exact-rerank against
+    // exact ground truth (k-means codebooks are seeded-random, so this
+    // is a rows-only driver check gated by PqSpec).
+    "q_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graft.ann.pq.Pq.train(e, "vec_id", "embedding",
+        graft.ann.pq.PqConfig(numSubvectors = 16, codesPerSubvector = 16, seed = 42L))
+      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val adc = Eval.setPrecisionRecall(idx.searchAll(q, K), gt)
+        .agg(round(avg("recall"), 4).as("adc_recall"))
+      val rer = Eval.setPrecisionRecall(
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100), gt)
+        .agg(round(avg("recall"), 4).as("rerank_recall"))
+      adc.crossJoin(rer)
     })
   )
 
