@@ -217,6 +217,17 @@ object RelationalQueries extends QueryPack {
           .as("corr_qty_price"))
     }),
 
+    // Two-phase salted aggregation (graft.operators.Salt): result must
+    // equal the direct groupBy — which is exactly what the plain-SQL
+    // oracle checks. Quantities are integer-valued so the salted partial
+    // sums are exact.
+    "q_salted_supplier_qty" -> ((s, dir) =>
+      graft.operators.Salt.saltedSum(
+          tbl(s, dir, "lineitem"), col("l_suppkey"), col("l_quantity").cast("long"),
+          saltFactor = 16, saltCols = Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(col("key").as("l_suppkey"), col("total").as("sum_qty"))
+        .orderBy("l_suppkey")),
+
     // Pivot: order-status counts per market segment (fixed pivot values
     // for determinism).
     "q_pivot_segment_status" -> ((s, dir) =>
@@ -369,6 +380,10 @@ object RelationalQueries extends QueryPack {
         |       * (n * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
         |  AS corr_qty_price
         |FROM m""".stripMargin,
+
+    "q_salted_supplier_qty" ->
+      """SELECT l_suppkey, sum(l_quantity::BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q_pivot_segment_status" ->
       """SELECT c_mktsegment,
