@@ -140,11 +140,25 @@ final class IvfIndex(
     cells.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
       .orderBy("cell")
 
-  /** Persist centroids + vectors + cell table; cells are written
-    * `partitionBy(cell)` so a probe of nProbe cells prunes to nProbe
-    * partition directories (same at-rest layout rationale as
-    * [[graft.ann.lsh.LshIndex.save]]). */
-  def save(spark: SparkSession, path: String): Unit = {
+  /** Bucketed-table persistence (same rationale as
+    * [[graft.ann.lsh.LshIndex.saveBucketed]]): `cells` bucketed by cell
+    * id so cell-keyed joins/aggregations read pre-clustered files with no
+    * corpus-side Exchange; `vectors` bucketed by vec_id for the
+    * candidates→vectors lookup join. Centroids+meta still save to
+    * `modelPath` as plain parquet. */
+  def saveBucketed(spark: SparkSession, name: String, modelPath: String,
+                   nBuckets: Int = 64): Unit = {
+    saveModel(spark, modelPath)
+    vectors.write.mode("overwrite")
+      .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(s"${name}_vectors")
+    cells.write.mode("overwrite")
+      .bucketBy(nBuckets, "cell").sortBy("cell")
+      .saveAsTable(s"${name}_cells")
+  }
+
+  /** Centroids + meta only (shared by [[save]] and [[saveBucketed]]). */
+  def saveModel(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     model.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -154,6 +168,14 @@ final class IvfIndex(
       model.config.seed, model.config.sampleCap))
       .toDF("n_cells", "n_probe", "iters", "seed", "sample_cap")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Persist centroids + vectors + cell table; cells are written
+    * `partitionBy(cell)` so a probe of nProbe cells prunes to nProbe
+    * partition directories (same at-rest layout rationale as
+    * [[graft.ann.lsh.LshIndex.save]]). */
+  def save(spark: SparkSession, path: String): Unit = {
+    saveModel(spark, path)
     vectors.write.mode("overwrite").parquet(s"$path/vectors")
     cells
       .repartition(col("cell"))
@@ -164,6 +186,23 @@ final class IvfIndex(
 }
 
 object Ivf {
+
+  /** Reopen a bucketed-table index saved by [[IvfIndex.saveBucketed]]. */
+  def loadBucketed(spark: SparkSession, name: String, modelPath: String): IvfIndex = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$modelPath/meta").head()
+    val config = IvfConfig(
+      nCells = meta.getAs[Int]("n_cells"),
+      nProbe = meta.getAs[Int]("n_probe"),
+      iters = meta.getAs[Int]("iters"),
+      seed = meta.getAs[Long]("seed"),
+      sampleCap = meta.getAs[Int]("sample_cap"))
+    val centroids = spark.read.parquet(s"$modelPath/centroids")
+      .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    new IvfIndex(new IvfModel(config, centroids),
+      spark.table(s"${name}_vectors"), spark.table(s"${name}_cells"))
+  }
 
   /** Reopen a saved index. */
   def load(spark: SparkSession, path: String): IvfIndex = {

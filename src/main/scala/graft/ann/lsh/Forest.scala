@@ -164,7 +164,10 @@ object Forest {
   /** The multi-probe neighbor bucket: flip the highest set bit (bit 0 for
     * hash 0) — reference lsh.go:146-151. */
   def neighborHash(h: Long): Long = {
-    val pos = if (h > 0) 63 - java.lang.Long.numberOfLeadingZeros(h) else 0
+    // h is an unsigned bit-path: test h != 0 (not h > 0) so a hash with
+    // bit 63 set — negative as a signed Long — still flips its true
+    // highest set bit rather than bit 0.
+    val pos = if (h != 0) 63 - java.lang.Long.numberOfLeadingZeros(h) else 0
     h ^ (1L << pos)
   }
 }

@@ -233,6 +233,39 @@ final class LshIndex(
       .select("query_id", "vec_id", "dist")
   }
 
+  /** The buckets table with a deterministic per-bucket occupancy cap:
+    * at most `maxOccupancy` entries per (tree_id, hash), kept in vec_id
+    * order. This is the guard for the corpus >> fit-sample regime:
+    * `kMinVecs` bounds leaf size only over the SAMPLE the forest was
+    * fitted on, so when the corpus is c× the sample, bucket occupancy
+    * grows ~c×kMinVecs and any bucket self-join fans out quadratically
+    * in c. One shuffle keyed by (tree_id, hash); the cap is the
+    * guarantee that downstream join fan-out is <= maxOccupancy² per
+    * bucket regardless of corpus/sample ratio. */
+  def cappedBuckets(maxOccupancy: Int): DataFrame = {
+    val w = Window.partitionBy("tree_id", "hash").orderBy("vec_id")
+    buckets.withColumn("brn", row_number().over(w))
+      .where(col("brn") <= maxOccupancy).drop("brn")
+  }
+
+  /** Same-bucket candidate pairs (vec_a < vec_b) for near-duplicate
+    * detection — the scale path behind `q_lsh_near_dup_pairs`. The join
+    * shuffles on (tree_id, hash), never all-pairs, and the occupancy cap
+    * bounds its per-bucket fan-out (see [[cappedBuckets]]). Results are
+    * always a subset of the uncapped candidate set, so downstream
+    * verification keeps its pred ⊆ exact property. */
+  def candidatePairs(maxBucketOccupancy: Int = Int.MaxValue): DataFrame = {
+    val bk =
+      if (maxBucketOccupancy == Int.MaxValue) buckets
+      else cappedBuckets(maxBucketOccupancy)
+    bk.as("a")
+      .join(bk.as("b"),
+        col("a.tree_id") === col("b.tree_id") && col("a.hash") === col("b.hash") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
   /** Persist the full index: model (nodes+meta), vectors, and the
     * buckets table written `partitionBy(tree_id)` and sorted by hash
     * within files — so a probe `WHERE tree_id = t AND hash = h` prunes to
@@ -250,6 +283,26 @@ final class LshIndex(
       .parquet(s"$path/buckets")
   }
 
+  /** Bucketed-table persistence — the at-scale layout: `buckets` is
+    * written `bucketBy(nBuckets, tree_id, hash)` so any equi-join or
+    * self-join on the bucket key reads pre-clustered files and needs NO
+    * Exchange on the corpus side; `vectors` is `bucketBy(vec_id)` so the
+    * candidates→vectors lookup join shuffles only the (small) candidate
+    * side. At 100 TB these two joins are the ones whose corpus-side
+    * shuffle would dominate the job; bucketed tables delete it. The
+    * model still saves to `modelPath` as plain parquet (it is a few KB).
+    * Requires a session catalog (tables land in the warehouse dir). */
+  def saveBucketed(spark: SparkSession, name: String, modelPath: String,
+                   nBuckets: Int = 64): Unit = {
+    model.save(spark, modelPath)
+    vectors.write.mode("overwrite")
+      .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(s"${name}_vectors")
+    buckets.write.mode("overwrite")
+      .bucketBy(nBuckets, "tree_id", "hash").sortBy("tree_id", "hash")
+      .saveAsTable(s"${name}_buckets")
+  }
+
   /** Bucket occupancy summary — used for diagnostics and the
     * `q_lsh_bucket_stats` driver query. */
   def bucketStats: DataFrame =
@@ -263,6 +316,16 @@ final class LshIndex(
 
 /** Entry points (reference NewLsh + Train, lsh.go:93-134). */
 object Lsh {
+
+  /** Reopen a bucketed-table index saved by [[LshIndex.saveBucketed]]:
+    * the returned index's `buckets`/`vectors` scans carry the bucketed
+    * HashPartitioning, so bucket-key joins plan without a corpus-side
+    * Exchange (asserted in LshIndexSpec). */
+  def loadBucketed(spark: SparkSession, name: String, modelPath: String): LshIndex =
+    new LshIndex(
+      LshModel.load(spark, modelPath),
+      spark.table(s"${name}_vectors"),
+      spark.table(s"${name}_buckets"))
 
   /** Reopen a saved index (reference LoadHasher + a Store pointing at the
     * persisted namespaces, lsh.go:200-207). */

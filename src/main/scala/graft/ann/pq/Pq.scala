@@ -88,31 +88,48 @@ final class PqModel(val config: PqConfig, val dims: Int,
     out
   }
 
-  private def encodeUdf = udf { v: Seq[Double] => encode(v.toArray) }
+  /** [[encode]] reading float/double elements straight out of Tungsten
+    * ArrayData — the native-expression path ([[PqEncodeExpr]]). */
+  def encodeData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 isFloat: Boolean): Array[Int] = {
+    val v = new Array[Double](dims)
+    var i = 0
+    while (i < dims) {
+      v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    encode(v)
+  }
 
-  /** (id, codes ARRAY<INT>) — the compressed corpus; map-side only. */
+  /** (id, codes ARRAY<INT>) — the compressed corpus; map-side only,
+    * native codegen encode (no per-row encoder round-trip). */
   def transform(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("vec_id"),
-      encodeUdf(col(vecCol).cast(ArrayType(DoubleType))).as("codes"))
+      PqExpressions.pqEncode(this, col(vecCol)).as("codes"))
 }
 
 final class PqIndex(val model: PqModel, val codes: DataFrame) {
 
-  /** Batch ADC search: per query, distance = m table lookups per
-    * candidate over the codes table only; bounded top-k aggregation.
-    * Exact re-ranking of the ADC top-k against float vectors is the
-    * standard refinement step and composes by joining `vectors` back on
-    * the returned ids. */
+  /** Batch ADC search: the (m x k) distance table is precomputed ONCE
+    * per query driver-side (the query set is small — it is broadcast to
+    * the scan anyway) and rides into generated code as a plan reference;
+    * a candidate's distance is then m table lookups over the codes table
+    * only — no float vector and no distance kernel on the scan path.
+    * Bounded top-k aggregation; exact re-ranking composes by joining
+    * `vectors` back on the returned ids ([[searchRerank]]). */
   def searchAll(queries: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
     val m = model
-    val adcUdf = udf { (qv: Seq[Double], codes: Seq[Int]) =>
-      m.adcDist(m.adcTable(qv.toArray), codes)
-    }
+    val qRows = queries
+      .select(col("query_id").cast(LongType),
+        col("qv").cast(ArrayType(DoubleType)))
+      .collect()
+    val tables = new PqAdcTables(qRows.map(r =>
+      r.getLong(0) -> m.adcTable(r.getSeq[Double](1).toArray)))
     val scored = codes
-      .crossJoin(broadcast(queries))
+      .crossJoin(broadcast(queries.select(col("query_id").cast(LongType).as("query_id"))))
       .select(col("query_id"), col("vec_id"),
-        round(adcUdf(col("qv").cast(ArrayType(DoubleType)), col("codes")), roundTo)
-          .as("dist"))
+        round(PqExpressions.pqAdcDist(tables, col("query_id"), col("codes")),
+          roundTo).as("dist"))
     scored.groupBy("query_id")
       .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
       .select(col("query_id"), explode(col("nn")).as("n"))

@@ -36,6 +36,31 @@ object Eval {
         round(col("valid") / col("n_gt"), 6).as("recall"))
   }
 
+  /** Per-row self-grading for an ANN search result — the oracle
+    * hardening for rows-only driver checks (seeded hashing has no DuckDB
+    * oracle): recompute the exact distance of every returned
+    * (query_id, vec_id) pair in the same job and flag whether the
+    * reported dist IS the true distance and within the threshold —
+    * i.e. pred ⊆ brute-force-at-threshold. A wrong-by-construction
+    * search can no longer return plausible-looking rows silently: it
+    * surfaces as `valid = false` (QueriesSmokeSpec asserts any `valid`
+    * column is all-true on every declared query).
+    *
+    * @param res     (query_id, vec_id, dist) search output
+    * @param corpus  (vec_id, embedding)
+    * @param queries (query_id, qv)
+    */
+  def withValidity(res: DataFrame, corpus: DataFrame, queries: DataFrame,
+                   metric: graft.ann.ExactNN.Metric,
+                   threshold: Double = Double.MaxValue,
+                   roundTo: Int = 6): DataFrame =
+    res
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"), col("dist"),
+        (abs(round(metric.dist(col("qv"), col("embedding")), roundTo) - col("dist")) < 1e-9 &&
+          col("dist") <= threshold).as("valid"))
+
   /** Distance-based precision/recall per query (reference O18): position i
     * of the prediction (truncated to min(|pred|, |gt|)) counts as valid iff
     * its id is anywhere in the gt set AND pred.dist[i] <= (1+eps)*gt.dist[i].

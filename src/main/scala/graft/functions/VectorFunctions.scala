@@ -76,4 +76,18 @@ object VectorFunctions {
     val n = vecNorm(v)
     when(n <= Tol, toDouble(v)).otherwise(transform(toDouble(v), x => x / n))
   }
+
+  /** Convert a chord ("angular", sqrt(2(1-cos))) distance to cosine
+    * distance: ang^2 / 2 (reference: AngularToCosineDist,
+    * lsh/helpers.go:239-241). For translating thresholds between the two
+    * metric conventions — the reference's commented-out chord metric vs
+    * the live 1-cos form. Scala double overloads alongside the Column
+    * forms, for driver-side threshold arithmetic. */
+  def angularToCosineDist(angular: Column): Column = angular * angular / lit(2.0)
+  def angularToCosineDist(angular: Double): Double = angular * angular / 2.0
+
+  /** Inverse of [[angularToCosineDist]]: sqrt(2 * cos_dist)
+    * (reference: CosineDistToAngular, lsh/helpers.go:243-245). */
+  def cosineDistToAngular(cosine: Column): Column = sqrt(cosine * lit(2.0))
+  def cosineDistToAngular(cosine: Double): Double = math.sqrt(2.0 * cosine)
 }

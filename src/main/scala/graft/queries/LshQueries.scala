@@ -40,19 +40,25 @@ object LshQueries extends QueryPack {
       Lsh.train(emb, "vec_id", "embedding", config(angular = false)).bucketStats
     }),
 
-    // Flagship ANN search, L2 (O13 full pipeline).
+    // Flagship ANN search, L2 (O13 full pipeline). Every row carries a
+    // self-graded `valid` flag (exact-distance recompute + threshold in
+    // the same job — pred ⊆ brute-force-at-threshold, Eval.withValidity).
     "q_lsh_search_l2" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
+      val q = queriesDf(emb)
       val idx = Lsh.train(emb, "vec_id", "embedding", config(angular = false))
-      idx.searchAll(queriesDf(emb), K, L2Threshold, ExactNN.L2)
+      Eval.withValidity(idx.searchAll(q, K, L2Threshold, ExactNN.L2),
+          emb, q, ExactNN.L2, L2Threshold)
         .orderBy("query_id", "dist", "vec_id")
     }),
 
     // ANN search, cosine (angular indexing path, hasher.go:121-132).
     "q_lsh_search_cosine" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
+      val q = queriesDf(emb)
       val idx = Lsh.train(emb, "vec_id", "embedding", config(angular = true))
-      idx.searchAll(queriesDf(emb), K, CosineThreshold, ExactNN.Cosine)
+      Eval.withValidity(idx.searchAll(q, K, CosineThreshold, ExactNN.Cosine),
+          emb, q, ExactNN.Cosine, CosineThreshold)
         .orderBy("query_id", "dist", "vec_id")
     }),
 

@@ -382,7 +382,7 @@ object RelationalQueries extends QueryPack {
         |FROM m""".stripMargin,
 
     "q_salted_supplier_qty" ->
-      """SELECT l_suppkey, sum(l_quantity::BIGINT) AS sum_qty
+      """SELECT l_suppkey, sum(l_quantity::BIGINT)::BIGINT AS sum_qty
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q_pivot_segment_status" ->

@@ -48,18 +48,16 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // Scale path: LSH-bucket candidates -> exact cosine verify. Bucket
-    // join shuffles on (tree_id, hash), never all-pairs.
+    // join shuffles on (tree_id, hash), never all-pairs; the per-bucket
+    // occupancy cap (LshIndex.cappedBuckets) bounds join fan-out even in
+    // the corpus >> fit-sample regime, where kMinVecs alone does not
+    // bound bucket size. The cap is far above any bucket at test scale,
+    // so results here are identical to uncapped.
     "q_lsh_near_dup_pairs" -> ((s, dir) => {
       val e = emb(s, dir)
       val idx = Lsh.train(e, "vec_id", "embedding",
         LshConfig(nTrees = 10, kMinVecs = 50, angular = true, seed = 42L))
-      val bk = idx.buckets
-      val cands = bk.as("a")
-        .join(bk.as("b"),
-          col("a.tree_id") === col("b.tree_id") && col("a.hash") === col("b.hash") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
+      val cands = idx.candidatePairs(maxBucketOccupancy = 200)
       cands
         .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
         .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
@@ -69,12 +67,16 @@ object SimilarityQueries extends QueryPack {
         .orderBy("vec_a", "vec_b")
     }),
 
-    // IVF ANN search (L2) over the standard 100-query set.
+    // IVF ANN search (L2) over the standard 100-query set. Self-graded:
+    // each row's dist is recomputed exactly in the same job
+    // (Eval.withValidity) so a wrong-by-construction search can't pass
+    // the rows-only driver check silently.
     "q_ivf_search_l2" -> ((s, dir) => {
       val e = emb(s, dir)
+      val q = queriesDf(e)
       val idx = Ivf.train(e, "vec_id", "embedding",
         IvfConfig(nCells = 16, nProbe = 8, seed = 42L))
-      idx.searchAll(queriesDf(e), K, ExactNN.L2)
+      Eval.withValidity(idx.searchAll(q, K, ExactNN.L2), e, q, ExactNN.L2)
         .orderBy("query_id", "dist", "vec_id")
     }),
 

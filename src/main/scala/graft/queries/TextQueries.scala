@@ -177,9 +177,11 @@ object TextQueries extends QueryPack {
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("i"))
-      jacFromInter(inter, sh)
-        .where(col("jac") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      graft.text.Dedup.materializeRelease(
+        jacFromInter(inter, sh)
+          .where(col("jac") >= JaccardThreshold)
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac")),
+        sh)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -208,9 +210,11 @@ object TextQueries extends QueryPack {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      jaccardOf(cands, sh)
-        .where(col("jac") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      graft.text.Dedup.materializeRelease(
+        jaccardOf(cands, sh)
+          .where(col("jac") >= JaccardThreshold)
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac")),
+        sh, bands)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -242,15 +246,16 @@ object TextQueries extends QueryPack {
     // 48-bit shingle SimHash per document.
     "q_simhash" -> ((s, dir) => simhash(docs(s, dir)).orderBy("doc_id")),
 
-    // SimHash near-dup pairs at hamming <= 8 (quadratic verifier — scale
-    // path is banding the simhash prefix; see scaladoc above).
+    // SimHash near-dup pairs at hamming <= 8 via pigeonhole banding
+    // (graft.text.Dedup.simhashBandPairs): the 48-bit simhash splits into
+    // maxHamming+1 bands, any pair within the threshold collides on at
+    // least one band, so candidates come from a band-keyed equi-join —
+    // never all-pairs. The DuckDB oracle stays quadratic (fine at oracle
+    // scale) and proves the banding loses nothing.
     "q_simhash_near_pairs" -> ((s, dir) => {
-      val sh = simhash(docs(s, dir))
-      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-            .cast(LongType).as("ham"))
-        .where(col("ham") <= HammingThreshold)
+      val sh = simhash(docs(s, dir)).persist()
+      graft.text.Dedup.materializeRelease(
+        graft.text.Dedup.simhashBandPairs(sh, HammingThreshold), sh)
         .orderBy("doc_a", "doc_b")
     })
   )
@@ -402,7 +407,7 @@ object TextQueries extends QueryPack {
          |grp AS (SELECT skey, count(*) AS c FROM keyed GROUP BY skey),
          |gsum AS (
          |  SELECT count(*) AS n_tokenset_keys,
-         |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs
+         |         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_docs
          |  FROM grp
          |)
          |SELECT * FROM totals CROSS JOIN gsum""".stripMargin,

@@ -57,14 +57,18 @@ object VectorQueries extends QueryPack {
     // Per-vector scalar (int8-range) quantization: min/max calibration,
     // uniform 255-level codes — the 4x storage cut for embedding columns
     // at scale. Map-side only; emitted exploded as exact integers so the
-    // cross-engine compare is float-free.
+    // cross-engine compare is float-free. A constant vector has range 0 —
+    // guarded to code 0 (ANSI mode would otherwise throw on
+    // round(0/0).cast(long)).
     "q_embedding_quantize" -> ((s, dir) => {
       val e = col("embedding").cast("array<double>")
       val mn = array_min(e)
       val scale = (array_max(e) - array_min(e)) / lit(255.0)
       tbl(s, dir, "embeddings")
         .select(col("vec_id"),
-          posexplode(transform(e, x => round((x - mn) / scale).cast("long"))))
+          posexplode(transform(e, x =>
+            when(scale === 0.0, lit(0L))
+              .otherwise(round((x - mn) / scale).cast("long")))))
         .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").as("q"))
         .orderBy("vec_id", "pos")
     }),
@@ -103,8 +107,11 @@ object VectorQueries extends QueryPack {
       """SELECT vec_id,
         |  unnest(generate_series(1, len(embedding))) AS pos,
         |  unnest(list_transform(embedding::DOUBLE[],
-        |    x -> round((x - list_min(embedding::DOUBLE[]))
-        |         / ((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0))::BIGINT)) AS q
+        |    x -> CASE WHEN list_max(embedding::DOUBLE[]) = list_min(embedding::DOUBLE[])
+        |         THEN 0::BIGINT
+        |         ELSE round((x - list_min(embedding::DOUBLE[]))
+        |           / ((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0))::BIGINT
+        |         END)) AS q
         |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
 
     "q_label_centroids" ->

@@ -32,6 +32,19 @@ object Dedup {
       jaccardThreshold: Double = 0.5,
       maxDocFreqRatio: Double = 1.0)
 
+  /** Compute the (small) pair result into its own cache with one pass,
+    * then release the large intermediate caches it was built from. In a
+    * long-lived session running many dedup jobs, leaving shingle/band
+    * caches persisted accumulates executor memory for the life of the
+    * session; the result itself (verified pairs) is tiny by comparison.
+    * Callers that are done with the result may `unpersist()` it too. */
+  private[graft] def materializeRelease(out: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val cached = out.persist()
+    cached.count()
+    intermediates.foreach(_.unpersist(false))
+    cached
+  }
+
   /** (id, text) -> groups of exact duplicates: (dup_key, n_docs, doc_ids).
     * Hash-groupBy on md5 — one shuffle keyed by digest. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -88,7 +101,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cands, sh).where(col("jac") >= cfg.jaccardThreshold)
+    materializeRelease(
+      verifyJaccard(cands, sh).where(col("jac") >= cfg.jaccardThreshold),
+      sh, bands)
   }
 
   /** SimHash near-dup pairs WITHOUT the quadratic all-pairs join: the
@@ -99,10 +114,18 @@ object Dedup {
     * Output: (doc_a, doc_b, ham). */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 8, shingleN: Int = 3): DataFrame = {
+    val sh = simhash48(docs, idCol, textCol, shingleN).persist()
+    materializeRelease(simhashBandPairs(sh, maxHamming), sh)
+  }
+
+  /** The scale-safe half of [[simhashNearDup]], reusable over any
+    * precomputed (doc_id, simhash) table: band-keyed candidate join +
+    * exact hamming verification. Never all-pairs — the only shuffle keys
+    * are (band, bkey). */
+  def simhashBandPairs(sh: DataFrame, maxHamming: Int = 8): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 48)
     val nBands = maxHamming + 1
     val bandBits = 48 / nBands // trailing bits fold into the last band
-    val sh = simhash48(docs, idCol, textCol, shingleN).persist()
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("bkey",

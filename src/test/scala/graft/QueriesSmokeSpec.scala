@@ -26,8 +26,16 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkSpecBase {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
-      val n = fn(spark, dir).count()
+      val df = fn(spark, dir)
+      val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      // self-grading queries (Eval.withValidity) must be all-valid: this
+      // is the gate that makes a wrong-by-construction ANN search fail
+      // the build instead of slipping past a rows-only driver check
+      if (df.columns.contains("valid")) {
+        val bad = df.where(!org.apache.spark.sql.functions.col("valid")).count()
+        assert(bad === 0, s"$name returned $bad self-graded-invalid rows")
+      }
     }
   }
 }

@@ -100,6 +100,43 @@ class LshIndexSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("corpus >> fit sample: occupancy cap bounds hot buckets and join fan-out") {
+    // 2000-row corpus, forest fitted on a 20-row sample (100x ratio):
+    // kMinVecs bounds leaf size only over the SAMPLE, so real bucket
+    // occupancy grows ~corpus/sample x kMinVecs — the regime where an
+    // uncapped bucket self-join fans out quadratically.
+    val rng = new scala.util.Random(41)
+    val corpus = (0L until 2000L).map(i =>
+      (i, Seq.fill(4)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+    val idx = Lsh.train(corpus, "vec_id", "embedding",
+      LshConfig(nTrees = 4, kMinVecs = 5, seed = 7L, sampleCap = 20))
+
+    def maxOccupancy(bk: org.apache.spark.sql.DataFrame): Long =
+      bk.groupBy("tree_id", "hash").count()
+        .agg(max("count")).head().getLong(0)
+
+    val cap = 16
+    assert(maxOccupancy(idx.buckets) > cap,
+      "fixture must actually exercise the hot-bucket regime")
+    assert(maxOccupancy(idx.cappedBuckets(cap)) <= cap)
+
+    // capped candidates are a subset of uncapped candidates
+    val capped = idx.candidatePairs(cap)
+      .as[(Long, Long)].collect().toSet
+    val uncapped = idx.candidatePairs()
+      .as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+    assert(capped.nonEmpty)
+    // per-bucket pair fan-out is bounded by cap*(cap-1)/2 per tree
+    val perBucketPairs = idx.cappedBuckets(cap).as("a")
+      .join(idx.cappedBuckets(cap).as("b"),
+        col("a.tree_id") === col("b.tree_id") && col("a.hash") === col("b.hash") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.tree_id"), col("a.hash")).count()
+      .agg(max("count")).head().getLong(0)
+    assert(perBucketPairs <= cap.toLong * (cap - 1) / 2)
+  }
+
   test("bucket rows: nTrees entries per vector, stats are consistent") {
     val cfg = LshConfig(nTrees = 7, kMinVecs = 2, seed = 3L)
     val idx = Lsh.train(miniDf, "vec_id", "embedding", cfg)

@@ -98,4 +98,21 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkSpecBase {
       .head()
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
+
+  test("angular<->cosine distance converters round-trip (helpers.go:239-245)") {
+    // known anchor points of sqrt(2(1-cos)) vs 1-cos: orthogonal vectors
+    // have cosine distance 1 and chord distance sqrt(2); opposite have 2.
+    assert(math.abs(angularToCosineDist(math.sqrt(2.0)) - 1.0) < 1e-12)
+    assert(math.abs(cosineDistToAngular(2.0) - 2.0) < 1e-12)
+    for (c <- Seq(0.0, 0.1, 0.5, 1.0, 1.7, 2.0))
+      assert(math.abs(angularToCosineDist(cosineDistToAngular(c)) - c) < 1e-12)
+    // Column forms agree with the scalar forms
+    import spark.implicits._
+    val row = Seq(Tuple1(0.37)).toDF("c")
+      .select(angularToCosineDist(cosineDistToAngular(col("c"))).as("rt"),
+        cosineDistToAngular(col("c")).as("ang"))
+      .head()
+    assert(math.abs(row.getDouble(0) - 0.37) < 1e-12)
+    assert(math.abs(row.getDouble(1) - cosineDistToAngular(0.37)) < 1e-12)
+  }
 }
