@@ -61,18 +61,20 @@ object VectorStats {
 
   /** Sampled variant — the reference's actual semantics
     * (`GetMeanStdSampled`, lsh/helpers.go:45-118 draws `sampleSize`
-    * uniform rows before the per-dimension stats). Spark-side sampling is
-    * Bernoulli-without-replacement rather than the reference's
-    * with-replacement draws — equivalent in expectation; the reference's
-    * own test only asserts a ±0.05 tolerance band (lsh_test.go:151-213),
-    * which is the contract [[graft.stats]]'s spec mirrors. Not
+    * uniform rows WITH replacement before the per-dimension stats).
+    * Spark's `sample(withReplacement = true)` is Poisson sampling — the
+    * distributed analog of with-replacement draws (each row's multiplicity
+    * ~ Poisson(fraction), expected sample size = sampleSize), so repeated
+    * rows weight the estimate exactly as the reference's repeated draws
+    * do. The reference's own contract is a ±0.05 tolerance band
+    * (lsh_test.go:151-213), which [[graft.stats]]'s spec mirrors. Not
     * oracle-comparable (seeded sampling differs per engine) — the exact
     * [[meanMad]] is the oracle-checked form. */
   def meanMadSampled(emb: DataFrame, sampleSize: Int, seed: Long): DataFrame = {
     val total = emb.count()
     val sampled =
       if (total <= sampleSize) emb
-      else emb.sample(withReplacement = false,
+      else emb.sample(withReplacement = true,
         fraction = sampleSize.toDouble / total, seed = seed)
     meanMad(sampled)
   }
