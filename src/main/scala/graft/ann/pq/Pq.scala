@@ -144,9 +144,12 @@ final class PqIndex(val model: PqModel, val codes: DataFrame) {
     * table is accessed for `rerankDepth` rows per query. */
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
                    rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
+    // cands is bounded by rerankDepth * |queries| rows — broadcast it so
+    // the (corpus-sized) float-vector table is probed in place, never
+    // shuffled, on the one step that touches it
     val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
-    val exact = cands
-      .join(vectors, "vec_id")
+    val exact = vectors
+      .join(broadcast(cands), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(graft.functions.exprs.l2DistNative(col("qv"), col("embedding")),

@@ -97,6 +97,35 @@ object TextQueries extends QueryPack {
   private def jaccardOf(cands: DataFrame, sh: DataFrame): DataFrame =
     graft.text.Dedup.verifyJaccard(cands, sh)
 
+  /** The full MinHash near-dup pipeline with the query-pinned parameters:
+    * (doc_a, doc_b, jac) verified pairs at jac >= 0.5 — shared by
+    * `q_minhash_near_dup` and `q_near_dup_clusters`. The shingle/band
+    * caches are released once the (small) pair result materializes. */
+  private def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sh = shingleRows(d).persist()
+    // persisted: referenced twice by the candidate self-join, which
+    // would otherwise recompute the whole signature pipeline per side
+    val bands = minhashSig(sh)
+      .withColumn("band", floor(col("hash_id") / BandRows).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("hash_id"), col("sig")))),
+          e => e.getField("sig").cast("string")))).as("bkey"))
+      .persist()
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    graft.text.Dedup.materializeRelease(
+      jaccardOf(cands, sh)
+        .where(col("jac") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac")),
+      sh, bands)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, BPE-ish pre-tokenizer count
     // (letter runs / digit runs / single punctuation, the GPT-2-style
@@ -192,30 +221,24 @@ object TextQueries extends QueryPack {
     // MinHash+LSH near-dup: band signatures (4 bands x 2 rows), bucket-join
     // candidates, verify with exact Jaccard. The banding shuffle key is
     // (band, band_key) — this is the shape that scales.
-    "q_minhash_near_dup" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val sh = shingleRows(d).persist()
-      // persisted: referenced twice by the candidate self-join, which
-      // would otherwise recompute the whole signature pipeline per side
-      val bands = minhashSig(sh)
-        .withColumn("band", floor(col("hash_id") / BandRows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(md5(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("hash_id"), col("sig")))),
-            e => e.getField("sig").cast("string")))).as("bkey"))
-        .persist()
-      val cands = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      graft.text.Dedup.materializeRelease(
-        jaccardOf(cands, sh)
-          .where(col("jac") >= JaccardThreshold)
-          .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac")),
-        sh, bands)
-        .orderBy("doc_a", "doc_b")
+    "q_minhash_near_dup" -> ((s, dir) =>
+      minhashNearDupPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // Near-dup CLUSTERS: connected components over the verified MinHash
+    // pair graph (Dedup.connectedComponents, min-label propagation) —
+    // the retention step after pair-finding: cluster_id = min doc id per
+    // component, so dedup keeps exactly the doc_id == cluster_id row.
+    // Oracle: DuckDB recursive-CTE transitive closure over the same
+    // pairs.
+    "q_near_dup_clusters" -> ((s, dir) => {
+      val pairs = minhashNearDupPairs(s, dir)
+      graft.text.Dedup.connectedComponents(pairs)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",",
+            transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast("string"))).as("doc_ids"))
+        .orderBy("cluster_id")
     }),
 
     // Sliding-window chunking (16-token windows, stride 12) — the
@@ -445,6 +468,36 @@ object TextQueries extends QueryPack {
          |SELECT doc_a, doc_b, round(jac, 6) AS jac
          |FROM jac WHERE jac >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same pipeline, then transitive closure (recursive CTE) in place of
+    // the Spark-side min-label propagation: cluster_id = min reachable id.
+    "q_near_dup_clusters" ->
+      s"""WITH RECURSIVE $tokCte, $shgCte, $sigCte,
+         |bands AS (
+         |  SELECT doc_id, hid // $BandRows AS band,
+         |         md5(string_agg(sig::VARCHAR, ',' ORDER BY hid)) AS bkey
+         |  FROM sig GROUP BY doc_id, band
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |              AND a.doc_id < b.doc_id
+         |),
+         |${jacSql("cand")},
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jac >= $JaccardThreshold),
+         |nodes AS (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT cluster_id, count(*) AS n_docs,
+         |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q_doc_chunks" ->
       s"""WITH $tokCte,

@@ -161,6 +161,61 @@ object Dedup {
       .agg(sum(when(col("sgn") > 0, expr("shiftleft(cast(1 as bigint), b)"))
         .otherwise(0L)).as("simhash"))
 
+  /** Connected components over an undirected near-dup pair list
+    * (doc_a, doc_b) — the grouping step a dedup pipeline needs after
+    * pair-finding: every doc in a component gets the component's minimum
+    * doc id as `cluster_id`, so "keep one per cluster" is a trivial
+    * `doc_id === cluster_id` filter.
+    *
+    * Min-label propagation: each round every node adopts the minimum
+    * label in its closed neighborhood; converges in O(component
+    * diameter) rounds. Near-dup components are shallow (dup groups are
+    * cliques or near-cliques), so 2-3 rounds are typical. Each round is
+    * one equi-join + one aggregation keyed on doc id over the EDGE list
+    * only — never all-pairs, no driver-side graph, state is one row per
+    * node. At extreme diameters swap in large-star/small-star; the
+    * (doc_id, cluster_id) interface stays.
+    *
+    * @return (doc_id, cluster_id), one row per doc appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    // localCheckpoint (not persist) each round: iterative joins grow the
+    // logical plan by one join-tree per round, and an unbroken lineage
+    // makes planning/explain exponential by round ~10 (the classic
+    // iterative-dataflow trap). Checkpointing truncates lineage so every
+    // round plans against a materialized leaf. On a cluster with
+    // executor-loss concerns, swap for reliable checkpoint(dir).
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("dst_label").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = labels.select(col("doc_id"), col("cluster_id").as("prev"))
+        .join(next, "doc_id")
+        .where(col("prev") =!= col("cluster_id"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
   /** Exact Jaccard for explicit candidate pairs over a shingle table. */
   def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

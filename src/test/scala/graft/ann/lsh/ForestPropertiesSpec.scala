@@ -45,9 +45,17 @@ class ForestPropertiesSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("property: neighbor hash differs and flips exactly one bit") {
-    check(Prop.forAll(Gen.choose(0L, Long.MaxValue)) { h =>
+    // full signed range: bit-63 hashes (negative Longs) are reachable
+    check(Prop.forAll(Gen.choose(Long.MinValue, Long.MaxValue)) { h =>
       val n = Forest.neighborHash(h)
       n != h && java.lang.Long.bitCount(h ^ n) == 1
+    })
+  }
+
+  test("property: for nonzero hashes the flipped bit is the unsigned highest set bit") {
+    check(Prop.forAll(Gen.choose(Long.MinValue, Long.MaxValue).suchThat(_ != 0L)) { h =>
+      val flipped = h ^ Forest.neighborHash(h)
+      flipped == java.lang.Long.highestOneBit(h)
     })
   }
 

@@ -56,6 +56,15 @@ class ForestSpec extends AnyFunSuite {
     assert(neighborHash(6L) === 2L) // 110b -> flip bit 2 -> 010b
   }
 
+  test("neighbor hash flips the true highest bit when bit 63 is set") {
+    // a depth-64 path can set bit 63, making the hash negative as a
+    // signed Long; the unsigned highest set bit must still be the flip
+    // target (reference semantics are uint64 floor(log2), lsh.go:146-151)
+    assert(neighborHash(Long.MinValue) === 0L) // only bit 63 set
+    assert(neighborHash(Long.MinValue | 5L) === 5L)
+    assert(neighborHash(-1L) === Long.MaxValue) // all 64 bits set
+  }
+
   test("angular build normalizes sampled points (cluster split is scale-invariant)") {
     // two directions, different magnitudes; angular trees must split by
     // direction, so scaled copies hash together

@@ -33,6 +33,36 @@ class PqSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("native encode expression matches driver-side encode, float and double input") {
+    val model = Pq.fit(emb, "embedding", cfg)
+    val direct = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> model.encode(v.toArray).toSeq }.toMap
+    // ARRAY<FLOAT> path (the parquet layout) and explicit ARRAY<DOUBLE>
+    // must both agree with the driver-side encoder
+    model.transform(emb, "vec_id", "embedding").collect()
+      .foreach(r => assert(r.getSeq[Int](1) === direct(r.getLong(0))))
+    model.transform(
+        emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding")),
+        "vec_id", "embedding").collect()
+      .foreach(r => assert(r.getSeq[Int](1) === direct(r.getLong(0))))
+  }
+
+  test("ADC distance expression equals driver-side table lookup") {
+    val idx = Pq.train(emb, "vec_id", "embedding", cfg)
+    val q = emb.orderBy("vec_id").limit(5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val model = idx.model
+    val qvs = q.select($"query_id", $"qv".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val codesMap = idx.codes.as[(Long, Seq[Int])].collect().toMap
+    idx.searchAll(q, 3, roundTo = 9).collect().foreach { r =>
+      val expect = model.adcDist(
+        model.adcTable(qvs(r.getLong(0)).toArray), codesMap(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - expect) < 1e-6)
+    }
+  }
+
   test("reconstruction error is bounded and far below vector norms") {
     val model = Pq.fit(emb, "embedding", cfg)
     val vecs = emb.limit(100)

@@ -52,6 +52,30 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(banded.nonEmpty)
   }
 
+  test("connectedComponents: min-label clusters over a pair graph") {
+    // components: {1,2,3,4} (a 3-deep chain), {7,8}, {10,11,12} (triangle)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (7L, 8L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // retention filter: exactly one kept doc per component
+    assert(cc.count { case (d, c) => d == c } === 3)
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 13)
+    assert(cc.values.forall(_ == 0L))
+  }
+
   test("maxDocFreqRatio drops ubiquitous shingles") {
     // every doc shares the same leading 3 tokens -> that shingle is hot
     val shared = Seq(
