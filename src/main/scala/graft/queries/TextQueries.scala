@@ -33,6 +33,12 @@ object TextQueries extends QueryPack {
   val BandRows = 2  // rows per LSH band -> 4 bands
   val JaccardThreshold = 0.5
   val HammingThreshold = 8
+  /** Drop shingles present in more than this fraction of documents
+    * before the n-gram pair join — a shingle shared by f docs
+    * contributes f² join rows, so document-frequency capping is the
+    * skew guard that keeps the shingle-keyed shuffle flat on
+    * boilerplate-heavy corpora (mirrored in the DuckDB oracle). */
+  val NgramMaxDocFreqRatio = 0.5
   val Stopwords = Seq("a", "the", "and", "of", "to", "in", "is")
   /** BPE-ish pre-tokenizer: letter runs, digit runs, or single
     * non-alphanumeric glyphs (RE2- and Java-regex compatible). */
@@ -196,11 +202,18 @@ object TextQueries extends QueryPack {
     // n-gram Jaccard near-dup pairs: ONE self-join on the shingle value
     // produces the intersection counts directly (no candidate
     // materialization + re-join), never all-pairs; emit pairs at
-    // jac >= 0.5. The persisted shingle table is scanned by the join and
-    // the size aggregate without recomputing the md5-free but
-    // explode-heavy shingling.
+    // jac >= 0.5. Shingles in more than NgramMaxDocFreqRatio of docs are
+    // dropped first (f² fan-out guard, oracle-mirrored). The persisted
+    // shingle table is scanned by the join and the size aggregate
+    // without recomputing the explode-heavy shingling.
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
-      val sh = shingleRows(docs(s, dir)).persist()
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      val sh0 = shingleRows(d)
+      val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") > NgramMaxDocFreqRatio * nDocs)
+        .select("s")
+      val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti").persist()
       val inter = sh.as("a")
         .join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -339,14 +352,15 @@ object TextQueries extends QueryPack {
        |  FROM bits GROUP BY doc_id
        |)""".stripMargin
 
-  /** jac scoring of `cand(doc_a, doc_b)` against shg — mirrors jaccardOf. */
-  private def jacSql(candCte: String): String =
-    s"""sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
+  /** jac scoring of `cand(doc_a, doc_b)` against a shingle table —
+    * mirrors jaccardOf. */
+  private def jacSql(candCte: String, shgTable: String = "shg"): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM $shgTable GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS i
        |  FROM $candCte c
-       |  JOIN shg sa ON c.doc_a = sa.doc_id
-       |  JOIN shg sb ON c.doc_b = sb.doc_id AND sa.s = sb.s
+       |  JOIN $shgTable sa ON c.doc_a = sa.doc_id
+       |  JOIN $shgTable sb ON c.doc_b = sb.doc_id AND sa.s = sb.s
        |  GROUP BY c.doc_a, c.doc_b
        |),
        |jac AS (
@@ -355,6 +369,17 @@ object TextQueries extends QueryPack {
        |  FROM inter
        |  JOIN sizes na ON doc_a = na.doc_id
        |  JOIN sizes nb ON doc_b = nb.doc_id
+       |)""".stripMargin
+
+  /** Document-frequency-capped shingle table (hot-shingle skew guard,
+    * mirroring Dedup.shingleTable's maxDocFreqRatio). */
+  private val shfCte =
+    s"""shcnt AS (SELECT s, count(*) AS df FROM shg GROUP BY s),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |shf AS (
+       |  SELECT shg.doc_id, shg.s
+       |  FROM shg JOIN shcnt ON shg.s = shcnt.s, nd
+       |  WHERE shcnt.df <= $NgramMaxDocFreqRatio * nd.n
        |)""".stripMargin
 
   private def inList(words: Seq[String]): String =
@@ -436,12 +461,12 @@ object TextQueries extends QueryPack {
          |SELECT * FROM totals CROSS JOIN gsum""".stripMargin,
 
     "q_ngram_jaccard_pairs" ->
-      s"""WITH $tokCte, $shgCte,
+      s"""WITH $tokCte, $shgCte, $shfCte,
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
          |),
-         |${jacSql("cand")}
+         |${jacSql("cand", "shf")}
          |SELECT doc_a, doc_b, round(jac, 6) AS jac
          |FROM jac WHERE jac >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
