@@ -161,6 +161,73 @@ object Dedup {
       .agg(sum(when(col("sgn") > 0, expr("shiftleft(cast(1 as bigint), b)"))
         .otherwise(0L)).as("simhash"))
 
+  /** Per-row MinHash signature (ARRAY<BIGINT>, length `numHashes`) of a
+    * token array — the stateless column form of [[minhashNearDup]]'s
+    * signature stage: no explode/groupBy, so it computes identically in
+    * batch and on an unbounded stream (no aggregation state). Value-equal
+    * to the exploded construction: min over shingles of
+    * `(A_i * hash60(s) + B_i) mod M` per hash function. Docs shorter
+    * than `shingleN` tokens have no shingles — their signature elements
+    * are null; filter on shingle count first. */
+  def minhashSigCol(toks: org.apache.spark.sql.Column,
+                    cfg: MinHashConfig): org.apache.spark.sql.Column = {
+    val aArr = array(HashA.take(cfg.numHashes).map(lit): _*)
+    val bArr = array(HashB.take(cfg.numHashes).map(lit): _*)
+    val hs = transform(array_distinct(shingles(toks, cfg.shingleN)),
+      s => hash60(0, s) % FpMod)
+    transform(sequence(lit(0), lit(cfg.numHashes - 1)), i =>
+      array_min(transform(hs, h =>
+        (element_at(aArr, i + 1) * h + element_at(bArr, i + 1)) % FpMod)))
+  }
+
+  /** ARRAY<STRUCT<band INT, bkey STRING>> LSH band keys of a signature —
+    * same md5-of-joined-sigs key as the batch banding. */
+  def bandKeysCol(sig: org.apache.spark.sql.Column,
+                  cfg: MinHashConfig): org.apache.spark.sql.Column = {
+    val nBands = cfg.numHashes / cfg.bandRows
+    transform(sequence(lit(0), lit(nBands - 1)), b =>
+      struct(b.cast("int").as("band"),
+        md5(concat_ws(",", transform(
+          slice(sig, b * cfg.bandRows + 1, lit(cfg.bandRows)),
+          x => x.cast("string")))).as("bkey")))
+  }
+
+  /** Near-dup matching of a document stream against a static corpus —
+    * the on-ingest dedup shape: banded-MinHash candidate join + exact
+    * Jaccard verification, built ONLY from per-row projections
+    * ([[minhashSigCol]]/[[bandKeysCol]]) and one stream-static equi-join
+    * on (band, bkey), so it needs NO streaming aggregation state and
+    * runs in append mode without a watermark. Works identically on two
+    * batch frames (spec'd stream == batch).
+    *
+    * Emits (stream_id, corpus_id, jac) — once per colliding band; dedup
+    * downstream (`dropDuplicates` with a watermark, or an idempotent
+    * sink keyed on the pair). At 100 TB the static side's banded table
+    * would be precomputed and persisted bucketed by (band, bkey). */
+  def nearDupAgainstCorpus(stream: DataFrame, idCol: String, textCol: String,
+                           corpus: DataFrame,
+                           cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    require(cfg.numHashes % cfg.bandRows == 0, "bands must tile the signature")
+    def prep(df: DataFrame, prefix: String): DataFrame = {
+      val toks = tokens(col(textCol))
+      val sh = array_distinct(shingles(toks, cfg.shingleN))
+      df.select(col(idCol).as(s"${prefix}_id"), sh.as(s"${prefix}_sh"),
+          bandKeysCol(minhashSigCol(toks, cfg), cfg).as("bands"))
+        .where(size(col(s"${prefix}_sh")) > 0)
+        .select(col(s"${prefix}_id"), col(s"${prefix}_sh"),
+          explode(col("bands")).as("bk"))
+        .select(col(s"${prefix}_id"), col(s"${prefix}_sh"),
+          col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    }
+    val inter = size(array_intersect(col("stream_sh"), col("corpus_sh")))
+    prep(stream, "stream").join(prep(corpus, "corpus"), Seq("band", "bkey"))
+      .where(col("stream_id") =!= col("corpus_id"))
+      .select(col("stream_id"), col("corpus_id"),
+        (inter.cast(DoubleType) /
+          (size(col("stream_sh")) + size(col("corpus_sh")) - inter)).as("jac"))
+      .where(col("jac") >= cfg.jaccardThreshold)
+  }
+
   /** Connected components over an undirected near-dup pair list
     * (doc_a, doc_b) — the grouping step a dedup pipeline needs after
     * pair-finding: every doc in a component gets the component's minimum

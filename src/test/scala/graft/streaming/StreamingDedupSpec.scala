@@ -36,6 +36,41 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup vs static corpus: band join + Jaccard, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely unrelated text about spark physical planning rules"),
+      (102L, "another unrelated document mentioning parquet column pruning"))
+      .toDF("doc_id", "text")
+    // doc 0 is a near-dup of corpus doc 100 (last token changed: jac 0.82,
+    // collides in 3 of 4 bands — checked against the md5 hash family, so
+    // the candidate join is deterministic); doc 1 is novel
+    val streamed = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and more"),
+      (1L, "nothing like anything in the corpus at all whatsoever today"))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.text.Dedup.nearDupAgainstCorpus(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", corpus)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(streamed: _*)
+      q.processAllAvailable()
+      val streamOut = spark.table("neardup_stream")
+        .select("stream_id", "corpus_id", "jac")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // same operator over the same data as plain batch frames
+      val batchOut = graft.text.Dedup.nearDupAgainstCorpus(
+          streamed.toDF("doc_id", "text"), "doc_id", "text", corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamOut === batchOut)
+      assert(streamOut.map(t => (t._1, t._2)) === Set((0L, 100L)))
+      assert(streamOut.forall(_._3 >= 0.5))
+    } finally q.stop()
+  }
+
   test("watermarked variant bounds state: dropDuplicatesWithinWatermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]

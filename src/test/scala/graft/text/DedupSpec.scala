@@ -52,6 +52,33 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(banded.nonEmpty)
   }
 
+  test("minhashSigCol (stateless per-row form) equals the exploded signature stage") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions._
+    val cfg = Dedup.MinHashConfig()
+    val docs01 = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    // exploded construction — the minhashNearDup internal stage
+    val aArr = array(HashA.take(cfg.numHashes).map(lit): _*)
+    val bArr = array(HashB.take(cfg.numHashes).map(lit): _*)
+    val exploded = Dedup.shingleTable(docs01, "doc_id", "text", cfg)
+      .select(col("doc_id"), (hash60(0, col("s")) % FpMod).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(cfg.numHashes - 1))).as("hash_id"))
+      .groupBy("doc_id", "hash_id")
+      .agg(min((element_at(aArr, col("hash_id") + 1) * col("h")
+        + element_at(bArr, col("hash_id") + 1)) % FpMod).as("sig"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("hash_id"), col("sig")))),
+        e => e.getField("sig")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val perRow = docs01
+      .select(col("doc_id"),
+        Dedup.minhashSigCol(tokens(col("text")), cfg).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(perRow.keySet === exploded.keySet)
+    perRow.foreach { case (id, s) => assert(s === exploded(id), s"doc $id") }
+  }
+
   test("connectedComponents: min-label clusters over a pair graph") {
     // components: {1,2,3,4} (a 3-deep chain), {7,8}, {10,11,12} (triangle)
     val pairs = Seq(
