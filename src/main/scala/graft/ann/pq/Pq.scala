@@ -137,6 +137,25 @@ final class PqIndex(val model: PqModel, val codes: DataFrame) {
         col("n.dist").as("dist"))
   }
 
+  /** Persist codebooks + meta + the compressed codes table (the codes
+    * ARE the index at scan time — m small ints per vector, the 4-75x
+    * footprint cut that makes PQ the at-rest format for cold corpora). */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val m = model
+    m.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, code) => (s, code, c.toSeq) }
+    }.toSeq
+      .toDF("subvector", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((m.config.numSubvectors, m.config.codesPerSubvector, m.config.iters,
+      m.config.seed, m.config.sampleCap, m.dims))
+      .toDF("num_subvectors", "codes_per_subvector", "iters", "seed",
+        "sample_cap", "dims")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
   /** The standard PQ deployment shape: ADC retrieves a deeper candidate
     * list (`rerankDepth`) from the compressed codes, then ONLY those
     * candidates touch the float vectors for exact re-ranking to the
@@ -163,6 +182,29 @@ final class PqIndex(val model: PqModel, val codes: DataFrame) {
 }
 
 object Pq {
+
+  /** Reopen a saved index (codebooks + codes) — parquet layout defined
+    * by [[PqIndex.save]], mirroring the LSH/IVF persistence contract. */
+  def load(spark: SparkSession, path: String): PqIndex = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val config = PqConfig(
+      numSubvectors = meta.getAs[Int]("num_subvectors"),
+      codesPerSubvector = meta.getAs[Int]("codes_per_subvector"),
+      iters = meta.getAs[Int]("iters"),
+      seed = meta.getAs[Long]("seed"),
+      sampleCap = meta.getAs[Int]("sample_cap"))
+    val dims = meta.getAs[Int]("dims")
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select($"subvector", $"code", $"centroid")
+      .as[(Int, Int, Seq[Double])].collect()
+    val codebooks = Array.tabulate(config.numSubvectors) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3.toArray)
+    }
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("codes"))
+    new PqIndex(new PqModel(config, dims, codebooks), codes)
+  }
 
   def fit(df: DataFrame, vecCol: String, config: PqConfig): PqModel = {
     val total = df.count()

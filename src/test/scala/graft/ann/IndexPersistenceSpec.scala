@@ -62,6 +62,24 @@ class IndexPersistenceSpec extends AnyFunSuite with SparkSpecBase {
     assert(partDirs.length === 8)
   }
 
+  test("PQ index round-trip: identical codebooks, codes, and search results") {
+    val dir = Files.createTempDirectory("pq_idx").toString
+    val idx = graft.ann.pq.Pq.train(emb, "vec_id", "embedding",
+      graft.ann.pq.PqConfig(numSubvectors = 16, codesPerSubvector = 16, seed = 5L))
+    idx.save(spark, dir)
+    val reopened = graft.ann.pq.Pq.load(spark, dir)
+
+    assert(reopened.model.dims === idx.model.dims)
+    assert(reopened.model.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      idx.model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val a = idx.searchAll(queries, 10)
+      .orderBy("query_id", "dist", "vec_id").collect().toSeq
+    val b = reopened.searchAll(queries, 10)
+      .orderBy("query_id", "dist", "vec_id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   /** Run `body` with broadcast joins off so plan assertions see the
     * shuffle shape a 100 TB corpus side would face (a small test table
     * would otherwise just broadcast). */
