@@ -65,10 +65,22 @@ object AngularScaleProbe {
         threshold = Some(threshold)).persist()
       gt.count()
 
-      for ((nTrees, kMin) <- Seq((20, 80), (40, 120))) {
+      // sampleCap matters once the corpus outgrows the default 100k fit
+      // sample: bucket occupancy ~ (corpus/sample) x kMinVecs, so at
+      // 1M+ corpora raise it (SPARK_GRAFT_SAMPLE_CAP) to keep buckets at
+      // their design size.
+      val sampleCap = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_CAP", "100000").toInt
+      val configs = sys.env.get("SPARK_GRAFT_PROBE_CONFIGS") match {
+        case Some(s) => s.split(";").toSeq.map { c =>
+          val Array(t, k) = c.split(","); (t.toInt, k.toInt)
+        }
+        case None => Seq((20, 80), (40, 120))
+      }
+      for ((nTrees, kMin) <- configs) {
         val (idx, tTrain) = time {
           val i = Lsh.train(corpus, "vec_id", "embedding",
-            LshConfig(nTrees = nTrees, kMinVecs = kMin, angular = true, seed = 42L))
+            LshConfig(nTrees = nTrees, kMinVecs = kMin, angular = true, seed = 42L,
+              sampleCap = sampleCap))
           i.buckets.persist().count()
           i.vectors.persist().count()
           i
