@@ -14,14 +14,22 @@ object Bench {
     // so the first measured query doesn't absorb one-time JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted by name so per-query times are comparable across rounds
+    // (HashMap iteration reorders whenever a key is added, and each
+    // query's time absorbs the JIT/page-cache state its predecessors
+    // left behind). Caches are cleared between queries for the same
+    // reason: a query must not be timed against another query's
+    // persisted intermediates.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -20,7 +20,7 @@ object Verify {
     // stage latency, not cores — overlapping them roughly halves the
     // driver's correctness-gate round time.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -39,6 +39,13 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    // Release every per-query result cache (materializeRelease keeps each
+    // pair result persisted until its consumer is done with it). Queries
+    // run 4-way concurrent above, so a per-query global clear could evict
+    // another in-flight query's persisted intermediates mid-use — clear
+    // once after the pool drains instead. Bench, which runs serially,
+    // clears per query.
+    spark.sharedState.cacheManager.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

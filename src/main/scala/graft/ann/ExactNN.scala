@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.exprs
@@ -45,13 +44,8 @@ object ExactNN {
     * @return (query_id, vec_id, dist) — k rows per query, ascending dist
     */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int, metric: Metric = L2,
-           threshold: Option[Double] = None, roundTo: Int = 6): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    scored(queries, corpus, metric, threshold, roundTo)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("query_id"), col("vec_id"), col("dist"))
-  }
+           threshold: Option[Double] = None, roundTo: Int = 6): DataFrame =
+    TopK.perQueryTopK(scored(queries, corpus, metric, threshold, roundTo), k)
 
   /** Same result via the [[TopK]] partial aggregation: each corpus
     * partition keeps at most k candidates per query map-side, so the
@@ -59,12 +53,8 @@ object ExactNN {
     * scored corpus — the form that survives a 100x corpus scale-up. */
   def topKAgg(queries: DataFrame, corpus: DataFrame, k: Int, metric: Metric = L2,
               threshold: Option[Double] = None, roundTo: Int = 6): DataFrame =
-    scored(queries, corpus, metric, threshold, roundTo)
-      .groupBy("query_id")
-      .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
-      .select(col("query_id"), explode(col("nn")).as("n"))
-      .select(col("query_id"), col("n.vec_id").as("vec_id"),
-        col("n.dist").as("dist"))
+    TopK.perQueryTopK(scored(queries, corpus, metric, threshold, roundTo), k,
+      viaAggregator = true)
 
   private def scored(queries: DataFrame, corpus: DataFrame, metric: Metric,
                      threshold: Option[Double], roundTo: Int): DataFrame = {

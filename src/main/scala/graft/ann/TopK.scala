@@ -1,8 +1,8 @@
 package graft.ann
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Distributed per-key top-k as a partial aggregation instead of a window
@@ -18,41 +18,80 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: ordering is (dist, vec_id) everywhere — including the
   * capacity eviction — so the result is identical to the window
-  * formulation (ties pinned by vec_id, SURVEY.md §7.4). The buffer is a
-  * sorted Seq capped at k; k is small (10-100), so per-row insertion cost
-  * is trivial next to the distance computation it aggregates.
+  * formulation (ties pinned by vec_id, SURVEY.md §7.4).
+  *
+  * The buffer is a pair of primitive arrays (ids, dists) kept sorted,
+  * mutated in place: Spark holds a TypedImperativeAggregate's buffer as a
+  * live object between rows and only encodes it at partial-aggregation
+  * shuffle boundaries, so per-row insertion is a binary search plus an
+  * `arraycopy` shift — no per-row Seq allocation on the hottest
+  * aggregation path. Primitive arrays also keep the buffer encoder
+  * null-free (slots past `size` are just zeros).
   */
 object TopK {
 
   final case class Neighbor(vec_id: Long, dist: Double)
 
-  private def lt(a: Neighbor, b: Neighbor): Boolean =
-    a.dist < b.dist || (a.dist == b.dist && a.vec_id < b.vec_id)
+  /** Mutable bounded buffer: the first `size` slots of (ids, dists) are
+    * filled, sorted ascending by (dist, id). */
+  final case class Buf(var size: Int, ids: Array[Long], dists: Array[Double])
 
   final class TopKAggregator(k: Int)
-      extends Aggregator[Neighbor, Seq[Neighbor], Seq[Neighbor]] {
+      extends Aggregator[Neighbor, Buf, Seq[Neighbor]] {
 
-    override def zero: Seq[Neighbor] = Seq.empty
+    override def zero: Buf = Buf(0, new Array[Long](k), new Array[Double](k))
 
-    private def insert(buf: Seq[Neighbor], n: Neighbor): Seq[Neighbor] = {
-      val i = buf.indexWhere(b => lt(n, b)) match {
-        case -1 => buf.length
-        case x  => x
+    /** First index whose (dist, id) sorts after the probe. */
+    private def pos(b: Buf, dist: Double, id: Long): Int = {
+      var lo = 0
+      var hi = b.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (dist < b.dists(mid) || (dist == b.dists(mid) && id < b.ids(mid)))
+          hi = mid
+        else lo = mid + 1
       }
-      (buf.take(i) :+ n) ++ buf.drop(i)
+      lo
     }
 
-    override def reduce(buf: Seq[Neighbor], n: Neighbor): Seq[Neighbor] =
-      if (buf.length < k) insert(buf, n)
-      else if (lt(n, buf.last)) insert(buf.dropRight(1), n)
-      else buf
+    private def add(b: Buf, id: Long, dist: Double): Unit = {
+      if (b.size < k) {
+        val i = pos(b, dist, id)
+        System.arraycopy(b.ids, i, b.ids, i + 1, b.size - i)
+        System.arraycopy(b.dists, i, b.dists, i + 1, b.size - i)
+        b.ids(i) = id
+        b.dists(i) = dist
+        b.size += 1
+      } else {
+        val lastD = b.dists(k - 1)
+        if (dist < lastD || (dist == lastD && id < b.ids(k - 1))) {
+          val i = pos(b, dist, id)
+          System.arraycopy(b.ids, i, b.ids, i + 1, k - 1 - i)
+          System.arraycopy(b.dists, i, b.dists, i + 1, k - 1 - i)
+          b.ids(i) = id
+          b.dists(i) = dist
+        }
+      }
+    }
 
-    override def merge(a: Seq[Neighbor], b: Seq[Neighbor]): Seq[Neighbor] =
-      b.foldLeft(a)(reduce)
+    override def reduce(b: Buf, n: Neighbor): Buf = {
+      add(b, n.vec_id, n.dist)
+      b
+    }
 
-    override def finish(buf: Seq[Neighbor]): Seq[Neighbor] = buf
+    override def merge(a: Buf, b: Buf): Buf = {
+      var i = 0
+      while (i < b.size) {
+        add(a, b.ids(i), b.dists(i))
+        i += 1
+      }
+      a
+    }
 
-    override def bufferEncoder: Encoder[Seq[Neighbor]] = ExpressionEncoder()
+    override def finish(b: Buf): Seq[Neighbor] =
+      (0 until b.size).map(i => Neighbor(b.ids(i), b.dists(i)))
+
+    override def bufferEncoder: Encoder[Buf] = ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[Neighbor]] = ExpressionEncoder()
   }
 
@@ -62,4 +101,30 @@ object TopK {
     val agg = udaf(new TopKAggregator(k), Encoders.product[Neighbor])
     (id: Column, dist: Column) => agg(id, dist)
   }
+
+  /** Per-query top-k over a scored (query_id, vec_id, dist) frame — the
+    * shared tail of every search (exact, LSH, IVF). Both forms return
+    * row-identical results (ties pinned by vec_id):
+    *
+    *   - `viaAggregator = false`: `row_number()` window. Relies on
+    *     WindowGroupLimit pushdown to prune; shuffles every scored row.
+    *   - `viaAggregator = true`: the [[TopKAggregator]] partial
+    *     aggregation — per-query shuffle bounded at `numPartitions * k`
+    *     rows, the form that survives a 100x candidate-count scale-up.
+    */
+  def perQueryTopK(scored: DataFrame, k: Int,
+                   viaAggregator: Boolean = false): DataFrame =
+    if (viaAggregator)
+      scored
+        .groupBy("query_id")
+        .agg(topK(k)(col("vec_id"), col("dist")).as("nn"))
+        .select(col("query_id"), explode(col("nn")).as("n"))
+        .select(col("query_id"), col("n.vec_id").as("vec_id"),
+          col("n.dist").as("dist"))
+    else {
+      val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k)
+        .select("query_id", "vec_id", "dist")
+    }
 }

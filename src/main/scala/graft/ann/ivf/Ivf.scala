@@ -1,7 +1,6 @@
 package graft.ann.ivf
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -117,9 +116,13 @@ final class IvfIndex(
 ) {
 
   /** Batch ANN search: probe nProbe cells per query, exact distance over
-    * the candidates, per-query top-k (deterministic vec_id tiebreak). */
+    * the candidates, per-query top-k (deterministic vec_id tiebreak).
+    * `topKViaAggregator` swaps the row_number() window for the bounded
+    * TopK partial aggregation — identical rows, per-query shuffle capped
+    * at numPartitions * k (see [[graft.ann.TopK.perQueryTopK]]). */
   def searchAll(queries: DataFrame, k: Int,
-                metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6): DataFrame = {
+                metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
+                topKViaAggregator: Boolean = false): DataFrame = {
     val probes = model.probeRows(queries, "query_id", "qv")
     val cands = cells
       .join(broadcast(probes), "cell")
@@ -129,10 +132,7 @@ final class IvfIndex(
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("query_id", "vec_id", "dist")
+    graft.ann.TopK.perQueryTopK(scored, k, topKViaAggregator)
   }
 
   /** Cell occupancy diagnostics. */

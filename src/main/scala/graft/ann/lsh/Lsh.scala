@@ -208,7 +208,8 @@ final class LshIndex(
     */
   def searchAll(queries: DataFrame, k: Int, distanceThreshold: Double,
                 metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
-                maxCandidates: Option[Int] = None): DataFrame = {
+                maxCandidates: Option[Int] = None,
+                topKViaAggregator: Boolean = false): DataFrame = {
     val probes = model.probeRows(queries, "query_id", "qv")
       .dropDuplicates("query_id", "tree_id", "hash")
     val uncapped = buckets
@@ -227,10 +228,12 @@ final class LshIndex(
       .select(col("query_id"), col("vec_id"),
         round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"))
       .where(col("dist") <= distanceThreshold)
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("query_id", "vec_id", "dist")
+    // topKViaAggregator swaps the row_number() window for the bounded
+    // TopK partial aggregation (graft.ann.TopK.perQueryTopK) — identical
+    // rows, per-query shuffle capped at numPartitions * k instead of
+    // every scored candidate. Flip it on when hot buckets make the
+    // candidate set large relative to k.
+    graft.ann.TopK.perQueryTopK(scored, k, topKViaAggregator)
   }
 
   /** The buckets table with a deterministic per-bucket occupancy cap:

@@ -203,17 +203,17 @@ object TextQueries extends QueryPack {
     // produces the intersection counts directly (no candidate
     // materialization + re-join), never all-pairs; emit pairs at
     // jac >= 0.5. Shingles in more than NgramMaxDocFreqRatio of docs are
-    // dropped first (f² fan-out guard, oracle-mirrored). The persisted
-    // shingle table is scanned by the join and the size aggregate
-    // without recomputing the explode-heavy shingling.
+    // dropped first (f² fan-out guard, oracle-mirrored). The RAW shingle
+    // table is persisted BEFORE the hot-shingle cap is derived from it —
+    // the cap scans shingles twice (document frequencies + anti-join),
+    // and without the persist the explode-heavy shingling (the dominant
+    // cost) would run twice.
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
       val nDocs = d.count()
-      val sh0 = shingleRows(d)
-      val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-        .where(col("df") > NgramMaxDocFreqRatio * nDocs)
-        .select("s")
-      val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti").persist()
+      val sh0 = shingleRows(d).persist()
+      val sh = graft.text.Dedup
+        .capHotShingles(sh0, nDocs, NgramMaxDocFreqRatio).persist()
       val inter = sh.as("a")
         .join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -223,7 +223,7 @@ object TextQueries extends QueryPack {
         jacFromInter(inter, sh)
           .where(col("jac") >= JaccardThreshold)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac")),
-        sh)
+        sh0, sh)
         .orderBy("doc_a", "doc_b")
     }),
 

@@ -53,22 +53,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sort_array(collect_list("doc_id")).as("doc_ids"))
       .where(col("n_docs") > 1)
 
-  /** Distinct (doc_id, s) shingle rows, with the document-frequency cap
-    * applied (see class doc). */
-  def shingleTable(docs: DataFrame, idCol: String, textCol: String,
-                   cfg: MinHashConfig): DataFrame = {
-    val sh = docs
+  /** Distinct (doc_id, s) shingle rows, uncapped — the explode-heavy
+    * stage every dedup pipeline starts from. Persist THIS frame before
+    * deriving anything downstream that scans it twice (the hot-shingle
+    * cap does: once for document frequencies, once for the anti-join). */
+  def rawShingleRows(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(shingles(col("toks"), cfg.shingleN))).as("s"))
+        explode(array_distinct(shingles(col("toks"), shingleN))).as("s"))
+
+  /** Document-frequency cap over a (doc_id, s) shingle table (see class
+    * doc): drops shingles present in more than `maxDocFreqRatio * nDocs`
+    * documents via a broadcast anti-join. Scans `sh` twice — pass a
+    * persisted frame. */
+  def capHotShingles(sh: DataFrame, nDocs: Long,
+                     maxDocFreqRatio: Double): DataFrame = {
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreqRatio * nDocs)
+      .select("s")
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
+  /** Distinct (doc_id, s) shingle rows, with the document-frequency cap
+    * applied (see class doc). NOTE: when the cap is active the raw
+    * shingle subtree appears twice in this plan — callers on a hot path
+    * should compose [[rawShingleRows]].persist() + [[capHotShingles]]
+    * instead (as [[minhashNearDup]] does) so the shingling runs once. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+                   cfg: MinHashConfig): DataFrame = {
+    val sh = rawShingleRows(docs, idCol, textCol, cfg.shingleN)
     if (cfg.maxDocFreqRatio >= 1.0) sh
-    else {
-      val nDocs = docs.count()
-      val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        .where(col("df") > cfg.maxDocFreqRatio * nDocs)
-        .select("s")
-      sh.join(broadcast(hot), Seq("s"), "left_anti")
-    }
+    else capHotShingles(sh, docs.count(), cfg.maxDocFreqRatio)
   }
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification:
@@ -78,7 +95,10 @@ object Dedup {
     require(cfg.numHashes % cfg.bandRows == 0, "bands must tile the signature")
     require(cfg.numHashes <= HashA.length,
       s"at most ${HashA.length} hash functions available")
-    val sh = shingleTable(docs, idCol, textCol, cfg).persist()
+    val raw = rawShingleRows(docs, idCol, textCol, cfg.shingleN).persist()
+    val sh =
+      if (cfg.maxDocFreqRatio >= 1.0) raw
+      else capHotShingles(raw, docs.count(), cfg.maxDocFreqRatio).persist()
     val aArr = array(HashA.take(cfg.numHashes).map(lit): _*)
     val bArr = array(HashB.take(cfg.numHashes).map(lit): _*)
     val sig = sh
@@ -103,7 +123,7 @@ object Dedup {
       .distinct()
     materializeRelease(
       verifyJaccard(cands, sh).where(col("jac") >= cfg.jaccardThreshold),
-      sh, bands)
+      raw, sh, bands)
   }
 
   /** SimHash near-dup pairs WITHOUT the quadratic all-pairs join: the
@@ -265,18 +285,22 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_label")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("dst_label").as("nbr_min"))
+      // Convergence detection rides the round's own materialization: a
+      // `changed` flag is computed inside the join, the eager
+      // localCheckpoint is the round's single join job, and reading
+      // max(changed) back is a scan of the checkpointed blocks — not the
+      // extra labels⋈next join per round this used to cost.
       val next = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+            .as("changed"))
         .localCheckpoint()
-      val changed = labels.select(col("doc_id"), col("cluster_id").as("prev"))
-        .join(next, "doc_id")
-        .where(col("prev") =!= col("cluster_id"))
-        .count()
-      labels = next
-      converged = changed == 0
+      val anyChanged = next.agg(max(col("changed"))).head()
+      labels = next.select("doc_id", "cluster_id")
+      converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
       iter += 1
     }
     edges.unpersist(false)

@@ -137,6 +137,23 @@ class LshIndexSpec extends AnyFunSuite with SparkSpecBase {
     assert(perBucketPairs <= cap.toLong * (cap - 1) / 2)
   }
 
+  test("searchAll topKViaAggregator path is row-identical to the window path") {
+    val rng = new scala.util.Random(29)
+    val corpus = (0L until 400L).map(i =>
+      (i, Seq.fill(6)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+    val queries = (0L until 8L).map(i =>
+      (i, Seq.fill(6)(rng.nextGaussian()))).toDF("query_id", "qv")
+    val idx = Lsh.train(corpus, "vec_id", "embedding",
+      LshConfig(nTrees = 6, kMinVecs = 25, seed = 13L))
+    val window = idx.searchAll(queries, k = 7, distanceThreshold = 4.0)
+      .orderBy("query_id", "dist", "vec_id").collect().toSeq
+    val agg = idx.searchAll(queries, k = 7, distanceThreshold = 4.0,
+      topKViaAggregator = true)
+      .orderBy("query_id", "dist", "vec_id").collect().toSeq
+    assert(window.nonEmpty)
+    assert(agg === window)
+  }
+
   test("bucket rows: nTrees entries per vector, stats are consistent") {
     val cfg = LshConfig(nTrees = 7, kMinVecs = 2, seed = 3L)
     val idx = Lsh.train(miniDf, "vec_id", "embedding", cfg)
