@@ -87,7 +87,13 @@ object TextQueries extends QueryPack {
   /** Jaccard from per-pair intersection counts + per-doc set sizes —
     * the shared tail of the near-dup pipelines. */
   private def jacFromInter(inter: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Sizes restricted to docs in the (banding/cap-bounded) pair set
+    // before the broadcast — corpus growth never grows this broadcast.
+    val candDocs = inter.select(col("doc_a").as("doc_id"))
+      .union(inter.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sizes = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n", "na")), "doc_a")
@@ -125,11 +131,14 @@ object TextQueries extends QueryPack {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // persisted: verification scans the candidate set three ways
+      // (size restriction, pair broadcast, intersection join)
+      .persist()
     graft.text.Dedup.materializeRelease(
       jaccardOf(cands, sh)
         .where(col("jac") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac")),
-      sh, bands)
+      sh, bands, cands)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -219,11 +228,15 @@ object TextQueries extends QueryPack {
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("i"))
+        // persisted: jacFromInter scans the pair set twice (the bounded
+        // size-restriction semi-join and the jaccard joins) — without
+        // this the shingle-keyed self-join (the dominant cost) runs twice
+        .persist()
       graft.text.Dedup.materializeRelease(
         jacFromInter(inter, sh)
           .where(col("jac") >= JaccardThreshold)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac")),
-        sh0, sh)
+        sh0, sh, inter)
         .orderBy("doc_a", "doc_b")
     }),
 

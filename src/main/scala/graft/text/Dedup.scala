@@ -121,9 +121,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // persisted: verification scans the candidate set three ways
+      // (size restriction, pair broadcast, intersection join)
+      .persist()
     materializeRelease(
       verifyJaccard(cands, sh).where(col("jac") >= cfg.jaccardThreshold),
-      raw, sh, bands)
+      raw, sh, bands, cands)
   }
 
   /** SimHash near-dup pairs WITHOUT the quadratic all-pairs join: the
@@ -307,9 +310,19 @@ object Dedup {
     labels
   }
 
-  /** Exact Jaccard for explicit candidate pairs over a shingle table. */
+  /** Exact Jaccard for explicit candidate pairs over a shingle table.
+    *
+    * Scale note: every broadcast here is bounded by the CANDIDATE set
+    * (itself bounded by banding + the DF cap), never by the corpus —
+    * `sizes` is restricted to docs appearing in `cands` before the
+    * broadcast, so a 100x corpus grows the broadcast only through the
+    * pairs actually found. */
   def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sizes = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sa = sh.join(broadcast(cands), col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("s").as("sa_s"))
     val inter = sa

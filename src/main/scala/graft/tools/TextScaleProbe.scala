@@ -1,0 +1,162 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.Dedup
+import graft.text.Dedup.MinHashConfig
+import graft.text.TextFunctions.{shingles, tokens}
+
+/** Text-dedup scale probe — the document-side mirror of ScaleProbe /
+  * AngularScaleProbe: replicates the sf0.1 documents corpus K-fold with
+  * controlled near-dup planting and planted boilerplate skew, then
+  * measures the full near-dup pipeline (MinHash banding with the
+  * document-frequency cap, exact-Jaccard verification, connected
+  * components) — wall time, planted-pair recall, and the per-key join
+  * fan-out the DF cap removes.
+  *
+  * Corpus construction, per replica r of K (base: 5,000 docs, ~55 tokens):
+  *
+  *   - every token gets a `~r` suffix, so replicas occupy disjoint
+  *     shingle spaces — near-dup structure is exactly (base structure
+  *     + plants) × K, and the expected answer is known by construction;
+  *   - 30% of docs (base doc_id % 10 < 3) are prefixed with ONE SHARED
+  *     un-suffixed 12-token boilerplate sentence — the skew source. Web
+  *     boilerplate is global, not replica-local: its shingles reach
+  *     document frequency ≈ 0.3 × nDocs no matter how big the corpus
+  *     grows, which is exactly the f² hot-key blowup the
+  *     `maxDocFreqRatio` cap exists to remove;
+  *   - every 50th doc gets a planted near-dup twin (last 10% of tokens
+  *     truncated, shingle Jaccard ≈ 0.9) at a known id offset, giving a
+  *     ground-truth pair list to score recall against.
+  *
+  * Reported per K:
+  *
+  *   - uncapped vs capped shingle stats: max document frequency and
+  *     Σ df·(df-1)/2 (the exact row count a shingle-keyed pair join
+  *     would produce) — computed from the DF table, NOT by running the
+  *     uncapped join, which at K=100 would be ~10¹⁰ rows;
+  *   - wall time of `minhashNearDup` (cap on), pair count, planted
+  *     recall;
+  *   - wall time of `connectedComponents` over the found pairs, cluster
+  *     count, and the planted-cluster sanity count.
+  *
+  * Usage: runMain graft.tools.TextScaleProbe [replicas...]  (default: 10 100)
+  */
+object TextScaleProbe {
+
+  private val ReplicaStride = 10000000L
+  private val PlantOffset = 1000000L
+  private val PlantEvery = 50
+  private val BoilerplateModulo = 10
+  private val BoilerplateHits = 3 // 30% of docs carry the boilerplate
+  private val Boilerplate = ("subscribe to our newsletter for updates " +
+    "all rights reserved terms of service apply").split(" ").toSeq
+
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10, 100)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val cfg = MinHashConfig(shingleN = 3, numHashes = 8, bandRows = 2,
+      jaccardThreshold = 0.5, maxDocFreqRatio = 0.1)
+
+    for (k <- replicas) {
+      val (corpus, plantedPairs) = buildCorpus(spark, base, k)
+      val nDocs = corpus.count()
+      val nPlanted = plantedPairs.count()
+
+      reportFanout(corpus, nDocs, cfg)
+
+      def time[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+
+      val (pairs, tMinhash) = time {
+        val p = Dedup.minhashNearDup(corpus, "doc_id", "text", cfg)
+        p.count()
+        p
+      }
+      val nPairs = pairs.count()
+      val found = pairs.join(plantedPairs, Seq("doc_a", "doc_b"), "left_semi").count()
+
+      val (clusters, tCc) = time {
+        val c = Dedup.connectedComponents(pairs).persist()
+        c.count()
+        c
+      }
+      val nClusters = clusters.select("cluster_id").distinct().count()
+
+      println(f"[text-scale] K=$k docs=$nDocs%,d minhash=${tMinhash}%.1fs " +
+        f"pairs=$nPairs%,d plantedRecall=${found.toDouble / nPlanted}%.3f " +
+        f"(planted=$nPlanted%,d) cc=${tCc}%.1fs clusters=$nClusters%,d")
+
+      clusters.unpersist(); pairs.unpersist()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+
+  /** K replicas (disjoint shingle spaces) + shared boilerplate on 30% of
+    * docs + a truncated near-dup twin for every 50th doc. Returns the
+    * (doc_id, text) corpus and the planted (doc_a, doc_b) ground truth. */
+  private def buildCorpus(spark: SparkSession, base: DataFrame,
+                          k: Int): (DataFrame, DataFrame) = {
+    val bp = array(Boilerplate.map(lit): _*)
+    val replicated = spark.range(k).withColumnRenamed("id", "r")
+      .crossJoin(base)
+      .select(col("r"), col("doc_id").as("base_id"),
+        (col("r") * ReplicaStride + col("doc_id")).as("doc_id"),
+        concat(
+          when(col("doc_id") % BoilerplateModulo < BoilerplateHits, bp)
+            .otherwise(array().cast("array<string>")),
+          transform(col("toks"),
+            t => concat(t, lit("~"), col("r").cast("string")))).as("toks"))
+    val planted = replicated
+      .where(col("base_id") % PlantEvery === 0)
+      .select(col("r"), col("base_id"),
+        (col("doc_id") + PlantOffset).as("doc_id"),
+        slice(col("toks"), lit(1),
+          ceil(size(col("toks")) * 0.9).cast("int")).as("toks"))
+    val corpus = replicated.select(col("doc_id"), concat_ws(" ", col("toks")).as("text"))
+      .union(planted.select(col("doc_id"), concat_ws(" ", col("toks")).as("text")))
+      .persist()
+    val plantedPairs = planted
+      .select((col("doc_id") - PlantOffset).as("doc_a"), col("doc_id").as("doc_b"))
+      .persist()
+    (corpus, plantedPairs)
+  }
+
+  /** Shingle document-frequency skew, capped vs uncapped: max df and
+    * Σ df·(df-1)/2 — the row count a shingle-keyed pair join would emit.
+    * Derived from the DF table only; the uncapped join itself is never
+    * run (at K=100 it would be ~10^10 rows). */
+  private def reportFanout(corpus: DataFrame, nDocs: Long,
+                           cfg: MinHashConfig): Unit = {
+    val df = corpus
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks"), cfg.shingleN))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .persist()
+    val stats = df.agg(
+      max("df").as("max_df"),
+      sum(col("df") * (col("df") - 1) / 2).as("join_rows")).head()
+    val capped = df.where(col("df") <= cfg.maxDocFreqRatio * nDocs)
+    val cStats = capped.agg(
+      max("df").as("max_df"),
+      sum(col("df") * (col("df") - 1) / 2).as("join_rows")).head()
+    val dropped = df.count() - capped.count()
+    println(f"[text-scale]   fanout uncapped: maxDf=${stats.getLong(0)}%,d " +
+      f"joinRows=${stats.getDouble(1)}%,.0f | capped(ratio=${cfg.maxDocFreqRatio}): " +
+      f"maxDf=${cStats.getLong(0)}%,d joinRows=${cStats.getDouble(1)}%,.0f " +
+      f"(dropped $dropped hot shingles)")
+    df.unpersist()
+  }
+}
