@@ -103,43 +103,20 @@ object TextQueries extends QueryPack {
         (col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))).as("jac"))
   }
 
-  /** Exact-Jaccard scoring of an explicit candidate pair set — delegates
-    * to the library operator (broadcast candidates against the shingle
-    * table; the verification shape that holds when candidates << corpus). */
-  private def jaccardOf(cands: DataFrame, sh: DataFrame): DataFrame =
-    graft.text.Dedup.verifyJaccard(cands, sh)
-
   /** The full MinHash near-dup pipeline with the query-pinned parameters:
     * (doc_a, doc_b, jac) verified pairs at jac >= 0.5 — shared by
-    * `q_minhash_near_dup` and `q_near_dup_clusters`. The shingle/band
-    * caches are released once the (small) pair result materializes. */
-  private def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val sh = shingleRows(d).persist()
-    // persisted: referenced twice by the candidate self-join, which
-    // would otherwise recompute the whole signature pipeline per side
-    val bands = minhashSig(sh)
-      .withColumn("band", floor(col("hash_id") / BandRows).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("hash_id"), col("sig")))),
-          e => e.getField("sig").cast("string")))).as("bkey"))
-      .persist()
-    val cands = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      // persisted: verification scans the candidate set three ways
-      // (size restriction, pair broadcast, intersection join)
-      .persist()
-    graft.text.Dedup.materializeRelease(
-      jaccardOf(cands, sh)
-        .where(col("jac") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac")),
-      sh, bands, cands)
-  }
+    * `q_minhash_near_dup` and `q_near_dup_clusters`. Delegates to the
+    * library operator (per-row signatures/band keys, one band-keyed
+    * shuffle, verification riding the candidate join — see
+    * [[graft.text.Dedup.minhashNearDup]]); value-identical to the
+    * exploded construction the oracle mirrors. */
+  private def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.minhashNearDup(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      graft.text.Dedup.MinHashConfig(
+        shingleN = ShingleN, numHashes = NumHashes, bandRows = BandRows,
+        jaccardThreshold = JaccardThreshold, maxDocFreqRatio = 1.0))
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, BPE-ish pre-tokenizer count
@@ -366,7 +343,7 @@ object TextQueries extends QueryPack {
        |)""".stripMargin
 
   /** jac scoring of `cand(doc_a, doc_b)` against a shingle table —
-    * mirrors jaccardOf. */
+    * mirrors Dedup.verifyJaccard / the inline array_intersect form. */
   private def jacSql(candCte: String, shgTable: String = "shg"): String =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM $shgTable GROUP BY doc_id),
        |inter AS (

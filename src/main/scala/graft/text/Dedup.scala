@@ -88,45 +88,84 @@ object Dedup {
     else capHotShingles(sh, docs.count(), cfg.maxDocFreqRatio)
   }
 
+  /** Per-doc capped shingle ARRAY — the row-level form of the
+    * document-frequency cap. The hot set broadcasts safely at ANY corpus
+    * size: Σ df = nDocs × avgShinglesPerDoc, so at most
+    * avgShinglesPerDoc / maxDocFreqRatio distinct shingles can exceed
+    * df > maxDocFreqRatio × nDocs — the hot list is bounded by document
+    * shape, not corpus size. */
+  private def cappedShingleArrays(docs: DataFrame, idCol: String,
+                                  textCol: String, cfg: MinHashConfig): DataFrame = {
+    val withSh = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(tokens(col(textCol)), cfg.shingleN)).as("sh"))
+    if (cfg.maxDocFreqRatio >= 1.0) withSh
+    else {
+      val nDocs = docs.count()
+      val hotRow = withSh.select(explode(col("sh")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") > cfg.maxDocFreqRatio * nDocs)
+        .agg(collect_list("s").as("hot")) // one bounded-size row
+      withSh.crossJoin(broadcast(hotRow))
+        .select(col("doc_id"), array_except(col("sh"), col("hot")).as("sh"))
+    }
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification:
-    * (doc_a, doc_b, jac). Shuffles on band keys and shingles only. */
+    * (doc_a, doc_b, jac).
+    *
+    * The ENTIRE pipeline is per-row projections plus ONE shuffle — the
+    * (band, bkey)-keyed candidate self-join:
+    *
+    *   - signatures/band keys come from the same stateless column
+    *     builders the streaming path uses ([[minhashSigCol]] family),
+    *     chained as separate projections so the md5 per shingle is
+    *     computed once per row, not once per hash function;
+    *   - the document-frequency cap is a per-row `array_except` against
+    *     a broadcast hot list (bounded by document shape — see
+    *     [[cappedShingleArrays]]) instead of an exploded anti-join;
+    *   - verification rides the candidate join: each side carries its
+    *     (capped, distinct) shingle array, so exact Jaccard is an
+    *     `array_intersect` on rows already joined — no extra joins, no
+    *     corpus-sized broadcast. "Shuffle features, not bytes": only
+    *     shingle arrays of banding-collided docs ever shuffle.
+    *
+    * Value-identical to the exploded construction (same hash family,
+    * same banding partition, same capped shingle sets). */
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     require(cfg.numHashes % cfg.bandRows == 0, "bands must tile the signature")
     require(cfg.numHashes <= HashA.length,
       s"at most ${HashA.length} hash functions available")
-    val raw = rawShingleRows(docs, idCol, textCol, cfg.shingleN).persist()
-    val sh =
-      if (cfg.maxDocFreqRatio >= 1.0) raw
-      else capHotShingles(raw, docs.count(), cfg.maxDocFreqRatio).persist()
-    val aArr = array(HashA.take(cfg.numHashes).map(lit): _*)
-    val bArr = array(HashB.take(cfg.numHashes).map(lit): _*)
-    val sig = sh
-      .select(col("doc_id"), (hash60(0, col("s")) % FpMod).as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(cfg.numHashes - 1))).as("hash_id"))
-      .groupBy("doc_id", "hash_id")
-      .agg(min((element_at(aArr, col("hash_id") + 1) * col("h")
-        + element_at(bArr, col("hash_id") + 1)) % FpMod).as("sig"))
-    val bands = sig
-      .withColumn("band", floor(col("hash_id") / cfg.bandRows).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("hash_id"), col("sig")))),
-          e => e.getField("sig").cast("string")))).as("bkey"))
+    val banded = cappedShingleArrays(docs, idCol, textCol, cfg)
+      .where(size(col("sh")) > 0)
+      // chained projections: hash values once per shingle, then the
+      // signature from them, then band keys from the signature — each
+      // array materializes per row instead of re-deriving per reference
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), s => hash60(0, s) % FpMod).as("hv"))
+      .select(col("doc_id"), col("sh"),
+        minhashSigFromHashes(col("hv"), cfg).as("sig"))
+      .select(col("doc_id"), col("sh"),
+        explode(bandKeysCol(col("sig"), cfg)).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      // persisted: both sides of the candidate self-join
       .persist()
-    val cands = bands.as("a")
-      .join(bands.as("b"),
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      // persisted: verification scans the candidate set three ways
-      // (size restriction, pair broadcast, intersection join)
-      .persist()
-    materializeRelease(
-      verifyJaccard(cands, sh).where(col("jac") >= cfg.jaccardThreshold),
-      raw, sh, bands, cands)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      // a pair colliding in several bands appears once per band; all its
+      // rows carry identical shingle arrays, so keeping any one is exact
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jac"))
+      .where(col("jac") >= cfg.jaccardThreshold)
+    materializeRelease(pairs, banded)
   }
 
   /** SimHash near-dup pairs WITHOUT the quadratic all-pairs join: the
@@ -193,13 +232,23 @@ object Dedup {
     * than `shingleN` tokens have no shingles — their signature elements
     * are null; filter on shingle count first. */
   def minhashSigCol(toks: org.apache.spark.sql.Column,
-                    cfg: MinHashConfig): org.apache.spark.sql.Column = {
+                    cfg: MinHashConfig): org.apache.spark.sql.Column =
+    minhashSigFromHashes(
+      transform(array_distinct(shingles(toks, cfg.shingleN)),
+        s => hash60(0, s) % FpMod),
+      cfg)
+
+  /** Signature from an ARRAY<BIGINT> of per-shingle base hashes
+    * (`hash60 % FpMod`). Split out so batch pipelines can materialize
+    * the hash array as its own projection — the md5 behind `hash60` is
+    * the dominant per-row cost, and an inlined expression would
+    * re-evaluate it once per hash function. */
+  def minhashSigFromHashes(hashes: org.apache.spark.sql.Column,
+                           cfg: MinHashConfig): org.apache.spark.sql.Column = {
     val aArr = array(HashA.take(cfg.numHashes).map(lit): _*)
     val bArr = array(HashB.take(cfg.numHashes).map(lit): _*)
-    val hs = transform(array_distinct(shingles(toks, cfg.shingleN)),
-      s => hash60(0, s) % FpMod)
     transform(sequence(lit(0), lit(cfg.numHashes - 1)), i =>
-      array_min(transform(hs, h =>
+      array_min(transform(hashes, h =>
         (element_at(aArr, i + 1) * h + element_at(bArr, i + 1)) % FpMod)))
   }
 
