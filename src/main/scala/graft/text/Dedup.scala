@@ -93,11 +93,27 @@ object Dedup {
     * size: Σ df = nDocs × avgShinglesPerDoc, so at most
     * avgShinglesPerDoc / maxDocFreqRatio distinct shingles can exceed
     * df > maxDocFreqRatio × nDocs — the hot list is bounded by document
-    * shape, not corpus size. */
+    * shape, not corpus size.
+    *
+    * Docs shorter than `shingleN` tokens (no shingles) are dropped here,
+    * as a filter on the cheap token count BEFORE any shingle work — a
+    * post-hoc `size(sh) > 0` filter gets pushed below the projection and
+    * re-evaluates the whole shingle build per row (see class doc on
+    * projection collapse).
+    *
+    * The tokens → shingles chain is two projections on purpose:
+    * Catalyst's CollapseProject inlines a lower projection into its
+    * consumer unless the consumer references a non-cheap expression more
+    * than once. `shingles` references `toks` three times (two size
+    * bounds + the slice), so the tokenization materializes once per row
+    * instead of once per shingle. */
   private def cappedShingleArrays(docs: DataFrame, idCol: String,
                                   textCol: String, cfg: MinHashConfig): DataFrame = {
-    val withSh = docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(tokens(col(textCol)), cfg.shingleN)).as("sh"))
+    val withSh = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= cfg.shingleN)
+      .select(col("doc_id"),
+        array_distinct(shingles(col("toks"), cfg.shingleN)).as("sh"))
     if (cfg.maxDocFreqRatio >= 1.0) withSh
     else {
       val nDocs = docs.count()
@@ -137,10 +153,11 @@ object Dedup {
     require(cfg.numHashes <= HashA.length,
       s"at most ${HashA.length} hash functions available")
     val banded = cappedShingleArrays(docs, idCol, textCol, cfg)
-      .where(size(col("sh")) > 0)
       // chained projections: hash values once per shingle, then the
       // signature from them, then band keys from the signature — each
       // array materializes per row instead of re-deriving per reference
+      // (the builders below reference their input multiple times, which
+      // is what stops CollapseProject from inlining the chain)
       .select(col("doc_id"), col("sh"),
         transform(col("sh"), s => hash60(0, s) % FpMod).as("hv"))
       .select(col("doc_id"), col("sh"),
@@ -242,26 +259,35 @@ object Dedup {
     * (`hash60 % FpMod`). Split out so batch pipelines can materialize
     * the hash array as its own projection — the md5 behind `hash60` is
     * the dominant per-row cost, and an inlined expression would
-    * re-evaluate it once per hash function. */
+    * re-evaluate it once per hash function.
+    *
+    * Built as an `array(...)` of one `array_min` per hash function
+    * (literal multipliers, not `element_at` lookups) so the input column
+    * is referenced `numHashes` times — CollapseProject then keeps the
+    * hash-array projection materialized instead of inlining the md5
+    * transform into every minimum (a measured 8x per-row blowup). Pass a
+    * COLUMN, not an inline expression: an inline argument is re-evaluated
+    * once per hash function regardless. */
   def minhashSigFromHashes(hashes: org.apache.spark.sql.Column,
-                           cfg: MinHashConfig): org.apache.spark.sql.Column = {
-    val aArr = array(HashA.take(cfg.numHashes).map(lit): _*)
-    val bArr = array(HashB.take(cfg.numHashes).map(lit): _*)
-    transform(sequence(lit(0), lit(cfg.numHashes - 1)), i =>
+                           cfg: MinHashConfig): org.apache.spark.sql.Column =
+    array((0 until cfg.numHashes).map(i =>
       array_min(transform(hashes, h =>
-        (element_at(aArr, i + 1) * h + element_at(bArr, i + 1)) % FpMod)))
-  }
+        (lit(HashA(i)) * h + lit(HashB(i))) % FpMod))): _*)
 
   /** ARRAY<STRUCT<band INT, bkey STRING>> LSH band keys of a signature —
-    * same md5-of-joined-sigs key as the batch banding. */
+    * same md5-of-joined-sigs key as the batch banding. One literal-band
+    * struct per element (references `sig` once per band), so a sig
+    * column feeding this stays a materialized projection rather than
+    * being inlined and recomputed per band (see [[minhashSigFromHashes]]
+    * on CollapseProject). */
   def bandKeysCol(sig: org.apache.spark.sql.Column,
                   cfg: MinHashConfig): org.apache.spark.sql.Column = {
     val nBands = cfg.numHashes / cfg.bandRows
-    transform(sequence(lit(0), lit(nBands - 1)), b =>
-      struct(b.cast("int").as("band"),
+    array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
         md5(concat_ws(",", transform(
-          slice(sig, b * cfg.bandRows + 1, lit(cfg.bandRows)),
-          x => x.cast("string")))).as("bkey")))
+          slice(sig, b * cfg.bandRows + 1, cfg.bandRows),
+          x => x.cast("string")))).as("bkey"))): _*)
   }
 
   /** Near-dup matching of a document stream against a static corpus —
@@ -280,15 +306,22 @@ object Dedup {
                            corpus: DataFrame,
                            cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     require(cfg.numHashes % cfg.bandRows == 0, "bands must tile the signature")
+    // Same chained-projection discipline as [[minhashNearDup]] (tokens →
+    // shingles → hashes → signature → band keys, each its own stateless
+    // projection) — all per-row, so the chain is identical on a stream.
     def prep(df: DataFrame, prefix: String): DataFrame = {
-      val toks = tokens(col(textCol))
-      val sh = array_distinct(shingles(toks, cfg.shingleN))
-      df.select(col(idCol).as(s"${prefix}_id"), sh.as(s"${prefix}_sh"),
-          bandKeysCol(minhashSigCol(toks, cfg), cfg).as("bands"))
-        .where(size(col(s"${prefix}_sh")) > 0)
-        .select(col(s"${prefix}_id"), col(s"${prefix}_sh"),
-          explode(col("bands")).as("bk"))
-        .select(col(s"${prefix}_id"), col(s"${prefix}_sh"),
+      val id = s"${prefix}_id"
+      val sh = s"${prefix}_sh"
+      df.select(col(idCol).as(id), tokens(col(textCol)).as("toks"))
+        .where(size(col("toks")) >= cfg.shingleN)
+        .select(col(id),
+          array_distinct(shingles(col("toks"), cfg.shingleN)).as(sh))
+        .select(col(id), col(sh),
+          transform(col(sh), s => hash60(0, s) % FpMod).as("hv"))
+        .select(col(id), col(sh),
+          minhashSigFromHashes(col("hv"), cfg).as("sig"))
+        .select(col(id), col(sh), explode(bandKeysCol(col("sig"), cfg)).as("bk"))
+        .select(col(id), col(sh),
           col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     }
     val inter = size(array_intersect(col("stream_sh"), col("corpus_sh")))
