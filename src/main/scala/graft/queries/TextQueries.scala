@@ -84,25 +84,6 @@ object TextQueries extends QueryPack {
       .agg(sum(when(col("sgn") > 0, expr("shiftleft(cast(1 as bigint), b)"))
         .otherwise(0L)).as("simhash"))
 
-  /** Jaccard from per-pair intersection counts + per-doc set sizes —
-    * the shared tail of the near-dup pipelines. */
-  private def jacFromInter(inter: DataFrame, sh: DataFrame): DataFrame = {
-    // Sizes restricted to docs in the (banding/cap-bounded) pair set
-    // before the broadcast — corpus growth never grows this broadcast.
-    val candDocs = inter.select(col("doc_a").as("doc_id"))
-      .union(inter.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val sizes = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))).as("jac"))
-  }
-
   /** The full MinHash near-dup pipeline with the query-pinned parameters:
     * (doc_a, doc_b, jac) verified pairs at jac >= 0.5 — shared by
     * `q_minhash_near_dup` and `q_near_dup_clusters`. Delegates to the
@@ -189,31 +170,40 @@ object TextQueries extends QueryPack {
     // produces the intersection counts directly (no candidate
     // materialization + re-join), never all-pairs; emit pairs at
     // jac >= 0.5. Shingles in more than NgramMaxDocFreqRatio of docs are
-    // dropped first (f² fan-out guard, oracle-mirrored). The RAW shingle
-    // table is persisted BEFORE the hot-shingle cap is derived from it —
-    // the cap scans shingles twice (document frequencies + anti-join),
-    // and without the persist the explode-heavy shingling (the dominant
-    // cost) would run twice.
+    // dropped first (f² fan-out guard, oracle-mirrored) — as a per-row
+    // array_except against a broadcast hot list (bounded by document
+    // shape, not corpus size — see Dedup.cappedShingleArrays) instead of
+    // an exploded anti-join shuffle. Per-doc set sizes ride the exploded
+    // rows into the join, so Jaccard falls out of the pair aggregation
+    // itself — no size-lookup joins afterwards. The per-doc shingle
+    // arrays are computed once and persisted (the hot list and both join
+    // sides scan them).
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
       val nDocs = d.count()
-      val sh0 = shingleRows(d).persist()
-      val sh = graft.text.Dedup
-        .capHotShingles(sh0, nDocs, NgramMaxDocFreqRatio).persist()
-      val inter = sh.as("a")
+      val withSh = d
+        .where(size(col("toks")) >= ShingleN)
+        .select(col("doc_id"),
+          array_distinct(shingles(col("toks"), ShingleN)).as("sh"))
+        .persist()
+      val hotRow = withSh.select(explode(col("sh")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") > NgramMaxDocFreqRatio * nDocs)
+        .agg(collect_list("s").as("hot")) // one bounded-size row
+      val sh = withSh.crossJoin(broadcast(hotRow))
+        .select(col("doc_id"), array_except(col("sh"), col("hot")).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      val pairs = sh.as("a")
         .join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-        // persisted: jacFromInter scans the pair set twice (the bounded
-        // size-restriction semi-join and the jaccard joins) — without
-        // this the shingle-keyed self-join (the dominant cost) runs twice
-        .persist()
-      graft.text.Dedup.materializeRelease(
-        jacFromInter(inter, sh)
-          .where(col("jac") >= JaccardThreshold)
-          .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac")),
-        sh0, sh, inter)
+        .agg(count(lit(1)).as("i"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast(DoubleType) /
+            (col("na") + col("nb") - col("i"))).as("jac"))
+        .where(col("jac") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      graft.text.Dedup.materializeRelease(pairs, withSh)
         .orderBy("doc_a", "doc_b")
     }),
 
