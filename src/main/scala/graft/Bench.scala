@@ -20,12 +20,21 @@ object Bench {
     // left behind). Caches are cleared between queries for the same
     // reason: a query must not be timed against another query's
     // persisted intermediates.
+    //
+    // Each query runs TWICE and reports the MIN: a single pass is at
+    // the mercy of whatever else the host is doing — one contention
+    // window in a shared sandbox once turned a 1 s query into an 18 s
+    // phantom regression. Min-of-2 measures the plan, not the
+    // neighbor's noise; back-to-back runs should agree within ~1.5x.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.sharedState.cacheManager.clearCache()
-      name -> dt
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -23,9 +23,27 @@ object Verify {
     val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          try {
+            val df = fn(spark, sfDir)
+            df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+            // Release THIS query's result caches (materializeRelease
+            // keeps each pair result persisted until its consumer is
+            // done). Queries run 4-way concurrent here, so a global
+            // clearCache per query could evict another in-flight
+            // query's persisted intermediates mid-use — instead,
+            // uncache exactly the cached subtrees of this query's own
+            // plan (df.unpersist() alone would miss them: the cache
+            // sits BELOW the query's final select/orderBy, and
+            // non-cascade unpersist matches whole plans only). Caches
+            // no longer accumulate across the 61-query run. Two queries
+            // sharing one cached plan at most recompute it once.
+            val classicSpark =
+              spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+            df.queryExecution.analyzed.foreach { node =>
+              classicSpark.sharedState.cacheManager
+                .uncacheQuery(classicSpark, node, cascade = false)
+            }
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
             // drop any stale output from a previous run so a failure
             // can't masquerade as a pass in the compare step
@@ -39,12 +57,8 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
-    // Release every per-query result cache (materializeRelease keeps each
-    // pair result persisted until its consumer is done with it). Queries
-    // run 4-way concurrent above, so a per-query global clear could evict
-    // another in-flight query's persisted intermediates mid-use — clear
-    // once after the pool drains instead. Bench, which runs serially,
-    // clears per query.
+    // Backstop: anything a query persisted under its returned frame
+    // (rather than the frame itself) is released here at exit.
     spark.sharedState.cacheManager.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

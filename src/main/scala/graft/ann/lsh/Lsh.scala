@@ -25,7 +25,23 @@ final case class LshConfig(
     kMinVecs: Int = 50,
     angular: Boolean = false,
     seed: Long = 42L,
-    sampleCap: Int = 100000)
+    sampleCap: Int = 100000) {
+
+  /** Rows the forest fit actually sees for a corpus of `total`. */
+  def fitSampleSize(total: Long): Long = math.min(total, sampleCap.toLong)
+
+  /** Expected per-bucket occupancy when indexing `total` vectors:
+    * `kMinVecs` bounds leaf size only over the FIT SAMPLE, so a corpus
+    * c× the sample fills each leaf's bucket with ~c×kMinVecs corpus
+    * vectors. This is the sizing rule for the corpus ≫ sample regime
+    * (measured at GloVe scale, SCALE.md): occupancy inflation makes
+    * per-probe candidate sets — and therefore search cost — grow by the
+    * same c, so size `sampleCap ≳ total / 3` (driver-memory permitting)
+    * or bound downstream work with [[LshIndex.cappedBuckets]] /
+    * `maxCandidates`. */
+  def expectedOccupancy(total: Long): Double =
+    kMinVecs.toDouble * total / math.max(1L, fitSampleSize(total))
+}
 
 /** Fitted forest + Spark-side transform (reference `Hasher` + the hashing
   * half of `LSHIndex.Train`, lsh.go:106-134). The forest is a small
@@ -320,6 +336,8 @@ final class LshIndex(
 /** Entry points (reference NewLsh + Train, lsh.go:93-134). */
 object Lsh {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Reopen a bucketed-table index saved by [[LshIndex.saveBucketed]]:
     * the returned index's `buckets`/`vectors` scans carry the bucketed
     * HashPartitioning, so bucket-key joins plan without a corpus-side
@@ -347,6 +365,21 @@ object Lsh {
     * fits (sample(fraction=1) short-circuits to the full set). */
   def fit(df: DataFrame, vecCol: String, config: LshConfig): LshModel = {
     val total = df.count()
+    // Corpus ≫ fit-sample guard (the measured GloVe-scale weakness,
+    // SCALE.md): warn when bucket occupancy will inflate ~3x or more, so
+    // an undersized sampleCap is an explicit operator decision instead
+    // of a silent 3x-over-exact search. Auto-scaling the cap here would
+    // silently change the fitted forest (and driver memory use) between
+    // runs of the same config — the rule stays advisory.
+    if (total > 3L * config.sampleCap) {
+      log.warn(
+        s"LSH fit sample is capped at ${config.sampleCap} of $total vectors " +
+          f"(${total.toDouble / config.sampleCap}%.1fx): expected bucket " +
+          f"occupancy ~${config.expectedOccupancy(total)}%.0f vs kMinVecs=" +
+          s"${config.kMinVecs}. Search cost grows by the same factor — " +
+          s"raise sampleCap toward total/3 (driver-memory permitting) or " +
+          s"bound work with cappedBuckets/maxCandidates.")
+    }
     val sampled =
       if (total <= config.sampleCap) df
       else df.sample(withReplacement = false,

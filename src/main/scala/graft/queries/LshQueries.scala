@@ -33,11 +33,39 @@ object LshQueries extends QueryPack {
     emb.orderBy("vec_id").limit(VectorQueries.NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
+  /** Where `q_lsh_bucket_stats` dumps the buckets table so its DuckDB
+    * oracle can aggregate the SAME index in SQL (one subdir per sf so a
+    * bench run at another scale can't clobber the gate's dump). The
+    * oracle is a real cross-engine check on two invariants of the index
+    * BUILD, not just aggregation parity: `n_entries` comes from the
+    * buckets table on the Spark side but from `count(*) FROM embeddings`
+    * on the DuckDB side (equal iff every vector landed in exactly one
+    * bucket per tree — O8 completeness), and `occupancy_ok` checks the
+    * per-tree bucket count against the ⌈sample/kMinVecs⌉ leaf-count
+    * lower bound (leaves hold at most kMinVecs fit-sample vectors, and
+    * every sample vector is in the corpus, so at least that many buckets
+    * are occupied). */
+  val BucketDumpRoot = "/tmp/graft_lsh_bucket_dump"
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Index-build occupancy: per-tree bucket count / entries (O1-O8).
+    // Index-build occupancy: per-tree bucket count / entries (O1-O8),
+    // computed over the parquet-dumped buckets table (see BucketDumpRoot).
     "q_lsh_bucket_stats" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      Lsh.train(emb, "vec_id", "embedding", config(angular = false)).bucketStats
+      val cfg = config(angular = false)
+      val idx = Lsh.train(emb, "vec_id", "embedding", cfg)
+      val dump = s"$BucketDumpRoot/${new java.io.File(dir).getName}"
+      idx.buckets.write.mode("overwrite").parquet(dump)
+      val nVecs = emb.count()
+      val sample = math.min(nVecs, cfg.sampleCap.toLong)
+      val minBuckets = (sample + cfg.kMinVecs - 1) / cfg.kMinVecs
+      s.read.parquet(dump)
+        .groupBy("tree_id")
+        .agg(countDistinct("hash").as("n_buckets"),
+          count(lit(1)).as("n_entries"),
+          max("hash").as("max_hash"))
+        .withColumn("occupancy_ok", col("n_buckets") >= minBuckets)
+        .orderBy("tree_id")
     }),
 
     // Flagship ANN search, L2 (O13 full pipeline). Every row carries a
@@ -87,5 +115,28 @@ object LshQueries extends QueryPack {
         count(lit(1)).as("n_queries"))
   }
 
-  override def oracleSql: Map[String, String] = Map.empty
+  /** Seeded-random hashing itself is not SQL-expressible, but the
+    * bucket-stats invariants are (see [[BucketDumpRoot]]). The dump path
+    * pins sf0.01 — the scale the driver's correctness gate runs at. */
+  override def oracleSql: Map[String, String] = {
+    val cfg = config(angular = false)
+    Map(
+      "q_lsh_bucket_stats" ->
+        s"""WITH b AS (
+           |  SELECT * FROM read_parquet('$BucketDumpRoot/sf0.01/*.parquet')
+           |),
+           |nv AS (SELECT count(*) AS n FROM embeddings),
+           |st AS (
+           |  SELECT tree_id,
+           |         count(DISTINCT hash)::BIGINT AS n_buckets,
+           |         max(hash) AS max_hash
+           |  FROM b GROUP BY tree_id
+           |)
+           |SELECT st.tree_id, st.n_buckets, nv.n::BIGINT AS n_entries,
+           |       st.max_hash,
+           |       st.n_buckets >=
+           |         (least(nv.n, ${cfg.sampleCap}) + ${cfg.kMinVecs - 1}) // ${cfg.kMinVecs}
+           |         AS occupancy_ok
+           |FROM st, nv ORDER BY st.tree_id""".stripMargin)
+  }
 }

@@ -52,23 +52,33 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), col("lang"), col("text"),
         tokens(col("text")).as("toks"))
 
-  /** (doc_id, s): DISTINCT word-3-gram shingles per doc. */
-  private def shingleRows(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
-      explode(array_distinct(shingles(col("toks"), ShingleN))).as("s"))
-
-  /** (doc_id, hash_id, sig): MinHash signatures over a (doc_id, s)
-    * shingle table, `sig_i = min over shingles of (A_i*h + B_i) % M`. */
-  private def minhashSig(sh: DataFrame): DataFrame = {
-    val aArr = array(HashA.map(lit): _*)
-    val bArr = array(HashB.map(lit): _*)
-    sh
-      .select(col("doc_id"), (hash60(0, col("s")) % FpMod).as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("hash_id"))
-      .groupBy("doc_id", "hash_id")
-      .agg(min((element_at(aArr, col("hash_id") + 1) * col("h")
-        + element_at(bArr, col("hash_id") + 1)) % FpMod).as("sig"))
+  /** (doc_id, hash_id, sig): MinHash signatures in exploded-row form,
+    * DERIVED from the same per-row signature construction the dedup
+    * pipeline uses ([[graft.text.Dedup.minhashSigFromHashes]] over the
+    * chained tokens → shingles → hashes projections) — one source of
+    * truth for the hash family, so a hash-family edit cannot split the
+    * two forms. `sig_i = min over shingles of (A_i*h + B_i) % M`, as
+    * the DuckDB oracle computes independently via explode+groupBy.
+    * Exploding the signature ARRAY also needs no shuffle at all — the
+    * old explode+groupBy form paid a (doc_id, hash_id)-keyed exchange
+    * for the same values. */
+  private def minhashSig(d: DataFrame): DataFrame = {
+    val cfg = graft.text.Dedup.MinHashConfig(
+      shingleN = ShingleN, numHashes = NumHashes, bandRows = BandRows)
+    d.where(size(col("toks")) >= ShingleN)
+      .select(col("doc_id"),
+        array_distinct(shingles(col("toks"), ShingleN)).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), x => hash60(0, x) % FpMod).as("hv"))
+      .select(col("doc_id"),
+        graft.text.Dedup.minhashSigFromHashes(col("hv"), cfg).as("sig_arr"))
+      // no-op slice references sig_arr twice, keeping the signature
+      // projection materialized below the Generate (same CollapseProject
+      // discipline as bandKeysCol — a single-reference generator inlines
+      // the whole hash chain, re-evaluating md5-per-shingle 8x)
+      .select(col("doc_id"),
+        posexplode(slice(col("sig_arr"), lit(1), size(col("sig_arr")))))
+      .select(col("doc_id"), col("pos").as("hash_id"), col("col").as("sig"))
   }
 
   /** (doc_id, simhash): 48-bit SimHash over ALL shingle instances
@@ -175,9 +185,11 @@ object TextQueries extends QueryPack {
     // shape, not corpus size — see Dedup.cappedShingleArrays) instead of
     // an exploded anti-join shuffle. Per-doc set sizes ride the exploded
     // rows into the join, so Jaccard falls out of the pair aggregation
-    // itself — no size-lookup joins afterwards. The per-doc shingle
-    // arrays are computed once and persisted (the hot list and both join
-    // sides scan them).
+    // itself — no size-lookup joins afterwards. `withSh` (the expensive
+    // shingling) is the cached boundary: the hot list and both join
+    // sides re-run only the cheap array_except+explode projection on
+    // top of it — intentional, since persisting the exploded frame
+    // would cache one row per (doc, shingle) instead of one per doc.
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
       val nDocs = d.count()
@@ -207,9 +219,10 @@ object TextQueries extends QueryPack {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // MinHash signatures (8 hashes per doc, exploded rows).
+    // MinHash signatures (8 hashes per doc, exploded rows) — per-row
+    // signature array posexploded; no shuffle.
     "q_minhash_signatures" -> ((s, dir) =>
-      minhashSig(shingleRows(docs(s, dir))).orderBy("doc_id", "hash_id")),
+      minhashSig(docs(s, dir)).orderBy("doc_id", "hash_id")),
 
     // MinHash+LSH near-dup: band signatures (4 bands x 2 rows), bucket-join
     // candidates, verify with exact Jaccard. The banding shuffle key is

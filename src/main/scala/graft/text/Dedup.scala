@@ -101,14 +101,26 @@ object Dedup {
     * re-evaluates the whole shingle build per row (see class doc on
     * projection collapse).
     *
+    * When the cap is active, docs whose shingles are ALL hot come out of
+    * the `array_except` empty and are dropped too — an empty shingle set
+    * carries no near-dup signal, and letting it through would give every
+    * boilerplate-only doc an all-NULL signature and therefore the SAME
+    * band key (md5 of the empty string) in every band: a quadratic
+    * candidate self-join over exactly the skew the cap exists to remove
+    * (plus a 0/0 Jaccard that throws under ANSI mode). The filter sits
+    * above the broadcast join, so its pushdown re-evaluates only the
+    * cheap `array_except` against materialized attributes — never the
+    * shingle build (`withSh` is below the join, out of pushdown's
+    * reach).
+    *
     * The tokens → shingles chain is two projections on purpose:
     * Catalyst's CollapseProject inlines a lower projection into its
     * consumer unless the consumer references a non-cheap expression more
     * than once. `shingles` references `toks` three times (two size
     * bounds + the slice), so the tokenization materializes once per row
     * instead of once per shingle. */
-  private def cappedShingleArrays(docs: DataFrame, idCol: String,
-                                  textCol: String, cfg: MinHashConfig): DataFrame = {
+  private[text] def cappedShingleArrays(docs: DataFrame, idCol: String,
+                                        textCol: String, cfg: MinHashConfig): DataFrame = {
     val withSh = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= cfg.shingleN)
@@ -123,6 +135,7 @@ object Dedup {
         .agg(collect_list("s").as("hot")) // one bounded-size row
       withSh.crossJoin(broadcast(hotRow))
         .select(col("doc_id"), array_except(col("sh"), col("hot")).as("sh"))
+        .where(size(col("sh")) > 0)
     }
   }
 
@@ -247,7 +260,17 @@ object Dedup {
     * to the exploded construction: min over shingles of
     * `(A_i * hash60(s) + B_i) mod M` per hash function. Docs shorter
     * than `shingleN` tokens have no shingles — their signature elements
-    * are null; filter on shingle count first. */
+    * are null; filter on shingle count first.
+    *
+    * Cost note: because the shingle-hash transform is INLINED here (the
+    * price of a single stateless column), CollapseProject re-evaluates
+    * the md5 behind `hash60` once per hash function — the measured 8x
+    * per-row blowup described on [[minhashSigFromHashes]]. That is the
+    * right trade only where statelessness is required (a streaming
+    * projection, a single-expression API). Batch pipelines should chain
+    * separate projections (tokens → shingles → hashes →
+    * [[minhashSigFromHashes]] → [[bandKeysCol]]) as [[minhashNearDup]]
+    * and [[nearDupAgainstCorpus]] do. */
   def minhashSigCol(toks: org.apache.spark.sql.Column,
                     cfg: MinHashConfig): org.apache.spark.sql.Column =
     minhashSigFromHashes(
@@ -292,8 +315,10 @@ object Dedup {
 
   /** Near-dup matching of a document stream against a static corpus —
     * the on-ingest dedup shape: banded-MinHash candidate join + exact
-    * Jaccard verification, built ONLY from per-row projections
-    * ([[minhashSigCol]]/[[bandKeysCol]]) and one stream-static equi-join
+    * Jaccard verification, built ONLY from per-row projections — the
+    * chained tokens → shingles → hashes → [[minhashSigFromHashes]] →
+    * [[bandKeysCol]] form (value-identical to [[minhashSigCol]], minus
+    * its per-hash md5 re-evaluation) — and one stream-static equi-join
     * on (band, bkey), so it needs NO streaming aggregation state and
     * runs in append mode without a watermark. Works identically on two
     * batch frames (spec'd stream == batch).

@@ -65,6 +65,22 @@ class ForestSpec extends AnyFunSuite {
     assert(neighborHash(-1L) === Long.MaxValue) // all 64 bits set
   }
 
+  test("sampleCap sizing rule: expected occupancy tracks the corpus/sample ratio") {
+    // The corpus >> fit-sample regime (measured at GloVe scale,
+    // SCALE.md): kMinVecs bounds leaf size only over the sample, so a
+    // corpus c x the sample inflates bucket occupancy — and search
+    // cost — by c. The rule: keep total/sampleCap under ~3, or bound
+    // downstream work with cappedBuckets/maxCandidates. fit() logs a
+    // warning past that threshold (Lsh.scala).
+    val cfg = LshConfig(kMinVecs = 50, sampleCap = 100000)
+    assert(cfg.fitSampleSize(40000L) === 40000L) // uncapped: sample = corpus
+    assert(cfg.expectedOccupancy(40000L) === 50.0) // occupancy = kMinVecs
+    assert(cfg.fitSampleSize(1200000L) === 100000L) // capped at sampleCap
+    assert(cfg.expectedOccupancy(1200000L) === 600.0) // 12x corpus -> 12x kMinVecs
+    // the GloVe case: 1.18M vecs over a 100k cap = 11.8x -> warn regime
+    assert(cfg.expectedOccupancy(1200000L) / cfg.kMinVecs > 3.0)
+  }
+
   test("angular build normalizes sampled points (cluster split is scale-invariant)") {
     // two directions, different magnitudes; angular trees must split by
     // direction, so scaled copies hash together

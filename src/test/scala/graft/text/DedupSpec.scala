@@ -118,4 +118,28 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(capped.count(_.getAs[String]("s") == "common prefix here") === 0)
     assert(capped.nonEmpty)
   }
+
+  test("capped minhash drops boilerplate-only docs instead of banding them on empty signatures") {
+    import org.apache.spark.sql.functions._
+    // 8 docs that are NOTHING BUT the shared boilerplate: at ratio 0.5
+    // every one of their shingles is hot, so the row-level cap must drop
+    // the docs entirely. Letting them through with an empty shingle
+    // array would give each an all-NULL signature and therefore the
+    // SAME md5('') band key in every band — a quadratic candidate
+    // self-join over exactly the skew the cap exists to remove (and a
+    // 0/0 Jaccard under ANSI mode).
+    val bp = "subscribe to our newsletter for all the latest updates today friends"
+    val corpus = ((0L until 8L).map(i => (i, bp)) ++ Seq(
+      (100L, base), (101L, base), // planted exact pair, jac 1.0
+      (102L, "totally different tokens nothing shared with anything else at all")))
+      .toDF("doc_id", "text")
+    val cfg = Dedup.MinHashConfig(maxDocFreqRatio = 0.5)
+    val capped = Dedup.cappedShingleArrays(corpus, "doc_id", "text", cfg)
+    assert(capped.where(size(col("sh")) === 0).count() === 0)
+    val kept = capped.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(100L, 101L, 102L)) // all boilerplate-only docs gone
+    val pairs = Dedup.minhashNearDup(corpus, "doc_id", "text", cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L)))
+  }
 }
