@@ -26,19 +26,28 @@ object Bench {
     // window in a shared sandbox once turned a 1 s query into an 18 s
     // phantom regression. Min-of-2 measures the plan, not the
     // neighbor's noise; back-to-back runs should agree within ~1.5x.
+    // A failed attempt must NOT report its time-to-failure as a bench
+    // time (min-of-2 would let a fast crash masquerade as a great
+    // number): any thrown attempt poisons the query to the -1.0
+    // sentinel, which round-over-round comparisons treat as "broken",
+    // not "fast".
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
-        dt
+        (ok, dt)
       }
-      name -> times.min
+      name -> (if (times.forall(_._1)) times.map(_._2).min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Sentinels (-1.0, failed queries) are excluded from the total.
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -33,16 +33,11 @@ object Verify {
             // query's persisted intermediates mid-use — instead,
             // uncache exactly the cached subtrees of this query's own
             // plan (df.unpersist() alone would miss them: the cache
-            // sits BELOW the query's final select/orderBy, and
-            // non-cascade unpersist matches whole plans only). Caches
+            // sits BELOW the query's final select/orderBy). Caches
             // no longer accumulate across the 61-query run. Two queries
             // sharing one cached plan at most recompute it once.
-            val classicSpark =
-              spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-            df.queryExecution.analyzed.foreach { node =>
-              classicSpark.sharedState.cacheManager
-                .uncacheQuery(classicSpark, node, cascade = false)
-            }
+            org.apache.spark.sql.graftshim.SparkShim
+              .uncachePlanCaches(spark, df.queryExecution.analyzed)
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
             // drop any stale output from a previous run so a failure

@@ -35,7 +35,8 @@ object LshQueries extends QueryPack {
 
   /** Where `q_lsh_bucket_stats` dumps the buckets table so its DuckDB
     * oracle can aggregate the SAME index in SQL (one subdir per sf so a
-    * bench run at another scale can't clobber the gate's dump). The
+    * bench run at another scale can't clobber the gate's dump; root is
+    * `-Dgraft.dump.root`-configurable, see [[QueryPack.dumpRoot]]). The
     * oracle is a real cross-engine check on two invariants of the index
     * BUILD, not just aggregation parity: `n_entries` comes from the
     * buckets table on the Spark side but from `count(*) FROM embeddings`
@@ -44,8 +45,33 @@ object LshQueries extends QueryPack {
     * per-tree bucket count against the ⌈sample/kMinVecs⌉ leaf-count
     * lower bound (leaves hold at most kMinVecs fit-sample vectors, and
     * every sample vector is in the corpus, so at least that many buckets
-    * are occupied). */
-  val BucketDumpRoot = "/tmp/graft_lsh_bucket_dump"
+    * are occupied). The bound is an approximation: `Forest.growTree`
+    * returns a leaf above kMinVecs when MaxDepth (63) is hit or a
+    * degenerate split sends every vector to one side, so duplicate-heavy
+    * or adversarial data could legitimately occupy fewer buckets — both
+    * engines compute the same boolean either way (the gate still
+    * matches); a false `occupancy_ok` flags data worth looking at, not a
+    * gate break. */
+  def BucketDumpRoot: String = s"${QueryPack.dumpRoot}/graft_lsh_bucket_dump"
+
+  /** Where the search queries dump their (query_id, vec_id, dist, valid)
+    * rows so DuckDB can recompute each returned pair's exact distance
+    * from the embeddings table and independently re-derive `valid`
+    * (|dist − exact| tight AND dist ≤ threshold) — the same logic as the
+    * in-job [[Eval.withValidity]] grade, but cross-engine. Rounding both
+    * engines to 6 decimals is already proven hash-equal on this data by
+    * `q_exact_nn_l2`/`_cosine`. */
+  def SearchDumpRoot: String = s"${QueryPack.dumpRoot}/graft_search_dump"
+
+  private[queries] def sfName(dir: String): String = new java.io.File(dir).getName
+
+  /** Dump a search result and read it back, so the returned frame and
+    * the DuckDB oracle aggregate the SAME parquet rows. */
+  private[queries] def dumpAndReload(s: SparkSession, df: org.apache.spark.sql.DataFrame,
+                                     path: String): org.apache.spark.sql.DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Index-build occupancy: per-tree bucket count / entries (O1-O8),
@@ -54,7 +80,7 @@ object LshQueries extends QueryPack {
       val emb = tbl(s, dir, "embeddings")
       val cfg = config(angular = false)
       val idx = Lsh.train(emb, "vec_id", "embedding", cfg)
-      val dump = s"$BucketDumpRoot/${new java.io.File(dir).getName}"
+      val dump = s"$BucketDumpRoot/${sfName(dir)}"
       idx.buckets.write.mode("overwrite").parquet(dump)
       val nVecs = emb.count()
       val sample = math.min(nVecs, cfg.sampleCap.toLong)
@@ -70,13 +96,16 @@ object LshQueries extends QueryPack {
 
     // Flagship ANN search, L2 (O13 full pipeline). Every row carries a
     // self-graded `valid` flag (exact-distance recompute + threshold in
-    // the same job — pred ⊆ brute-force-at-threshold, Eval.withValidity).
+    // the same job — pred ⊆ brute-force-at-threshold, Eval.withValidity);
+    // the rows are also dumped so the DuckDB oracle re-derives `valid`
+    // cross-engine from the embeddings table (see SearchDumpRoot).
     "q_lsh_search_l2" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = queriesDf(emb)
       val idx = Lsh.train(emb, "vec_id", "embedding", config(angular = false))
-      Eval.withValidity(idx.searchAll(q, K, L2Threshold, ExactNN.L2),
-          emb, q, ExactNN.L2, L2Threshold)
+      val res = Eval.withValidity(idx.searchAll(q, K, L2Threshold, ExactNN.L2),
+        emb, q, ExactNN.L2, L2Threshold)
+      dumpAndReload(s, res, s"$SearchDumpRoot/${sfName(dir)}/lsh_l2")
         .orderBy("query_id", "dist", "vec_id")
     }),
 
@@ -85,8 +114,9 @@ object LshQueries extends QueryPack {
       val emb = tbl(s, dir, "embeddings")
       val q = queriesDf(emb)
       val idx = Lsh.train(emb, "vec_id", "embedding", config(angular = true))
-      Eval.withValidity(idx.searchAll(q, K, CosineThreshold, ExactNN.Cosine),
-          emb, q, ExactNN.Cosine, CosineThreshold)
+      val res = Eval.withValidity(idx.searchAll(q, K, CosineThreshold, ExactNN.Cosine),
+        emb, q, ExactNN.Cosine, CosineThreshold)
+      dumpAndReload(s, res, s"$SearchDumpRoot/${sfName(dir)}/lsh_cosine")
         .orderBy("query_id", "dist", "vec_id")
     }),
 
@@ -116,10 +146,30 @@ object LshQueries extends QueryPack {
   }
 
   /** Seeded-random hashing itself is not SQL-expressible, but the
-    * bucket-stats invariants are (see [[BucketDumpRoot]]). The dump path
-    * pins sf0.01 — the scale the driver's correctness gate runs at. */
+    * bucket-stats invariants are (see [[BucketDumpRoot]]) and so is the
+    * per-returned-pair distance recompute for the searches (see
+    * [[SearchDumpRoot]]): DuckDB re-derives every row's exact distance
+    * from the embeddings table and its own `valid` boolean, so a
+    * wrong-distance or over-threshold search row hash-mismatches
+    * cross-engine. Dump paths pin sf0.01 — the scale the driver's
+    * correctness gate runs at. */
   override def oracleSql: Map[String, String] = {
     val cfg = config(angular = false)
+
+    def searchOracle(sub: String, distSql: String, threshold: Double): String =
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('$SearchDumpRoot/sf0.01/$sub/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist, $distSql AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       (abs(exact - dist) < 1e-9 AND dist <= $threshold) AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin
+
     Map(
       "q_lsh_bucket_stats" ->
         s"""WITH b AS (
@@ -137,6 +187,16 @@ object LshQueries extends QueryPack {
            |       st.n_buckets >=
            |         (least(nv.n, ${cfg.sampleCap}) + ${cfg.kMinVecs - 1}) // ${cfg.kMinVecs}
            |         AS occupancy_ok
-           |FROM st, nv ORDER BY st.tree_id""".stripMargin)
+           |FROM st, nv ORDER BY st.tree_id""".stripMargin,
+
+      "q_lsh_search_l2" -> searchOracle("lsh_l2",
+        "round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)",
+        L2Threshold),
+
+      "q_lsh_search_cosine" -> searchOracle("lsh_cosine",
+        """round(CASE WHEN 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1e-6
+          |       THEN 0.0
+          |       ELSE 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) END, 6)""".stripMargin,
+        CosineThreshold))
   }
 }

@@ -27,6 +27,18 @@ object SimilarityQueries extends QueryPack {
   val CosineDupThreshold = 0.55
   val K = VectorQueries.K
 
+  /** One IVF config for every query here, so `q_ivf_cell_stats`'s
+    * dump-and-check gates the same index the searches use. */
+  val ivfConfig: IvfConfig = IvfConfig(nCells = 16, nProbe = 8, seed = 42L)
+
+  /** Where `q_ivf_cell_stats` dumps the (vec_id, cell) assignment so its
+    * DuckDB oracle can check the index BUILD cross-engine: Σ per-cell
+    * counts must equal `count(*) FROM embeddings` (every vector assigned
+    * exactly one cell) and the number of occupied cells must be ≤ nCells
+    * — mirroring `q_lsh_bucket_stats` (LshQueries.BucketDumpRoot).
+    * Root is `-Dgraft.dump.root`-configurable. */
+  def CellDumpRoot: String = s"${QueryPack.dumpRoot}/graft_ivf_cell_dump"
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings")
 
@@ -69,14 +81,15 @@ object SimilarityQueries extends QueryPack {
 
     // IVF ANN search (L2) over the standard 100-query set. Self-graded:
     // each row's dist is recomputed exactly in the same job
-    // (Eval.withValidity) so a wrong-by-construction search can't pass
-    // the rows-only driver check silently.
+    // (Eval.withValidity); rows are also dumped so the DuckDB oracle
+    // re-derives `valid` cross-engine (LshQueries.SearchDumpRoot).
     "q_ivf_search_l2" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = Ivf.train(e, "vec_id", "embedding",
-        IvfConfig(nCells = 16, nProbe = 8, seed = 42L))
-      Eval.withValidity(idx.searchAll(q, K, ExactNN.L2), e, q, ExactNN.L2)
+      val idx = Ivf.train(e, "vec_id", "embedding", ivfConfig)
+      val res = Eval.withValidity(idx.searchAll(q, K, ExactNN.L2), e, q, ExactNN.L2)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_l2")
         .orderBy("query_id", "dist", "vec_id")
     }),
 
@@ -84,8 +97,7 @@ object SimilarityQueries extends QueryPack {
     "q_ivf_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = Ivf.train(e, "vec_id", "embedding",
-        IvfConfig(nCells = 16, nProbe = 8, seed = 42L))
+      val idx = Ivf.train(e, "vec_id", "embedding", ivfConfig)
       val pred = idx.searchAll(q, K, ExactNN.L2)
       val gt = ExactNN.topK(q, e, K, ExactNN.L2)
       Eval.setPrecisionRecall(pred, gt)
@@ -95,11 +107,25 @@ object SimilarityQueries extends QueryPack {
           count(lit(1)).as("n_queries"))
     }),
 
-    // IVF cell occupancy (partition-balance diagnostics).
+    // IVF cell occupancy + build invariants, computed over the
+    // parquet-dumped (vec_id, cell) table so DuckDB aggregates the SAME
+    // assignment (see CellDumpRoot): `total_ok` is cross-engine (Spark
+    // counts the dump, DuckDB counts embeddings — equal iff assignment
+    // is complete and unique), `cell_count_ok` checks occupancy ≤ nCells.
     "q_ivf_cell_stats" -> ((s, dir) => {
       val e = emb(s, dir)
-      Ivf.train(e, "vec_id", "embedding",
-        IvfConfig(nCells = 16, nProbe = 8, seed = 42L)).cellStats
+      val idx = Ivf.train(e, "vec_id", "embedding", ivfConfig)
+      val dump = s"$CellDumpRoot/${LshQueries.sfName(dir)}"
+      idx.cells.write.mode("overwrite").parquet(dump)
+      val nVecs = e.count()
+      val byCell = s.read.parquet(dump)
+        .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      val inv = byCell.agg(sum("n_vectors").as("tot"), count(lit(1)).as("nc"))
+      byCell.crossJoin(inv)
+        .select(col("cell"), col("n_vectors"),
+          (col("tot") === nVecs).as("total_ok"),
+          (col("nc") <= ivfConfig.nCells).as("cell_count_ok"))
+        .orderBy("cell")
     }),
 
     // PQ compressed-search recall: ADC-only vs ADC+exact-rerank against
@@ -121,6 +147,35 @@ object SimilarityQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Dump paths pin sf0.01 — the driver correctness-gate scale (same
+    // convention as LshQueries).
+    "q_ivf_cell_stats" ->
+      s"""WITH c AS (
+         |  SELECT * FROM read_parquet('$CellDumpRoot/sf0.01/*.parquet')
+         |),
+         |nv AS (SELECT count(*) AS n FROM embeddings),
+         |st AS (SELECT cell, count(*)::BIGINT AS n_vectors FROM c GROUP BY cell),
+         |inv AS (SELECT sum(n_vectors)::BIGINT AS tot, count(*) AS nc FROM st)
+         |SELECT st.cell, st.n_vectors,
+         |       inv.tot = nv.n AS total_ok,
+         |       inv.nc <= ${ivfConfig.nCells} AS cell_count_ok
+         |FROM st, inv, nv ORDER BY st.cell""".stripMargin,
+
+    "q_ivf_search_l2" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivf_l2/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
     "q_embedding_near_dup" ->
       s"""WITH d AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

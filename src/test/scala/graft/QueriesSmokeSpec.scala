@@ -29,12 +29,15 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkSpecBase {
       val df = fn(spark, dir)
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
-      // self-grading queries (Eval.withValidity) must be all-valid: this
-      // is the gate that makes a wrong-by-construction ANN search fail
-      // the build instead of slipping past a rows-only driver check
-      if (df.columns.contains("valid")) {
-        val bad = df.where(!org.apache.spark.sql.functions.col("valid")).count()
-        assert(bad === 0, s"$name returned $bad self-graded-invalid rows")
+      // self-grading queries (Eval.withValidity / dump-and-check
+      // invariant columns like occupancy_ok, total_ok) must be all-true:
+      // this is the gate that makes a wrong-by-construction ANN search
+      // or index build fail the build instead of slipping past a
+      // rows-only driver check
+      val graded = df.columns.filter(c => c == "valid" || c.endsWith("_ok"))
+      graded.foreach { c =>
+        val bad = df.where(!org.apache.spark.sql.functions.col(c)).count()
+        assert(bad === 0, s"$name returned $bad rows with $c = false")
       }
     }
   }

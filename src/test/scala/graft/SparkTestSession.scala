@@ -12,6 +12,12 @@ object SparkTestSession {
     .config("spark.sql.warehouse.dir", "target/spark-warehouse")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.host", "localhost")
+    // Plan-shape specs (TextPlanSpec, DedupPlanSpec) count operator
+    // occurrences in optimizedPlan.toString; the default
+    // maxToStringFields=25 truncates wide projections to "... N more
+    // fields", which would make those counts track the RENDERING, not
+    // the plan. Pin it far above any projection width we emit.
+    .config("spark.sql.debug.maxToStringFields", "1000")
     .getOrCreate()
 }
 

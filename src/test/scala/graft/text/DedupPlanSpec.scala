@@ -68,4 +68,27 @@ class DedupPlanSpec extends AnyFunSuite with SparkSpecBase {
     assert(!generateLine.contains("conv("),
       s"shingle hashing recomputed inside the band generator:\n$generateLine")
   }
+
+  test("nearDupAgainstCorpus (ingest path) keeps the chained projections uncollapsed") {
+    // The stream-static dedup uses the same chained projection form as
+    // the batch path; StreamingDedupSpec proves it value-identical on two
+    // batch frames, so pinning the batch-equivalent optimized plan pins
+    // the streaming plan's projection shape too. Per side: ONE
+    // per-shingle md5 projection + nBands band-key md5s — a collapse on
+    // the ingest path would silently reintroduce the 8x md5 blowup on
+    // every arriving document.
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val p = Dedup.nearDupAgainstCorpus(docs, "doc_id", "text", docs, cfg)
+      .queryExecution.optimizedPlan.toString
+    val nBands = cfg.numHashes / cfg.bandRows
+    val md5s = "md5\\(".r.findAllIn(p).length
+    assert(md5s === 2 * (1 + nBands), s"expected ${2 * (1 + nBands)} md5s " +
+      s"(1 shingle-md5 + $nBands band-key md5s per join side); got $md5s:\n$p")
+    val splits = "split\\(".r.findAllIn(p).length
+    assert(splits <= 4, s"split() appears $splits times (max 2 per side):\n$p")
+    p.linesIterator.filter(_.contains("Generate")).foreach { g =>
+      assert(!g.contains("array_min"), s"signature recomputed in generator:\n$g")
+      assert(!g.contains("conv("), s"hashing recomputed in generator:\n$g")
+    }
+  }
 }
