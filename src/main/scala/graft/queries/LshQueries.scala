@@ -8,11 +8,14 @@ import graft.ann.lsh.{Lsh, LshConfig}
 import graft.eval.Eval
 
 /** LSH index/search driver queries (reference O1-O13). Seeded-random
-  * hashing is not SQL-expressible, so these carry no DuckDB oracle
-  * (rows-only driver check, SURVEY.md §2.13); their correctness gate is
-  * the ScalaTest/property suite (ForestSpec, LshIndexSpec) plus
-  * `q_lsh_recall`'s per-query recall against the exact-NN ground truth
-  * computed in the same job. */
+  * hashing is not SQL-expressible, so these cannot be re-run in SQL —
+  * instead every query dumps its index/search/prediction OUTPUT to
+  * parquet and the DuckDB oracle independently re-derives the claimed
+  * numbers from the raw embeddings table (bucket completeness, exact
+  * per-pair distances, exact-NN ground truth + recall aggregate), so a
+  * wrong index or search hash-mismatches cross-engine. The ScalaTest
+  * suite (ForestSpec, LshIndexSpec, property specs) gates the seeded
+  * internals themselves. */
 object LshQueries extends QueryPack {
 
   /** Thresholds sized to the synthetic embeddings table (64-d float):
@@ -66,7 +69,13 @@ object LshQueries extends QueryPack {
   private[queries] def sfName(dir: String): String = new java.io.File(dir).getName
 
   /** Dump a search result and read it back, so the returned frame and
-    * the DuckDB oracle aggregate the SAME parquet rows. */
+    * the DuckDB oracle aggregate the SAME parquet rows.
+    *
+    * Bench note: this write rides the TIMED path of every query that
+    * uses it (`q_lsh_search_*`, `q_ivf_search_l2`, the recall/near-dup
+    * dumps) — a bounded queries×k-row parquet write, the honest price of
+    * the cross-engine gate (~+0.1 s at sf0.1). Read bench-over-bench
+    * deltas on these queries with that in mind. */
   private[queries] def dumpAndReload(s: SparkSession, df: org.apache.spark.sql.DataFrame,
                                      path: String): org.apache.spark.sql.DataFrame = {
     df.write.mode("overwrite").parquet(path)
@@ -122,21 +131,25 @@ object LshQueries extends QueryPack {
 
     // Per-query recall of LSH vs exact NN at the same threshold (O17
     // grading O13) — the reference's README benchmark loop as one query.
+    // The prediction set is dumped (see SearchDumpRoot) so the DuckDB
+    // oracle computes the exact-NN ground truth ITSELF and re-derives
+    // the avg precision/recall aggregate cross-engine.
     "q_lsh_recall" -> ((s, dir) =>
-      recall(s, dir, angular = false, ExactNN.L2, L2Threshold)),
+      recall(s, dir, angular = false, ExactNN.L2, L2Threshold, "lsh_recall_l2")),
 
     // Angular variant (the reference publishes cosine recall separately
     // and acknowledges degradation there, README.md:164-167).
     "q_lsh_recall_cosine" -> ((s, dir) =>
-      recall(s, dir, angular = true, ExactNN.Cosine, CosineThreshold))
+      recall(s, dir, angular = true, ExactNN.Cosine, CosineThreshold, "lsh_recall_cosine"))
   )
 
   private def recall(s: SparkSession, dir: String, angular: Boolean,
-                     metric: ExactNN.Metric, threshold: Double): DataFrame = {
+                     metric: ExactNN.Metric, threshold: Double, sub: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
     val q = queriesDf(emb)
     val idx = Lsh.train(emb, "vec_id", "embedding", config(angular))
-    val pred = idx.searchAll(q, K, threshold, metric)
+    val pred = dumpAndReload(s, idx.searchAll(q, K, threshold, metric),
+      s"$SearchDumpRoot/${sfName(dir)}/$sub")
     val gt = ExactNN.topK(q, emb, K, metric, threshold = Some(threshold))
     Eval.setPrecisionRecall(pred, gt)
       .agg(
@@ -144,6 +157,60 @@ object LshQueries extends QueryPack {
         round(avg("recall"), 4).as("avg_recall"),
         count(lit(1)).as("n_queries"))
   }
+
+  /** DuckDB mirror of [[Eval.setPrecisionRecall]] + the avg aggregate,
+    * with the exact-NN ground truth recomputed BY DUCKDB from the
+    * embeddings table (same rounding/tiebreak as `q_exact_nn_*`, proven
+    * hash-equal on this data) and predictions read from the dump the
+    * Spark query wrote. Join shapes mirror the Scala exactly: n_pred and
+    * n_gt inner-joined (a query missing from either side drops out), the
+    * hit count left-joined and coalesced to 0.
+    */
+  private[queries] def recallOracle(predGlob: String, distSql: String,
+                                    threshold: Option[Double], k: Int): String = {
+    val thrFilter = threshold.fold("")(t => s"WHERE dist <= $t")
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+       |),
+       |sc AS (
+       |  SELECT qs.query_id, e.vec_id, $distSql AS dist
+       |  FROM qs CROSS JOIN embeddings e
+       |),
+       |gt AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+       |    FROM sc $thrFilter
+       |  ) WHERE rn <= $k
+       |),
+       |p AS (SELECT query_id, vec_id FROM read_parquet('$predGlob')),
+       |np AS (SELECT query_id, count(*) AS n_pred FROM p GROUP BY query_id),
+       |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
+       |h AS (
+       |  SELECT p.query_id, count(*) AS valid
+       |  FROM p JOIN gt USING (query_id, vec_id) GROUP BY p.query_id
+       |),
+       |pr AS (
+       |  SELECT np.query_id,
+       |         round(coalesce(h.valid, 0) / np.n_pred, 6) AS precision,
+       |         round(coalesce(h.valid, 0) / ng.n_gt, 6) AS recall
+       |  FROM np JOIN ng USING (query_id) LEFT JOIN h USING (query_id)
+       |)
+       |SELECT round(avg(precision), 4) AS avg_precision,
+       |       round(avg(recall), 4) AS avg_recall,
+       |       count(*) AS n_queries
+       |FROM pr""".stripMargin
+  }
+
+  /** DuckDB L2 / cosine distance SQL over `qs`/`e` aliases, matching the
+    * Spark-side 6-decimal rounding and the cosine near-zero clamp. */
+  private[queries] val L2DistSql =
+    "round(list_distance(qs.qv, e.embedding::DOUBLE[]), 6)"
+  private[queries] val CosineDistSql =
+    """round(CASE WHEN 1.0 - list_cosine_similarity(qs.qv, e.embedding::DOUBLE[]) < 1e-6
+      |       THEN 0.0
+      |       ELSE 1.0 - list_cosine_similarity(qs.qv, e.embedding::DOUBLE[]) END, 6)""".stripMargin
 
   /** Seeded-random hashing itself is not SQL-expressible, but the
     * bucket-stats invariants are (see [[BucketDumpRoot]]) and so is the
@@ -197,6 +264,14 @@ object LshQueries extends QueryPack {
         """round(CASE WHEN 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1e-6
           |       THEN 0.0
           |       ELSE 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) END, 6)""".stripMargin,
-        CosineThreshold))
+        CosineThreshold),
+
+      "q_lsh_recall" -> recallOracle(
+        s"$SearchDumpRoot/sf0.01/lsh_recall_l2/*.parquet",
+        L2DistSql, Some(L2Threshold), K),
+
+      "q_lsh_recall_cosine" -> recallOracle(
+        s"$SearchDumpRoot/sf0.01/lsh_recall_cosine/*.parquet",
+        CosineDistSql, Some(CosineThreshold), K))
   }
 }

@@ -16,9 +16,10 @@ import graft.functions.exprs
   * `q_embedding_near_dup` is the exact quadratic baseline (oracle-checked
   * against DuckDB's list_cosine_similarity); `q_lsh_near_dup_pairs` is
   * the scale path — LSH-bucket candidate generation then exact cosine
-  * verification, a strict subset of the exact result at the same
-  * threshold (property-tested; seeded hashing is not SQL-expressible so
-  * the driver records a rows-only check, SURVEY.md §2.13).
+  * verification. Its pairs are dumped to parquet and the DuckDB oracle
+  * recomputes every pair's cosine from the embeddings table (subset-of-
+  * exact-near-dup-set + distance check, cross-engine); the seeded
+  * bucketing internals stay property-tested (LshIndexSpec).
   */
 object SimilarityQueries extends QueryPack {
 
@@ -70,12 +71,20 @@ object SimilarityQueries extends QueryPack {
       val idx = Lsh.train(e, "vec_id", "embedding",
         LshConfig(nTrees = 10, kMinVecs = 50, angular = true, seed = 42L))
       val cands = idx.candidatePairs(maxBucketOccupancy = 200)
-      cands
+      val pairs = cands
         .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
         .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
         .select(col("vec_a"), col("vec_b"),
           round(exprs.cosineDistNative(col("ea"), col("eb")), 6).as("cos_dist"))
         .where(col("cos_dist") <= CosineDupThreshold)
+        // `within` is trivially true here (the line above filtered on it)
+        // — it exists so the DuckDB oracle, which RECOMPUTES each pair's
+        // cosine from the embeddings table, re-derives the same boolean:
+        // a wrong Spark-side distance or an over-threshold pair breaks
+        // the cross-engine hash. pairs ⊆ exact-near-dup-set follows.
+        .withColumn("within", col("cos_dist") <= CosineDupThreshold)
+      LshQueries.dumpAndReload(s, pairs,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/lsh_near_dup")
         .orderBy("vec_a", "vec_b")
     }),
 
@@ -93,12 +102,15 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id", "dist", "vec_id")
     }),
 
-    // IVF recall vs exact ground truth at the same k.
+    // IVF recall vs exact ground truth at the same k. Predictions are
+    // dumped so the DuckDB oracle recomputes the ground truth itself and
+    // re-derives the recall aggregate cross-engine (LshQueries.recallOracle).
     "q_ivf_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
       val idx = Ivf.train(e, "vec_id", "embedding", ivfConfig)
-      val pred = idx.searchAll(q, K, ExactNN.L2)
+      val pred = LshQueries.dumpAndReload(s, idx.searchAll(q, K, ExactNN.L2),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_recall_l2")
       val gt = ExactNN.topK(q, e, K, ExactNN.L2)
       Eval.setPrecisionRecall(pred, gt)
         .agg(
@@ -129,18 +141,24 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // PQ compressed-search recall: ADC-only vs ADC+exact-rerank against
-    // exact ground truth (k-means codebooks are seeded-random, so this
-    // is a rows-only driver check gated by PqSpec).
+    // exact ground truth. Both prediction sets are dumped so the DuckDB
+    // oracle recomputes the ground truth and both recall aggregates
+    // cross-engine (the seeded k-means internals stay gated by PqSpec).
     "q_pq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
       val idx = graft.ann.pq.Pq.train(e, "vec_id", "embedding",
         graft.ann.pq.PqConfig(numSubvectors = 16, codesPerSubvector = 16, seed = 42L))
       val gt = ExactNN.topK(q, e, K, ExactNN.L2)
-      val adc = Eval.setPrecisionRecall(idx.searchAll(q, K), gt)
+      val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
+      val adcPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
+        s"$dumpBase/pq_adc")
+      val rerPred = LshQueries.dumpAndReload(s,
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        s"$dumpBase/pq_rerank")
+      val adc = Eval.setPrecisionRecall(adcPred, gt)
         .agg(round(avg("recall"), 4).as("adc_recall"))
-      val rer = Eval.setPrecisionRecall(
-        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100), gt)
+      val rer = Eval.setPrecisionRecall(rerPred, gt)
         .agg(round(avg("recall"), 4).as("rerank_recall"))
       adc.crossJoin(rer)
     })
@@ -175,6 +193,74 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, vec_id, dist,
          |       abs(exact - dist) < 1e-9 AS valid
          |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    "q_ivf_recall" -> LshQueries.recallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_recall_l2/*.parquet",
+      LshQueries.L2DistSql, None, K),
+
+    // Both PQ prediction dumps graded against DuckDB's own exact-NN
+    // ground truth; per-query recall mirrors Eval.setPrecisionRecall
+    // (n_pred inner-joined so a query absent from a dump drops out,
+    // hits left-joined and coalesced to 0).
+    "q_pq_recall" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+         |),
+         |sc AS (
+         |  SELECT qs.query_id, e.vec_id,
+         |         ${LshQueries.L2DistSql} AS dist
+         |  FROM qs CROSS JOIN embeddings e
+         |),
+         |gt AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= $K
+         |),
+         |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
+         |pa AS (SELECT query_id, vec_id FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/pq_adc/*.parquet')),
+         |npa AS (SELECT query_id, count(*) AS n_pred FROM pa GROUP BY query_id),
+         |ha AS (
+         |  SELECT pa.query_id, count(*) AS valid
+         |  FROM pa JOIN gt USING (query_id, vec_id) GROUP BY pa.query_id
+         |),
+         |ra AS (
+         |  SELECT round(avg(round(coalesce(ha.valid, 0) / ng.n_gt, 6)), 4) AS adc_recall
+         |  FROM npa JOIN ng USING (query_id) LEFT JOIN ha USING (query_id)
+         |),
+         |pb AS (SELECT query_id, vec_id FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/pq_rerank/*.parquet')),
+         |npb AS (SELECT query_id, count(*) AS n_pred FROM pb GROUP BY query_id),
+         |hb AS (
+         |  SELECT pb.query_id, count(*) AS valid
+         |  FROM pb JOIN gt USING (query_id, vec_id) GROUP BY pb.query_id
+         |),
+         |rb AS (
+         |  SELECT round(avg(round(coalesce(hb.valid, 0) / ng.n_gt, 6)), 4) AS rerank_recall
+         |  FROM npb JOIN ng USING (query_id) LEFT JOIN hb USING (query_id)
+         |)
+         |SELECT ra.adc_recall, rb.rerank_recall FROM ra, rb""".stripMargin,
+
+    // Every dumped candidate pair re-verified from the raw embeddings:
+    // DuckDB recomputes the exact cosine (hash-compared against the
+    // Spark-side cos_dist) and re-derives `within` — together these
+    // prove pairs ⊆ the exact near-dup set at the same threshold.
+    "q_lsh_near_dup_pairs" ->
+      s"""WITH p AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/lsh_near_dup/*.parquet')
+         |),
+         |r AS (
+         |  SELECT p.vec_a, p.vec_b,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6) AS cos_dist
+         |  FROM p
+         |  JOIN embeddings a ON a.vec_id = p.vec_a
+         |  JOIN embeddings b ON b.vec_id = p.vec_b
+         |)
+         |SELECT vec_a, vec_b, cos_dist, cos_dist <= $CosineDupThreshold AS within
+         |FROM r ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_embedding_near_dup" ->
       s"""WITH d AS (

@@ -60,15 +60,26 @@ object VectorQueries extends QueryPack {
     // cross-engine compare is float-free. A constant vector has range 0 —
     // guarded to code 0 (ANSI mode would otherwise throw on
     // round(0/0).cast(long)).
+    //
+    // mn/scale are materialized in their own projection BELOW the
+    // transform: a lambda body is evaluated once per array ELEMENT with
+    // no cross-invocation subexpression elimination, so inlining the
+    // array_min/array_max scans there costs O(d^2) per row. `scale` is a
+    // non-cheap producer referenced twice by the lambda, which stops
+    // CollapseProject from folding the projection back in (the
+    // Dedup.minhashSigFromHashes pattern, SCALE.md round 5). Pinned by
+    // VectorPlanSpec: exactly one array_min / one array_max in the
+    // optimized plan.
     "q_embedding_quantize" -> ((s, dir) => {
       val e = col("embedding").cast("array<double>")
-      val mn = array_min(e)
-      val scale = (array_max(e) - array_min(e)) / lit(255.0)
       tbl(s, dir, "embeddings")
+        .select(col("vec_id"), e.as("e"), array_min(e).as("mn"), array_max(e).as("mx"))
+        .select(col("vec_id"), col("e"), col("mn"),
+          ((col("mx") - col("mn")) / lit(255.0)).as("scale"))
         .select(col("vec_id"),
-          posexplode(transform(e, x =>
-            when(scale === 0.0, lit(0L))
-              .otherwise(round((x - mn) / scale).cast("long")))))
+          posexplode(transform(col("e"), x =>
+            when(col("scale") === 0.0, lit(0L))
+              .otherwise(round((x - col("mn")) / col("scale")).cast("long")))))
         .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").as("q"))
         .orderBy("vec_id", "pos")
     }),
