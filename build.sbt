@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1's GCLocker default (2 retries) gives up under the allocation
+  // churn of large driver-side collects racing JNI critical sections
+  // (lz4/snappy task-result decompression) and throws a spurious
+  // "Java heap space" OOM with most of the heap free — seen at the
+  // 400k x 256-d probe fit. Raising the retry budget is the standard
+  // mitigation (JDK-8192647).
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=32",
 )

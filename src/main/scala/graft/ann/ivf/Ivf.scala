@@ -316,10 +316,7 @@ object Ivf {
       if (total <= config.sampleCap) df
       else df.sample(withReplacement = false,
         fraction = config.sampleCap.toDouble / total, seed = config.seed)
-    val vecs = sampled
-      .select(col(vecCol).cast(ArrayType(DoubleType)))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    val vecs = graft.ann.FitSample.collectVectors(sampled, vecCol)
     new IvfModel(config, lloyd(vecs, config.nCells, config.iters))
   }
 

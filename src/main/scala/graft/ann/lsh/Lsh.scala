@@ -384,10 +384,7 @@ object Lsh {
       if (total <= config.sampleCap) df
       else df.sample(withReplacement = false,
         fraction = config.sampleCap.toDouble / total, seed = config.seed)
-    val vecs = sampled
-      .select(col(vecCol).cast(ArrayType(DoubleType)))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    val vecs = graft.ann.FitSample.collectVectors(sampled, vecCol)
     // trees are independent: build them concurrently (the reference's
     // goroutine-per-tree, hasher.go:179-186) — each still seeded
     // deterministically, so the forest is identical to a serial build

@@ -212,10 +212,7 @@ object Pq {
       if (total <= config.sampleCap) df
       else df.sample(withReplacement = false,
         fraction = config.sampleCap.toDouble / total, seed = config.seed)
-    val vecs = sampled
-      .select(col(vecCol).cast(ArrayType(DoubleType)))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    val vecs = graft.ann.FitSample.collectVectors(sampled, vecCol)
     val dims = vecs(0).length
     require(dims % config.numSubvectors == 0,
       s"dims $dims must divide into ${config.numSubvectors} subvectors")

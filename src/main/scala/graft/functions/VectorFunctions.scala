@@ -71,10 +71,22 @@ object VectorFunctions {
 
   /** Normalize to unit L2 norm; vectors with norm <= tol pass through
     * unchanged (reference normalizes sampled points and hash inputs in
-    * angular mode, lsh/hasher.go:121-132, 198-205). */
+    * angular mode, lsh/hasher.go:121-132, 198-205).
+    *
+    * The norm is bound ONCE as a lambda variable (a `transform` over a
+    * one-element array) instead of being referenced by the per-element
+    * lambda directly: a lambda body is re-evaluated per array element
+    * with no cross-invocation subexpression elimination, so the naive
+    * form (`transform(v, x => x / vecNorm(v))`) recomputes the O(d) norm
+    * d times — the same O(d^2)-per-row trap q_embedding_quantize hit
+    * (VectorPlanSpec). Single-Column form on purpose: usable anywhere a
+    * Column fits, no helper projection required. */
   def l2Normalize(v: Column): Column = {
-    val n = vecNorm(v)
-    when(n <= Tol, toDouble(v)).otherwise(transform(toDouble(v), x => x / n))
+    val dv = toDouble(v)
+    element_at(
+      transform(array(vecNorm(v)), n =>
+        when(n <= Tol, dv).otherwise(transform(dv, x => x / n))),
+      1)
   }
 
   /** Convert a chord ("angular", sqrt(2(1-cos))) distance to cosine

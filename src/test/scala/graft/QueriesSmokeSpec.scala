@@ -34,7 +34,8 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkSpecBase {
       // this is the gate that makes a wrong-by-construction ANN search
       // or index build fail the build instead of slipping past a
       // rows-only driver check
-      val graded = df.columns.filter(c => c == "valid" || c.endsWith("_ok"))
+      val graded = df.columns
+        .filter(c => c == "valid" || c == "within" || c.endsWith("_ok"))
       graded.foreach { c =>
         val bad = df.where(!org.apache.spark.sql.functions.col(c)).count()
         assert(bad === 0, s"$name returned $bad rows with $c = false")

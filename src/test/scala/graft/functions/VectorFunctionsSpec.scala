@@ -78,6 +78,19 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkSpecBase {
     assert(norms(1) == 0.0)
   }
 
+  test("l2Normalize computes the norm once, not once per element") {
+    import spark.implicits._
+    // The norm (sqrt∘aggregate) must be bound as a lambda variable of a
+    // one-element transform, NOT referenced inside the per-element
+    // division lambda — otherwise it re-evaluates O(d) work d times
+    // (the q_embedding_quantize trap, VectorPlanSpec). One aggregate()
+    // in the plan = one norm evaluation per row.
+    val df = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val plan = df.select(l2Normalize(col("embedding")).as("out"))
+      .queryExecution.optimizedPlan.toString
+    assert("aggregate\\(".r.findAllIn(plan).length === 1, plan)
+  }
+
   test("mismatched vector lengths yield NULL, never an out-of-bounds read") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
