@@ -48,50 +48,77 @@ object ScaleProbe {
         (r, (System.nanoTime() - t0) / 1e9)
       }
 
-      val (_, tExact0) = time(ExactNN.topK(queries, corpus, 10).count())
-      val (_, tExact) = time(ExactNN.topK(queries, corpus, 10).count())
+      // The two timed exact passes cost ~2x250 s at 1M x 128d and never
+      // change between sweep invocations over the same corpus; skip them
+      // (speedup column reads n/a) when only the LSH operating points are
+      // under study. Ground truth below is still exact and always computed.
+      val skipExact = sys.env.get("SPARK_GRAFT_SKIP_EXACT").contains("1")
+      val (tExact0, tExact) =
+        if (skipExact) (Double.NaN, Double.NaN)
+        else {
+          val (_, a) = time(ExactNN.topK(queries, corpus, 10).count())
+          val (_, b) = time(ExactNN.topK(queries, corpus, 10).count())
+          (a, b)
+        }
       // ground truth computed once and cached for both index recalls
       val gt = ExactNN.topK(queries, corpus, 10, ExactNN.L2, threshold = Some(1.4))
         .persist()
       gt.count()
 
-      val (idx, tTrain) = time {
-        val i = Lsh.train(corpus, "vec_id", "embedding",
-          LshConfig(nTrees = 20, kMinVecs = 80, seed = 42L))
-        i.buckets.persist().count()
-        i.vectors.persist().count()
-        i
+      // Same knobs as AngularScaleProbe: sampleCap sizes the fit sample
+      // to the corpus (occupancy rule, SCALE.md §ANN); PROBE_CONFIGS
+      // sweeps (nTrees,kMinVecs) operating points — e.g. a leaner forest
+      // targeting the reference's published 0.94-recall band instead of
+      // recall 1.0.
+      val sampleCap = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_CAP", "100000").toInt
+      val sweep = sys.env.get("SPARK_GRAFT_PROBE_CONFIGS").map { s =>
+        s.split(";").toSeq.map { c =>
+          val Array(t, km) = c.split(","); (t.toInt, km.toInt)
+        }
       }
-      val (_, tLsh0) = time(idx.searchAll(queries, 10, 1.4).count())
-      val (_, tLsh) = time(idx.searchAll(queries, 10, 1.4).count())
-      val recall = Eval.setPrecisionRecall(idx.searchAll(queries, 10, 1.4), gt)
-        .agg(avg("recall")).head().getDouble(0)
+      for ((nTrees, kMin) <- sweep.getOrElse(Seq((20, 80)))) {
+        val (idx, tTrain) = time {
+          val i = Lsh.train(corpus, "vec_id", "embedding",
+            LshConfig(nTrees = nTrees, kMinVecs = kMin, seed = 42L,
+              sampleCap = sampleCap))
+          i.buckets.persist().count()
+          i.vectors.persist().count()
+          i
+        }
+        val (_, tLsh0) = time(idx.searchAll(queries, 10, 1.4).count())
+        val (_, tLsh) = time(idx.searchAll(queries, 10, 1.4).count())
+        val recall = Eval.setPrecisionRecall(idx.searchAll(queries, 10, 1.4), gt)
+          .agg(avg("recall")).head().getDouble(0)
 
-      println(f"[scale] corpus=$n%,d exact=${tExact}%.2fs (warm ${tExact0}%.2f) " +
-        f"train=${tTrain}%.2fs lsh=${tLsh}%.2fs (warm ${tLsh0}%.2f) " +
-        f"speedup=${tExact / tLsh}%.1fx recall=$recall%.3f")
-
-      val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
-      val (ivf, tIvfTrain) = time {
-        val i = Ivf.train(corpus, "vec_id", "embedding",
-          IvfConfig(nCells = nCells, nProbe = nCells / 4, seed = 42L))
-        i.cells.persist().count()
-        i.vectors.persist().count()
-        i
+        println(f"[scale] corpus=$n%,d nTrees=$nTrees kMin=$kMin cap=$sampleCap " +
+          f"exact=${tExact}%.2fs (warm ${tExact0}%.2f) " +
+          f"train=${tTrain}%.2fs lsh=${tLsh}%.2fs (warm ${tLsh0}%.2f) " +
+          f"speedup=${tExact / tLsh}%.1fx recall=$recall%.3f")
+        idx.buckets.unpersist(); idx.vectors.unpersist()
       }
-      val (_, tIvf0) = time(ivf.searchAll(queries, 10).count())
-      val (_, tIvf) = time(ivf.searchAll(queries, 10).count())
-      val ivfPred = ivf.searchAll(queries, 10)
-        .join(gt.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_semi")
-      val ivfRecall = Eval.setPrecisionRecall(
-        ivf.searchAll(queries, 10), gt).agg(avg("recall")).head().getDouble(0)
-      println(f"[scale] corpus=$n%,d ivf(nCells=$nCells, nProbe=${nCells / 4}): " +
-        f"train=${tIvfTrain}%.2fs search=${tIvf}%.2fs (warm ${tIvf0}%.2f) " +
-        f"speedup=${tExact / tIvf}%.1fx recall=$ivfRecall%.3f")
+
+      // IVF measured only outside sweep mode (an LSH operating-point
+      // sweep doesn't need the k-means fit re-run per invocation).
+      if (sweep.isEmpty) {
+        val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
+        val (ivf, tIvfTrain) = time {
+          val i = Ivf.train(corpus, "vec_id", "embedding",
+            IvfConfig(nCells = nCells, nProbe = nCells / 4, seed = 42L))
+          i.cells.persist().count()
+          i.vectors.persist().count()
+          i
+        }
+        val (_, tIvf0) = time(ivf.searchAll(queries, 10).count())
+        val (_, tIvf) = time(ivf.searchAll(queries, 10).count())
+        val ivfRecall = Eval.setPrecisionRecall(
+          ivf.searchAll(queries, 10), gt).agg(avg("recall")).head().getDouble(0)
+        println(f"[scale] corpus=$n%,d ivf(nCells=$nCells, nProbe=${nCells / 4}): " +
+          f"train=${tIvfTrain}%.2fs search=${tIvf}%.2fs (warm ${tIvf0}%.2f) " +
+          f"speedup=${tExact / tIvf}%.1fx recall=$ivfRecall%.3f")
+        ivf.cells.unpersist(); ivf.vectors.unpersist()
+      }
 
       corpus.unpersist(); gt.unpersist()
-      idx.buckets.unpersist(); idx.vectors.unpersist()
-      ivf.cells.unpersist(); ivf.vectors.unpersist()
     }
     spark.stop()
   }
