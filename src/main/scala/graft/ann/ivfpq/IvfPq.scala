@@ -1,0 +1,268 @@
+package graft.ann.ivfpq
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ann.{FitSample, TopK}
+import graft.ann.ivf.{Ivf, IvfConfig, IvfModel}
+import graft.ann.pq.{PqConfig, PqModel}
+
+/** IVF-PQ — the composition of the two quantizers this library already
+  * ships separately ([[graft.ann.ivf.Ivf]] coarse cells,
+  * [[graft.ann.pq.Pq]] product codes), and the standard architecture for
+  * billion-scale ANN (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011, §IV: IVFADC): the coarse quantizer
+  * prunes the scan to nProbe/nCells of the corpus, and PQ encodes the
+  * RESIDUAL `v - centroid(cell)` — residuals concentrate around zero, so
+  * the same code budget quantizes them with materially less error than
+  * raw vectors.
+  *
+  * Spark shape (same as the component indexes):
+  *   - `fit`: one driver-side seeded sample fits both quantizers —
+  *     Lloyd's for the cells, then per-subvector Lloyd's over the
+  *     sample's residuals (reusing [[Ivf.lloyd]] for both);
+  *   - `transform`: map-side `(vec_id, cell, codes)` via ONE native
+  *     codegen expression (cell argmin + residual encode in a single
+  *     pass, [[IvfPqEncodeExpr]]) — no shuffle;
+  *   - `searchAll`: queries probe their nProbe closest cells; the codes
+  *     table is equi-joined on `cell` against the broadcast probe rows
+  *     (partition-prunable at rest via [[IvfPqIndex.save]]'s
+  *     `partitionBy(cell)` layout); a candidate's distance is m table
+  *     lookups in the per-(query, cell) residual ADC table — the float
+  *     corpus is never touched;
+  *   - `searchRerank`: the deployment shape — ADC retrieves a deeper
+  *     candidate list from the compressed codes, then only those rows
+  *     touch the float vectors for exact re-ranking.
+  *
+  * At 100 TB this is the index you actually build: the scan reads
+  * m-byte codes for nProbe/nCells of the corpus (both compression AND
+  * pruning, vs PQ-alone's full compressed scan and IVF-alone's float
+  * reads), and the fit stays a driver-side bounded sample.
+  *
+  * Deterministic end-to-end: seeded sample, deterministic k-means init,
+  * fixed iterations, ties by lowest cell/code id.
+  */
+final case class IvfPqConfig(
+    nCells: Int = 16,
+    nProbe: Int = 4,
+    numSubvectors: Int = 8,
+    codesPerSubvector: Int = 16,
+    iters: Int = 10,
+    seed: Long = 42L,
+    sampleCap: Int = 100000) {
+  def ivfConfig: IvfConfig =
+    IvfConfig(nCells, nProbe, iters, seed, sampleCap)
+  def pqConfig: PqConfig =
+    PqConfig(numSubvectors, codesPerSubvector, iters, seed, sampleCap)
+}
+
+final class IvfPqModel(val config: IvfPqConfig, val ivf: IvfModel,
+                       val pq: PqModel) extends Serializable {
+
+  def dims: Int = pq.dims
+
+  /** `v - centroid(cell)`, fresh array. */
+  def residual(v: Array[Double], cell: Int): Array[Double] = {
+    val c = ivf.centroids(cell)
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(i) - c(i); i += 1 }
+    out
+  }
+
+  /** Driver-side encode: (cell, residual PQ codes). */
+  def encode(v: Array[Double]): (Int, Array[Int]) = {
+    val cell = ivf.cellOf(v)
+    (cell, pq.encode(residual(v, cell)))
+  }
+
+  /** Cell argmin + residual encode in one pass, reading elements straight
+    * out of Tungsten ArrayData — the native-expression path
+    * ([[IvfPqEncodeExpr]]); returns the STRUCT<cell, codes> row. */
+  def encodeRowData(a: ArrayData, isFloat: Boolean): InternalRow = {
+    val v = new Array[Double](dims)
+    var i = 0
+    while (i < dims) {
+      v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val cell = ivf.cellOf(v)
+    val c = ivf.centroids(cell)
+    i = 0
+    while (i < dims) { v(i) -= c(i); i += 1 }
+    InternalRow(cell, new GenericArrayData(pq.encode(v)))
+  }
+
+  /** `(vec_id, cell, codes)` — the compressed, cell-pruned corpus.
+    * Map-side only, one native codegen expression per row. */
+  def transform(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        IvfPqExpressions.ivfPqEncode(this, col(vecCol)).as("enc"))
+      .select(col("vec_id"), col("enc.cell").as("cell"),
+        col("enc.codes").as("codes"))
+
+  /** Residual ADC tables for each (query, probed cell) pair —
+    * nQueries x nProbe tables of m x k doubles, built driver-side. */
+  def adcTables(qRows: Array[(Long, Array[Double])]): IvfPqAdcTables = {
+    val entries = qRows.flatMap { case (qid, qv) =>
+      ivf.probeCells(qv).map { cell =>
+        (qid, cell, pq.adcTable(residual(qv, cell)))
+      }
+    }
+    new IvfPqAdcTables(config.nCells, entries)
+  }
+}
+
+final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
+
+  /** Batch IVF-ADC search: probe rows (query_id, cell) broadcast into an
+    * equi-join on the codes table's `cell` — the scan touches
+    * ~nProbe/nCells of the corpus and reads only codes; distance is m
+    * residual-table lookups per candidate; bounded per-query top-k. */
+  def searchAll(queries: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
+    val qRows = queries
+      .select(col("query_id").cast(LongType),
+        col("qv").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val tables = model.adcTables(qRows)
+    val probes = model.ivf.probeRows(queries, "query_id", "qv")
+      .select(col("query_id").cast(LongType).as("query_id"), col("cell"))
+    val scored = codes
+      .join(broadcast(probes), "cell")
+      .select(col("query_id"), col("vec_id"),
+        round(IvfPqExpressions.ivfPqAdcDist(tables, col("query_id"),
+          col("cell"), col("codes")), roundTo).as("dist"))
+    TopK.perQueryTopK(scored, k)
+  }
+
+  /** The deployment shape: ADC over the cell-pruned codes retrieves
+    * `rerankDepth` candidates, then ONLY those rows touch the float
+    * vectors for exact re-ranking — bounded at rerankDepth x |queries|
+    * rows, broadcast so the corpus-sized float table is probed in place,
+    * never shuffled. */
+  def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
+                   rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
+    val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
+    val exact = vectors
+      .join(broadcast(cands), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.exprs.l2DistNative(col("qv"), col("embedding")),
+          roundTo).as("dist"))
+    TopK.perQueryTopK(exact, k)
+  }
+
+  /** Per-cell code-table occupancy (diagnostics, mirrors
+    * [[graft.ann.ivf.IvfIndex.cellStats]]). */
+  def cellStats: DataFrame =
+    codes.groupBy("cell").agg(count(lit(1)).as("n_vectors")).orderBy("cell")
+
+  /** Persist both quantizers + the codes table; codes are written
+    * `partitionBy(cell)` so a probe of nProbe cells prunes to nProbe
+    * partition directories at rest (same layout rationale as
+    * [[graft.ann.ivf.IvfIndex.save]]). */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val m = model
+    m.ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    m.pq.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, code) => (s, code, c.toSeq) }
+    }.toSeq
+      .toDF("subvector", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((m.config.nCells, m.config.nProbe, m.config.numSubvectors,
+      m.config.codesPerSubvector, m.config.iters, m.config.seed,
+      m.config.sampleCap, m.dims))
+      .toDF("n_cells", "n_probe", "num_subvectors", "codes_per_subvector",
+        "iters", "seed", "sample_cap", "dims")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    codes
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+}
+
+object IvfPq {
+
+  /** Reopen a saved index — layout defined by [[IvfPqIndex.save]]. */
+  def load(spark: SparkSession, path: String): IvfPqIndex = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val config = IvfPqConfig(
+      nCells = meta.getAs[Int]("n_cells"),
+      nProbe = meta.getAs[Int]("n_probe"),
+      numSubvectors = meta.getAs[Int]("num_subvectors"),
+      codesPerSubvector = meta.getAs[Int]("codes_per_subvector"),
+      iters = meta.getAs[Int]("iters"),
+      seed = meta.getAs[Long]("seed"),
+      sampleCap = meta.getAs[Int]("sample_cap"))
+    val dims = meta.getAs[Int]("dims")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .select($"subvector", $"code", $"centroid")
+      .as[(Int, Int, Seq[Double])].collect()
+    val codebooks = Array.tabulate(config.numSubvectors) { s =>
+      cbRows.filter(_._1 == s).sortBy(_._2).map(_._3.toArray)
+    }
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("codes"))
+    new IvfPqIndex(new IvfPqModel(config,
+      new IvfModel(config.ivfConfig, centroids),
+      new PqModel(config.pqConfig, dims, codebooks)), codes)
+  }
+
+  /** One seeded sample fits both quantizers: cells over the raw vectors,
+    * then per-subvector codebooks over the SAMPLE'S residuals (what the
+    * codes will actually quantize). */
+  def fit(df: DataFrame, vecCol: String, config: IvfPqConfig): IvfPqModel = {
+    val total = df.count()
+    val sampled =
+      if (total <= config.sampleCap) df
+      else df.sample(withReplacement = false,
+        fraction = config.sampleCap.toDouble / total, seed = config.seed)
+    val vecs = FitSample.collectVectors(sampled, vecCol)
+    val dims = vecs(0).length
+    require(dims % config.numSubvectors == 0,
+      s"dims $dims must divide into ${config.numSubvectors} subvectors")
+    val ivfModel = new IvfModel(config.ivfConfig,
+      Ivf.lloyd(vecs, config.nCells, config.iters))
+    val residuals = vecs.map { v =>
+      val c = ivfModel.centroids(ivfModel.cellOf(v))
+      val out = new Array[Double](dims)
+      var i = 0
+      while (i < dims) { out(i) = v(i) - c(i); i += 1 }
+      out
+    }
+    val subDim = dims / config.numSubvectors
+    // per-subvector codebooks are independent: fit concurrently (same
+    // pattern as Pq.fit), each a deterministic Lloyd's over the residuals
+    val codebooks = new Array[Array[Array[Double]]](config.numSubvectors)
+    val threads = (0 until config.numSubvectors).map { s =>
+      val t = new Thread(() => {
+        val sub = residuals.map(v =>
+          java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+        codebooks(s) = Ivf.lloyd(sub, config.codesPerSubvector, config.iters)
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    new IvfPqModel(config, ivfModel,
+      new PqModel(config.pqConfig, dims, codebooks))
+  }
+
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            config: IvfPqConfig = IvfPqConfig()): IvfPqIndex = {
+    val model = fit(df, vecCol, config)
+    new IvfPqIndex(model, model.transform(df, idCol, vecCol))
+  }
+}

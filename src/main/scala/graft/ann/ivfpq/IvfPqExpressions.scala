@@ -1,0 +1,113 @@
+package graft.ann.ivfpq
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.SparkShim
+import org.apache.spark.sql.graftshim.SparkShim.AbstractDataType
+import org.apache.spark.sql.types._
+
+/** Precomputed per-(query, probed-cell) RESIDUAL ADC tables — the IVF-PQ
+  * twist on [[graft.ann.pq.PqAdcTables]]: because codes quantize the
+  * residual `v - centroid(cell)`, the query-side lookup table differs per
+  * probed cell (`q - centroid(cell)` vs each codebook centroid). Keyed by
+  * `query_id * nCells + cell` (collision-free: cell < nCells), built
+  * driver-side for exactly the nProbe cells each query probes, and
+  * shipped into generated code as a plan reference object. Size is
+  * nQueries x nProbe x m x k doubles — broadcast-tiny by construction.
+  */
+final class IvfPqAdcTables(nCells: Int,
+                           entries: Array[(Long, Int, Array[Array[Double]])])
+    extends Serializable {
+
+  private val tables = {
+    val m = new java.util.HashMap[java.lang.Long, Array[Array[Double]]](entries.length * 2)
+    entries.foreach { case (qid, cell, t) => m.put(qid * nCells + cell, t) }
+    m
+  }
+
+  /** sqrt of the summed per-subvector lookups for one candidate in `cell`. */
+  def dist(queryId: Long, cell: Int, codes: ArrayData): Double = {
+    val t = tables.get(queryId * nCells + cell)
+    if (t == null)
+      throw new IllegalArgumentException(
+        s"no ADC table for (query_id $queryId, cell $cell)")
+    var s = 0.0
+    var i = 0
+    while (i < t.length) { s += t(i)(codes.getInt(i)); i += 1 }
+    math.sqrt(s)
+  }
+}
+
+/** STRUCT<cell INT, codes ARRAY<INT>> of a vector: one argmin-centroid
+  * pass picks the cell, then the residual is PQ-encoded — a single
+  * native-codegen expression so the per-row cost is one cell argmin plus
+  * one residual encode, with no UDF encoder round-trip and no second
+  * argmin for the cell column (same touches-every-row standard as
+  * LshHashesExpr / IvfCellExpr / PqEncodeExpr). */
+case class IvfPqEncodeExpr(child: Expression, model: IvfPqModel)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "ivfpq_encode"
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(SparkShim.typeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
+  override def dataType: DataType = IvfPqExpressions.EncodedType
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(av: Any): Any =
+    model.encodeRowData(av.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfPqModel", model, classOf[IvfPqModel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.encodeRowData($a, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** DOUBLE approximate L2 distance of (query_id BIGINT, cell INT,
+  * codes ARRAY<INT>) via the broadcast residual ADC tables: m lookups. */
+case class IvfPqAdcDistExpr(first: Expression, second: Expression,
+                            third: Expression, tables: IvfPqAdcTables)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "ivfpq_adc_dist"
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, IntegerType, ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(qid: Any, cell: Any, codes: Any): Any =
+    tables.dist(qid.asInstanceOf[Long], cell.asInstanceOf[Int],
+      codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfPqTables", tables, classOf[IvfPqAdcTables].getName)
+    nullSafeCodeGen(ctx, ev, (q, c, cs) => s"${ev.value} = $ref.dist($q, $c, $cs);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object IvfPqExpressions {
+  import SparkShim.{column, expression}
+
+  val EncodedType: StructType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  def ivfPqEncode(model: IvfPqModel, v: Column): Column =
+    column(IvfPqEncodeExpr(expression(v), model))
+
+  def ivfPqAdcDist(tables: IvfPqAdcTables, queryId: Column, cell: Column,
+                   codes: Column): Column =
+    column(IvfPqAdcDistExpr(expression(queryId), expression(cell),
+      expression(codes), tables))
+}

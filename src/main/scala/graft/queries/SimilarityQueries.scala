@@ -32,6 +32,13 @@ object SimilarityQueries extends QueryPack {
     * dump-and-check gates the same index the searches use. */
   val ivfConfig: IvfConfig = IvfConfig(nCells = 16, nProbe = 8, seed = 42L)
 
+  /** IVF-PQ: same coarse geometry as [[ivfConfig]], same code budget as
+    * `q_pq_recall`'s PqConfig — so the two recall queries isolate exactly
+    * the residual-encoding + cell-pruning delta. */
+  val ivfPqConfig: graft.ann.ivfpq.IvfPqConfig = graft.ann.ivfpq.IvfPqConfig(
+    nCells = 16, nProbe = 8, numSubvectors = 16, codesPerSubvector = 16,
+    seed = 42L)
+
   /** Where `q_ivf_cell_stats` dumps the (vec_id, cell) assignment so its
     * DuckDB oracle can check the index BUILD cross-engine: Σ per-cell
     * counts must equal `count(*) FROM embeddings` (every vector assigned
@@ -140,6 +147,47 @@ object SimilarityQueries extends QueryPack {
         .orderBy("cell")
     }),
 
+    // IVF-PQ (IVFADC) rerank search: cell-pruned ADC candidates + exact
+    // re-rank — returned distances are exact, so the DuckDB oracle
+    // recomputes every returned pair's distance from the embeddings
+    // table and re-derives `valid` cross-engine (same gate as
+    // q_ivf_search_l2; the seeded two-quantizer fit stays spec-gated in
+    // IvfPqSpec).
+    "q_ivfpq_search_l2" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graft.ann.ivfpq.IvfPq.train(e, "vec_id", "embedding", ivfPqConfig)
+      val res = Eval.withValidity(
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        e, q, ExactNN.L2)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfpq_l2")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // IVF-PQ recall: ADC-only vs ADC+exact-rerank against exact ground
+    // truth, both prediction sets dumped so the DuckDB oracle recomputes
+    // the ground truth and both recall aggregates cross-engine (mirrors
+    // q_pq_recall — the delta between the two queries is the residual
+    // encoding + cell pruning).
+    "q_ivfpq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graft.ann.ivfpq.IvfPq.train(e, "vec_id", "embedding", ivfPqConfig)
+      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
+      val adcPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
+        s"$dumpBase/ivfpq_adc")
+      val rerPred = LshQueries.dumpAndReload(s,
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        s"$dumpBase/ivfpq_rerank")
+      val adc = Eval.setPrecisionRecall(adcPred, gt)
+        .agg(round(avg("recall"), 4).as("adc_recall"))
+      val rer = Eval.setPrecisionRecall(rerPred, gt)
+        .agg(round(avg("recall"), 4).as("rerank_recall"))
+      adc.crossJoin(rer)
+    }),
+
     // PQ compressed-search recall: ADC-only vs ADC+exact-rerank against
     // exact ground truth. Both prediction sets are dumped so the DuckDB
     // oracle recomputes the ground truth and both recall aggregates
@@ -197,6 +245,66 @@ object SimilarityQueries extends QueryPack {
     "q_ivf_recall" -> LshQueries.recallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_recall_l2/*.parquet",
       LshQueries.L2DistSql, None, K),
+
+    // Every returned IVF-PQ rerank row re-verified from the raw
+    // embeddings (rerank distances are exact by construction, so a
+    // mismatch means a broken encode/probe/rerank path).
+    "q_ivfpq_search_l2" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfpq_l2/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    // Both IVF-PQ prediction dumps graded against DuckDB's own exact-NN
+    // ground truth (same shape as q_pq_recall's oracle).
+    "q_ivfpq_recall" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+         |),
+         |sc AS (
+         |  SELECT qs.query_id, e.vec_id,
+         |         ${LshQueries.L2DistSql} AS dist
+         |  FROM qs CROSS JOIN embeddings e
+         |),
+         |gt AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= $K
+         |),
+         |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
+         |pa AS (SELECT query_id, vec_id FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfpq_adc/*.parquet')),
+         |npa AS (SELECT query_id, count(*) AS n_pred FROM pa GROUP BY query_id),
+         |ha AS (
+         |  SELECT pa.query_id, count(*) AS valid
+         |  FROM pa JOIN gt USING (query_id, vec_id) GROUP BY pa.query_id
+         |),
+         |ra AS (
+         |  SELECT round(avg(round(coalesce(ha.valid, 0) / ng.n_gt, 6)), 4) AS adc_recall
+         |  FROM npa JOIN ng USING (query_id) LEFT JOIN ha USING (query_id)
+         |),
+         |pb AS (SELECT query_id, vec_id FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfpq_rerank/*.parquet')),
+         |npb AS (SELECT query_id, count(*) AS n_pred FROM pb GROUP BY query_id),
+         |hb AS (
+         |  SELECT pb.query_id, count(*) AS valid
+         |  FROM pb JOIN gt USING (query_id, vec_id) GROUP BY pb.query_id
+         |),
+         |rb AS (
+         |  SELECT round(avg(round(coalesce(hb.valid, 0) / ng.n_gt, 6)), 4) AS rerank_recall
+         |  FROM npb JOIN ng USING (query_id) LEFT JOIN hb USING (query_id)
+         |)
+         |SELECT ra.adc_recall, rb.rerank_recall FROM ra, rb""".stripMargin,
 
     // Both PQ prediction dumps graded against DuckDB's own exact-NN
     // ground truth; per-query recall mirrors Eval.setPrecisionRecall
