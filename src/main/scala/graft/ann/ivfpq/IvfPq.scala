@@ -42,6 +42,13 @@ import graft.ann.pq.{PqConfig, PqModel}
   * pruning, vs PQ-alone's full compressed scan and IVF-alone's float
   * reads), and the fit stays a driver-side bounded sample.
   *
+  * Angular mode (`config.angular`) quantizes the unit sphere — sample,
+  * corpus and queries are L2-normalized before cell/code assignment
+  * (cosine ranking == L2 ranking on normalized vectors, the same
+  * coupling the reference ties to its angular metric,
+  * lsh/hasher.go:121-132) — and `searchRerank` reranks by exact cosine
+  * distance.
+  *
   * Deterministic end-to-end: seeded sample, deterministic k-means init,
   * fixed iterations, ties by lowest cell/code id.
   */
@@ -52,7 +59,8 @@ final case class IvfPqConfig(
     codesPerSubvector: Int = 16,
     iters: Int = 10,
     seed: Long = 42L,
-    sampleCap: Int = 100000) {
+    sampleCap: Int = 100000,
+    angular: Boolean = false) {
   def ivfConfig: IvfConfig =
     IvfConfig(nCells, nProbe, iters, seed, sampleCap)
   def pqConfig: PqConfig =
@@ -64,6 +72,23 @@ final class IvfPqModel(val config: IvfPqConfig, val ivf: IvfModel,
 
   def dims: Int = pq.dims
 
+  /** Angular mode quantizes the unit sphere (cosine ranking == L2
+    * ranking on normalized vectors) — same normalize-first semantics as
+    * [[graft.ann.lsh.LshModel.hashes]], zero-norm vectors pass through. */
+  private def maybeNormalize(v: Array[Double]): Array[Double] = {
+    if (!config.angular) return v
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n <= graft.functions.VectorFunctions.Tol) v
+    else {
+      val out = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { out(j) = v(j) / n; j += 1 }
+      out
+    }
+  }
+
   /** `v - centroid(cell)`, fresh array. */
   def residual(v: Array[Double], cell: Int): Array[Double] = {
     val c = ivf.centroids(cell)
@@ -74,7 +99,8 @@ final class IvfPqModel(val config: IvfPqConfig, val ivf: IvfModel,
   }
 
   /** Driver-side encode: (cell, residual PQ codes). */
-  def encode(v: Array[Double]): (Int, Array[Int]) = {
+  def encode(v0: Array[Double]): (Int, Array[Int]) = {
+    val v = maybeNormalize(v0)
     val cell = ivf.cellOf(v)
     (cell, pq.encode(residual(v, cell)))
   }
@@ -83,12 +109,13 @@ final class IvfPqModel(val config: IvfPqConfig, val ivf: IvfModel,
     * out of Tungsten ArrayData — the native-expression path
     * ([[IvfPqEncodeExpr]]); returns the STRUCT<cell, codes> row. */
   def encodeRowData(a: ArrayData, isFloat: Boolean): InternalRow = {
-    val v = new Array[Double](dims)
+    var v = new Array[Double](dims)
     var i = 0
     while (i < dims) {
       v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       i += 1
     }
+    v = maybeNormalize(v)
     val cell = ivf.cellOf(v)
     val c = ivf.centroids(cell)
     i = 0
@@ -107,7 +134,8 @@ final class IvfPqModel(val config: IvfPqConfig, val ivf: IvfModel,
   /** Residual ADC tables for each (query, probed cell) pair —
     * nQueries x nProbe tables of m x k doubles, built driver-side. */
   def adcTables(qRows: Array[(Long, Array[Double])]): IvfPqAdcTables = {
-    val entries = qRows.flatMap { case (qid, qv) =>
+    val entries = qRows.flatMap { case (qid, qv0) =>
+      val qv = maybeNormalize(qv0)
       ivf.probeCells(qv).map { cell =>
         (qid, cell, pq.adcTable(residual(qv, cell)))
       }
@@ -129,7 +157,13 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     val tables = model.adcTables(qRows)
-    val probes = model.ivf.probeRows(queries, "query_id", "qv")
+    // probe generation runs the IvfProbesExpr over the qv column, which
+    // expects the quantized space — normalize first in angular mode
+    val probeInput =
+      if (!model.config.angular) queries
+      else queries.withColumn("qv",
+        graft.functions.VectorFunctions.l2Normalize(col("qv")))
+    val probes = model.ivf.probeRows(probeInput, "query_id", "qv")
       .select(col("query_id").cast(LongType).as("query_id"), col("cell"))
     val scored = codes
       .join(broadcast(probes), "cell")
@@ -147,12 +181,18 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
                    rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
     val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
+    // angular mode reranks by exact cosine distance (scale-invariant, so
+    // the raw float vectors need no normalization here); L2 otherwise
+    val distCol =
+      if (model.config.angular)
+        graft.functions.exprs.cosineDistNative(col("qv"), col("embedding"))
+      else
+        graft.functions.exprs.l2DistNative(col("qv"), col("embedding"))
     val exact = vectors
       .join(broadcast(cands), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("vec_id"),
-        round(graft.functions.exprs.l2DistNative(col("qv"), col("embedding")),
-          roundTo).as("dist"))
+        round(distCol, roundTo).as("dist"))
     TopK.perQueryTopK(exact, k)
   }
 
@@ -178,9 +218,9 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
       .write.mode("overwrite").parquet(s"$path/codebooks")
     Seq((m.config.nCells, m.config.nProbe, m.config.numSubvectors,
       m.config.codesPerSubvector, m.config.iters, m.config.seed,
-      m.config.sampleCap, m.dims))
+      m.config.sampleCap, m.config.angular, m.dims))
       .toDF("n_cells", "n_probe", "num_subvectors", "codes_per_subvector",
-        "iters", "seed", "sample_cap", "dims")
+        "iters", "seed", "sample_cap", "angular", "dims")
       .write.mode("overwrite").parquet(s"$path/meta")
     codes
       .repartition(col("cell"))
@@ -203,7 +243,8 @@ object IvfPq {
       codesPerSubvector = meta.getAs[Int]("codes_per_subvector"),
       iters = meta.getAs[Int]("iters"),
       seed = meta.getAs[Long]("seed"),
-      sampleCap = meta.getAs[Int]("sample_cap"))
+      sampleCap = meta.getAs[Int]("sample_cap"),
+      angular = meta.getAs[Boolean]("angular"))
     val dims = meta.getAs[Int]("dims")
     val centroids = spark.read.parquet(s"$path/centroids")
       .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
@@ -230,7 +271,15 @@ object IvfPq {
       if (total <= config.sampleCap) df
       else df.sample(withReplacement = false,
         fraction = config.sampleCap.toDouble / total, seed = config.seed)
-    val vecs = FitSample.collectVectors(sampled, vecCol)
+    val raw = FitSample.collectVectors(sampled, vecCol)
+    // angular: both quantizers fit the unit sphere (same space the
+    // transform/search paths normalize into)
+    val vecs = if (!config.angular) raw else raw.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n <= graft.functions.VectorFunctions.Tol) v else v.map(_ / n)
+    }
     val dims = vecs(0).length
     require(dims % config.numSubvectors == 0,
       s"dims $dims must divide into ${config.numSubvectors} subvectors")

@@ -117,6 +117,30 @@ class IvfPqSpec extends AnyFunSuite with SparkSpecBase {
     assert(rerankRecall >= adcRecall)
   }
 
+  test("angular mode: quantizes the unit sphere, reranks by exact cosine, round-trips") {
+    val acfg = cfg.copy(angular = true)
+    val q = emb.orderBy("vec_id").limit(50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val idx = IvfPq.train(emb, "vec_id", "embedding", acfg)
+    val gt = ExactNN.topK(q, emb, 10, ExactNN.Cosine)
+    val rerankRecall = graft.eval.Eval.setPrecisionRecall(
+      idx.searchRerank(q, emb.select($"vec_id", $"embedding"), k = 10,
+        rerankDepth = 100), gt)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(rerankRecall >= 0.8, s"angular reranked recall $rerankRecall")
+
+    val dir = Files.createTempDirectory("ivfpq_ang").toString
+    idx.save(spark, dir)
+    val reopened = IvfPq.load(spark, dir)
+    assert(reopened.model.config.angular)
+    val a = idx.searchAll(q, 10)
+      .orderBy("query_id", "dist", "vec_id").collect().toSeq
+    val b = reopened.searchAll(q, 10)
+      .orderBy("query_id", "dist", "vec_id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("IVF-PQ index round-trip: identical search results, cell-partitioned layout") {
     val dir = Files.createTempDirectory("ivfpq_idx").toString
     val idx = IvfPq.train(emb, "vec_id", "embedding", cfg)
