@@ -31,8 +31,9 @@ import graft.ann.pq.{PqConfig, PqModel}
   *     table is equi-joined on `cell` against the broadcast probe rows
   *     (partition-prunable at rest via [[IvfPqIndex.save]]'s
   *     `partitionBy(cell)` layout); a candidate's distance is m table
-  *     lookups in the per-(query, cell) residual ADC table — the float
-  *     corpus is never touched;
+  *     lookups in the per-(query, cell) residual ADC table, built lazily
+  *     executor-side with bounded memoization ([[IvfPqAdcTables]]) — the
+  *     float corpus is never touched;
   *   - `searchRerank`: the deployment shape — ADC retrieves a deeper
   *     candidate list from the compressed codes, then only those rows
   *     touch the float vectors for exact re-ranking.
@@ -131,17 +132,13 @@ final class IvfPqModel(val config: IvfPqConfig, val ivf: IvfModel,
       .select(col("vec_id"), col("enc.cell").as("cell"),
         col("enc.codes").as("codes"))
 
-  /** Residual ADC tables for each (query, probed cell) pair —
-    * nQueries x nProbe tables of m x k doubles, built driver-side. */
-  def adcTables(qRows: Array[(Long, Array[Double])]): IvfPqAdcTables = {
-    val entries = qRows.flatMap { case (qid, qv0) =>
-      val qv = maybeNormalize(qv0)
-      ivf.probeCells(qv).map { cell =>
-        (qid, cell, pq.adcTable(residual(qv, cell)))
-      }
-    }
-    new IvfPqAdcTables(config.nCells, entries)
-  }
+  /** Residual ADC table provider: ships the model + normalized query
+    * vectors (KBs-MBs) and builds each (query, probed-cell) m x k table
+    * lazily executor-side with bounded memoization — the eager
+    * driver-side form is Q x nProbe x m x k doubles and OOMs at scale
+    * (see [[IvfPqAdcTables]]). */
+  def adcTables(qRows: Array[(Long, Array[Double])]): IvfPqAdcTables =
+    new IvfPqAdcTables(this, qRows.map { case (id, v) => id -> maybeNormalize(v) })
 }
 
 final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
@@ -165,7 +162,15 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
         graft.functions.VectorFunctions.l2Normalize(col("qv")))
     val probes = model.ivf.probeRows(probeInput, "query_id", "qv")
       .select(col("query_id").cast(LongType).as("query_id"), col("cell"))
+    // cluster the scan by cell before scoring (map-side local sort, no
+    // shuffle): candidate rows then hit the lazy ADC cache in cell runs —
+    // each (query, cell) table is built once per run instead of being
+    // evicted and rebuilt as corpus-ordered rows interleave cells. This
+    // is the DataFrame form of scanning IVF inverted lists list-by-list;
+    // codes loaded from the partitionBy(cell) layout are already
+    // clustered and the sort is a near-no-op.
     val scored = codes
+      .sortWithinPartitions("cell")
       .join(broadcast(probes), "cell")
       .select(col("query_id"), col("vec_id"),
         round(IvfPqExpressions.ivfPqAdcDist(tables, col("query_id"),

@@ -8,31 +8,56 @@ import org.apache.spark.sql.graftshim.SparkShim
 import org.apache.spark.sql.graftshim.SparkShim.AbstractDataType
 import org.apache.spark.sql.types._
 
-/** Precomputed per-(query, probed-cell) RESIDUAL ADC tables — the IVF-PQ
-  * twist on [[graft.ann.pq.PqAdcTables]]: because codes quantize the
-  * residual `v - centroid(cell)`, the query-side lookup table differs per
-  * probed cell (`q - centroid(cell)` vs each codebook centroid). Keyed by
-  * `query_id * nCells + cell` (collision-free: cell < nCells), built
-  * driver-side for exactly the nProbe cells each query probes, and
-  * shipped into generated code as a plan reference object. Size is
-  * nQueries x nProbe x m x k doubles — broadcast-tiny by construction.
+/** Per-(query, probed-cell) RESIDUAL ADC tables — the IVF-PQ twist on
+  * [[graft.ann.pq.PqAdcTables]]: because codes quantize the residual
+  * `v - centroid(cell)`, the query-side lookup table differs per probed
+  * cell (`q - centroid(cell)` vs each codebook centroid).
+  *
+  * Tables are computed LAZILY ON EXECUTORS, not precomputed driver-side:
+  * the eager form is nQueries x nProbe x m x k doubles — ~420 MB at just
+  * 100 queries x 128 probes x 16x256, which OOM'd the task-binary ship at
+  * the 1M-corpus probe and grows linearly in query count. What ships
+  * instead is the model + the (normalized) query vectors (nQueries x dims
+  * doubles — KBs to low MBs), and each (query_id, cell) table is built on
+  * first touch and memoized in a bounded per-JVM cache (keyed
+  * `query_id * nCells + cell`, collision-free since cell < nCells). A
+  * table costs m x k x subDim mult-adds to build — amortized over every
+  * candidate in that (query, cell) bucket — and the cache clears wholesale
+  * if it ever exceeds `maxCacheEntries` (tables are cheap to rebuild, so
+  * eviction can be crude; the bound is what matters at 100 TB).
   */
-final class IvfPqAdcTables(nCells: Int,
-                           entries: Array[(Long, Int, Array[Array[Double]])])
+final class IvfPqAdcTables(model: IvfPqModel,
+                           queryVecs: Array[(Long, Array[Double])],
+                           maxCacheEntries: Int = 4096)
     extends Serializable {
 
-  private val tables = {
-    val m = new java.util.HashMap[java.lang.Long, Array[Array[Double]]](entries.length * 2)
-    entries.foreach { case (qid, cell, t) => m.put(qid * nCells + cell, t) }
+  private val nCells = model.config.nCells
+
+  private val qv = {
+    val m = new java.util.HashMap[java.lang.Long, Array[Double]](queryVecs.length * 2)
+    queryVecs.foreach { case (id, v) => m.put(id, v) }
     m
+  }
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Array[Double]]]()
+
+  private def tableFor(queryId: Long, cell: Int): Array[Array[Double]] = {
+    val key: java.lang.Long = queryId * nCells + cell
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val q = qv.get(queryId)
+    if (q == null)
+      throw new IllegalArgumentException(s"no query vector for query_id $queryId")
+    val t = model.pq.adcTable(model.residual(q, cell))
+    if (cache.size >= maxCacheEntries) cache.clear()
+    cache.put(key, t)
+    t
   }
 
   /** sqrt of the summed per-subvector lookups for one candidate in `cell`. */
   def dist(queryId: Long, cell: Int, codes: ArrayData): Double = {
-    val t = tables.get(queryId * nCells + cell)
-    if (t == null)
-      throw new IllegalArgumentException(
-        s"no ADC table for (query_id $queryId, cell $cell)")
+    val t = tableFor(queryId, cell)
     var s = 0.0
     var i = 0
     while (i < t.length) { s += t(i)(codes.getInt(i)); i += 1 }

@@ -47,6 +47,11 @@ object SimilarityQueries extends QueryPack {
     * Root is `-Dgraft.dump.root`-configurable. */
   def CellDumpRoot: String = s"${QueryPack.dumpRoot}/graft_ivf_cell_dump"
 
+  /** Where `q_ivfpq_code_stats` dumps the (vec_id, cell, codes) table so
+    * its DuckDB oracle can check the IVF-PQ BUILD cross-engine (same
+    * contract as [[CellDumpRoot]], plus a codes-length invariant). */
+  def CodeDumpRoot: String = s"${QueryPack.dumpRoot}/graft_ivfpq_code_dump"
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings")
 
@@ -188,6 +193,31 @@ object SimilarityQueries extends QueryPack {
       adc.crossJoin(rer)
     }),
 
+    // IVF-PQ build invariants over the parquet-dumped (vec_id, cell,
+    // codes) table: DuckDB aggregates the SAME dump — `total_ok` is
+    // cross-engine (Spark counts the dump, DuckDB counts embeddings),
+    // `cell_count_ok` bounds occupancy, `codes_len_ok` checks every code
+    // row has exactly numSubvectors entries.
+    "q_ivfpq_code_stats" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = graft.ann.ivfpq.IvfPq.train(e, "vec_id", "embedding", ivfPqConfig)
+      val dump = s"$CodeDumpRoot/${LshQueries.sfName(dir)}"
+      idx.codes.write.mode("overwrite").parquet(dump)
+      val nVecs = e.count()
+      val byCell = s.read.parquet(dump)
+        .groupBy("cell").agg(count(lit(1)).as("n_vectors"),
+          sum(when(size(col("codes")) === ivfPqConfig.numSubvectors, 0L)
+            .otherwise(1L)).as("bad_len"))
+      val inv = byCell.agg(sum("n_vectors").as("tot"), count(lit(1)).as("nc"),
+        sum("bad_len").as("badtot"))
+      byCell.crossJoin(inv)
+        .select(col("cell"), col("n_vectors"),
+          (col("tot") === nVecs).as("total_ok"),
+          (col("nc") <= ivfPqConfig.nCells).as("cell_count_ok"),
+          (col("badtot") === 0L).as("codes_len_ok"))
+        .orderBy("cell")
+    }),
+
     // PQ compressed-search recall: ADC-only vs ADC+exact-rerank against
     // exact ground truth. Both prediction sets are dumped so the DuckDB
     // oracle recomputes the ground truth and both recall aggregates
@@ -305,6 +335,25 @@ object SimilarityQueries extends QueryPack {
          |  FROM npb JOIN ng USING (query_id) LEFT JOIN hb USING (query_id)
          |)
          |SELECT ra.adc_recall, rb.rerank_recall FROM ra, rb""".stripMargin,
+
+    "q_ivfpq_code_stats" ->
+      s"""WITH c AS (
+         |  SELECT * FROM read_parquet('$CodeDumpRoot/sf0.01/*.parquet')
+         |),
+         |nv AS (SELECT count(*) AS n FROM embeddings),
+         |st AS (
+         |  SELECT cell, count(*)::BIGINT AS n_vectors,
+         |         sum(CASE WHEN len(codes) = ${ivfPqConfig.numSubvectors}
+         |             THEN 0 ELSE 1 END)::BIGINT AS bad
+         |  FROM c GROUP BY cell
+         |),
+         |inv AS (SELECT sum(n_vectors)::BIGINT AS tot, count(*) AS nc,
+         |               sum(bad)::BIGINT AS badtot FROM st)
+         |SELECT st.cell, st.n_vectors,
+         |       inv.tot = nv.n AS total_ok,
+         |       inv.nc <= ${ivfPqConfig.nCells} AS cell_count_ok,
+         |       inv.badtot = 0 AS codes_len_ok
+         |FROM st, inv, nv ORDER BY st.cell""".stripMargin,
 
     // Both PQ prediction dumps graded against DuckDB's own exact-NN
     // ground truth; per-query recall mirrors Eval.setPrecisionRecall

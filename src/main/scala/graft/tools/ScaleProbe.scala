@@ -97,6 +97,39 @@ object ScaleProbe {
         idx.buckets.unpersist(); idx.vectors.unpersist()
       }
 
+      // IVF-PQ (opt-in: SPARK_GRAFT_IVFPQ=1): the compressed + pruned
+      // deployment index — ADC over residual codes in probed cells, then
+      // exact re-rank. Measured separately from the always-on pair since
+      // its two-quantizer fit is the most expensive.
+      if (sys.env.get("SPARK_GRAFT_IVFPQ").contains("1")) {
+        val nCells = math.min(1024, math.max(16, math.sqrt(n.toDouble).toInt))
+        val nProbe = sys.env.getOrElse("SPARK_GRAFT_IVFPQ_PROBES",
+          math.max(4, nCells / 8).toString).toInt
+        val depth = sys.env.getOrElse("SPARK_GRAFT_IVFPQ_DEPTH", "100").toInt
+        val ipCfg = graft.ann.ivfpq.IvfPqConfig(
+          nCells = nCells, nProbe = nProbe,
+          numSubvectors = 16, codesPerSubvector = 256, iters = 5,
+          seed = 42L, sampleCap = sampleCap)
+        val (ip, tIpTrain) = time {
+          val i = graft.ann.ivfpq.IvfPq.train(corpus, "vec_id", "embedding", ipCfg)
+          i.codes.persist().count()
+          i
+        }
+        val vecs = corpus.select(col("vec_id"), col("embedding"))
+        val (_, tIp0) = time(ip.searchRerank(queries, vecs, 10, depth).count())
+        val (_, tIp) = time(ip.searchRerank(queries, vecs, 10, depth).count())
+        val ipRecall = Eval.setPrecisionRecall(
+          ip.searchRerank(queries, vecs, 10, depth), gt)
+          .agg(avg("recall")).head().getDouble(0)
+        val adcRecall = Eval.setPrecisionRecall(ip.searchAll(queries, 10), gt)
+          .agg(avg("recall")).head().getDouble(0)
+        println(f"[scale] corpus=$n%,d ivfpq(nCells=$nCells, nProbe=$nProbe, " +
+          f"m=${ipCfg.numSubvectors}, k=${ipCfg.codesPerSubvector}, depth=$depth): " +
+          f"train=${tIpTrain}%.2fs rerank_search=${tIp}%.2fs (warm ${tIp0}%.2f) " +
+          f"recall=$ipRecall%.3f adc_recall=$adcRecall%.3f")
+        ip.codes.unpersist()
+      }
+
       // IVF measured only outside sweep mode (an LSH operating-point
       // sweep doesn't need the k-means fit re-run per invocation).
       if (sweep.isEmpty) {

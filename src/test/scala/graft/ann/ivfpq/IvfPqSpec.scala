@@ -117,6 +117,22 @@ class IvfPqSpec extends AnyFunSuite with SparkSpecBase {
     assert(rerankRecall >= adcRecall)
   }
 
+  test("searchAll plan: probes broadcast into the codes table, no corpus-side shuffle") {
+    val idx = IvfPq.train(emb, "vec_id", "embedding", cfg)
+    val q = emb.orderBy("vec_id").limit(5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val plan = idx.searchAll(q, 3).queryExecution.executedPlan.toString
+    // candidate retrieval must be a broadcast join (probe side is tiny by
+    // construction: nQueries x nProbe rows)
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty, plan)
+    // the only row shuffle allowed is the per-query top-k partitioning —
+    // the (corpus-sized) codes side must reach the join unshuffled
+    val shuffles = "Exchange (hash|range|single)partitioning".r
+      .findAllIn(plan).length
+    assert(shuffles <= 1,
+      s"expected at most the per-query top-k shuffle:\n$plan")
+  }
+
   test("angular mode: quantizes the unit sphere, reranks by exact cosine, round-trips") {
     val acfg = cfg.copy(angular = true)
     val q = emb.orderBy("vec_id").limit(50)
@@ -139,6 +155,45 @@ class IvfPqSpec extends AnyFunSuite with SparkSpecBase {
       .orderBy("query_id", "dist", "vec_id").collect().toSeq
     assert(a === b)
     assert(a.nonEmpty)
+  }
+
+  test("streaming index maintenance: transform over a MemoryStream appends codes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val existing = emb.where($"vec_id" >= 100)
+    val arriving = emb.where($"vec_id" < 100)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+
+    val dir = Files.createTempDirectory("ivfpq_stream").toString
+    val idx = IvfPq.train(existing, "vec_id", "embedding", cfg)
+    idx.save(spark, dir)
+    val before = spark.read.parquet(s"$dir/codes").count()
+
+    // the fitted model's transform is one stateless map-side expression,
+    // so it runs unchanged over a readStream — incremental code-append
+    // keeps the index fresh without refitting either quantizer
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = idx.model.transform(mem.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select($"vec_id", $"cell", $"codes")
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(arriving: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val after = spark.read.parquet(s"$dir/codes").count()
+    assert(after === before + arriving.size)
+    // the reopened index now serves the streamed vectors
+    val reopened = IvfPq.load(spark, dir)
+    val qdf = Seq((arriving.head._1, arriving.head._2.map(_.toDouble)))
+      .toDF("query_id", "qv")
+    val res = reopened.searchAll(qdf, 5).collect()
+    assert(res.map(_.getLong(1)).contains(arriving.head._1)) // finds itself
   }
 
   test("IVF-PQ index round-trip: identical search results, cell-partitioned layout") {
