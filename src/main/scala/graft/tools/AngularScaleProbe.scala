@@ -57,10 +57,19 @@ object AngularScaleProbe {
         (r, (System.nanoTime() - t0) / 1e9)
       }
 
-      val (_, tExact0) = time(
-        ExactNN.topK(queries, corpus, 10, ExactNN.Cosine).count())
-      val (_, tExact) = time(
-        ExactNN.topK(queries, corpus, 10, ExactNN.Cosine).count())
+      // SPARK_GRAFT_SKIP_EXACT=1 drops the two timed exact passes (same
+      // rationale as ScaleProbe: they never change between config sweeps
+      // over the same corpus); ground truth below stays exact.
+      val skipExact = sys.env.get("SPARK_GRAFT_SKIP_EXACT").contains("1")
+      val (tExact0, tExact) =
+        if (skipExact) (Double.NaN, Double.NaN)
+        else {
+          val (_, a) = time(
+            ExactNN.topK(queries, corpus, 10, ExactNN.Cosine).count())
+          val (_, b) = time(
+            ExactNN.topK(queries, corpus, 10, ExactNN.Cosine).count())
+          (a, b)
+        }
       val gt = ExactNN.topK(queries, corpus, 10, ExactNN.Cosine,
         threshold = Some(threshold)).persist()
       gt.count()
