@@ -44,17 +44,26 @@ object Bench {
       }
       name -> (if (times.forall(_._1)) times.map(_._2) else Seq(-1.0, -1.0))
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma decimal separator (e.g. de_DE) would emit invalid JSON.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Both attempt times go to BENCH_SPREAD.json so a reader can separate
     // host-contention noise (attempts disagree >1.5x) from a real plan
     // regression (both attempts slow) without burning a re-run — the
-    // min-only headline cannot distinguish the two across rounds.
+    // min-only headline cannot distinguish the two across rounds. The
+    // write is cwd-relative and best-effort: a missing/read-only
+    // directory must not crash the run AFTER every query already ran and
+    // eat the headline line.
     val spread = attempts.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_SPREAD.json"),
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SPREAD.json"),
       s"""{"sf":"$sfDir","cpus":$cpus,"attempts":$spread}""".getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] BENCH_SPREAD.json write failed: ${e.getMessage}")
+    }
     val results = attempts.map { case (name, ts) =>
       name -> (if (ts.head >= 0) ts.min else -1.0)
     }

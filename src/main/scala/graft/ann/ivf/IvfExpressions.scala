@@ -1,5 +1,6 @@
 package graft.ann.ivf
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -8,23 +9,38 @@ import org.apache.spark.sql.graftshim.SparkShim
 import org.apache.spark.sql.graftshim.SparkShim.AbstractDataType
 import org.apache.spark.sql.types._
 
+import graft.ann.ModelBroadcast
+
 /** Native cell-assignment/probe expressions over the fitted centroids —
   * same design as [[graft.ann.lsh.LshExpressionsSpec LshHashesExpr]]:
-  * the model is a plan reference object and the argmin loop reads
+  * the model ships as a memoized broadcast handle (one deserialized copy
+  * per executor, [[graft.ann.ModelBroadcast]]) and the argmin loop reads
   * elements straight out of Tungsten ArrayData (no encoder round-trip on
   * the assignment path that touches every corpus row). */
 private[ivf] trait IvfModelExpression extends UnaryExpression with ExpectsInputTypes {
-  def model: IvfModel
+  def bcast: Broadcast[IvfModel]
+
+  @transient protected lazy val model: IvfModel = bcast.value
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(SparkShim.typeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
 
   protected def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Codegen: cache `bcast.value()` in a per-operator slot so the
+    * per-row path pays no broadcast lookup. */
+  protected def modelRef(ctx: CodegenContext): String = {
+    val bref = ctx.addReferenceObj("ivfBcast", bcast,
+      classOf[Broadcast[IvfModel]].getName)
+    val cls = classOf[IvfModel].getName
+    ctx.addMutableState(cls, "ivfModel", v => s"$v = ($cls) $bref.value();")
+  }
 }
 
 /** INT id of the closest centroid (ties -> lowest cell). */
-case class IvfCellExpr(child: Expression, model: IvfModel) extends IvfModelExpression {
+case class IvfCellExpr(child: Expression, bcast: Broadcast[IvfModel])
+    extends IvfModelExpression {
   override def prettyName: String = "ivf_cell"
   override def dataType: DataType = IntegerType
 
@@ -32,15 +48,16 @@ case class IvfCellExpr(child: Expression, model: IvfModel) extends IvfModelExpre
     model.cellOfData(av.asInstanceOf[ArrayData], isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("ivfModel", model, classOf[IvfModel].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.cellOfData($a, $isFloat);")
+    val mref = modelRef(ctx)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mref.cellOfData($a, $isFloat);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** ARRAY<INT> of the nProbe closest cells, ascending distance. */
-case class IvfProbesExpr(child: Expression, model: IvfModel) extends IvfModelExpression {
+case class IvfProbesExpr(child: Expression, bcast: Broadcast[IvfModel])
+    extends IvfModelExpression {
   override def prettyName: String = "ivf_probes"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -48,10 +65,10 @@ case class IvfProbesExpr(child: Expression, model: IvfModel) extends IvfModelExp
     new GenericArrayData(model.probeCellsData(av.asInstanceOf[ArrayData], isFloat))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("ivfModel", model, classOf[IvfModel].getName)
+    val mref = modelRef(ctx)
     nullSafeCodeGen(ctx, ev, a =>
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  $ref.probeCellsData($a, $isFloat));""".stripMargin)
+         |  $mref.probeCellsData($a, $isFloat));""".stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -61,8 +78,8 @@ object IvfExpressions {
   import SparkShim.{column, expression}
 
   def ivfCell(model: IvfModel, v: Column): Column =
-    column(IvfCellExpr(expression(v), model))
+    column(IvfCellExpr(expression(v), ModelBroadcast.of(model)))
 
   def ivfProbes(model: IvfModel, v: Column): Column =
-    column(IvfProbesExpr(expression(v), model))
+    column(IvfProbesExpr(expression(v), ModelBroadcast.of(model)))
 }

@@ -299,17 +299,14 @@ object IvfPq {
     }
     val subDim = dims / config.numSubvectors
     // per-subvector codebooks are independent: fit concurrently (same
-    // pattern as Pq.fit), each a deterministic Lloyd's over the residuals
+    // pattern as Pq.fit), each a deterministic Lloyd's over the
+    // residuals; ParallelFit propagates failures
     val codebooks = new Array[Array[Array[Double]]](config.numSubvectors)
-    val threads = (0 until config.numSubvectors).map { s =>
-      val t = new Thread(() => {
-        val sub = residuals.map(v =>
-          java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
-        codebooks(s) = Ivf.lloyd(sub, config.codesPerSubvector, config.iters)
-      })
-      t.start(); t
+    graft.ann.ParallelFit.run(config.numSubvectors) { s =>
+      val sub = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      codebooks(s) = Ivf.lloyd(sub, config.codesPerSubvector, config.iters)
     }
-    threads.foreach(_.join())
     new IvfPqModel(config, ivfModel,
       new PqModel(config.pqConfig, dims, codebooks))
   }

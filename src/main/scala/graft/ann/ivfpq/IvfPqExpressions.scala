@@ -1,5 +1,6 @@
 package graft.ann.ivfpq
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -19,12 +20,16 @@ import org.apache.spark.sql.types._
   * the 1M-corpus probe and grows linearly in query count. What ships
   * instead is the model + the (normalized) query vectors (nQueries x dims
   * doubles — KBs to low MBs), and each (query_id, cell) table is built on
-  * first touch and memoized in a bounded per-JVM cache (keyed
-  * `query_id * nCells + cell`, collision-free since cell < nCells). A
-  * table costs m x k x subDim mult-adds to build — amortized over every
-  * candidate in that (query, cell) bucket — and the cache clears wholesale
-  * if it ever exceeds `maxCacheEntries` (tables are cheap to rebuild, so
-  * eviction can be crude; the bound is what matters at 100 TB).
+  * first touch and memoized (keyed `query_id * nCells + cell`,
+  * collision-free since cell < nCells). The provider itself rides as a
+  * broadcast handle ([[graft.ann.ModelBroadcast]]), so ONE instance — and
+  * therefore one shared cache — exists per executor JVM rather than one
+  * per task. A table costs m x k x subDim mult-adds to build — amortized
+  * over every candidate in that (query, cell) bucket, with hit rate kept
+  * high by `searchAll`'s cell-clustered scan — and the cache clears
+  * wholesale if it ever exceeds `maxCacheEntries` (tables are cheap to
+  * rebuild, so eviction can be crude; the JVM-wide bound of
+  * maxCacheEntries x m x k doubles is what matters at 100 TB).
   */
 final class IvfPqAdcTables(model: IvfPqModel,
                            queryVecs: Array[(Long, Array[Double])],
@@ -71,10 +76,12 @@ final class IvfPqAdcTables(model: IvfPqModel,
   * one residual encode, with no UDF encoder round-trip and no second
   * argmin for the cell column (same touches-every-row standard as
   * LshHashesExpr / IvfCellExpr / PqEncodeExpr). */
-case class IvfPqEncodeExpr(child: Expression, model: IvfPqModel)
+case class IvfPqEncodeExpr(child: Expression, bcast: Broadcast[IvfPqModel])
     extends UnaryExpression with ExpectsInputTypes {
 
   override def prettyName: String = "ivfpq_encode"
+
+  @transient private lazy val model: IvfPqModel = bcast.value
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(SparkShim.typeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
@@ -87,8 +94,11 @@ case class IvfPqEncodeExpr(child: Expression, model: IvfPqModel)
     model.encodeRowData(av.asInstanceOf[ArrayData], isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("ivfPqModel", model, classOf[IvfPqModel].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.encodeRowData($a, $isFloat);")
+    val bref = ctx.addReferenceObj("ivfPqBcast", bcast,
+      classOf[Broadcast[IvfPqModel]].getName)
+    val cls = classOf[IvfPqModel].getName
+    val mref = ctx.addMutableState(cls, "ivfPqModel", v => s"$v = ($cls) $bref.value();")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $mref.encodeRowData($a, $isFloat);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -97,10 +107,12 @@ case class IvfPqEncodeExpr(child: Expression, model: IvfPqModel)
 /** DOUBLE approximate L2 distance of (query_id BIGINT, cell INT,
   * codes ARRAY<INT>) via the broadcast residual ADC tables: m lookups. */
 case class IvfPqAdcDistExpr(first: Expression, second: Expression,
-                            third: Expression, tables: IvfPqAdcTables)
+                            third: Expression, bcast: Broadcast[IvfPqAdcTables])
     extends TernaryExpression with ExpectsInputTypes {
 
   override def prettyName: String = "ivfpq_adc_dist"
+
+  @transient private lazy val tables: IvfPqAdcTables = bcast.value
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(LongType, IntegerType, ArrayType(IntegerType))
@@ -111,8 +123,11 @@ case class IvfPqAdcDistExpr(first: Expression, second: Expression,
       codes.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("ivfPqTables", tables, classOf[IvfPqAdcTables].getName)
-    nullSafeCodeGen(ctx, ev, (q, c, cs) => s"${ev.value} = $ref.dist($q, $c, $cs);")
+    val bref = ctx.addReferenceObj("ivfPqTablesBcast", bcast,
+      classOf[Broadcast[IvfPqAdcTables]].getName)
+    val cls = classOf[IvfPqAdcTables].getName
+    val tref = ctx.addMutableState(cls, "ivfPqTables", v => s"$v = ($cls) $bref.value();")
+    nullSafeCodeGen(ctx, ev, (q, c, cs) => s"${ev.value} = $tref.dist($q, $c, $cs);")
   }
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
@@ -129,10 +144,10 @@ object IvfPqExpressions {
       nullable = false)))
 
   def ivfPqEncode(model: IvfPqModel, v: Column): Column =
-    column(IvfPqEncodeExpr(expression(v), model))
+    column(IvfPqEncodeExpr(expression(v), graft.ann.ModelBroadcast.of(model)))
 
   def ivfPqAdcDist(tables: IvfPqAdcTables, queryId: Column, cell: Column,
                    codes: Column): Column =
     column(IvfPqAdcDistExpr(expression(queryId), expression(cell),
-      expression(codes), tables))
+      expression(codes), graft.ann.ModelBroadcast.of(tables)))
 }

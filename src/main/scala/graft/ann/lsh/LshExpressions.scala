@@ -29,27 +29,8 @@ import org.apache.spark.sql.types._
   * repeated `transform`/`searchAll` calls over the same index reuse it.
   */
 object LshModelBroadcast {
-  // value held WEAKLY: a Broadcast strongly references its payload, so a
-  // strong value would pin the weak key forever and the cache would leak
-  // one broadcast per trained model in a long-running session. Weak on
-  // both sides, an entry lives exactly as long as some plan (expression)
-  // still holds the broadcast — once nothing does, the handle is
-  // collected and Spark's ContextCleaner reclaims the executor blocks;
-  // a later call simply re-broadcasts.
-  private val cache =
-    new java.util.WeakHashMap[LshModel, java.lang.ref.WeakReference[Broadcast[LshModel]]]()
-
-  def of(model: LshModel): Broadcast[LshModel] = cache.synchronized {
-    val ref = cache.get(model)
-    val hit = if (ref == null) null else ref.get()
-    if (hit != null) hit
-    else {
-      val b = org.apache.spark.sql.SparkSession.active
-        .sparkContext.broadcast(model)
-      cache.put(model, new java.lang.ref.WeakReference(b))
-      b
-    }
-  }
+  def of(model: LshModel): Broadcast[LshModel] =
+    graft.ann.ModelBroadcast.of(model)
 }
 
 private[lsh] trait LshModelExpression extends UnaryExpression with ExpectsInputTypes {

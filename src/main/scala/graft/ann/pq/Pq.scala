@@ -219,15 +219,13 @@ object Pq {
     val subDim = dims / config.numSubvectors
     // per-subvector codebooks are independent: fit them concurrently,
     // reusing the IVF module's deterministic parallel Lloyd's
+    // (ParallelFit propagates a dead thread's failure instead of leaving
+    // a null codebook slot and a delayed NPE)
     val codebooks = new Array[Array[Array[Double]]](config.numSubvectors)
-    val threads = (0 until config.numSubvectors).map { s =>
-      val t = new Thread(() => {
-        val sub = vecs.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
-        codebooks(s) = graft.ann.ivf.Ivf.lloyd(sub, config.codesPerSubvector, config.iters)
-      })
-      t.start(); t
+    graft.ann.ParallelFit.run(config.numSubvectors) { s =>
+      val sub = vecs.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      codebooks(s) = graft.ann.ivf.Ivf.lloyd(sub, config.codesPerSubvector, config.iters)
     }
-    threads.foreach(_.join())
     new PqModel(config, dims, codebooks)
   }
 

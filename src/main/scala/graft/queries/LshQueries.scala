@@ -203,6 +203,54 @@ object LshQueries extends QueryPack {
        |FROM pr""".stripMargin
   }
 
+  /** Dual-dump variant of [[recallOracle]] for the compressed-index
+    * recall queries (`q_pq_recall`, `q_ivfpq_recall`): one exact-NN
+    * ground truth recomputed by DuckDB, two prediction dumps (ADC-only
+    * and ADC+rerank) graded against it — `(adc_recall, rerank_recall)`.
+    * Join shapes mirror [[graft.eval.Eval.setPrecisionRecall]] exactly
+    * (n_pred inner-joined so a query absent from a dump drops out, hits
+    * left-joined and coalesced to 0). */
+  private[queries] def dualRecallOracle(adcGlob: String, rerankGlob: String,
+                                        k: Int): String =
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+       |),
+       |sc AS (
+       |  SELECT qs.query_id, e.vec_id,
+       |         $L2DistSql AS dist
+       |  FROM qs CROSS JOIN embeddings e
+       |),
+       |gt AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+       |    FROM sc
+       |  ) WHERE rn <= $k
+       |),
+       |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
+       |pa AS (SELECT query_id, vec_id FROM read_parquet('$adcGlob')),
+       |npa AS (SELECT query_id, count(*) AS n_pred FROM pa GROUP BY query_id),
+       |ha AS (
+       |  SELECT pa.query_id, count(*) AS valid
+       |  FROM pa JOIN gt USING (query_id, vec_id) GROUP BY pa.query_id
+       |),
+       |ra AS (
+       |  SELECT round(avg(round(coalesce(ha.valid, 0) / ng.n_gt, 6)), 4) AS adc_recall
+       |  FROM npa JOIN ng USING (query_id) LEFT JOIN ha USING (query_id)
+       |),
+       |pb AS (SELECT query_id, vec_id FROM read_parquet('$rerankGlob')),
+       |npb AS (SELECT query_id, count(*) AS n_pred FROM pb GROUP BY query_id),
+       |hb AS (
+       |  SELECT pb.query_id, count(*) AS valid
+       |  FROM pb JOIN gt USING (query_id, vec_id) GROUP BY pb.query_id
+       |),
+       |rb AS (
+       |  SELECT round(avg(round(coalesce(hb.valid, 0) / ng.n_gt, 6)), 4) AS rerank_recall
+       |  FROM npb JOIN ng USING (query_id) LEFT JOIN hb USING (query_id)
+       |)
+       |SELECT ra.adc_recall, rb.rerank_recall FROM ra, rb""".stripMargin
+
   /** DuckDB L2 / cosine distance SQL over `qs`/`e` aliases, matching the
     * Spark-side 6-decimal rounding and the cosine near-zero clamp. */
   private[queries] val L2DistSql =

@@ -295,46 +295,11 @@ object SimilarityQueries extends QueryPack {
          |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
 
     // Both IVF-PQ prediction dumps graded against DuckDB's own exact-NN
-    // ground truth (same shape as q_pq_recall's oracle).
-    "q_ivfpq_recall" ->
-      s"""WITH qs AS (
-         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-         |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
-         |),
-         |sc AS (
-         |  SELECT qs.query_id, e.vec_id,
-         |         ${LshQueries.L2DistSql} AS dist
-         |  FROM qs CROSS JOIN embeddings e
-         |),
-         |gt AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
-         |    FROM sc
-         |  ) WHERE rn <= $K
-         |),
-         |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
-         |pa AS (SELECT query_id, vec_id FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfpq_adc/*.parquet')),
-         |npa AS (SELECT query_id, count(*) AS n_pred FROM pa GROUP BY query_id),
-         |ha AS (
-         |  SELECT pa.query_id, count(*) AS valid
-         |  FROM pa JOIN gt USING (query_id, vec_id) GROUP BY pa.query_id
-         |),
-         |ra AS (
-         |  SELECT round(avg(round(coalesce(ha.valid, 0) / ng.n_gt, 6)), 4) AS adc_recall
-         |  FROM npa JOIN ng USING (query_id) LEFT JOIN ha USING (query_id)
-         |),
-         |pb AS (SELECT query_id, vec_id FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfpq_rerank/*.parquet')),
-         |npb AS (SELECT query_id, count(*) AS n_pred FROM pb GROUP BY query_id),
-         |hb AS (
-         |  SELECT pb.query_id, count(*) AS valid
-         |  FROM pb JOIN gt USING (query_id, vec_id) GROUP BY pb.query_id
-         |),
-         |rb AS (
-         |  SELECT round(avg(round(coalesce(hb.valid, 0) / ng.n_gt, 6)), 4) AS rerank_recall
-         |  FROM npb JOIN ng USING (query_id) LEFT JOIN hb USING (query_id)
-         |)
-         |SELECT ra.adc_recall, rb.rerank_recall FROM ra, rb""".stripMargin,
+    // ground truth (same helper as q_pq_recall — the delta between the
+    // two oracles is only the dump paths).
+    "q_ivfpq_recall" -> LshQueries.dualRecallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/ivfpq_adc/*.parquet",
+      s"${LshQueries.SearchDumpRoot}/sf0.01/ivfpq_rerank/*.parquet", K),
 
     "q_ivfpq_code_stats" ->
       s"""WITH c AS (
@@ -356,48 +321,11 @@ object SimilarityQueries extends QueryPack {
          |FROM st, inv, nv ORDER BY st.cell""".stripMargin,
 
     // Both PQ prediction dumps graded against DuckDB's own exact-NN
-    // ground truth; per-query recall mirrors Eval.setPrecisionRecall
-    // (n_pred inner-joined so a query absent from a dump drops out,
-    // hits left-joined and coalesced to 0).
-    "q_pq_recall" ->
-      s"""WITH qs AS (
-         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-         |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
-         |),
-         |sc AS (
-         |  SELECT qs.query_id, e.vec_id,
-         |         ${LshQueries.L2DistSql} AS dist
-         |  FROM qs CROSS JOIN embeddings e
-         |),
-         |gt AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
-         |    FROM sc
-         |  ) WHERE rn <= $K
-         |),
-         |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
-         |pa AS (SELECT query_id, vec_id FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/pq_adc/*.parquet')),
-         |npa AS (SELECT query_id, count(*) AS n_pred FROM pa GROUP BY query_id),
-         |ha AS (
-         |  SELECT pa.query_id, count(*) AS valid
-         |  FROM pa JOIN gt USING (query_id, vec_id) GROUP BY pa.query_id
-         |),
-         |ra AS (
-         |  SELECT round(avg(round(coalesce(ha.valid, 0) / ng.n_gt, 6)), 4) AS adc_recall
-         |  FROM npa JOIN ng USING (query_id) LEFT JOIN ha USING (query_id)
-         |),
-         |pb AS (SELECT query_id, vec_id FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/pq_rerank/*.parquet')),
-         |npb AS (SELECT query_id, count(*) AS n_pred FROM pb GROUP BY query_id),
-         |hb AS (
-         |  SELECT pb.query_id, count(*) AS valid
-         |  FROM pb JOIN gt USING (query_id, vec_id) GROUP BY pb.query_id
-         |),
-         |rb AS (
-         |  SELECT round(avg(round(coalesce(hb.valid, 0) / ng.n_gt, 6)), 4) AS rerank_recall
-         |  FROM npb JOIN ng USING (query_id) LEFT JOIN hb USING (query_id)
-         |)
-         |SELECT ra.adc_recall, rb.rerank_recall FROM ra, rb""".stripMargin,
+    // ground truth (LshQueries.dualRecallOracle mirrors
+    // Eval.setPrecisionRecall's join shapes exactly).
+    "q_pq_recall" -> LshQueries.dualRecallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/pq_adc/*.parquet",
+      s"${LshQueries.SearchDumpRoot}/sf0.01/pq_rerank/*.parquet", K),
 
     // Every dumped candidate pair re-verified from the raw embeddings:
     // DuckDB recomputes the exact cosine (hash-compared against the

@@ -136,7 +136,8 @@ object ScaleProbe {
         val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
         val (ivf, tIvfTrain) = time {
           val i = Ivf.train(corpus, "vec_id", "embedding",
-            IvfConfig(nCells = nCells, nProbe = nCells / 4, seed = 42L))
+            IvfConfig(nCells = nCells, nProbe = nCells / 4, seed = 42L,
+              sampleCap = sampleCap))
           i.cells.persist().count()
           i.vectors.persist().count()
           i
