@@ -107,6 +107,36 @@ object AngularScaleProbe {
           f"speedup=${tExact / tLsh}%.1fx recall=$recall%.3f")
         idx.buckets.unpersist(); idx.vectors.unpersist()
       }
+      // Angular IVF-PQ (opt-in: SPARK_GRAFT_IVFPQ=1) — the compressed
+      // index on the unit sphere: residual codes over cosine cells,
+      // exact-cosine rerank (same knobs as ScaleProbe's L2 block).
+      if (sys.env.get("SPARK_GRAFT_IVFPQ").contains("1")) {
+        val nCells = math.min(1024, math.max(16, math.sqrt(n.toDouble).toInt))
+        val nProbe = sys.env.getOrElse("SPARK_GRAFT_IVFPQ_PROBES",
+          math.max(4, nCells / 8).toString).toInt
+        val depth = sys.env.getOrElse("SPARK_GRAFT_IVFPQ_DEPTH", "500").toInt
+        val ipCfg = graft.ann.ivfpq.IvfPqConfig(
+          nCells = nCells, nProbe = nProbe,
+          numSubvectors = 16, codesPerSubvector = 256, iters = 5,
+          seed = 42L, sampleCap = sampleCap, angular = true)
+        val (ip, tIpTrain) = time {
+          val i = graft.ann.ivfpq.IvfPq.train(corpus, "vec_id", "embedding", ipCfg)
+          i.codes.persist().count()
+          i
+        }
+        val vecs = corpus.select(col("vec_id"), col("embedding"))
+        val (_, tIp0) = time(ip.searchRerank(queries, vecs, 10, depth).count())
+        val (_, tIp) = time(ip.searchRerank(queries, vecs, 10, depth).count())
+        val ipRecall = Eval.setPrecisionRecall(
+          ip.searchRerank(queries, vecs, 10, depth), gt)
+          .agg(avg("recall")).head().getDouble(0)
+        println(f"[angular] corpus=$n%,d dims=256 ivfpq(nCells=$nCells, " +
+          f"nProbe=$nProbe, m=16, k=256, depth=$depth): " +
+          f"train=${tIpTrain}%.2fs rerank_search=${tIp}%.2fs (warm ${tIp0}%.2f) " +
+          f"recall=$ipRecall%.3f")
+        ip.codes.unpersist()
+      }
+
       corpus.unpersist(); gt.unpersist()
     }
     spark.stop()
