@@ -117,12 +117,13 @@ final class IvfIndex(
 
   /** Batch ANN search: probe nProbe cells per query, exact distance over
     * the candidates, per-query top-k (deterministic vec_id tiebreak).
-    * `topKViaAggregator` swaps the row_number() window for the bounded
-    * TopK partial aggregation — identical rows, per-query shuffle capped
-    * at numPartitions * k (see [[graft.ann.TopK.perQueryTopK]]). */
+    * The bounded TopK partial aggregation is the default tail (per-query
+    * shuffle capped at numPartitions * k — the 100x-scale form);
+    * `topKViaAggregator = false` restores the row_number() window,
+    * row-identical per TopKSpec (see [[graft.ann.TopK.perQueryTopK]]). */
   def searchAll(queries: DataFrame, k: Int,
                 metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
-                topKViaAggregator: Boolean = false): DataFrame = {
+                topKViaAggregator: Boolean = true): DataFrame = {
     val probes = model.probeRows(queries, "query_id", "qv")
     val cands = cells
       .join(broadcast(probes), "cell")

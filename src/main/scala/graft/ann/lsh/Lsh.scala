@@ -225,7 +225,7 @@ final class LshIndex(
   def searchAll(queries: DataFrame, k: Int, distanceThreshold: Double,
                 metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
                 maxCandidates: Option[Int] = None,
-                topKViaAggregator: Boolean = false): DataFrame = {
+                topKViaAggregator: Boolean = true): DataFrame = {
     val probes = model.probeRows(queries, "query_id", "qv")
       .dropDuplicates("query_id", "tree_id", "hash")
     val uncapped = buckets
@@ -244,11 +244,11 @@ final class LshIndex(
       .select(col("query_id"), col("vec_id"),
         round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"))
       .where(col("dist") <= distanceThreshold)
-    // topKViaAggregator swaps the row_number() window for the bounded
-    // TopK partial aggregation (graft.ann.TopK.perQueryTopK) — identical
-    // rows, per-query shuffle capped at numPartitions * k instead of
-    // every scored candidate. Flip it on when hot buckets make the
-    // candidate set large relative to k.
+    // The bounded TopK partial aggregation (graft.ann.TopK.perQueryTopK)
+    // is the default tail — per-query shuffle capped at numPartitions * k
+    // instead of every scored candidate, the form that survives a 100x
+    // candidate scale-up. topKViaAggregator=false restores the
+    // row_number() window (row-identical, TopKSpec) for plan comparison.
     graft.ann.TopK.perQueryTopK(scored, k, topKViaAggregator)
   }
 

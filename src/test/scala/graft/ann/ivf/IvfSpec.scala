@@ -59,7 +59,7 @@ class IvfSpec extends AnyFunSuite with SparkSpecBase {
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
     val idx = Ivf.train(clustered, "vec_id", "embedding",
       IvfConfig(nCells = 4, nProbe = 4, seed = 7L))
-    val window = idx.searchAll(q, k = 5, ExactNN.L2)
+    val window = idx.searchAll(q, k = 5, ExactNN.L2, topKViaAggregator = false)
       .orderBy("query_id", "dist", "vec_id").collect().toSeq
     val agg = idx.searchAll(q, k = 5, ExactNN.L2, topKViaAggregator = true)
       .orderBy("query_id", "dist", "vec_id").collect().toSeq

@@ -145,7 +145,8 @@ class LshIndexSpec extends AnyFunSuite with SparkSpecBase {
       (i, Seq.fill(6)(rng.nextGaussian()))).toDF("query_id", "qv")
     val idx = Lsh.train(corpus, "vec_id", "embedding",
       LshConfig(nTrees = 6, kMinVecs = 25, seed = 13L))
-    val window = idx.searchAll(queries, k = 7, distanceThreshold = 4.0)
+    val window = idx.searchAll(queries, k = 7, distanceThreshold = 4.0,
+      topKViaAggregator = false)
       .orderBy("query_id", "dist", "vec_id").collect().toSeq
     val agg = idx.searchAll(queries, k = 7, distanceThreshold = 4.0,
       topKViaAggregator = true)
