@@ -146,22 +146,37 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
   /** Batch IVF-ADC search: probe rows (query_id, cell) broadcast into an
     * equi-join on the codes table's `cell` — the scan touches
     * ~nProbe/nCells of the corpus and reads only codes; distance is m
-    * residual-table lookups per candidate; bounded per-query top-k. */
+    * residual-table lookups per candidate; bounded per-query top-k.
+    *
+    * `queries` is evaluated exactly ONCE: the collected rows feed both
+    * the ADC-table provider and the probe generation (a local relation),
+    * so a nondeterministic queries plan (e.g. limit without orderBy)
+    * cannot yield probe rows whose query_id is absent from the ADC
+    * tables. The collect is bounded at [[IvfPq.MaxQueryBatch]] rows —
+    * the "queries are the small side" contract as a named error rather
+    * than a silent driver OOM. */
   def searchAll(queries: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
+    import queries.sparkSession.implicits._
     val qRows = queries
       .select(col("query_id").cast(LongType),
         col("qv").cast(ArrayType(DoubleType)))
+      .limit(IvfPq.MaxQueryBatch + 1)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    require(qRows.length <= IvfPq.MaxQueryBatch,
+      s"IvfPqIndex.searchAll collects the query set driver-side for ADC " +
+        s"tables and got over ${IvfPq.MaxQueryBatch} rows — queries are " +
+        "contractually the small side; batch larger query sets externally")
     val tables = model.adcTables(qRows)
     // probe generation runs the IvfProbesExpr over the qv column, which
     // expects the quantized space — normalize first in angular mode
+    val qLocal = qRows.toSeq.toDF("query_id", "qv")
     val probeInput =
-      if (!model.config.angular) queries
-      else queries.withColumn("qv",
+      if (!model.config.angular) qLocal
+      else qLocal.withColumn("qv",
         graft.functions.VectorFunctions.l2Normalize(col("qv")))
     val probes = model.ivf.probeRows(probeInput, "query_id", "qv")
-      .select(col("query_id").cast(LongType).as("query_id"), col("cell"))
+      .select(col("query_id"), col("cell"))
     // cluster the scan by cell before scoring (map-side local sort, no
     // shuffle): candidate rows then hit the lazy ADC cache in cell runs —
     // each (query, cell) table is built once per run instead of being
@@ -182,7 +197,11 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
     * `rerankDepth` candidates, then ONLY those rows touch the float
     * vectors for exact re-ranking — bounded at rerankDepth x |queries|
     * rows, broadcast so the corpus-sized float table is probed in place,
-    * never shuffled. */
+    * never shuffled. The rerank join re-reads `queries` for its qv side
+    * (only [[searchAll]] pins a single evaluation), so pass a
+    * deterministic queries plan here — a nondeterministic one can change
+    * query_ids between the ADC pass and the rerank join and silently
+    * drop rows. */
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
                    rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
     val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
@@ -236,6 +255,11 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
 }
 
 object IvfPq {
+
+  /** Hard ceiling on the query rows [[IvfPqIndex.searchAll]] will
+    * collect driver-side (same contract and rationale as
+    * [[graft.ann.pq.Pq.MaxQueryBatch]]). */
+  val MaxQueryBatch: Int = 65536
 
   /** Reopen a saved index — layout defined by [[IvfPqIndex.save]]. */
   def load(spark: SparkSession, path: String): IvfPqIndex = {

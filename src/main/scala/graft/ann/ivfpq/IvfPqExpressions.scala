@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   * the 1M-corpus probe and grows linearly in query count. What ships
   * instead is the model + the (normalized) query vectors (nQueries x dims
   * doubles — KBs to low MBs), and each (query_id, cell) table is built on
-  * first touch and memoized (keyed `query_id * nCells + cell`,
-  * collision-free since cell < nCells). The provider itself rides as a
+  * first touch and memoized under the composite `(query_id, cell)` key —
+  * collision-free for the FULL query-id range (a packed
+  * `query_id * nCells + cell` long would silently alias ids ~2^64/nCells
+  * apart and serve wrong residual tables). The provider itself rides as a
   * broadcast handle ([[graft.ann.ModelBroadcast]]), so ONE instance — and
   * therefore one shared cache — exists per executor JVM rather than one
   * per task. A table costs m x k x subDim mult-adds to build — amortized
@@ -36,8 +38,6 @@ final class IvfPqAdcTables(model: IvfPqModel,
                            maxCacheEntries: Int = 4096)
     extends Serializable {
 
-  private val nCells = model.config.nCells
-
   private val qv = {
     val m = new java.util.HashMap[java.lang.Long, Array[Double]](queryVecs.length * 2)
     queryVecs.foreach { case (id, v) => m.put(id, v) }
@@ -45,10 +45,10 @@ final class IvfPqAdcTables(model: IvfPqModel,
   }
 
   @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[IvfPqAdcTables.Key, Array[Array[Double]]]()
 
   private def tableFor(queryId: Long, cell: Int): Array[Array[Double]] = {
-    val key: java.lang.Long = queryId * nCells + cell
+    val key = IvfPqAdcTables.Key(queryId, cell)
     val hit = cache.get(key)
     if (hit != null) return hit
     val q = qv.get(queryId)
@@ -68,6 +68,12 @@ final class IvfPqAdcTables(model: IvfPqModel,
     while (i < t.length) { s += t(i)(codes.getInt(i)); i += 1 }
     math.sqrt(s)
   }
+}
+
+object IvfPqAdcTables {
+  /** Composite memoization key: collision-free over the full Long
+    * query-id range (unlike a `query_id * nCells + cell` pack). */
+  final case class Key(queryId: Long, cell: Int)
 }
 
 /** STRUCT<cell INT, codes ARRAY<INT>> of a vector: one argmin-centroid

@@ -116,17 +116,33 @@ final class PqIndex(val model: PqModel, val codes: DataFrame) {
     * a candidate's distance is then m table lookups over the codes table
     * only — no float vector and no distance kernel on the scan path.
     * Bounded top-k aggregation; exact re-ranking composes by joining
-    * `vectors` back on the returned ids ([[searchRerank]]). */
+    * `vectors` back on the returned ids ([[searchRerank]]).
+    *
+    * The driver-side collect makes "queries are the small side" a hard
+    * contract: at most [[Pq.MaxQueryBatch]] rows are ever collected
+    * (the scan stops there), and exceeding it throws a named error
+    * instead of a silent driver OOM — batch a bigger query set
+    * externally. The collected rows are also the ONLY evaluation of
+    * `queries` inside this method (the broadcast query-id frame is a
+    * local relation over them), so a nondeterministic queries plan
+    * cannot desync the ADC tables from the scan. */
   def searchAll(queries: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
     val m = model
+    import queries.sparkSession.implicits._
     val qRows = queries
       .select(col("query_id").cast(LongType),
         col("qv").cast(ArrayType(DoubleType)))
+      .limit(Pq.MaxQueryBatch + 1)
       .collect()
+    require(qRows.length <= Pq.MaxQueryBatch,
+      s"PqIndex.searchAll collects the query set driver-side for ADC " +
+        s"tables and got over ${Pq.MaxQueryBatch} rows — queries are " +
+        "contractually the small side; batch larger query sets externally")
     val tables = new PqAdcTables(qRows.map(r =>
       r.getLong(0) -> m.adcTable(r.getSeq[Double](1).toArray)))
+    val qIds = qRows.map(_.getLong(0)).toSeq.toDF("query_id")
     val scored = codes
-      .crossJoin(broadcast(queries.select(col("query_id").cast(LongType).as("query_id"))))
+      .crossJoin(broadcast(qIds))
       .select(col("query_id"), col("vec_id"),
         round(PqExpressions.pqAdcDist(tables, col("query_id"), col("codes")),
           roundTo).as("dist"))
@@ -182,6 +198,14 @@ final class PqIndex(val model: PqModel, val codes: DataFrame) {
 }
 
 object Pq {
+
+  /** Hard ceiling on the query rows [[PqIndex.searchAll]] will collect
+    * driver-side to build ADC tables (the documented "queries are the
+    * small side" contract, typically 100-10k rows). 64k query vectors at
+    * 1k-d doubles is ~512 MB of tables — already generous; beyond it the
+    * caller must batch, and the guard fails with a named error instead
+    * of a driver OOM. */
+  val MaxQueryBatch: Int = 65536
 
   /** Reopen a saved index (codebooks + codes) — parquet layout defined
     * by [[PqIndex.save]], mirroring the LSH/IVF persistence contract. */

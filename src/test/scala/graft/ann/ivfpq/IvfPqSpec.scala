@@ -221,4 +221,14 @@ class IvfPqSpec extends AnyFunSuite with SparkSpecBase {
       .filter(_.getName.startsWith("cell="))
     assert(partDirs.nonEmpty)
   }
+
+  test("searchAll refuses a query set beyond MaxQueryBatch with a named error") {
+    val idx = IvfPq.train(emb, "vec_id", "embedding", cfg)
+    // limit()-bounded collect: the oversized frame costs MaxQueryBatch+1
+    // tiny rows before the guard fires, never an unbounded materialization
+    val big = spark.range(IvfPq.MaxQueryBatch + 1)
+      .select($"id".as("query_id"), array(Seq.fill(4)(lit(0.1)): _*).as("qv"))
+    val e = intercept[IllegalArgumentException](idx.searchAll(big, 3))
+    assert(e.getMessage.contains("small side"), e.getMessage)
+  }
 }

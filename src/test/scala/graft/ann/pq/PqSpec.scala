@@ -97,4 +97,15 @@ class PqSpec extends AnyFunSuite with SparkSpecBase {
     assert(rerankRecall >= 0.8, s"reranked recall $rerankRecall")
     assert(rerankRecall > adcRecall)
   }
+
+  test("searchAll refuses a query set beyond MaxQueryBatch with a named error") {
+    val idx = Pq.train(emb, "vec_id", "embedding", cfg)
+    // the guard must fire BEFORE any unbounded driver-side materialization:
+    // the collect is limit()-bounded, so this oversized frame costs
+    // MaxQueryBatch+1 tiny rows, not an OOM
+    val big = spark.range(Pq.MaxQueryBatch + 1)
+      .select($"id".as("query_id"), array(Seq.fill(4)(lit(0.1)): _*).as("qv"))
+    val e = intercept[IllegalArgumentException](idx.searchAll(big, 3))
+    assert(e.getMessage.contains("small side"), e.getMessage)
+  }
 }
