@@ -28,11 +28,14 @@ object Bench {
     // neighbor's noise; back-to-back runs should agree within ~1.5x.
     // A failed attempt must NOT report its time-to-failure as a bench
     // time (min-of-2 would let a fast crash masquerade as a great
-    // number): any thrown attempt poisons the query to the -1.0
-    // sentinel, which round-over-round comparisons treat as "broken",
-    // not "fast".
+    // number): any thrown attempt poisons the query's HEADLINE to the
+    // -1.0 sentinel, which round-over-round comparisons treat as
+    // "broken", not "fast". The spread file keeps each attempt's real
+    // duration with only the failed attempt marked -1.0, so a partial
+    // failure still records which attempt died and what the surviving
+    // one cost — the noise-vs-regression signal the file exists for.
     val attempts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      name -> (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
@@ -42,7 +45,6 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         (ok, dt)
       }
-      name -> (if (times.forall(_._1)) times.map(_._2) else Seq(-1.0, -1.0))
     }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma decimal separator (e.g. de_DE) would emit invalid JSON.
@@ -56,7 +58,9 @@ object Bench {
     // directory must not crash the run AFTER every query already ran and
     // eat the headline line.
     val spread = attempts.map { case (k, ts) =>
-      s"\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
+      s"\"" + k + "\":[" +
+        ts.map { case (ok, dt) => if (ok) r3(dt) else "-1.0" }.mkString(",") +
+        "]"
     }.mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SPREAD.json"),
@@ -65,7 +69,7 @@ object Bench {
       System.err.println(s"[bench] BENCH_SPREAD.json write failed: ${e.getMessage}")
     }
     val results = attempts.map { case (name, ts) =>
-      name -> (if (ts.head >= 0) ts.min else -1.0)
+      name -> (if (ts.forall(_._1)) ts.map(_._2).min else -1.0)
     }
     // Headline stays ONE line and under ~1800 chars (times at ms
     // precision): the round harness keeps only the final 2000 chars of

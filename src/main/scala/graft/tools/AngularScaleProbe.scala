@@ -79,12 +79,20 @@ object AngularScaleProbe {
       // 1M+ corpora raise it (SPARK_GRAFT_SAMPLE_CAP) to keep buckets at
       // their design size.
       val sampleCap = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_CAP", "100000").toInt
+      // blank SPARK_GRAFT_PROBE_CONFIGS skips the LSH block entirely
+      // (e.g. an IVF-PQ-only probe run)
       val configs = sys.env.get("SPARK_GRAFT_PROBE_CONFIGS") match {
-        case Some(s) => s.split(";").toSeq.map { c =>
+        case Some(s) => s.split(";").toSeq.filter(_.trim.nonEmpty).map { c =>
           val Array(t, k) = c.split(","); (t.toInt, k.toInt)
         }
         case None => Seq((20, 80), (40, 120))
       }
+      // speedup/exact read "n/a" (not NaN) when the timed exact passes
+      // are skipped — NaN would trip downstream log parsing
+      def ratio(denom: Double): String =
+        if (skipExact) "n/a" else f"${tExact / denom}%.1fx"
+      val exactStr =
+        if (skipExact) "n/a" else f"${tExact}%.2fs (warm ${tExact0}%.2f)"
       for ((nTrees, kMin) <- configs) {
         val (idx, tTrain) = time {
           val i = Lsh.train(corpus, "vec_id", "embedding",
@@ -102,9 +110,9 @@ object AngularScaleProbe {
             idx.searchAll(queries, 10, threshold, ExactNN.Cosine), gt)
           .agg(avg("recall")).head().getDouble(0)
         println(f"[angular] corpus=$n%,d dims=256 nTrees=$nTrees kMin=$kMin " +
-          f"exact=${tExact}%.2fs (warm ${tExact0}%.2f) train=${tTrain}%.2fs " +
+          f"exact=$exactStr train=${tTrain}%.2fs " +
           f"lsh=${tLsh}%.2fs (warm ${tLsh0}%.2f) " +
-          f"speedup=${tExact / tLsh}%.1fx recall=$recall%.3f")
+          f"speedup=${ratio(tLsh)} recall=$recall%.3f")
         idx.buckets.unpersist(); idx.vectors.unpersist()
       }
       // Angular IVF-PQ (opt-in: SPARK_GRAFT_IVFPQ=1) — the compressed

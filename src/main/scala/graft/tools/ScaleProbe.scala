@@ -14,6 +14,13 @@ import graft.eval.Eval
   * reference's ann-benchmarks runs (BASELINE.md: 30-70x speedup at
   * ~0.94-0.95 recall on 60k-1M vectors).
   *
+  * SPARK_GRAFT_DIMS widens the 64-d base embedding by tiling it with
+  * per-tile deterministic jitter (AngularScaleProbe's 256-d recipe) and
+  * slicing to exactly `dims` — how the Fashion-MNIST baseline shape
+  * (60k x 784-d, BASELINE.md rows 1-6) is reproduced from the testdata.
+  * The L2 accept radius scales with sqrt(dims/64): tiling scales
+  * between-vector distances by the same factor.
+  *
   * Usage: runMain graft.tools.ScaleProbe [replicas...]
   */
 object ScaleProbe {
@@ -26,7 +33,19 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val dims = sys.env.getOrElse("SPARK_GRAFT_DIMS", "64").toInt
+    val base0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val base =
+      if (dims == 64) base0
+      else {
+        val tiles = (dims + 63) / 64
+        base0.select(col("vec_id"),
+          slice(flatten(transform(sequence(lit(0), lit(tiles - 1)), t =>
+            transform(col("embedding"), (x, i) =>
+              x + (pmod(xxhash64(t, col("vec_id"), i), lit(1000))
+                .cast("double") - 500.0) / 5000.0))), 1, dims).as("embedding"))
+      }
+    val threshold = 1.4 * math.sqrt(dims / 64.0)
     val baseN = base.count()
 
     for (k <- replicas) {
@@ -61,8 +80,8 @@ object ScaleProbe {
           (a, b)
         }
       // ground truth computed once and cached for both index recalls
-      val gt = ExactNN.topK(queries, corpus, 10, ExactNN.L2, threshold = Some(1.4))
-        .persist()
+      val gt = ExactNN.topK(queries, corpus, 10, ExactNN.L2,
+        threshold = Some(threshold)).persist()
       gt.count()
 
       // Same knobs as AngularScaleProbe: sampleCap sizes the fit sample
@@ -71,11 +90,19 @@ object ScaleProbe {
       // targeting the reference's published 0.94-recall band instead of
       // recall 1.0.
       val sampleCap = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_CAP", "100000").toInt
+      // blank SPARK_GRAFT_PROBE_CONFIGS skips the LSH block entirely
+      // (e.g. an IVF-PQ-only probe run)
       val sweep = sys.env.get("SPARK_GRAFT_PROBE_CONFIGS").map { s =>
-        s.split(";").toSeq.map { c =>
+        s.split(";").toSeq.filter(_.trim.nonEmpty).map { c =>
           val Array(t, km) = c.split(","); (t.toInt, km.toInt)
         }
       }
+      // the comment at skipExact promises the speedup column "reads n/a"
+      // — format it conditionally (NaN would trip downstream log parsing)
+      def ratio(denom: Double): String =
+        if (skipExact) "n/a" else f"${tExact / denom}%.1fx"
+      val exactStr =
+        if (skipExact) "n/a" else f"${tExact}%.2fs (warm ${tExact0}%.2f)"
       for ((nTrees, kMin) <- sweep.getOrElse(Seq((20, 80)))) {
         val (idx, tTrain) = time {
           val i = Lsh.train(corpus, "vec_id", "embedding",
@@ -85,15 +112,15 @@ object ScaleProbe {
           i.vectors.persist().count()
           i
         }
-        val (_, tLsh0) = time(idx.searchAll(queries, 10, 1.4).count())
-        val (_, tLsh) = time(idx.searchAll(queries, 10, 1.4).count())
-        val recall = Eval.setPrecisionRecall(idx.searchAll(queries, 10, 1.4), gt)
+        val (_, tLsh0) = time(idx.searchAll(queries, 10, threshold).count())
+        val (_, tLsh) = time(idx.searchAll(queries, 10, threshold).count())
+        val recall = Eval.setPrecisionRecall(idx.searchAll(queries, 10, threshold), gt)
           .agg(avg("recall")).head().getDouble(0)
 
-        println(f"[scale] corpus=$n%,d nTrees=$nTrees kMin=$kMin cap=$sampleCap " +
-          f"exact=${tExact}%.2fs (warm ${tExact0}%.2f) " +
+        println(f"[scale] corpus=$n%,d dims=$dims nTrees=$nTrees kMin=$kMin cap=$sampleCap " +
+          f"exact=$exactStr " +
           f"train=${tTrain}%.2fs lsh=${tLsh}%.2fs (warm ${tLsh0}%.2f) " +
-          f"speedup=${tExact / tLsh}%.1fx recall=$recall%.3f")
+          f"speedup=${ratio(tLsh)} recall=$recall%.3f")
         idx.buckets.unpersist(); idx.vectors.unpersist()
       }
 
@@ -148,7 +175,7 @@ object ScaleProbe {
           ivf.searchAll(queries, 10), gt).agg(avg("recall")).head().getDouble(0)
         println(f"[scale] corpus=$n%,d ivf(nCells=$nCells, nProbe=${nCells / 4}): " +
           f"train=${tIvfTrain}%.2fs search=${tIvf}%.2fs (warm ${tIvf0}%.2f) " +
-          f"speedup=${tExact / tIvf}%.1fx recall=$ivfRecall%.3f")
+          f"speedup=${ratio(tIvf)} recall=$ivfRecall%.3f")
         ivf.cells.unpersist(); ivf.vectors.unpersist()
       }
 
