@@ -22,7 +22,8 @@ object SparkEntry {
     TextQueries,
     EventQueries,
     SimilarityQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

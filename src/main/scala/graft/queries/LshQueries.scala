@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.ExactNN
-import graft.ann.lsh.{Lsh, LshConfig}
+import graft.ann.lsh.{Lsh, LshConfig, LshIndex}
 import graft.eval.Eval
 
 /** LSH index/search driver queries (reference O1-O13). Seeded-random
@@ -31,6 +31,14 @@ object LshQueries extends QueryPack {
     * ~2s search; more trees buy little beyond this on 64-d data. */
   def config(angular: Boolean): LshConfig =
     LshConfig(nTrees = 20, kMinVecs = 80, angular = angular, seed = 42L)
+
+  /** Bounded-work knobs for `q_lsh_search_capped`, sized to BIND at
+    * sf0.01 (500 vectors): buckets run ~kMinVecs=80 entries, so a
+    * 40-entry occupancy cap drops half of each hot bucket; the 40
+    * probes/query then retrieve well over 150 distinct candidates, so
+    * the 150-candidate deterministic cap binds too. */
+  val MaxOccupancy = 40
+  val MaxCandidatesCap = 150
 
   private def queriesDf(emb: DataFrame): DataFrame =
     emb.orderBy("vec_id").limit(VectorQueries.NumQueries)
@@ -126,6 +134,30 @@ object LshQueries extends QueryPack {
       val res = Eval.withValidity(idx.searchAll(q, K, CosineThreshold, ExactNN.Cosine),
         emb, q, ExactNN.Cosine, CosineThreshold)
       dumpAndReload(s, res, s"$SearchDumpRoot/${sfName(dir)}/lsh_cosine")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // The deterministic bounded-work search path under the oracle gate:
+    // BOTH scale guards bind at sf0.01 — `cappedBuckets(MaxOccupancy)`
+    // halves the ~80-entry buckets (kMinVecs=80), and
+    // `maxCandidates=MaxCandidatesCap` caps the per-query candidate set
+    // below the ~hundreds the 40 probes otherwise retrieve. This is the
+    // hot-bucket guard the 100 TB story leans on (Lsh.scala
+    // cappedBuckets/maxCandidates): capping can only DROP candidates, so
+    // every returned row still carries an exact distance within
+    // threshold, and the same cross-engine oracle as the uncapped
+    // searches re-verifies each pair from the embeddings table.
+    "q_lsh_search_capped" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = queriesDf(emb)
+      val idx = Lsh.train(emb, "vec_id", "embedding", config(angular = false))
+      val capped = new LshIndex(idx.model, idx.vectors,
+        idx.cappedBuckets(MaxOccupancy))
+      val res = Eval.withValidity(
+        capped.searchAll(q, K, L2Threshold, ExactNN.L2,
+          maxCandidates = Some(MaxCandidatesCap)),
+        emb, q, ExactNN.L2, L2Threshold)
+      dumpAndReload(s, res, s"$SearchDumpRoot/${sfName(dir)}/lsh_l2_capped")
         .orderBy("query_id", "dist", "vec_id")
     }),
 
@@ -305,6 +337,13 @@ object LshQueries extends QueryPack {
            |FROM st, nv ORDER BY st.tree_id""".stripMargin,
 
       "q_lsh_search_l2" -> searchOracle("lsh_l2",
+        "round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)",
+        L2Threshold),
+
+      // same per-pair recompute as the uncapped searches: capping drops
+      // candidates but never changes what a returned (query, vec) pair's
+      // exact distance is — pred ⊆ exact-at-threshold by construction
+      "q_lsh_search_capped" -> searchOracle("lsh_l2_capped",
         "round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)",
         L2Threshold),
 
