@@ -28,13 +28,24 @@ import graft.ann.ExactNN
   * Deterministic: seeded sample, seeded init (k-means++ replaced by
   * deterministic farthest-first over the sample), fixed iteration count —
   * no wall-clock nondeterminism (SURVEY.md §7.4 applies here too).
+  *
+  * Angular mode (`angular = true`) clusters the unit sphere: the fit
+  * sample, cell assignment, and probe selection all L2-normalize first
+  * (cosine ranking == L2 ranking on normalized vectors — the same
+  * metric/index coupling the reference ties to its angular distance,
+  * lsh/hasher.go:121-132, and that [[graft.ann.lsh.LshConfig.angular]] /
+  * [[graft.ann.ivfpq.IvfPqConfig.angular]] already implement). Without
+  * it, cells partition raw L2 space, so cosine probes over vectors of
+  * varying magnitude select cells by the wrong geometry. Zero-norm
+  * vectors pass through unnormalized, as everywhere else.
   */
 final case class IvfConfig(
     nCells: Int = 16,
     nProbe: Int = 4,
     iters: Int = 10,
     seed: Long = 42L,
-    sampleCap: Int = 100000)
+    sampleCap: Int = 100000,
+    angular: Boolean = false)
 
 final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
     extends Serializable {
@@ -45,8 +56,26 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
     s
   }
 
+  /** Angular mode quantizes the unit sphere — normalize before any
+    * centroid comparison (same semantics as
+    * [[graft.ann.ivfpq.IvfPqModel]]; zero-norm vectors pass through). */
+  private def maybeNormalize(v: Array[Double]): Array[Double] = {
+    if (!config.angular) return v
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n <= graft.functions.VectorFunctions.Tol) v
+    else {
+      val out = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { out(j) = v(j) / n; j += 1 }
+      out
+    }
+  }
+
   /** Index of the closest centroid (ties -> lowest cell id). */
-  def cellOf(v: Array[Double]): Int = {
+  def cellOf(v0: Array[Double]): Int = {
+    val v = maybeNormalize(v0)
     var best = 0; var bd = Double.MaxValue; var c = 0
     while (c < centroids.length) {
       val d = dist2(v, centroids(c))
@@ -57,13 +86,15 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
   }
 
   /** Cell ids of the `nProbe` closest centroids, ascending distance. */
-  def probeCells(v: Array[Double]): Array[Int] =
+  def probeCells(v0: Array[Double]): Array[Int] = {
+    val v = maybeNormalize(v0)
     centroids.indices
       .map(c => (dist2(v, centroids(c)), c))
       .sortBy(identity)
       .take(config.nProbe)
       .map(_._2)
       .toArray
+  }
 
   private def readElem(a: org.apache.spark.sql.catalyst.util.ArrayData,
                        i: Int, isFloat: Boolean): Double =
@@ -76,10 +107,22 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
     s
   }
 
+  private def materialize(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                          isFloat: Boolean): Array[Double] = {
+    val dims = if (centroids.nonEmpty) centroids(0).length else a.numElements()
+    val v = new Array[Double](dims)
+    var i = 0
+    while (i < dims) { v(i) = readElem(a, i, isFloat); i += 1 }
+    v
+  }
+
   /** Argmin cell reading straight out of Tungsten ArrayData (expression
-    * path — no per-row materialization). */
+    * path — no per-row materialization in the L2 case; angular mode
+    * materializes once to normalize, like
+    * [[graft.ann.ivfpq.IvfPqModel.encodeRowData]]). */
   def cellOfData(a: org.apache.spark.sql.catalyst.util.ArrayData,
                  isFloat: Boolean): Int = {
+    if (config.angular) return cellOf(materialize(a, isFloat))
     var best = 0; var bd = Double.MaxValue; var c = 0
     while (c < centroids.length) {
       val d = dist2Data(a, isFloat, centroids(c))
@@ -90,13 +133,15 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
   }
 
   def probeCellsData(a: org.apache.spark.sql.catalyst.util.ArrayData,
-                     isFloat: Boolean): Array[Int] =
+                     isFloat: Boolean): Array[Int] = {
+    if (config.angular) return probeCells(materialize(a, isFloat))
     centroids.indices
       .map(c => (dist2Data(a, isFloat, centroids(c)), c))
       .sortBy(identity)
       .take(config.nProbe)
       .map(_._2)
       .toArray
+  }
 
   /** (id, cell) assignment — map-side only, native expression (no UDF
     * encoder round-trip on the path that touches every corpus row). */
@@ -166,8 +211,8 @@ final class IvfIndex(
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
     Seq((model.config.nCells, model.config.nProbe, model.config.iters,
-      model.config.seed, model.config.sampleCap))
-      .toDF("n_cells", "n_probe", "iters", "seed", "sample_cap")
+      model.config.seed, model.config.sampleCap, model.config.angular))
+      .toDF("n_cells", "n_probe", "iters", "seed", "sample_cap", "angular")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -197,7 +242,8 @@ object Ivf {
       nProbe = meta.getAs[Int]("n_probe"),
       iters = meta.getAs[Int]("iters"),
       seed = meta.getAs[Long]("seed"),
-      sampleCap = meta.getAs[Int]("sample_cap"))
+      sampleCap = meta.getAs[Int]("sample_cap"),
+      angular = meta.getAs[Boolean]("angular"))
     val centroids = spark.read.parquet(s"$modelPath/centroids")
       .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
       .sortBy(_._1).map(_._2.toArray)
@@ -214,7 +260,8 @@ object Ivf {
       nProbe = meta.getAs[Int]("n_probe"),
       iters = meta.getAs[Int]("iters"),
       seed = meta.getAs[Long]("seed"),
-      sampleCap = meta.getAs[Int]("sample_cap"))
+      sampleCap = meta.getAs[Int]("sample_cap"),
+      angular = meta.getAs[Boolean]("angular"))
     val centroids = spark.read.parquet(s"$path/centroids")
       .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
       .sortBy(_._1).map(_._2.toArray)
@@ -317,7 +364,15 @@ object Ivf {
       if (total <= config.sampleCap) df
       else df.sample(withReplacement = false,
         fraction = config.sampleCap.toDouble / total, seed = config.seed)
-    val vecs = graft.ann.FitSample.collectVectors(sampled, vecCol)
+    val raw = graft.ann.FitSample.collectVectors(sampled, vecCol)
+    // angular: the centroids live on the unit sphere — the same space
+    // cellOfData/probeCellsData normalize into (cf. IvfPq.fit)
+    val vecs = if (!config.angular) raw else raw.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n <= graft.functions.VectorFunctions.Tol) v else v.map(_ / n)
+    }
     new IvfModel(config, lloyd(vecs, config.nCells, config.iters))
   }
 

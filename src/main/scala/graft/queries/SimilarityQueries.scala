@@ -32,6 +32,11 @@ object SimilarityQueries extends QueryPack {
     * dump-and-check gates the same index the searches use. */
   val ivfConfig: IvfConfig = IvfConfig(nCells = 16, nProbe = 8, seed = 42L)
 
+  /** Angular twin: cells cluster the unit sphere, probes/assignment
+    * normalize first (cosine ranking == L2 ranking on normalized
+    * vectors — the reference's angular coupling, lsh/hasher.go:121-132). */
+  val ivfAngularConfig: IvfConfig = ivfConfig.copy(angular = true)
+
   /** IVF-PQ: same coarse geometry as [[ivfConfig]], same code budget as
     * `q_pq_recall`'s PqConfig — so the two recall queries isolate exactly
     * the residual-encoding + cell-pruning delta. */
@@ -114,6 +119,22 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id", "dist", "vec_id")
     }),
 
+    // Angular IVF search: spherical cells + exact-cosine scoring — the
+    // cosine half of q_ivf_search_l2, same dump-and-recheck oracle
+    // (every returned pair's cosine recomputed by DuckDB). Completes
+    // both-metric oracle coverage for the IVF family (LSH and IVF-PQ
+    // already have cosine rows).
+    "q_ivf_search_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = Ivf.train(e, "vec_id", "embedding", ivfAngularConfig)
+      val res = Eval.withValidity(idx.searchAll(q, K, ExactNN.Cosine), e, q,
+        ExactNN.Cosine)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_cosine")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
     // IVF recall vs exact ground truth at the same k. Predictions are
     // dumped so the DuckDB oracle recomputes the ground truth itself and
     // re-derives the recall aggregate cross-engine (LshQueries.recallOracle).
@@ -167,6 +188,26 @@ object SimilarityQueries extends QueryPack {
         e, q, ExactNN.L2)
       LshQueries.dumpAndReload(s, res,
           s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfpq_l2")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // Angular IVF-PQ rerank search: both quantizers fit the unit sphere
+    // (cosine ranking == L2 ranking on normalized vectors — the same
+    // metric coupling the reference ties to angular indexing,
+    // lsh/hasher.go:121-132) and rerank is exact cosine. This puts the
+    // angular compressed-index path — previously probe-measured and
+    // spec-gated only — under the same cross-engine per-pair distance
+    // oracle as q_ivfpq_search_l2 / q_lsh_search_cosine.
+    "q_ivfpq_search_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graft.ann.ivfpq.IvfPq.train(e, "vec_id", "embedding",
+        ivfPqConfig.copy(angular = true))
+      val res = Eval.withValidity(
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        e, q, ExactNN.Cosine)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfpq_cosine")
         .orderBy("query_id", "dist", "vec_id")
     }),
 
@@ -272,6 +313,26 @@ object SimilarityQueries extends QueryPack {
          |       abs(exact - dist) < 1e-9 AS valid
          |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
 
+    // Every returned angular-IVF row re-verified from the raw embeddings
+    // (cosine is scale-invariant, so DuckDB recomputes it from the
+    // unnormalized vectors directly, zero-clamped like cosineDistNative).
+    "q_ivf_search_cosine" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivf_cosine/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) END, 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
     "q_ivf_recall" -> LshQueries.recallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_recall_l2/*.parquet",
       LshQueries.L2DistSql, None, K),
@@ -286,6 +347,27 @@ object SimilarityQueries extends QueryPack {
          |r AS (
          |  SELECT d.query_id, d.vec_id, d.dist,
          |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    // Every returned angular-IVF-PQ rerank row re-verified from the raw
+    // embeddings: rerank distances are exact cosine by construction, so
+    // DuckDB recomputes each pair's cosine (zero-clamped like
+    // cosineDistNative) and re-derives `valid`.
+    "q_ivfpq_search_cosine" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfpq_cosine/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) END, 6) AS exact
          |  FROM d
          |  JOIN embeddings e ON e.vec_id = d.vec_id
          |  JOIN embeddings q ON q.vec_id = d.query_id

@@ -48,6 +48,7 @@ class IndexPersistenceSpec extends AnyFunSuite with SparkSpecBase {
     idx.save(spark, dir)
     val reopened = Ivf.load(spark, dir)
 
+    assert(reopened.model.config === idx.model.config)
     assert(reopened.model.centroids.map(_.toSeq).toSeq ===
       idx.model.centroids.map(_.toSeq).toSeq)
     val a = idx.searchAll(queries, 10, ExactNN.L2)

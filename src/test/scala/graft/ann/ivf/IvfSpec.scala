@@ -79,6 +79,62 @@ class IvfSpec extends AnyFunSuite with SparkSpecBase {
     assert(recall >= 0.99, s"recall $recall")
   }
 
+  /** Directionally-clustered, magnitude-scrambled corpus: 4 direction
+    * cones whose member magnitudes span 0.5-50x. Raw-L2 cells partition
+    * by magnitude; spherical (angular) cells partition by direction —
+    * the only geometry under which cosine probes select the right cells. */
+  private def cones = {
+    val dirs = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val pts = for {
+      (d, di) <- dirs.zipWithIndex
+      i <- 0 until 25
+    } yield {
+      val mag = 0.5 + (i % 10) * 5.0          // 0.5 .. 45.5
+      val wobble = 0.05 * (i / 10)            // small in-cone spread
+      val v = d.zipWithIndex.map { case (x, j) =>
+        mag * (x + (if (j == (di + 1) % 4) wobble else 0.0))
+      }
+      ((di * 25 + i).toLong, v)
+    }
+    pts.toDF("vec_id", "embedding")
+  }
+
+  test("angular mode: spherical cells give full cosine recall at nProbe=1 where raw-L2 cells do not") {
+    val q = cones.where($"vec_id" % 25 < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val gt = ExactNN.topK(q, cones, k = 5, ExactNN.Cosine)
+    def recallOf(angular: Boolean): Double = {
+      val idx = Ivf.train(cones, "vec_id", "embedding",
+        IvfConfig(nCells = 4, nProbe = 1, seed = 7L, angular = angular))
+      graft.eval.Eval.setPrecisionRecall(
+          idx.searchAll(q, k = 5, ExactNN.Cosine), gt)
+        .agg(avg("recall")).head().getDouble(0)
+    }
+    val angularRecall = recallOf(angular = true)
+    val rawRecall = recallOf(angular = false)
+    assert(angularRecall >= 0.99, s"angular recall $angularRecall")
+    // raw-L2 cells split cones by magnitude, so single-probe cosine
+    // search misses same-direction/different-magnitude neighbors
+    assert(rawRecall < 0.9,
+      s"raw-L2 recall $rawRecall — corpus no longer separates the modes")
+  }
+
+  test("angular mode: deterministic fit and unit-norm centroids") {
+    val a = Ivf.fit(cones, "embedding",
+      IvfConfig(nCells = 4, seed = 7L, angular = true))
+    val b = Ivf.fit(cones, "embedding",
+      IvfConfig(nCells = 4, seed = 7L, angular = true))
+    assert(a.centroids.map(_.toSeq).toSeq === b.centroids.map(_.toSeq).toSeq)
+    // centroids are means of unit vectors: norms in (0, 1], and for
+    // tight cones close to 1
+    a.centroids.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(n > 0.9 && n <= 1.0 + 1e-9, s"centroid norm $n")
+    }
+  }
+
   test("testdata embeddings: nProbe=8/16 recall above 0.8") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = emb.orderBy("vec_id").limit(50)
