@@ -56,6 +56,26 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
     s
   }
 
+  /** Partial-distance early abandon (the classic k-means/ADC argmin
+    * trick): exact squared distance when it is < `bound`, otherwise any
+    * partial sum >= `bound` — the argmin caller only ever compares
+    * against `bound`, and an abandoned candidate's true distance is >=
+    * its partial sum, so results are bit-identical to the unbounded
+    * form (strict `<` keeps lowest-cell-id tie-breaking intact).
+    * Blocked at 16 elements so the bound check stays off the hot
+    * mult-add path. At nCells=1024 most candidates abandon within the
+    * first blocks — this is what makes corpus-scale encode/assign
+    * affordable (measured in SURVEY §6's round-9 train numbers). */
+  private def dist2Bounded(a: Array[Double], b: Array[Double], bound: Double): Double = {
+    val n = a.length
+    var s = 0.0; var i = 0
+    while (i < n && s < bound) {
+      val lim = math.min(i + 16, n)
+      while (i < lim) { val d = a(i) - b(i); s += d * d; i += 1 }
+    }
+    s
+  }
+
   /** Angular mode quantizes the unit sphere — normalize before any
     * centroid comparison (same semantics as
     * [[graft.ann.ivfpq.IvfPqModel]]; zero-norm vectors pass through). */
@@ -78,7 +98,7 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
     val v = maybeNormalize(v0)
     var best = 0; var bd = Double.MaxValue; var c = 0
     while (c < centroids.length) {
-      val d = dist2(v, centroids(c))
+      val d = dist2Bounded(v, centroids(c), bd)
       if (d < bd) { bd = d; best = c }
       c += 1
     }
@@ -107,6 +127,20 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
     s
   }
 
+  /** [[dist2Bounded]] over Tungsten ArrayData — same early-abandon
+    * contract, same bit-identical argmin guarantee. */
+  private def dist2DataBounded(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                               isFloat: Boolean, c: Array[Double],
+                               bound: Double): Double = {
+    val n = c.length
+    var s = 0.0; var i = 0
+    while (i < n && s < bound) {
+      val lim = math.min(i + 16, n)
+      while (i < lim) { val d = readElem(a, i, isFloat) - c(i); s += d * d; i += 1 }
+    }
+    s
+  }
+
   private def materialize(a: org.apache.spark.sql.catalyst.util.ArrayData,
                           isFloat: Boolean): Array[Double] = {
     val dims = if (centroids.nonEmpty) centroids(0).length else a.numElements()
@@ -125,7 +159,7 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
     if (config.angular) return cellOf(materialize(a, isFloat))
     var best = 0; var bd = Double.MaxValue; var c = 0
     while (c < centroids.length) {
-      val d = dist2Data(a, isFloat, centroids(c))
+      val d = dist2DataBounded(a, isFloat, centroids(c), bd)
       if (d < bd) { bd = d; best = c }
       c += 1
     }

@@ -46,6 +46,20 @@ final class PqModel(val config: PqConfig, val dims: Int,
     s
   }
 
+  /** Partial-distance early abandon for the encode argmin (same
+    * contract as [[graft.ann.ivf.IvfModel]]'s dist2Bounded: abandoned
+    * candidates return a partial sum >= bound, which the strict `<`
+    * comparison treats identically to their true distance — argmin and
+    * tie-breaking are bit-identical to the unbounded form). Subvectors
+    * are short (dims/m, typically 4-16), so a per-element check is
+    * branch-cheap relative to the 256-candidate scan it prunes. */
+  private def subDist2Bounded(v: Array[Double], offset: Int, c: Array[Double],
+                              bound: Double): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length && s < bound) { val d = v(offset + i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
   /** Code assignment for one full vector: argmin centroid per subvector. */
   def encode(v: Array[Double]): Array[Int] = {
     val out = new Array[Int](config.numSubvectors)
@@ -54,7 +68,7 @@ final class PqModel(val config: PqConfig, val dims: Int,
       var best = 0; var bd = Double.MaxValue; var c = 0
       val cb = codebooks(s)
       while (c < cb.length) {
-        val d = subDist2(v, s * subDim, cb(c))
+        val d = subDist2Bounded(v, s * subDim, cb(c), bd)
         if (d < bd) { bd = d; best = c }
         c += 1
       }

@@ -121,6 +121,33 @@ class IvfSpec extends AnyFunSuite with SparkSpecBase {
       s"raw-L2 recall $rawRecall — corpus no longer separates the modes")
   }
 
+  /** The early-abandon argmin (dist2Bounded) must be bit-identical to
+    * the naive full-distance argmin — including lowest-cell-id
+    * tie-breaking, exercised here via duplicated centroids. */
+  test("early-abandon cell assignment matches the naive argmin exactly") {
+    val rnd = new scala.util.Random(123)
+    val dims = 48
+    val base = Array.fill(35)(Array.fill(dims)(rnd.nextGaussian()))
+    // duplicate two centroids so exact ties exist; naive argmin keeps
+    // the lowest index, and cellOf must do the same
+    val cents = base ++ Array(base(3).clone(), base(17).clone())
+    val model = new IvfModel(IvfConfig(nCells = cents.length), cents)
+    (0 until 500).foreach { t =>
+      // mix of generic points and exact centroid hits (distance-0 ties)
+      val v = if (t % 7 == 0) cents(t % cents.length).clone()
+              else Array.fill(dims)(rnd.nextGaussian())
+      var naive = 0; var nd = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var s = 0.0; var i = 0
+        while (i < dims) { val d = v(i) - cents(c)(i); s += d * d; i += 1 }
+        if (s < nd) { nd = s; naive = c }
+        c += 1
+      }
+      assert(model.cellOf(v) === naive, s"trial $t")
+    }
+  }
+
   test("angular mode: deterministic fit and unit-norm centroids") {
     val a = Ivf.fit(cones, "embedding",
       IvfConfig(nCells = 4, seed = 7L, angular = true))

@@ -98,6 +98,29 @@ class PqSpec extends AnyFunSuite with SparkSpecBase {
     assert(rerankRecall > adcRecall)
   }
 
+  /** The encode argmin's early abandon (subDist2Bounded) must be
+    * bit-identical to the naive per-subvector argmin, ties included. */
+  test("early-abandon encode matches the naive per-subvector argmin exactly") {
+    val rnd = new scala.util.Random(321)
+    val m = Pq.fit(emb, "embedding", cfg)
+    val dims = m.dims; val sub = m.subDim
+    (0 until 200).foreach { t =>
+      val v = Array.fill(dims)(rnd.nextGaussian())
+      val naive = Array.tabulate(m.config.numSubvectors) { s =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        val cb = m.codebooks(s)
+        while (c < cb.length) {
+          var d2 = 0.0; var i = 0
+          while (i < sub) { val d = v(s * sub + i) - cb(c)(i); d2 += d * d; i += 1 }
+          if (d2 < bd) { bd = d2; best = c }
+          c += 1
+        }
+        best
+      }
+      assert(m.encode(v).toSeq === naive.toSeq, s"trial $t")
+    }
+  }
+
   test("searchAll refuses a query set beyond MaxQueryBatch with a named error") {
     val idx = Pq.train(emb, "vec_id", "embedding", cfg)
     // the guard must fire BEFORE any unbounded driver-side materialization:
