@@ -162,6 +162,38 @@ class IvfSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  /** Cell assignment is a stateless native expression, so a fitted
+    * model's transform runs unchanged over readStream — the IVF twin of
+    * StreamingIndexSpec's LSH stream==batch check, run in angular mode
+    * so the normalize-then-assign path is exercised under streaming. */
+  test("model.transform over a vector stream equals the batch transform (angular)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val model = Ivf.fit(cones, "embedding",
+      IvfConfig(nCells = 4, seed = 7L, angular = true))
+    val rows = cones.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Double])].collect().toSeq
+    val batch = model.transform(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .orderBy("vec_id").collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = model.transform(mem.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .writeStream.format("memory").queryName("ivf_cell_updates")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(50): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(50): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ivf_cell_updates")
+        .orderBy("vec_id").collect().toSeq
+      assert(streamed === batch)
+      assert(streamed.size === rows.size)
+    } finally q.stop()
+  }
+
   test("testdata embeddings: nProbe=8/16 recall above 0.8") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = emb.orderBy("vec_id").limit(50)
