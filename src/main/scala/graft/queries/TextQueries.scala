@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -33,6 +34,11 @@ object TextQueries extends QueryPack {
   val BandRows = 2  // rows per LSH band -> 4 bands
   val JaccardThreshold = 0.5
   val HammingThreshold = 8
+  /** n-gram length for train/benchmark decontamination — long enough
+    * that a shared shingle means copied text, not chance collision
+    * (the published pipelines use 8-13-gram windows on web-scale text;
+    * 5 fits this corpus's short synthetic docs). */
+  val ContamN = 5
   /** Drop shingles present in more than this fraction of documents
     * before the n-gram pair join — a shingle shared by f docs
     * contributes f² join rows, so document-frequency capping is the
@@ -43,6 +49,8 @@ object TextQueries extends QueryPack {
   /** BPE-ish pre-tokenizer: letter runs, digit runs, or single
     * non-alphanumeric glyphs (RE2- and Java-regex compatible). */
   val BpeTokenRegex = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"""
+  /** Top terms kept per language in the TF-IDF query. */
+  val TfIdfTopK = 5
   val EnMarkers = Seq("the", "a", "of", "and")
   val DeMarkers = Seq("der", "die", "das", "und")
   val FrMarkers = Seq("le", "la", "les", "et")
@@ -271,6 +279,74 @@ object TextQueries extends QueryPack {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")),
+
+    // Per-language top TF-IDF terms: tf per (doc, term), document
+    // frequency per term, score(lang, term) = Σ_docs tf × ln(N/df) —
+    // the corpus-level term-importance profile (the IR-standard
+    // weighting; stopwords self-suppress via idf → 0 as df → N).
+    // Multiplying the EXACT integer Σtf by one ln() keeps the float
+    // work to a single op per output row, so cross-engine float-sum
+    // drift cannot reorder ranks. Shuffles: (doc,term) tf agg,
+    // term-keyed df join, (lang,term) agg — all key-partitioned; the
+    // final window ranks |langs| × |terms| aggregated rows, not corpus
+    // rows.
+    "q_tfidf_top_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      // slice no-op: keep the split() materialized below the Generate
+      // (single-reference inlining would re-split the text per token)
+      val tf = d.select(col("doc_id"), col("lang"),
+          explode(slice(col("toks"), lit(1), size(col("toks")))).as("term"))
+        .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "term")
+        .groupBy("lang", "term", "df")
+        .agg(sum(col("tf")).as("ttf"))
+        .select(col("lang"), col("term"),
+          (col("ttf").cast(DoubleType)
+            * log(lit(nDocs.toDouble) / col("df"))).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("score").desc, col("term"))))
+        .where(col("rank") <= TfIdfTopK)
+        .select(col("lang"), col("rank").cast(LongType).as("rank"),
+          col("term"), round(col("score"), 6).as("score"))
+        .orderBy("lang", "rank")
+    }),
+
+    // Train/benchmark decontamination (the GPT-3-style n-gram overlap
+    // check): the deterministic val split (same md5 bucket rule as
+    // q_stratified_split) plays the benchmark; a train doc is
+    // contaminated when it shares any ContamN-gram with a benchmark
+    // doc. Candidates come from a shingle-keyed equi-join against the
+    // benchmark shingle set — broadcast, because at 100 TB the
+    // benchmark side is a fixed eval suite (KBs-MBs) while the corpus
+    // is the big side: contamination then costs one map-side join plus
+    // a per-doc aggregation, and the corpus never shuffles on the
+    // shingle value.
+    "q_decontaminate" -> ((s, dir) => {
+      // The slice no-op references `sh` twice, keeping the shingle chain
+      // materialized below the Generate (same CollapseProject discipline
+      // as minhashSig: a single-reference generator inlines the whole
+      // split+transform+concat_ws chain and re-evaluates it PER EXPLODED
+      // ELEMENT — measured 5.8 s vs 0.8 s at sf0.1). No size()>0 filter:
+      // explode drops empty arrays itself, and the filter form pushes
+      // yet another full re-evaluation into the scan.
+      val ex = docs(s, dir)
+        .select(col("doc_id"),
+          (hash60(0, col("doc_id").cast("string")) % 10 < 8).as("is_train"),
+          array_distinct(shingles(col("toks"), ContamN)).as("sh"))
+        .select(col("doc_id"), col("is_train"),
+          posexplode(slice(col("sh"), lit(1), size(col("sh")))))
+        .select(col("doc_id"), col("is_train"), col("col").as("s"))
+      val bench = ex.where(!col("is_train"))
+        .select(col("doc_id").as("bench_id"), col("s"))
+      ex.where(col("is_train")).select(col("doc_id"), col("s"))
+        .join(broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("s")).as("n_hit_shingles"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy("doc_id")
+    }),
 
     // 48-bit shingle SimHash per document.
     "q_simhash" -> ((s, dir) => simhash(docs(s, dir)).orderBy("doc_id")),
@@ -540,6 +616,51 @@ object TextQueries extends QueryPack {
         |  count(*) AS n_docs
         |FROM documents
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q_tfidf_top_terms" ->
+      s"""WITH $tokCte,
+         |ex AS (SELECT doc_id, lang, unnest(toks) AS term FROM tok),
+         |tf AS (
+         |  SELECT doc_id, lang, term, count(*) AS tf
+         |  FROM ex GROUP BY doc_id, lang, term
+         |),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |sc AS (
+         |  SELECT lang, term,
+         |         sum(tf)::DOUBLE * ln(nd.n::DOUBLE / df) AS score
+         |  FROM tf JOIN dfq USING (term), nd
+         |  GROUP BY lang, term, df, nd.n
+         |),
+         |rk AS (
+         |  SELECT lang, term, score,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY score DESC, term) AS rank
+         |  FROM sc
+         |)
+         |SELECT lang, rank, term, round(score, 6) AS score
+         |FROM rk WHERE rank <= $TfIdfTopK ORDER BY lang, rank""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $tokCte,
+         |spl AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5('0:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10 < 8
+         |           AS is_train,
+         |         toks
+         |  FROM tok
+         |),
+         |csh AS (
+         |  SELECT doc_id, is_train,
+         |         unnest(list_distinct(list_transform(range(0, len(toks)-${ContamN - 1}),
+         |           i -> array_to_string(toks[i+1:i+$ContamN], ' ')))) AS s
+         |  FROM spl
+         |)
+         |SELECT t.doc_id,
+         |       count(DISTINCT t.s) AS n_hit_shingles,
+         |       count(DISTINCT b.doc_id) AS n_bench_docs
+         |FROM csh t JOIN csh b ON t.s = b.s AND t.is_train AND NOT b.is_train
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH $tokCte, $simhashCte
