@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,26 +8,33 @@ import org.apache.spark.sql.types._
   * modes (batch `read` / incremental `readStream`), so every consumer
   * (batch queries, streaming jobs) sees the identical schema.
   *
-  * The testdata parquet stores TIMESTAMP(NANOS), which Spark 4 refuses
-  * as a timestamp type; we read it as raw nanosecond longs (runtime conf)
-  * and derive both `ts_us` (microsecond BIGINT — integer `div`, since
-  * double division loses precision above 2^53) and a proper `ts`
-  * timestamp. DuckDB's `epoch_us` truncates identically, which is what
-  * keeps the oracle comparisons exact.
+  * The on-disk `ts` encoding has shifted between driver testdata
+  * generations — TIMESTAMP(NANOS) (which Spark 4 refuses as a timestamp
+  * type and we read as raw nanosecond longs via the legacy conf) and
+  * plain TIMESTAMP/TIMESTAMP_NTZ microseconds — so normalization
+  * dispatches on the OBSERVED schema rather than assuming one layout.
+  * Every consumer sees the same two derived columns: `ts_us`
+  * (microsecond BIGINT — integer `div` for the nanos case, since double
+  * division loses precision above 2^53) and a proper `ts` timestamp.
+  * DuckDB's `epoch_us` truncates/reads identically on both layouts,
+  * which is what keeps the oracle comparisons exact. Sessions must run
+  * with `spark.sql.session.timeZone=UTC` (Verify/Bench/test sessions
+  * all pin it) so the NTZ→timestamp cast is the identity mapping DuckDB
+  * applies to naive parquet timestamps.
   */
 object EventSource {
 
-  /** Raw on-disk schema with ts as nanosecond longs. */
-  val RawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanoseconds since epoch
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Microsecond epoch BIGINT from whatever `ts` the files carry. */
+  private def tsToUs(tsType: DataType): Column = tsType match {
+    case LongType => expr("ts div 1000") // legacy TIMESTAMP(NANOS) as raw longs
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType => unix_micros(col("ts"))
+    case t => throw new IllegalArgumentException(
+      s"events.ts: unsupported type $t (expected nanos BIGINT or timestamp)")
+  }
 
   private def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts_us", expr("ts div 1000"))
+    df.withColumn("ts_us", tsToUs(df.schema("ts").dataType))
       .withColumn("ts", timestamp_micros(col("ts_us")))
 
   /** Batch read. */
@@ -37,9 +44,13 @@ object EventSource {
   }
 
   /** Incremental read of the same layout (file-based streaming source):
-    * new parquet files appearing under `path` become micro-batches. */
+    * new parquet files appearing under `path` become micro-batches. The
+    * stream schema is probed from the files already present at start
+    * (file-stream sources require a declared schema; all files in one
+    * watched directory share a layout). */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.readStream.schema(RawSchema).parquet(path))
+    val schema = spark.read.parquet(path).schema
+    normalize(spark.readStream.schema(schema).parquet(path))
   }
 }
