@@ -51,6 +51,17 @@ object TextQueries extends QueryPack {
   val BpeTokenRegex = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"""
   /** Top terms kept per language in the TF-IDF query. */
   val TfIdfTopK = 5
+  /** Repetition-quality keep thresholds (Gopher-style, Rae et al. 2021
+    * arXiv:2112.11446 §A1.1): calibrated to this corpus's decile spread
+    * (unique_ratio deciles .32–.75, top_tok_frac .07–.14) so both keep
+    * classes are non-trivially populated. */
+  val RepMinUniqueRatio = 0.45
+  val RepMaxTopTokFrac = 0.10
+  /** Per-source-index keep rates for the training-mixture sampler
+    * (source "srcN" → rate MixtureRates(N % 4)). */
+  val MixtureRates = Seq(1.0, 0.5, 0.25, 0.1)
+  /** Context-window token budget for the concatenate-and-chop packer. */
+  val PackWindow = 64
   val EnMarkers = Seq("the", "a", "of", "and")
   val DeMarkers = Seq("der", "die", "das", "und")
   val FrMarkers = Seq("le", "la", "les", "et")
@@ -362,6 +373,93 @@ object TextQueries extends QueryPack {
       graft.text.Dedup.materializeRelease(
         graft.text.Dedup.simhashBandPairs(sh, HammingThreshold), sh)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Gopher-style repetition quality: per-doc token/bigram repetition
+    // stats + keep flag (Rae et al. 2021, arXiv:2112.11446 §A1.1 use
+    // duplicate-n-gram fractions as pretraining filters). Two
+    // doc_id-keyed aggregations (tokens, bigrams) with map-side combine
+    // — per-doc mode via explode+groupBy, the form that scales; a
+    // per-row higher-order-function mode would be O(n_tokens²) per doc.
+    // All ratios are exact integer divisions, so round(…,6) is
+    // drift-free cross-engine.
+    "q_repetition_quality" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .where(size(col("toks")) >= lit(2))
+        .select(col("doc_id"), col("lang"), col("toks"),
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))).as("bigrams"))
+      def topFreq(d: DataFrame, arr: String, n: String, mx: String,
+                  uq: String): DataFrame =
+        d.select(col("doc_id"), explode(col(arr)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as(n), max(col("c")).as(mx),
+            count(lit(1)).as(uq))
+      val tokStats = topFreq(base, "toks", "n_toks", "max_tok", "n_uniq")
+      val bigStats = topFreq(base, "bigrams", "n_big", "max_big", "n_uniq_big")
+      val ur = col("n_uniq").cast(DoubleType) / col("n_toks")
+      val tf = col("max_tok").cast(DoubleType) / col("n_toks")
+      val bf = col("max_big").cast(DoubleType) / col("n_big")
+      base.select(col("doc_id"), col("lang"))
+        .join(tokStats, "doc_id").join(bigStats, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          col("n_toks").cast(LongType).as("n_toks"),
+          round(ur, 6).as("unique_ratio"),
+          round(tf, 6).as("top_tok_frac"),
+          round(bf, 6).as("top_bigram_frac"),
+          (ur >= RepMinUniqueRatio && tf <= RepMaxTopTokFrac).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Domain-mixture sampling: deterministic per-source keep rates (the
+    // "sample web at 10%, books at 100%" training-mixture step) via the
+    // md5-derived uniform, counted per source. Sampling is a scan-side
+    // map filter — at 100 TB the kept rows never shuffle; only the
+    // 20-row per-source summary aggregates.
+    "q_mixture_sample" -> ((s, dir) => {
+      val rate = element_at(
+        typedLit(MixtureRates),
+        (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+          % MixtureRates.size) + 1)
+      val u = (hash60(1, concat(lit("mix:"), col("doc_id").cast("string")))
+        % 10000).cast(DoubleType) / 10000.0
+      tbl(s, dir, "documents")
+        .select(col("source"), col("n_chars"), (u < rate).as("kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .orderBy("source")
+    }),
+
+    // Context-window packing (concatenate-and-chop): docs stream per
+    // source in doc_id order, token streams chop into PackWindow-token
+    // windows — per source: window count, docs straddling a boundary,
+    // fill of the final partial window. The running sum partitions by
+    // source (parallel across sources; a 100 TB run sub-shards the
+    // stream key), never a global single-partition window.
+    "q_context_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val start = coalesce(sum(col("n_toks")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      tbl(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_toks"))
+        .select(col("source"), col("n_toks"),
+          floor(start / PackWindow).as("first_win"),
+          floor((start + col("n_toks") - 1) / PackWindow).as("last_win"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          (floor((sum(col("n_toks")) - 1) / PackWindow) + 1)
+            .as("n_windows"),
+          sum(when(col("first_win") =!= col("last_win"), 1L)
+            .otherwise(0L)).as("n_straddling"),
+          (((sum(col("n_toks")) - 1) % PackWindow) + 1).as("last_fill"))
+        .orderBy("source")
     })
   )
 
@@ -672,6 +770,78 @@ object TextQueries extends QueryPack {
          |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS ham
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_repetition_quality" ->
+      s"""WITH $tokCte,
+         |base AS (
+         |  SELECT doc_id, lang, toks,
+         |         list_transform(range(0, len(toks)-1),
+         |           i -> toks[i+1] || ' ' || toks[i+2]) AS bigrams
+         |  FROM tok WHERE len(toks) >= 2
+         |),
+         |tc AS (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS g FROM base)
+         |  GROUP BY doc_id, g
+         |),
+         |ts AS (
+         |  SELECT doc_id, sum(c) AS n_toks, max(c) AS max_tok,
+         |         count(*) AS n_uniq
+         |  FROM tc GROUP BY doc_id
+         |),
+         |bc AS (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(bigrams) AS g FROM base)
+         |  GROUP BY doc_id, g
+         |),
+         |bs AS (
+         |  SELECT doc_id, sum(c) AS n_big, max(c) AS max_big
+         |  FROM bc GROUP BY doc_id
+         |)
+         |SELECT base.doc_id, lang, n_toks::BIGINT AS n_toks,
+         |  round(n_uniq::DOUBLE / n_toks, 6) AS unique_ratio,
+         |  round(max_tok::DOUBLE / n_toks, 6) AS top_tok_frac,
+         |  round(max_big::DOUBLE / n_big, 6) AS top_bigram_frac,
+         |  (n_uniq::DOUBLE / n_toks >= $RepMinUniqueRatio
+         |    AND max_tok::DOUBLE / n_toks <= $RepMaxTopTokFrac) AS keep
+         |FROM base JOIN ts USING (doc_id) JOIN bs USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_sample" ->
+      s"""WITH d AS (
+         |  SELECT source, n_chars,
+         |    (CASE regexp_extract(source, '([0-9]+)$$', 1)::INT % ${MixtureRates.size}
+         |       ${MixtureRates.zipWithIndex
+               .map { case (r, i) => s"WHEN $i THEN $r" }.mkString(" ")}
+         |     END) AS rate,
+         |    (('0x' || substr(md5('1:' || 'mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |      % 10000)::DOUBLE / 10000.0 AS u
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  sum(CASE WHEN u < rate THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN u < rate THEN n_chars ELSE 0 END)::BIGINT AS kept_chars
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_context_pack" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_toks
+         |  FROM documents
+         |),
+         |w AS (
+         |  SELECT source, n_toks,
+         |    coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         |  FROM d
+         |)
+         |SELECT source, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+         |  (floor((sum(n_toks) - 1) / $PackWindow) + 1)::BIGINT AS n_windows,
+         |  sum(CASE WHEN floor(start / $PackWindow)
+         |             != floor((start + n_toks - 1) / $PackWindow)
+         |           THEN 1 ELSE 0 END)::BIGINT AS n_straddling,
+         |  (((sum(n_toks) - 1) % $PackWindow) + 1)::BIGINT AS last_fill
+         |FROM w GROUP BY source ORDER BY source""".stripMargin
   )
 }
