@@ -389,27 +389,37 @@ object TextQueries extends QueryPack {
     // All ratios are exact integer divisions, so round(…,6) is
     // drift-free cross-engine.
     "q_repetition_quality" -> ((s, dir) => {
-      val base = docs(s, dir)
+      // Single pass: tokens and bigrams ride one tagged explode
+      // (k=0 token, k=1 bigram), so the corpus is scanned/tokenized
+      // once and the whole query is two doc_id-keyed aggregations with
+      // map-side combine and zero joins (the first form — separate
+      // token/bigram chains joined back to a re-scanned base — cost 3
+      // scans + 2 joins and measured 6× slower at sf0.1: 4.95 s vs
+      // 0.81 s isolated, 3-attempt min).
+      val exploded = docs(s, dir)
         .where(size(col("toks")) >= lit(2))
-        .select(col("doc_id"), col("lang"), col("toks"),
-          transform(sequence(lit(0), size(col("toks")) - 2),
-            i => concat_ws(" ", element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2))).as("bigrams"))
-      def topFreq(d: DataFrame, arr: String, n: String, mx: String,
-                  uq: String): DataFrame =
-        d.select(col("doc_id"), explode(col(arr)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum(col("c")).as(n), max(col("c")).as(mx),
-            count(lit(1)).as(uq))
-      val tokStats = topFreq(base, "toks", "n_toks", "max_tok", "n_uniq")
-      val bigStats = topFreq(base, "bigrams", "n_big", "max_big", "n_uniq_big")
+        .select(col("doc_id"), col("lang"),
+          explode(concat(
+            transform(col("toks"), t => struct(lit(0).as("k"), t.as("g"))),
+            transform(sequence(lit(0), size(col("toks")) - 2),
+              i => struct(lit(1).as("k"),
+                concat_ws(" ", element_at(col("toks"), i + 1),
+                  element_at(col("toks"), i + 2)).as("g"))))).as("e"))
+        .select(col("doc_id"), col("lang"),
+          col("e.k").as("k"), col("e.g").as("g"))
+      val tok = col("k") === 0
+      val stats = exploded
+        .groupBy("doc_id", "lang", "k", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "lang")
+        .agg(sum(when(tok, col("c"))).as("n_toks"),
+          max(when(tok, col("c"))).as("max_tok"),
+          sum(when(tok, 1L)).as("n_uniq"),
+          sum(when(!tok, col("c"))).as("n_big"),
+          max(when(!tok, col("c"))).as("max_big"))
       val ur = col("n_uniq").cast(DoubleType) / col("n_toks")
       val tf = col("max_tok").cast(DoubleType) / col("n_toks")
       val bf = col("max_big").cast(DoubleType) / col("n_big")
-      base.select(col("doc_id"), col("lang"))
-        .join(tokStats, "doc_id").join(bigStats, "doc_id")
-        .select(col("doc_id"), col("lang"),
+      stats.select(col("doc_id"), col("lang"),
           col("n_toks").cast(LongType).as("n_toks"),
           round(ur, 6).as("unique_ratio"),
           round(tf, 6).as("top_tok_frac"),
