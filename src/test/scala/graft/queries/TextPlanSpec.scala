@@ -49,4 +49,36 @@ class TextPlanSpec extends AnyFunSuite with SparkSpecBase {
     assert(count("md5\\(", p) === 1, p)
     assert(count("split\\(", p) <= 2, p)
   }
+
+  test("q_repetition_quality: one corpus scan, zero joins") {
+    val p = plan("q_repetition_quality")
+    assert(count("parquet", p) === 1, s"corpus scanned more than once:\n$p")
+    assert(!p.contains("Join"), s"join crept into the single-pass form:\n$p")
+    // 2: the pushed-down size filter re-evaluates split once per row
+    // (same shape the md5 pins above allow); the explode lambda itself
+    // must not re-tokenize.
+    assert(count("split\\(", p) <= 2, s"tokenization inlined per element:\n$p")
+  }
+
+  test("q_mixture_sample: scan-side sampling, one aggregate, no join") {
+    val p = plan("q_mixture_sample")
+    assert(count("parquet", p) === 1, p)
+    assert(!p.contains("Join"), p)
+    assert(count("Aggregate", p) === 1,
+      s"sampling must fold into the scan-side projection:\n$p")
+  }
+
+  test("q_context_pack: running sum is partitioned by source, never global") {
+    val p = plan("q_context_pack")
+    assert(p.contains("windowspecdefinition(source"),
+      s"window lost its source partitioning (global single-partition sort):\n$p")
+  }
+
+  test("q_unigram_ppl: vocab and total join as broadcasts, never shuffled joins") {
+    val p = TextQueries.queries("q_unigram_ppl")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"vocab join must broadcast onto the token stream:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab broadcast join missing:\n$p")
+  }
 }
