@@ -434,14 +434,9 @@ object TextQueries extends QueryPack {
     // map filter — at 100 TB the kept rows never shuffle; only the
     // 20-row per-source summary aggregates.
     "q_mixture_sample" -> ((s, dir) => {
-      val rate = element_at(
-        typedLit(MixtureRates),
-        (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
-          % MixtureRates.size) + 1)
-      val u = (hash60(1, concat(lit("mix:"), col("doc_id").cast("string")))
-        % 10000).cast(DoubleType) / 10000.0
       tbl(s, dir, "documents")
-        .select(col("source"), col("n_chars"), (u < rate).as("kept"))
+        .select(col("source"), col("n_chars"),
+          mixtureKeep(col("source"), col("doc_id"), MixtureRates).as("kept"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),

@@ -89,4 +89,36 @@ object TextFunctions {
     * multiplicity-insensitive) — "bag-of-words dedup" key. */
   def tokenSetKey(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
+
+  /** Deterministic mixture-sampling keep decision: the per-source keep
+    * rate is `rates(sourceIndex % rates.size)` (source name "srcN" →
+    * index N) and the uniform draw is md5-derived from doc_id, so the
+    * decision is a pure per-row projection. One source of truth for the
+    * batch summary (`q_mixture_sample`) and streaming ingest — stateless,
+    * so the identical column works under `readStream` unchanged. */
+  def mixtureKeep(source: Column, docId: Column, rates: Seq[Double]): Column = {
+    val rate = element_at(typedLit(rates),
+      (regexp_extract(source, "([0-9]+)$", 1).cast("int") % rates.size) + 1)
+    val u = (hash60(1, concat(lit("mix:"), docId.cast("string"))) % 10000)
+      .cast(DoubleType) / 10000.0
+    u < rate
+  }
+
+  /** Per-row (stateless) form of the token-repetition quality stats:
+    * struct(unique_ratio, top_tok_frac), the same exact integer ratios
+    * the aggregated `q_repetition_quality` chain produces — double
+    * division of exact integers, so the flags are bit-identical
+    * (asserted stream==batch in StreamingPipelineSpec). HOFs over the
+    * token array are O(uniq·n) per document: wrong for the batch corpus
+    * pass (the tagged-explode aggregation is linear), right for a
+    * streaming ingest filter where explode+groupBy would need shuffle
+    * state per micro-batch. */
+  def repetitionStats(toks: Column): Column = {
+    val uniq = array_distinct(toks)
+    val maxTok = array_max(
+      transform(uniq, t => size(filter(toks, x => x === t))))
+    struct(
+      (size(uniq).cast(DoubleType) / size(toks)).as("unique_ratio"),
+      (maxTok.cast(DoubleType) / size(toks)).as("top_tok_frac"))
+  }
 }
