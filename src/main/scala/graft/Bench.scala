@@ -72,14 +72,29 @@ object Bench {
     val results = attempts.map { case (name, ts) =>
       name -> (if (ts.forall(_._1)) ts.map(_._2).min else -1.0)
     }
-    // Headline stays ONE line and under ~1800 chars (times at ms
-    // precision): the round harness keeps only the final 2000 chars of
-    // stdout, and a longer line gets its head truncated mid-value.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    // Headline stays ONE line comfortably under 2000 chars: the round
+    // harness keeps only the final 2000 chars of stdout, and a longer
+    // line gets its head truncated mid-value. At 74 queries the
+    // ms-precision form measured 1970 chars — one more query away from
+    // truncation — so per-query times print at 10 ms precision (full ms
+    // lives in BENCH_SPREAD.json) and sf prints as its basename.
+    def rp(p: Int)(v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
     // Sentinels (-1.0, failed queries) are excluded from the total.
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    def render(p: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + rp(p)(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    // Adaptive precision: highest of 10 ms / 100 ms / 1 s precision that
+    // keeps the line under 1900 chars (full-ms times are in
+    // BENCH_SPREAD.json either way).
+    val line = Seq(2, 1, 0).map(render).find(_.length <= 1900).getOrElse(render(0))
+    if (line.length > 1900)
+      System.err.println(s"[bench] headline ${line.length} chars — nearing the 2000-char stdout window")
+    println(line)
     spark.stop()
   }
 }
