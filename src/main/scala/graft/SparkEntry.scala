@@ -23,7 +23,8 @@ object SparkEntry {
     EventQueries,
     SimilarityQueries,
     MultimodalQueries,
-    PipelineQueries
+    PipelineQueries,
+    RetrievalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -57,8 +57,44 @@ object SimilarityQueries extends QueryPack {
     * contract as [[CellDumpRoot]], plus a codes-length invariant). */
   def CodeDumpRoot: String = s"${QueryPack.dumpRoot}/graft_ivfpq_code_dump"
 
+  /** `q_semdedup`'s own (vec_id, cell) dump — same assignment as
+    * [[CellDumpRoot]] (same seeded config) but a separate path, because
+    * Verify runs queries concurrently and two queries overwriting one
+    * dump directory would race. */
+  def SemDedupDumpRoot: String = s"${QueryPack.dumpRoot}/graft_semdedup_dump"
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings")
+
+  /** The SemDeDup within-cell prune (see `q_semdedup`): per cell,
+    * n_vectors / n_dropped / drop_ratio under the deterministic min-id
+    * keep rule, plus the assignment-completeness invariant. `cells` is
+    * (vec_id, cell); `e` the embeddings table; `nVecs` its row count.
+    * The only join fan-out is within-cell (cell-keyed self-join) — the
+    * cluster-bounded quadratic that is the method's own scale story. */
+  private[queries] def semdedupSummary(cells: DataFrame, e: DataFrame,
+                                       nVecs: Long): DataFrame = {
+    val withVec = cells.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    val a = withVec.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = withVec.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(round(exprs.cosineDistNative(col("ea"), col("eb")), 6)
+        <= CosineDupThreshold)
+      .select(col("cell"), col("vec_b")).distinct()
+    val byCell = cells.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val drops = dropped.groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+    val inv = byCell.agg(sum("n_vectors").as("tot"))
+    byCell.join(drops, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_dropped"))
+      .crossJoin(inv)
+      .select(col("cell"), col("n_vectors"), col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n_vectors"), 6)
+          .as("drop_ratio"),
+        (col("tot") === nVecs).as("total_ok"))
+  }
 
   private def queriesDf(e: DataFrame): DataFrame =
     e.orderBy("vec_id").limit(VectorQueries.NumQueries)
@@ -259,6 +295,27 @@ object SimilarityQueries extends QueryPack {
         .orderBy("cell")
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication = k-means cluster the embedding space, then drop
+    // within-cluster near-duplicates by cosine. The clusters BOUND the
+    // quadratic — pairs form only inside a cell (cell-keyed self-join,
+    // never corpus all-pairs), which is the published method's own
+    // 100 TB story: grow nCells with the corpus so cell occupancy stays
+    // flat. Deterministic keep rule: a vector is dropped iff a
+    // LOWER-vec_id vector in the same cell sits within
+    // CosineDupThreshold (keep-the-min-id representative). The seeded
+    // k-means fit is gated by the (vec_id, cell) dump: DuckDB re-derives
+    // every within-cell pair's cosine, the drop set, and the per-cell
+    // summary from the dump + raw embeddings (total_ok additionally
+    // proves the assignment is complete, so no pair can hide).
+    "q_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Ivf.train(e, "vec_id", "embedding", ivfConfig)
+      val dump = s"$SemDedupDumpRoot/${LshQueries.sfName(dir)}"
+      idx.cells.write.mode("overwrite").parquet(dump)
+      semdedupSummary(s.read.parquet(dump), e, e.count()).orderBy("cell")
+    }),
+
     // PQ compressed-search recall: ADC-only vs ADC+exact-rerank against
     // exact ground truth. Both prediction sets are dumped so the DuckDB
     // oracle recomputes the ground truth and both recall aggregates
@@ -428,6 +485,34 @@ object SimilarityQueries extends QueryPack {
          |)
          |SELECT vec_a, vec_b, cos_dist, cos_dist <= $CosineDupThreshold AS within
          |FROM r ORDER BY vec_a, vec_b""".stripMargin,
+
+    // The whole SemDeDup chain re-derived in DuckDB from the dumped
+    // assignment: within-cell pairs, exact cosines, the min-id drop
+    // rule, the per-cell summary, and the completeness invariant.
+    "q_semdedup" ->
+      s"""WITH c AS (
+         |  SELECT * FROM read_parquet('$SemDedupDumpRoot/sf0.01/*.parquet')
+         |),
+         |nv AS (SELECT count(*) AS n FROM embeddings),
+         |pr AS (
+         |  SELECT ca.cell, cb.vec_id AS vec_b
+         |  FROM c ca JOIN c cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+         |  JOIN embeddings a ON a.vec_id = ca.vec_id
+         |  JOIN embeddings b ON b.vec_id = cb.vec_id
+         |  WHERE round(CASE WHEN 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 1e-6
+         |        THEN 0.0
+         |        ELSE 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6)
+         |        <= $CosineDupThreshold
+         |),
+         |dr AS (SELECT cell, count(DISTINCT vec_b) AS n_dropped FROM pr GROUP BY cell),
+         |st AS (SELECT cell, count(*)::BIGINT AS n_vectors FROM c GROUP BY cell),
+         |inv AS (SELECT sum(n_vectors)::BIGINT AS tot FROM st)
+         |SELECT st.cell, st.n_vectors,
+         |       coalesce(dr.n_dropped, 0)::BIGINT AS n_dropped,
+         |       round(coalesce(dr.n_dropped, 0)::DOUBLE / st.n_vectors, 6) AS drop_ratio,
+         |       inv.tot = nv.n AS total_ok
+         |FROM st LEFT JOIN dr USING (cell), inv, nv
+         |ORDER BY st.cell""".stripMargin,
 
     "q_embedding_near_dup" ->
       s"""WITH d AS (

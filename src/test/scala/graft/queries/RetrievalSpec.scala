@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+
+/** Semantics + plan-shape guards for the retrieval pack (BM25, hybrid
+  * RRF) and the SemDeDup prune.
+  *
+  * The BM25 known-value test pins the exact scoring formula (the
+  * Lucene-form idf and the k1/b saturation) against a hand-computed
+  * corpus — the DuckDB oracle proves Spark and DuckDB agree, this
+  * proves BOTH match the published formula (a shared formula bug would
+  * hash-match cross-engine and still be wrong). The plan pins mirror
+  * SearchPlanSpec: ranking tails must be the bounded TopK aggregation,
+  * never a corpus-wide `row_number()` window, and the query-term join
+  * must broadcast (the corpus never shuffles on a term).
+  */
+class RetrievalSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  test("bm25 matches the hand-computed formula on a 3-doc corpus") {
+    val d = Seq(
+      (1L, Seq("a", "b", "a")),
+      (2L, Seq("a", "c")),
+      (3L, Seq("c", "c", "c"))
+    ).toDF("doc_id", "toks")
+    val qterms = Seq((1L, "a")).toDF("query_id", "term")
+    val got = RetrievalQueries.bm25(d, qterms)
+      .orderBy("doc_id")
+      .select("doc_id", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // N=3, avgdl=8/3, df(a)=2, idf=ln(1+(3-2+0.5)/(2+0.5))=ln(1.6)
+    val idf = math.log(1.6)
+    val k1 = RetrievalQueries.K1
+    val b = RetrievalQueries.B
+    def s(tf: Double, dl: Double): Double = {
+      val raw = idf * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * dl / (8.0 / 3)))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.toSeq === Seq((1L, s(2, 3)), (2L, s(1, 2))))
+  }
+
+  test("topDesc ranks by score desc with doc_id tie-break, bounded at k") {
+    val scored = Seq(
+      (1L, 10L, 2.0), (1L, 30L, 5.0), (1L, 20L, 5.0), (1L, 40L, 1.0),
+      (2L, 10L, 1.0)
+    ).toDF("query_id", "doc_id", "score")
+    val got = RetrievalQueries.topDesc(scored, "score", 3, "score")
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 20L, 5.0), (1L, 2L, 30L, 5.0), (1L, 3L, 10L, 2.0),
+      (2L, 1L, 10L, 1.0)))
+  }
+
+  test("q_bm25_topk: contiguous ranks, non-increasing scores, rare term ranks over common") {
+    val df = RetrievalQueries.queries("q_bm25_topk")(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks === (1L to ranks.size).toSeq)
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(scores === scores.sorted.reverse, s"scores not descending: $scores")
+    }
+    // query 4 mixes "dup" (rare, high idf) with common terms: its top
+    // score must exceed pure-common query 2's top score.
+    def top(q: Long) = byQ(q).minBy(_.getLong(1)).getDouble(3)
+    assert(top(4L) > top(2L))
+  }
+
+  test("q_bm25_topk plan: no Window (bounded TopK aggregation), broadcast term join") {
+    val df = RetrievalQueries.queries("q_bm25_topk")(spark, sf("sf0.001"))
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Window"), s"window top-k leaked into BM25 ranking:\n$p")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastNestedLoop"),
+      s"query-term join did not broadcast:\n$phys")
+    assert(phys.contains("ObjectHashAggregate"),
+      s"TopK aggregation missing from the physical plan:\n$phys")
+  }
+
+  test("q_hybrid_rrf: self excluded, rrf consistent with contributing ranks") {
+    val df = RetrievalQueries.queries("q_hybrid_rrf")(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self-match leaked")
+    val k = RetrievalQueries.RrfK
+    rows.foreach { r =>
+      val exp = (if (r.isNullAt(4)) 0.0 else 1.0 / (k + r.getLong(4))) +
+        (if (r.isNullAt(5)) 0.0 else 1.0 / (k + r.getLong(5)))
+      val expR = BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expR) < 1e-9,
+        s"rrf ${r.getDouble(3)} != $expR for row $r")
+      assert(!(r.isNullAt(4) && r.isNullAt(5)), "fused row from neither retriever")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= RetrievalQueries.TopKDocs)
+    }
+  }
+
+  test("semdedupSummary: min-id keep rule, cluster-bounded (cross-cell dup survives)") {
+    // vecs 1,2 near-identical in cell 0 -> 2 dropped, 1 kept; vec 3
+    // orthogonal in cell 0 -> kept; vec 4 identical to 1 but in cell 1
+    // -> NOT dropped (pairs only form within a cell).
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cells = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("vec_id", "cell")
+    val got = SimilarityQueries.semdedupSummary(cells, e, 4L)
+      .orderBy("cell")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(got.toSeq === Seq((0, 3L, 1L, true), (1, 1L, 0L, true)))
+  }
+
+  test("semdedupSummary: total_ok false when the assignment is incomplete") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cells = Seq((1L, 0)).toDF("vec_id", "cell") // vec 2 missing
+    val got = SimilarityQueries.semdedupSummary(cells, e, 2L).collect()
+    assert(got.forall(!_.getBoolean(4)), "missing assignment must break total_ok")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+import graft.queries.RetrievalQueries
+import graft.text.TextFunctions
+
+/** Streaming lexical retrieval: keyword queries arrive as a stream and
+  * score against a STATIC per-(doc, term) BM25 partial-score table
+  * (`RetrievalQueries.termScores(d, None)` — the precomputed index a
+  * deployment would persist). The stream explodes each query's terms
+  * (stateless), stream-static joins on term, and runs ONE streaming
+  * aggregation `sum(tscore)` per (query_id, doc_id) — per-query top-k
+  * then lives in the sink/foreachBatch, because a second stateful
+  * ranking stage behind a complete-mode aggregation is the shape
+  * streaming does not allow. Scores must equal the batch
+  * [[RetrievalQueries.bm25]] path exactly (same rounding). */
+class StreamingRetrievalSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  test("streamed keyword queries x static term index == batch bm25 scores") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+
+    val queryTerms: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("dup"),
+      2L -> Seq("spark", "window"),
+      3L -> Seq("vector", "query", "fast"))
+
+    val qtermsDf = queryTerms
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val batch = RetrievalQueries.bm25(d, qtermsDf)
+      .orderBy("query_id", "doc_id").collect().toSeq
+
+    // Static half: the full per-(doc, term) partial-score index.
+    val index = RetrievalQueries.termScores(d, None)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[String])]
+    val scored = mem.toDF().toDF("query_id", "terms")
+      .select(col("query_id"), explode(col("terms")).as("term"))
+      .join(index, "term") // stream-static equi-join on term
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("tscore")), 6).as("score"))
+    val q = scored.writeStream.format("memory").queryName("stream_bm25")
+      .outputMode("complete").start()
+    try {
+      mem.addData(queryTerms.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(queryTerms.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_bm25")
+        .orderBy("query_id", "doc_id").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
