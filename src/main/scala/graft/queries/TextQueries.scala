@@ -67,6 +67,29 @@ object TextQueries extends QueryPack {
     * §4.3): calibrated to this corpus's avg-NLL decile spread
     * (p10 3.396 – p90 3.410) so both keep classes are populated. */
   val PplMaxAvgNll = 3.405
+  /** Span length for exact-substring duplicate coverage (Lee et al. 2022
+    * arXiv:2107.06499 use 50-token spans on web text; 8 fits this
+    * corpus's 10-100-token synthetic docs — long enough that a shared
+    * span means planted duplication, not chance: measured 1,015 of
+    * 22,579 distinct 8-spans are cross-doc at sf0.01, and coverage is
+    * bimodal 0 vs 0.92-1.0). */
+  val SpanN = 8
+  /** Drop a doc when more than this fraction of its tokens sit inside a
+    * span shared with another document. */
+  val DupCoverageMax = 0.5
+  /** Sensitive-term lexicon for the scrubbing pass. Real pipelines pair
+    * regex detectors (emails, IPs) with a lexicon; this corpus is
+    * synthetic word-salad, so the regex detectors exercise the
+    * zero-match path while the lexicon (terms chosen to intersect the
+    * vocab) exercises real replacement. */
+  val PiiLexicon = Seq("customer", "user", "key", "value")
+  val EmailRegex = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  /** DSIR keep threshold on the per-doc mean log importance ratio
+    * (Xie et al. 2023 arXiv:2302.03169; target domain = the `en`
+    * slice). 0.0 = "looks more like the target than the raw mixture";
+    * calibrated: en docs median +0.0007, other langs negative, so both
+    * keep classes are populated. */
+  val DsirMinAvgLogRatio = 0.0
   val EnMarkers = Seq("the", "a", "of", "and")
   val DeMarkers = Seq("der", "die", "das", "und")
   val FrMarkers = Seq("le", "la", "les", "et")
@@ -497,6 +520,94 @@ object TextQueries extends QueryPack {
           col("avg_nll"), col("ppl"),
           (col("avg_nll") <= PplMaxAvgNll).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // Exact-substring duplicate coverage (Lee et al. 2022
+    // arXiv:2107.06499): fraction of each doc's tokens inside an
+    // 8-token span that also appears in ANOTHER document. Two
+    // shuffles at scale: one on the 60-bit span hash (cross-doc
+    // frequency), one doc_id-keyed re-aggregation; the covered-token
+    // union explodes only DUPLICATED span starts (SpanN x dup rows),
+    // never the whole token stream.
+    "q_dup_span_coverage" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"))
+      val spans = base
+        .select(col("doc_id"), posexplode(shingles(col("toks"), SpanN)))
+        .select(col("doc_id"), col("pos"), hash60(0, col("col")).as("h"))
+      val dupH = spans.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("d"))
+        .where(col("d") >= 2).select("h")
+      val cov = spans.join(dupH, "h")
+        .select(col("doc_id"), col("pos"),
+          explode(sequence(col("pos"), col("pos") + lit(SpanN - 1))).as("p"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("pos")).as("dup_spans"),
+          countDistinct(col("p")).as("covered_toks"))
+      base.select(col("doc_id"), col("n_toks"),
+          greatest(col("n_toks") - lit(SpanN - 1), lit(0)).cast(LongType)
+            .as("n_spans"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks").cast(LongType).as("n_toks"),
+          col("n_spans"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+          coalesce(col("covered_toks"), lit(0L)).as("covered_toks"),
+          round(coalesce(col("covered_toks"), lit(0L)).cast(DoubleType)
+            / col("n_toks"), 6).as("coverage"))
+        .withColumn("keep", col("coverage") <= DupCoverageMax)
+        .orderBy("doc_id")
+    }),
+
+    // Sensitive-content scrub: regex detectors (email — the zero-match
+    // path on this corpus) + lexicon replacement, pure map-side work
+    // (regexp_count/regexp_replace are codegen'd built-ins); at 100 TB
+    // this is a scan-side projection that never shuffles.
+    "q_pii_redact" -> ((s, dir) => {
+      val lexRe = s"\\b(${PiiLexicon.mkString("|")})\\b"
+      // `redacted` is referenced twice downstream (length + fingerprint),
+      // so materializing it in its own projection keeps the two
+      // regexp_replace passes evaluated ONCE per row — CollapseProject
+      // never inlines a multi-reference non-cheap alias (the same
+      // discipline as the q_embedding_quantize r8 fix).
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          regexp_replace(
+            regexp_replace(col("text"), lit(EmailRegex), lit("[EMAIL]")),
+            lit(lexRe), lit("[PII]")).as("redacted"))
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(EmailRegex)).cast(LongType)
+            .as("n_email"),
+          regexp_count(col("text"), lit(lexRe)).cast(LongType)
+            .as("n_lexicon"),
+          length(col("text")).cast(LongType).as("n_chars_raw"),
+          length(col("redacted")).cast(LongType).as("n_chars_redacted"),
+          hash60(0, col("redacted")).as("redacted_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR data selection (Xie et al. 2023 arXiv:2302.03169): score
+    // each doc by the mean log importance ratio between an add-1
+    // unigram LM of the TARGET slice (lang='en') and one of the raw
+    // corpus. The vocab table is small (broadcast); per-token scoring
+    // rides the scan, and only the doc_id-keyed mean aggregates — the
+    // same shape as q_unigram_ppl, so kept rows never shuffle at 100 TB.
+    "q_dsir_weights" -> ((s, dir) => {
+      val t = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
+      val v = t.groupBy("w").agg(count(lit(1)).as("tf_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tf_t"))
+      val tot = v.agg(sum(col("tf_r")).as("nr"), sum(col("tf_t")).as("nt"),
+        count(lit(1)).as("vsz"))
+      val lw = avg(
+        log((col("tf_t") + lit(1.0)) / (col("nt") + col("vsz")))
+          - log((col("tf_r") + lit(1.0)) / (col("nr") + col("vsz"))))
+      t.join(broadcast(v), "w").crossJoin(broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_toks"), round(lw, 6).as("avg_log_ratio"))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          col("avg_log_ratio"),
+          (col("avg_log_ratio") > DsirMinAvgLogRatio).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -896,6 +1007,68 @@ object TextQueries extends QueryPack {
          |  round(nll, 6) AS avg_nll,
          |  round(exp(nll), 6) AS ppl,
          |  (round(nll, 6) <= $PplMaxAvgNll) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_dup_span_coverage" ->
+      s"""WITH $tokCte,
+         |sp AS (
+         |  SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+$SpanN], ' ') AS s
+         |  FROM tok, unnest(range(0, len(toks)-${SpanN - 1})) AS u(i)
+         |),
+         |df AS (SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT pos) AS dup_spans,
+         |         count(DISTINCT p) AS covered_toks
+         |  FROM (SELECT doc_id, pos FROM sp JOIN df USING (s)),
+         |       unnest(generate_series(pos, pos+${SpanN - 1})) AS g(p)
+         |  GROUP BY doc_id
+         |),
+         |base AS (
+         |  SELECT doc_id, len(toks) AS n_toks,
+         |         greatest(len(toks) - ${SpanN - 1}, 0) AS n_spans
+         |  FROM tok
+         |)
+         |SELECT base.doc_id, n_toks::BIGINT AS n_toks, n_spans::BIGINT AS n_spans,
+         |  coalesce(dup_spans, 0)::BIGINT AS dup_spans,
+         |  coalesce(covered_toks, 0)::BIGINT AS covered_toks,
+         |  round(coalesce(covered_toks, 0)::DOUBLE / n_toks, 6) AS coverage,
+         |  (round(coalesce(covered_toks, 0)::DOUBLE / n_toks, 6) <= $DupCoverageMax) AS keep
+         |FROM base LEFT JOIN cov ON base.doc_id = cov.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+
+    "q_pii_redact" -> {
+      val lexRe = s"\\b(${PiiLexicon.mkString("|")})\\b"
+      s"""WITH red AS (
+         |  SELECT doc_id, text,
+         |         regexp_replace(regexp_replace(text, '$EmailRegex', '[EMAIL]', 'g'),
+         |                        '$lexRe', '[PII]', 'g') AS redacted
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailRegex'))::BIGINT AS n_email,
+         |  len(regexp_extract_all(text, '$lexRe'))::BIGINT AS n_lexicon,
+         |  len(text)::BIGINT AS n_chars_raw,
+         |  len(redacted)::BIGINT AS n_chars_redacted,
+         |  ('0x' || substr(md5('0:' || redacted), 1, 15))::BIGINT AS redacted_fp
+         |FROM red ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dsir_weights" ->
+      s"""WITH $tokCte,
+         |t AS (SELECT doc_id, lang, unnest(toks) AS w FROM tok),
+         |v AS (SELECT w, count(*) AS tf_r,
+         |             count(*) FILTER (lang = 'en') AS tf_t
+         |      FROM t GROUP BY w),
+         |tot AS (SELECT sum(tf_r) AS nr, sum(tf_t) AS nt, count(*) AS vsz FROM v),
+         |sc AS (
+         |  SELECT doc_id, lang, count(*) AS n_toks,
+         |    round(avg(ln((tf_t + 1.0)/(nt + vsz)) - ln((tf_r + 1.0)/(nr + vsz))), 6)
+         |      AS avg_log_ratio
+         |  FROM t JOIN v USING (w) CROSS JOIN tot
+         |  GROUP BY doc_id, lang
+         |)
+         |SELECT doc_id, lang, n_toks, avg_log_ratio,
+         |  (avg_log_ratio > $DsirMinAvgLogRatio) AS keep
          |FROM sc ORDER BY doc_id""".stripMargin
   )
 }

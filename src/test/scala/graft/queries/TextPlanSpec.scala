@@ -74,6 +74,39 @@ class TextPlanSpec extends AnyFunSuite with SparkSpecBase {
       s"window lost its source partitioning (global single-partition sort):\n$p")
   }
 
+  test("q_pii_redact: redaction chain evaluated once per row, pure scan-side") {
+    val p = plan("q_pii_redact")
+    // 2 regexp_replace calls total (email pass + lexicon pass); an
+    // inlined `redacted` alias would show 4 (length + fingerprint each
+    // re-running the chain).
+    assert(count("regexp_replace\\(", p) === 2,
+      s"redaction chain re-evaluated per consumer:\n$p")
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      s"scrub must stay a scan-side projection:\n$p")
+  }
+
+  test("q_dsir_weights: vocab and totals join as broadcasts, never shuffled joins") {
+    val p = TextQueries.queries("q_dsir_weights")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"vocab join must broadcast onto the token stream:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab broadcast join missing:\n$p")
+  }
+
+  test("q_dup_span_coverage: covered-position explode amplifies only duplicated spans") {
+    val p = plan("q_dup_span_coverage")
+    // The sequence(pos, pos+N-1) generator must sit ABOVE the dup-hash
+    // join (explode duplicated starts only), never on the full span
+    // stream — at 100 TB the dup set is a small fraction of all spans.
+    val lines = p.linesIterator.toVector
+    val genIdx = lines.indexWhere(_.contains("explode(sequence"))
+    val dupJoinIdx = lines.indexWhere(_.contains("Join Inner"))
+    assert(genIdx >= 0, s"covered-position generator missing:\n$p")
+    assert(dupJoinIdx >= 0, s"dup-hash inner join missing:\n$p")
+    assert(genIdx < dupJoinIdx,
+      s"position explode must consume the dup-join output (sit above it):\n$p")
+  }
+
   test("q_unigram_ppl: vocab and total join as broadcasts, never shuffled joins") {
     val p = TextQueries.queries("q_unigram_ppl")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
