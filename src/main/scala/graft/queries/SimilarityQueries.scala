@@ -337,6 +337,57 @@ object SimilarityQueries extends QueryPack {
       val rer = Eval.setPrecisionRecall(rerPred, gt)
         .agg(round(avg("recall"), 4).as("rerank_recall"))
       adc.crossJoin(rer)
+    }),
+
+    // Scalar-quantization codes: unlike the seeded index fits, the SQ
+    // fit (exact per-dim min/max, no sample, no seed) is fully
+    // SQL-expressible, so the ENTIRE codes table hash-compares
+    // cross-engine — DuckDB refits the bounds and re-encodes every
+    // vector independently. The strongest build oracle in the index
+    // family: a single wrong code anywhere mismatches.
+    "q_sq_codes" -> ((s, dir) => {
+      val idx = graft.ann.sq.Sq.train(emb(s, dir), "vec_id", "embedding")
+      idx.codes.orderBy("vec_id")
+    }),
+
+    // SQ rerank search: quantized-scan candidates + exact re-rank, so
+    // returned distances are exact and every returned pair re-verifies
+    // from the raw embeddings cross-engine (same gate as
+    // q_ivfpq_search_l2).
+    "q_sq_search_l2" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graft.ann.sq.Sq.train(e, "vec_id", "embedding")
+      val res = Eval.withValidity(
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        e, q, ExactNN.L2)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/sq_l2")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // SQ recall: quantized-scan-only vs rerank against exact ground
+    // truth, both prediction sets dumped and regraded by DuckDB (same
+    // dual oracle as q_pq_recall). At 255 levels the quantized scan is
+    // near-lossless on 64-d data — the point of SQ is a 4-8x footprint
+    // cut at ~unit recall, sitting between the exact scan and PQ's
+    // deeper compression.
+    "q_sq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graft.ann.sq.Sq.train(e, "vec_id", "embedding")
+      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
+      val sqPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
+        s"$dumpBase/sq_adc")
+      val rerPred = LshQueries.dumpAndReload(s,
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        s"$dumpBase/sq_rerank")
+      val adc = Eval.setPrecisionRecall(sqPred, gt)
+        .agg(round(avg("recall"), 4).as("adc_recall"))
+      val rer = Eval.setPrecisionRecall(rerPred, gt)
+        .agg(round(avg("recall"), 4).as("rerank_recall"))
+      adc.crossJoin(rer)
     })
   )
 
@@ -465,6 +516,49 @@ object SimilarityQueries extends QueryPack {
     "q_pq_recall" -> LshQueries.dualRecallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/pq_adc/*.parquet",
       s"${LshQueries.SearchDumpRoot}/sf0.01/pq_rerank/*.parquet", K),
+
+    // DuckDB refits the SQ bounds (exact per-dim min/max via zip-unnest)
+    // and re-encodes every vector with the same floor(x/s + 0.5) half-up
+    // rule — a full cross-engine recompute of the index build, possible
+    // because the SQ fit is deterministic and sample-free.
+    "q_sq_codes" ->
+      """WITH dim AS (
+        |  SELECT unnest(embedding::DOUBLE[]) AS x,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings
+        |),
+        |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM dim GROUP BY i),
+        |mml AS (
+        |  SELECT list(mn ORDER BY i) AS mins,
+        |         list(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn)/255 END ORDER BY i) AS scales
+        |  FROM mm
+        |)
+        |SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[],
+        |    (x, i) -> CASE WHEN scales[i] = 0 THEN 0
+        |              ELSE least(greatest(floor((x - mins[i])/scales[i] + 0.5), 0), 255)::INT END) AS codes
+        |FROM embeddings, mml ORDER BY vec_id""".stripMargin,
+
+    // Every returned SQ rerank row re-verified from the raw embeddings
+    // (rerank distances are exact by construction).
+    "q_sq_search_l2" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/sq_l2/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    "q_sq_recall" -> LshQueries.dualRecallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/sq_adc/*.parquet",
+      s"${LshQueries.SearchDumpRoot}/sf0.01/sq_rerank/*.parquet", K),
 
     // Every dumped candidate pair re-verified from the raw embeddings:
     // DuckDB recomputes the exact cosine (hash-compared against the
