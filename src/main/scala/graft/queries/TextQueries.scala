@@ -90,6 +90,14 @@ object TextQueries extends QueryPack {
     * calibrated: en docs median +0.0007, other langs negative, so both
     * keep classes are populated. */
   val DsirMinAvgLogRatio = 0.0
+  /** PageRank over the n-gram similarity graph: fixed power iterations
+    * (deterministic, hence oracle-unrollable) with standard damping.
+    * The edge threshold sits far below the near-dup one: at 0.5 the
+    * pair graph is 2-cliques (uniform PR); at 0.02 the sf0.01 corpus
+    * yields 333 nodes / 312 edges with degrees 1-8. */
+  val PrIters = 5
+  val PrDamping = 0.85
+  val PrJaccardThreshold = 0.02
   val EnMarkers = Seq("the", "a", "of", "and")
   val DeMarkers = Seq("der", "die", "das", "und")
   val FrMarkers = Seq("le", "la", "les", "et")
@@ -148,6 +156,40 @@ object TextQueries extends QueryPack {
     * shuffle, verification riding the candidate join — see
     * [[graft.text.Dedup.minhashNearDup]]); value-identical to the
     * exploded construction the oracle mirrors. */
+  /** DF-capped shingle-keyed n-gram Jaccard pairs at `threshold` — the
+    * shared pair pipeline behind `q_ngram_jaccard_pairs` (near-dup
+    * threshold) and `q_pagerank_sim_graph` (low similarity threshold,
+    * richer graph). One shingle-keyed self-join; the hot-shingle DF cap
+    * keeps the join fan-out flat on boilerplate-heavy corpora. */
+  private def ngramJaccardPairs(s: SparkSession, dir: String,
+                                threshold: Double): DataFrame = {
+    val d = docs(s, dir)
+    val nDocs = d.count()
+    val withSh = d
+      .where(size(col("toks")) >= ShingleN)
+      .select(col("doc_id"),
+        array_distinct(shingles(col("toks"), ShingleN)).as("sh"))
+      .persist()
+    val hotRow = withSh.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > NgramMaxDocFreqRatio * nDocs)
+      .agg(collect_list("s").as("hot")) // one bounded-size row
+    val sh = withSh.crossJoin(broadcast(hotRow))
+      .select(col("doc_id"), array_except(col("sh"), col("hot")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast(DoubleType) /
+          (col("na") + col("nb") - col("i"))).as("jac"))
+      .where(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+    graft.text.Dedup.materializeRelease(pairs, withSh)
+  }
+
   private def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame =
     graft.text.Dedup.minhashNearDup(
       tbl(s, dir, "documents"), "doc_id", "text",
@@ -237,34 +279,8 @@ object TextQueries extends QueryPack {
     // sides re-run only the cheap array_except+explode projection on
     // top of it — intentional, since persisting the exploded frame
     // would cache one row per (doc, shingle) instead of one per doc.
-    "q_ngram_jaccard_pairs" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val nDocs = d.count()
-      val withSh = d
-        .where(size(col("toks")) >= ShingleN)
-        .select(col("doc_id"),
-          array_distinct(shingles(col("toks"), ShingleN)).as("sh"))
-        .persist()
-      val hotRow = withSh.select(explode(col("sh")).as("s"))
-        .groupBy("s").agg(count(lit(1)).as("df"))
-        .where(col("df") > NgramMaxDocFreqRatio * nDocs)
-        .agg(collect_list("s").as("hot")) // one bounded-size row
-      val sh = withSh.crossJoin(broadcast(hotRow))
-        .select(col("doc_id"), array_except(col("sh"), col("hot")).as("sh"))
-        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("i").cast(DoubleType) /
-            (col("na") + col("nb") - col("i"))).as("jac"))
-        .where(col("jac") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
-      graft.text.Dedup.materializeRelease(pairs, withSh)
-        .orderBy("doc_a", "doc_b")
-    }),
+    "q_ngram_jaccard_pairs" -> ((s, dir) =>
+      ngramJaccardPairs(s, dir, JaccardThreshold).orderBy("doc_a", "doc_b")),
 
     // MinHash signatures (8 hashes per doc, exploded rows) — per-row
     // signature array posexploded; no shuffle.
@@ -519,6 +535,41 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("lang"), col("n_toks"),
           col("avg_nll"), col("ppl"),
           (col("avg_nll") <= PplMaxAvgNll).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // PageRank over the n-gram SIMILARITY graph (jac >= 0.02 — the
+    // near-dup threshold yields only degree-regular 2-cliques, where PR
+    // is trivially uniform; the low threshold gives 333 nodes at
+    // degrees 1-8 on this corpus) — the iterative graph operator beyond
+    // connected components (centrality of a doc inside its similarity
+    // neighborhood; high-rank docs are the canonical representatives a
+    // dedup pass should keep). Fixed 5 power iterations at damping
+    // 0.85 over the symmetrized edge list; the edge/degree tables are
+    // computed ONCE and cached (each iteration is one edge-keyed join
+    // + one dst-keyed aggregation — the CC loop's shape, O(iters)
+    // rounds, never all-pairs). All nodes have degree >= 1 (pair
+    // graph), so there is no dangling-mass term and the oracle can
+    // unroll the same 5 iterations in SQL.
+    "q_pagerank_sim_graph" -> ((s, dir) => {
+      val pairs = ngramJaccardPairs(s, dir, PrJaccardThreshold)
+        .select("doc_a", "doc_b")
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst").persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+      val nodes = edges.select(col("src").as("d")).distinct()
+      val n = nodes.count()
+      var ranks = nodes.select(col("d"), lit(1.0 / n).as("r"))
+      for (_ <- 1 to PrIters) {
+        val contrib = edges.join(deg, "src")
+          .join(ranks, col("src") === col("d"))
+          .select(col("dst"), (col("r") / col("deg")).as("c"))
+          .groupBy("dst").agg(sum("c").as("contrib"))
+        ranks = contrib.select(col("dst").as("d"),
+          (lit((1.0 - PrDamping) / n) + lit(PrDamping) * col("contrib")).as("r"))
+      }
+      ranks.select(col("d").as("doc_id"), round(col("r"), 6).as("pr"))
         .orderBy("doc_id")
     }),
 
@@ -1008,6 +1059,38 @@ object TextQueries extends QueryPack {
          |  round(exp(nll), 6) AS ppl,
          |  (round(nll, 6) <= $PplMaxAvgNll) AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_pagerank_sim_graph" -> {
+      // unrolled power iterations: r1..r5 each re-derive from the
+      // previous CTE — deterministic, so the only cross-engine delta is
+      // float summation order, absorbed by the final 6-decimal round
+      val iters = (1 to PrIters).map { i =>
+        s"""r$i AS (
+           |  SELECT e.b AS d,
+           |         ${1.0 - PrDamping}/nn.n + $PrDamping * sum(p.r / deg.deg) AS r
+           |  FROM edges e
+           |  JOIN r${i - 1} p ON e.a = p.d
+           |  JOIN deg ON e.a = deg.d, nn
+           |  GROUP BY e.b, nn.n
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $tokCte, $shgCte, $shfCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |),
+         |${jacSql("cand", "shf")},
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jac >= $PrJaccardThreshold),
+         |nodes AS (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT a AS d, count(*) AS deg FROM edges GROUP BY a),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT d, 1.0/nn.n AS r FROM nodes, nn),
+         |$iters
+         |SELECT d AS doc_id, round(r, 6) AS pr FROM r$PrIters
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_dup_span_coverage" ->
       s"""WITH $tokCte,

@@ -96,4 +96,60 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  // ---- streaming funnel (mapGroupsWithState) ----------------------------
+
+  /** Per-user funnel state: first qualifying timestamp of each step (0 =
+    * not reached) — three longs per user, the bounded-state shape the
+    * batch twin ([[graft.queries.EventQueries]] `q_event_funnel`)
+    * promises. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  final case class FunnelRow(user_id: Long, view_us: Option[Long],
+                             click_us: Option[Long],
+                             purchase_us: Option[Long], stage: Int)
+
+  /** Streaming twin of the batch funnel: min-over-successors on a
+    * per-user state machine. CAVEAT vs the batch form: the batch window
+    * computes the global per-user minima in one pass, which is
+    * order-insensitive; the streaming form is exactly equivalent only
+    * when each user's events arrive in event-time order ACROSS
+    * micro-batches (within a batch it sorts) — a step-k timestamp
+    * already fixed is never revised by a later-arriving earlier event
+    * (the same trade every low-latency funnel makes; replay through the
+    * batch twin for the exact historical answer). Update-mode emission:
+    * each batch emits the refreshed funnel row for users it touched. */
+  def funnel(events: Dataset[Event], stepUs: Long,
+             steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val Seq(s1, s2, s3) = steps
+
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[FunnelState]): FunnelRow = {
+      var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+      it.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val us = e.ts.getTime * 1000
+        // first-qualifying-only: a fixed step timestamp is never revised
+        // (see the order-sensitivity caveat above)
+        if (e.event_type == s1 && st.t1 == 0L)
+          st = FunnelState(us, st.t2, st.t3)
+        if (e.event_type == s2 && st.t1 != 0L && st.t2 == 0L
+          && us >= st.t1 && us <= st.t1 + stepUs)
+          st = FunnelState(st.t1, us, st.t3)
+        if (e.event_type == s3 && st.t2 != 0L && st.t3 == 0L
+          && us >= st.t2 && us <= st.t2 + stepUs)
+          st = FunnelState(st.t1, st.t2, us)
+      }
+      state.update(st)
+      val stage = if (st.t3 != 0L) 3 else if (st.t2 != 0L) 2
+        else if (st.t1 != 0L) 1 else 0
+      FunnelRow(userId, Option(st.t1).filter(_ != 0L),
+        Option(st.t2).filter(_ != 0L), Option(st.t3).filter(_ != 0L), stage)
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

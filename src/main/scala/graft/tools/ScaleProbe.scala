@@ -157,6 +157,33 @@ object ScaleProbe {
         ip.codes.unpersist()
       }
 
+      // SQ8 (opt-in: SPARK_GRAFT_SQ=1): the near-lossless 4-8x
+      // footprint cut — quantized full scan (+ optional exact rerank),
+      // no pruning. The interesting scale question is the quantized
+      // scan's latency vs the float exact scan at the same recall.
+      if (sys.env.get("SPARK_GRAFT_SQ").contains("1")) {
+        val depth = sys.env.getOrElse("SPARK_GRAFT_SQ_DEPTH", "100").toInt
+        val (sq, tSqTrain) = time {
+          val i = graft.ann.sq.Sq.train(corpus, "vec_id", "embedding")
+          i.codes.persist().count()
+          i
+        }
+        val (_, tSq0) = time(sq.searchAll(queries, 10).count())
+        val (_, tSq) = time(sq.searchAll(queries, 10).count())
+        val sqRecall = Eval.setPrecisionRecall(sq.searchAll(queries, 10), gt)
+          .agg(avg("recall")).head().getDouble(0)
+        val vecs = corpus.select(col("vec_id"), col("embedding"))
+        val (_, tRr) = time(sq.searchRerank(queries, vecs, 10, depth).count())
+        val rrRecall = Eval.setPrecisionRecall(
+          sq.searchRerank(queries, vecs, 10, depth), gt)
+          .agg(avg("recall")).head().getDouble(0)
+        println(f"[scale] corpus=$n%,d sq(levels=255, depth=$depth): " +
+          f"train=${tSqTrain}%.2fs scan_search=${tSq}%.2fs (warm ${tSq0}%.2f) " +
+          f"scan_recall=$sqRecall%.3f rerank_search=${tRr}%.2fs " +
+          f"rerank_recall=$rrRecall%.3f speedup=${ratio(tSq)}")
+        sq.codes.unpersist()
+      }
+
       // IVF measured only outside sweep mode (an LSH operating-point
       // sweep doesn't need the k-means fit re-run per invocation).
       if (sweep.isEmpty) {

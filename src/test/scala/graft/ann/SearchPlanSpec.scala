@@ -61,4 +61,27 @@ class SearchPlanSpec extends AnyFunSuite with SparkSpecBase {
       .queryExecution.optimizedPlan.toString
     assert(!p.contains("Window"), s"window top-k leaked into the default plan:\n$p")
   }
+
+  test("SQ searchAll: no Window; decode materialized once below the query join") {
+    // parquet-backed corpus: a LocalRelation corpus would be
+    // constant-folded (ConvertToLocalRelation evaluates the decode
+    // eagerly) and hide the projection this test pins
+    val parquetCorpus = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val idx = graft.ann.sq.Sq.train(parquetCorpus, "vec_id", "embedding")
+    val df = idx.searchAll(queries, k = 5)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Window"), s"window top-k leaked into the SQ plan:\n$p")
+    // the decode must be evaluated once per CODE ROW (a projection on
+    // the join's corpus-side child), never inside the per-(query, row)
+    // scoring expression — an inlined decode would multiply the decode
+    // cost by the query count
+    val lines = p.linesIterator.toVector
+    val scoreLine = lines.find(_.contains("l2_dist")).getOrElse("")
+    assert(scoreLine.nonEmpty, s"scoring projection missing:\n$p")
+    assert(!scoreLine.contains("transform("),
+      s"decode inlined into the per-query scoring expression:\n$p")
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(joinIdx >= 0 && lines.drop(joinIdx).exists(_.contains("transform(")),
+      s"decode projection missing below the query join:\n$p")
+  }
 }

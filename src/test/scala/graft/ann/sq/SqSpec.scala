@@ -96,6 +96,36 @@ class SqSpec extends AnyFunSuite with SparkSpecBase {
     assert(a === b)
   }
 
+  test("streamed encode equals the batch encode (incremental codes append)") {
+    // The SQ encode is a pure map-side projection over fixed bounds, so
+    // it runs unchanged over a readStream of arriving vectors — the
+    // codes-append path that keeps the compressed table fresh without a
+    // refit (bounds drift on genuinely new data ranges is an operator
+    // decision: refit or accept clamping, both deterministic).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val model = Sq.fit(emb, "embedding")
+    val arriving = emb.limit(40)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Int])]()
+    val q = model.transformDf(mem.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.as[(Long, Seq[Int])].collect().foreach(out.add)
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(arriving: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchCodes = model.transformDf(emb.limit(40), "vec_id", "embedding")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out.size === arriving.size)
+    out.forEach { case (id, cs) => assert(cs === batchCodes(id)) }
+  }
+
   test("ragged or null embeddings fail the fit with a named error") {
     val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {

@@ -79,4 +79,37 @@ class EventStreamSpec extends AnyFunSuite with SparkSpecBase {
         s.start_us == ts(70).getTime * 1000 && s.n_events == 1L))
     } finally q.stop()
   }
+
+  test("streaming funnel matches the batch funnel on in-order testdata events") {
+    // real testdata, replayed per-user-in-order in two micro-batches —
+    // the regime where the streaming state machine is exactly the batch
+    // min-over-successors (see EventStreams.funnel's caveat)
+    val stepUs = graft.queries.EventQueries.FunnelStepUs
+    val events = graft.sources.EventSource.read(spark, sf("sf0.001"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+
+    val batch = graft.queries.EventQueries
+      .queries("q_event_funnel")(spark, sf("sf0.001"))
+      .select($"user_id", $"stage").as[(Long, Int)].collect().toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.funnel(mem.toDS(), stepUs)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      val (first, second) = events.splitAt(events.size / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+      // last update per user wins (update-mode memory sink appends rows;
+      // take each user's final stage)
+      val streamed = spark.table("funnel")
+        .groupBy("user_id").agg(max("stage").as("stage"))
+        .as[(Long, Int)].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
