@@ -550,20 +550,27 @@ object TextQueries extends QueryPack {
     // + one dst-keyed aggregation — the CC loop's shape, O(iters)
     // rounds, never all-pairs). All nodes have degree >= 1 (pair
     // graph), so there is no dangling-mass term and the oracle can
-    // unroll the same 5 iterations in SQL.
+    // unroll the same 5 iterations in SQL. Scale note: a fixed LOW
+    // similarity threshold densifies superlinearly with corpus growth
+    // (chance 3-gram overlap: 1.13M candidates -> 31k edges at sf0.1) —
+    // at 100 TB the edge list comes from the near-dup pipeline or a
+    // raised threshold; the PR loop itself is edge-count-linear per
+    // iteration.
     "q_pagerank_sim_graph" -> ((s, dir) => {
       val pairs = ngramJaccardPairs(s, dir, PrJaccardThreshold)
         .select("doc_a", "doc_b")
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst").persist()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-      val nodes = edges.select(col("src").as("d")).distinct()
+        .toDF("src", "dst")
+      // degree pre-joined onto the cached edge table: each iteration is
+      // then ONE src-keyed join + one dst-keyed aggregation
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edgesWithDeg = edges.join(deg, "src").persist()
+      val nodes = edgesWithDeg.select(col("src").as("d")).distinct()
       val n = nodes.count()
       var ranks = nodes.select(col("d"), lit(1.0 / n).as("r"))
       for (_ <- 1 to PrIters) {
-        val contrib = edges.join(deg, "src")
-          .join(ranks, col("src") === col("d"))
+        val contrib = edgesWithDeg.join(ranks, col("src") === col("d"))
           .select(col("dst"), (col("r") / col("deg")).as("c"))
           .groupBy("dst").agg(sum("c").as("contrib"))
         ranks = contrib.select(col("dst").as("d"),

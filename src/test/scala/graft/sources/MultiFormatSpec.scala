@@ -66,4 +66,28 @@ class MultiFormatSpec extends AnyFunSuite with SparkSpecBase {
         .orderBy("l_returnflag").collect().toSeq
     assert(agg(viaCsv) === agg(li))
   }
+
+  test("embeddings via ORC: array columns survive; an index search runs unchanged") {
+    // ORC is the other columnar at-rest format a lakehouse deployment
+    // actually mixes with parquet; the engine's query logic must be
+    // source-agnostic (predicate pushdown + column pruning work on both).
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val dir = Files.createTempDirectory("emb_orc").toString
+    emb.write.mode("overwrite").orc(s"$dir/embeddings.orc")
+    val viaOrc = spark.read.orc(s"$dir/embeddings.orc")
+    def norms(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        round(graft.functions.exprs.vecNormNative(col("embedding")), 6).as("n"))
+        .orderBy("vec_id").collect().toSeq
+    assert(norms(viaOrc) === norms(emb))
+    // a full index lifecycle over the ORC source — train + search rows
+    // identical to the parquet-sourced index (same seed)
+    val q = viaOrc.orderBy("vec_id").limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def searchRows(src: org.apache.spark.sql.DataFrame) = {
+      val idx = graft.ann.sq.Sq.train(src, "vec_id", "embedding")
+      idx.searchAll(q, 5).orderBy("query_id", "dist", "vec_id").collect().toSeq
+    }
+    assert(searchRows(viaOrc) === searchRows(emb))
+  }
 }
