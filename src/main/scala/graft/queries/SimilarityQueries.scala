@@ -57,6 +57,17 @@ object SimilarityQueries extends QueryPack {
     * contract as [[CellDumpRoot]], plus a codes-length invariant). */
   def CodeDumpRoot: String = s"${QueryPack.dumpRoot}/graft_ivfpq_code_dump"
 
+  /** `q_ivfsq_codes`' dump of the IVF-SQ (vec_id, cell, codes) table.
+    * Unlike the IVF-PQ dump, the SQ codes themselves are deterministic
+    * and sample-free, so the oracle re-ENCODES every vector from the raw
+    * embeddings and checks a per-cell weighted code sum — a wrong code
+    * anywhere in a cell breaks that cell's row. */
+  def IvfSqCodeDumpRoot: String = s"${QueryPack.dumpRoot}/graft_ivfsq_code_dump"
+
+  /** IVF-SQ: same coarse geometry as [[ivfConfig]], SQ8 codes. */
+  val ivfSqConfig: graft.ann.ivfsq.IvfSqConfig =
+    graft.ann.ivfsq.IvfSqConfig(nCells = 16, nProbe = 8, seed = 42L)
+
   /** `q_semdedup`'s own (vec_id, cell) dump — same assignment as
     * [[CellDumpRoot]] (same seeded config) but a separate path, because
     * Verify runs queries concurrently and two queries overwriting one
@@ -339,6 +350,68 @@ object SimilarityQueries extends QueryPack {
       adc.crossJoin(rer)
     }),
 
+    // IVF-SQ build: the (vec_id, cell, codes) dump carries the usual
+    // cell invariants (assignment completeness, cell count) PLUS a
+    // per-cell weighted code sum that DuckDB recomputes from its OWN
+    // re-encode of the raw embeddings (the SQ bounds are deterministic
+    // and sample-free) — a single wrong code anywhere in a cell breaks
+    // that cell's row cross-engine.
+    "q_ivfsq_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = graft.ann.ivfsq.IvfSq.train(e, "vec_id", "embedding", ivfSqConfig)
+      val dump = s"$IvfSqCodeDumpRoot/${LshQueries.sfName(dir)}"
+      idx.codes.write.mode("overwrite").parquet(dump)
+      val nVecs = e.count()
+      val byCell = s.read.parquet(dump)
+        .select(col("cell"), posexplode(col("codes")))
+        .groupBy("cell")
+        .agg((count(lit(1)) / idx.sq.dims).cast("bigint").as("n_vectors"),
+          sum(col("col").cast("bigint") * (col("pos") + 1)).as("code_wsum"))
+      val inv = byCell.agg(sum("n_vectors").as("tot"), count(lit(1)).as("nc"))
+      byCell.crossJoin(inv)
+        .select(col("cell"), col("n_vectors"), col("code_wsum"),
+          (col("tot") === nVecs).as("total_ok"),
+          (col("nc") <= ivfSqConfig.nCells).as("cell_count_ok"))
+        .orderBy("cell")
+    }),
+
+    // IVF-SQ rerank search: cell-pruned quantized candidates + exact
+    // re-rank — returned distances are exact, per-pair oracle (same
+    // gate as q_ivfpq_search_l2).
+    "q_ivfsq_search_l2" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graft.ann.ivfsq.IvfSq.train(e, "vec_id", "embedding", ivfSqConfig)
+      val res = Eval.withValidity(
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        e, q, ExactNN.L2)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfsq_l2")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // IVF-SQ recall: quantized cell-pruned scan vs exact rerank, dual
+    // prediction dumps regraded by DuckDB (same oracle as q_pq_recall /
+    // q_sq_recall — the delta across the three is compression scheme ×
+    // pruning).
+    "q_ivfsq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graft.ann.ivfsq.IvfSq.train(e, "vec_id", "embedding", ivfSqConfig)
+      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
+      val scanPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
+        s"$dumpBase/ivfsq_scan")
+      val rerPred = LshQueries.dumpAndReload(s,
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        s"$dumpBase/ivfsq_rerank")
+      val scan = Eval.setPrecisionRecall(scanPred, gt)
+        .agg(round(avg("recall"), 4).as("adc_recall"))
+      val rer = Eval.setPrecisionRecall(rerPred, gt)
+        .agg(round(avg("recall"), 4).as("rerank_recall"))
+      scan.crossJoin(rer)
+    }),
+
     // Scalar-quantization codes: unlike the seeded index fits, the SQ
     // fit (exact per-dim min/max, no sample, no seed) is fully
     // SQL-expressible, so the ENTIRE codes table hash-compares
@@ -516,6 +589,70 @@ object SimilarityQueries extends QueryPack {
     "q_pq_recall" -> LshQueries.dualRecallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/pq_adc/*.parquet",
       s"${LshQueries.SearchDumpRoot}/sf0.01/pq_rerank/*.parquet", K),
+
+    // The IVF-SQ code check: DuckDB re-encodes EVERY vector from the
+    // raw embeddings (the SQ bounds are deterministic min/max — no seed,
+    // no sample) and aggregates its own per-cell weighted code sum over
+    // the dumped (vec_id -> cell) assignment; the dumped codes never
+    // feed the oracle's sum, so a wrong code on the Spark side breaks
+    // the cell row cross-engine. Cell invariants ride along.
+    "q_ivfsq_codes" ->
+      s"""WITH dim AS (
+         |  SELECT unnest(embedding::DOUBLE[]) AS x,
+         |         unnest(range(len(embedding))) AS i
+         |  FROM embeddings
+         |),
+         |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM dim GROUP BY i),
+         |mml AS (
+         |  SELECT list(mn ORDER BY i) AS mins,
+         |         list(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn)/255 END ORDER BY i) AS scales
+         |  FROM mm
+         |),
+         |enc AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |      (x, i) -> CASE WHEN scales[i] = 0 THEN 0
+         |                ELSE least(greatest(floor((x - mins[i])/scales[i] + 0.5), 0), 255)::INT END) AS codes
+         |  FROM embeddings, mml
+         |),
+         |d AS (SELECT vec_id, cell FROM read_parquet('$IvfSqCodeDumpRoot/sf0.01/*.parquet')),
+         |w AS (
+         |  SELECT d.cell, e.vec_id,
+         |    (SELECT sum(c * (ci + 1)) FROM (
+         |       SELECT unnest(e.codes) AS c, unnest(range(len(e.codes))) AS ci)) AS ws
+         |  FROM d JOIN enc e USING (vec_id)
+         |),
+         |st AS (
+         |  SELECT cell, count(*)::BIGINT AS n_vectors, sum(ws)::BIGINT AS code_wsum
+         |  FROM w GROUP BY cell
+         |),
+         |nv AS (SELECT count(*) AS n FROM embeddings),
+         |inv AS (SELECT sum(n_vectors)::BIGINT AS tot, count(*) AS nc FROM st)
+         |SELECT st.cell, st.n_vectors, st.code_wsum,
+         |       inv.tot = nv.n AS total_ok,
+         |       inv.nc <= ${ivfSqConfig.nCells} AS cell_count_ok
+         |FROM st, inv, nv ORDER BY st.cell""".stripMargin,
+
+    // Every returned IVF-SQ rerank row re-verified from the raw
+    // embeddings (rerank distances are exact by construction).
+    "q_ivfsq_search_l2" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfsq_l2/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    "q_ivfsq_recall" -> LshQueries.dualRecallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/ivfsq_scan/*.parquet",
+      s"${LshQueries.SearchDumpRoot}/sf0.01/ivfsq_rerank/*.parquet", K),
 
     // DuckDB refits the SQ bounds (exact per-dim min/max via zip-unnest)
     // and re-encodes every vector with the same floor(x/s + 0.5) half-up

@@ -157,6 +157,36 @@ object ScaleProbe {
         ip.codes.unpersist()
       }
 
+      // IVF-SQ (opt-in: SPARK_GRAFT_IVFSQ=1): cell pruning x 1-byte/dim
+      // codes — the cheap-fit middle of the IVF family (no product
+      // codebooks; SQ bounds are one aggregation pass).
+      if (sys.env.get("SPARK_GRAFT_IVFSQ").contains("1")) {
+        val nCells = math.min(1024, math.max(16, math.sqrt(n.toDouble).toInt))
+        val nProbe = sys.env.getOrElse("SPARK_GRAFT_IVFSQ_PROBES",
+          math.max(4, nCells / 16).toString).toInt
+        val depth = sys.env.getOrElse("SPARK_GRAFT_IVFSQ_DEPTH", "500").toInt
+        val isCfg = graft.ann.ivfsq.IvfSqConfig(
+          nCells = nCells, nProbe = nProbe, iters = 5,
+          seed = 42L, sampleCap = sampleCap)
+        val (is, tIsTrain) = time {
+          val i = graft.ann.ivfsq.IvfSq.train(corpus, "vec_id", "embedding", isCfg)
+          i.codes.persist().count()
+          i
+        }
+        val vecs = corpus.select(col("vec_id"), col("embedding"))
+        val (_, tIs0) = time(is.searchRerank(queries, vecs, 10, depth).count())
+        val (_, tIs) = time(is.searchRerank(queries, vecs, 10, depth).count())
+        val isRecall = Eval.setPrecisionRecall(
+          is.searchRerank(queries, vecs, 10, depth), gt)
+          .agg(avg("recall")).head().getDouble(0)
+        val scanRecall = Eval.setPrecisionRecall(is.searchAll(queries, 10), gt)
+          .agg(avg("recall")).head().getDouble(0)
+        println(f"[scale] corpus=$n%,d ivfsq(nCells=$nCells, nProbe=$nProbe, " +
+          f"depth=$depth): train=${tIsTrain}%.2fs rerank_search=${tIs}%.2fs " +
+          f"(warm ${tIs0}%.2f) recall=$isRecall%.3f scan_recall=$scanRecall%.3f")
+        is.codes.unpersist()
+      }
+
       // SQ8 (opt-in: SPARK_GRAFT_SQ=1): the near-lossless 4-8x
       // footprint cut — quantized full scan (+ optional exact rerank),
       // no pruning. The interesting scale question is the quantized

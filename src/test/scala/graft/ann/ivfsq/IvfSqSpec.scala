@@ -1,0 +1,93 @@
+package graft.ann.ivfsq
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+import graft.ann.ExactNN
+
+/** IVF-SQ: deterministic two-quantizer fit, code/cell invariants,
+  * cell-pruned quantized scan + exact rerank recall, angular mode,
+  * persistence round-trip. */
+class IvfSqSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  private val cfg = IvfSqConfig(nCells = 8, nProbe = 4, seed = 42L)
+
+  test("every vector gets one cell and a full-length in-range code row") {
+    val idx = IvfSq.train(emb, "vec_id", "embedding", cfg)
+    val rows = idx.codes.collect()
+    assert(rows.length === emb.count())
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < cfg.nCells)
+      val cs = r.getSeq[Int](2)
+      assert(cs.length === idx.sq.dims)
+      assert(cs.forall(c => c >= 0 && c <= cfg.levels))
+    }
+    // deterministic: same seed, same cells and codes
+    val again = IvfSq.train(emb, "vec_id", "embedding", cfg)
+    assert(again.codes.orderBy("vec_id").collect().toSeq ===
+      idx.codes.orderBy("vec_id").collect().toSeq)
+  }
+
+  test("quantized scan is near-lossless; exact rerank recovers exact NN") {
+    val q = emb.orderBy("vec_id").limit(30)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val idx = IvfSq.train(emb, "vec_id", "embedding",
+      cfg.copy(nProbe = 8)) // probe all cells: isolates the SQ error
+    val gt = ExactNN.topK(q, emb, 10, ExactNN.L2)
+    val scan = graft.eval.Eval.setPrecisionRecall(idx.searchAll(q, 10), gt)
+      .agg(avg("recall")).as[Double].head()
+    assert(scan >= 0.95, s"all-cell quantized scan recall $scan")
+    val rer = graft.eval.Eval.setPrecisionRecall(
+      idx.searchRerank(q, emb.select($"vec_id", $"embedding"), 10, 100), gt)
+      .agg(avg("recall")).as[Double].head()
+    assert(rer === 1.0, s"rerank recall $rer != 1.0")
+  }
+
+  test("cell pruning binds: nProbe < nCells scans only probed cells") {
+    val q = emb.orderBy("vec_id").limit(5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val idx = IvfSq.train(emb, "vec_id", "embedding", cfg.copy(nProbe = 2))
+    val probed = idx.ivf.probeRows(
+        q.select($"query_id", $"qv".cast("array<double>").as("qv")),
+        "query_id", "qv")
+      .select("cell").distinct().as[Int].collect().toSet
+    val returnedCells = idx.searchAll(q, 10)
+      .join(idx.codes, "vec_id").select("cell").distinct()
+      .as[Int].collect().toSet
+    assert(returnedCells.subsetOf(probed),
+      s"returned cells $returnedCells outside probed $probed")
+    assert(probed.size < cfg.nCells)
+  }
+
+  test("angular mode: cosine rerank == exact cosine NN") {
+    val q = emb.orderBy("vec_id").limit(20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val idx = IvfSq.train(emb, "vec_id", "embedding",
+      cfg.copy(angular = true, nProbe = 8))
+    val gt = ExactNN.topK(q, emb, 10, ExactNN.Cosine)
+    val rer = graft.eval.Eval.setPrecisionRecall(
+      idx.searchRerank(q, emb.select($"vec_id", $"embedding"), 10, 100), gt)
+      .agg(avg("recall")).as[Double].head()
+    assert(rer === 1.0, s"angular rerank recall $rer != 1.0")
+  }
+
+  test("save/load round-trip: same models, same search rows") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq_idx").toString
+    val idx = IvfSq.train(emb, "vec_id", "embedding", cfg)
+    idx.save(spark, dir)
+    val re = IvfSq.load(spark, dir)
+    assert(re.sq.mins.toSeq === idx.sq.mins.toSeq)
+    assert(re.ivf.centroids.map(_.toSeq).toSeq ===
+      idx.ivf.centroids.map(_.toSeq).toSeq)
+    val q = emb.orderBy("vec_id").limit(5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val a = idx.searchAll(q, 5).orderBy("query_id", "dist", "vec_id").collect()
+    val b = re.searchAll(q, 5).orderBy("query_id", "dist", "vec_id").collect()
+    assert(a === b)
+  }
+}
