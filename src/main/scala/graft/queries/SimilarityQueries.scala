@@ -390,6 +390,23 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id", "dist", "vec_id")
     }),
 
+    // Angular IVF-SQ rerank search: spherical cells + SQ codes over the
+    // normalized vectors, exact-cosine rerank — keeps the both-metric
+    // oracle coverage complete for every cell/bucket-probing family
+    // (LSH, IVF, IVF-PQ, IVF-SQ).
+    "q_ivfsq_search_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graft.ann.ivfsq.IvfSq.train(e, "vec_id", "embedding",
+        ivfSqConfig.copy(angular = true))
+      val res = Eval.withValidity(
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        e, q, ExactNN.Cosine)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfsq_cosine")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
     // IVF-SQ recall: quantized cell-pruned scan vs exact rerank, dual
     // prediction dumps regraded by DuckDB (same oracle as q_pq_recall /
     // q_sq_recall — the delta across the three is compression scheme ×
@@ -653,6 +670,26 @@ object SimilarityQueries extends QueryPack {
     "q_ivfsq_recall" -> LshQueries.dualRecallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/ivfsq_scan/*.parquet",
       s"${LshQueries.SearchDumpRoot}/sf0.01/ivfsq_rerank/*.parquet", K),
+
+    // Every returned angular-IVF-SQ rerank row re-verified: DuckDB
+    // recomputes each pair's cosine (zero-clamped like cosineDistNative)
+    // and re-derives `valid`.
+    "q_ivfsq_search_cosine" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfsq_cosine/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) END, 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
 
     // DuckDB refits the SQ bounds (exact per-dim min/max via zip-unnest)
     // and re-encodes every vector with the same floor(x/s + 0.5) half-up

@@ -76,6 +76,36 @@ class IvfSqSpec extends AnyFunSuite with SparkSpecBase {
     assert(rer === 1.0, s"angular rerank recall $rer != 1.0")
   }
 
+  test("streamed encode equals the batch encode (incremental codes append)") {
+    // both quantizer transforms are stateless projections over fixed
+    // models, so newly arriving vectors stream into the codes table
+    // without a refit — the IVF-PQ streaming-append story at SQ cost
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idx = IvfSq.train(emb, "vec_id", "embedding", cfg)
+    val arriving = emb.limit(30)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Seq[Int])]()
+    val streamCodes = mem.toDF().toDF("vec_id", "embedding")
+      .select($"vec_id",
+        graft.ann.ivf.IvfExpressions.ivfCell(idx.ivf, $"embedding").as("cell"),
+        idx.sq.encodeCol($"embedding").as("codes"))
+    val q = streamCodes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.as[(Long, Int, Seq[Int])].collect().foreach(out.add)
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(arriving: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expect = idx.codes.as[(Long, Int, Seq[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === arriving.size)
+    out.forEach { r => assert(r === expect(r._1)) }
+  }
+
   test("save/load round-trip: same models, same search rows") {
     val dir = java.nio.file.Files.createTempDirectory("ivfsq_idx").toString
     val idx = IvfSq.train(emb, "vec_id", "embedding", cfg)
