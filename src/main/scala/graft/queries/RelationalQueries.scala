@@ -236,7 +236,43 @@ object RelationalQueries extends QueryPack {
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))
-        .orderBy("c_mktsegment"))
+        .orderBy("c_mktsegment")),
+
+    // ANALYZE-TABLE-style column profile: one aggregation pass emits
+    // per-column (nulls, distinct, min, max) rows — the data-card /
+    // profiling operator every ingest pipeline runs first. Exact
+    // distincts here (one Expand-aggregate); at 100 TB the same shape
+    // swaps in approx_count_distinct (the HLL sketch is spec'd in
+    // SketchSpec) without changing the plan class.
+    "q_column_profile" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val one = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("status_nulls"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        min("o_orderstatus").as("status_min"), max("o_orderstatus").as("status_max"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("price_nulls"),
+        countDistinct(col("o_totalprice")).as("price_distinct"),
+        round(min("o_totalprice"), 4).as("price_min"),
+        round(max("o_totalprice"), 4).as("price_max"),
+        countDistinct(col("o_custkey")).as("cust_distinct"))
+      one
+    }),
+
+    // Equi-width histogram (width_bucket semantics): fixed [lo, hi)
+    // domain split into nb buckets, one scan-side bucket-id projection +
+    // one low-cardinality aggregation — the profiling histogram that
+    // never shuffles more than nb rows per partition.
+    "q_value_histogram" -> ((s, dir) => {
+      val (lo, hi, nb) = (0.0, 600000.0, 12)
+      val w = (hi - lo) / nb
+      tbl(s, dir, "orders")
+        .select(least(greatest(floor((col("o_totalprice") - lo) / w), lit(0.0)),
+          lit((nb - 1).toDouble)).cast("int").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -391,6 +427,23 @@ object RelationalQueries extends QueryPack {
         |  count(*) FILTER (o_orderstatus = 'O') AS "O",
         |  count(*) FILTER (o_orderstatus = 'P') AS "P"
         |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_column_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(*) FILTER (o_orderstatus IS NULL) AS status_nulls,
+        |  count(DISTINCT o_orderstatus) AS status_distinct,
+        |  min(o_orderstatus) AS status_min, max(o_orderstatus) AS status_max,
+        |  count(*) FILTER (o_totalprice IS NULL) AS price_nulls,
+        |  count(DISTINCT o_totalprice) AS price_distinct,
+        |  round(min(o_totalprice), 4) AS price_min,
+        |  round(max(o_totalprice), 4) AS price_max,
+        |  count(DISTINCT o_custkey) AS cust_distinct
+        |FROM orders""".stripMargin,
+
+    "q_value_histogram" ->
+      """SELECT least(greatest(floor(o_totalprice / 50000.0), 0), 11)::INT AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }
