@@ -238,6 +238,42 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)))
         .orderBy("c_mktsegment")),
 
+    // OLS simple regression from EXACT power sums (quantity -> revenue):
+    // slope, intercept and R² derive from the same one-pass integer-
+    // exact sums as the moments/corr queries, so the only float ops are
+    // the final divisions — order-independent, hence cross-engine-stable
+    // (DuckDB oracles it with its native regr_* aggregates). The
+    // regression-aggregate shape: one scan, one row out, no shuffle
+    // beyond the scalar combine.
+    "q_ols_qty_revenue" -> ((s, dir) => {
+      val x = col("l_quantity").cast("long")
+      val y = decRevenue
+      tbl(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"),
+          sum(y).as("sy"), sum(y * y).as("syy"),
+          sum(y * x.cast("decimal(18,2)")).as("sxy"))
+        .select(
+          round((col("n") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("slope"),
+          round((col("sy").cast("double")
+            - ((col("n") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / (col("n") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")))
+              * col("sx").cast("double")) / col("n"), 4)
+            .as("intercept"),
+          round(pow(col("n") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"), 2)
+            / ((col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("r2"))
+    }),
+
     // ANALYZE-TABLE-style column profile: one aggregation pass emits
     // per-column (nulls, distinct, min, max) rows — the data-card /
     // profiling operator every ingest pipeline runs first. Exact
@@ -428,6 +464,20 @@ object RelationalQueries extends QueryPack {
         |  count(*) FILTER (o_orderstatus = 'P') AS "P"
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // DuckDB's native regression aggregates against the power-sum form —
+    // a genuinely independent second derivation, not a mirrored formula.
+    "q_ols_qty_revenue" ->
+      """WITH b AS (
+        |  SELECT l_quantity::BIGINT::DOUBLE AS x,
+        |         (l_extendedprice::DECIMAL(18,2)
+        |          * (1.00 - l_discount::DECIMAL(4,2)))::DOUBLE AS y
+        |  FROM lineitem
+        |)
+        |SELECT round(regr_slope(y, x), 6) AS slope,
+        |  round(regr_intercept(y, x), 4) AS intercept,
+        |  round(regr_r2(y, x), 6) AS r2
+        |FROM b""".stripMargin,
 
     "q_column_profile" ->
       """SELECT count(*) AS n_rows,
