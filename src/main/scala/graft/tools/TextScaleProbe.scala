@@ -98,6 +98,43 @@ object TextScaleProbe {
         f"(planted=$nPlanted%,d) cc=${tCc}%.1fs clusters=$nClusters%,d")
 
       clusters.unpersist(); pairs.unpersist()
+
+      // Span-level duplicate coverage (opt-in SPARK_GRAFT_SPANS=1): the
+      // q_dup_span_coverage pipeline at corpus scale — one shuffle on
+      // the 60-bit span hash, one doc-keyed re-aggregation; the
+      // covered-position explode touches DUPLICATED starts only. The
+      // planted truncated twins are exact-prefix copies, so docs with
+      // coverage ≥ 0.5 must be ≥ 2 × planted (original + twin) plus the
+      // shared-boilerplate carriers once K × 0.3 × base > 1.
+      if (sys.env.get("SPARK_GRAFT_SPANS").contains("1")) {
+        import graft.text.TextFunctions.hash60
+        val spanN = 8
+        val (flagged, tSpan) = time {
+          val base = corpus
+            .select(col("doc_id"), tokens(col("text")).as("toks"))
+            .select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"))
+          val spans = base
+            .select(col("doc_id"), posexplode(shingles(col("toks"), spanN)))
+            .select(col("doc_id"), col("pos"), hash60(0, col("col")).as("h"))
+          val dupH = spans.groupBy("h")
+            .agg(countDistinct(col("doc_id")).as("d"))
+            .where(col("d") >= 2).select("h")
+          val cov = spans.join(dupH, "h")
+            .select(col("doc_id"), col("pos"),
+              explode(sequence(col("pos"), col("pos") + lit(spanN - 1))).as("p"))
+            .groupBy("doc_id")
+            .agg(countDistinct(col("p")).as("covered"))
+          val out = base.select(col("doc_id"), col("n_toks"))
+            .join(cov, Seq("doc_id"), "left")
+            .where(coalesce(col("covered"), lit(0L)).cast("double")
+              / col("n_toks") >= 0.5)
+          val n = out.count()
+          n
+        }
+        println(f"[text-scale]   spans(n=$spanN): flagged=$flagged%,d " +
+          f"docs at coverage>=0.5 in ${tSpan}%.1fs " +
+          f"(planted lower bound ${2 * nPlanted}%,d)")
+      }
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
