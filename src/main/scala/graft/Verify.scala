@@ -20,7 +20,14 @@ object Verify {
     // stage latency, not cores — overlapping them roughly halves the
     // driver's correctness-gate round time.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter (comma-separated query names). The driver
+    // never sets it; oracle_sql.json below always carries the full map,
+    // so a filtered run against oracle_check reports the skipped
+    // queries as missing rather than silently passing.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val tasks = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try {

@@ -1,0 +1,177 @@
+package graft.ann.bq
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ann.TopK
+
+/** Binary quantization (1 bit/dimension) — the deepest compression point
+  * in the index family (LSH forest, IVF, SQ8, PQ, IVF-SQ, IVF-PQ): each
+  * dimension keeps only its sign against a fixed per-dimension threshold,
+  * so a d-dim float vector stores as ceil(d/32) packed words (32x smaller
+  * than float32 at rest) and candidate scoring is XOR + popcount — the
+  * same sign-bit sketch family as SimHash (text/Dedup.scala) applied to
+  * dense embeddings, and the scan-side shape of the reference's
+  * hyperplane hashing (lsh/hasher.go:175-205) with the forest replaced by
+  * one fixed axis-aligned splitter per dimension.
+  *
+  * Threshold choice — midrange, NOT mean: thr_i = (min_i + max_i) / 2.
+  * Per-dim min/max are exact and summation-order-independent, and the
+  * halving is a single IEEE op, so the fit is bit-identical across
+  * engines and across reruns — which makes the ENTIRE codes table AND the
+  * integer Hamming search fully cross-engine checkable (`q_bq_codes`,
+  * `q_bq_search_hamming`), the strongest oracle in the family (no FP
+  * tolerance anywhere: thresholds are reproducible doubles, distances are
+  * integers). A per-dim MEAN threshold would differ in the last ulp
+  * between engines (and between Spark reruns — aggregation order is
+  * nondeterministic), silently flipping boundary bits.
+  *
+  * Spark shape: fit is one posexplode + min/max aggregation (map-side
+  * combinable, `dims` result rows — shared with [[graft.ann.sq.Sq]]);
+  * encode packs bits with `transform`/`aggregate` over literal
+  * threshold/power arrays (codegen'd built-ins, no UDF); the scan
+  * broadcasts the encoded query set across the codes table and scores
+  * with `zip_with` + `bit_count(xor)`; top-k via the bounded [[TopK]]
+  * aggregation; exact re-ranking joins the float table on the bounded
+  * candidate list only.
+  *
+  * Scale notes (100 TB): the scan reads ONLY packed words (1 bit/dim —
+  * a 3 TB scan where the float table is 100 TB); the model is one
+  * dims-length double array embedded as a plan literal (KBs even at
+  * 4096-d, no broadcast handle needed); rerank I/O is bounded at
+  * |queries| x rerankDepth float rows. 32-bit words (not 64) so the
+  * packing stays inside both engines' checked `<<` range — DuckDB
+  * range-errors on `1::BIGINT << 63`.
+  */
+final class BqModel(val thresholds: Array[Double]) extends Serializable {
+
+  require(thresholds.nonEmpty, "empty threshold vector")
+  val dims: Int = thresholds.length
+  val nWords: Int = (dims + BqModel.BitsPerWord - 1) / BqModel.BitsPerWord
+
+  private def thrLit: Column = typedlit(thresholds.toSeq)
+  private def powLit: Column = typedlit(BqModel.Powers.toSeq)
+
+  /** codes(w) = sum over j in [0,32) of (vec[32w+j] > thr[32w+j]) << j;
+    * bits past `dims` in the last word stay 0. Distinct powers of two
+    * make `+` equal to bitwise OR, and the power table ships as a literal
+    * array because `shiftleft` takes only a literal shift amount. */
+  def encodeCol(vec: Column): Column = {
+    val v = vec.cast(ArrayType(DoubleType))
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(
+        sequence(lit(0), lit(BqModel.BitsPerWord - 1)),
+        lit(0L),
+        (acc, j) => {
+          val d = w * BqModel.BitsPerWord + j // 0-based dimension index
+          when(d < lit(dims) &&
+              element_at(v, d + 1) > element_at(thrLit, d + 1),
+            acc + element_at(powLit, j + 1)).otherwise(acc)
+        }))
+  }
+
+  /** Hamming distance between two packed code arrays: popcount of the
+    * per-word XOR, summed — `nWords` codegen'd integer ops per pair. */
+  def hammingCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, c) => acc + c)
+
+  /** (vec_id, codes ARRAY<BIGINT>) — the packed corpus (map-side). */
+  def transformDf(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), encodeCol(col(vecCol)).as("codes"))
+}
+
+object BqModel {
+  /** 32 (not 64): DuckDB's `<<` range-checks `1::BIGINT << 63`, and the
+    * cross-engine codes oracle is the point of the midrange fit. */
+  val BitsPerWord = 32
+  private[bq] val Powers: Array[Long] = Array.tabulate(BitsPerWord)(1L << _)
+}
+
+final class BqIndex(val model: BqModel, val codes: DataFrame) {
+
+  /** Hamming scan: encode the query set with the corpus thresholds,
+    * broadcast it across the codes table, score XOR+popcount, bounded
+    * top-k by (hamming, vec_id) — integer distances, so the whole result
+    * is deterministic and cross-engine exact. Returns
+    * (query_id, vec_id, hamming BIGINT). */
+  def searchHamming(queries: DataFrame, k: Int): DataFrame = {
+    val qc = queries.select(col("query_id"), model.encodeCol(col("qv")).as("qc"))
+    codes.crossJoin(broadcast(qc))
+      .select(col("query_id"), col("vec_id"),
+        model.hammingCol(col("qc"), col("codes")).cast(DoubleType).as("dist"))
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("n"))
+      .select(col("query_id"), col("n.vec_id").as("vec_id"),
+        col("n.dist").cast(LongType).as("hamming"))
+  }
+
+  /** The BQ deployment shape: Hamming scan retrieves `rerankDepth`
+    * candidates from the packed table, then ONLY those rows touch the
+    * float table for exact L2 re-ranking (bounded candidate list
+    * broadcast into the vector table — the corpus-sized side never
+    * shuffles). Same tail contract as [[graft.ann.sq.SqIndex]]. */
+  def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
+                   rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
+    val cands = searchHamming(queries, rerankDepth).select("query_id", "vec_id")
+    val exact = vectors
+      .join(broadcast(cands), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.exprs.l2DistNative(col("qv"), col("embedding")),
+          roundTo).as("dist"))
+    exact.groupBy("query_id")
+      .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("n"))
+      .select(col("query_id"), col("n.vec_id").as("vec_id"),
+        col("n.dist").as("dist"))
+  }
+
+  /** Persist thresholds + the packed codes table (same layout contract
+    * as the SQ/LSH/IVF/PQ persistence: small model table + at-rest
+    * index). */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.thresholds.indices.map(i => (i, model.thresholds(i)))
+      .toDF("dim", "thr")
+      .write.mode("overwrite").parquet(s"$path/thresholds")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+}
+
+object Bq {
+
+  /** Exact per-dimension midrange over the corpus — one explode +
+    * min/max pass, `dims` rows collected. Deterministic, order-
+    * independent, hence bit-identically recomputable cross-engine. */
+  def fit(df: DataFrame, vecCol: String): BqModel = {
+    val rows = df
+      .select(posexplode(col(vecCol).cast(ArrayType(DoubleType))))
+      .groupBy("pos")
+      .agg(min("col").as("mn"), max("col").as("mx"), count(lit(1)).as("n"))
+      .orderBy("pos")
+      .collect()
+    require(rows.nonEmpty, "BQ fit over an empty corpus")
+    // every vector must contribute to every dimension — a ragged corpus
+    // would silently bias the tail thresholds otherwise
+    require(rows.map(_.getLong(3)).distinct.length == 1,
+      "embedding dimensions are ragged or contain nulls")
+    new BqModel(rows.map(r => (r.getDouble(1) + r.getDouble(2)) / 2))
+  }
+
+  def train(df: DataFrame, idCol: String, vecCol: String): BqIndex = {
+    val model = fit(df, vecCol)
+    new BqIndex(model, model.transformDf(df, idCol, vecCol))
+  }
+
+  /** Reopen a saved index (thresholds + codes). */
+  def load(spark: SparkSession, path: String): BqIndex = {
+    import spark.implicits._
+    val thr = spark.read.parquet(s"$path/thresholds")
+      .select($"dim", $"thr").as[(Int, Double)]
+      .collect().sortBy(_._1).map(_._2)
+    new BqIndex(new BqModel(thr), spark.read.parquet(s"$path/codes"))
+  }
+}

@@ -478,8 +478,111 @@ object SimilarityQueries extends QueryPack {
       val rer = Eval.setPrecisionRecall(rerPred, gt)
         .agg(round(avg("recall"), 4).as("rerank_recall"))
       adc.crossJoin(rer)
+    }),
+
+    // Binary quantization codes: the midrange fit ((min+max)/2 per dim —
+    // exact and summation-order-independent) makes the packed sign-bit
+    // table bit-identically recomputable cross-engine, like q_sq_codes.
+    "q_bq_codes" -> ((s, dir) => {
+      val idx = graft.ann.bq.Bq.train(emb(s, dir), "vec_id", "embedding")
+      idx.codes.orderBy("vec_id")
+    }),
+
+    // BQ Hamming search: the FIRST search on the board whose entire
+    // result (not just per-row re-verification of a dump) is recomputed
+    // by DuckDB — thresholds, sign bits, packed words, XOR+popcount
+    // distances and the (hamming, vec_id) top-k tie-break are all
+    // integer-or-reproducible, so there is no FP tolerance anywhere.
+    "q_bq_search_hamming" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = graft.ann.bq.Bq.train(e, "vec_id", "embedding")
+      idx.searchHamming(queriesDf(e), K)
+        .orderBy("query_id", "hamming", "vec_id")
+    }),
+
+    // BQ deployment shape: Hamming scan to depth 250 (the depth rule:
+    // 1-bit/dim ranks coarsely, so depth scales with the corpus fraction
+    // the scan must order — SCALE.md §ANN), exact L2 rerank to top-k.
+    // Also fully SQL-recomputed: DuckDB re-derives the candidate set AND
+    // the rerank.
+    "q_bq_search_l2" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = graft.ann.bq.Bq.train(e, "vec_id", "embedding")
+      idx.searchRerank(queriesDf(e), e.select(col("vec_id"), col("embedding")),
+          K, BqRerankDepth)
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // BQ recall: Hamming-scan-only vs depth-250 rerank against exact
+    // ground truth — the whole grading recomputed inside DuckDB (both
+    // prediction sets are deterministic, so no dump is needed).
+    "q_bq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graft.ann.bq.Bq.train(e, "vec_id", "embedding")
+      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val scanPred = idx.searchHamming(q, K)
+        .select(col("query_id"), col("vec_id"))
+      val rerPred = idx.searchRerank(q,
+        e.select(col("vec_id"), col("embedding")), K, BqRerankDepth)
+      val scan = Eval.setPrecisionRecall(scanPred, gt)
+        .agg(round(avg("recall"), 4).as("scan_recall"))
+      val rer = Eval.setPrecisionRecall(rerPred, gt)
+        .agg(round(avg("recall"), 4).as("rerank_recall"))
+      scan.crossJoin(rer)
     })
   )
+
+  /** Hamming-scan depth for the BQ rerank queries: 250 of the sf0.01
+    * corpus (500) per the depth-scaling rule — 1 bit/dim orders only
+    * coarsely, so trust it for a corpus FRACTION, not a fixed count. */
+  val BqRerankDepth = 250
+
+  /** DuckDB re-derivation of the BQ model + packed codes (32 bits/word,
+    * midrange thresholds) — shared CTE prefix of all four BQ oracles.
+    * 1-based list indexing; `(1::BIGINT << j)` stays in DuckDB's checked
+    * shift range because words are 32-bit. */
+  private val bqCodesSql =
+    """dim AS (
+      |  SELECT unnest(embedding::DOUBLE[]) AS x,
+      |         unnest(range(len(embedding))) AS i
+      |  FROM embeddings
+      |),
+      |mm AS (SELECT i, (min(x) + max(x))/2 AS thr FROM dim GROUP BY i),
+      |thrl AS (SELECT list(thr ORDER BY i) AS thr FROM mm),
+      |bq AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(range((len(embedding) + 31) // 32), w ->
+      |      list_sum(list_transform(range(32), j ->
+      |        CASE WHEN w*32 + j < len(embedding)
+      |              AND embedding[w*32 + j + 1]::DOUBLE > thr[w*32 + j + 1]
+      |             THEN (1::BIGINT << j) ELSE 0 END))::BIGINT) AS codes
+      |  FROM embeddings, thrl
+      |)""".stripMargin
+
+  /** Hamming top-k CTEs over [[bqCodesSql]]: queries are the first
+    * NumQueries corpus rows (same as queriesDf), distance is summed
+    * per-word popcount of XOR, ties pinned by vec_id — byte-identical to
+    * the Spark TopK tail. */
+  private def bqHammingSql(depth: Int): String =
+    s"""qs AS (
+       |  SELECT vec_id AS query_id, codes AS qc
+       |  FROM bq ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+       |),
+       |ham AS (
+       |  SELECT qs.query_id, bq.vec_id,
+       |    list_sum(list_transform(range(len(qs.qc)), w ->
+       |      bit_count(xor(qs.qc[w+1], bq.codes[w+1]))))::BIGINT AS hamming
+       |  FROM qs CROSS JOIN bq
+       |),
+       |cand AS (
+       |  SELECT query_id, vec_id, hamming, rn FROM (
+       |    SELECT query_id, vec_id, hamming,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY hamming, vec_id) AS rn
+       |    FROM ham
+       |  ) WHERE rn <= $depth
+       |)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     // Dump paths pin sf0.01 — the driver correctness-gate scale (same
@@ -733,6 +836,100 @@ object SimilarityQueries extends QueryPack {
     "q_sq_recall" -> LshQueries.dualRecallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/sq_adc/*.parquet",
       s"${LshQueries.SearchDumpRoot}/sf0.01/sq_rerank/*.parquet", K),
+
+    // Full cross-engine recompute of the BQ build: DuckDB refits the
+    // midrange thresholds and repacks every sign bit (no dump, no
+    // tolerance — the fit is order-independent by construction).
+    "q_bq_codes" ->
+      s"""WITH $bqCodesSql
+         |SELECT vec_id, codes FROM bq ORDER BY vec_id""".stripMargin,
+
+    // Full cross-engine recompute of the Hamming SEARCH: integer
+    // distances + deterministic (hamming, vec_id) tie-break mean DuckDB
+    // re-derives the exact same top-k rows, not a dump re-check.
+    "q_bq_search_hamming" ->
+      s"""WITH $bqCodesSql,
+         |${bqHammingSql(K)}
+         |SELECT query_id, vec_id, hamming FROM cand
+         |ORDER BY query_id, hamming, vec_id""".stripMargin,
+
+    // Full cross-engine recompute of the rerank pipeline: DuckDB
+    // re-derives the depth-$BqRerankDepth Hamming candidate set AND the
+    // exact-L2 top-k over it.
+    "q_bq_search_l2" ->
+      s"""WITH $bqCodesSql,
+         |${bqHammingSql(BqRerankDepth)},
+         |rr AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS dist
+         |  FROM cand c
+         |  JOIN bq e ON e.vec_id = c.vec_id
+         |  JOIN bq q ON q.vec_id = c.query_id
+         |)
+         |SELECT query_id, vec_id, dist FROM (
+         |  SELECT query_id, vec_id, dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |  FROM rr
+         |) WHERE rn <= $K ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    // Scan-vs-rerank recall graded wholly inside DuckDB: exact ground
+    // truth, both prediction sets and both averages re-derived (the
+    // aggregation shape mirrors Eval.setPrecisionRecall /
+    // dualRecallOracle: n_pred inner-joined, hits coalesced to 0).
+    "q_bq_recall" ->
+      s"""WITH $bqCodesSql,
+         |${bqHammingSql(BqRerankDepth)},
+         |gq AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM bq ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+         |),
+         |gsc AS (
+         |  SELECT gq.query_id, e.vec_id,
+         |    round(list_distance(gq.qv, e.embedding::DOUBLE[]), 6) AS dist
+         |  FROM gq CROSS JOIN bq e
+         |),
+         |gt AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |    FROM gsc
+         |  ) WHERE rn <= $K
+         |),
+         |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
+         |pa AS (SELECT query_id, vec_id FROM cand WHERE rn <= $K),
+         |npa AS (SELECT query_id, count(*) AS n_pred FROM pa GROUP BY query_id),
+         |ha AS (
+         |  SELECT pa.query_id, count(*) AS valid
+         |  FROM pa JOIN gt USING (query_id, vec_id) GROUP BY pa.query_id
+         |),
+         |ra AS (
+         |  SELECT round(avg(round(coalesce(ha.valid, 0) / ng.n_gt, 6)), 4) AS scan_recall
+         |  FROM npa JOIN ng USING (query_id) LEFT JOIN ha USING (query_id)
+         |),
+         |rr AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS dist
+         |  FROM cand c
+         |  JOIN bq e ON e.vec_id = c.vec_id
+         |  JOIN bq q ON q.vec_id = c.query_id
+         |),
+         |pb AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |    FROM rr
+         |  ) WHERE rn <= $K
+         |),
+         |npb AS (SELECT query_id, count(*) AS n_pred FROM pb GROUP BY query_id),
+         |hb AS (
+         |  SELECT pb.query_id, count(*) AS valid
+         |  FROM pb JOIN gt USING (query_id, vec_id) GROUP BY pb.query_id
+         |),
+         |rb AS (
+         |  SELECT round(avg(round(coalesce(hb.valid, 0) / ng.n_gt, 6)), 4) AS rerank_recall
+         |  FROM npb JOIN ng USING (query_id) LEFT JOIN hb USING (query_id)
+         |)
+         |SELECT ra.scan_recall, rb.rerank_recall FROM ra, rb""".stripMargin,
 
     // Every dumped candidate pair re-verified from the raw embeddings:
     // DuckDB recomputes the exact cosine (hash-compared against the

@@ -84,4 +84,23 @@ class SearchPlanSpec extends AnyFunSuite with SparkSpecBase {
     assert(joinIdx >= 0 && lines.drop(joinIdx).exists(_.contains("transform(")),
       s"decode projection missing below the query join:\n$p")
   }
+
+  test("BQ Hamming scan and rerank: no Window, queries broadcast into the codes scan") {
+    val parquetCorpus = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val idx = graft.ann.bq.Bq.train(parquetCorpus, "vec_id", "embedding")
+    val q = parquetCorpus.orderBy("vec_id").limit(5)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qv"))
+    val scan = idx.searchHamming(q, 5).queryExecution
+    val sp = scan.optimizedPlan.toString
+    assert(!sp.contains("Window"), s"window top-k leaked into the BQ scan plan:\n$sp")
+    val sExec = scan.executedPlan.toString
+    assert(sExec.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast in the BQ scan:\n$sExec")
+    val rer = idx.searchRerank(q,
+      parquetCorpus.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")), 5, 50)
+    val rp = rer.queryExecution.optimizedPlan.toString
+    assert(!rp.contains("Window"), s"window top-k leaked into the BQ rerank plan:\n$rp")
+  }
 }
