@@ -530,8 +530,52 @@ object SimilarityQueries extends QueryPack {
       val rer = Eval.setPrecisionRecall(rerPred, gt)
         .agg(round(avg("recall"), 4).as("rerank_recall"))
       scan.crossJoin(rer)
+    }),
+
+    // Exact k-NN graph (every node's KnnK nearest cosine neighbors +
+    // the mutual-edge flag) — the quadratic baseline the LSH graph is
+    // graded against, fully recomputed by DuckDB. The neighbor graph is
+    // the input shape for graph dedup/clustering/diversity selection.
+    "q_knn_graph" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ann.KnnGraph.withMutual(
+          graft.ann.KnnGraph.exact(e, "vec_id", "embedding", KnnK,
+            ExactNN.Cosine))
+        .orderBy("src", "dist", "dst")
+    }),
+
+    // Scale path: LSH same-bucket candidate edges → exact cosine on
+    // candidates only → per-node bounded top-k. Edges are dumped; the
+    // DuckDB oracle recomputes every edge's cosine (bad_dist_edges must
+    // be 0) AND grades graph recall against its OWN exact graph — same
+    // dump-and-recheck contract as q_lsh_recall.
+    "q_knn_graph_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Lsh.train(e, "vec_id", "embedding",
+        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
+      val pred = graft.ann.KnnGraph.fromLsh(idx, e, "vec_id", "embedding",
+        KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
+      val dumped = LshQueries.dumpAndReload(s, pred,
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/knn_graph")
+      val gt = graft.ann.KnnGraph.exact(e, "vec_id", "embedding", KnnK,
+        ExactNN.Cosine)
+      val recall = Eval.setPrecisionRecall(
+          dumped.select(col("src").as("query_id"), col("dst").as("vec_id")),
+          gt.select(col("src").as("query_id"), col("dst").as("vec_id")))
+        .agg(round(avg("recall"), 4).as("graph_recall"),
+          count(lit(1)).as("n_nodes"))
+      val edgeStats = dumped
+        .join(e.select(col("vec_id").as("src"), col("embedding").as("es")), "src")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("ed")), "dst")
+        .select((round(exprs.cosineDistNative(col("es"), col("ed")), 6)
+          =!= col("dist")).cast("long").as("bad"))
+        .agg(count(lit(1)).as("n_edges"), sum("bad").as("bad_dist_edges"))
+      recall.crossJoin(edgeStats)
     })
   )
+
+  /** Neighbors per node in the k-NN graph queries. */
+  val KnnK = 5
 
   /** Hamming-scan depth for the BQ rerank queries: 250 of the sf0.01
     * corpus (500) per the depth-scaling rule — 1 bit/dim orders only
@@ -930,6 +974,74 @@ object SimilarityQueries extends QueryPack {
          |  FROM npb JOIN ng USING (query_id) LEFT JOIN hb USING (query_id)
          |)
          |SELECT ra.scan_recall, rb.rerank_recall FROM ra, rb""".stripMargin,
+
+    // Full cross-engine recompute of the exact k-NN graph: all-pairs
+    // cosine, per-node top-k with (dist, dst) ties, mutual flag via a
+    // self-join of DuckDB's own graph.
+    "q_knn_graph" ->
+      s"""WITH sc AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6) AS dist
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |),
+         |g AS (
+         |  SELECT src, dst, dist FROM (
+         |    SELECT src, dst, dist,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= $KnnK
+         |)
+         |SELECT g.src, g.dst, g.dist, (r.src IS NOT NULL) AS mutual
+         |FROM g LEFT JOIN g r ON r.src = g.dst AND r.dst = g.src
+         |ORDER BY g.src, g.dist, g.dst""".stripMargin,
+
+    // LSH k-NN graph: every dumped edge's cosine recomputed from the
+    // raw embeddings (bad_dist_edges = 0 or the hash mismatches) and
+    // graph recall graded against DuckDB's own exact graph.
+    "q_knn_graph_lsh" ->
+      s"""WITH p AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/knn_graph/*.parquet')
+         |),
+         |sc AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6) AS dist
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |),
+         |gt AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= $KnnK
+         |),
+         |ng AS (SELECT src AS query_id, count(*) AS n_gt FROM gt GROUP BY src),
+         |np AS (SELECT src AS query_id, count(*) AS n_pred FROM p GROUP BY src),
+         |h AS (
+         |  SELECT p.src AS query_id, count(*) AS valid
+         |  FROM p JOIN gt ON gt.src = p.src AND gt.dst = p.dst
+         |  GROUP BY p.src
+         |),
+         |rec AS (
+         |  SELECT round(avg(round(coalesce(h.valid, 0) / ng.n_gt, 6)), 4) AS graph_recall,
+         |         count(*) AS n_nodes
+         |  FROM np JOIN ng USING (query_id) LEFT JOIN h USING (query_id)
+         |),
+         |ed AS (
+         |  SELECT count(*) AS n_edges,
+         |    sum(CASE WHEN round(CASE WHEN 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 1e-6
+         |                  THEN 0.0
+         |                  ELSE 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6) <> p.dist
+         |             THEN 1 ELSE 0 END)::BIGINT AS bad_dist_edges
+         |  FROM p
+         |  JOIN embeddings a ON a.vec_id = p.src
+         |  JOIN embeddings b ON b.vec_id = p.dst
+         |)
+         |SELECT rec.graph_recall, rec.n_nodes, ed.n_edges, ed.bad_dist_edges
+         |FROM rec, ed""".stripMargin,
 
     // Every dumped candidate pair re-verified from the raw embeddings:
     // DuckDB recomputes the exact cosine (hash-compared against the
