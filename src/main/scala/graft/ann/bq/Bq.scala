@@ -110,18 +110,22 @@ final class BqIndex(val model: BqModel, val codes: DataFrame) {
 
   /** The BQ deployment shape: Hamming scan retrieves `rerankDepth`
     * candidates from the packed table, then ONLY those rows touch the
-    * float table for exact L2 re-ranking (bounded candidate list
-    * broadcast into the vector table — the corpus-sized side never
-    * shuffles). Same tail contract as [[graft.ann.sq.SqIndex]]. */
+    * float table for exact re-ranking (bounded candidate list broadcast
+    * into the vector table — the corpus-sized side never shuffles).
+    * Same tail contract as [[graft.ann.sq.SqIndex]]. Sign-bit Hamming
+    * estimates the ANGLE between vectors (the SimHash bound), so the
+    * cosine rerank is the theoretically matched pairing; L2 works too
+    * when the corpus has comparable norms. */
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
-                   rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
+                   rerankDepth: Int = 100,
+                   metric: graft.ann.ExactNN.Metric = graft.ann.ExactNN.L2,
+                   roundTo: Int = 6): DataFrame = {
     val cands = searchHamming(queries, rerankDepth).select("query_id", "vec_id")
     val exact = vectors
       .join(broadcast(cands), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("vec_id"),
-        round(graft.functions.exprs.l2DistNative(col("qv"), col("embedding")),
-          roundTo).as("dist"))
+        round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"))
     exact.groupBy("query_id")
       .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
       .select(col("query_id"), explode(col("nn")).as("n"))

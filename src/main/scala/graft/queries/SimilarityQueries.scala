@@ -532,6 +532,19 @@ object SimilarityQueries extends QueryPack {
       scan.crossJoin(rer)
     }),
 
+    // BQ cosine rerank: sign-bit Hamming estimates the ANGLE (the
+    // SimHash bound), so exact-cosine rerank is BQ's theoretically
+    // matched metric — this completes the both-metric oracle coverage
+    // the other index families have. Fully SQL-recomputed like its L2
+    // twin.
+    "q_bq_search_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = graft.ann.bq.Bq.train(e, "vec_id", "embedding")
+      idx.searchRerank(queriesDf(e), e.select(col("vec_id"), col("embedding")),
+          K, BqRerankDepth, ExactNN.Cosine)
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
     // Exact k-NN graph (every node's KnnK nearest cosine neighbors +
     // the mutual-edge flag) — the quadratic baseline the LSH graph is
     // graded against, fully recomputed by DuckDB. The neighbor graph is
@@ -974,6 +987,26 @@ object SimilarityQueries extends QueryPack {
          |  FROM npb JOIN ng USING (query_id) LEFT JOIN hb USING (query_id)
          |)
          |SELECT ra.scan_recall, rb.rerank_recall FROM ra, rb""".stripMargin,
+
+    // BQ cosine rerank, fully recomputed: same Hamming candidate set,
+    // exact-cosine top-k over it (zero-clamped like cosineDistNative).
+    "q_bq_search_cosine" ->
+      s"""WITH $bqCodesSql,
+         |${bqHammingSql(BqRerankDepth)},
+         |rr AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) END, 6) AS dist
+         |  FROM cand c
+         |  JOIN bq e ON e.vec_id = c.vec_id
+         |  JOIN bq q ON q.vec_id = c.query_id
+         |)
+         |SELECT query_id, vec_id, dist FROM (
+         |  SELECT query_id, vec_id, dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |  FROM rr
+         |) WHERE rn <= $K ORDER BY query_id, dist, vec_id""".stripMargin,
 
     // Full cross-engine recompute of the exact k-NN graph: all-pairs
     // cosine, per-node top-k with (dist, dst) ties, mutual flag via a

@@ -214,6 +214,38 @@ object ScaleProbe {
         sq.codes.unpersist()
       }
 
+      // BQ (opt-in: SPARK_GRAFT_BQ=1): the 32x-compression endpoint —
+      // XOR+popcount Hamming scan over packed sign bits + exact rerank.
+      // The scale question is the Hamming scan's latency (it reads 1/32
+      // of SQ's bytes) and how deep the rerank must go to recover
+      // recall at 1 bit/dim (depth scales with corpus fraction — the
+      // BQ depth rule, SCALE.md §ANN).
+      if (sys.env.get("SPARK_GRAFT_BQ").contains("1")) {
+        val depth = sys.env.getOrElse("SPARK_GRAFT_BQ_DEPTH", "2000").toInt
+        val (bq, tBqTrain) = time {
+          val i = graft.ann.bq.Bq.train(corpus, "vec_id", "embedding")
+          i.codes.persist().count()
+          i
+        }
+        def scanPred = bq.searchHamming(queries, 10)
+          .select(col("query_id"), col("vec_id"))
+        val (_, tBq0) = time(scanPred.count())
+        val (_, tBq) = time(scanPred.count())
+        val bqRecall = Eval.setPrecisionRecall(scanPred, gt)
+          .agg(avg("recall")).head().getDouble(0)
+        val vecs = corpus.select(col("vec_id"), col("embedding"))
+        val (_, tRr) = time(bq.searchRerank(queries, vecs, 10, depth).count())
+        val rrRecall = Eval.setPrecisionRecall(
+          bq.searchRerank(queries, vecs, 10, depth), gt)
+          .agg(avg("recall")).head().getDouble(0)
+        println(f"[scale] corpus=$n%,d bq(words=${bq.model.nWords}, " +
+          f"depth=$depth): train=${tBqTrain}%.2fs " +
+          f"scan_search=${tBq}%.2fs (warm ${tBq0}%.2f) " +
+          f"scan_recall=$bqRecall%.3f rerank_search=${tRr}%.2fs " +
+          f"rerank_recall=$rrRecall%.3f speedup=${ratio(tBq)}")
+        bq.codes.unpersist()
+      }
+
       // IVF measured only outside sweep mode (an LSH operating-point
       // sweep doesn't need the k-means fit re-run per invocation).
       if (sweep.isEmpty) {

@@ -129,6 +129,36 @@ class BqSpec extends AnyFunSuite with SparkSpecBase {
     assert(t1.toSeq === t2.toSeq)
   }
 
+  test("streamed encode equals the batch encode (incremental codes append)") {
+    // Like SQ, the BQ encode is a pure map-side projection over fixed
+    // thresholds, so it runs unchanged over a readStream of arriving
+    // vectors — appending packed codes without a refit. Threshold drift
+    // on genuinely new data ranges is an operator decision (refit or
+    // accept stale splits), deterministic either way.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val model = Bq.fit(emb, "embedding")
+    val arriving = emb.limit(40)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    val q = model.transformDf(mem.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.as[(Long, Seq[Long])].collect().foreach(out.add)
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(arriving: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchCodes = model.transformDf(emb.limit(40), "vec_id", "embedding")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out.size === arriving.size)
+    out.forEach { case (id, cs) => assert(cs === batchCodes(id)) }
+  }
+
   test("ragged or null embeddings fail the fit with a named error") {
     val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
