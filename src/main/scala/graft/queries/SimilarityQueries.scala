@@ -584,6 +584,43 @@ object SimilarityQueries extends QueryPack {
           =!= col("dist")).cast("long").as("bad"))
         .agg(count(lit(1)).as("n_edges"), sum("bad").as("bad_dist_edges"))
       recall.crossJoin(edgeStats)
+    }),
+
+    // NN-Descent refinement (Dong et al. WWW 2011) of the LSH k-NN
+    // graph: neighbors-of-neighbors proposed as candidate edges, exact
+    // distances on proposals only, per-node bounded top-k — never
+    // all-pairs. Both the initial and the refined graph are dumped; the
+    // DuckDB oracle grades BOTH against its own exact graph (the
+    // recall lift is the cross-engine-verified claim) and recomputes
+    // every refined edge's cosine (bad_dist_edges must be 0).
+    "q_knn_graph_nnd" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Lsh.train(e, "vec_id", "embedding",
+        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
+      val init = graft.ann.KnnGraph.fromLsh(idx, e, "vec_id", "embedding",
+        KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
+      val initDumped = LshQueries.dumpAndReload(s, init,
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/knn_graph_nnd_init")
+      val refined = graft.ann.NnDescent.refine(initDumped, e, "vec_id",
+        "embedding", KnnK, ExactNN.Cosine, iterations = 2)
+      val dumped = LshQueries.dumpAndReload(s, refined,
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/knn_graph_nnd")
+      val gt = graft.ann.KnnGraph.exact(e, "vec_id", "embedding", KnnK,
+        ExactNN.Cosine)
+      def recallOf(g: DataFrame, as: String): DataFrame =
+        Eval.setPrecisionRecall(
+            g.select(col("src").as("query_id"), col("dst").as("vec_id")),
+            gt.select(col("src").as("query_id"), col("dst").as("vec_id")))
+          .agg(round(avg("recall"), 4).as(as))
+      val edgeStats = dumped
+        .join(e.select(col("vec_id").as("src"), col("embedding").as("es")), "src")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("ed")), "dst")
+        .select((round(exprs.cosineDistNative(col("es"), col("ed")), 6)
+          =!= col("dist")).cast("long").as("bad"))
+        .agg(count(lit(1)).as("n_edges"), sum("bad").as("bad_dist_edges"))
+      recallOf(initDumped, "recall_init")
+        .crossJoin(recallOf(dumped, "recall_refined"))
+        .crossJoin(edgeStats)
     })
   )
 
@@ -1075,6 +1112,64 @@ object SimilarityQueries extends QueryPack {
          |)
          |SELECT rec.graph_recall, rec.n_nodes, ed.n_edges, ed.bad_dist_edges
          |FROM rec, ed""".stripMargin,
+
+    // NN-Descent: DuckDB grades BOTH dumped graphs (initial LSH, refined)
+    // against its own exact graph — the recall lift is the cross-engine
+    // claim — and recomputes every refined edge's cosine.
+    "q_knn_graph_nnd" ->
+      s"""WITH pi AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/knn_graph_nnd_init/*.parquet')
+         |),
+         |pr AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/knn_graph_nnd/*.parquet')
+         |),
+         |sc AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6) AS dist
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |),
+         |gt AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= $KnnK
+         |),
+         |ng AS (SELECT src AS query_id, count(*) AS n_gt FROM gt GROUP BY src),
+         |ri AS (
+         |  SELECT round(avg(round(coalesce(h.valid, 0) / ng.n_gt, 6)), 4) AS recall_init
+         |  FROM (SELECT src AS query_id FROM pi GROUP BY src) np
+         |  JOIN ng USING (query_id)
+         |  LEFT JOIN (
+         |    SELECT pi.src AS query_id, count(*) AS valid
+         |    FROM pi JOIN gt ON gt.src = pi.src AND gt.dst = pi.dst
+         |    GROUP BY pi.src
+         |  ) h USING (query_id)
+         |),
+         |rr AS (
+         |  SELECT round(avg(round(coalesce(h.valid, 0) / ng.n_gt, 6)), 4) AS recall_refined
+         |  FROM (SELECT src AS query_id FROM pr GROUP BY src) np
+         |  JOIN ng USING (query_id)
+         |  LEFT JOIN (
+         |    SELECT pr.src AS query_id, count(*) AS valid
+         |    FROM pr JOIN gt ON gt.src = pr.src AND gt.dst = pr.dst
+         |    GROUP BY pr.src
+         |  ) h USING (query_id)
+         |),
+         |ed AS (
+         |  SELECT count(*) AS n_edges,
+         |    sum(CASE WHEN round(CASE WHEN 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 1e-6
+         |                  THEN 0.0
+         |                  ELSE 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6) <> pr.dist
+         |             THEN 1 ELSE 0 END)::BIGINT AS bad_dist_edges
+         |  FROM pr
+         |  JOIN embeddings a ON a.vec_id = pr.src
+         |  JOIN embeddings b ON b.vec_id = pr.dst
+         |)
+         |SELECT ri.recall_init, rr.recall_refined, ed.n_edges, ed.bad_dist_edges
+         |FROM ri, rr, ed""".stripMargin,
 
     // Every dumped candidate pair re-verified from the raw embeddings:
     // DuckDB recomputes the exact cosine (hash-compared against the
