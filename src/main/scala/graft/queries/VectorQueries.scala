@@ -92,8 +92,44 @@ object VectorQueries extends QueryPack {
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), (col("pos") + 1).as("pos"))
         .agg(round(avg(col("col").cast(DoubleType)), 6).as("centroid"))
-        .orderBy("label", "pos"))
+        .orderBy("label", "pos")),
+
+    // Johnson–Lindenstrauss ±1 random projection 64d -> 16d (Achlioptas
+    // 2003). The sign matrix is md5-derived, so DuckDB re-derives the
+    // WHOLE projection and hash-compares every component — the strongest
+    // (build-recompute) oracle form. Scan-side map, zero shuffle.
+    "q_jl_project" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(graft.stats.RandomProjection
+            .projectCol(col("embedding"), JlDimsIn, JlDimsOut)))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").as("pv"))
+        .orderBy("vec_id", "pos")),
+
+    // Does the 4x-cheaper space still rank neighbors? Top-K L2 search in
+    // the 16-d projected space graded against the 64-d exact top-K —
+    // recall is the JL quality number, recomputed end-to-end by DuckDB
+    // (projection included) with zero dumps.
+    "q_jl_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val proj = e.select(col("vec_id"),
+        graft.stats.RandomProjection
+          .projectCol(col("embedding"), JlDimsIn, JlDimsOut).as("embedding"))
+      val q = proj.orderBy("vec_id").limit(NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val pred = ExactNN.topKAgg(q, proj, K, ExactNN.L2)
+      val gt = exactNn(s, dir, ExactNN.L2)
+      graft.eval.Eval.setPrecisionRecall(
+          pred.select(col("query_id"), col("vec_id")),
+          gt.select(col("query_id"), col("vec_id")))
+        .agg(round(avg("recall"), 4).as("jl_recall"),
+          count(lit(1)).as("n_queries"))
+    })
   )
+
+  /** JL projection shape: 64-d testdata embeddings down to 16-d. */
+  val JlDimsIn = 64
+  val JlDimsOut = 16
 
   private val qCte =
     s"""WITH q AS (
@@ -165,6 +201,64 @@ object VectorQueries extends QueryPack {
          |  FROM d
          |)
          |SELECT query_id, vec_id, dist FROM r WHERE rn <= $K
-         |ORDER BY query_id, dist, vec_id""".stripMargin
+         |ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    "q_jl_project" ->
+      s"""$jlProjCte
+         |SELECT vec_id, pos, pv FROM proj ORDER BY vec_id, pos""".stripMargin,
+
+    "q_jl_recall" ->
+      s"""$jlProjCte,
+         |pvec AS (
+         |  SELECT vec_id, list(pv ORDER BY pos) AS pv FROM proj GROUP BY vec_id
+         |),
+         |pq AS (
+         |  SELECT vec_id AS query_id, pv AS qv FROM pvec
+         |  ORDER BY vec_id LIMIT $NumQueries
+         |),
+         |pred AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT pq.query_id, pvec.vec_id,
+         |      row_number() OVER (PARTITION BY pq.query_id
+         |        ORDER BY round(list_distance(pq.qv, pvec.pv), 6), pvec.vec_id) AS rn
+         |    FROM pq CROSS JOIN pvec
+         |  ) WHERE rn <= $K
+         |),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings ORDER BY vec_id LIMIT $NumQueries
+         |),
+         |gt AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_distance(q.qv, e.embedding::DOUBLE[]), 6), e.vec_id) AS rn
+         |    FROM q CROSS JOIN embeddings e
+         |  ) WHERE rn <= $K
+         |),
+         |hits AS (
+         |  SELECT pred.query_id, count(*) AS valid
+         |  FROM pred JOIN gt ON gt.query_id = pred.query_id AND gt.vec_id = pred.vec_id
+         |  GROUP BY pred.query_id
+         |)
+         |SELECT round(avg(round(coalesce(hits.valid, 0) / $K.0, 6)), 4) AS jl_recall,
+         |       count(*) AS n_queries
+         |FROM (SELECT DISTINCT query_id FROM pred) p
+         |LEFT JOIN hits USING (query_id)""".stripMargin
   )
+
+  /** DuckDB re-derivation of the md5-sign JL projection — shared CTE
+    * prefix of both JL oracles. Must stay in lockstep with
+    * [[graft.stats.RandomProjection]] (same md5 string, same nibble
+    * rule, same Σ/√dimsOut scaling, same rounding). */
+  private lazy val jlProjCte = {
+    val sign = graft.stats.RandomProjection.signSql("i", "j")
+    s"""WITH proj AS (
+       |  SELECT vec_id, i + 1 AS pos,
+       |    round(list_sum(list_transform(range(len(embedding)), j ->
+       |      embedding[j + 1]::DOUBLE * $sign)) / sqrt($JlDimsOut.0), 6) AS pv
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range($JlDimsOut)) AS i)
+       |)""".stripMargin
+  }
 }
