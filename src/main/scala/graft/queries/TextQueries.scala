@@ -62,6 +62,9 @@ object TextQueries extends QueryPack {
   val MixtureRates = Seq(1.0, 0.5, 0.25, 0.1)
   /** Context-window token budget for the concatenate-and-chop packer. */
   val PackWindow = 64
+
+  /** Training-shard count for `q_training_shards`. */
+  val NumShards = 16
   /** CCNet-style unigram-LM keep threshold on per-doc mean NLL (keep
     * the low-perplexity head, Wenzek et al. 2020 arXiv:1911.00359
     * §4.3): calibrated to this corpus's avg-NLL decile spread
@@ -510,6 +513,33 @@ object TextQueries extends QueryPack {
           (((sum(col("n_toks")) - 1) % PackWindow) + 1).as("last_fill"))
         .orderBy("source")
     }),
+
+    // Deterministic training-shard layout — the "seeded global shuffle
+    // then shard" step that writes the final training corpus: every doc
+    // → one of NumShards shards by md5 bucket; within-shard order by an
+    // INDEPENDENT md5 (decorrelated from the shard key, so shard files
+    // are internally shuffled too). The per-shard order fingerprint
+    // (md5 over doc_ids in within-shard order) makes the ORDER itself
+    // cross-engine-checked, not just the assignment. Assignment and
+    // order key are scan-side maps; one shard-keyed shuffle aggregates
+    // — the same plan that writes partitionBy(shard) sorted files at
+    // 100 TB, with the shard count scaled up.
+    "q_training_shards" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_toks"),
+          pmod(hash60(11, col("doc_id").cast("string")), lit(NumShards.toLong))
+            .as("shard"),
+          hash60(12, col("doc_id").cast("string")).as("ord"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("ord"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")),
+            ",")).as("order_fp"))
+        .orderBy("shard")),
 
     // CCNet-style unigram-LM scoring (Wenzek et al. 2020,
     // arXiv:1911.00359 §4.3): corpus-derived token logprobs → per-doc
@@ -1049,6 +1079,18 @@ object TextQueries extends QueryPack {
          |           THEN 1 ELSE 0 END)::BIGINT AS n_straddling,
          |  (((sum(n_toks) - 1) % $PackWindow) + 1)::BIGINT AS last_fill
          |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_training_shards" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_toks,
+         |         ('0x' || substr(md5('11:' || doc_id), 1, 15))::BIGINT % $NumShards AS shard,
+         |         ('0x' || substr(md5('12:' || doc_id), 1, 15))::BIGINT AS ord
+         |  FROM documents
+         |)
+         |SELECT shard, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+         |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY ord, doc_id)) AS order_fp
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q_unigram_ppl" ->
       s"""WITH $tokCte,
