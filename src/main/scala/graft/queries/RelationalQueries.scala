@@ -149,6 +149,24 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // Explicit GROUPING SETS — the asymmetric 3-set selection
+    // ((flag,status),(flag),(status)) that neither rollup nor cube
+    // expresses; grouping_id() disambiguates a genuinely-NULL group key
+    // from an aggregated-away one (both engines use the same bitmask
+    // convention, verified). One shuffle; Spark expands the grouping
+    // sets before the partial aggregate, so map-side combine still
+    // applies per set at 100 TB.
+    "q_grouping_sets" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
     // Set op: INTERSECT of customer keys with ordering customers.
     "q_intersect_custkeys" -> ((s, dir) =>
       tbl(s, dir, "customer").select(col("c_custkey").as("custkey"))
@@ -375,6 +393,15 @@ object RelationalQueries extends QueryPack {
     "q_distinct_flags" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT grouping(l_returnflag, l_linestatus) AS gid,
+        |  l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_union_suppkeys" ->
       """SELECT DISTINCT suppkey FROM (
