@@ -172,8 +172,85 @@ object RetrievalQueries extends QueryPack {
         .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
           col("rank_lex"), col("rank_vec"))
         .orderBy("query_id", "rank")
+    }),
+
+    // MMR diversified rerank (Carbonell & Goldstein, SIGIR 1998):
+    // greedy argmax of λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) over the
+    // top-MmrDepth cosine candidates of each query-by-example doc. The
+    // greedy loop is MmrK UNROLLED dataframe steps (the PageRank-oracle
+    // pattern) — every step is a bounded join over ≤ MmrDepth rows per
+    // query, so the whole rerank is corpus-size-independent; only the
+    // candidate generation touches the corpus (the same bounded-TopK
+    // scan the other searches use). Scores are rounded to 6 before each
+    // argmax, ties pinned by doc_id — DuckDB replays the identical
+    // greedy selection.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < NumHybridQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = q.join(e, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(exprs.cosineDistNative(col("qv"), col("embedding")), 6)
+            .as("dist"))
+      // top-MmrDepth candidates, rel = cosine similarity of the rounded
+      // distance; persisted — MmrK steps and the pair-sim join all read it
+      val cand = graft.text.Dedup.materializeRelease(
+        TopK.perQueryTopK(scored, MmrDepth, viaAggregator = true)
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            (lit(1.0) - col("dist")).as("rel")))
+      // pairwise sims among each query's candidates (≤ MmrDepth² per
+      // query, bounded) — also persisted across the MmrK steps
+      val sims = graft.text.Dedup.materializeRelease(
+        cand.select(col("query_id"), col("doc_id").as("a"))
+          .join(cand.select(col("query_id"), col("doc_id").as("b")), "query_id")
+          .where(col("a") =!= col("b"))
+          .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+          .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+          .select(col("query_id"), col("a"), col("b"),
+            (lit(1.0) - round(exprs.cosineDistNative(col("ea"), col("eb")), 6))
+              .as("sim")))
+      mmrSelect(cand, sims, MmrK, MmrLambda).orderBy("query_id", "rank")
     })
   )
+
+  /** Greedy MMR selection over bounded per-query candidate lists:
+    * `cand` is (query_id, doc_id, rel), `sims` (query_id, a, b, sim)
+    * pairwise among each query's candidates. Returns
+    * (query_id, rank, doc_id, mmr_score) — k unrolled argmax steps,
+    * scores rounded to 6 before each argmax, ties pinned by doc_id
+    * (both rules replayed identically by the DuckDB oracle). */
+  private[queries] def mmrSelect(cand: DataFrame, sims: DataFrame,
+                                 k: Int, lambda: Double): DataFrame = {
+    def pick1(scoredStep: DataFrame, rank: Int): DataFrame =
+      scoredStep.groupBy("query_id")
+        .agg(TopK.topK(1)(col("doc_id"), -col("s")).as("nn"))
+        .select(col("query_id"), explode(col("nn")).as("n"))
+        .select(col("query_id"), lit(rank.toLong).as("rank"),
+          col("n.vec_id").as("doc_id"), (-col("n.dist")).as("mmr_score"))
+    var selected = pick1(
+      cand.select(col("query_id"), col("doc_id"), round(col("rel"), 6).as("s")), 1)
+    for (step <- 2 to k) {
+      val rem = cand.join(selected.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_anti")
+      val simToSel = sims
+        .join(selected.select(col("query_id"), col("doc_id").as("b")),
+          Seq("query_id", "b"))
+        .select(col("query_id"), col("a").as("doc_id"), col("sim"))
+      val ms = rem.join(simToSel, Seq("query_id", "doc_id"))
+        .groupBy("query_id", "doc_id", "rel")
+        .agg(max("sim").as("maxsim"))
+      val stepScored = ms.select(col("query_id"), col("doc_id"),
+        round(lit(lambda) * col("rel")
+          - lit(1 - lambda) * col("maxsim"), 6).as("s"))
+      selected = selected.unionByName(pick1(stepScored, step))
+    }
+    selected
+  }
+
+  /** MMR: candidate depth, picks per query, relevance/diversity mix. */
+  val MmrDepth = 20
+  val MmrK = 5
+  val MmrLambda = 0.5
 
   /** Shared oracle-SQL fragments (DuckDB). The BM25 CTE chain mirrors
     * [[bm25]] stage-for-stage; `%s` slots take the query-terms CTE body
@@ -264,6 +341,80 @@ object RetrievalQueries extends QueryPack {
          |)
          |SELECT query_id, rank, doc_id, rrf, rank_lex, rank_vec
          |FROM rk WHERE rank <= $TopKDocs ORDER BY query_id, rank""".stripMargin
+    },
+
+    // MMR: DuckDB replays the identical greedy selection — MmrK
+    // unrolled steps (the PageRank-oracle pattern), each one an
+    // anti-filter + max-sim-to-selected + argmax with the same rounding
+    // and doc_id tie rule as the Spark side.
+    "q_mmr_rerank" -> {
+      val steps = (2 to MmrK).map(mmrStepSql).mkString(",\n")
+      val unionAll = (1 to MmrK).map(t => s"SELECT * FROM s$t")
+        .mkString("\n  UNION ALL ")
+      s"""WITH qv AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+         |  FROM embeddings WHERE vec_id < $NumHybridQueries
+         |),
+         |sc AS (
+         |  SELECT qv.query_id, e.vec_id AS doc_id,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(qv.qe, e.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(qv.qe, e.embedding::DOUBLE[]) END, 6) AS dist
+         |  FROM qv JOIN embeddings e ON e.vec_id <> qv.query_id
+         |),
+         |cand AS (
+         |  SELECT query_id, doc_id, 1.0 - dist AS rel FROM (
+         |    SELECT query_id, doc_id, dist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rn
+         |    FROM sc) WHERE rn <= $MmrDepth
+         |),
+         |sims AS (
+         |  SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+         |    1.0 - round(CASE WHEN 1.0 - list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) END, 6) AS sim
+         |  FROM cand c1
+         |  JOIN cand c2 ON c2.query_id = c1.query_id AND c2.doc_id <> c1.doc_id
+         |  JOIN embeddings ea ON ea.vec_id = c1.doc_id
+         |  JOIN embeddings eb ON eb.vec_id = c2.doc_id
+         |),
+         |s1 AS (
+         |  SELECT query_id, 1::BIGINT AS rank, doc_id, sc AS mmr_score FROM (
+         |    SELECT query_id, doc_id, round(rel, 6) AS sc,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(rel, 6) DESC, doc_id) AS rn
+         |    FROM cand) WHERE rn = 1
+         |),
+         |sel1 AS (SELECT query_id, doc_id FROM s1),
+         |$steps
+         |SELECT query_id, rank, doc_id, mmr_score FROM (
+         |  $unionAll
+         |) ORDER BY query_id, rank""".stripMargin
     }
   )
+
+  /** One unrolled MMR greedy step (DuckDB): drop already-selected
+    * candidates, score λ·rel − (1−λ)·max-sim-to-selected, argmax per
+    * query with the (score DESC, doc_id) tie rule. */
+  private def mmrStepSql(t: Int): String = {
+    val obj = s"round($MmrLambda * rel - ${1 - MmrLambda} * maxsim, 6)"
+    s"""m$t AS (
+       |  SELECT c.query_id, c.doc_id, c.rel, max(s.sim) AS maxsim
+       |  FROM cand c
+       |  JOIN sims s ON s.query_id = c.query_id AND s.a = c.doc_id
+       |  JOIN sel${t - 1} p ON p.query_id = s.query_id AND p.doc_id = s.b
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+       |                    WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+       |  GROUP BY c.query_id, c.doc_id, c.rel
+       |),
+       |s$t AS (
+       |  SELECT query_id, $t::BIGINT AS rank, doc_id, sc AS mmr_score FROM (
+       |    SELECT query_id, doc_id, $obj AS sc,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY $obj DESC, doc_id) AS rn
+       |    FROM m$t) WHERE rn = 1
+       |),
+       |sel$t AS (SELECT query_id, doc_id FROM sel${t - 1}
+       |          UNION ALL SELECT query_id, doc_id FROM s$t)""".stripMargin
+  }
 }

@@ -131,4 +131,49 @@ class RetrievalSpec extends AnyFunSuite with SparkSpecBase {
     val got = SimilarityQueries.semdedupSummary(cells, e, 2L).collect()
     assert(got.forall(!_.getBoolean(4)), "missing assignment must break total_ok")
   }
+
+  test("mmrSelect: first pick is argmax relevance; picks are distinct; ranks contiguous") {
+    // two queries, 4 candidates each; sims below
+    val cand = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7), (1L, 13L, 0.6),
+      (2L, 20L, 0.5), (2L, 21L, 0.5), (2L, 22L, 0.4), (2L, 23L, 0.3)
+    ).toDF("query_id", "doc_id", "rel")
+    val sims = cand.select($"query_id", $"doc_id".as("a"))
+      .join(cand.select($"query_id", $"doc_id".as("b")), "query_id")
+      .where($"a" =!= $"b")
+      .select($"query_id", $"a", $"b", lit(0.5).as("sim"))
+    val got = RetrievalQueries.mmrSelect(cand, sims, 3, 0.5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect()
+    // uniform sims => selection order is pure relevance, ties by doc_id
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq === Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L)))
+    assert(got.groupBy(_._1).forall(_._2.map(_._3).distinct.length == 3))
+  }
+
+  test("mmrSelect diversifies: with two clusters the second pick jumps clusters") {
+    // query 1: docs 1,2 in cluster A (sim 0.99 to each other), docs 3,4
+    // in cluster B; rel favors cluster A slightly. Plain top-2 = (1,2);
+    // MMR at lambda 0.5 must pick 1 then jump to the B cluster.
+    val cand = Seq(
+      (1L, 1L, 0.90), (1L, 2L, 0.89), (1L, 3L, 0.80), (1L, 4L, 0.79)
+    ).toDF("query_id", "doc_id", "rel")
+    val simOf = Map(
+      (1L, 2L) -> 0.99, (2L, 1L) -> 0.99, (3L, 4L) -> 0.99, (4L, 3L) -> 0.99)
+    val sims = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (1L, a, b, simOf.getOrElse((a, b), 0.1)))
+      .toDF("query_id", "a", "b", "sim")
+    val got = RetrievalQueries.mmrSelect(cand, sims, 3, 0.5)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(got(0)._3 === 1L, s"first pick must be argmax rel: ${got.toSeq}")
+    assert(got(1)._3 === 3L, s"second pick must jump to the far cluster: ${got.toSeq}")
+  }
+
+  test("q_mmr_rerank plan: bounded TopK argmax tails, no corpus-wide Window") {
+    val q = RetrievalQueries.queries("q_mmr_rerank")
+    val plan = q(spark, sf("sf0.001")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"window in MMR plan:\n$plan")
+  }
 }
