@@ -209,11 +209,16 @@ object RetrievalQueries extends QueryPack {
           .select(col("query_id"), col("a"), col("b"),
             (lit(1.0) - round(exprs.cosineDistNative(col("ea"), col("eb")), 6))
               .as("sim")))
-      mmrSelect(cand, sims, MmrK, MmrLambda).orderBy("query_id", "rank")
+      graft.retrieval.Mmr.select(cand, sims, MmrK, MmrLambda)
+        .orderBy("query_id", "rank")
     })
   )
 
-  /** Greedy MMR selection over bounded per-query candidate lists:
+  /** Unrolled-join REFERENCE form of greedy MMR selection — row-identical
+    * to the deployed aggregator form ([[graft.retrieval.Mmr.select]],
+    * proven in MmrSpec the way TopKSpec certifies window vs aggregator;
+    * the aggregator form exists because these k tiny data-dependent
+    * shuffle rounds cost ~23 s of pure stage latency at sf0.1).
     * `cand` is (query_id, doc_id, rel), `sims` (query_id, a, b, sim)
     * pairwise among each query's candidates. Returns
     * (query_id, rank, doc_id, mmr_score) — k unrolled argmax steps,
@@ -227,8 +232,14 @@ object RetrievalQueries extends QueryPack {
         .select(col("query_id"), explode(col("nn")).as("n"))
         .select(col("query_id"), lit(rank.toLong).as("rank"),
           col("n.vec_id").as("doc_id"), (-col("n.dist")).as("mmr_score"))
-    var selected = pick1(
-      cand.select(col("query_id"), col("doc_id"), round(col("rel"), 6).as("s")), 1)
+    // `selected` is re-read three times per step AND by every later
+    // step — left unmaterialized, step t's plan re-executes steps
+    // 1..t−1 each time (measured: 19.3 s instead of ~2 s at sf0.1).
+    // It is ≤ queries × k rows, so materializing each round is free;
+    // the previous round's cache is released as soon as the new one is
+    // built on top of it.
+    var selected = graft.text.Dedup.materializeRelease(pick1(
+      cand.select(col("query_id"), col("doc_id"), round(col("rel"), 6).as("s")), 1))
     for (step <- 2 to k) {
       val rem = cand.join(selected.select("query_id", "doc_id"),
         Seq("query_id", "doc_id"), "left_anti")
@@ -242,7 +253,8 @@ object RetrievalQueries extends QueryPack {
       val stepScored = ms.select(col("query_id"), col("doc_id"),
         round(lit(lambda) * col("rel")
           - lit(1 - lambda) * col("maxsim"), 6).as("s"))
-      selected = selected.unionByName(pick1(stepScored, step))
+      selected = graft.text.Dedup.materializeRelease(
+        selected.unionByName(pick1(stepScored, step)), selected)
     }
     selected
   }

@@ -70,6 +70,17 @@ object TextQueries extends QueryPack {
     * §4.3): calibrated to this corpus's avg-NLL decile spread
     * (p10 3.396 – p90 3.410) so both keep classes are populated. */
   val PplMaxAvgNll = 3.405
+
+  /** Bigram interpolation weight (λ on the bigram term) and the keep
+    * threshold for `q_bigram_ppl` (measured at sf0.01 so the flag
+    * splits non-trivially, like [[PplMaxAvgNll]]). */
+  val BigramLambda = 0.75
+  val BigramMaxAvgNll = 3.48
+
+  /** Per-source token budget for `q_token_budget` — sized to BIND for
+    * the large sources at sf0.01 and not the small ones, so the query
+    * exercises both sides of the cut. */
+  val TokenBudget = 1300L
   /** Span length for exact-substring duplicate coverage (Lee et al. 2022
     * arXiv:2107.06499 use 50-token spans on web text; 8 fits this
     * corpus's 10-100-token synthetic docs — long enough that a shared
@@ -540,6 +551,69 @@ object TextQueries extends QueryPack {
               x => x.getField("doc_id").cast("string")),
             ",")).as("order_fp"))
         .orderBy("shard")),
+
+    // Interpolated bigram-LM scoring (Jelinek–Mercer mixing, the
+    // fixed-weight case of Chen & Goodman 1999):
+    // P(w|v) = λ·c2(v,w)/c1(v) + (1−λ)·c1(w)/T, first token scored by
+    // the unigram alone. One doc_id-keyed exchange forms bigrams via
+    // lag() (the sessionize shape — keyed by a high-cardinality column,
+    // never a global window); unigram counts broadcast; the bigram
+    // table is Zipf-heavier than the unigram vocab, so at 100 TB its
+    // join is (prev,cur)-key-partitioned rather than broadcast — which
+    // is why the join below deliberately does NOT broadcast c2.
+    "q_bigram_ppl" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("lang"), posexplode(col("toks")))
+        .select(col("doc_id"), col("lang"), col("pos"), col("col").as("cur"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = tok.withColumn("prev", lag(col("cur"), 1).over(w))
+      val uni = tok.groupBy(col("cur").as("tok")).agg(count(lit(1)).as("c1"))
+      val tot = uni.agg(sum(col("c1")).cast("double").as("tot"))
+      val c2 = big.where(col("prev").isNotNull)
+        .groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+      val p = when(col("prev").isNull, col("c1w") / col("tot"))
+        .otherwise(lit(BigramLambda) * coalesce(col("c2"), lit(0L)) / col("c1v")
+          + lit(1 - BigramLambda) * col("c1w") / col("tot"))
+      val nll = round(avg(-log(col("p"))), 6)
+      big
+        .join(broadcast(uni.select(col("tok").as("cur"), col("c1").as("c1w"))), "cur")
+        .join(broadcast(uni.select(col("tok").as("prev"), col("c1").as("c1v"))),
+          Seq("prev"), "left")
+        .join(c2, Seq("prev", "cur"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("lang"), p.as("p"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_toks"), nll.as("avg_nll"),
+          round(exp(avg(-log(col("p")))), 6).as("ppl"))
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("avg_nll"),
+          col("ppl"), (col("avg_nll") <= BigramMaxAvgNll).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source token-budget selection — "web capped at N tokens,
+    // books uncapped" as a deterministic cut: docs stream per source in
+    // an md5-shuffled order and are kept while their START offset is
+    // under the budget (so the crossing doc is included and the cut is
+    // reproducible). The same source-partitioned prefix sum as
+    // q_context_pack; a mono-source 100 TB corpus sub-shards the
+    // stream key.
+    "q_token_budget" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("ord", "doc_id")
+      val start = coalesce(sum(col("n_toks")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      tbl(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_toks"),
+          hash60(21, col("doc_id").cast("string")).as("ord"))
+        .select(col("source"), col("n_toks"),
+          (start < TokenBudget).as("kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_toks")).otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy("source")
+    }),
 
     // CCNet-style unigram-LM scoring (Wenzek et al. 2020,
     // arXiv:1911.00359 §4.3): corpus-derived token logprobs → per-doc
@@ -1091,6 +1165,60 @@ object TextQueries extends QueryPack {
          |SELECT shard, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
          |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY ord, doc_id)) AS order_fp
          |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_bigram_ppl" ->
+      s"""WITH $tokCte,
+         |t AS (
+         |  SELECT doc_id, lang, unnest(toks) AS cur,
+         |         unnest(range(len(toks))) AS pos
+         |  FROM tok
+         |),
+         |u AS (SELECT cur AS tok, count(*) AS c1 FROM t GROUP BY cur),
+         |tt AS (SELECT sum(c1)::DOUBLE AS tot FROM u),
+         |b AS (
+         |  SELECT doc_id, lang, pos, cur,
+         |         lag(cur) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM t
+         |),
+         |c2 AS (
+         |  SELECT prev, cur, count(*) AS c2 FROM b
+         |  WHERE prev IS NOT NULL GROUP BY prev, cur
+         |),
+         |sc AS (
+         |  SELECT b.doc_id, b.lang,
+         |    CASE WHEN b.prev IS NULL THEN uc.c1 / tt.tot
+         |         ELSE $BigramLambda::DOUBLE * coalesce(c2.c2, 0) / up.c1
+         |            + ${1 - BigramLambda}::DOUBLE * uc.c1 / tt.tot END AS p
+         |  FROM b
+         |  JOIN u uc ON uc.tok = b.cur
+         |  LEFT JOIN u up ON up.tok = b.prev
+         |  LEFT JOIN c2 ON c2.prev = b.prev AND c2.cur = b.cur
+         |  CROSS JOIN tt
+         |)
+         |SELECT doc_id, lang, count(*) AS n_toks,
+         |  round(avg(-ln(p)), 6) AS avg_nll,
+         |  round(exp(avg(-ln(p))), 6) AS ppl,
+         |  (round(avg(-ln(p)), 6) <= $BigramMaxAvgNll) AS keep
+         |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_toks,
+         |         ('0x' || substr(md5('21:' || doc_id), 1, 15))::BIGINT AS ord
+         |  FROM documents
+         |),
+         |w AS (
+         |  SELECT source, n_toks,
+         |    coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      < $TokenBudget AS kept
+         |  FROM d
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN kept THEN n_toks ELSE 0 END)::BIGINT AS kept_tokens
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
 
     "q_unigram_ppl" ->
       s"""WITH $tokCte,

@@ -171,6 +171,35 @@ class RetrievalSpec extends AnyFunSuite with SparkSpecBase {
     assert(got(1)._3 === 3L, s"second pick must jump to the far cluster: ${got.toSeq}")
   }
 
+  test("Mmr.select (aggregator) is row-identical to mmrSelect (unrolled reference)") {
+    // real geometry: top-8 cosine candidates of 5 query docs over the
+    // testdata embeddings, pairwise sims among them
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val scored = q.join(e, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(graft.functions.exprs.cosineDistNative($"qv", $"embedding"), 6)
+          .as("dist"))
+    val cand = graft.ann.TopK.perQueryTopK(scored, 8, viaAggregator = true)
+      .select($"query_id", $"vec_id".as("doc_id"), (lit(1.0) - $"dist").as("rel"))
+    val sims = cand.select($"query_id", $"doc_id".as("a"))
+      .join(cand.select($"query_id", $"doc_id".as("b")), "query_id")
+      .where($"a" =!= $"b")
+      .join(e.select($"vec_id".as("a"), $"embedding".as("ea")), "a")
+      .join(e.select($"vec_id".as("b"), $"embedding".as("eb")), "b")
+      .select($"query_id", $"a", $"b",
+        (lit(1.0) - round(graft.functions.exprs.cosineDistNative($"ea", $"eb"), 6))
+          .as("sim"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    val a = rows(graft.retrieval.Mmr.select(cand, sims, 4, 0.5))
+    val b = rows(RetrievalQueries.mmrSelect(cand, sims, 4, 0.5))
+    assert(a === b, "aggregator and unrolled MMR disagree")
+    assert(a.nonEmpty && a.map(_._1).distinct.length === 5)
+  }
+
   test("q_mmr_rerank plan: bounded TopK argmax tails, no corpus-wide Window") {
     val q = RetrievalQueries.queries("q_mmr_rerank")
     val plan = q(spark, sf("sf0.001")).queryExecution.optimizedPlan.toString
