@@ -1,0 +1,117 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy beam search over a k-NN graph — the search half of a
+  * graph-based ANN index (the NSW/NSG family's layer-0 walk: keep a
+  * beam of the best-so-far nodes, expand their graph neighbors, rescore,
+  * cut back to the beam, repeat). Pairs with [[KnnGraph]] /
+  * [[NnDescent]] as the build half.
+  *
+  * Spark shape: the beam is (query_id, node) rows — ≤ beamWidth per
+  * query; each hop is one edge-list join (keyed on the node id — the
+  * graph never broadcasts and never shuffles corpus-wide), one dedup,
+  * one vector join to score NEW candidates, and one bounded [[TopK]]
+  * cut. Hop count is fixed, so the whole search is `hops` bounded
+  * rounds regardless of corpus size; per-hop frontier is at most
+  * beamWidth × (graph degree + 1) rows per query. The beam is
+  * materialized per hop (the MMR lesson, SCALE.md round 9: bounded
+  * per-query loop state must not re-execute the previous rounds).
+  *
+  * Determinism: scores are distances rounded to `roundTo`, beam cuts
+  * and the final top-k tie-break on (dist, node) — the [[TopK]]
+  * contract, replayed hop-for-hop by the DuckDB oracle from the dumped
+  * edge list. The walk searches the SYMMETRIZED graph (an edge serves
+  * both endpoints), standard for NSW-style reachability.
+  *
+  * Beam-only frontier: beam_h = top-beamWidth of
+  * (beam_{h-1} ∪ neighbors(beam_{h-1})) — carried-over nodes keep the
+  * beam monotone non-worsening; the final answer is the top-k of the
+  * last beam (beamWidth ≥ k required).
+  *
+  * Exploration scaling (measured, GraphSearchSpec, 50-cluster corpus):
+  * recall is bounded by how many distinct regions the DESCENT touches —
+  * once the beam saturates with one region's nodes, the greedy cut
+  * drops every long-range candidate, so extra hops stop helping
+  * (16 entries / beam 16: 0.86 at 4 hops, 0.90 at 6 — plateau); widening
+  * the entry set and beam is what buys coverage (32/32: >0.95). Size
+  * entries ∝ the cluster count you need resolved, not the corpus.
+  */
+object GraphSearch {
+
+  /** Deterministic connectivity backbone: `jumps` hash-derived
+    * long-range edges per node (xxhash target index, no RNG). A pure
+    * k-NN graph on clustered data is DISCONNECTED islands (measured,
+    * GraphSearchSpec: beam recall collapses to exactly the entry set's
+    * cluster coverage — 0.40 with entries in 2 of 50 clusters). Random
+    * long links are the property NSW/HNSW construction keeps for
+    * exactly this reason (and Kleinberg's small-world result: random
+    * shortcuts give poly-log reachability, where a ring's diameter n
+    * would defeat a bounded-hop walk). Union into `graph` before
+    * searching a corpus whose cluster structure is unknown.
+    *
+    * The one global `row_number` rank exists only to map hash targets
+    * onto actual node ids; with dense 0..n−1 ids the caller can skip
+    * straight to `pmod(xxhash64(id, j), n)`. */
+  def randomBackbone(vectors: DataFrame, idCol: String,
+                     jumps: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("node"))
+    val idx = vectors.select(col(idCol).as("node"))
+      .withColumn("i", row_number().over(w).cast("long") - 1)
+    val n = idx.count()
+    idx.select(col("node").as("src"), col("i"),
+        explode(sequence(lit(0), lit(jumps - 1))).as("j"))
+      .select(col("src"), pmod(xxhash64(col("i"), col("j")), lit(n)).as("ti"))
+      .join(idx.select(col("i").as("ti"), col("node").as("dst")), "ti")
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+  }
+
+  /** @param graph   (src, dst) edge list (directions are symmetrized here)
+    * @param vectors (vec_id, `vecCol`) for scoring
+    * @param queries (query_id, qv) — the broadcast-small side
+    * @param entry   global entry node ids (every query starts here)
+    */
+  def beam(graph: DataFrame, vectors: DataFrame, idCol: String,
+           vecCol: String, queries: DataFrame, entry: Seq[Long], k: Int,
+           beamWidth: Int, hops: Int,
+           metric: ExactNN.Metric = ExactNN.Cosine,
+           roundTo: Int = 6): DataFrame = {
+    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val und = graph.select(col("src"), col("dst"))
+      .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+    val vecs = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"))
+    val q = broadcast(queries.select(col("query_id"), col("qv")))
+
+    def score(cands: DataFrame): DataFrame =
+      cands.join(vecs, "node")
+        .join(q, "query_id")
+        .select(col("query_id"), col("node"),
+          round(metric.dist(col("qv"), col("nv")), roundTo).as("dist"))
+
+    def cut(scored: DataFrame, width: Int): DataFrame =
+      TopK.perQueryTopK(
+          scored.select(col("query_id"), col("node").as("vec_id"), col("dist")),
+          width, viaAggregator = true)
+        .select(col("query_id"), col("vec_id").as("node"), col("dist"))
+
+    val entries = queries.select(col("query_id"))
+      .crossJoin(entry.toDF("node"))
+    var beam = graft.text.Dedup.materializeRelease(cut(score(entries), beamWidth))
+    for (_ <- 1 to hops) {
+      val nbrs = beam.select(col("query_id"), col("node").as("src"))
+        .join(und, "src")
+        .select(col("query_id"), col("dst").as("node"))
+      val cands = nbrs.unionByName(beam.select(col("query_id"), col("node")))
+        .dropDuplicates("query_id", "node")
+      beam = graft.text.Dedup.materializeRelease(
+        cut(score(cands), beamWidth), beam)
+    }
+    cut(beam.select(col("query_id"), col("node"), col("dist")), k)
+      .select(col("query_id"), col("node").as("vec_id"), col("dist"))
+  }
+}

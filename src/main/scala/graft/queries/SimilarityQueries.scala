@@ -621,8 +621,42 @@ object SimilarityQueries extends QueryPack {
       recallOf(initDumped, "recall_init")
         .crossJoin(recallOf(dumped, "recall_refined"))
         .crossJoin(edgeStats)
+    }),
+
+    // Beam search over the NN-Descent-refined LSH k-NN graph — the
+    // search half of a graph-based ANN index (NSW-style layer-0 walk).
+    // The graph is dumped; DuckDB replays the ENTIRE walk hop-for-hop
+    // from the dumped edge list (entry set → BeamHops bounded
+    // expand/score/cut rounds → final top-k), so the whole search
+    // result is cross-engine recomputed, not just spot-verified.
+    "q_graph_beam_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Lsh.train(e, "vec_id", "embedding",
+        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
+      val g0 = graft.ann.KnnGraph.fromLsh(idx, e, "vec_id", "embedding",
+        KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
+      val g = graft.ann.NnDescent.refine(g0, e, "vec_id", "embedding",
+        KnnK, ExactNN.Cosine, iterations = 1)
+      // union the small-world backbone BEFORE dumping: the oracle walks
+      // whatever edge list was dumped, so connectivity augmentation is
+      // part of the cross-engine-verified graph
+      val withBackbone = g.select(col("src"), col("dst")).unionByName(
+        graft.ann.GraphSearch.randomBackbone(e, "vec_id"))
+        .dropDuplicates("src", "dst")
+      val dumpedG = LshQueries.dumpAndReload(s, withBackbone,
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_graph")
+      graft.ann.GraphSearch.beam(dumpedG, e, "vec_id", "embedding",
+          queriesDf(e), (0L until BeamEntries).toSeq, K, BeamWidth, BeamHops)
+        .orderBy("query_id", "dist", "vec_id")
     })
   )
+
+  /** Beam-search knobs: entry nodes 0..31, beam 32 ≥ K, 4 hops —
+    * entry/beam width sized per GraphSearch's measured exploration
+    * scaling (coverage comes from entries × beam, not hops). */
+  val BeamEntries = 32L
+  val BeamWidth = 32
+  val BeamHops = 4
 
   /** Neighbors per node in the k-NN graph queries. */
   val KnnK = 5
@@ -1170,6 +1204,61 @@ object SimilarityQueries extends QueryPack {
          |)
          |SELECT ri.recall_init, rr.recall_refined, ed.n_edges, ed.bad_dist_edges
          |FROM ri, rr, ed""".stripMargin,
+
+    // Beam search: full hop-for-hop replay of the graph walk from the
+    // dumped edge list (same rounding, same (dist, node) ties).
+    "q_graph_beam_search" -> {
+      val cos = (a: String, b: String) =>
+        s"""round(CASE WHEN 1.0 - list_cosine_similarity($a, $b) < 1e-6
+           |      THEN 0.0
+           |      ELSE 1.0 - list_cosine_similarity($a, $b) END, 6)""".stripMargin
+      val hops = (1 to BeamHops).map { h =>
+        s"""c$h AS (
+           |  SELECT DISTINCT b.query_id, u.dst AS node
+           |  FROM b${h - 1} b JOIN und u ON u.src = b.node
+           |  UNION
+           |  SELECT query_id, node FROM b${h - 1}
+           |),
+           |b$h AS (
+           |  SELECT query_id, node, dist FROM (
+           |    SELECT c.query_id, c.node,
+           |      ${cos("qs.qv", "e.embedding::DOUBLE[]")} AS dist,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY ${cos("qs.qv", "e.embedding::DOUBLE[]")}, c.node) AS rn
+           |    FROM c$h c
+           |    JOIN embeddings e ON e.vec_id = c.node
+           |    JOIN qs ON qs.query_id = c.query_id
+           |  ) WHERE rn <= $BeamWidth
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH g AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/beam_graph/*.parquet')
+         |),
+         |und AS (
+         |  SELECT src, dst FROM g UNION SELECT dst, src FROM g
+         |),
+         |qs AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+         |),
+         |b0 AS (
+         |  SELECT query_id, node, dist FROM (
+         |    SELECT qs.query_id, e.vec_id AS node,
+         |      ${cos("qs.qv", "e.embedding::DOUBLE[]")} AS dist,
+         |      row_number() OVER (PARTITION BY qs.query_id
+         |        ORDER BY ${cos("qs.qv", "e.embedding::DOUBLE[]")}, e.vec_id) AS rn
+         |    FROM qs JOIN embeddings e ON e.vec_id < $BeamEntries
+         |  ) WHERE rn <= $BeamWidth
+         |),
+         |$hops
+         |SELECT query_id, node AS vec_id, dist FROM (
+         |  SELECT query_id, node, dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dist, node) AS rn
+         |  FROM b$BeamHops
+         |) WHERE rn <= $K
+         |ORDER BY query_id, dist, vec_id""".stripMargin
+    },
 
     // Every dumped candidate pair re-verified from the raw embeddings:
     // DuckDB recomputes the exact cosine (hash-compared against the

@@ -1,0 +1,94 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+
+/** Beam search over a k-NN graph: near-exact recall in the clustered
+  * regime, hop monotonicity, the beamWidth >= k guard, plan shape. */
+class GraphSearchSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  /** Same clustered corpus as NnDescentSpec (low intrinsic dimension). */
+  private def clustered: DataFrame = {
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.fill(50)(Array.fill(64)(rnd.nextGaussian()))
+    (0 until 500).map { i =>
+      val c = centers(i / 10)
+      (i.toLong, c.map(x => x + 0.15 * rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def queriesOf(e: DataFrame, n: Int) =
+    e.orderBy("vec_id").limit(n)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+
+  private def recallOf(pred: DataFrame, gt: DataFrame): Double =
+    graft.eval.Eval.setPrecisionRecall(
+        pred.select($"query_id", $"vec_id"),
+        gt.select($"query_id", $"vec_id"))
+      .agg(avg("recall")).as[Double].head()
+
+  test("pure k-NN graph on clustered data is islands: recall collapses to entry coverage") {
+    // exact k-NN edges stay inside the 10-point clusters, so the walk
+    // can only reach the clusters the entry set touches — the measured
+    // disconnection NSW's long links exist to fix
+    val e = clustered
+    val g = KnnGraph.exact(e, "vec_id", "embedding", 5, ExactNN.Cosine)
+    val q = queriesOf(e, 50)
+    val pred = GraphSearch.beam(g, e, "vec_id", "embedding", q,
+      (0L until 16L).toSeq, 10, 16, 4)
+    val gt = ExactNN.topKAgg(q, e, 10, ExactNN.Cosine)
+    val recall = recallOf(pred, gt)
+    assert(recall < 0.6, s"expected island-limited recall, got $recall")
+    assert(recall > 0.2, s"entry clusters should still resolve, got $recall")
+  }
+
+  test("random backbone restores near-exact recall on the same clustered corpus") {
+    val e = clustered
+    val knn = KnnGraph.exact(e, "vec_id", "embedding", 5, ExactNN.Cosine)
+    val g = knn.select($"src", $"dst")
+      .unionByName(GraphSearch.randomBackbone(e, "vec_id"))
+      .dropDuplicates("src", "dst")
+    val q = queriesOf(e, 50)
+    val pred = GraphSearch.beam(g, e, "vec_id", "embedding", q,
+      (0L until 32L).toSeq, 10, 32, 6)
+    val gt = ExactNN.topKAgg(q, e, 10, ExactNN.Cosine)
+    val recall = recallOf(pred, gt)
+    assert(recall > 0.95, s"backbone beam recall $recall on clustered corpus")
+  }
+
+  test("more hops never worsen the per-query best distance") {
+    val e = clustered
+    val g = KnnGraph.exact(e, "vec_id", "embedding", 5, ExactNN.Cosine)
+    val q = queriesOf(e, 30)
+    def best(hops: Int) = GraphSearch.beam(g, e, "vec_id", "embedding", q,
+        (0L until 8L).toSeq, 5, 8, hops)
+      .groupBy("query_id").agg(min("dist").as("d"))
+    val j = best(1).withColumnRenamed("d", "d1")
+      .join(best(3).withColumnRenamed("d", "d3"), "query_id")
+    assert(j.where($"d3" > $"d1").count() === 0L,
+      "hop 3 beam lost ground vs hop 1")
+  }
+
+  test("beamWidth below k is rejected") {
+    val e = clustered
+    val g = KnnGraph.exact(e, "vec_id", "embedding", 3, ExactNN.Cosine)
+    intercept[IllegalArgumentException] {
+      GraphSearch.beam(g, e, "vec_id", "embedding", queriesOf(e, 5),
+        Seq(0L), 10, 5, 2)
+    }
+  }
+
+  test("beam plan: bounded TopK cuts, no Window") {
+    val e = clustered
+    val g = KnnGraph.exact(e, "vec_id", "embedding", 3, ExactNN.Cosine)
+    val plan = GraphSearch.beam(g, e, "vec_id", "embedding", queriesOf(e, 5),
+        Seq(0L, 1L), 3, 4, 1)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"window in beam plan:\n$plan")
+  }
+}
