@@ -648,6 +648,38 @@ object SimilarityQueries extends QueryPack {
       graft.ann.GraphSearch.beam(dumpedG, e, "vec_id", "embedding",
           queriesDf(e), (0L until BeamEntries).toSeq, K, BeamWidth, BeamHops)
         .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // The SCALE form of the graph walk (GraphSearch.beamFrom scaladoc;
+    // SCALE.md beam block: 32 global entries collapse to recall 0.018
+    // at 100k×10k clusters, LSH-seeded entries restore 1.000 at
+    // 23 ms/query): each query's entry set comes from the coarse LSH
+    // probe, the walk refines it. BOTH the edge list and the per-query
+    // entry sets are dumped, so DuckDB replays the identical walk from
+    // the identical starting state — certifying the deployment-shaped
+    // composition, not just the demo form.
+    "q_graph_beam_seeded" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Lsh.train(e, "vec_id", "embedding",
+        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
+      val g0 = graft.ann.KnnGraph.fromLsh(idx, e, "vec_id", "embedding",
+        KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
+      val g = graft.ann.NnDescent.refine(g0, e, "vec_id", "embedding",
+        KnnK, ExactNN.Cosine, iterations = 1)
+      val withBackbone = g.select(col("src"), col("dst")).unionByName(
+        graft.ann.GraphSearch.randomBackbone(e, "vec_id"))
+        .dropDuplicates("src", "dst")
+      val dumpedG = LshQueries.dumpAndReload(s, withBackbone,
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_graph_seeded")
+      val q = queriesDf(e)
+      val entries = idx.searchAll(q, BeamWidth, Double.MaxValue,
+          ExactNN.Cosine)
+        .select(col("query_id"), col("vec_id").as("node"))
+      val dumpedE = LshQueries.dumpAndReload(s, entries,
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_entries")
+      graft.ann.GraphSearch.beamFrom(dumpedG, e, "vec_id", "embedding",
+          q, dumpedE, K, BeamWidth, BeamHops)
+        .orderBy("query_id", "dist", "vec_id")
     })
   )
 
@@ -1207,58 +1239,36 @@ object SimilarityQueries extends QueryPack {
 
     // Beam search: full hop-for-hop replay of the graph walk from the
     // dumped edge list (same rounding, same (dist, node) ties).
-    "q_graph_beam_search" -> {
-      val cos = (a: String, b: String) =>
-        s"""round(CASE WHEN 1.0 - list_cosine_similarity($a, $b) < 1e-6
-           |      THEN 0.0
-           |      ELSE 1.0 - list_cosine_similarity($a, $b) END, 6)""".stripMargin
-      val hops = (1 to BeamHops).map { h =>
-        s"""c$h AS (
-           |  SELECT DISTINCT b.query_id, u.dst AS node
-           |  FROM b${h - 1} b JOIN und u ON u.src = b.node
-           |  UNION
-           |  SELECT query_id, node FROM b${h - 1}
-           |),
-           |b$h AS (
-           |  SELECT query_id, node, dist FROM (
-           |    SELECT c.query_id, c.node,
-           |      ${cos("qs.qv", "e.embedding::DOUBLE[]")} AS dist,
-           |      row_number() OVER (PARTITION BY c.query_id
-           |        ORDER BY ${cos("qs.qv", "e.embedding::DOUBLE[]")}, c.node) AS rn
-           |    FROM c$h c
-           |    JOIN embeddings e ON e.vec_id = c.node
-           |    JOIN qs ON qs.query_id = c.query_id
-           |  ) WHERE rn <= $BeamWidth
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH g AS (
-         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/beam_graph/*.parquet')
-         |),
-         |und AS (
-         |  SELECT src, dst FROM g UNION SELECT dst, src FROM g
-         |),
-         |qs AS (
-         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-         |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+    "q_graph_beam_search" -> beamWalkSql(
+      "beam_graph",
+      s"""b0 AS (
+         |  SELECT query_id, node, dist FROM (
+         |    SELECT qs.query_id, e.vec_id AS node,
+         |      ${beamCos("qs.qv", "e.embedding::DOUBLE[]")} AS dist,
+         |      row_number() OVER (PARTITION BY qs.query_id
+         |        ORDER BY ${beamCos("qs.qv", "e.embedding::DOUBLE[]")}, e.vec_id) AS rn
+         |    FROM qs JOIN embeddings e ON e.vec_id < $BeamEntries
+         |  ) WHERE rn <= $BeamWidth
+         |)""".stripMargin),
+
+    // Seeded (scale-form) beam walk: b0 scores the DUMPED per-query LSH
+    // entry sets instead of global entries — same hops, same ties.
+    "q_graph_beam_seeded" -> beamWalkSql(
+      "beam_graph_seeded",
+      s"""en AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/beam_entries/*.parquet')
          |),
          |b0 AS (
          |  SELECT query_id, node, dist FROM (
-         |    SELECT qs.query_id, e.vec_id AS node,
-         |      ${cos("qs.qv", "e.embedding::DOUBLE[]")} AS dist,
-         |      row_number() OVER (PARTITION BY qs.query_id
-         |        ORDER BY ${cos("qs.qv", "e.embedding::DOUBLE[]")}, e.vec_id) AS rn
-         |    FROM qs JOIN embeddings e ON e.vec_id < $BeamEntries
+         |    SELECT en.query_id, en.node,
+         |      ${beamCos("qs.qv", "e.embedding::DOUBLE[]")} AS dist,
+         |      row_number() OVER (PARTITION BY en.query_id
+         |        ORDER BY ${beamCos("qs.qv", "e.embedding::DOUBLE[]")}, en.node) AS rn
+         |    FROM en
+         |    JOIN embeddings e ON e.vec_id = en.node
+         |    JOIN qs ON qs.query_id = en.query_id
          |  ) WHERE rn <= $BeamWidth
-         |),
-         |$hops
-         |SELECT query_id, node AS vec_id, dist FROM (
-         |  SELECT query_id, node, dist,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY dist, node) AS rn
-         |  FROM b$BeamHops
-         |) WHERE rn <= $K
-         |ORDER BY query_id, dist, vec_id""".stripMargin
-    },
+         |)""".stripMargin),
 
     // Every dumped candidate pair re-verified from the raw embeddings:
     // DuckDB recomputes the exact cosine (hash-compared against the
@@ -1320,4 +1330,57 @@ object SimilarityQueries extends QueryPack {
          |WHERE cos_dist <= $CosineDupThreshold
          |ORDER BY vec_a, vec_b""".stripMargin
   )
+
+  /** DuckDB cosine-distance fragment shared by the beam-walk oracles. */
+  private def beamCos(a: String, b: String): String =
+    s"""round(CASE WHEN 1.0 - list_cosine_similarity($a, $b) < 1e-6
+       |      THEN 0.0
+       |      ELSE 1.0 - list_cosine_similarity($a, $b) END, 6)""".stripMargin
+
+  /** Full beam-walk replay SQL: dumped edge list at `graphDir`, initial
+    * beam supplied by `b0Sql` (which may reference the shared `qs` and
+    * `und` CTEs), then BeamHops expand/score/cut rounds and the final
+    * top-K — the (dist, node) tie rule of the Spark TopK tail at every
+    * cut. */
+  private def beamWalkSql(graphDir: String, b0Sql: String): String = {
+    val hops = (1 to BeamHops).map { h =>
+      s"""c$h AS (
+         |  SELECT DISTINCT b.query_id, u.dst AS node
+         |  FROM b${h - 1} b JOIN und u ON u.src = b.node
+         |  UNION
+         |  SELECT query_id, node FROM b${h - 1}
+         |),
+         |b$h AS (
+         |  SELECT query_id, node, dist FROM (
+         |    SELECT c.query_id, c.node,
+         |      ${beamCos("qs.qv", "e.embedding::DOUBLE[]")} AS dist,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY ${beamCos("qs.qv", "e.embedding::DOUBLE[]")}, c.node) AS rn
+         |    FROM c$h c
+         |    JOIN embeddings e ON e.vec_id = c.node
+         |    JOIN qs ON qs.query_id = c.query_id
+         |  ) WHERE rn <= $BeamWidth
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS (
+       |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/$graphDir/*.parquet')
+       |),
+       |und AS (
+       |  SELECT src, dst FROM g UNION SELECT dst, src FROM g
+       |),
+       |qs AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+       |),
+       |$b0Sql,
+       |$hops
+       |SELECT query_id, node AS vec_id, dist FROM (
+       |  SELECT query_id, node, dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, node) AS rn
+       |  FROM b$BeamHops
+       |) WHERE rn <= $K
+       |ORDER BY query_id, dist, vec_id""".stripMargin
+  }
+
 }
