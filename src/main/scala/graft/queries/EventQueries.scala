@@ -154,6 +154,53 @@ object EventQueries extends QueryPack {
             .when(col("view_us").isNotNull, 1)
             .otherwise(0).as("stage"))
         .orderBy("user_id")
+    }),
+
+    // Cohort retention: users grouped by first-seen day, activity
+    // counted per (cohort_day, day_offset) — the product-analytics
+    // retention triangle. Two key-partitioned aggregations (per-user
+    // first day; per (user, day) dedup) and a broadcast-size join back;
+    // output is days² rows regardless of corpus size.
+    "q_cohort_retention" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstDay = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.dropDuplicates("user_id", "day")
+        .join(firstDay, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Trailing-window anomaly flags: hourly event counts vs the
+    // trailing 24-hour mean/std (frame excludes the current hour), z
+    // rounded to 4 before the |z| > 3 flag. Variance from power sums in
+    // BOTH engines (same expression order) so cross-engine float drift
+    // stays below the rounding. Window partitions by event_type over
+    // pre-aggregated hourly rows — |types| × hours rows, not events.
+    "q_event_anomaly" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-24, -1)
+      val cnt = count(col("n")).over(w)
+      val sx = sum(col("n")).over(w)
+      val sxx = sum(col("n") * col("n")).over(w)
+      // z is computed from the ROUNDED mean/sd so both engines divide
+      // identical 4-decimal inputs — drift cannot cross the final round
+      hourly
+        .select(col("event_type"), col("hour"), col("n").cast("long").as("n"),
+          cnt.as("n_prev"),
+          round(sx / cnt, 4).as("mean24"),
+          round(sqrt((cnt * sxx - sx * sx) / (cnt * (cnt - 1))), 4).as("sd24"))
+        .where(col("n_prev") === 24 && col("sd24") > 0)
+        .select(col("event_type"), col("hour"), col("n"),
+          col("mean24"), col("sd24"),
+          round((col("n") - col("mean24")) / col("sd24"), 4).as("z"))
+        .withColumn("anomaly", abs(col("z")) > 3.0)
+        .orderBy("event_type", "hour")
     })
   )
 
@@ -266,6 +313,39 @@ object EventQueries extends QueryPack {
          |       WHEN click_us IS NOT NULL THEN 2
          |       WHEN view_us IS NOT NULL THEN 1
          |       ELSE 0 END AS stage
-         |FROM u ORDER BY user_id""".stripMargin
+         |FROM u ORDER BY user_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, ts::DATE AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |d AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT f.cohort_day, (d.day - f.cohort_day) AS day_offset,
+        |       count(DISTINCT d.user_id) AS n_active
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_event_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         count(*)::DOUBLE AS n
+        |  FROM events GROUP BY event_type, hour
+        |),
+        |w AS (
+        |  SELECT event_type, hour, n,
+        |    count(n) OVER tw AS n_prev,
+        |    round(sum(n) OVER tw / count(n) OVER tw, 4) AS mean24,
+        |    round(sqrt((count(n) OVER tw * sum(n * n) OVER tw
+        |                - sum(n) OVER tw * sum(n) OVER tw)
+        |               / (count(n) OVER tw * (count(n) OVER tw - 1))), 4)
+        |      AS sd24
+        |  FROM h
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, hour, n::BIGINT AS n, mean24, sd24,
+        |  round((n - mean24) / sd24, 4) AS z,
+        |  (abs(round((n - mean24) / sd24, 4)) > 3.0) AS anomaly
+        |FROM w WHERE n_prev = 24 AND sd24 > 0
+        |ORDER BY event_type, hour""".stripMargin
   )
 }
