@@ -484,6 +484,78 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Per-source data card — the corpus-health rollup an ingest run
+    // publishes: exact-dup rate, unigram-perplexity keep rate,
+    // repetition keep rate, token mass, language spread, all per
+    // source. Composes three independently-oracle-green signals
+    // (q_exact_dedup's key, q_unigram_ppl's threshold,
+    // q_repetition_quality's ratios) into one row per source; DuckDB
+    // re-derives every signal, so semantic drift in any one of them
+    // breaks the card's hash. Shapes are the standalone ones: dup flag
+    // is a digest-keyed agg + join-back, ppl is broadcast-vocab
+    // map-side scoring, repetition is the one-pass tagged explode;
+    // the final rollup is |sources| rows.
+    "q_quality_report" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          tokens(col("text")).as("toks"))
+      // exact-dup flag: not the lowest doc_id of its exact-text group
+      val keeper = base.groupBy(md5(col("text")).as("tkey"))
+        .agg(min(col("doc_id")).as("keeper"))
+      val dupFlag = base.select(col("doc_id"), md5(col("text")).as("tkey"))
+        .join(keeper, "tkey")
+        .select(col("doc_id"), (col("doc_id") =!= col("keeper")).as("is_dup"))
+      // unigram-ppl keep (q_unigram_ppl's exact scoring + threshold)
+      val tok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+      val lnTotal = vocab.agg(log(sum(col("tf"))).as("ln_total"))
+      val pplKeep = tok.join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(lnTotal))
+        .groupBy("doc_id")
+        .agg((round(max(col("ln_total")) - avg(log(col("tf"))), 6)
+          <= PplMaxAvgNll).as("ppl_keep"))
+      // repetition keep (q_repetition_quality's one-pass ratios); docs
+      // with < 2 tokens have no bigram stats -> keep = false
+      val exploded = base
+        .where(size(col("toks")) >= lit(2))
+        .select(col("doc_id"),
+          explode(concat(
+            transform(col("toks"), t => struct(lit(0).as("k"), t.as("g"))),
+            transform(sequence(lit(0), size(col("toks")) - 2),
+              i => struct(lit(1).as("k"),
+                concat_ws(" ", element_at(col("toks"), i + 1),
+                  element_at(col("toks"), i + 2)).as("g"))))).as("e"))
+        .select(col("doc_id"), col("e.k").as("k"), col("e.g").as("g"))
+      val tokK = col("k") === 0
+      val repKeep = exploded
+        .groupBy("doc_id", "k", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(when(tokK, col("c"))).as("n_toks"),
+          max(when(tokK, col("c"))).as("max_tok"),
+          sum(when(tokK, 1L)).as("n_uniq"))
+        .select(col("doc_id"),
+          (col("n_uniq").cast(DoubleType) / col("n_toks") >= RepMinUniqueRatio
+            && col("max_tok").cast(DoubleType) / col("n_toks")
+              <= RepMaxTopTokFrac).as("rep_keep"))
+      base.select(col("doc_id"), col("lang"), col("source"),
+          size(col("toks")).cast(LongType).as("n_toks"))
+        .join(dupFlag, "doc_id")
+        .join(pplKeep, "doc_id")
+        .join(repKeep, Seq("doc_id"), "left")
+        .na.fill(false, Seq("rep_keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_toks")).as("total_toks"),
+          round(sum(when(col("is_dup"), 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1)), 6).as("dup_rate"),
+          round(sum(when(col("ppl_keep"), 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1)), 6).as("ppl_keep_rate"),
+          round(sum(when(col("rep_keep"), 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1)), 6).as("rep_keep_rate"))
+        .orderBy("source")
+    }),
+
     // Domain-mixture sampling: deterministic per-source keep rates (the
     // "sample web at 10%, books at 100%" training-mixture step) via the
     // md5-derived uniform, counted per source. Sampling is a scan-side
@@ -1156,6 +1228,52 @@ object TextQueries extends QueryPack {
          |    AND max_tok::DOUBLE / n_toks <= $RepMaxTopTokFrac) AS keep
          |FROM base JOIN ts USING (doc_id) JOIN bs USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_report" ->
+      s"""WITH t2 AS (
+         |  SELECT doc_id, lang, source, text,
+         |         string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |),
+         |dup AS (
+         |  SELECT doc_id,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+         |  FROM t2
+         |),
+         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM t2),
+         |v AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+         |tot AS (SELECT ln(sum(tf)) AS ln_total FROM v),
+         |ppl AS (
+         |  SELECT doc_id,
+         |    round(max(ln_total) - avg(ln(tf)), 6) <= $PplMaxAvgNll AS ppl_keep
+         |  FROM tk JOIN v USING (tok) CROSS JOIN tot
+         |  GROUP BY doc_id
+         |),
+         |tc AS (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS g FROM t2 WHERE len(toks) >= 2)
+         |  GROUP BY doc_id, g
+         |),
+         |rep AS (
+         |  SELECT doc_id,
+         |    (count(*)::DOUBLE / sum(c) >= $RepMinUniqueRatio
+         |      AND max(c)::DOUBLE / sum(c) <= $RepMaxTopTokFrac) AS rep_keep
+         |  FROM tc GROUP BY doc_id
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT lang) AS n_langs,
+         |  sum(len(toks))::BIGINT AS total_toks,
+         |  round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |    AS dup_rate,
+         |  round(sum(CASE WHEN ppl_keep THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |    AS ppl_keep_rate,
+         |  round(sum(CASE WHEN coalesce(rep_keep, false) THEN 1 ELSE 0 END)::DOUBLE
+         |        / count(*), 6) AS rep_keep_rate
+         |FROM t2
+         |JOIN dup USING (doc_id)
+         |JOIN ppl USING (doc_id)
+         |LEFT JOIN rep USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_mixture_sample" ->
       s"""WITH d AS (
