@@ -499,11 +499,13 @@ object TextQueries extends QueryPack {
       val base = tbl(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("text"),
           tokens(col("text")).as("toks"))
-      // exact-dup flag: not the lowest doc_id of its exact-text group
-      val keeper = base.groupBy(md5(col("text")).as("tkey"))
+      // dup flag: not the lowest doc_id of its TOKEN-SET group
+      // (q_exact_dedup's skey — the raw-text key is trivially dup-free
+      // on this corpus, measured: 0 groups vs 21 token-set groups)
+      val keeper = base.groupBy(tokenSetKey(col("toks")).as("skey"))
         .agg(min(col("doc_id")).as("keeper"))
-      val dupFlag = base.select(col("doc_id"), md5(col("text")).as("tkey"))
-        .join(keeper, "tkey")
+      val dupFlag = base.select(col("doc_id"), tokenSetKey(col("toks")).as("skey"))
+        .join(keeper, "skey")
         .select(col("doc_id"), (col("doc_id") =!= col("keeper")).as("is_dup"))
       // unigram-ppl keep (q_unigram_ppl's exact scoring + threshold)
       val tok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -1237,7 +1239,9 @@ object TextQueries extends QueryPack {
          |),
          |dup AS (
          |  SELECT doc_id,
-         |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+         |    doc_id <> min(doc_id) OVER (
+         |      PARTITION BY md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+         |    ) AS is_dup
          |  FROM t2
          |),
          |tk AS (SELECT doc_id, unnest(toks) AS tok FROM t2),
