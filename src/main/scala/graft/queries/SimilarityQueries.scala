@@ -623,6 +623,33 @@ object SimilarityQueries extends QueryPack {
         .crossJoin(edgeStats)
     }),
 
+    // Mutual-kNN clustering: connected components over the edges BOTH
+    // endpoints agree on, under a distance ceiling. Mutuality alone is
+    // NOT enough on a near-iid corpus — measured: the unfiltered
+    // mutual graph at k=5 percolates into ONE 493-node blob (mutual
+    // k-NN percolation once k ~ ln n); the dist ceiling (below the
+    // 0.62 background band) cuts it to the planted near-dup groups,
+    // with mutuality the stricter both-endpoints-nominate rule vs the
+    // plain pair threshold of q_near_dup_clusters. DuckDB re-derives
+    // the graph, the mutual-and-close subset AND the transitive
+    // closure (recursive CTE), so the whole chain is cross-engine.
+    "q_mutual_knn_clusters" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val g = graft.ann.KnnGraph.withMutual(
+        graft.ann.KnnGraph.exact(e, "vec_id", "embedding", KnnK,
+          ExactNN.Cosine))
+      val pairs = g.where(col("mutual") && col("src") < col("dst")
+          && col("dist") <= MutualDistMax)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      graft.text.Dedup.connectedComponents(pairs)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",",
+            transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast("string"))).as("doc_ids"))
+        .orderBy("cluster_id")
+    }),
+
     // Beam search over the NN-Descent-refined LSH k-NN graph — the
     // search half of a graph-based ANN index (NSW-style layer-0 walk).
     // The graph is dumped; DuckDB replays the ENTIRE walk hop-for-hop
@@ -682,6 +709,10 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id", "dist", "vec_id")
     })
   )
+
+  /** Mutual-kNN cluster edge ceiling: below the 0.62+ background
+    * cosine band, so mutual edges are near-dup-grade. */
+  val MutualDistMax = 0.6
 
   /** Beam-search knobs: entry nodes 0..31, beam 32 ≥ K, 4 hops —
     * entry/beam width sized per GraphSearch's measured exploration
@@ -1236,6 +1267,41 @@ object SimilarityQueries extends QueryPack {
          |)
          |SELECT ri.recall_init, rr.recall_refined, ed.n_edges, ed.bad_dist_edges
          |FROM ri, rr, ed""".stripMargin,
+
+    // Mutual-kNN clusters: DuckDB re-derives the exact graph, the
+    // mutual-edge subset, and the transitive closure.
+    "q_mutual_knn_clusters" ->
+      s"""WITH RECURSIVE sc AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6) AS dist
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |),
+         |g AS (
+         |  SELECT src, dst, dist FROM (
+         |    SELECT src, dst, dist,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= $KnnK
+         |),
+         |pairs AS (
+         |  SELECT g.src AS doc_a, g.dst AS doc_b
+         |  FROM g JOIN g r ON r.src = g.dst AND r.dst = g.src
+         |  WHERE g.src < g.dst AND g.dist <= $MutualDistMax
+         |),
+         |nodes AS (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT cluster_id, count(*) AS n_docs,
+         |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // Beam search: full hop-for-hop replay of the graph walk from the
     // dumped edge list (same rounding, same (dist, node) ties).
