@@ -149,6 +149,42 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // Distribution-rank windows: ntile quartiles over a deterministic
+    // total order (qty has heavy ties, so the order pins orderkey +
+    // linenumber — both engines assign identical quartiles), rolled up
+    // to per-(flag, quartile) bounds. The window partitions by flag —
+    // key-partitioned, never a global sort of one partition.
+    "q_quartile_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          ntile(4).over(w).as("quartile"))
+        .groupBy("l_returnflag", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+        .orderBy("l_returnflag", "quartile")
+    }),
+
+    // TPC-H Q17 shape — the correlated-average filter: lineitems whose
+    // quantity is below 20% of their part's average, per-part averages
+    // computed once and joined back (the decorrelated form Catalyst
+    // and every warehouse plan; a row-correlated subquery would
+    // re-scan per row). Join is keyed on partkey; the avg table is
+    // |parts| rows.
+    "q_small_qty_revenue" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      // double avg, not decimal: Spark's DECIMAL avg rounds to scale+4
+      // while DuckDB's is DOUBLE — integer quantities sum exactly in a
+      // double, so the double path is bit-identical cross-engine
+      val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+        .agg((avg(col("l_quantity").cast("double")) * 0.2).as("qty_cut"))
+      li.join(avgQty, col("l_partkey") === col("p_key"))
+        .where(col("l_quantity") < col("qty_cut"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(decRevenue).cast("double") / 7.0, 4).as("avg_yearly"))
+    }),
+
     // Explicit GROUPING SETS — the asymmetric 3-set selection
     // ((flag,status),(flag),(status)) that neither rollup nor cube
     // expresses; grouping_id() disambiguates a genuinely-NULL group key
@@ -393,6 +429,31 @@ object RelationalQueries extends QueryPack {
     "q_distinct_flags" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_quartile_stats" ->
+      """SELECT l_returnflag, quartile, count(*) AS n,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    ntile(4) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS quartile
+        |  FROM lineitem
+        |)
+        |GROUP BY l_returnflag, quartile
+        |ORDER BY l_returnflag, quartile""".stripMargin,
+
+    "q_small_qty_revenue" ->
+      """WITH a AS (
+        |  SELECT l_partkey AS p_key,
+        |         avg(l_quantity::DOUBLE) * 0.2 AS qty_cut
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT count(*) AS n_items,
+        |  round(sum(l_extendedprice::DECIMAL(18,2)
+        |            * (1.00 - l_discount::DECIMAL(4,2)))::DOUBLE / 7.0, 4)
+        |    AS avg_yearly
+        |FROM lineitem JOIN a ON l_partkey = p_key
+        |WHERE l_quantity < qty_cut""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT grouping(l_returnflag, l_linestatus) AS gid,
