@@ -40,6 +40,32 @@ import org.apache.spark.sql.functions._
   */
 object GraphSearch {
 
+  /** Persist a (src, dst) edge list PRE-SYMMETRIZED and bucketed by
+    * `src`. The cost this kills is the walk's own prep: [[beamFrom]]
+    * must otherwise symmetrize + dropDuplicates per CALL — a full
+    * shuffle of the n×k edge table before the first hop. A graph
+    * reopened with [[loadBucketed]] passes `symmetrize = false` and the
+    * hop joins run broadcast-frontier against the stored table with
+    * zero graph-side Exchange (asserted in GraphSearchSpec); the
+    * bucket layout additionally pre-partitions `src` for any
+    * downstream degree/CC aggregation. */
+  def saveBucketed(graph: DataFrame, name: String,
+                   nBuckets: Int = 64): Unit = {
+    graph.select(col("src"), col("dst"))
+      .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "src").sortBy("src")
+      .saveAsTable(s"${name}_edges")
+  }
+
+  /** Reopen a bucketed edge table saved by [[saveBucketed]] — already
+    * symmetrized and deduplicated; pass `symmetrize = false` to the
+    * walk so it skips its per-call shuffle prep entirely. */
+  def loadBucketed(spark: org.apache.spark.sql.SparkSession,
+                   name: String): DataFrame =
+    spark.table(s"${name}_edges")
+
   /** Deterministic connectivity backbone: `jumps` hash-derived
     * long-range edges per node (xxhash target index, no RNG). A pure
     * k-NN graph on clustered data is DISCONNECTED islands (measured,
@@ -67,6 +93,18 @@ object GraphSearch {
       .where(col("src") =!= col("dst"))
       .select("src", "dst")
   }
+
+  /** Walk-ready edge list: symmetrize+dedup is a full edge-table
+    * shuffle per call — skipped (`symmetrize = false`) for graphs
+    * stored pre-symmetrized by [[saveBucketed]], whose hop joins then
+    * plan with no edge-table Exchange at all (GraphSearchSpec asserts
+    * the contrast on this exact frame). */
+  private[ann] def undirected(graph: DataFrame,
+                              symmetrize: Boolean): DataFrame =
+    if (!symmetrize) graph.select(col("src"), col("dst"))
+    else graph.select(col("src"), col("dst"))
+      .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
 
   /** @param graph   (src, dst) edge list (directions are symmetrized here)
     * @param vectors (vec_id, `vecCol`) for scoring
@@ -101,11 +139,9 @@ object GraphSearch {
                vecCol: String, queries: DataFrame, entries: DataFrame,
                k: Int, beamWidth: Int, hops: Int,
                metric: ExactNN.Metric = ExactNN.Cosine,
-               roundTo: Int = 6): DataFrame = {
+               roundTo: Int = 6, symmetrize: Boolean = true): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
-    val und = graph.select(col("src"), col("dst"))
-      .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
-      .dropDuplicates("src", "dst")
+    val und = undirected(graph, symmetrize)
     val vecs = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"))
     val q = broadcast(queries.select(col("query_id"), col("qv")))
 

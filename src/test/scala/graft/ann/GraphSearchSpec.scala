@@ -83,6 +83,42 @@ class GraphSearchSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("bucketed pre-symmetrized graph: walk row-identical, no edge-table shuffle") {
+    val e = clustered
+    val knn = KnnGraph.exact(e, "vec_id", "embedding", 4, ExactNN.Cosine)
+    val q = queriesOf(e, 10)
+    val entries = q.select($"query_id").crossJoin(
+      Seq(0L, 1L, 2L, 3L).toDF("node"))
+    spark.sql("DROP TABLE IF EXISTS gs_spec_graph_edges")
+    val loc = new java.io.File("target/spark-warehouse/gs_spec_graph_edges")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    GraphSearch.saveBucketed(knn, "gs_spec_graph")
+    val stored = GraphSearch.loadBucketed(spark, "gs_spec_graph")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "dist", "vec_id")
+        .as[(Long, Long, Double)].collect().toSeq
+    val live = rows(GraphSearch.beamFrom(knn, e, "vec_id", "embedding",
+      q, entries, 3, 4, 2))
+    val reopened = GraphSearch.beamFrom(stored, e, "vec_id", "embedding",
+      q, entries, 3, 4, 2, symmetrize = false)
+    assert(rows(reopened) === live, "stored-graph walk diverged")
+    // a hop join over the stored graph must not shuffle the edge
+    // table; over a live graph the per-call symmetrize+dedup Exchange
+    // (hashpartitioning on src, dst) IS in the plan — the contrast
+    // proves the assertion discriminates
+    def hopPlan(g: org.apache.spark.sql.DataFrame, sym: Boolean) =
+      entries.withColumnRenamed("node", "src")
+        .join(GraphSearch.undirected(g, sym), "src")
+        .queryExecution.executedPlan.toString
+    assert(hopPlan(knn, true).contains("hashpartitioning(src"),
+      "live-graph walk should show the symmetrize shuffle")
+    assert(!hopPlan(stored, false).contains("hashpartitioning(src"),
+      s"edge-table shuffle in stored-graph walk:\n${hopPlan(stored, false)}")
+  }
+
   test("beam plan: bounded TopK cuts, no Window") {
     val e = clustered
     val g = KnnGraph.exact(e, "vec_id", "embedding", 3, ExactNN.Cosine)
