@@ -532,11 +532,12 @@ object SimilarityQueries extends QueryPack {
       scan.crossJoin(rer)
     }),
 
-    // BQ cosine rerank: sign-bit Hamming estimates the ANGLE (the
-    // SimHash bound), so exact-cosine rerank is BQ's theoretically
-    // matched metric — this completes the both-metric oracle coverage
-    // the other index families have. Fully SQL-recomputed like its L2
-    // twin.
+    // BQ cosine rerank — completes the both-metric oracle coverage
+    // the other index families have; fully SQL-recomputed like its L2
+    // twin. (Metric note: the SimHash angle bound needs hyperplanes
+    // through the origin; BQ's midrange thresholds are offset, so the
+    // cosine pairing is empirical, not a theorem — Bq.searchRerank
+    // scaladoc.)
     "q_bq_search_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
       val idx = graft.ann.bq.Bq.train(e, "vec_id", "embedding")

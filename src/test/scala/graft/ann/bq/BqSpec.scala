@@ -110,6 +110,25 @@ class BqSpec extends AnyFunSuite with SparkSpecBase {
     assert(rerRecall > scanRecall, "rerank must improve on the raw scan")
   }
 
+  test("cosine rerank at full depth is row-identical to exact cosine top-k") {
+    // depth = corpus size makes the Hamming scan a no-op filter, so the
+    // rerank must reproduce ExactNN exactly — a regression in the
+    // Cosine branch (swapped args, broken metric dispatch) cannot hide
+    // behind plausible non-empty rows
+    val idx = Bq.train(emb, "vec_id", "embedding")
+    val q = emb.orderBy("vec_id").limit(8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val n = emb.count().toInt
+    val got = idx.searchRerank(q, emb.select($"vec_id", $"embedding"),
+        10, n, ExactNN.Cosine)
+      .orderBy("query_id", "dist", "vec_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val exact = ExactNN.topKAgg(q, emb, 10, ExactNN.Cosine)
+      .orderBy("query_id", "dist", "vec_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === exact, "full-depth cosine rerank diverged from exact NN")
+  }
+
   test("save/load round-trip: same thresholds, same codes, same search rows") {
     val dir = java.nio.file.Files.createTempDirectory("bq_idx").toString
     val idx = Bq.train(emb, "vec_id", "embedding")
@@ -137,7 +156,10 @@ class BqSpec extends AnyFunSuite with SparkSpecBase {
     // accept stale splits), deterministic either way.
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val model = Bq.fit(emb, "embedding")
-    val arriving = emb.limit(40)
+    // orderBy before limit: a bare limit(40) is not deterministic across
+    // jobs, and this subset is evaluated twice (stream input + batch
+    // expectation below)
+    val arriving = emb.orderBy("vec_id").limit(40)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Seq[Float])]
@@ -153,7 +175,8 @@ class BqSpec extends AnyFunSuite with SparkSpecBase {
       mem.addData(arriving: _*)
       q.processAllAvailable()
     } finally q.stop()
-    val batchCodes = model.transformDf(emb.limit(40), "vec_id", "embedding")
+    val batchCodes = model.transformDf(emb.orderBy("vec_id").limit(40),
+        "vec_id", "embedding")
       .as[(Long, Seq[Long])].collect().toMap
     assert(out.size === arriving.size)
     out.forEach { case (id, cs) => assert(cs === batchCodes(id)) }

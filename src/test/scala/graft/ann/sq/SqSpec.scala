@@ -104,7 +104,9 @@ class SqSpec extends AnyFunSuite with SparkSpecBase {
     // decision: refit or accept clamping, both deterministic).
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val model = Sq.fit(emb, "embedding")
-    val arriving = emb.limit(40)
+    // orderBy before limit: bare limit is not deterministic across
+    // the two jobs that evaluate this subset
+    val arriving = emb.orderBy("vec_id").limit(40)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Seq[Float])]
@@ -120,7 +122,8 @@ class SqSpec extends AnyFunSuite with SparkSpecBase {
       mem.addData(arriving: _*)
       q.processAllAvailable()
     } finally q.stop()
-    val batchCodes = model.transformDf(emb.limit(40), "vec_id", "embedding")
+    val batchCodes = model.transformDf(emb.orderBy("vec_id").limit(40),
+        "vec_id", "embedding")
       .as[(Long, Seq[Int])].collect().toMap
     assert(out.size === arriving.size)
     out.forEach { case (id, cs) => assert(cs === batchCodes(id)) }
