@@ -124,15 +124,16 @@ object GraphSearch {
 
   /** Beam search from PER-QUERY entry nodes — the scale form. Global
     * fixed entries only resolve what their descent paths happen to
-    * touch (measured at 100k×10k-cluster scale: recall 0.018 — uniform
+    * touch (measured at 100k×10k-cluster scale: recall 0.02 — uniform
     * backbone links give connectivity, not navigability, exactly
     * Kleinberg's theorem that uniform shortcuts route in √n, not
     * polylog). Production graph serving seeds the walk from a coarse
     * index instead — LSH bucket probes or IVF cells supply each query a
     * locally-relevant entry set, and the graph walk expands/refines it
     * (the DiskANN-style composition; measured in GraphScaleProbe:
-    * LSH-seeded entries at 100k restore recall 1.000 at ~23 ms/query
-    * batched, vs 0.018 for 32 global entries on the same graph).
+    * LSH-seeded entries at 100k restore recall 1.000 at ~23-37 ms/query
+    * batched, vs 0.02 for 32 global entries on the same graph and
+    * protocol).
     *
     * `entries` is (query_id, node). */
   def beamFrom(graph: DataFrame, vectors: DataFrame, idCol: String,
@@ -167,7 +168,14 @@ object GraphSearch {
       beam = graft.text.Dedup.materializeRelease(
         cut(score(cands), beamWidth), beam)
     }
-    cut(beam.select(col("query_id"), col("node"), col("dist")), k)
-      .select(col("query_id"), col("node").as("vec_id"), col("dist"))
+    // materialize the (queries × k)-row result and RELEASE the final
+    // beam — without this, a serving loop calling beamFrom per
+    // micro-batch (StreamingGraphServeSpec's pattern) would leave one
+    // beamWidth-sized cache entry pinned per call until driver GC
+    val result = graft.text.Dedup.materializeRelease(
+      cut(beam.select(col("query_id"), col("node"), col("dist")), k)
+        .select(col("query_id"), col("node").as("vec_id"), col("dist")),
+      beam)
+    result
   }
 }

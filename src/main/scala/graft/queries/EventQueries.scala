@@ -175,14 +175,30 @@ object EventQueries extends QueryPack {
 
     // Trailing-window anomaly flags: hourly event counts vs the
     // trailing 24-hour mean/std (frame excludes the current hour), z
-    // rounded to 4 before the |z| > 3 flag. Variance from power sums in
-    // BOTH engines (same expression order) so cross-engine float drift
-    // stays below the rounding. Window partitions by event_type over
-    // pre-aggregated hourly rows — |types| × hours rows, not events.
+    // rounded to 4 before the |z| > 3 flag. The hourly counts are
+    // DENSIFIED onto a full hour spine (corpus min..max hour × type,
+    // zero-filled) — without it the row frame silently spans more than
+    // 24 wall-clock hours across gaps and an outage hour (n = 0, the
+    // most anomalous state) would be structurally invisible (review
+    // finding). Variance from power sums in BOTH engines (same
+    // expression order) so cross-engine float drift stays below the
+    // rounding. Window partitions by event_type over the spine —
+    // |types| × hours rows, not events.
     "q_event_anomaly" -> ((s, dir) => {
-      val hourly = events(s, dir)
+      val sparse = events(s, dir)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).cast("double").as("n"))
+      val bounds = events(s, dir)
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+      val spine = sparse.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("hour"))
+      val hourly = spine
+        .join(sparse, Seq("event_type", "hour"), "left")
+        .na.fill(0.0, Seq("n"))
       val w = Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(-24, -1)
       val cnt = count(col("n")).over(w)
@@ -325,10 +341,23 @@ object EventQueries extends QueryPack {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_event_anomaly" ->
-      """WITH h AS (
+      """WITH sp AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,
         |         count(*)::DOUBLE AS n
         |  FROM events GROUP BY event_type, hour
+        |),
+        |b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events
+        |),
+        |h AS (
+        |  SELECT t.event_type, s.hour, coalesce(sp.n, 0) AS n
+        |  FROM (SELECT DISTINCT event_type FROM sp) t
+        |  CROSS JOIN (SELECT unnest(generate_series(h0, h1,
+        |                INTERVAL 1 HOUR)) AS hour FROM b) s
+        |  LEFT JOIN sp ON sp.event_type = t.event_type
+        |              AND sp.hour = s.hour
         |),
         |w AS (
         |  SELECT event_type, hour, n,

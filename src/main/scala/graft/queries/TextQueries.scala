@@ -516,25 +516,20 @@ object TextQueries extends QueryPack {
         .groupBy("doc_id")
         .agg((round(max(col("ln_total")) - avg(log(col("tf"))), 6)
           <= PplMaxAvgNll).as("ppl_keep"))
-      // repetition keep (q_repetition_quality's one-pass ratios); docs
-      // with < 2 tokens have no bigram stats -> keep = false
-      val exploded = base
-        .where(size(col("toks")) >= lit(2))
-        .select(col("doc_id"),
-          explode(concat(
-            transform(col("toks"), t => struct(lit(0).as("k"), t.as("g"))),
-            transform(sequence(lit(0), size(col("toks")) - 2),
-              i => struct(lit(1).as("k"),
-                concat_ws(" ", element_at(col("toks"), i + 1),
-                  element_at(col("toks"), i + 2)).as("g"))))).as("e"))
-        .select(col("doc_id"), col("e.k").as("k"), col("e.g").as("g"))
-      val tokK = col("k") === 0
-      val repKeep = exploded
-        .groupBy("doc_id", "k", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(when(tokK, col("c"))).as("n_toks"),
-          max(when(tokK, col("c"))).as("max_tok"),
-          sum(when(tokK, 1L)).as("n_uniq"))
+      // repetition keep: the report uses only the UNIGRAM ratios of
+      // q_repetition_quality (unique_ratio, top_tok_frac), so it reuses
+      // the `tok` frame already exploded for ppl scoring above — no
+      // second tokenize/explode and no bigram half (the first draft
+      // carried the full tagged explode and threw the bigram rows away,
+      // roughly doubling the explode+agg for nothing — review finding).
+      // Docs with < 2 tokens have no repetition stats -> keep = false.
+      val repKeep = base.select(col("doc_id"), size(col("toks")).as("sz"))
+        .where(col("sz") >= 2).select("doc_id")
+        .join(tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+            .groupBy("doc_id")
+            .agg(sum(col("c")).as("n_toks"), max(col("c")).as("max_tok"),
+              count(lit(1)).as("n_uniq")),
+          "doc_id")
         .select(col("doc_id"),
           (col("n_uniq").cast(DoubleType) / col("n_toks") >= RepMinUniqueRatio
             && col("max_tok").cast(DoubleType) / col("n_toks")

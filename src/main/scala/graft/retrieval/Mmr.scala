@@ -63,22 +63,35 @@ object Mmr {
         // TreeSet iteration is ascending doc_id, so strict > keeps the
         // lowest doc_id among ties — the shared tie rule.
         remaining.foreach { d =>
-          val s =
-            if (selected.isEmpty) r6(rel(d))
-            else {
-              var ms = Double.NegativeInfinity
-              selected.foreach { p =>
-                val v = sim.getOrElse((d, p), Double.NegativeInfinity)
-                if (v > ms) ms = v
-              }
-              r6(lambda * rel(d) - (1 - lambda) * ms)
-            }
-          if (s > bestScore) { bestScore = s; bestDoc = d }
+          // candidates with NO sim row to any selected node are skipped
+          // for this round — the same semantics as the unrolled
+          // reference's inner join (and it keeps the score finite: a
+          // -Infinity maxsim would otherwise make the round-6 rounding
+          // throw). With the dense pairwise sims the queries build,
+          // this branch never fires.
+          var ms = Double.NegativeInfinity
+          if (selected.nonEmpty) selected.foreach { p =>
+            val v = sim.getOrElse((d, p), Double.NegativeInfinity)
+            if (v > ms) ms = v
+          }
+          if (selected.isEmpty || ms != Double.NegativeInfinity) {
+            val s =
+              if (selected.isEmpty) r6(rel(d))
+              else r6(lambda * rel(d) - (1 - lambda) * ms)
+            if (s > bestScore) { bestScore = s; bestDoc = d }
+          }
         }
-        out += PickE(rank, bestDoc, bestScore)
-        selected += bestDoc
-        remaining -= bestDoc
-        rank += 1
+        if (bestDoc < 0) {
+          // every remaining candidate lacked sims to the selected set —
+          // nothing comparable left to pick (mirrors the reference form
+          // returning fewer than k rows on sparse sims)
+          remaining.clear()
+        } else {
+          out += PickE(rank, bestDoc, bestScore)
+          selected += bestDoc
+          remaining -= bestDoc
+          rank += 1
+        }
       }
       out.toSeq
     }

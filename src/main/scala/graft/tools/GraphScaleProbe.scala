@@ -21,7 +21,7 @@ import graft.ann.lsh.{Lsh, LshConfig}
   *
   * Usage: runMain graft.tools.GraphScaleProbe [n ...]
   *   SPARK_GRAFT_GRAPH_SAMPLE  GT sample size (default 300)
-  *   SPARK_GRAFT_GRAPH_K       neighbors per node (default 10)
+  *   SPARK_GRAFT_GRAPH_K       neighbors per node (default 8)
   */
 object GraphScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -99,32 +99,34 @@ object GraphScaleProbe {
         val rec = recallOf(gr)
         (t, rec)
       }
-      // beam-search block: the graph-index SEARCH half at the same
-      // scale — NN-Descent graph + small-world backbone, the sampled
-      // probes as queries, recall vs the same exact GT
+      // beam-search blocks share one backbone-augmented graph; both
+      // measure under the SAME protocol as gt (k+1 then drop self —
+      // probes are corpus members, gt excludes self)
+      val withBackbone = g.select(col("src"), col("dst")).unionByName(
+          graft.ann.GraphSearch.randomBackbone(corpus, "vec_id"))
+        .dropDuplicates("src", "dst").persist()
+      withBackbone.count()
+      def dropSelf(raw: org.apache.spark.sql.DataFrame) =
+        graft.ann.TopK.perQueryTopK(
+          raw.where(col("vec_id") =!= col("query_id")), k,
+          viaAggregator = true)
+      // graph-index SEARCH half, global fixed entries
       val (beamRec, tBeam) = {
-        val withBackbone = g.select(col("src"), col("dst")).unionByName(
-            graft.ann.GraphSearch.randomBackbone(corpus, "vec_id"))
-          .dropDuplicates("src", "dst").persist()
-        withBackbone.count()
         val (res, t) = timed {
-          val r = graft.ann.GraphSearch.beam(withBackbone, corpus, "vec_id",
-            "embedding", probes, (0L until 32L).toSeq, k, 32, 4).persist()
+          val r = dropSelf(graft.ann.GraphSearch.beam(withBackbone, corpus,
+            "vec_id", "embedding", probes, (0L until 32L).toSeq,
+            k + 1, 32, 4)).persist()
           r.count(); r
         }
         val rec = graft.eval.Eval.setPrecisionRecall(
             res.select(col("query_id"), col("vec_id")), gt)
           .agg(avg("recall")).head().getDouble(0)
-        res.unpersist(); withBackbone.unpersist()
+        res.unpersist()
         (rec, t)
       }
       // the scale form: LSH-seeded per-query entries (coarse index finds
       // the region, graph walk refines) — the DiskANN-style composition
       val (seedRec, tSeed) = {
-        val withBackbone = g.select(col("src"), col("dst")).unionByName(
-            graft.ann.GraphSearch.randomBackbone(corpus, "vec_id"))
-          .dropDuplicates("src", "dst").persist()
-        withBackbone.count()
         val entries = idx.searchAll(probes, 32, Double.MaxValue,
             graft.ann.ExactNN.Cosine)
           .select(col("query_id"), col("vec_id").as("node")).persist()
@@ -133,20 +135,18 @@ object GraphScaleProbe {
           .agg(avg("recall")).head().getDouble(0)
         println(f"PROBE entry-set (LSH top-32) recall=$entRec%.4f")
         val (res, t) = timed {
-          // k+1 then drop self: probes are corpus members, gt excludes self
-          val raw = graft.ann.GraphSearch.beamFrom(withBackbone, corpus,
-              "vec_id", "embedding", probes, entries, k + 1, 32, 2)
-            .where(col("vec_id") =!= col("query_id"))
-          val r = graft.ann.TopK.perQueryTopK(raw, k, viaAggregator = true)
-            .persist()
+          val r = dropSelf(graft.ann.GraphSearch.beamFrom(withBackbone,
+            corpus, "vec_id", "embedding", probes, entries,
+            k + 1, 32, 2)).persist()
           r.count(); r
         }
         val rec = graft.eval.Eval.setPrecisionRecall(
             res.select(col("query_id"), col("vec_id")), gt)
           .agg(avg("recall")).head().getDouble(0)
-        res.unpersist(); withBackbone.unpersist(); entries.unpersist()
+        res.unpersist(); entries.unpersist()
         (rec, t)
       }
+      withBackbone.unpersist()
       val edges = g.count()
       println(f"PROBE beam-global: recall=$beamRec%.4f t=$tBeam%.1fs (${tBeam / sample * 1000}%.1f ms/query batched)")
       println(f"PROBE beam-lsh-seeded: recall=$seedRec%.4f t=$tSeed%.1fs (${tSeed / sample * 1000}%.1f ms/query batched)")

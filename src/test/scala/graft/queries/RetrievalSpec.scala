@@ -200,6 +200,20 @@ class RetrievalSpec extends AnyFunSuite with SparkSpecBase {
     assert(a.nonEmpty && a.map(_._1).distinct.length === 5)
   }
 
+  test("Mmr.select survives sparse sims (candidates without pairs are skipped, no crash)") {
+    // doc 12 has NO sim rows at all: after doc 10 is picked, 12 can
+    // never be compared and must be skipped — never a -Infinity score
+    // blowing up the rounding (review finding)
+    val cand = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7))
+      .toDF("query_id", "doc_id", "rel")
+    val sims = Seq((1L, 10L, 11L, 0.3), (1L, 11L, 10L, 0.3))
+      .toDF("query_id", "a", "b", "sim")
+    val got = graft.retrieval.Mmr.select(cand, sims, 3, 0.5)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._3).toSeq === Seq(10L, 11L),
+      s"sparse-sims selection should pick only comparable docs: ${got.toSeq}")
+  }
+
   test("q_mmr_rerank plan: bounded TopK argmax tails, no corpus-wide Window") {
     val q = RetrievalQueries.queries("q_mmr_rerank")
     val plan = q(spark, sf("sf0.001")).queryExecution.optimizedPlan.toString
