@@ -66,6 +66,46 @@ object GraphSearch {
                    name: String): DataFrame =
     spark.table(s"${name}_edges")
 
+  /** Online insert — the NSW insert operation, batched: each NEW vector
+    * finds its k nearest existing nodes by beam-searching the CURRENT
+    * graph (new vectors play the query role), becomes a node with those
+    * as out-edges, and its neighbors gain capped reverse edges (the
+    * NSW/HNSW bidirectional-link step — the cap keeps old nodes' degree
+    * bounded as inserts accumulate). Returns the extended (src, dst,
+    * dist) edge list; edges AMONG the arriving batch are found by the
+    * next batch's searches or a periodic [[NnDescent.refine]] pass —
+    * the standard amortization (insert is O(batch × beam work),
+    * independent of graph size beyond the walk itself).
+    *
+    * Streaming shape: like beam serving (StreamingGraphServeSpec), run
+    * per micro-batch via foreachBatch against the stored graph, then
+    * append the new edges — the graph twin of the SQ/BQ codes-append
+    * maintenance path. */
+  def insert(graph: DataFrame, vectors: DataFrame, idCol: String,
+             vecCol: String, newVectors: DataFrame, k: Int,
+             beamWidth: Int, hops: Int, entries: DataFrame,
+             maxReverseDegree: Int = 2,
+             metric: ExactNN.Metric = ExactNN.Cosine,
+             roundTo: Int = 6, symmetrize: Boolean = true): DataFrame = {
+    val q = newVectors.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val found = beamFrom(graph, vectors, idCol, vecCol, q,
+      entries, k, beamWidth, hops, metric, roundTo, symmetrize)
+    val outEdges = found.select(col("query_id").as("src"),
+      col("vec_id").as("dst"), col("dist"))
+    // capped reverse links: each EXISTING node accepts at most
+    // maxReverseDegree new in-links per batch, best-first — the degree
+    // guard that stops a hub from absorbing every insert
+    val revEdges = TopK.perQueryTopK(
+        outEdges.select(col("dst").as("query_id"), col("src").as("vec_id"),
+          col("dist")),
+        maxReverseDegree, viaAggregator = true)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("dist"))
+    graph.select(col("src"), col("dst"), col("dist"))
+      .unionByName(outEdges)
+      .unionByName(revEdges)
+      .dropDuplicates("src", "dst")
+  }
+
   /** Deterministic connectivity backbone: `jumps` hash-derived
     * long-range edges per node (xxhash target index, no RNG). A pure
     * k-NN graph on clustered data is DISCONNECTED islands (measured,

@@ -119,6 +119,57 @@ class GraphSearchSpec extends AnyFunSuite with SparkSpecBase {
       s"edge-table shuffle in stored-graph walk:\n${hopPlan(stored, false)}")
   }
 
+  test("online insert: new nodes link to true neighbors, degree guard holds, graph serves them") {
+    val all = clustered
+    val newIds = (480L until 500L).toSet
+    val existing = all.where(!$"vec_id".isin(newIds.toSeq: _*))
+    val arriving = all.where($"vec_id".isin(newIds.toSeq: _*))
+    val base = KnnGraph.exact(existing, "vec_id", "embedding", 5, ExactNN.Cosine)
+      .select($"src", $"dst", $"dist")
+    val withBackbone = base.select($"src", $"dst")
+      .unionByName(GraphSearch.randomBackbone(existing, "vec_id"))
+      .dropDuplicates("src", "dst")
+      .join(base, Seq("src", "dst"), "left").na.fill(2.0, Seq("dist"))
+      .localCheckpoint()
+    val entries = arriving.select($"vec_id".as("query_id"))
+      .crossJoin((0L until 32L).toDF("node"))
+    val extended = GraphSearch.insert(withBackbone, existing, "vec_id",
+      "embedding", arriving, 5, 32, 6, entries)
+      .localCheckpoint()
+
+    // 1. inserted nodes' out-edges vs their exact nearest EXISTING nodes
+    val gt = ExactNN.topKAgg(
+      arriving.select($"vec_id".as("query_id"), $"embedding".as("qv")),
+      existing, 5, ExactNN.Cosine)
+    val inserted = extended.where($"src".isin(newIds.toSeq: _*))
+      .select($"src".as("query_id"), $"dst".as("vec_id"))
+    val rec = graft.eval.Eval.setPrecisionRecall(inserted,
+        gt.select($"query_id", $"vec_id"))
+      .agg(avg("recall")).as[Double].head()
+    assert(rec > 0.9, s"inserted-node neighbor recall $rec")
+
+    // 2. degree guard: existing nodes gain at most maxReverseDegree
+    // new in-links (reverse edges point existing -> new)
+    val revCounts = extended
+      .where($"dst".isin(newIds.toSeq: _*) && !$"src".isin(newIds.toSeq: _*))
+      .groupBy("src").count().agg(max("count")).as[Long].head()
+    assert(revCounts <= 2, s"reverse-degree guard violated: $revCounts")
+
+    // 3. the extended graph SERVES the new content: searching a new
+    // node's own vector finds it at rank 1 (dist 0)
+    val allVecs = existing.unionByName(arriving)
+    val q2 = arriving.limit(5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val served = GraphSearch.beamFrom(extended, allVecs, "vec_id",
+        "embedding", q2,
+        q2.select($"query_id").crossJoin((0L until 32L).toDF("node")),
+        1, 32, 6)
+      .as[(Long, Long, Double)].collect()
+    served.foreach { case (qid, vid, dist) =>
+      assert(vid === qid && dist === 0.0, s"new node $qid not served: ($vid, $dist)")
+    }
+  }
+
   test("beam plan: bounded TopK cuts, no Window") {
     val e = clustered
     val g = KnnGraph.exact(e, "vec_id", "embedding", 3, ExactNN.Cosine)
