@@ -651,6 +651,40 @@ object SimilarityQueries extends QueryPack {
         .orderBy("cluster_id")
     }),
 
+    // Online insert under CORRECTNESS: the last 20 vec_ids play an
+    // arriving batch against a graph built on the rest. The base graph
+    // (LSH + NN-Descent + backbone) is dumped; DuckDB replays every
+    // arriving vector's beam walk, the k-cut out-edges AND the capped
+    // reverse links, emitting the identical delta edge set — the
+    // graph-maintenance twin of the streaming codes-append oracles.
+    "q_graph_insert" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val arriving = e.where(col("vec_id") >= InsertFrom)
+      val existing = e.where(col("vec_id") < InsertFrom)
+      val idx = Lsh.train(existing, "vec_id", "embedding",
+        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
+      val g0 = graft.ann.KnnGraph.fromLsh(idx, existing, "vec_id",
+        "embedding", KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
+      val g = graft.ann.NnDescent.refine(g0, existing, "vec_id",
+        "embedding", KnnK, ExactNN.Cosine, iterations = 1)
+      val edges = g.select(col("src"), col("dst")).unionByName(
+        graft.ann.GraphSearch.randomBackbone(existing, "vec_id"))
+        .dropDuplicates("src", "dst")
+      val dumpedG = LshQueries.dumpAndReload(s, edges,
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_graph_ins")
+      // base-edge dist is a sentinel: the insert delta's dists are all
+      // computed by the walk; base rows never reach the output filter
+      val gWithDist = dumpedG.withColumn("dist", lit(2.0))
+      import s.implicits._
+      val entries = arriving.select(col("vec_id").as("query_id"))
+        .crossJoin((0L until InsertEntries).toDF("node"))
+      graft.ann.GraphSearch.insert(gWithDist, existing, "vec_id",
+          "embedding", arriving, KnnK, BeamWidth, BeamHops, entries,
+          maxReverseDegree = InsertRevCap)
+        .where(col("src") >= InsertFrom || col("dst") >= InsertFrom)
+        .orderBy("src", "dst")
+    }),
+
     // Beam search over the NN-Descent-refined LSH k-NN graph — the
     // search half of a graph-based ANN index (NSW-style layer-0 walk).
     // The graph is dumped; DuckDB replays the ENTIRE walk hop-for-hop
@@ -710,6 +744,13 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id", "dist", "vec_id")
     })
   )
+
+  /** Online-insert query knobs: vec_ids >= InsertFrom play the arriving
+    * batch; entries are the InsertEntries lowest existing ids; each
+    * existing node accepts at most InsertRevCap new in-links. */
+  val InsertFrom = 480L
+  val InsertEntries = 32L
+  val InsertRevCap = 2
 
   /** Mutual-kNN cluster edge ceiling: below the 0.62+ background
     * cosine band, so mutual edges are near-dup-grade. */
@@ -1304,6 +1345,10 @@ object SimilarityQueries extends QueryPack {
          |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
          |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
+    // Online insert: full replay of every arriving vector's walk plus
+    // the out-edge cut and capped reverse links (see insertWalkSql).
+    "q_graph_insert" -> insertWalkSql("beam_graph_ins"),
+
     // Beam search: full hop-for-hop replay of the graph walk from the
     // dumped edge list (same rounding, same (dist, node) ties).
     "q_graph_beam_search" -> beamWalkSql(
@@ -1409,8 +1454,10 @@ object SimilarityQueries extends QueryPack {
     * `und` CTEs), then BeamHops expand/score/cut rounds and the final
     * top-K — the (dist, node) tie rule of the Spark TopK tail at every
     * cut. */
-  private def beamWalkSql(graphDir: String, b0Sql: String): String = {
-    val hops = (1 to BeamHops).map { h =>
+  /** The BeamHops expand/score/cut CTE chain (b0 -> b$BeamHops),
+    * shared by every walk-replay oracle. */
+  private def beamHopsFrag: String =
+    (1 to BeamHops).map { h =>
       s"""c$h AS (
          |  SELECT DISTINCT b.query_id, u.dst AS node
          |  FROM b${h - 1} b JOIN und u ON u.src = b.node
@@ -1429,6 +1476,8 @@ object SimilarityQueries extends QueryPack {
          |  ) WHERE rn <= $BeamWidth
          |)""".stripMargin
     }.mkString(",\n")
+
+  private def beamWalkSql(graphDir: String, b0Sql: String): String =
     s"""WITH g AS (
        |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/$graphDir/*.parquet')
        |),
@@ -1440,7 +1489,7 @@ object SimilarityQueries extends QueryPack {
        |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
        |),
        |$b0Sql,
-       |$hops
+       |$beamHopsFrag
        |SELECT query_id, node AS vec_id, dist FROM (
        |  SELECT query_id, node, dist,
        |    row_number() OVER (PARTITION BY query_id
@@ -1448,6 +1497,52 @@ object SimilarityQueries extends QueryPack {
        |  FROM b$BeamHops
        |) WHERE rn <= $K
        |ORDER BY query_id, dist, vec_id""".stripMargin
-  }
+
+  /** Replay of [[graft.ann.GraphSearch.insert]]: the same beam walk for
+    * each ARRIVING vector (qs = the InsertFrom..500 ids, entries = the
+    * InsertEntries lowest existing ids), k-cut out-edges, then the
+    * capped reverse links (top-InsertRevCap per existing node, (dist,
+    * new-id) ties) — emitting the DELTA edge set insert adds. */
+  private def insertWalkSql(graphDir: String): String =
+    s"""WITH g AS (
+       |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/$graphDir/*.parquet')
+       |),
+       |und AS (
+       |  SELECT src, dst FROM g UNION SELECT dst, src FROM g
+       |),
+       |qs AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id >= $InsertFrom
+       |),
+       |b0 AS (
+       |  SELECT query_id, node, dist FROM (
+       |    SELECT qs.query_id, e.vec_id AS node,
+       |      ${beamCos("qs.qv", "e.embedding::DOUBLE[]")} AS dist,
+       |      row_number() OVER (PARTITION BY qs.query_id
+       |        ORDER BY ${beamCos("qs.qv", "e.embedding::DOUBLE[]")}, e.vec_id) AS rn
+       |    FROM qs JOIN embeddings e ON e.vec_id < $InsertEntries
+       |  ) WHERE rn <= $BeamWidth
+       |),
+       |$beamHopsFrag,
+       |outv AS (
+       |  SELECT query_id AS src, node AS dst, dist FROM (
+       |    SELECT query_id, node, dist,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dist, node) AS rn
+       |    FROM b$BeamHops
+       |  ) WHERE rn <= $KnnK
+       |),
+       |rev AS (
+       |  SELECT dst AS src, src AS dst, dist FROM (
+       |    SELECT src, dst, dist,
+       |      row_number() OVER (PARTITION BY dst
+       |        ORDER BY dist, src) AS rn
+       |    FROM outv
+       |  ) WHERE rn <= $InsertRevCap
+       |)
+       |SELECT src, dst, dist FROM outv
+       |UNION ALL
+       |SELECT src, dst, dist FROM rev
+       |ORDER BY src, dst""".stripMargin
 
 }
