@@ -282,6 +282,42 @@ object RelationalQueries extends QueryPack {
         .select(col("key").as("l_suppkey"), col("total").as("sum_qty"))
         .orderBy("l_suppkey")),
 
+    // Salted per-key TOP-K (the remaining Salt API not yet under
+    // CORRECTNESS): per order priority, top-5 orders by price via salt
+    // buckets + bounded-TopK merge — result must equal the plain
+    // window, which is what the oracle computes. Ties pinned by
+    // orderkey in both forms; decimal(,2) prices cast to double are
+    // exact, so the salted merge is drift-free.
+    "q_salted_top_orders" -> ((s, dir) =>
+      graft.operators.Salt.saltedTopK(
+          tbl(s, dir, "orders"), col("o_orderpriority"), col("o_orderkey"),
+          (-col("o_totalprice")).cast("double"), k = 5, saltFactor = 16)
+        .select(col("key").as("o_orderpriority"), col("id").as("o_orderkey"),
+          round(-col("ord"), 2).as("o_totalprice"))
+        .orderBy(asc("o_orderpriority"), desc("o_totalprice"),
+          asc("o_orderkey"))),
+
+    // Source-layer round-trip under CORRECTNESS: a lineitem projection
+    // is written to CSV and read back through an EXPLICIT schema (no
+    // inference scan), then aggregated — the oracle computes the same
+    // aggregate from the original parquet, so any encode/decode or
+    // type-mapping defect in the CSV path breaks the hash.
+    // (Format round-trips are otherwise spec-gated — MultiFormatSpec.)
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val path = s"${QueryPack.dumpRoot}/graft_csv_roundtrip/" +
+        dir.replaceAll(".*/", "")
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read
+        .schema("l_returnflag STRING, l_linestatus STRING, qty LONG")
+        .option("header", "true").csv(path)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // Pivot: order-status counts per market segment (fixed pivot values
     // for determinism).
     "q_pivot_segment_status" -> ((s, dir) =>
@@ -428,6 +464,22 @@ object RelationalQueries extends QueryPack {
 
     "q_distinct_flags" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_salted_top_orders" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    round(o_totalprice, 2) AS o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 5
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_quartile_stats" ->
