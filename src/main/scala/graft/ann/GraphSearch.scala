@@ -117,21 +117,60 @@ object GraphSearch {
     * would defeat a bounded-hop walk). Union into `graph` before
     * searching a corpus whose cluster structure is unknown.
     *
-    * The one global `row_number` rank exists only to map hash targets
-    * onto actual node ids; with dense 0..n−1 ids the caller can skip
-    * straight to `pmod(xxhash64(id, j), n)`. */
+    * Rank-free scale path: when ids are integral and DENSE (min 0,
+    * max n−1 — the contract of every testdata and ann-benchmarks id
+    * space, detected with one map-side min/max/count agg), the hash
+    * target IS the destination id — `pmod(xxhash64(id, j), n)` — no
+    * rank, no join, no sort anywhere; the edge list is a pure
+    * projection of the node list. Sparse/string ids fall back to an
+    * `RDD.zipWithIndex` rank (partition-parallel: one count-per-
+    * partition pass plus a map — never a single-partition global sort),
+    * with the index frame cached across its count() and both join
+    * sides. Both paths produce identical edges to the original
+    * row_number form on dense ids (the rank of a dense id is itself). */
   def randomBackbone(vectors: DataFrame, idCol: String,
                      jumps: Int = 2): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("node"))
-    val idx = vectors.select(col(idCol).as("node"))
-      .withColumn("i", row_number().over(w).cast("long") - 1)
+    val nodes = vectors.select(col(idCol).as("node"))
+    val integral = nodes.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (integral) {
+      val st = nodes.agg(count(lit(1)).as("n"),
+        min(col("node").cast("long")).as("mn"),
+        max(col("node").cast("long")).as("mx")).head()
+      val n = st.getLong(0)
+      if (n > 0 && st.getLong(1) == 0L && st.getLong(2) == n - 1)
+        return nodes.select(col("node").as("src"),
+            explode(sequence(lit(0), lit(jumps - 1))).as("j"))
+          .select(col("src"),
+            pmod(xxhash64(col("src").cast("long"), col("j")), lit(n))
+              .cast(nodes.schema.head.dataType).as("dst"))
+          .where(col("src") =!= col("dst"))
+          .select("src", "dst")
+    }
+    // sparse/string ids: partition-parallel rank via zipWithIndex
+    val spark = vectors.sparkSession
+    val sorted = nodes.orderBy("node")
+    val idx = spark.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0), i)
+        },
+        org.apache.spark.sql.types.StructType(Seq(
+          sorted.schema.head,
+          org.apache.spark.sql.types.StructField("i",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      .persist()
     val n = idx.count()
-    idx.select(col("node").as("src"), col("i"),
+    val edges = idx.select(col("node").as("src"), col("i"),
         explode(sequence(lit(0), lit(jumps - 1))).as("j"))
       .select(col("src"), pmod(xxhash64(col("i"), col("j")), lit(n)).as("ti"))
       .join(idx.select(col("i").as("ti"), col("node").as("dst")), "ti")
       .where(col("src") =!= col("dst"))
       .select("src", "dst")
+    graft.text.Dedup.materializeRelease(edges, idx)
   }
 
   /** Walk-ready edge list: symmetrize+dedup is a full edge-table

@@ -303,9 +303,12 @@ object RelationalQueries extends QueryPack {
     // aggregate from the original parquet, so any encode/decode or
     // type-mapping defect in the CSV path breaks the hash.
     // (Format round-trips are otherwise spec-gated — MultiFormatSpec.)
+    // The dump path is per-process (PID-suffixed): two concurrent runs
+    // against the same sf (bench + verify) must not race on
+    // overwrite-vs-read of a shared directory.
     "q_csv_roundtrip" -> ((s, dir) => {
       val path = s"${QueryPack.dumpRoot}/graft_csv_roundtrip/" +
-        dir.replaceAll(".*/", "")
+        dir.replaceAll(".*/", "") + "_pid" + ProcessHandle.current().pid()
       tbl(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
           col("l_quantity").cast("long").as("qty"))

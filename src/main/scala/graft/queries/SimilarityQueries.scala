@@ -434,10 +434,15 @@ object SimilarityQueries extends QueryPack {
     // SQL-expressible, so the ENTIRE codes table hash-compares
     // cross-engine — DuckDB refits the bounds and re-encodes every
     // vector independently. The strongest build oracle in the index
-    // family: a single wrong code anywhere mismatches.
+    // family: a single wrong code anywhere mismatches. Emitted as
+    // exploded scalar rows (vec_id, pos, code) — one row per code, full
+    // coverage preserved — because the driver harness hashes scalar
+    // columns (the q_jl_project convention for array-valued results).
     "q_sq_codes" -> ((s, dir) => {
       val idx = graft.ann.sq.Sq.train(emb(s, dir), "vec_id", "embedding")
-      idx.codes.orderBy("vec_id")
+      idx.codes.select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos"), col("col").as("code"))
+        .orderBy("vec_id", "pos")
     }),
 
     // SQ rerank search: quantized-scan candidates + exact re-rank, so
@@ -483,9 +488,13 @@ object SimilarityQueries extends QueryPack {
     // Binary quantization codes: the midrange fit ((min+max)/2 per dim —
     // exact and summation-order-independent) makes the packed sign-bit
     // table bit-identically recomputable cross-engine, like q_sq_codes.
+    // Same exploded-scalar shape: (vec_id, pos, code) with one row per
+    // packed 32-bit word, every bit of the index hash-compared.
     "q_bq_codes" -> ((s, dir) => {
       val idx = graft.ann.bq.Bq.train(emb(s, dir), "vec_id", "embedding")
-      idx.codes.orderBy("vec_id")
+      idx.codes.select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos"), col("col").as("code"))
+        .orderBy("vec_id", "pos")
     }),
 
     // BQ Hamming search: the FIRST search on the board whose entire
@@ -1030,7 +1039,8 @@ object SimilarityQueries extends QueryPack {
     // DuckDB refits the SQ bounds (exact per-dim min/max via zip-unnest)
     // and re-encodes every vector with the same floor(x/s + 0.5) half-up
     // rule — a full cross-engine recompute of the index build, possible
-    // because the SQ fit is deterministic and sample-free.
+    // because the SQ fit is deterministic and sample-free. Unnested to
+    // one scalar row per code to match the Spark side's posexplode.
     "q_sq_codes" ->
       """WITH dim AS (
         |  SELECT unnest(embedding::DOUBLE[]) AS x,
@@ -1042,12 +1052,16 @@ object SimilarityQueries extends QueryPack {
         |  SELECT list(mn ORDER BY i) AS mins,
         |         list(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn)/255 END ORDER BY i) AS scales
         |  FROM mm
+        |),
+        |enc AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      (x, i) -> CASE WHEN scales[i] = 0 THEN 0
+        |                ELSE least(greatest(floor((x - mins[i])/scales[i] + 0.5), 0), 255)::INT END) AS codes
+        |  FROM embeddings, mml
         |)
-        |SELECT vec_id,
-        |  list_transform(embedding::DOUBLE[],
-        |    (x, i) -> CASE WHEN scales[i] = 0 THEN 0
-        |              ELSE least(greatest(floor((x - mins[i])/scales[i] + 0.5), 0), 255)::INT END) AS codes
-        |FROM embeddings, mml ORDER BY vec_id""".stripMargin,
+        |SELECT vec_id, unnest(range(len(codes))) AS pos, unnest(codes) AS code
+        |FROM enc ORDER BY vec_id, pos""".stripMargin,
 
     // Every returned SQ rerank row re-verified from the raw embeddings
     // (rerank distances are exact by construction).
@@ -1073,9 +1087,12 @@ object SimilarityQueries extends QueryPack {
     // Full cross-engine recompute of the BQ build: DuckDB refits the
     // midrange thresholds and repacks every sign bit (no dump, no
     // tolerance — the fit is order-independent by construction).
+    // Unnested to one scalar row per packed word (the posexplode twin).
     "q_bq_codes" ->
       s"""WITH $bqCodesSql
-         |SELECT vec_id, codes FROM bq ORDER BY vec_id""".stripMargin,
+         |SELECT vec_id, unnest(range(len(codes))) AS pos,
+         |       unnest(codes) AS code
+         |FROM bq ORDER BY vec_id, pos""".stripMargin,
 
     // Full cross-engine recompute of the Hamming SEARCH: integer
     // distances + deterministic (hamming, vec_id) tie-break mean DuckDB

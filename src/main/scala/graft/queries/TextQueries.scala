@@ -788,8 +788,13 @@ object TextQueries extends QueryPack {
         ranks = contrib.select(col("dst").as("d"),
           (lit((1.0 - PrDamping) / n) + lit(PrDamping) * col("contrib")).as("r"))
       }
-      ranks.select(col("d").as("doc_id"), round(col("r"), 6).as("pr"))
-        .orderBy("doc_id")
+      // materialize the final (small) rank table and RELEASE the cached
+      // edge table — a library caller invoking this repeatedly must not
+      // leak one pinned edge cache per call (the CC/beam-loop pattern)
+      graft.text.Dedup.materializeRelease(
+        ranks.select(col("d").as("doc_id"), round(col("r"), 6).as("pr"))
+          .orderBy("doc_id"),
+        edgesWithDeg)
     }),
 
     // Exact-substring duplicate coverage (Lee et al. 2022

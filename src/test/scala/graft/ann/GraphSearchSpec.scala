@@ -170,6 +170,53 @@ class GraphSearchSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("randomBackbone dense-id path: no Window, no Join — pure projection, row_number-identical") {
+    val e = clustered
+    val bb = GraphSearch.randomBackbone(e, "vec_id")
+    val plan = bb.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"),
+      s"global Window in dense backbone plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"rank join in dense backbone plan:\n$plan")
+    // semantics preserved: identical edge set to the original
+    // row_number-rank form (on dense ids the rank of an id is itself)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"node")
+    val idx = e.select($"vec_id".as("node"))
+      .withColumn("i", row_number().over(w).cast("long") - 1)
+    val old = idx.select($"node".as("src"), $"i",
+        explode(sequence(lit(0), lit(1))).as("j"))
+      .select($"src", pmod(xxhash64($"i", $"j"), lit(500L)).as("ti"))
+      .join(idx.select($"i".as("ti"), $"node".as("dst")), "ti")
+      .where($"src" =!= $"dst")
+      .select("src", "dst")
+    assert(bb.exceptAll(old).isEmpty && old.exceptAll(bb).isEmpty,
+      "dense-path backbone diverged from the row_number form")
+  }
+
+  test("randomBackbone sparse-id fallback: zipWithIndex rank matches row_number, edges valid") {
+    // non-dense ids (10x + 3) force the rank path; it must produce the
+    // exact edge set the original global-Window rank produced, without
+    // any single-partition sort in the executed form (zipWithIndex)
+    val sparse = clustered.select(($"vec_id" * 10 + 3).as("vec_id"),
+      $"embedding")
+    val bb = GraphSearch.randomBackbone(sparse, "vec_id")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"node")
+    val idx = sparse.select($"vec_id".as("node"))
+      .withColumn("i", row_number().over(w).cast("long") - 1)
+    val old = idx.select($"node".as("src"), $"i",
+        explode(sequence(lit(0), lit(1))).as("j"))
+      .select($"src", pmod(xxhash64($"i", $"j"), lit(500L)).as("ti"))
+      .join(idx.select($"i".as("ti"), $"node".as("dst")), "ti")
+      .where($"src" =!= $"dst")
+      .select("src", "dst")
+    assert(bb.exceptAll(old).isEmpty && old.exceptAll(bb).isEmpty,
+      "sparse-path backbone diverged from the row_number form")
+    val ids = sparse.select($"vec_id").distinct()
+    assert(bb.join(ids, bb("dst") === ids("vec_id"), "left_anti").isEmpty,
+      "backbone dst not a real node id")
+    bb.unpersist()
+  }
+
   test("beam plan: bounded TopK cuts, no Window") {
     val e = clustered
     val g = KnnGraph.exact(e, "vec_id", "embedding", 3, ExactNN.Cosine)
