@@ -66,6 +66,25 @@ object GraphSearch {
                    name: String): DataFrame =
     spark.table(s"${name}_edges")
 
+  /** Append an edge DELTA (e.g. [[insert]]'s new-node edges) to a
+    * stored bucketed graph, symmetrized with the same bucket layout —
+    * the write half of the streaming maintenance loop
+    * (StreamingGraphInsertSpec): each arriving micro-batch's insert
+    * delta lands as new bucket files, no rewrite of the existing graph.
+    * The delta is deduplicated within itself only; [[insert]] deltas
+    * are disjoint from the stored edges by construction (every delta
+    * edge touches a node id the store has never seen), which is what
+    * makes blind append sound. `nBuckets` must match the original
+    * [[saveBucketed]] call. */
+  def appendBucketed(delta: DataFrame, name: String,
+                     nBuckets: Int = 64): Unit =
+    delta.select(col("src"), col("dst"))
+      .unionByName(delta.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+      .write.mode("append")
+      .bucketBy(nBuckets, "src").sortBy("src")
+      .saveAsTable(s"${name}_edges")
+
   /** Online insert — the NSW insert operation, batched: each NEW vector
     * finds its k nearest existing nodes by beam-searching the CURRENT
     * graph (new vectors play the query role), becomes a node with those
@@ -79,8 +98,17 @@ object GraphSearch {
     *
     * Streaming shape: like beam serving (StreamingGraphServeSpec), run
     * per micro-batch via foreachBatch against the stored graph, then
-    * append the new edges — the graph twin of the SQ/BQ codes-append
-    * maintenance path. */
+    * [[appendBucketed]] the delta — the graph twin of the SQ/BQ
+    * codes-append maintenance path (stream==batch identity:
+    * StreamingGraphInsertSpec).
+    *
+    * Degree-growth caveat: `maxReverseDegree` caps in-links PER BATCH —
+    * over B batches an attractive hub can still accumulate up to
+    * cap × B in-links. A long-running maintenance loop MUST schedule a
+    * periodic [[NnDescent.refine]] pass (which rebuilds every node's
+    * edge list as a bounded top-k, restoring the degree invariant
+    * globally); that periodic pass is a requirement of the insert
+    * amortization story, not an optimization. */
   def insert(graph: DataFrame, vectors: DataFrame, idCol: String,
              vecCol: String, newVectors: DataFrame, k: Int,
              beamWidth: Int, hops: Int, entries: DataFrame,

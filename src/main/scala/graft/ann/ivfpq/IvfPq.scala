@@ -143,6 +143,32 @@ final class IvfPqModel(val config: IvfPqConfig, val ivf: IvfModel,
 
 final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Corpus size, counted once on first rerank (one codes-only scan);
+    * feeds the advisory depth rule only. */
+  private lazy val corpusCount = codes.count()
+
+  /** The SCALE.md rerank-depth rule as a testable predicate: a
+    * quantized scan orders candidates only COARSELY, so `rerankDepth`
+    * must scale with the rows actually probed
+    * (corpus × nProbe / nCells), never sit at a fixed constant —
+    * measured on the 1M matrix (SCALE.md), recall holds at depth
+    * ≳ 2.5% of probed rows and decays below it. */
+  def rerankDepthShallow(rerankDepth: Int, corpus: Long): Boolean =
+    rerankDepth < 0.025 * corpus * model.config.nProbe / model.config.nCells
+
+  private def warnIfShallow(rerankDepth: Int): Unit =
+    if (rerankDepthShallow(rerankDepth, corpusCount)) {
+      val probed =
+        corpusCount.toDouble * model.config.nProbe / model.config.nCells
+      log.warn(
+        f"rerankDepth=$rerankDepth is below 2.5%% of expected probed rows " +
+          f"(~$probed%.0f = $corpusCount x nProbe/nCells): the quantized " +
+          "scan orders only coarsely, so rerank recall degrades — scale " +
+          "rerankDepth with probed rows (SCALE.md rerank-depth rule).")
+    }
+
   /** Batch IVF-ADC search: probe rows (query_id, cell) broadcast into an
     * equi-join on the codes table's `cell` — the scan touches
     * ~nProbe/nCells of the corpus and reads only codes; distance is m
@@ -204,6 +230,7 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
     * drop rows. */
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
                    rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
+    warnIfShallow(rerankDepth)
     val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
     // angular mode reranks by exact cosine distance (scale-invariant, so
     // the raw float vectors need no normalization here); L2 otherwise

@@ -47,6 +47,28 @@ final case class IvfSqConfig(
 final class IvfSqIndex(val config: IvfSqConfig, val ivf: IvfModel,
                        val sq: SqModel, val codes: DataFrame) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Corpus size, counted once on first rerank (one codes-only scan);
+    * feeds the advisory depth rule only. */
+  private lazy val corpusCount = codes.count()
+
+  /** The SCALE.md rerank-depth rule as a testable predicate (the
+    * [[graft.ann.ivfpq.IvfPqIndex.rerankDepthShallow]] twin): depth
+    * must track probed rows (corpus × nProbe / nCells), threshold 2.5%. */
+  def rerankDepthShallow(rerankDepth: Int, corpus: Long): Boolean =
+    rerankDepth < 0.025 * corpus * config.nProbe / config.nCells
+
+  private def warnIfShallow(rerankDepth: Int): Unit =
+    if (rerankDepthShallow(rerankDepth, corpusCount)) {
+      val probed = corpusCount.toDouble * config.nProbe / config.nCells
+      log.warn(
+        f"rerankDepth=$rerankDepth is below 2.5%% of expected probed rows " +
+          f"(~$probed%.0f = $corpusCount x nProbe/nCells): the quantized " +
+          "scan orders only coarsely, so rerank recall degrades — scale " +
+          "rerankDepth with probed rows (SCALE.md rerank-depth rule).")
+    }
+
   private def normalized(v: org.apache.spark.sql.Column) =
     if (config.angular) graft.functions.VectorFunctions.l2Normalize(v) else v
 
@@ -77,6 +99,7 @@ final class IvfSqIndex(val config: IvfSqConfig, val ivf: IvfModel,
     * angular mode — scale-invariant, so raw floats need no normalizing). */
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
                    rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
+    warnIfShallow(rerankDepth)
     val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
     val distCol =
       if (config.angular)

@@ -222,6 +222,16 @@ class IvfPqSpec extends AnyFunSuite with SparkSpecBase {
     assert(partDirs.nonEmpty)
   }
 
+  test("rerank-depth rule: shallow iff depth under 2.5% of probed rows") {
+    val idx = IvfPq.train(emb, "vec_id", "embedding", cfg)
+    // nProbe/nCells = 8/16: at a 1M corpus, probed rows = 500k and the
+    // 2.5% threshold is 12_500
+    assert(idx.rerankDepthShallow(12_499, 1_000_000L))
+    assert(!idx.rerankDepthShallow(12_500, 1_000_000L))
+    // the board's own shape (500 vectors) is NOT shallow at depth 100
+    assert(!idx.rerankDepthShallow(100, 500L))
+  }
+
   test("searchAll refuses a query set beyond MaxQueryBatch with a named error") {
     val idx = IvfPq.train(emb, "vec_id", "embedding", cfg)
     // limit()-bounded collect: the oversized frame costs MaxQueryBatch+1

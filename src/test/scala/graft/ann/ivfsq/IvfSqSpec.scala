@@ -106,6 +106,17 @@ class IvfSqSpec extends AnyFunSuite with SparkSpecBase {
     out.forEach { r => assert(r === expect(r._1)) }
   }
 
+  test("rerank-depth rule: shallow iff depth under 2.5% of probed rows") {
+    val idx = IvfSq.train(emb, "vec_id", "embedding", cfg)
+    // nProbe/nCells = 4/8: at a 1M corpus, probed rows = 500k and the
+    // 2.5% threshold is 12_500
+    assert(idx.rerankDepthShallow(12_499, 1_000_000L))
+    assert(!idx.rerankDepthShallow(12_500, 1_000_000L))
+    // the board's own shape (500 vectors) is NOT shallow at depth 100 —
+    // the rule is a scale guard, not noise on small corpora
+    assert(!idx.rerankDepthShallow(100, 500L))
+  }
+
   test("save/load round-trip: same models, same search rows") {
     val dir = java.nio.file.Files.createTempDirectory("ivfsq_idx").toString
     val idx = IvfSq.train(emb, "vec_id", "embedding", cfg)
