@@ -98,28 +98,37 @@ object Bench {
     val results = attempts.map { case (name, ts) =>
       name -> (if (ts.forall(_._1)) ts.map(_._2).min else -1.0)
     }
-    // Headline stays ONE line comfortably under 2000 chars: the round
+    // Headline stays ONE line STRICTLY under 1900 chars: the round
     // harness keeps only the final 2000 chars of stdout, and a longer
-    // line gets its head truncated mid-value. At 74 queries the
-    // ms-precision form measured 1970 chars — one more query away from
-    // truncation — so per-query times print at 10 ms precision (full ms
-    // lives in BENCH_SPREAD.json) and sf prints as its basename.
-    def rp(p: Int)(v: Double): String =
-      String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
-    // Sentinels (-1.0, failed queries) are excluded from the total.
+    // line gets its HEAD truncated — which ate round 9's metric/value
+    // fields and left the driver's parse at null. At 121 queries even
+    // 1-second precision overflows (~2600 chars), so the inline map
+    // carries only the SLOWEST queries that fit the budget (the
+    // informative ones — the fast tail is noise at any precision) and
+    // `queries_omitted` counts the rest; every query's full-ms attempt
+    // times are in BENCH_SPREAD.json regardless. The total is always
+    // over ALL queries.
+    // Sentinels (-1.0, failed queries) are excluded from the total but
+    // always included inline — a broken query must stay visible.
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    def render(p: Int): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + rp(p)(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    val failed = results.filter(_._2 < 0)
+    val byCost = failed ++ results.filter(_._2 >= 0).sortBy(-_._2)
+    val budget = 1600 // chars for the queries map
+    val entries = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 2
+    var omitted = 0
+    byCost.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + r3(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else omitted += 1
     }
-    // Adaptive precision: highest of 10 ms / 100 ms / 1 s precision that
-    // keeps the line under 1900 chars (full-ms times are in
-    // BENCH_SPREAD.json either way).
-    val line = Seq(2, 1, 0).map(render).find(_.length <= 1900).getOrElse(render(0))
+    val qs = entries.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+        s""""queries_omitted":$omitted,"sf":"$sfName"}"""
     if (line.length > 1900)
-      System.err.println(s"[bench] headline ${line.length} chars — nearing the 2000-char stdout window")
+      System.err.println(s"[bench] headline ${line.length} chars — over the 2000-char stdout window")
     println(line)
     spark.stop()
   }
