@@ -299,6 +299,31 @@ object TextQueries extends QueryPack {
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
       ngramJaccardPairs(s, dir, JaccardThreshold).orderBy("doc_a", "doc_b")),
 
+    // Cross-source contamination matrix: verified near-dup pairs
+    // aggregated per (source, source) cell — which sources copy from
+    // which, the analytic behind per-source mixture-weight decisions
+    // (a source whose docs mostly duplicate another is downweighted;
+    // `q_mixture_sample` is the downstream consumer of that decision).
+    // Scale shape: the pair list is the SMALL output of the dedup
+    // pipeline, so it broadcasts into the corpus-sized doc→source map
+    // (two map-side probes, zero shuffle on the corpus) and the final
+    // agg is |sources|² rows. Cells are source-unordered (least/
+    // greatest) like the pair list itself. avg_jac rounds to 4 so
+    // cross-engine summation order cannot flip the 6th decimal.
+    "q_source_contamination" -> ((s, dir) => {
+      val pairs = ngramJaccardPairs(s, dir, JaccardThreshold)
+      val src = tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+      val withA = src.select(col("doc_id").as("doc_a"), col("source").as("sa"))
+        .join(broadcast(pairs), "doc_a")
+      val withB = src.select(col("doc_id").as("doc_b"), col("source").as("sb"))
+        .join(broadcast(withA), "doc_b")
+      withB.select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("jac"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"), round(avg("jac"), 4).as("avg_jac"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // MinHash signatures (8 hashes per doc, exploded rows) — per-row
     // signature array posexploded; no shuffle.
     "q_minhash_signatures" -> ((s, dir) =>
@@ -1060,6 +1085,31 @@ object TextQueries extends QueryPack {
          |SELECT doc_a, doc_b, round(jac, 6) AS jac
          |FROM jac WHERE jac >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same pair pipeline re-derived end-to-end, then rolled up to the
+    // per-source-pair matrix the Spark side computes.
+    "q_source_contamination" ->
+      s"""WITH $tokCte, $shgCte, $shfCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |),
+         |${jacSql("cand", "shf")},
+         |p AS (
+         |  SELECT doc_a, doc_b, round(jac, 6) AS jac
+         |  FROM jac WHERE jac >= $JaccardThreshold
+         |),
+         |m AS (
+         |  SELECT least(sa.source, sb.source) AS source_a,
+         |         greatest(sa.source, sb.source) AS source_b, p.jac
+         |  FROM p
+         |  JOIN documents sa ON sa.doc_id = p.doc_a
+         |  JOIN documents sb ON sb.doc_id = p.doc_b
+         |)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |       round(avg(jac), 4) AS avg_jac
+         |FROM m GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     "q_minhash_signatures" ->
       s"""WITH $tokCte, $shgCte, $sigCte
