@@ -11,6 +11,22 @@ trait QueryPack {
 
   protected def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** JVM-local memo for deterministic shared builds consumed by more
+    * than one query (seeded graphs, verified pair pipelines): the
+    * builds are pure, so sharing across Verify's concurrent query
+    * threads changes no output — it only deletes redundant recompute.
+    * Keyed by (session, sfDir, tag); computeIfAbsent evaluates each
+    * build exactly once, and dependencies between memoized builds must
+    * be resolved BEFORE entering the compute lambda (nested computes on
+    * one ConcurrentHashMap are unsupported). Cache DataFrame values
+    * with `localCheckpoint()` so lineage never re-executes. */
+  private val buildMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]()
+  protected def memoized[T <: AnyRef](s: SparkSession, dir: String,
+                                      tag: String)(f: => T): T =
+    buildMemo.computeIfAbsent((System.identityHashCode(s), dir, tag),
+      _ => f).asInstanceOf[T]
 }
 
 object QueryPack {

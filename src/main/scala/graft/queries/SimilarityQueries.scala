@@ -111,25 +111,13 @@ object SimilarityQueries extends QueryPack {
     e.orderBy("vec_id").limit(VectorQueries.NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
-  /** JVM-local memo of the graph family's deterministic shared builds.
-    * Five queries (k-NN graph via LSH, NN-Descent, beam search, seeded
-    * beam, online insert) plus the two exact-graph consumers each
-    * rebuilt near-identical seed-fixed structures per run — ~45 s of a
-    * 143 s board spent on redundant builds (round-9 plan audit). The
-    * builds are pure (fixed seeds, no dumps inside the shared part), so
-    * sharing across Verify's concurrent query threads changes no
-    * output; each query still writes its own private dump path, keeping
-    * the oracle-replay contract intact. DataFrame values are
-    * localCheckpoint-materialized: computed once, lineage never
-    * re-executes. computeIfAbsent evaluates each build exactly once;
-    * dependencies are resolved BEFORE entering the compute lambda
-    * (nested computes on one ConcurrentHashMap are unsupported). */
-  private val buildMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]()
-  private def memoized[T <: AnyRef](s: SparkSession, dir: String,
-                                    tag: String)(f: => T): T =
-    buildMemo.computeIfAbsent((System.identityHashCode(s), dir, tag),
-      _ => f).asInstanceOf[T]
+  // The graph family's deterministic shared builds go through
+  // QueryPack.memoized: five queries (k-NN graph via LSH, NN-Descent,
+  // beam search, seeded beam, online insert) plus the two exact-graph
+  // consumers each rebuilt near-identical seed-fixed structures per
+  // run — ~45 s of a 143 s board spent on redundant builds (round-9
+  // plan audit). Each query still writes its own private dump path,
+  // keeping the oracle-replay contract intact.
 
   /** Shared seeded LSH index over the full embeddings table — the
     * common coarse structure under every graph-family query. */

@@ -179,7 +179,13 @@ object TextQueries extends QueryPack {
     * richer graph). One shingle-keyed self-join; the hot-shingle DF cap
     * keeps the join fan-out flat on boilerplate-heavy corpora. */
   private def ngramJaccardPairs(s: SparkSession, dir: String,
-                                threshold: Double): DataFrame = {
+                                threshold: Double): DataFrame =
+    memoized(s, dir, s"ngram_jaccard_pairs_$threshold") {
+      ngramJaccardPairsBuild(s, dir, threshold).localCheckpoint()
+    }
+
+  private def ngramJaccardPairsBuild(s: SparkSession, dir: String,
+                                     threshold: Double): DataFrame = {
     val d = docs(s, dir)
     val nDocs = d.count()
     val withSh = d
@@ -208,12 +214,15 @@ object TextQueries extends QueryPack {
   }
 
   private def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    graft.text.Dedup.minhashNearDup(
-      tbl(s, dir, "documents"), "doc_id", "text",
-      graft.text.Dedup.MinHashConfig(
-        shingleN = ShingleN, numHashes = NumHashes, bandRows = BandRows,
-        jaccardThreshold = JaccardThreshold, maxDocFreqRatio = 1.0))
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+    memoized(s, dir, "minhash_near_dup_pairs") {
+      graft.text.Dedup.minhashNearDup(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          graft.text.Dedup.MinHashConfig(
+            shingleN = ShingleN, numHashes = NumHashes, bandRows = BandRows,
+            jaccardThreshold = JaccardThreshold, maxDocFreqRatio = 1.0))
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .localCheckpoint()
+    }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, BPE-ish pre-tokenizer count
