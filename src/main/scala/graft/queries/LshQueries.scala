@@ -32,6 +32,17 @@ object LshQueries extends QueryPack {
   def config(angular: Boolean): LshConfig =
     LshConfig(nTrees = 20, kMinVecs = 80, angular = angular, seed = 42L)
 
+  /** Shared default-config LSH fits (per metric mode): four queries
+    * trained the L2 forest and two the angular forest identically per
+    * run; the fit is seeded and dump-free, so sharing deletes the
+    * redundant driver-side forest builds without changing output. */
+  private def lshIdx(s: SparkSession, dir: String,
+                     angular: Boolean): LshIndex =
+    memoized(s, dir, s"lsh_idx_$angular") {
+      Lsh.train(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        config(angular))
+    }
+
   /** Bounded-work knobs for `q_lsh_search_capped`, sized to BIND at
     * sf0.01 (500 vectors): buckets run ~kMinVecs=80 entries, so a
     * 40-entry occupancy cap drops half of each hot bucket; the 40
@@ -96,7 +107,7 @@ object LshQueries extends QueryPack {
     "q_lsh_bucket_stats" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val cfg = config(angular = false)
-      val idx = Lsh.train(emb, "vec_id", "embedding", cfg)
+      val idx = lshIdx(s, dir, angular = false)
       val dump = s"$BucketDumpRoot/${sfName(dir)}"
       idx.buckets.write.mode("overwrite").parquet(dump)
       val nVecs = emb.count()
@@ -119,7 +130,7 @@ object LshQueries extends QueryPack {
     "q_lsh_search_l2" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = queriesDf(emb)
-      val idx = Lsh.train(emb, "vec_id", "embedding", config(angular = false))
+      val idx = lshIdx(s, dir, angular = false)
       val res = Eval.withValidity(idx.searchAll(q, K, L2Threshold, ExactNN.L2),
         emb, q, ExactNN.L2, L2Threshold)
       dumpAndReload(s, res, s"$SearchDumpRoot/${sfName(dir)}/lsh_l2")
@@ -130,7 +141,7 @@ object LshQueries extends QueryPack {
     "q_lsh_search_cosine" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = queriesDf(emb)
-      val idx = Lsh.train(emb, "vec_id", "embedding", config(angular = true))
+      val idx = lshIdx(s, dir, angular = true)
       val res = Eval.withValidity(idx.searchAll(q, K, CosineThreshold, ExactNN.Cosine),
         emb, q, ExactNN.Cosine, CosineThreshold)
       dumpAndReload(s, res, s"$SearchDumpRoot/${sfName(dir)}/lsh_cosine")
@@ -150,7 +161,7 @@ object LshQueries extends QueryPack {
     "q_lsh_search_capped" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = queriesDf(emb)
-      val idx = Lsh.train(emb, "vec_id", "embedding", config(angular = false))
+      val idx = lshIdx(s, dir, angular = false)
       val capped = new LshIndex(idx.model, idx.vectors,
         idx.cappedBuckets(MaxOccupancy))
       val res = Eval.withValidity(
@@ -179,7 +190,7 @@ object LshQueries extends QueryPack {
                      metric: ExactNN.Metric, threshold: Double, sub: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
     val q = queriesDf(emb)
-    val idx = Lsh.train(emb, "vec_id", "embedding", config(angular))
+    val idx = lshIdx(s, dir, angular)
     val pred = dumpAndReload(s, idx.searchAll(q, K, threshold, metric),
       s"$SearchDumpRoot/${sfName(dir)}/$sub")
     val gt = ExactNN.topK(q, emb, K, metric, threshold = Some(threshold))

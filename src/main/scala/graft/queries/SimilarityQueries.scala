@@ -119,6 +119,38 @@ object SimilarityQueries extends QueryPack {
   // plan audit). Each query still writes its own private dump path,
   // keeping the oracle-replay contract intact.
 
+  /** Shared default-config index fits (the same sharing pattern as the
+    * graph builds): each family's default index was trained identically
+    * by 3-6 queries per run; the fits are deterministic (seeded k-means
+    * / exact bounds) and dump-free, so sharing deletes the redundant
+    * fit jobs — the k-means families pay `iters` driver-coordinated agg
+    * jobs per fit — without changing any output. Angular variants with
+    * a single consumer stay inline. */
+  private def ivfIdx(s: SparkSession, dir: String): graft.ann.ivf.IvfIndex =
+    memoized(s, dir, "ivf_idx") {
+      Ivf.train(emb(s, dir), "vec_id", "embedding", ivfConfig)
+    }
+  private def ivfPqIdx(s: SparkSession,
+                       dir: String): graft.ann.ivfpq.IvfPqIndex =
+    memoized(s, dir, "ivfpq_idx") {
+      graft.ann.ivfpq.IvfPq.train(emb(s, dir), "vec_id", "embedding",
+        ivfPqConfig)
+    }
+  private def ivfSqIdx(s: SparkSession,
+                       dir: String): graft.ann.ivfsq.IvfSqIndex =
+    memoized(s, dir, "ivfsq_idx") {
+      graft.ann.ivfsq.IvfSq.train(emb(s, dir), "vec_id", "embedding",
+        ivfSqConfig)
+    }
+  private def sqIdx(s: SparkSession, dir: String): graft.ann.sq.SqIndex =
+    memoized(s, dir, "sq_idx") {
+      graft.ann.sq.Sq.train(emb(s, dir), "vec_id", "embedding")
+    }
+  private def bqIdx(s: SparkSession, dir: String): graft.ann.bq.BqIndex =
+    memoized(s, dir, "bq_idx") {
+      graft.ann.bq.Bq.train(emb(s, dir), "vec_id", "embedding")
+    }
+
   /** Shared seeded LSH index over the full embeddings table — the
     * common coarse structure under every graph-family query. */
   private def graphLshIndex(s: SparkSession, dir: String): LshIndex =
@@ -209,7 +241,7 @@ object SimilarityQueries extends QueryPack {
     "q_ivf_search_l2" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = Ivf.train(e, "vec_id", "embedding", ivfConfig)
+      val idx = ivfIdx(s, dir)
       val res = Eval.withValidity(idx.searchAll(q, K, ExactNN.L2), e, q, ExactNN.L2)
       LshQueries.dumpAndReload(s, res,
           s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_l2")
@@ -238,7 +270,7 @@ object SimilarityQueries extends QueryPack {
     "q_ivf_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = Ivf.train(e, "vec_id", "embedding", ivfConfig)
+      val idx = ivfIdx(s, dir)
       val pred = LshQueries.dumpAndReload(s, idx.searchAll(q, K, ExactNN.L2),
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_recall_l2")
       val gt = ExactNN.topK(q, e, K, ExactNN.L2)
@@ -256,7 +288,7 @@ object SimilarityQueries extends QueryPack {
     // is complete and unique), `cell_count_ok` checks occupancy ≤ nCells.
     "q_ivf_cell_stats" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = Ivf.train(e, "vec_id", "embedding", ivfConfig)
+      val idx = ivfIdx(s, dir)
       val dump = s"$CellDumpRoot/${LshQueries.sfName(dir)}"
       idx.cells.write.mode("overwrite").parquet(dump)
       val nVecs = e.count()
@@ -279,7 +311,7 @@ object SimilarityQueries extends QueryPack {
     "q_ivfpq_search_l2" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graft.ann.ivfpq.IvfPq.train(e, "vec_id", "embedding", ivfPqConfig)
+      val idx = ivfPqIdx(s, dir)
       val res = Eval.withValidity(
         idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
         e, q, ExactNN.L2)
@@ -316,7 +348,7 @@ object SimilarityQueries extends QueryPack {
     "q_ivfpq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graft.ann.ivfpq.IvfPq.train(e, "vec_id", "embedding", ivfPqConfig)
+      val idx = ivfPqIdx(s, dir)
       val gt = ExactNN.topK(q, e, K, ExactNN.L2)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
       val adcPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
@@ -338,7 +370,7 @@ object SimilarityQueries extends QueryPack {
     // row has exactly numSubvectors entries.
     "q_ivfpq_code_stats" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = graft.ann.ivfpq.IvfPq.train(e, "vec_id", "embedding", ivfPqConfig)
+      val idx = ivfPqIdx(s, dir)
       val dump = s"$CodeDumpRoot/${LshQueries.sfName(dir)}"
       idx.codes.write.mode("overwrite").parquet(dump)
       val nVecs = e.count()
@@ -371,7 +403,7 @@ object SimilarityQueries extends QueryPack {
     // proves the assignment is complete, so no pair can hide).
     "q_semdedup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = Ivf.train(e, "vec_id", "embedding", ivfConfig)
+      val idx = ivfIdx(s, dir)
       val dump = s"$SemDedupDumpRoot/${LshQueries.sfName(dir)}"
       idx.cells.write.mode("overwrite").parquet(dump)
       semdedupSummary(s.read.parquet(dump), e, e.count()).orderBy("cell")
@@ -408,7 +440,7 @@ object SimilarityQueries extends QueryPack {
     // that cell's row cross-engine.
     "q_ivfsq_codes" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = graft.ann.ivfsq.IvfSq.train(e, "vec_id", "embedding", ivfSqConfig)
+      val idx = ivfSqIdx(s, dir)
       val dump = s"$IvfSqCodeDumpRoot/${LshQueries.sfName(dir)}"
       idx.codes.write.mode("overwrite").parquet(dump)
       val nVecs = e.count()
@@ -431,7 +463,7 @@ object SimilarityQueries extends QueryPack {
     "q_ivfsq_search_l2" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graft.ann.ivfsq.IvfSq.train(e, "vec_id", "embedding", ivfSqConfig)
+      val idx = ivfSqIdx(s, dir)
       val res = Eval.withValidity(
         idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
         e, q, ExactNN.L2)
@@ -464,7 +496,7 @@ object SimilarityQueries extends QueryPack {
     "q_ivfsq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graft.ann.ivfsq.IvfSq.train(e, "vec_id", "embedding", ivfSqConfig)
+      val idx = ivfSqIdx(s, dir)
       val gt = ExactNN.topK(q, e, K, ExactNN.L2)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
       val scanPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
@@ -489,7 +521,7 @@ object SimilarityQueries extends QueryPack {
     // coverage preserved — because the driver harness hashes scalar
     // columns (the q_jl_project convention for array-valued results).
     "q_sq_codes" -> ((s, dir) => {
-      val idx = graft.ann.sq.Sq.train(emb(s, dir), "vec_id", "embedding")
+      val idx = sqIdx(s, dir)
       idx.codes.select(col("vec_id"), posexplode(col("codes")))
         .select(col("vec_id"), col("pos"), col("col").as("code"))
         .orderBy("vec_id", "pos")
@@ -502,7 +534,7 @@ object SimilarityQueries extends QueryPack {
     "q_sq_search_l2" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graft.ann.sq.Sq.train(e, "vec_id", "embedding")
+      val idx = sqIdx(s, dir)
       val res = Eval.withValidity(
         idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
         e, q, ExactNN.L2)
@@ -520,7 +552,7 @@ object SimilarityQueries extends QueryPack {
     "q_sq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graft.ann.sq.Sq.train(e, "vec_id", "embedding")
+      val idx = sqIdx(s, dir)
       val gt = ExactNN.topK(q, e, K, ExactNN.L2)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
       val sqPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
@@ -541,7 +573,7 @@ object SimilarityQueries extends QueryPack {
     // Same exploded-scalar shape: (vec_id, pos, code) with one row per
     // packed 32-bit word, every bit of the index hash-compared.
     "q_bq_codes" -> ((s, dir) => {
-      val idx = graft.ann.bq.Bq.train(emb(s, dir), "vec_id", "embedding")
+      val idx = bqIdx(s, dir)
       idx.codes.select(col("vec_id"), posexplode(col("codes")))
         .select(col("vec_id"), col("pos"), col("col").as("code"))
         .orderBy("vec_id", "pos")
@@ -554,7 +586,7 @@ object SimilarityQueries extends QueryPack {
     // integer-or-reproducible, so there is no FP tolerance anywhere.
     "q_bq_search_hamming" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = graft.ann.bq.Bq.train(e, "vec_id", "embedding")
+      val idx = bqIdx(s, dir)
       idx.searchHamming(queriesDf(e), K)
         .orderBy("query_id", "hamming", "vec_id")
     }),
@@ -566,7 +598,7 @@ object SimilarityQueries extends QueryPack {
     // the rerank.
     "q_bq_search_l2" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = graft.ann.bq.Bq.train(e, "vec_id", "embedding")
+      val idx = bqIdx(s, dir)
       idx.searchRerank(queriesDf(e), e.select(col("vec_id"), col("embedding")),
           K, BqRerankDepth)
         .orderBy("query_id", "dist", "vec_id")
@@ -578,7 +610,7 @@ object SimilarityQueries extends QueryPack {
     "q_bq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graft.ann.bq.Bq.train(e, "vec_id", "embedding")
+      val idx = bqIdx(s, dir)
       val gt = ExactNN.topK(q, e, K, ExactNN.L2)
       val scanPred = idx.searchHamming(q, K)
         .select(col("query_id"), col("vec_id"))
@@ -599,7 +631,7 @@ object SimilarityQueries extends QueryPack {
     // scaladoc.)
     "q_bq_search_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = graft.ann.bq.Bq.train(e, "vec_id", "embedding")
+      val idx = bqIdx(s, dir)
       idx.searchRerank(queriesDf(e), e.select(col("vec_id"), col("embedding")),
           K, BqRerankDepth, ExactNN.Cosine)
         .orderBy("query_id", "dist", "vec_id")
