@@ -225,7 +225,8 @@ final class LshIndex(
   def searchAll(queries: DataFrame, k: Int, distanceThreshold: Double,
                 metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
                 maxCandidates: Option[Int] = None,
-                topKViaAggregator: Boolean = true): DataFrame = {
+                topKViaAggregator: Boolean = true,
+                allowed: Option[DataFrame] = None): DataFrame = {
     val probes = model.probeRows(queries, "query_id", "qv")
       .dropDuplicates("query_id", "tree_id", "hash")
     val uncapped = buckets
@@ -238,7 +239,30 @@ final class LshIndex(
       uncapped.withColumn("crn", row_number().over(cw))
         .where(col("crn") <= cap).drop("crn")
     }
-    val scored = cands
+    // Constrained (metadata-filtered) search: the (vec_id) allow-list —
+    // typically the output of a metadata predicate — lands BETWEEN
+    // candidate retrieval and scoring, so disallowed candidates are
+    // dropped before any distance is computed and before the top-k cut
+    // (a post-filtered top-k would return fewer than k allowed rows).
+    // Broadcast side: the CANDIDATES — they are bounded per batch
+    // (queries × probes × occupancy) while the allow-list scales with
+    // the corpus (a 50%-selective predicate over 100 TB is 50 TB of
+    // ids); the allow-list table is therefore probed in place, its
+    // predicate pushed to its own scan. Only probed candidates are
+    // tested — the standard filtered-ANN trade, recall graded against
+    // the FILTERED exact ground truth by q_lsh_filtered_recall. For
+    // highly selective filters prefer an exact scan over the filtered
+    // subset instead (the probe candidate set degenerates toward empty
+    // and the brute-force side is tiny).
+    // (dedup AFTER the join: it runs on the bounded join output, where
+    // a distinct() on the allow-list side would shuffle the whole
+    // corpus-scale id set just to guard against duplicate allow rows)
+    val filtered = allowed.fold(cands) { a =>
+      a.select("vec_id").join(broadcast(cands), "vec_id")
+        .select("query_id", "vec_id")
+        .dropDuplicates("query_id", "vec_id")
+    }
+    val scored = filtered
       .join(vectors, "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("vec_id"),

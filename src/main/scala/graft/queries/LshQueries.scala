@@ -172,6 +172,50 @@ object LshQueries extends QueryPack {
         .orderBy("query_id", "dist", "vec_id")
     }),
 
+    // Constrained (metadata-filtered) ANN search: top-k among the
+    // vectors satisfying a metadata predicate (even label — ~50%
+    // selective). The (vec_id) allow-list lands between candidate
+    // retrieval and scoring (Lsh.searchAll `allowed`), so the top-k cut
+    // runs over allowed candidates only — post-filtering the cut would
+    // under-deliver k. The oracle recomputes every returned pair's
+    // exact distance AND re-checks the predicate on the returned id, so
+    // a single disallowed row flips `valid` cross-engine.
+    "q_lsh_search_filtered" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = queriesDf(emb)
+      val idx = lshIdx(s, dir, angular = false)
+      val allowed = emb.where(col("label") % 2 === 0).select("vec_id")
+      val res = Eval.withValidity(
+        idx.searchAll(q, K, L2Threshold, ExactNN.L2,
+          allowed = Some(allowed)),
+        emb, q, ExactNN.L2, L2Threshold)
+      dumpAndReload(s, res, s"$SearchDumpRoot/${sfName(dir)}/lsh_filtered")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // Filtered-search recall vs the FILTERED exact ground truth (DuckDB
+    // re-derives GT over the predicate subset itself) — the number that
+    // certifies the filter sits before the cut: post-filtering would
+    // show recall well below the unfiltered 1.0 because discarded rows
+    // consume beam slots.
+    "q_lsh_filtered_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = queriesDf(emb)
+      val idx = lshIdx(s, dir, angular = false)
+      val allowed = emb.where(col("label") % 2 === 0)
+      val pred = dumpAndReload(s,
+        idx.searchAll(q, K, L2Threshold, ExactNN.L2,
+          allowed = Some(allowed.select("vec_id"))),
+        s"$SearchDumpRoot/${sfName(dir)}/lsh_filtered_recall")
+      val gt = ExactNN.topK(q, allowed, K, ExactNN.L2,
+        threshold = Some(L2Threshold))
+      Eval.setPrecisionRecall(pred, gt)
+        .agg(
+          round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
+    }),
+
     // Per-query recall of LSH vs exact NN at the same threshold (O17
     // grading O13) — the reference's README benchmark loop as one query.
     // The prediction set is dumped (see SearchDumpRoot) so the DuckDB
@@ -210,7 +254,8 @@ object LshQueries extends QueryPack {
     * hit count left-joined and coalesced to 0.
     */
   private[queries] def recallOracle(predGlob: String, distSql: String,
-                                    threshold: Option[Double], k: Int): String = {
+                                    threshold: Option[Double], k: Int,
+                                    corpusWhere: String = ""): String = {
     val thrFilter = threshold.fold("")(t => s"WHERE dist <= $t")
     s"""WITH qs AS (
        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -218,7 +263,7 @@ object LshQueries extends QueryPack {
        |),
        |sc AS (
        |  SELECT qs.query_id, e.vec_id, $distSql AS dist
-       |  FROM qs CROSS JOIN embeddings e
+       |  FROM qs CROSS JOIN (SELECT * FROM embeddings $corpusWhere) e
        |),
        |gt AS (
        |  SELECT query_id, vec_id FROM (
@@ -363,6 +408,32 @@ object LshQueries extends QueryPack {
           |       THEN 0.0
           |       ELSE 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) END, 6)""".stripMargin,
         CosineThreshold),
+
+      // Filtered search: same per-pair distance recompute as the other
+      // searches PLUS the predicate re-checked on the returned id —
+      // a disallowed row flips `valid` cross-engine.
+      "q_lsh_search_filtered" ->
+        s"""WITH d AS (
+           |  SELECT * FROM read_parquet('$SearchDumpRoot/sf0.01/lsh_filtered/*.parquet')
+           |),
+           |r AS (
+           |  SELECT d.query_id, d.vec_id, d.dist, e.label,
+           |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+           |  FROM d
+           |  JOIN embeddings e ON e.vec_id = d.vec_id
+           |  JOIN embeddings q ON q.vec_id = d.query_id
+           |)
+           |SELECT query_id, vec_id, dist,
+           |       (abs(exact - dist) < 1e-9 AND dist <= $L2Threshold
+           |        AND label % 2 = 0) AS valid
+           |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+      // Filtered recall graded against DuckDB's OWN ground truth over
+      // the predicate subset.
+      "q_lsh_filtered_recall" -> recallOracle(
+        s"$SearchDumpRoot/sf0.01/lsh_filtered_recall/*.parquet",
+        L2DistSql, Some(L2Threshold), K,
+        corpusWhere = "WHERE label % 2 = 0"),
 
       "q_lsh_recall" -> recallOracle(
         s"$SearchDumpRoot/sf0.01/lsh_recall_l2/*.parquet",
