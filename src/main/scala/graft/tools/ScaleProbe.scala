@@ -268,6 +268,38 @@ object ScaleProbe {
         ivf.cells.unpersist(); ivf.vectors.unpersist()
       }
 
+      // Constrained (filtered) ANN (opt-in: SPARK_GRAFT_FILTERED=1):
+      // the allow-list (even vec_id, ~50% selective) lands between
+      // candidate retrieval and scoring; recall graded against the
+      // FILTERED exact ground truth. The question at scale is whether
+      // the candidates-broadcast-into-allowlist join adds measurable
+      // cost over the unfiltered search at the same operating point.
+      if (sys.env.get("SPARK_GRAFT_FILTERED").contains("1")) {
+        val fTrees = sys.env.getOrElse("SPARK_GRAFT_FILTERED_TREES", "20").toInt
+        val (idx, tTrain) = time {
+          val i = Lsh.train(corpus, "vec_id", "embedding",
+            LshConfig(nTrees = fTrees, kMinVecs = 80, seed = 42L,
+              sampleCap = sampleCap))
+          i.buckets.persist().count()
+          i.vectors.persist().count()
+          i
+        }
+        val allowed = corpus.where(pmod(col("vec_id"), lit(2)) === 0)
+        def filteredPred = idx.searchAll(queries, 10, threshold,
+          allowed = Some(allowed.select("vec_id")))
+        val (_, tF0) = time(filteredPred.count())
+        val (_, tF) = time(filteredPred.count())
+        val (_, tU) = time(idx.searchAll(queries, 10, threshold).count())
+        val fgt = ExactNN.topK(queries, allowed, 10, ExactNN.L2,
+          threshold = Some(threshold))
+        val fRecall = Eval.setPrecisionRecall(filteredPred, fgt)
+          .agg(avg("recall")).head().getDouble(0)
+        println(f"[scale] corpus=$n%,d filtered(sel=0.5, nTrees=$fTrees): " +
+          f"train=${tTrain}%.2fs filtered_search=${tF}%.2fs (warm ${tF0}%.2f) " +
+          f"unfiltered_search=${tU}%.2fs recall_vs_filtered_gt=$fRecall%.3f")
+        idx.buckets.unpersist(); idx.vectors.unpersist()
+      }
+
       corpus.unpersist(); gt.unpersist()
     }
     spark.stop()
