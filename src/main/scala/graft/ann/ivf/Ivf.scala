@@ -202,12 +202,25 @@ final class IvfIndex(
     * row-identical per TopKSpec (see [[graft.ann.TopK.perQueryTopK]]). */
   def searchAll(queries: DataFrame, k: Int,
                 metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
-                topKViaAggregator: Boolean = true): DataFrame = {
+                topKViaAggregator: Boolean = true,
+                allowed: Option[DataFrame] = None): DataFrame = {
     val probes = model.probeRows(queries, "query_id", "qv")
     val cands = cells
       .join(broadcast(probes), "cell")
       .select("query_id", "vec_id")
-    val scored = cands
+    // Constrained search: the allow-list filter sits between cell
+    // probing and scoring, so the top-k cut runs over allowed
+    // candidates only — identical semantics and join shape to
+    // LshIndex.searchAll's `allowed` (candidates broadcast into the
+    // corpus-scale allow-list scan, dedup on the bounded join output;
+    // recall caveats incl. the filter-geometry-correlation failure
+    // mode are in SCALE.md §filtered ANN).
+    val filtered = allowed.fold(cands) { a =>
+      a.select("vec_id").join(broadcast(cands), "vec_id")
+        .select("query_id", "vec_id")
+        .dropDuplicates("query_id", "vec_id")
+    }
+    val scored = filtered
       .join(vectors, "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("vec_id"),

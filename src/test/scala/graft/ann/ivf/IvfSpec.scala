@@ -54,6 +54,21 @@ class IvfSpec extends AnyFunSuite with SparkSpecBase {
     assert(pred === gt)
   }
 
+  test("filtered search: full probe + allow-list == exact NN over the filtered subset") {
+    val q = clustered.limit(10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val idx = Ivf.train(clustered, "vec_id", "embedding",
+      IvfConfig(nCells = 4, nProbe = 4, seed = 7L))
+    val allowed = clustered.where($"vec_id" % 2 === 0)
+    val pred = idx.searchAll(q, k = 5, ExactNN.L2,
+        allowed = Some(allowed.select("vec_id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gt = ExactNN.topK(q, allowed, k = 5, ExactNN.L2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pred === gt, "filtered full-probe search diverged from exact filtered NN")
+    assert(pred.forall(_._2 % 2 == 0), "disallowed vec_id in filtered result")
+  }
+
   test("searchAll topKViaAggregator path is row-identical to the window path") {
     val q = clustered.limit(10)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))

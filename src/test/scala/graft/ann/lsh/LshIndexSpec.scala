@@ -137,6 +137,30 @@ class LshIndexSpec extends AnyFunSuite with SparkSpecBase {
     assert(perBucketPairs <= cap.toLong * (cap - 1) / 2)
   }
 
+  test("filtered search: only allowed ids returned; equals unfiltered search intersected with the allow-list re-cut") {
+    // 300-row line corpus, every id probed (generous forest): the
+    // allow-list (even ids) applies BEFORE the top-k cut, so the result
+    // must equal re-cutting the allowed subset of a deep unfiltered
+    // search — and never contain a disallowed id
+    val corpus = (0L until 300L).map(i =>
+      (i, Seq(i * 0.01, (i % 7) * 0.05))).toDF("vec_id", "embedding")
+    val queries = corpus.limit(5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val idx = Lsh.train(corpus, "vec_id", "embedding",
+      LshConfig(nTrees = 12, kMinVecs = 30, angular = false, seed = 3L))
+    val allowed = corpus.where($"vec_id" % 2 === 0).select("vec_id")
+    val filtered = idx.searchAll(queries, 5, 100.0, ExactNN.L2,
+        allowed = Some(allowed)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(filtered.forall(_._2 % 2 == 0), "disallowed id in filtered result")
+    val deep = idx.searchAll(queries, 300, 100.0, ExactNN.L2)
+      .where($"vec_id" % 2 === 0)
+    val recut = graft.ann.TopK.perQueryTopK(deep, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(filtered.toSet === recut.toSet,
+      "filter-before-cut diverged from deep-search-then-recut")
+  }
+
   test("searchAll topKViaAggregator path is row-identical to the window path") {
     val rng = new scala.util.Random(29)
     val corpus = (0L until 400L).map(i =>
