@@ -1,6 +1,6 @@
 package graft.ann.ivfpq
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
@@ -181,7 +181,16 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
     * tables. The collect is bounded at [[IvfPq.MaxQueryBatch]] rows —
     * the "queries are the small side" contract as a named error rather
     * than a silent driver OOM. */
-  def searchAll(queries: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
+  /** `codesFilter`: constrained (metadata-filtered) search for the
+    * compressed index. Unlike LSH/IVF's bounded-candidate allow-list
+    * join, the ADC scan touches a corpus-scale fraction — so the
+    * scale-right form is a SCAN-SIDE predicate over the codes table:
+    * store the filterable metadata WITH the codes (join it once at
+    * build time — the filtered-DiskANN layout) and the predicate
+    * pushes into the parquet scan, zero joins, disallowed rows never
+    * scored and never consuming top-k/rerank slots. */
+  def searchAll(queries: DataFrame, k: Int, roundTo: Int = 6,
+                codesFilter: Option[Column] = None): DataFrame = {
     import queries.sparkSession.implicits._
     val qRows = queries
       .select(col("query_id").cast(LongType),
@@ -210,7 +219,8 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
     // is the DataFrame form of scanning IVF inverted lists list-by-list;
     // codes loaded from the partitionBy(cell) layout are already
     // clustered and the sort is a near-no-op.
-    val scored = codes
+    val scanned = codesFilter.fold(codes)(f => codes.where(f))
+    val scored = scanned
       .sortWithinPartitions("cell")
       .join(broadcast(probes), "cell")
       .select(col("query_id"), col("vec_id"),
@@ -229,9 +239,11 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
     * query_ids between the ADC pass and the rerank join and silently
     * drop rows. */
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
-                   rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
+                   rerankDepth: Int = 100, roundTo: Int = 6,
+                   codesFilter: Option[Column] = None): DataFrame = {
     warnIfShallow(rerankDepth)
-    val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
+    val cands = searchAll(queries, rerankDepth, roundTo, codesFilter)
+      .select("query_id", "vec_id")
     // angular mode reranks by exact cosine distance (scale-invariant, so
     // the raw float vectors need no normalization here); L2 otherwise
     val distCol =

@@ -222,6 +222,27 @@ class IvfPqSpec extends AnyFunSuite with SparkSpecBase {
     assert(partDirs.nonEmpty)
   }
 
+  test("codesFilter: scan-side filtered rerank == exact NN over the filtered subset") {
+    // metadata stored WITH the codes (the filtered-DiskANN layout):
+    // label parity joined once at build, predicate applied on the codes
+    // scan — disallowed rows never scored, never consuming rerank slots
+    val e = emb
+    val q = e.orderBy("vec_id").limit(10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val full = IvfPq.train(e, "vec_id", "embedding",
+      cfg.copy(nProbe = cfg.nCells)) // full probe: isolates the filter
+    val withMeta = new IvfPqIndex(full.model,
+      full.codes.withColumn("even", $"vec_id" % 2 === 0))
+    val pred = withMeta.searchRerank(q, e.select($"vec_id", $"embedding"),
+        5, rerankDepth = 100, codesFilter = Some($"even"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pred.forall(_._2 % 2 == 0), "disallowed id in filtered result")
+    val gt = graft.ann.ExactNN.topK(q, e.where($"vec_id" % 2 === 0), 5,
+        graft.ann.ExactNN.L2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pred === gt, "filtered rerank diverged from exact filtered NN")
+  }
+
   test("rerank-depth rule: shallow iff depth under 2.5% of probed rows") {
     val idx = IvfPq.train(emb, "vec_id", "embedding", cfg)
     // nProbe/nCells = 8/16: at a 1M corpus, probed rows = 500k and the
