@@ -320,6 +320,28 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id", "dist", "vec_id")
     }),
 
+    // Constrained IVF-PQ rerank search via the scan-side codesFilter
+    // (the filtered-DiskANN layout: predicate metadata stored WITH the
+    // codes, pushed into the codes scan — zero joins, disallowed rows
+    // never scored and never consuming rerank slots). The oracle
+    // recomputes every returned pair's exact distance AND re-checks
+    // the predicate on the returned id — one disallowed row flips
+    // `valid` cross-engine.
+    "q_ivfpq_search_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val base = ivfPqIdx(s, dir)
+      val withMeta = new graft.ann.ivfpq.IvfPqIndex(base.model,
+        base.codes.withColumn("even", col("vec_id") % 2 === 0))
+      val res = Eval.withValidity(
+        withMeta.searchRerank(q, e.select(col("vec_id"), col("embedding")),
+          K, 100, codesFilter = Some(col("even"))),
+        e, q, ExactNN.L2)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfpq_filtered")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
     // Angular IVF-PQ rerank search: both quantizers fit the unit sphere
     // (cosine ranking == L2 ranking on normalized vectors — the same
     // metric coupling the reference ties to angular indexing,
@@ -955,6 +977,23 @@ object SimilarityQueries extends QueryPack {
          |)
          |SELECT query_id, vec_id, dist,
          |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    // Filtered IVF-PQ: per-pair distance recompute PLUS the predicate
+    // re-checked on every returned id.
+    "q_ivfpq_search_filtered" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfpq_filtered/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       (abs(exact - dist) < 1e-9 AND vec_id % 2 = 0) AS valid
          |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
 
     // Every returned angular-IVF-PQ rerank row re-verified from the raw
