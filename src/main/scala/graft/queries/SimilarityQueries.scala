@@ -321,21 +321,22 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // Constrained IVF-PQ rerank search via the scan-side codesFilter
-    // (the filtered-DiskANN layout: predicate metadata stored WITH the
-    // codes, pushed into the codes scan — zero joins, disallowed rows
-    // never scored and never consuming rerank slots). The oracle
+    // (the filtered-DiskANN shape: the predicate runs on the codes
+    // scan — zero joins, disallowed rows never scored and never
+    // consuming rerank slots; the stored-metadata-column layout is
+    // spec'd in IvfPqSpec). The predicate here references vec_id,
+    // already a codes column, so the SHARED index serves directly —
+    // no second instance, no duplicate corpus count. The oracle
     // recomputes every returned pair's exact distance AND re-checks
     // the predicate on the returned id — one disallowed row flips
     // `valid` cross-engine.
     "q_ivfpq_search_filtered" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val base = ivfPqIdx(s, dir)
-      val withMeta = new graft.ann.ivfpq.IvfPqIndex(base.model,
-        base.codes.withColumn("even", col("vec_id") % 2 === 0))
+      val idx = ivfPqIdx(s, dir)
       val res = Eval.withValidity(
-        withMeta.searchRerank(q, e.select(col("vec_id"), col("embedding")),
-          K, 100, codesFilter = Some(col("even"))),
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")),
+          K, 100, codesFilter = Some(col("vec_id") % 2 === 0)),
         e, q, ExactNN.L2)
       LshQueries.dumpAndReload(s, res,
           s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfpq_filtered")
