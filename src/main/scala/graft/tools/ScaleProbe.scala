@@ -284,7 +284,14 @@ object ScaleProbe {
           i.vectors.persist().count()
           i
         }
-        val allowed = corpus.where(pmod(col("vec_id"), lit(2)) === 0)
+        // SPARK_GRAFT_FILTERED_HASH=1 switches the predicate from id
+        // parity (perfectly correlated with replica-cluster identity —
+        // the adversarial case) to xxhash64 parity (independent of the
+        // geometry — the typical metadata filter)
+        val allowed =
+          if (sys.env.get("SPARK_GRAFT_FILTERED_HASH").contains("1"))
+            corpus.where(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+          else corpus.where(pmod(col("vec_id"), lit(2)) === 0)
         def filteredPred = idx.searchAll(queries, 10, threshold,
           allowed = Some(allowed.select("vec_id")))
         val (_, tF0) = time(filteredPred.count())
