@@ -166,11 +166,18 @@ object GraphSearch {
       case _ => false
     }
     if (integral) {
+      // count==n ∧ min==0 ∧ max==n−1 does NOT imply distinctness
+      // (0,2,2,3 passes all three) — and a duplicated id would let the
+      // hash target land on an id no row holds, emitting edges to
+      // nonexistent nodes. count_distinct closes that hole in the same
+      // single aggregate pass (partial_count_distinct map-side).
       val st = nodes.agg(count(lit(1)).as("n"),
+        count_distinct(col("node")).as("nd"),
         min(col("node").cast("long")).as("mn"),
         max(col("node").cast("long")).as("mx")).head()
       val n = st.getLong(0)
-      if (n > 0 && st.getLong(1) == 0L && st.getLong(2) == n - 1)
+      if (n > 0 && st.getLong(1) == n && st.getLong(2) == 0L &&
+          st.getLong(3) == n - 1)
         return nodes.select(col("node").as("src"),
             explode(sequence(lit(0), lit(jumps - 1))).as("j"))
           .select(col("src"),

@@ -95,10 +95,17 @@ final class BqIndex(val model: BqModel, val codes: DataFrame) {
     * broadcast it across the codes table, score XOR+popcount, bounded
     * top-k by (hamming, vec_id) — integer distances, so the whole result
     * is deterministic and cross-engine exact. Returns
-    * (query_id, vec_id, hamming BIGINT). */
-  def searchHamming(queries: DataFrame, k: Int): DataFrame = {
+    * (query_id, vec_id, hamming BIGINT).
+    *
+    * `codesFilter`: constrained (metadata-filtered) search — the
+    * scan-side predicate form shared with SQ/IVF-SQ/IVF-PQ (metadata
+    * stored with the packed codes, predicate pushed into the codes
+    * scan, zero joins; disallowed rows never scored and never consume
+    * top-k/rerank slots). */
+  def searchHamming(queries: DataFrame, k: Int,
+                    codesFilter: Option[Column] = None): DataFrame = {
     val qc = queries.select(col("query_id"), model.encodeCol(col("qv")).as("qc"))
-    codes.crossJoin(broadcast(qc))
+    codesFilter.fold(codes)(f => codes.where(f)).crossJoin(broadcast(qc))
       .select(col("query_id"), col("vec_id"),
         model.hammingCol(col("qc"), col("codes")).cast(DoubleType).as("dist"))
       .groupBy("query_id")
@@ -123,8 +130,10 @@ final class BqIndex(val model: BqModel, val codes: DataFrame) {
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
                    rerankDepth: Int = 100,
                    metric: graft.ann.ExactNN.Metric = graft.ann.ExactNN.L2,
-                   roundTo: Int = 6): DataFrame = {
-    val cands = searchHamming(queries, rerankDepth).select("query_id", "vec_id")
+                   roundTo: Int = 6,
+                   codesFilter: Option[Column] = None): DataFrame = {
+    val cands = searchHamming(queries, rerankDepth, codesFilter)
+      .select("query_id", "vec_id")
     val exact = vectors
       .join(broadcast(cands), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")

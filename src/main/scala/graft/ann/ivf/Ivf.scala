@@ -210,13 +210,18 @@ final class IvfIndex(
       .select("query_id", "vec_id")
     // Constrained search: the allow-list filter sits between cell
     // probing and scoring, so the top-k cut runs over allowed
-    // candidates only — identical semantics and join shape to
-    // LshIndex.searchAll's `allowed` (candidates broadcast into the
-    // corpus-scale allow-list scan, dedup on the bounded join output;
-    // recall caveats incl. the filter-geometry-correlation failure
-    // mode are in SCALE.md §filtered ANN).
+    // candidates only — same semantics as LshIndex.searchAll's
+    // `allowed`. Join shape: NO forced broadcast on either side.
+    // Unlike LSH (bucket occupancy can be capped), IVF candidates are
+    // ~ queries × corpus × nProbe/nCells rows — a corpus-scale
+    // fraction, NOT bounded — so forcing them into a broadcast is a
+    // driver OOM at scale; Catalyst/AQE picks broadcast only when the
+    // measured size is small and otherwise runs a vec_id-partitioned
+    // shuffle join. Recall caveats incl. the filter-geometry-
+    // correlation failure mode are in SCALE.md §filtered ANN; for
+    // selective filters use [[searchAllFiltered]].
     val filtered = allowed.fold(cands) { a =>
-      a.select("vec_id").join(broadcast(cands), "vec_id")
+      a.select("vec_id").join(cands, "vec_id")
         .select("query_id", "vec_id")
         .dropDuplicates("query_id", "vec_id")
     }
@@ -226,6 +231,29 @@ final class IvfIndex(
       .select(col("query_id"), col("vec_id"),
         round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"))
     graft.ann.TopK.perQueryTopK(scored, k, topKViaAggregator)
+  }
+
+  /** Selectivity-aware constrained search — the IVF twin of
+    * [[graft.ann.lsh.LshIndex.searchAllFiltered]]: a selective
+    * allow-list ([[graft.ann.FilteredSearch.useExactScan]]) dispatches
+    * to an exact scan over the allowed subset (recall 1.0 by
+    * construction, cheap because the subset is small); otherwise the
+    * probe-then-filter path ([[searchAll]] with `allowed`) runs.
+    * Counts are one aggregate each; pass them when known upstream. */
+  def searchAllFiltered(queries: DataFrame, allowed: DataFrame, k: Int,
+                        metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
+                        maxExactFraction: Double =
+                          graft.ann.FilteredSearch.DefaultMaxExactFraction,
+                        allowedCount: Option[Long] = None,
+                        corpusCount: Option[Long] = None): DataFrame = {
+    val ids = allowed.select("vec_id")
+    val nAllowed = allowedCount.getOrElse(ids.count())
+    val nCorpus = corpusCount.getOrElse(vectors.count())
+    if (graft.ann.FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
+      ExactNN.topKAgg(queries, vectors.join(ids, "vec_id"), k, metric,
+        roundTo = roundTo)
+    else
+      searchAll(queries, k, metric, roundTo, allowed = Some(ids))
   }
 
   /** Cell occupancy diagnostics. */

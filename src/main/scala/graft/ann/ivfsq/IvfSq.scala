@@ -76,14 +76,22 @@ final class IvfSqIndex(val config: IvfSqConfig, val ivf: IvfModel,
     * decode once per pruned row → native L2 against the (normalized, in
     * angular mode) query vectors. Distances are on DEQUANTIZED values —
     * within d × (scale/2)² of exact; compose with [[searchRerank]] for
-    * exact ranks. */
-  def searchAll(queries: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
+    * exact ranks.
+    *
+    * `codesFilter`: constrained (metadata-filtered) search, same
+    * scan-side form as [[graft.ann.ivfpq.IvfPqIndex.searchAll]]: store
+    * the filterable metadata WITH the codes (join once at build time —
+    * the filtered-DiskANN layout) and the predicate pushes into the
+    * parquet codes scan — zero joins, disallowed rows never decoded,
+    * never scored, never consuming top-k/rerank slots. */
+  def searchAll(queries: DataFrame, k: Int, roundTo: Int = 6,
+                codesFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val qn = queries.select(col("query_id"),
       normalized(col("qv").cast(ArrayType(DoubleType))).as("qv"))
     val probes = ivf.probeRows(qn, "query_id", "qv")
       .select(col("query_id"), col("cell"))
     val probedCells = probes.select("cell").distinct()
-    val dec = codes
+    val dec = codesFilter.fold(codes)(f => codes.where(f))
       .join(broadcast(probedCells), "cell")
       .select(col("cell"), col("vec_id"), sq.decodeCol(col("codes")).as("dec"))
     val scored = dec
@@ -98,9 +106,11 @@ final class IvfSqIndex(val config: IvfSqConfig, val ivf: IvfModel,
   /** Deployment shape: quantized candidates re-ranked exactly (cosine in
     * angular mode — scale-invariant, so raw floats need no normalizing). */
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
-                   rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
+                   rerankDepth: Int = 100, roundTo: Int = 6,
+                   codesFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     warnIfShallow(rerankDepth)
-    val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
+    val cands = searchAll(queries, rerankDepth, roundTo, codesFilter)
+      .select("query_id", "vec_id")
     val distCol =
       if (config.angular)
         graft.functions.exprs.cosineDistNative(col("qv"), col("embedding"))

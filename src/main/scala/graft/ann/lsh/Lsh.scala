@@ -220,7 +220,9 @@ final class LshIndex(
     * restores the bounded-work semantics deterministically: candidates
     * are capped per query in vec_id order BEFORE the distance compute,
     * which is the memory bound that matters when a hot bucket explodes
-    * at scale.
+    * at scale. When `allowed` is ALSO set, the allow-list filter runs
+    * first and the cap applies to allowed candidates only (filter →
+    * cap → score; LshIndexSpec pins the composition).
     */
   def searchAll(queries: DataFrame, k: Int, distanceThreshold: Double,
                 metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
@@ -234,35 +236,42 @@ final class LshIndex(
         Seq("tree_id", "hash"))
       .select("query_id", "vec_id")
       .dropDuplicates("query_id", "vec_id")
-    val cands = maxCandidates.fold(uncapped) { cap =>
-      val cw = Window.partitionBy("query_id").orderBy("vec_id")
-      uncapped.withColumn("crn", row_number().over(cw))
-        .where(col("crn") <= cap).drop("crn")
-    }
     // Constrained (metadata-filtered) search: the (vec_id) allow-list —
     // typically the output of a metadata predicate — lands BETWEEN
     // candidate retrieval and scoring, so disallowed candidates are
     // dropped before any distance is computed and before the top-k cut
     // (a post-filtered top-k would return fewer than k allowed rows).
-    // Broadcast side: the CANDIDATES — they are bounded per batch
-    // (queries × probes × occupancy) while the allow-list scales with
-    // the corpus (a 50%-selective predicate over 100 TB is 50 TB of
-    // ids); the allow-list table is therefore probed in place, its
-    // predicate pushed to its own scan. Only probed candidates are
-    // tested — the standard filtered-ANN trade, recall graded against
-    // the FILTERED exact ground truth by q_lsh_filtered_recall. For
-    // highly selective filters prefer an exact scan over the filtered
-    // subset instead (the probe candidate set degenerates toward empty
-    // and the brute-force side is tiny).
-    // (dedup AFTER the join: it runs on the bounded join output, where
-    // a distinct() on the allow-list side would shuffle the whole
+    // It ALSO runs before `maxCandidates`, so disallowed rows never
+    // consume cap slots — the cap's contract is "at most `cap` ALLOWED
+    // candidates per query". Join shape: no forced broadcast hint on
+    // either side. The candidate side is bounded (queries × probes ×
+    // occupancy) only when the caller composed [[cappedBuckets]] /
+    // `maxCandidates`; an uncapped hot-bucket corpus can push it past
+    // driver memory, so the build-side choice is left to Catalyst/AQE,
+    // which broadcasts the candidate set when its MEASURED size is
+    // small and degrades to a vec_id-partitioned shuffle join instead
+    // of an OOM when it is not. The allow-list side stays a scan with
+    // its metadata predicate pushed down either way. Only probed
+    // candidates are tested — the standard filtered-ANN trade, recall
+    // graded against the FILTERED exact ground truth by
+    // q_lsh_filtered_recall. For highly selective filters use
+    // [[searchAllFiltered]], which dispatches to an exact scan over
+    // the allowed subset (the probe candidate set degenerates toward
+    // empty and the brute-force side is tiny).
+    // (dedup AFTER the join: it runs on the join output, where a
+    // distinct() on the allow-list side would shuffle the whole
     // corpus-scale id set just to guard against duplicate allow rows)
-    val filtered = allowed.fold(cands) { a =>
-      a.select("vec_id").join(broadcast(cands), "vec_id")
+    val filtered = allowed.fold(uncapped) { a =>
+      a.select("vec_id").join(uncapped, "vec_id")
         .select("query_id", "vec_id")
         .dropDuplicates("query_id", "vec_id")
     }
-    val scored = filtered
+    val cands = maxCandidates.fold(filtered) { cap =>
+      val cw = Window.partitionBy("query_id").orderBy("vec_id")
+      filtered.withColumn("crn", row_number().over(cw))
+        .where(col("crn") <= cap).drop("crn")
+    }
+    val scored = cands
       .join(vectors, "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("vec_id"),
@@ -274,6 +283,44 @@ final class LshIndex(
     // candidate scale-up. topKViaAggregator=false restores the
     // row_number() window (row-identical, TopKSpec) for plan comparison.
     graft.ann.TopK.perQueryTopK(scored, k, topKViaAggregator)
+  }
+
+  /** Selectivity-aware constrained search — the production answer to
+    * the measured correlated-filter failure mode (SCALE.md §filtered
+    * ANN: probe-then-filter recall 0.513 at 1M under a
+    * geometry-correlated filter). Dispatch rule
+    * ([[graft.ann.FilteredSearch.useExactScan]]): when the allow-list
+    * is at most `maxExactFraction` of the corpus, brute-force the
+    * allowed subset exactly — [[ExactNN.topKAgg]]'s broadcast-queries
+    * scan over only the allowed rows, recall 1.0 by construction and
+    * cheap precisely because the filter is selective; otherwise run the
+    * probe-then-filter path ([[searchAll]] with `allowed`). Both counts
+    * are one scan-side aggregate each; pass `allowedCount` /
+    * `corpusCount` when the caller already knows them (e.g. the
+    * predicate's selectivity is tracked upstream) to skip the jobs.
+    *
+    * @param allowed (vec_id) allow-list — extra columns are ignored
+    */
+  def searchAllFiltered(queries: DataFrame, allowed: DataFrame, k: Int,
+                        distanceThreshold: Double,
+                        metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
+                        maxExactFraction: Double =
+                          graft.ann.FilteredSearch.DefaultMaxExactFraction,
+                        allowedCount: Option[Long] = None,
+                        corpusCount: Option[Long] = None): DataFrame = {
+    val ids = allowed.select("vec_id")
+    val nAllowed = allowedCount.getOrElse(ids.count())
+    val nCorpus = corpusCount.getOrElse(vectors.count())
+    if (graft.ann.FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
+      // exact path: the corpus scan is pre-filtered to the allowed rows
+      // (join on vec_id, no forced hint — AQE broadcasts the id list
+      // when small), then ExactNN's broadcast-queries scan + bounded
+      // top-k tail runs over just that subset
+      ExactNN.topKAgg(queries, vectors.join(ids, "vec_id"), k, metric,
+        threshold = Some(distanceThreshold), roundTo = roundTo)
+    else
+      searchAll(queries, k, distanceThreshold, metric, roundTo,
+        allowed = Some(ids))
   }
 
   /** The buckets table with a deterministic per-bucket occupancy cap:

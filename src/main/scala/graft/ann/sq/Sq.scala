@@ -84,9 +84,17 @@ final class SqIndex(val model: SqModel, val codes: DataFrame) {
     * once (the projection sits BELOW the broadcast cross join, so the
     * per-row reconstruction is shared across all queries), score with
     * the native L2 kernel against the broadcast query set, bounded
-    * top-k tail. No float-table access, no corpus shuffle. */
-  def searchAll(queries: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
-    val dec = codes.select(col("vec_id"), model.decodeCol(col("codes")).as("dec"))
+    * top-k tail. No float-table access, no corpus shuffle.
+    *
+    * `codesFilter`: constrained (metadata-filtered) search — the
+    * scan-side predicate form shared with IVF-PQ/IVF-SQ (metadata
+    * stored with the codes, predicate pushed into the codes scan, zero
+    * joins; disallowed rows never decoded or scored and never consume
+    * top-k/rerank slots). */
+  def searchAll(queries: DataFrame, k: Int, roundTo: Int = 6,
+                codesFilter: Option[Column] = None): DataFrame = {
+    val dec = codesFilter.fold(codes)(f => codes.where(f))
+      .select(col("vec_id"), model.decodeCol(col("codes")).as("dec"))
     val scored = dec
       .crossJoin(broadcast(queries.select(col("query_id"), col("qv"))))
       .select(col("query_id"), col("vec_id"),
@@ -104,8 +112,10 @@ final class SqIndex(val model: SqModel, val codes: DataFrame) {
     * re-ranking (bounded candidate list broadcast into the vector
     * table — the corpus-sized side never shuffles). */
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
-                   rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
-    val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
+                   rerankDepth: Int = 100, roundTo: Int = 6,
+                   codesFilter: Option[Column] = None): DataFrame = {
+    val cands = searchAll(queries, rerankDepth, roundTo, codesFilter)
+      .select("query_id", "vec_id")
     val exact = vectors
       .join(broadcast(cands), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")

@@ -51,6 +51,13 @@ object LshQueries extends QueryPack {
   val MaxOccupancy = 40
   val MaxCandidatesCap = 150
 
+  /** Unbounded-radius stand-in for `q_lsh_search_filtered_selective`:
+    * the selective-dispatch claim is about WHICH path runs, not a
+    * radius, and a finite threshold would mostly empty a 2%-selective
+    * result set. Finite (not Double.MaxValue) so the dumped dist column
+    * stays orderable in both engines. */
+  val SelectiveThreshold = 1e9
+
   private def queriesDf(emb: DataFrame): DataFrame =
     emb.orderBy("vec_id").limit(VectorQueries.NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -209,6 +216,33 @@ object LshQueries extends QueryPack {
         s"$SearchDumpRoot/${sfName(dir)}/lsh_filtered_recall")
       val gt = ExactNN.topK(q, allowed, K, ExactNN.L2,
         threshold = Some(L2Threshold))
+      Eval.setPrecisionRecall(pred, gt)
+        .agg(
+          round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
+    }),
+
+    // Selectivity dispatch under the oracle (FilteredSearch /
+    // LshIndex.searchAllFiltered): a 2% allow-list (vec_id % 50 = 0,
+    // below the 5% cutoff at every sf) BINDS the exact-scan path —
+    // the production answer to the measured correlated-filter recall
+    // collapse (SCALE.md §filtered ANN: probe-then-filter 0.513 at 1M)
+    // — so recall vs DuckDB's own filtered exact ground truth must be
+    // EXACTLY 1.0, not approximately: any probe-path leakage or subset
+    // mis-scan breaks the hash. No distance threshold: with 2% of the
+    // corpus allowed, nearest allowed neighbors routinely sit past the
+    // probe thresholds, and the claim under test is the dispatch, not
+    // the radius.
+    "q_lsh_search_filtered_selective" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = queriesDf(emb)
+      val idx = lshIdx(s, dir, angular = false)
+      val allowed = emb.where(col("vec_id") % 50 === 0)
+      val pred = dumpAndReload(s,
+        idx.searchAllFiltered(q, allowed, K, SelectiveThreshold, ExactNN.L2),
+        s"$SearchDumpRoot/${sfName(dir)}/lsh_filtered_selective")
+      val gt = ExactNN.topK(q, allowed, K, ExactNN.L2)
       Eval.setPrecisionRecall(pred, gt)
         .agg(
           round(avg("precision"), 4).as("avg_precision"),
@@ -434,6 +468,13 @@ object LshQueries extends QueryPack {
         s"$SearchDumpRoot/sf0.01/lsh_filtered_recall/*.parquet",
         L2DistSql, Some(L2Threshold), K,
         corpusWhere = "WHERE label % 2 = 0"),
+
+      // Selective-dispatch recall vs DuckDB's own exact ground truth
+      // over the 2% allow-list — must be exactly 1.0 (exact-scan path).
+      "q_lsh_search_filtered_selective" -> recallOracle(
+        s"$SearchDumpRoot/sf0.01/lsh_filtered_selective/*.parquet",
+        L2DistSql, None, K,
+        corpusWhere = "WHERE vec_id % 50 = 0"),
 
       "q_lsh_recall" -> recallOracle(
         s"$SearchDumpRoot/sf0.01/lsh_recall_l2/*.parquet",

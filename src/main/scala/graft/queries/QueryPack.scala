@@ -16,17 +16,40 @@ trait QueryPack {
     * than one query (seeded graphs, verified pair pipelines): the
     * builds are pure, so sharing across Verify's concurrent query
     * threads changes no output — it only deletes redundant recompute.
-    * Keyed by (session, sfDir, tag); computeIfAbsent evaluates each
-    * build exactly once, and dependencies between memoized builds must
-    * be resolved BEFORE entering the compute lambda (nested computes on
-    * one ConcurrentHashMap are unsupported). Cache DataFrame values
-    * with `localCheckpoint()` so lineage never re-executes. */
+    * Keyed per-session (a WeakHashMap on the session REFERENCE — not
+    * its identity hash, which a later session could collide with after
+    * GC — so entries, and the checkpoint blocks they pin, die with the
+    * session); within a session, computeIfAbsent on (sfDir, tag)
+    * evaluates each build exactly once, and dependencies between
+    * memoized builds must be resolved BEFORE entering the compute
+    * lambda (nested computes on one ConcurrentHashMap are unsupported).
+    * Cache DataFrame values with `localCheckpoint()` so lineage never
+    * re-executes.
+    *
+    * LOCAL-MODE MACHINERY, not library API: `localCheckpoint` stores
+    * blocks on executors without lineage, so on a real cluster an
+    * executor loss makes every dependent frame irrecoverable. The memo
+    * exists so the certification board (Verify/Bench, single-JVM
+    * local[32]) builds each shared index once; production callers hold
+    * their own index references or use the persisted-index paths. */
   private val buildMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]]())
   protected def memoized[T <: AnyRef](s: SparkSession, dir: String,
-                                      tag: String)(f: => T): T =
-    buildMemo.computeIfAbsent((System.identityHashCode(s), dir, tag),
-      _ => f).asInstanceOf[T]
+                                      tag: String)(f: => T): T = {
+    val perSession = buildMemo.synchronized {
+      val got = buildMemo.get(s)
+      if (got != null) got
+      else {
+        val fresh =
+          new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+        buildMemo.put(s, fresh)
+        fresh
+      }
+    }
+    perSession.computeIfAbsent((dir, tag), _ => f).asInstanceOf[T]
+  }
 }
 
 object QueryPack {

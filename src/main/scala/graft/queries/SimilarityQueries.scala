@@ -512,6 +512,29 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id", "dist", "vec_id")
     }),
 
+    // Constrained IVF-SQ rerank search via the scan-side codesFilter —
+    // completing the filtered matrix across the code-table serving
+    // indexes (IVF-PQ r10, IVF-SQ here; SQ/BQ hooks are spec-gated):
+    // the predicate runs on the codes scan (filtered-DiskANN layout —
+    // zero joins, disallowed rows never decoded, never scored, never
+    // consuming rerank slots). The predicate references vec_id, already
+    // a codes column, so the SHARED index serves directly. The oracle
+    // recomputes every returned pair's exact distance AND re-checks the
+    // predicate on the returned id — one disallowed row flips `valid`
+    // cross-engine.
+    "q_ivfsq_search_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = ivfSqIdx(s, dir)
+      val res = Eval.withValidity(
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")),
+          K, 100, codesFilter = Some(col("vec_id") % 2 === 0)),
+        e, q, ExactNN.L2)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfsq_filtered")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
     // IVF-SQ recall: quantized cell-pruned scan vs exact rerank, dual
     // prediction dumps regraded by DuckDB (same oracle as q_pq_recall /
     // q_sq_recall — the delta across the three is compression scheme ×
@@ -1109,6 +1132,24 @@ object SimilarityQueries extends QueryPack {
          |)
          |SELECT query_id, vec_id, dist,
          |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    // Filtered IVF-SQ: per-pair distance recompute PLUS the predicate
+    // re-checked on every returned id (same gate as
+    // q_ivfpq_search_filtered).
+    "q_ivfsq_search_filtered" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfsq_filtered/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       (abs(exact - dist) < 1e-9 AND vec_id % 2 = 0) AS valid
          |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
 
     "q_ivfsq_recall" -> LshQueries.dualRecallOracle(

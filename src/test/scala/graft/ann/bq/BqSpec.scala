@@ -129,6 +129,22 @@ class BqSpec extends AnyFunSuite with SparkSpecBase {
     assert(got === exact, "full-depth cosine rerank diverged from exact NN")
   }
 
+  test("codesFilter: scan-side predicate == search over a pre-filtered codes table; rerank honors it") {
+    val q = emb.orderBy("vec_id").limit(10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val idx = Bq.train(emb, "vec_id", "embedding")
+    val pred = $"vec_id" % 2 === 0
+    val filtered = idx.searchHamming(q, 5, codesFilter = Some(pred))
+      .orderBy("query_id", "hamming", "vec_id").collect()
+    assert(filtered.forall(_.getLong(1) % 2 == 0), "disallowed id returned")
+    val preCut = new BqIndex(idx.model, idx.codes.where(pred))
+      .searchHamming(q, 5).orderBy("query_id", "hamming", "vec_id").collect()
+    assert(filtered === preCut)
+    val rer = idx.searchRerank(q, emb.select($"vec_id", $"embedding"), 5,
+        rerankDepth = 50, codesFilter = Some(pred)).collect()
+    assert(rer.forall(_.getLong(1) % 2 == 0), "rerank leaked a disallowed id")
+  }
+
   test("save/load round-trip: same thresholds, same codes, same search rows") {
     val dir = java.nio.file.Files.createTempDirectory("bq_idx").toString
     val idx = Bq.train(emb, "vec_id", "embedding")

@@ -117,6 +117,23 @@ class IvfSqSpec extends AnyFunSuite with SparkSpecBase {
     assert(!idx.rerankDepthShallow(100, 500L))
   }
 
+  test("codesFilter: scan-side predicate == search over a pre-filtered codes table; rerank honors it") {
+    val q = emb.orderBy("vec_id").limit(10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val idx = IvfSq.train(emb, "vec_id", "embedding", cfg)
+    val pred = $"vec_id" % 2 === 0
+    val filtered = idx.searchAll(q, 5, codesFilter = Some(pred))
+      .orderBy("query_id", "dist", "vec_id").collect()
+    assert(filtered.forall(_.getLong(1) % 2 == 0), "disallowed id returned")
+    val preCut = new IvfSqIndex(idx.config, idx.ivf, idx.sq,
+        idx.codes.where(pred))
+      .searchAll(q, 5).orderBy("query_id", "dist", "vec_id").collect()
+    assert(filtered === preCut)
+    val rer = idx.searchRerank(q, emb.select($"vec_id", $"embedding"), 5,
+        rerankDepth = 50, codesFilter = Some(pred)).collect()
+    assert(rer.forall(_.getLong(1) % 2 == 0), "rerank leaked a disallowed id")
+  }
+
   test("save/load round-trip: same models, same search rows") {
     val dir = java.nio.file.Files.createTempDirectory("ivfsq_idx").toString
     val idx = IvfSq.train(emb, "vec_id", "embedding", cfg)

@@ -81,6 +81,24 @@ class SqSpec extends AnyFunSuite with SparkSpecBase {
     assert(rerRecall === 1.0, s"rerank recall $rerRecall != 1.0")
   }
 
+  test("codesFilter: scan-side predicate == search over a pre-filtered codes table; rerank honors it") {
+    val q = emb.orderBy("vec_id").limit(10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val idx = Sq.train(emb, "vec_id", "embedding")
+    val pred = $"vec_id" % 2 === 0
+    val filtered = idx.searchAll(q, 5, codesFilter = Some(pred))
+      .orderBy("query_id", "dist", "vec_id").collect()
+    assert(filtered.forall(_.getLong(1) % 2 == 0), "disallowed id returned")
+    // identical to an index holding only the allowed code rows
+    val preCut = new SqIndex(idx.model, idx.codes.where(pred))
+      .searchAll(q, 5).orderBy("query_id", "dist", "vec_id").collect()
+    assert(filtered === preCut)
+    // rerank threads the predicate into candidate retrieval
+    val rer = idx.searchRerank(q, emb.select($"vec_id", $"embedding"), 5,
+        rerankDepth = 50, codesFilter = Some(pred)).collect()
+    assert(rer.forall(_.getLong(1) % 2 == 0), "rerank leaked a disallowed id")
+  }
+
   test("save/load round-trip: same bounds, same codes, same search rows") {
     val dir = java.nio.file.Files.createTempDirectory("sq_idx").toString
     val idx = Sq.train(emb, "vec_id", "embedding")
