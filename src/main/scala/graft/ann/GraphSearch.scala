@@ -260,36 +260,73 @@ object GraphSearch {
     val vecs = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"))
     val q = broadcast(queries.select(col("query_id"), col("qv")))
 
+    // The walk's per-hop state is the SMALL side by the algorithm's own
+    // contract: the frontier is ≤ queries × beamWidth rows (the output
+    // of a top-beamWidth cut — a hard bound, not an estimate), and the
+    // scored candidate set is frontier × (degree + 1), bounded by the
+    // graph's degree invariant (k-NN construction; GraphMaintainer's
+    // scheduled refine restores it under streaming inserts). Broadcast
+    // both so NEITHER the edge table nor the vector table shuffles on
+    // any hop — the corpus-scale sides are probed in place, which is
+    // both the 100 TB shape (a per-hop edge/corpus shuffle would be the
+    // walk's scale killer on non-bucketed graphs) and, measured at
+    // sf0.1, ~2x off the board walks' wall time (per-hop stage latency
+    // was 4 shuffles, now the dedup + top-k pair only).
     def score(cands: DataFrame): DataFrame =
-      cands.join(vecs, "node")
+      vecs.join(broadcast(cands), "node")
         .join(q, "query_id")
         .select(col("query_id"), col("node"),
           round(metric.dist(col("qv"), col("nv")), roundTo).as("dist"))
 
+    // Distinct-aware bounded cut (TopK.topKDistinct): candidate rows
+    // arrive WITH duplicates — a node reached from several beam nodes,
+    // plus the carry-over union — and the buffer skips equal
+    // (dist, node) pairs on insert, so the per-hop dedup that used to
+    // be its own dropDuplicates EXCHANGE costs nothing: one shuffle
+    // per hop total, identical rows (dist is a pure function of
+    // (query, node), so duplicates always carry equal dists).
     def cut(scored: DataFrame, width: Int): DataFrame =
-      TopK.perQueryTopK(
-          scored.select(col("query_id"), col("node").as("vec_id"), col("dist")),
-          width, viaAggregator = true)
-        .select(col("query_id"), col("vec_id").as("node"), col("dist"))
+      scored
+        .groupBy("query_id")
+        .agg(TopK.topKDistinct(width)(col("node"), col("dist")).as("nn"))
+        .select(col("query_id"), explode(col("nn")).as("n"))
+        .select(col("query_id"), col("n.vec_id").as("node"),
+          col("n.dist").as("dist"))
 
-    var beam = graft.text.Dedup.materializeRelease(cut(score(entries), beamWidth))
+    // Each hop's beam is persisted LAZILY (no per-hop count): the
+    // per-query loop state must not re-execute previous rounds (the MMR
+    // lesson, SCALE.md round 9) — each hop references its predecessor
+    // twice (neighbor expansion + carry-over union), so an unpersisted
+    // chain re-evaluates 2^hops times — but an EAGER materialization per
+    // hop costs one scheduled job per hop, and the walk's wall time is
+    // pure job/stage latency (measured at sf0.1: ~1 s/hop). Lazy
+    // persist keeps the lineage break (the cache manager substitutes
+    // the cached plan at planning time, so the plan tree stays linear)
+    // while the single final count executes the whole walk as one job,
+    // filling each hop's cache in sequence. All hop caches are released
+    // once the result materializes — a serving loop calling beamFrom
+    // per micro-batch (StreamingGraphServeSpec's pattern) pins nothing
+    // between calls.
+    val hopBeams = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var beam = cut(score(entries), beamWidth).persist()
+    hopBeams += beam
     for (_ <- 1 to hops) {
-      val nbrs = beam.select(col("query_id"), col("node").as("src"))
-        .join(und, "src")
+      val nbrs = und
+        .join(broadcast(beam.select(col("query_id"), col("node").as("src"))),
+          "src")
         .select(col("query_id"), col("dst").as("node"))
+      // no dropDuplicates: duplicate (query, node) candidates score
+      // map-side (each is one extra codegen'd distance) and collapse
+      // in the cut's distinct-aware buffer — trading bounded duplicate
+      // compute for a whole per-hop shuffle round
       val cands = nbrs.unionByName(beam.select(col("query_id"), col("node")))
-        .dropDuplicates("query_id", "node")
-      beam = graft.text.Dedup.materializeRelease(
-        cut(score(cands), beamWidth), beam)
+      beam = cut(score(cands), beamWidth).persist()
+      hopBeams += beam
     }
-    // materialize the (queries × k)-row result and RELEASE the final
-    // beam — without this, a serving loop calling beamFrom per
-    // micro-batch (StreamingGraphServeSpec's pattern) would leave one
-    // beamWidth-sized cache entry pinned per call until driver GC
     val result = graft.text.Dedup.materializeRelease(
       cut(beam.select(col("query_id"), col("node"), col("dist")), k)
         .select(col("query_id"), col("node").as("vec_id"), col("dist")),
-      beam)
+      hopBeams.toSeq: _*)
     result
   }
 }

@@ -36,7 +36,17 @@ object TopK {
     * filled, sorted ascending by (dist, id). */
   final case class Buf(var size: Int, ids: Array[Long], dists: Array[Double])
 
-  final class TopKAggregator(k: Int)
+  /** @param dedupPairs skip an incoming (dist, id) pair already held in
+    *   the buffer — per-key DISTINCT folded into the same aggregation.
+    *   This dedups identical PAIRS only (the graph walk's case: dist is
+    *   a pure function of (query, node), so duplicate candidates always
+    *   carry equal dists), which is exactly an upstream
+    *   `dropDuplicates` — one whole shuffle round — for free: equal
+    *   pairs sort adjacent, so the duplicate check is one probe at the
+    *   insertion point. A pair evicted for rank stays evicted (its
+    *   re-insert fails the same rank test), so merge order cannot
+    *   resurrect or double-count anything. */
+  final class TopKAggregator(k: Int, dedupPairs: Boolean = false)
       extends Aggregator[Neighbor, Buf, Seq[Neighbor]] {
 
     override def zero: Buf = Buf(0, new Array[Long](k), new Array[Double](k))
@@ -57,6 +67,8 @@ object TopK {
     private def add(b: Buf, id: Long, dist: Double): Unit = {
       if (b.size < k) {
         val i = pos(b, dist, id)
+        if (dedupPairs && i > 0 && b.dists(i - 1) == dist && b.ids(i - 1) == id)
+          return
         System.arraycopy(b.ids, i, b.ids, i + 1, b.size - i)
         System.arraycopy(b.dists, i, b.dists, i + 1, b.size - i)
         b.ids(i) = id
@@ -66,6 +78,8 @@ object TopK {
         val lastD = b.dists(k - 1)
         if (dist < lastD || (dist == lastD && id < b.ids(k - 1))) {
           val i = pos(b, dist, id)
+          if (dedupPairs && i > 0 && b.dists(i - 1) == dist && b.ids(i - 1) == id)
+            return
           System.arraycopy(b.ids, i, b.ids, i + 1, k - 1 - i)
           System.arraycopy(b.dists, i, b.dists, i + 1, k - 1 - i)
           b.ids(i) = id
@@ -99,6 +113,16 @@ object TopK {
     * `array<struct<vec_id, dist>>` ascending by (dist, vec_id). */
   def topK(k: Int): (Column, Column) => Column = {
     val agg = udaf(new TopKAggregator(k), Encoders.product[Neighbor])
+    (id: Column, dist: Column) => agg(id, dist)
+  }
+
+  /** [[topK]] with per-key (dist, vec_id)-pair dedup folded into the
+    * buffer (see [[TopKAggregator]] `dedupPairs`): equivalent to
+    * `dropDuplicates` + `topK` in ONE shuffle — the graph walk's hop
+    * tail, where every hop otherwise pays a dedicated dedup exchange. */
+  def topKDistinct(k: Int): (Column, Column) => Column = {
+    val agg = udaf(new TopKAggregator(k, dedupPairs = true),
+      Encoders.product[Neighbor])
     (id: Column, dist: Column) => agg(id, dist)
   }
 

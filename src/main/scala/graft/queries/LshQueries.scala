@@ -36,8 +36,8 @@ object LshQueries extends QueryPack {
     * trained the L2 forest and two the angular forest identically per
     * run; the fit is seeded and dump-free, so sharing deletes the
     * redundant driver-side forest builds without changing output. */
-  private def lshIdx(s: SparkSession, dir: String,
-                     angular: Boolean): LshIndex =
+  private[queries] def lshIdx(s: SparkSession, dir: String,
+                              angular: Boolean): LshIndex =
     memoized(s, dir, s"lsh_idx_$angular") {
       Lsh.train(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         config(angular))

@@ -119,6 +119,89 @@ object RetrievalQueries extends QueryPack {
       .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
         col("col.vec_id").as("doc_id"), (-col("col.dist")).as(out))
 
+  /** The hybrid queries' lexical arm: BM25 over each query doc's own
+    * distinct terms, self excluded, cut to the top-FuseDepth ranks.
+    * Memoized + checkpointed: three queries consume it (exact hybrid,
+    * indexed hybrid, agreement) and the BM25 DAG is the expensive
+    * part. */
+  private def hybridLex(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "hybrid_lex_ranks") {
+      val d = docs(s, dir)
+      val qterms = d.where(col("doc_id") < NumHybridQueries)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(col("toks"))).as("term"))
+      val lexAll = bm25(d, qterms)
+        .where(col("doc_id") =!= col("query_id"))
+      topDesc(lexAll, "score", FuseDepth, "score")
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+        .localCheckpoint()
+    }
+
+  private def hybridQueriesDf(e: DataFrame): DataFrame =
+    e.where(col("vec_id") < NumHybridQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** The exact vector arm: full-corpus cosine scan per query — the
+    * oracle-checkable reference form (and the agreement baseline). */
+  private def hybridVecExact(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "hybrid_vec_exact_ranks") {
+      val e = tbl(s, dir, "embeddings")
+      val q = hybridQueriesDf(e)
+      val vecScored = q.join(e, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          // negated rounded cosine DISTANCE as a descending "score":
+          // ascending distance == descending score, same topDesc tail.
+          (-round(exprs.cosineDistNative(col("qv"), col("embedding")), 6))
+            .as("vscore"))
+      topDesc(vecScored, "vscore", FuseDepth, "vscore")
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_vec"))
+        .localCheckpoint()
+    }
+
+  /** The index-served vector arm: candidates from the shared angular
+    * LSH forest (probe → dedup → exact cosine on candidates only),
+    * self excluded, ranked by (dist, doc_id) through the same bounded
+    * topDesc tail. Threshold 2.0 = the cosine-distance ceiling: depth
+    * ranking wants every probed candidate, the FuseDepth cut does the
+    * limiting. Returns (query_id, doc_id, dist, rank_vec) — dist rides
+    * along so the dump lets DuckDB re-derive the ranks from recomputed
+    * distances. */
+  private def hybridVecIndexed(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "hybrid_vec_lsh_ranks") {
+      val e = tbl(s, dir, "embeddings")
+      val q = hybridQueriesDf(e)
+      val idx = LshQueries.lshIdx(s, dir, angular = true)
+      val cands = idx.searchAll(q, FuseDepth + 1, 2.0, graft.ann.ExactNN.Cosine)
+        .where(col("vec_id") =!= col("query_id"))
+      topDesc(cands.select(col("query_id"), col("vec_id").as("doc_id"),
+            (-col("dist")).as("ndist")),
+          "ndist", FuseDepth, "ndist")
+        .select(col("query_id"), col("doc_id"), (-col("ndist")).as("dist"),
+          col("rank").as("rank_vec"))
+        .localCheckpoint()
+    }
+
+  /** Reciprocal-rank fusion of two (query_id, doc_id, rank_*) lists +
+    * the bounded top-k tail — shared verbatim by the exact and indexed
+    * hybrids so the serving swap changes ONLY the vector arm. */
+  private def fuseRrf(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val fusedScore = coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0))
+    // Both the top-k tail and the rank-detail join consume `fused`;
+    // persist it so the fusion input evaluates once. Verify/Bench
+    // release it via their per-query cache cleanup; it is
+    // ≤ 2·FuseDepth rows per query regardless of corpus size.
+    val fused = graft.text.Dedup.materializeRelease(
+      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          round(fusedScore, 6).as("rrf"), col("rank_lex"), col("rank_vec")))
+    topDesc(fused, "rrf", TopKDocs, "rrf")
+      .join(fused.select("query_id", "doc_id", "rank_lex", "rank_vec"),
+        Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("rank_lex"), col("rank_vec"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 keyword search: fixed multi-term queries, top-10 docs each.
     "q_bm25_topk" -> ((s, dir) => {
@@ -135,43 +218,49 @@ object RetrievalQueries extends QueryPack {
     // cosine ranking of its embedding via reciprocal-rank fusion. Each
     // retriever contributes its top-FuseDepth (self-match excluded);
     // a doc absent from one list scores only the other's 1/(60+r).
-    "q_hybrid_rrf" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val qterms = d.where(col("doc_id") < NumHybridQueries)
-        .select(col("doc_id").as("query_id"),
-          explode(array_distinct(col("toks"))).as("term"))
-      val lexAll = bm25(d, qterms)
-        .where(col("doc_id") =!= col("query_id"))
-      val lex = topDesc(lexAll, "score", FuseDepth, "score")
-        .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
-      val e = tbl(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < NumHybridQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val vecScored = q.join(e, col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("doc_id"),
-          // negated rounded cosine DISTANCE as a descending "score":
-          // ascending distance == descending score, same topDesc tail.
-          (-round(exprs.cosineDistNative(col("qv"), col("embedding")), 6))
-            .as("vscore"))
-      val vec = topDesc(vecScored, "vscore", FuseDepth, "vscore")
-        .select(col("query_id"), col("doc_id"), col("rank").as("rank_vec"))
-      val fusedScore = coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0))
-      // Both the top-k tail and the rank-detail join consume `fused`;
-      // persist it so the retrieval DAG (BM25 + corpus cosine scan)
-      // evaluates once. Verify/Bench release it via their per-query
-      // cache cleanup; it is ≤ 2·FuseDepth rows per query regardless
-      // of corpus size.
-      val fused = graft.text.Dedup.materializeRelease(
-        lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-          .select(col("query_id"), col("doc_id"),
-            round(fusedScore, 6).as("rrf"), col("rank_lex"), col("rank_vec")))
-      topDesc(fused, "rrf", TopKDocs, "rrf")
-        .join(fused.select("query_id", "doc_id", "rank_lex", "rank_vec"),
-          Seq("query_id", "doc_id"))
-        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
-          col("rank_lex"), col("rank_vec"))
+    // Arms and fusion tail are shared with q_hybrid_rrf_indexed /
+    // q_hybrid_rrf_agreement via the build memo (hybridLex /
+    // hybridVecExact / fuseRrf) — this query's output is the memo-free
+    // original, row for row.
+    "q_hybrid_rrf" -> ((s, dir) =>
+      fuseRrf(hybridLex(s, dir), hybridVecExact(s, dir))
+        .orderBy("query_id", "rank")),
+
+    // The SERVING form of the hybrid: the vector arm takes its
+    // candidates from the shared angular LSH index (probe → dedup →
+    // exact cosine on candidates, the reference's own search shape)
+    // instead of scanning the whole corpus per query — at 100 TB the
+    // exact arm is a full-corpus pass per query batch, the index arm
+    // touches only probed buckets. The fusion tail is IDENTICAL code.
+    // The index arm's ranked rows are dumped; DuckDB recomputes every
+    // dumped pair's cosine from the embeddings table, re-derives the
+    // vector ranks, recomputes the BM25 arm from scratch, and replays
+    // the fusion — so a wrong candidate distance, rank, or fused score
+    // all hash-mismatch. (The probe-vs-scan rank difference itself is
+    // graded by q_hybrid_rrf_agreement.)
+    "q_hybrid_rrf_indexed" -> ((s, dir) => {
+      val dump = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/hybrid_vec_lsh"
+      val ranked = hybridVecIndexed(s, dir)
+      LshQueries.dumpAndReload(s, ranked, dump)
+      fuseRrf(hybridLex(s, dir), ranked.select("query_id", "doc_id", "rank_vec"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Fused-rank agreement between the exact-arm and index-arm hybrids
+    // (the reference's recall-of-the-approximation measurement lifted
+    // to the fusion level): per query, |top-10_exact ∩ top-10_indexed|
+    // / |top-10_exact|, averaged. DuckDB replays BOTH fused lists (the
+    // exact one from scratch, the indexed one from the dump the
+    // *_indexed query wrote) and re-derives the same aggregate.
+    "q_hybrid_rrf_agreement" -> ((s, dir) => {
+      val ex = fuseRrf(hybridLex(s, dir), hybridVecExact(s, dir))
+        .select(col("query_id"), col("doc_id").as("vec_id"))
+      val ix = fuseRrf(hybridLex(s, dir),
+          hybridVecIndexed(s, dir).select("query_id", "doc_id", "rank_vec"))
+        .select(col("query_id"), col("doc_id").as("vec_id"))
+      graft.eval.Eval.setPrecisionRecall(ix, ex)
+        .agg(round(avg("recall"), 4).as("fused_agreement"),
+          count(lit(1)).as("n_queries"))
     }),
 
     // MMR diversified rerank (Carbonell & Goldstein, SIGIR 1998):
@@ -353,6 +442,143 @@ object RetrievalQueries extends QueryPack {
          |)
          |SELECT query_id, rank, doc_id, rrf, rank_lex, rank_vec
          |FROM rk WHERE rank <= $TopKDocs ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Index-served hybrid: BM25 arm recomputed from scratch; the
+    // vector arm's ranks re-derived from the dumped candidate pairs
+    // with DuckDB's OWN cosine recompute (a wrong dumped distance
+    // flips a rank and the hash); fusion replayed identically.
+    "q_hybrid_rrf_indexed" -> {
+      val qtermsCte =
+        s"""SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+           |  FROM tok WHERE doc_id < $NumHybridQueries""".stripMargin
+      s"""WITH ${bm25Cte(qtermsCte, "WHERE ts.doc_id <> qt.query_id")},
+         |lex AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank_lex
+         |  FROM sc QUALIFY rank_lex <= $FuseDepth
+         |),
+         |dv AS (
+         |  SELECT d.query_id, d.doc_id,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) END, 6) AS cdist
+         |  FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/hybrid_vec_lsh/*.parquet') d
+         |  JOIN embeddings e ON e.vec_id = d.doc_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |),
+         |vec AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cdist, doc_id) AS rank_vec
+         |  FROM dv
+         |),
+         |fus AS (
+         |  SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+         |         coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         |         round(coalesce(1.0 / ($RrfK + rank_lex), 0.0)
+         |             + coalesce(1.0 / ($RrfK + rank_vec), 0.0), 6) AS rrf,
+         |         rank_lex, rank_vec
+         |  FROM lex FULL OUTER JOIN vec USING (query_id, doc_id)
+         |),
+         |rk AS (
+         |  SELECT query_id, doc_id, rrf, rank_lex, rank_vec,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fus
+         |)
+         |SELECT query_id, rank, doc_id, rrf, rank_lex, rank_vec
+         |FROM rk WHERE rank <= $TopKDocs ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Agreement between the exact-arm and index-arm fused top-10s:
+    // DuckDB replays BOTH fusions (exact from scratch, indexed from
+    // the dump) and re-derives the Eval.setPrecisionRecall aggregate
+    // (n_pred/n_gt inner-joined, hits left-joined and coalesced).
+    "q_hybrid_rrf_agreement" -> {
+      val qtermsCte =
+        s"""SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+           |  FROM tok WHERE doc_id < $NumHybridQueries""".stripMargin
+      s"""WITH ${bm25Cte(qtermsCte, "WHERE ts.doc_id <> qt.query_id")},
+         |lex AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank_lex
+         |  FROM sc QUALIFY rank_lex <= $FuseDepth
+         |),
+         |vsc AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) END, 6) AS cdist
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumHybridQueries
+         |),
+         |vece AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cdist, doc_id) AS rank_vec
+         |  FROM vsc QUALIFY rank_vec <= $FuseDepth
+         |),
+         |dv AS (
+         |  SELECT d.query_id, d.doc_id,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) END, 6) AS cdist
+         |  FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/hybrid_vec_lsh/*.parquet') d
+         |  JOIN embeddings e ON e.vec_id = d.doc_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |),
+         |veci AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cdist, doc_id) AS rank_vec
+         |  FROM dv
+         |),
+         |fus_ex AS (
+         |  SELECT coalesce(lex.query_id, v.query_id) AS query_id,
+         |         coalesce(lex.doc_id, v.doc_id) AS doc_id,
+         |         round(coalesce(1.0 / ($RrfK + rank_lex), 0.0)
+         |             + coalesce(1.0 / ($RrfK + rank_vec), 0.0), 6) AS rrf
+         |  FROM lex FULL OUTER JOIN vece v USING (query_id, doc_id)
+         |),
+         |top_ex AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY rrf DESC, doc_id) AS rank
+         |    FROM fus_ex) WHERE rank <= $TopKDocs
+         |),
+         |fus_ix AS (
+         |  SELECT coalesce(lex.query_id, v.query_id) AS query_id,
+         |         coalesce(lex.doc_id, v.doc_id) AS doc_id,
+         |         round(coalesce(1.0 / ($RrfK + rank_lex), 0.0)
+         |             + coalesce(1.0 / ($RrfK + rank_vec), 0.0), 6) AS rrf
+         |  FROM lex FULL OUTER JOIN veci v USING (query_id, doc_id)
+         |),
+         |top_ix AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY rrf DESC, doc_id) AS rank
+         |    FROM fus_ix) WHERE rank <= $TopKDocs
+         |),
+         |np AS (SELECT query_id, count(*) AS n_pred FROM top_ix GROUP BY query_id),
+         |ng AS (SELECT query_id, count(*) AS n_gt FROM top_ex GROUP BY query_id),
+         |h AS (
+         |  SELECT i.query_id, count(*) AS hits
+         |  FROM top_ix i JOIN top_ex e USING (query_id, doc_id)
+         |  GROUP BY i.query_id
+         |),
+         |pr AS (
+         |  SELECT np.query_id,
+         |         round(coalesce(h.hits, 0) / ng.n_gt, 6) AS recall
+         |  FROM np JOIN ng USING (query_id) LEFT JOIN h USING (query_id)
+         |)
+         |SELECT round(avg(recall), 4) AS fused_agreement,
+         |       count(*) AS n_queries
+         |FROM pr""".stripMargin
     },
 
     // MMR: DuckDB replays the identical greedy selection — MmrK

@@ -781,8 +781,11 @@ object SimilarityQueries extends QueryPack {
     // graph-maintenance twin of the streaming codes-append oracles.
     "q_graph_insert" -> ((s, dir) => {
       val e = emb(s, dir)
-      val arriving = e.where(col("vec_id") >= InsertFrom)
-      val existing = e.where(col("vec_id") < InsertFrom)
+      // per-sf cut: the LAST InsertTailCount ids arrive (see the knob
+      // scaladoc — at sf0.01 this is the historical vec_id >= 480)
+      val cut = e.agg(max("vec_id")).head().getLong(0) + 1 - InsertTailCount
+      val arriving = e.where(col("vec_id") >= cut)
+      val existing = e.where(col("vec_id") < cut)
       // the base graph EXCLUDES the arriving ids, so it cannot reuse
       // the full-corpus builds above — but it is itself deterministic
       // and memoized: the stored-graph-serves-inserts pattern, built
@@ -810,7 +813,7 @@ object SimilarityQueries extends QueryPack {
       graft.ann.GraphSearch.insert(gWithDist, existing, "vec_id",
           "embedding", arriving, KnnK, BeamWidth, BeamHops, entries,
           maxReverseDegree = InsertRevCap)
-        .where(col("src") >= InsertFrom || col("dst") >= InsertFrom)
+        .where(col("src") >= cut || col("dst") >= cut)
         .orderBy("src", "dst")
     }),
 
@@ -859,12 +862,22 @@ object SimilarityQueries extends QueryPack {
     })
   )
 
-  /** Online-insert query knobs: vec_ids >= InsertFrom play the arriving
-    * batch; entries are the InsertEntries lowest existing ids; each
-    * existing node accepts at most InsertRevCap new in-links. */
-  val InsertFrom = 480L
+  /** Online-insert query knobs: the LAST InsertTailCount vec_ids play
+    * the arriving batch (so the batch stays 20 vectors at EVERY sf —
+    * vec_id >= 480 was absolute, which at sf0.1's 2000 rows silently
+    * made 1520 of 2000 vectors "arriving" against a 480-node base graph:
+    * a 9-10 s board line measuring a misconfigured replay, not the
+    * operator); entries are the InsertEntries lowest existing ids; each
+    * existing node accepts at most InsertRevCap new in-links. At
+    * sf0.01 (500 rows) the cut is 480 — bit-identical to the historical
+    * InsertFrom constant, so the driver's oracle rows are unchanged. */
+  val InsertTailCount = 20L
   val InsertEntries = 32L
   val InsertRevCap = 2
+  /** sf0.01's arriving-batch cut (500 − InsertTailCount) — the value the
+    * generated DuckDB oracle pins, since oracle SQL always replays the
+    * sf0.01 dumps. */
+  val InsertFrom = 500L - InsertTailCount
 
   /** Mutual-kNN cluster edge ceiling: below the 0.62+ background
     * cosine band, so mutual edges are near-dup-grade. */
