@@ -281,6 +281,27 @@ object SimilarityQueries extends QueryPack {
           count(lit(1)).as("n_queries"))
     }),
 
+    // IVF selectivity dispatch under the oracle — the IVF twin of
+    // q_lsh_search_filtered_selective: a 2% allow-list binds
+    // IvfIndex.searchAllFiltered's exact-scan path
+    // (FilteredSearch.useExactScan), so recall vs DuckDB's own filtered
+    // exact ground truth must be EXACTLY 1.0.
+    "q_ivf_search_filtered_selective" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = ivfIdx(s, dir)
+      val allowed = e.where(col("vec_id") % 50 === 0)
+      val pred = LshQueries.dumpAndReload(s,
+        idx.searchAllFiltered(q, allowed, K, ExactNN.L2),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_filtered_selective")
+      val gt = ExactNN.topK(q, allowed, K, ExactNN.L2)
+      Eval.setPrecisionRecall(pred, gt)
+        .agg(
+          round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
+    }),
+
     // IVF cell occupancy + build invariants, computed over the
     // parquet-dumped (vec_id, cell) table so DuckDB aggregates the SAME
     // assignment (see CellDumpRoot): `total_ok` is cross-engine (Spark
@@ -973,6 +994,13 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, vec_id, dist,
          |       abs(exact - dist) < 1e-9 AS valid
          |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    // IVF selective-dispatch recall vs DuckDB's own filtered exact
+    // ground truth — must be exactly 1.0 (exact-scan path binds at 2%).
+    "q_ivf_search_filtered_selective" -> LshQueries.recallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_filtered_selective/*.parquet",
+      LshQueries.L2DistSql, None, K,
+      corpusWhere = "WHERE vec_id % 50 = 0"),
 
     // Every returned angular-IVF row re-verified from the raw embeddings
     // (cosine is scale-invariant, so DuckDB recomputes it from the

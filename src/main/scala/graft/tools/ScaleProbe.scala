@@ -304,6 +304,35 @@ object ScaleProbe {
         println(f"[scale] corpus=$n%,d filtered(sel=0.5, nTrees=$fTrees): " +
           f"train=${tTrain}%.2fs filtered_search=${tF}%.2fs (warm ${tF0}%.2f) " +
           f"unfiltered_search=${tU}%.2fs recall_vs_filtered_gt=$fRecall%.3f")
+
+        // Selectivity DISPATCH (round 11): a 2%-selective predicate, in
+        // both correlation regimes (replicas share vec_id % 50 because
+        // baseN % 50 == 0 — correlated; xxhash parity-of-50 —
+        // uncorrelated). Probe-then-filter recall collapses here (the
+        // probed buckets hold almost no allowed rows); searchAllFiltered
+        // dispatches to the exact scan over the ~2% subset (recall 1.0
+        // by construction) — the measured question is its LATENCY,
+        // including the dispatch's own count jobs.
+        for ((tag, a) <- Seq(
+            "correlated" -> corpus.where(pmod(col("vec_id"), lit(50)) === 0),
+            "uncorrelated" -> corpus.where(
+              pmod(xxhash64(col("vec_id")), lit(50)) === 0))) {
+          val fgt2 = ExactNN.topK(queries, a, 10, ExactNN.L2,
+            threshold = Some(threshold))
+          def ptf = idx.searchAll(queries, 10, threshold,
+            allowed = Some(a.select("vec_id")))
+          val (_, tP) = time(ptf.count())
+          val pRec = Eval.setPrecisionRecall(ptf, fgt2)
+            .agg(avg("recall")).head().getDouble(0)
+          def disp = idx.searchAllFiltered(queries, a, 10, threshold)
+          val (_, tD0) = time(disp.count())
+          val (_, tD) = time(disp.count())
+          val dRec = Eval.setPrecisionRecall(disp, fgt2)
+            .agg(avg("recall")).head().getDouble(0)
+          println(f"[scale] corpus=$n%,d selective2pct($tag): " +
+            f"probe_then_filter=${tP}%.2fs recall=$pRec%.3f | " +
+            f"dispatch_exact=${tD}%.2fs (warm ${tD0}%.2f) recall=$dRec%.3f")
+        }
         idx.buckets.unpersist(); idx.vectors.unpersist()
       }
 
