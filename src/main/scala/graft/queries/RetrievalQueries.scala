@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -52,6 +53,13 @@ object RetrievalQueries extends QueryPack {
     4L -> Seq("dup", "customer", "join"))
   /** RRF constant (Cormack et al. 2009's K=60). */
   val RrfK = 60
+  /** Late-interaction token-embedding dims (±1 components, so every
+    * token-pair cosine is an exact multiple of 1/MaxSimDims). */
+  val MaxSimDims = 16
+  /** Query tokens kept per query doc for maxsim scoring — the
+    * MaxSimQTokens smallest md5(token) values, an ORDER-FREE cap (no
+    * reliance on either engine's distinct/tokenize ordering). */
+  val MaxSimQTokens = 16
   /** Candidate depth each retriever contributes to fusion. */
   val FuseDepth = 50
   /** Query-by-example query count for the hybrid query (doc_id 0..9;
@@ -263,6 +271,46 @@ object RetrievalQueries extends QueryPack {
           count(lit(1)).as("n_queries"))
     }),
 
+    // Late-interaction (ColBERT-style, Khattab & Zaharia SIGIR 2020)
+    // maxsim RERANK of the BM25 candidates: score(q, d) =
+    // Σ_{t ∈ q} max_{u ∈ d} cos(E(t), E(u)) over md5-derived ±1
+    // embeddings of word-BIGRAM units (the RandomProjection sign rule
+    // keyed by the bigram string), so DuckDB re-derives every unit
+    // vector and replays the whole rerank. The multi-vector scoring
+    // the single-vector hybrid can't express: a doc scores high only
+    // if EACH query unit finds its own best match. Units are bigrams,
+    // not unigrams, because this corpus's unigram vocabulary is
+    // uniformly common (df ≈ 0.75 — every candidate contains every
+    // query token and Σ-max saturates at its ceiling for all of them);
+    // bigram df ≈ 0.056 keeps the exact-match component discriminative.
+    // Serving shape: retrieve (BM25 arm, bounded top-C) → rescore only
+    // candidates — cost per query is C × |q_units| × |d_units|,
+    // independent of corpus size; the scoring joins broadcast the
+    // bounded sides, the corpus is touched only by the candidate docs'
+    // bigram explode. ±1 components make every unit-pair cosine an
+    // exact multiple of 1/16 — sums and maxes are float-exact across
+    // engines.
+    "q_maxsim_rerank" -> ((s, dir) => {
+      val lex = hybridLex(s, dir).select("query_id", "doc_id")
+      val d = docs(s, dir)
+      // query units: the MaxSimQTokens smallest md5(bigram) per query
+      // doc — an order-free deterministic cap (bounded per-query window)
+      val w = Window.partitionBy("query_id").orderBy(md5(col("tok")), col("tok"))
+      val qt = d.where(col("doc_id") < NumHybridQueries)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(shingles(col("toks"), 2))).as("tok"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= MaxSimQTokens)
+        .select(col("query_id"), col("tok"), tokVec(col("tok")).as("tv"))
+      // candidate docs' distinct bigrams + vectors (scan-side md5 map)
+      val dt = d.join(broadcast(lex.select("doc_id").distinct()), "doc_id")
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(col("toks"), 2))).as("dtok"))
+        .select(col("doc_id"), col("dtok"), tokVec(col("dtok")).as("dv"))
+      topDesc(maxsimScores(lex, qt, dt), "maxsim", TopKDocs, "maxsim")
+        .orderBy("query_id", "rank")
+    }),
+
     // MMR diversified rerank (Carbonell & Goldstein, SIGIR 1998):
     // greedy argmax of λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) over the
     // top-MmrDepth cosine candidates of each query-by-example doc. The
@@ -352,6 +400,37 @@ object RetrievalQueries extends QueryPack {
   val MmrDepth = 20
   val MmrK = 5
   val MmrLambda = 0.5
+
+  /** Late-interaction scoring core: for every (query_id, doc_id) in
+    * `cands`, score = Σ over the query's tokens of the max cosine to
+    * any of the doc's tokens. `qt` is (query_id, tok, tv), `dt`
+    * (doc_id, dtok, dv) — both token frames carry their embedding
+    * arrays; both join sides are broadcast (candidate list and query
+    * tokens are serving-bounded). Returns (query_id, doc_id, maxsim),
+    * the Σ-max rounded to 6. */
+  private[queries] def maxsimScores(cands: DataFrame, qt: DataFrame,
+                                    dt: DataFrame): DataFrame = {
+    val pairs = dt
+      .join(broadcast(cands), "doc_id")
+      .join(broadcast(qt), "query_id")
+      .select(col("query_id"), col("doc_id"), col("tok"),
+        (aggregate(zip_with(col("tv"), col("dv"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) / MaxSimDims).as("cosv"))
+    pairs
+      .groupBy("query_id", "doc_id", "tok").agg(max("cosv").as("m"))
+      .groupBy("query_id", "doc_id").agg(round(sum("m"), 6).as("maxsim"))
+  }
+
+  /** ±1^MaxSimDims md5-derived token embedding: component j is +1 iff
+    * the first hex nibble of md5("<tok>,<j>") is 0-7 — the
+    * [[graft.stats.RandomProjection.sign]] rule keyed by the token
+    * string, so DuckDB re-derives every vector byte-for-byte. Baked as
+    * MaxSimDims codegen'd md5 calls in the token scan (no UDF). */
+  private[queries] def tokVec(tok: Column): Column =
+    array((0 until MaxSimDims).map { j =>
+      when(conv(substring(md5(concat(tok, lit(s",$j"))), 1, 1), 16, 10)
+        .cast("int") < 8, lit(1.0)).otherwise(lit(-1.0))
+    }: _*)
 
   /** Shared oracle-SQL fragments (DuckDB). The BM25 CTE chain mirrors
     * [[bm25]] stage-for-stage; `%s` slots take the query-terms CTE body
@@ -579,6 +658,69 @@ object RetrievalQueries extends QueryPack {
          |SELECT round(avg(recall), 4) AS fused_agreement,
          |       count(*) AS n_queries
          |FROM pr""".stripMargin
+    },
+
+    // Maxsim rerank: DuckDB recomputes the BM25 candidate lists from
+    // scratch, re-derives EVERY ±1 token embedding from the md5 sign
+    // rule, and replays the full Σ-max late-interaction scoring + the
+    // (maxsim DESC, doc_id) ranking. ±1 components keep every pair
+    // cosine an exact multiple of 1/MaxSimDims, so no float fuzz
+    // crosses the engines.
+    "q_maxsim_rerank" -> {
+      val qtermsCte =
+        s"""SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+           |  FROM tok WHERE doc_id < $NumHybridQueries""".stripMargin
+      def sgn(tokExpr: String) =
+        s"(CASE WHEN strpos('01234567', substr(md5($tokExpr || ',' || j), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)"
+      s"""WITH ${bm25Cte(qtermsCte, "WHERE ts.doc_id <> qt.query_id")},
+         |lex AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank_lex
+         |  FROM sc QUALIFY rank_lex <= $FuseDepth
+         |),
+         |qbg AS (
+         |  SELECT doc_id AS query_id,
+         |         unnest(list_distinct(list_transform(range(0, len(toks)-1),
+         |           i -> array_to_string(toks[i+1:i+2], ' ')))) AS term
+         |  FROM tok WHERE doc_id < $NumHybridQueries
+         |),
+         |qtok AS (
+         |  SELECT query_id, term AS tok FROM (
+         |    SELECT query_id, term,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY md5(term), term) AS rn
+         |    FROM qbg
+         |  ) WHERE rn <= $MaxSimQTokens
+         |),
+         |dtok AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(range(0, len(toks)-1),
+         |           i -> array_to_string(toks[i+1:i+2], ' ')))) AS dtok
+         |  FROM tok WHERE doc_id IN (SELECT DISTINCT doc_id FROM lex)
+         |),
+         |prs AS (
+         |  SELECT l.query_id, l.doc_id, p.tok,
+         |         list_sum(list_transform(range($MaxSimDims), j ->
+         |           ${sgn("p.tok")} * ${sgn("dk.dtok")})) / $MaxSimDims.0 AS cosv
+         |  FROM lex l
+         |  JOIN qtok p ON p.query_id = l.query_id
+         |  JOIN dtok dk ON dk.doc_id = l.doc_id
+         |),
+         |ms AS (
+         |  SELECT query_id, doc_id, round(sum(m), 6) AS maxsim
+         |  FROM (SELECT query_id, doc_id, tok, max(cosv) AS m
+         |        FROM prs GROUP BY query_id, doc_id, tok)
+         |  GROUP BY query_id, doc_id
+         |),
+         |rk AS (
+         |  SELECT query_id, doc_id, maxsim,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY maxsim DESC, doc_id) AS rank
+         |  FROM ms
+         |)
+         |SELECT query_id, rank, doc_id, maxsim
+         |FROM rk WHERE rank <= $TopKDocs ORDER BY query_id, rank""".stripMargin
     },
 
     // MMR: DuckDB replays the identical greedy selection — MmrK

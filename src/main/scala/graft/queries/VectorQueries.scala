@@ -106,6 +106,32 @@ object VectorQueries extends QueryPack {
         .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").as("pv"))
         .orderBy("vec_id", "pos")),
 
+    // Matryoshka truncated-prefix serving (arXiv:2205.13147): candidates
+    // on the first 16 of 64 components (4x fewer scan bytes / FLOPs,
+    // pure slice projection), exact full-dim rerank of the top-30 per
+    // query. Deterministic both stages, so DuckDB replays the WHOLE
+    // pipeline (list slicing + list_distance) — zero dumps.
+    "q_mrl_search" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      graft.ann.Matryoshka
+        .searchAll(queriesDf(e), e, K, MrlPrefixDims, MrlRerankDepth)
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // The MRL quality number: recall of the truncate-then-rerank result
+    // vs the full-dim exact top-K (loss happens only when a true
+    // neighbor ranks below rerankDepth in the prefix space).
+    "q_mrl_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val pred = graft.ann.Matryoshka
+        .searchAll(queriesDf(e), e, K, MrlPrefixDims, MrlRerankDepth)
+      graft.eval.Eval.setPrecisionRecall(
+          pred.select(col("query_id"), col("vec_id")),
+          exactNn(s, dir, ExactNN.L2).select(col("query_id"), col("vec_id")))
+        .agg(round(avg("recall"), 4).as("mrl_recall"),
+          count(lit(1)).as("n_queries"))
+    }),
+
     // Does the 4x-cheaper space still rank neighbors? Top-K L2 search in
     // the 16-d projected space graded against the 64-d exact top-K —
     // recall is the JL quality number, recomputed end-to-end by DuckDB
@@ -130,6 +156,11 @@ object VectorQueries extends QueryPack {
   /** JL projection shape: 64-d testdata embeddings down to 16-d. */
   val JlDimsIn = 64
   val JlDimsOut = 16
+
+  /** MRL serving shape: candidates on the first 16 of 64 components,
+    * exact rerank of the top 3k per query. */
+  val MrlPrefixDims = 16
+  val MrlRerankDepth = 3 * K
 
   private val qCte =
     s"""WITH q AS (
@@ -244,8 +275,67 @@ object VectorQueries extends QueryPack {
          |SELECT round(avg(round(coalesce(hits.valid, 0) / $K.0, 6)), 4) AS jl_recall,
          |       count(*) AS n_queries
          |FROM (SELECT DISTINCT query_id FROM pred) p
+         |LEFT JOIN hits USING (query_id)""".stripMargin,
+
+    // Full end-to-end replay of the MRL pipeline: truncated-prefix
+    // candidate ranking, then exact full-dim rerank — same rounding and
+    // (dist, vec_id) tiebreaks as graft.ann.Matryoshka at both stages.
+    "q_mrl_search" ->
+      s"""$mrlCte
+         |SELECT query_id, vec_id, dist FROM reranked
+         |ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    "q_mrl_recall" ->
+      s"""$mrlCte,
+         |gt AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_distance(q.qv, e.embedding::DOUBLE[]), 6), e.vec_id) AS rn
+         |    FROM q CROSS JOIN embeddings e
+         |  ) WHERE rn <= $K
+         |),
+         |hits AS (
+         |  SELECT r.query_id, count(*) AS valid
+         |  FROM reranked r JOIN gt ON gt.query_id = r.query_id AND gt.vec_id = r.vec_id
+         |  GROUP BY r.query_id
+         |)
+         |SELECT round(avg(round(coalesce(hits.valid, 0) / $K.0, 6)), 4) AS mrl_recall,
+         |       count(*) AS n_queries
+         |FROM (SELECT DISTINCT query_id FROM reranked) p
          |LEFT JOIN hits USING (query_id)""".stripMargin
   )
+
+  /** DuckDB re-derivation of the Matryoshka truncate-then-rerank search
+    * — shared CTE prefix of both MRL oracles. List slicing `[1:p]` is
+    * 1-based inclusive (= `slice(col, 1, p)`); stays in lockstep with
+    * [[graft.ann.Matryoshka.searchAll]] (round-6 before every ranking,
+    * vec_id tiebreak at both stages). */
+  private lazy val mrlCte =
+    s"""$qCte,
+       |tc AS (
+       |  SELECT vec_id, (embedding::DOUBLE[])[1:$MrlPrefixDims] AS te
+       |  FROM embeddings
+       |),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, tc.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_distance(q.qv[1:$MrlPrefixDims], tc.te), 6), tc.vec_id) AS rn
+       |    FROM q CROSS JOIN tc
+       |  ) WHERE rn <= $MrlRerankDepth
+       |),
+       |reranked AS (
+       |  SELECT query_id, vec_id, dist FROM (
+       |    SELECT c.query_id, c.vec_id,
+       |      round(list_distance(q.qv, e.embedding::DOUBLE[]), 6) AS dist,
+       |      row_number() OVER (PARTITION BY c.query_id
+       |        ORDER BY round(list_distance(q.qv, e.embedding::DOUBLE[]), 6), c.vec_id) AS rn
+       |    FROM cand c
+       |    JOIN embeddings e USING (vec_id)
+       |    JOIN q ON q.query_id = c.query_id
+       |  ) WHERE rn <= $K
+       |)""".stripMargin
 
   /** DuckDB re-derivation of the md5-sign JL projection — shared CTE
     * prefix of both JL oracles. Must stay in lockstep with

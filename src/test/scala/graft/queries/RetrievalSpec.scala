@@ -219,4 +219,34 @@ class RetrievalSpec extends AnyFunSuite with SparkSpecBase {
     val plan = q(spark, sf("sf0.001")).queryExecution.optimizedPlan.toString
     assert(!plan.contains("Window"), s"window in MMR plan:\n$plan")
   }
+
+  test("tokVec derives the md5 ±1 sign rule (RandomProjection convention keyed by token)") {
+    def sign(tok: String, j: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tok,$j".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    val toks = Seq("vector", "dup", "a")
+    val got = toks.toDF("tok")
+      .select(col("tok"), RetrievalQueries.tokVec(col("tok")).as("tv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    toks.foreach { t =>
+      val want = (0 until RetrievalQueries.MaxSimDims).map(j => sign(t, j))
+      assert(got(t) == want, s"token '$t': ${got(t)} != $want")
+    }
+  }
+
+  test("maxsimScores is Σ over query tokens of max over doc tokens") {
+    val p = Seq.fill(RetrievalQueries.MaxSimDims)(1.0)
+    val n = Seq.fill(RetrievalQueries.MaxSimDims)(-1.0)
+    // query has one all-+1 and one all-−1 token; doc 10 carries a best
+    // match for EACH (maxsim 1+1=2), doc 20 only for the first (1−1=0)
+    val qt = Seq((1L, "A", p), (1L, "B", n)).toDF("query_id", "tok", "tv")
+    val dt = Seq((10L, "X", p), (10L, "Y", n), (20L, "X", p))
+      .toDF("doc_id", "dtok", "dv")
+    val cands = Seq((1L, 10L), (1L, 20L)).toDF("query_id", "doc_id")
+    val got = RetrievalQueries.maxsimScores(cands, qt, dt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 10L, 2.0), (1L, 20L, 0.0)))
+  }
 }
