@@ -256,6 +256,40 @@ final class IvfIndex(
       searchAll(queries, k, metric, roundTo, allowed = Some(ids))
   }
 
+  /** Serve-time delete view (tombstone pattern; semantics and scale
+    * shape identical to [[graft.ann.lsh.LshIndex.withDeletes]]): both
+    * tables anti-join the broadcast tombstone set map-side; compaction
+    * is `withDeletes(t).save(path)`. */
+  def withDeletes(tombstones: DataFrame): IvfIndex = {
+    val t = broadcast(tombstones.select("vec_id"))
+    new IvfIndex(model,
+      vectors.join(t, Seq("vec_id"), "left_anti"),
+      cells.join(t, Seq("vec_id"), "left_anti"))
+  }
+
+  /** Incremental append: assign arrivals (vec_id, embedding) to their
+    * nearest cell under the FROZEN centroids — map-side argmin, no
+    * refit, union-only. Freshness caveat: frozen centroids keep cell
+    * geometry only while the data distribution holds; under drift,
+    * arrivals pile into few cells and the nProbe/nCells pruning ratio
+    * decays toward a scan. [[cellStats]] is the drift watermark — when
+    * max/mean occupancy outgrows its at-train value ~3×, retrain (the
+    * [[graft.ann.GraphMaintainer]] cadence pattern; IvfLifecycleSpec
+    * exercises the watermark read). */
+  def append(arrivals: DataFrame): IvfIndex = {
+    val a = arrivals.select("vec_id", "embedding")
+    new IvfIndex(model,
+      vectors.unionByName(a),
+      cells.unionByName(
+        model.transform(a, "vec_id", "embedding")
+          .select(col("vec_id"), col("cell"))))
+  }
+
+  /** Upsert = tombstone-then-append (see
+    * [[graft.ann.lsh.LshIndex.upsert]]). */
+  def upsert(updates: DataFrame): IvfIndex =
+    withDeletes(updates.select("vec_id")).append(updates)
+
   /** Cell occupancy diagnostics. */
   def cellStats: DataFrame =
     cells.groupBy("cell").agg(count(lit(1)).as("n_vectors"))

@@ -356,6 +356,53 @@ final class LshIndex(
       .distinct()
   }
 
+  /** Serve-time delete view — the tombstone pattern for index
+    * mutability at scale: both tables anti-join the (small, broadcast)
+    * tombstone id set, so deleted vectors vanish from candidate
+    * retrieval, scoring, and `candidatePairs` without touching the
+    * stored corpus. The anti-join is map-side (broadcast hash join
+    * build = tombstones), so serving cost is unchanged until the
+    * tombstone set itself grows large — at which point compaction is
+    * one rewrite: `withDeletes(t).save(path)` / `.saveBucketed(...)`
+    * materializes the same view with zero tombstone residue
+    * (LshLifecycleSpec pins compacted == tombstoned-view results).
+    * The reference has no delete at all (store/store.go grows
+    * append-only); this is the production gap a long-lived 100 TB
+    * index cannot live without. */
+  def withDeletes(tombstones: DataFrame): LshIndex = {
+    val t = broadcast(tombstones.select("vec_id"))
+    new LshIndex(model,
+      vectors.join(t, Seq("vec_id"), "left_anti"),
+      buckets.join(t, Seq("vec_id"), "left_anti"))
+  }
+
+  /** Incremental append: hash arrivals (vec_id, embedding) through the
+    * FITTED forest — map-side only, no refit, no shuffle (the same
+    * frozen-model contract as [[GraphSearch.insert]]'s walk and the
+    * reference's own SetHash write path, lsh.go:123-128). Union-only,
+    * so existing bucket files are never rewritten. Freshness caveat
+    * (the [[Lsh.fit]] occupancy rule, applied over time instead of
+    * corpus size): planes fitted on the original sample still split
+    * arrivals fine while the data distribution holds, but occupancy
+    * grows linearly with appended volume — when the index has grown ~3×
+    * past its fit sample, refit or cap ([[cappedBuckets]] /
+    * `maxCandidates`). Callers tracking batches should apply the
+    * [[graft.ann.GraphMaintainer]] cadence pattern. */
+  def append(arrivals: DataFrame): LshIndex = {
+    val a = arrivals.select("vec_id", "embedding")
+    new LshIndex(model,
+      vectors.unionByName(a),
+      buckets.unionByName(
+        model.transform(a, "vec_id", "embedding")
+          .select(col("tree_id"), col("hash"), col("vec_id"))))
+  }
+
+  /** Upsert = tombstone-then-append: updated ids are removed from both
+    * tables first, so a re-inserted vector appears exactly once even
+    * when its new embedding hashes to different buckets. */
+  def upsert(updates: DataFrame): LshIndex =
+    withDeletes(updates.select("vec_id")).append(updates)
+
   /** Persist the full index: model (nodes+meta), vectors, and the
     * buckets table written `partitionBy(tree_id)` and sorted by hash
     * within files — so a probe `WHERE tree_id = t AND hash = h` prunes to

@@ -250,6 +250,79 @@ object LshQueries extends QueryPack {
           count(lit(1)).as("n_queries"))
     }),
 
+    // Index lifecycle under the oracle, part 1 — DELETE
+    // (LshIndex.withDeletes, the tombstone serve-time view; the
+    // reference's store is append-only, store/store.go — deletes are a
+    // production gap a long-lived index can't live without). A ~14%
+    // tombstone set (vec_id % 7 = 0) is applied to the SHARED index;
+    // every returned pair is re-verified from the raw embeddings AND
+    // re-checked against the tombstone predicate, so a single leaked
+    // deleted id flips `valid` cross-engine. Full delete-view == exact
+    // semantics are spec-gated (LifecycleSpec's all-candidate config).
+    "q_lsh_search_deleted" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = queriesDf(emb)
+      val idx = lshIdx(s, dir, angular = false)
+      val dead = emb.where(col("vec_id") % 7 === 0).select("vec_id")
+      val res = Eval.withValidity(
+          idx.withDeletes(dead).searchAll(q, K, L2Threshold, ExactNN.L2),
+          emb, q, ExactNN.L2, L2Threshold)
+        .withColumn("valid", col("valid") && col("vec_id") % 7 =!= 0)
+      dumpAndReload(s, res, s"$SearchDumpRoot/${sfName(dir)}/lsh_deleted")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // DELETE, recall form: served recall graded against DuckDB's OWN
+    // exact ground truth over the REMAINING corpus — the deleted twin
+    // of q_lsh_filtered_recall (a tombstone set is an allow-list's
+    // complement; candidates that survive the anti-join are a superset
+    // of no one, so the number certifies the view end to end).
+    "q_lsh_deleted_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = queriesDf(emb)
+      val idx = lshIdx(s, dir, angular = false)
+      val dead = emb.where(col("vec_id") % 7 === 0).select("vec_id")
+      val pred = dumpAndReload(s,
+        idx.withDeletes(dead).searchAll(q, K, L2Threshold, ExactNN.L2),
+        s"$SearchDumpRoot/${sfName(dir)}/lsh_deleted_recall")
+      val gt = ExactNN.topK(q, emb.where(col("vec_id") % 7 =!= 0), K,
+        ExactNN.L2, threshold = Some(L2Threshold))
+      Eval.setPrecisionRecall(pred, gt)
+        .agg(
+          round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
+    }),
+
+    // Index lifecycle under the oracle, part 2 — UPSERT
+    // (LshIndex.upsert = tombstone-then-append through the FROZEN
+    // forest). Every vec_id % 10 = 3 vector is moved onto the location
+    // of vec_id - 3 (a real in-distribution point both engines can
+    // derive); the post-upsert corpus is reconstructed independently in
+    // SQL and every returned pair's distance recomputed against it — a
+    // STALE index row (old embedding served) or a DOUBLE-SERVED id
+    // (append without tombstone ⇒ two scored rows per id) breaks the
+    // hash. Updated vectors land exactly on existing points, so they
+    // appear in served top-k and the staleness check has teeth.
+    "q_lsh_search_upsert" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = queriesDf(emb)
+      val idx = lshIdx(s, dir, angular = false)
+      val src = emb.select(col("vec_id").as("src_id"),
+        col("embedding").as("new_emb"))
+      val updates = emb.where(col("vec_id") % 10 === 3).select("vec_id")
+        .join(src, col("vec_id") - 3 === col("src_id"))
+        .select(col("vec_id"), col("new_emb").as("embedding"))
+      val corpusAfter = emb.where(col("vec_id") % 10 =!= 3)
+        .select("vec_id", "embedding")
+        .unionByName(updates)
+      val res = Eval.withValidity(
+        idx.upsert(updates).searchAll(q, K, L2Threshold, ExactNN.L2),
+        corpusAfter, q, ExactNN.L2, L2Threshold)
+      dumpAndReload(s, res, s"$SearchDumpRoot/${sfName(dir)}/lsh_upsert")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
     // Per-query recall of LSH vs exact NN at the same threshold (O17
     // grading O13) — the reference's README benchmark loop as one query.
     // The prediction set is dumped (see SearchDumpRoot) so the DuckDB
@@ -475,6 +548,57 @@ object LshQueries extends QueryPack {
         s"$SearchDumpRoot/sf0.01/lsh_filtered_selective/*.parquet",
         L2DistSql, None, K,
         corpusWhere = "WHERE vec_id % 50 = 0"),
+
+      // Delete view: per-pair distance recompute + tombstone-predicate
+      // re-check — a leaked deleted id flips `valid` cross-engine.
+      "q_lsh_search_deleted" ->
+        s"""WITH d AS (
+           |  SELECT * FROM read_parquet('$SearchDumpRoot/sf0.01/lsh_deleted/*.parquet')
+           |),
+           |r AS (
+           |  SELECT d.query_id, d.vec_id, d.dist,
+           |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+           |  FROM d
+           |  JOIN embeddings e ON e.vec_id = d.vec_id
+           |  JOIN embeddings q ON q.vec_id = d.query_id
+           |)
+           |SELECT query_id, vec_id, dist,
+           |       (abs(exact - dist) < 1e-9 AND dist <= $L2Threshold
+           |        AND vec_id % 7 <> 0) AS valid
+           |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+      // Delete-view recall vs DuckDB's own ground truth over the
+      // REMAINING corpus.
+      "q_lsh_deleted_recall" -> recallOracle(
+        s"$SearchDumpRoot/sf0.01/lsh_deleted_recall/*.parquet",
+        L2DistSql, Some(L2Threshold), K,
+        corpusWhere = "WHERE vec_id % 7 <> 0"),
+
+      // Upsert: DuckDB reconstructs the post-upsert corpus itself
+      // (vec_id % 10 = 3 rows re-pointed at vec_id - 3's embedding) and
+      // recomputes every returned pair against it — stale or
+      // double-served rows break the hash.
+      "q_lsh_search_upsert" ->
+        s"""WITH d AS (
+           |  SELECT * FROM read_parquet('$SearchDumpRoot/sf0.01/lsh_upsert/*.parquet')
+           |),
+           |ca AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 3
+           |  UNION ALL
+           |  SELECT e.vec_id, s.embedding
+           |  FROM embeddings e JOIN embeddings s ON s.vec_id = e.vec_id - 3
+           |  WHERE e.vec_id % 10 = 3
+           |),
+           |r AS (
+           |  SELECT d.query_id, d.vec_id, d.dist,
+           |         round(list_distance(q.embedding::DOUBLE[], ca.embedding::DOUBLE[]), 6) AS exact
+           |  FROM d
+           |  JOIN ca ON ca.vec_id = d.vec_id
+           |  JOIN embeddings q ON q.vec_id = d.query_id
+           |)
+           |SELECT query_id, vec_id, dist,
+           |       (abs(exact - dist) < 1e-9 AND dist <= $L2Threshold) AS valid
+           |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
 
       "q_lsh_recall" -> recallOracle(
         s"$SearchDumpRoot/sf0.01/lsh_recall_l2/*.parquet",

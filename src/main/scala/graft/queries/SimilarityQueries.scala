@@ -302,6 +302,25 @@ object SimilarityQueries extends QueryPack {
           count(lit(1)).as("n_queries"))
     }),
 
+    // IVF index lifecycle under the oracle — the IVF twin of
+    // q_lsh_search_deleted (IvfIndex.withDeletes, tombstone serve-time
+    // view; full view == exact semantics spec-gated in LifecycleSpec's
+    // all-probe config). Every returned pair is distance-recomputed
+    // from the raw embeddings AND re-checked against the tombstone
+    // predicate cross-engine.
+    "q_ivf_search_deleted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = ivfIdx(s, dir)
+      val dead = e.where(col("vec_id") % 7 === 0).select("vec_id")
+      val res = Eval.withValidity(
+          idx.withDeletes(dead).searchAll(q, K, ExactNN.L2), e, q, ExactNN.L2)
+        .withColumn("valid", col("valid") && col("vec_id") % 7 =!= 0)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_deleted")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
     // IVF cell occupancy + build invariants, computed over the
     // parquet-dumped (vec_id, cell) table so DuckDB aggregates the SAME
     // assignment (see CellDumpRoot): `total_ok` is cross-engine (Spark
@@ -1001,6 +1020,22 @@ object SimilarityQueries extends QueryPack {
       s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_filtered_selective/*.parquet",
       LshQueries.L2DistSql, None, K,
       corpusWhere = "WHERE vec_id % 50 = 0"),
+
+    // Delete view (IVF): per-pair recompute + tombstone re-check.
+    "q_ivf_search_deleted" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivf_deleted/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       (abs(exact - dist) < 1e-9 AND vec_id % 7 <> 0) AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
 
     // Every returned angular-IVF row re-verified from the raw embeddings
     // (cosine is scale-invariant, so DuckDB recomputes it from the

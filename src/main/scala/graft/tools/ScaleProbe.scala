@@ -336,6 +336,33 @@ object ScaleProbe {
         idx.buckets.unpersist(); idx.vectors.unpersist()
       }
 
+      // Matryoshka truncated-prefix serving (opt-in: SPARK_GRAFT_MRL=1):
+      // candidate generation on the first `prefix` components, exact
+      // full-dim rerank at `depth`. The synthetic embeddings are iid
+      // across components (NO MRL-style prefix concentration), so this
+      // measures the WORST case: prefix recall is governed purely by the
+      // prefix/d energy fraction and the rerank depth — the honest lower
+      // bound a deployment would compare its trained-embedding numbers
+      // against. Sweep via SPARK_GRAFT_MRL_POINTS="prefix,depth;...".
+      if (sys.env.get("SPARK_GRAFT_MRL").contains("1")) {
+        val points = sys.env.getOrElse("SPARK_GRAFT_MRL_POINTS",
+            s"${dims / 4},100;${dims / 4},1000;${dims / 2},100")
+          .split(";").toSeq.filter(_.trim.nonEmpty).map { p =>
+            val Array(pf, d) = p.split(","); (pf.toInt, d.toInt)
+          }
+        for ((prefix, depth) <- points) {
+          def mrl = graft.ann.Matryoshka.searchAll(
+            queries, corpus, 10, prefix, depth)
+          val (_, tM0) = time(mrl.count())
+          val (_, tM) = time(mrl.count())
+          val mRecall = Eval.setPrecisionRecall(mrl, gt)
+            .agg(avg("recall")).head().getDouble(0)
+          println(f"[scale] corpus=$n%,d mrl(dims=$dims, prefix=$prefix, " +
+            f"depth=$depth): search=${tM}%.2fs (warm ${tM0}%.2f) " +
+            f"recall=$mRecall%.3f speedup=${ratio(tM)}")
+        }
+      }
+
       corpus.unpersist(); gt.unpersist()
     }
     spark.stop()

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+import graft.ann.ExactNN
+import graft.ann.lsh.{Lsh, LshConfig, LshMaintainer}
+
+/** LSH index MAINTENANCE on an upsert/delete stream — the LSH twin of
+  * StreamingGraphInsertSpec, over [[LshMaintainer]]'s LSM layout
+  * (delta appends + seq-stamped tombstone log + scheduled compaction).
+  *
+  * Identity under test: after a streaming foreachBatch loop of mixed
+  * adds/updates/deletes, the maintainer's serving view returns results
+  * row-identical to the in-memory lifecycle chain
+  * ([[graft.ann.lsh.LshIndex.withDeletes]]/`append`/`upsert`) applying
+  * the same operations — the streaming machinery (MemoryStream,
+  * foreachBatch, parquet logs, compaction rewrite) adds and loses
+  * nothing. The single-leaf forest makes every candidate set total, so
+  * the identity also equals exact top-k over the final live corpus.
+  */
+class StreamingLshLifecycleSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  test("foreachBatch upsert/delete log + compaction == in-memory lifecycle chain == exact") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = emb.where($"vec_id" < 480)
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh_lsm").toString + "/idx"
+    // single leaf per tree: lifecycle semantics isolated from recall
+    Lsh.train(base, "vec_id", "embedding",
+      LshConfig(nTrees = 2, kMinVecs = 4096, seed = 7L)).save(spark, path)
+
+    // batch 1: add 480-489, delete {5, 12}
+    // batch 2: add 490-499, UPDATE 7 (delete + same-batch re-add at a
+    //          new embedding = vec 480's), delete {20}
+    //          -> compaction fires (compactEvery = 2)
+    // batch 3 (post-compaction): delete {490}, add nothing
+    val v480 = emb.where($"vec_id" === 480L)
+      .select($"embedding").as[Seq[Float]].head()
+    val adds1 = emb.where($"vec_id" >= 480L && $"vec_id" < 490L)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val adds2 = emb.where($"vec_id" >= 490L && $"vec_id" < 500L)
+      .as[(Long, Seq[Float])].collect().toSeq :+ (7L -> v480)
+    val dels1 = Seq(5L, 12L)
+    val dels2 = Seq(7L, 20L)
+    val dels3 = Seq(490L)
+
+    // ---- streaming side: ops encoded as (op, vec_id, embedding) ----
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Seq[Float])]
+    val maint = new LshMaintainer(spark, path, compactEvery = 2,
+      occupancyWatermark = 3.0)
+    val q = mem.toDF().toDF("op", "vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batchDf: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batchDf.isEmpty) {
+          val b = batchDf.cache()
+          val a = b.where($"op" === "add").select("vec_id", "embedding")
+          val d = b.where($"op" === "del").select("vec_id")
+          maint.onBatch(
+            if (a.isEmpty) None else Some(a),
+            if (d.isEmpty) None else Some(d))
+          b.unpersist()
+        }
+        ()
+      }
+      .start()
+    def feed(adds: Seq[(Long, Seq[Float])], dels: Seq[Long]): Unit = {
+      mem.addData(adds.map { case (i, e) => ("add", i, e) } ++
+        dels.map(i => ("del", i, Seq.empty[Float])))
+      q.processAllAvailable()
+    }
+    assert(!maint.compactionDue)
+    feed(adds1, dels1)
+    assert(maint.compactionDue)
+    feed(adds2, dels2) // compaction fires here
+    assert(maint.batchesSeen === 2)
+    // post-compaction: logs folded into the base, zero residue at rest
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(!new java.io.File(s"$path/vectors_delta").exists())
+    feed(Seq.empty, dels3)
+    q.stop()
+
+    // ---- batch twin: the in-memory lifecycle chain, same ops,
+    // starting from the ORIGINAL base index (rebuilt deterministically:
+    // same seeded config over the same rows) ----
+    val idx0 = Lsh.train(base, "vec_id", "embedding",
+      LshConfig(nTrees = 2, kMinVecs = 4096, seed = 7L))
+    val twin = idx0
+      .withDeletes(dels1.toDF("vec_id")).append(adds1.toDF("vec_id", "embedding"))
+      .withDeletes(Seq(20L).toDF("vec_id"))
+      .upsert(Seq(7L -> v480).toDF("vec_id", "embedding"))
+      .append(adds2.dropRight(1).toDF("vec_id", "embedding"))
+      .withDeletes(dels3.toDF("vec_id"))
+
+    val queries = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def rows(i: graft.ann.lsh.LshIndex) =
+      i.searchAll(queries, 5, 1e9, ExactNN.L2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val served = rows(maint.index)
+    assert(served === rows(twin), "stream view != in-memory chain")
+
+    // and both equal exact top-k over the final live corpus
+    val liveCorpus = base
+      .where(!$"vec_id".isin(5L, 12L, 7L, 20L))
+      .unionByName(adds1.toDF("vec_id", "embedding"))
+      .unionByName(adds2.dropRight(1).toDF("vec_id", "embedding"))
+      .unionByName(Seq(7L -> v480).toDF("vec_id", "embedding"))
+      .where(!$"vec_id".isin(490L))
+    val exact = ExactNN.topK(queries, liveCorpus, 5, ExactNN.L2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === exact, "stream view != exact over live corpus")
+  }
+}
