@@ -62,22 +62,43 @@ final class GraphMaintainer(
     * refine — exposed so callers can align checkpoints around it. */
   def refineDue: Boolean = (batches + 1) % refineEvery == 0
 
-  /** One streaming maintenance step: beam-insert `newVectors` against
-    * the stored graph, append the delta (edges touching an arriving id)
-    * to the bucketed store, and run the scheduled refine when due.
-    * `vectors` must cover existing AND arriving ids (the walk scores
-    * against it; the refine rescans it). Returns the appended delta.
+  private def tombstoneTable = s"${name}_tombstones"
+
+  /** Pending delete tombstones (FreshDiskANN-style, arXiv:2105.09613):
+    * logged by [[onBatch]]'s `deletes`, applied physically by the next
+    * [[refineNow]] consolidation. Until then, serving callers pass this
+    * as `excluded` to [[GraphSearch.beamFrom]] — walks route THROUGH
+    * deleted nodes (cutting them early would sever the paths they
+    * anchor) but never serve them. */
+  def tombstones: DataFrame =
+    if (spark.catalog.tableExists(tombstoneTable))
+      spark.table(tombstoneTable).select("vec_id").distinct()
+    else spark.range(0).select(col("id").as("vec_id"))
+
+  /** One streaming maintenance step: log `deletes` to the tombstone
+    * table, beam-insert `newVectors` against the stored graph (walks
+    * exclude tombstoned link targets), append the delta (edges touching
+    * an arriving id) to the bucketed store, and run the scheduled
+    * refine when due. `vectors` must cover existing AND arriving ids
+    * (the walk scores against it; the refine rescans it) — refineNow
+    * drops tombstoned rows itself. Returns the appended delta.
     *
     * The delta filter is two semi-joins against the arriving id set —
     * never a collected id list, so a large micro-batch cannot build an
     * unbounded `isin` literal. */
   def onBatch(vectors: DataFrame, newVectors: DataFrame,
-              entries: DataFrame): DataFrame = {
+              entries: DataFrame,
+              deletes: Option[DataFrame] = None): DataFrame = {
+    deletes.foreach(_.select("vec_id").write.mode("append")
+      .saveAsTable(tombstoneTable))
     val stored = GraphSearch.loadBucketed(spark, name)
+    val pending = tombstones
+    val excl = if (pending.isEmpty) None else Some(pending)
     val extended = GraphSearch.insert(
       stored.withColumn("dist", lit(2.0)), vectors, idCol, vecCol,
       newVectors, k, beamWidth, hops, entries,
-      maxReverseDegree, metric, roundTo, symmetrize = false)
+      maxReverseDegree, metric, roundTo, symmetrize = false,
+      excluded = excl)
     val newIds = newVectors.select(col(idCol).as("nid"))
     val delta = extended
       .join(newIds, col("src") === col("nid"), "left_semi")
@@ -126,30 +147,74 @@ final class GraphMaintainer(
     * rewrite — Spark refuses to overwrite a table still being read, and
     * every frame here descends from the stored table. */
   def refineNow(vectors: DataFrame): DataFrame = {
-    val stored = GraphSearch.loadBucketed(spark, name)
-    val va = vectors.select(col(idCol).as("src"), col(vecCol).as("va"))
-    val vb = vectors.select(col(idCol).as("dst"), col(vecCol).as("vb"))
-    val scored = stored
+    val stored0 = GraphSearch.loadBucketed(spark, name)
+    // Delete consolidation (FreshDiskANN §4.2): for every tombstoned
+    // node d, bridge its in-neighbors to its out-neighbors (a→d, d→b ⇒
+    // candidate a→b). Bridges enter TWICE, for two different jobs:
+    // (1) as rescore candidates — in sparse regions a bridge is a
+    // genuinely good edge and should win the top-k cut on price;
+    // (2) degree-capped (best `maxReverseDegree` per node) AFTER the
+    // cut, alongside the backbone — a corridor node's bridges are LONG
+    // edges that always lose the cut to close neighbors, yet they are
+    // exactly the connectivity its removal destroys (GraphDeleteSpec's
+    // two-cluster corridor). Like backbone edges, the insurance set is
+    // re-priced at the next refine. Tombstoned rows themselves drop
+    // out in the va/vb inner joins (live vectors only), and the log is
+    // cleared after the rewrite.
+    val pending = tombstones
+    val hasDeletes = !pending.isEmpty
+    val live =
+      if (!hasDeletes) vectors
+      else vectors.join(broadcast(pending),
+        vectors(idCol) === pending("vec_id"), "left_anti")
+    val va = live.select(col(idCol).as("src"), col(vecCol).as("va"))
+    val vb = live.select(col(idCol).as("dst"), col(vecCol).as("vb"))
+    def rescore(edges: DataFrame): DataFrame = edges
       .join(va, "src")
       .join(vb, "dst")
       .select(col("src"), col("dst"),
         round(metric.dist(col("va"), col("vb")), roundTo).as("dist"))
+    val bridgesCapped =
+      if (!hasDeletes) None
+      else {
+        val tn = broadcast(pending.select(col("vec_id").as("node")))
+        val into = stored0.join(tn, stored0("dst") === tn("node"),
+          "left_semi").select(col("src").as("a"), col("dst").as("d"))
+        val outof = stored0.join(tn, stored0("src") === tn("node"),
+          "left_semi").select(col("src").as("d"), col("dst").as("b"))
+        val bridges = into.join(outof, "d")
+          .where(col("a") =!= col("b"))
+          .select(col("a").as("src"), col("b").as("dst"))
+          .dropDuplicates("src", "dst")
+        Some(TopK.perQueryTopK(
+            rescore(bridges).select(col("src").as("query_id"),
+              col("dst").as("vec_id"), col("dist")),
+            maxReverseDegree, viaAggregator = true)
+          .select(col("query_id").as("src"), col("vec_id").as("dst"))
+          .localCheckpoint())
+      }
+    val stored = bridgesCapped.fold(stored0.select(col("src"), col("dst"))) {
+      br => stored0.select(col("src"), col("dst")).unionByName(br)
+        .dropDuplicates("src", "dst")
+    }
+    val scored = rescore(stored)
     val cut = TopK.perQueryTopK(
         scored.select(col("src").as("query_id"), col("dst").as("vec_id"),
           col("dist")),
         k, viaAggregator = true)
       .select(col("query_id").as("src"), col("vec_id").as("dst"),
         col("dist"))
-    val refined = NnDescent.refine(cut, vectors, idCol, vecCol, k, metric,
+    val refined = NnDescent.refine(cut, live, idCol, vecCol, k, metric,
         refineIterations, roundTo = roundTo)
       .localCheckpoint()
+    val insurance = bridgesCapped.toSeq ++
+      (if (backbone) Seq(GraphSearch.randomBackbone(live, idCol)) else Nil)
     val withBackbone =
-      if (backbone)
-        refined.select(col("src"), col("dst"))
-          .unionByName(GraphSearch.randomBackbone(vectors, idCol))
-          .dropDuplicates("src", "dst")
-      else refined
+      if (insurance.isEmpty) refined
+      else insurance.foldLeft(refined.select(col("src"), col("dst")))(
+        _.unionByName(_)).dropDuplicates("src", "dst")
     GraphSearch.saveBucketed(withBackbone, name, nBuckets)
+    if (hasDeletes) spark.sql(s"DROP TABLE IF EXISTS $tombstoneTable")
     log.info(s"stored graph '$name' refined after $batches insert batches " +
       s"(max degree now $maxStoredDegree)")
     refined

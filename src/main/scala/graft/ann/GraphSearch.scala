@@ -114,10 +114,13 @@ object GraphSearch {
              beamWidth: Int, hops: Int, entries: DataFrame,
              maxReverseDegree: Int = 2,
              metric: ExactNN.Metric = ExactNN.Cosine,
-             roundTo: Int = 6, symmetrize: Boolean = true): DataFrame = {
+             roundTo: Int = 6, symmetrize: Boolean = true,
+             excluded: Option[DataFrame] = None): DataFrame = {
+    // `excluded` (pending tombstones): arrivals must not LINK to deleted
+    // nodes (walks still route through them — beamFrom's serving rule)
     val q = newVectors.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val found = beamFrom(graph, vectors, idCol, vecCol, q,
-      entries, k, beamWidth, hops, metric, roundTo, symmetrize)
+      entries, k, beamWidth, hops, metric, roundTo, symmetrize, excluded)
     val outEdges = found.select(col("query_id").as("src"),
       col("vec_id").as("dst"), col("dist"))
     // capped reverse links: each EXISTING node accepts at most
@@ -250,11 +253,20 @@ object GraphSearch {
     * protocol).
     *
     * `entries` is (query_id, node). */
+  /** `excluded`: tombstoned node ids (streaming deletes before the next
+    * consolidation pass, [[graft.ann.GraphMaintainer]]). The
+    * FreshDiskANN serving rule (arXiv:2105.09613 §4): walks still ROUTE
+    * THROUGH deleted nodes — cutting them from the frontier would sever
+    * the paths they anchor until the refine rewires them — but the
+    * final k-cut filters them, so a deleted id is never SERVED. Size
+    * `beamWidth ≥ k + expected deleted-per-beam`; the filter runs on
+    * the final beam (≤ queries × beamWidth rows, broadcast anti-join). */
   def beamFrom(graph: DataFrame, vectors: DataFrame, idCol: String,
                vecCol: String, queries: DataFrame, entries: DataFrame,
                k: Int, beamWidth: Int, hops: Int,
                metric: ExactNN.Metric = ExactNN.Cosine,
-               roundTo: Int = 6, symmetrize: Boolean = true): DataFrame = {
+               roundTo: Int = 6, symmetrize: Boolean = true,
+               excluded: Option[DataFrame] = None): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     val und = undirected(graph, symmetrize)
     val vecs = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"))
@@ -293,23 +305,42 @@ object GraphSearch {
         .select(col("query_id"), col("n.vec_id").as("node"),
           col("n.dist").as("dist"))
 
-    // Each hop's beam is persisted LAZILY (no per-hop count): the
-    // per-query loop state must not re-execute previous rounds (the MMR
-    // lesson, SCALE.md round 9) — each hop references its predecessor
-    // twice (neighbor expansion + carry-over union), so an unpersisted
-    // chain re-evaluates 2^hops times — but an EAGER materialization per
-    // hop costs one scheduled job per hop, and the walk's wall time is
-    // pure job/stage latency (measured at sf0.1: ~1 s/hop). Lazy
-    // persist keeps the lineage break (the cache manager substitutes
-    // the cached plan at planning time, so the plan tree stays linear)
-    // while the single final count executes the whole walk as one job,
-    // filling each hop's cache in sequence. All hop caches are released
+    // Each hop's beam is LAZILY localCheckpoint-ed: the per-query loop
+    // state must not re-execute previous rounds (the MMR lesson,
+    // SCALE.md round 9) — each hop references its predecessor twice
+    // (neighbor expansion + carry-over union), so an unpersisted chain
+    // re-evaluates 2^hops times. An EAGER materialization per hop costs
+    // one scheduled job per hop (~1 s/hop stage latency at sf0.1), and
+    // plain persist() keeps the EXECUTION linear but NOT the plan TREE:
+    // the cached plan is substituted as an InMemoryRelation that still
+    // nests its child plan, and every action renders the plan string
+    // for the SQL listener — a doubly-referenced chain prints 2^hops
+    // copies of the base plan (×2 again under AQE's current+initial
+    // rendering), which at hops=8 is a multi-GB string and a driver OOM
+    // in explainString (the r11 GraphDeleteSpec failure). Lazy
+    // checkpoint gets both: the logical plan truncates to a LogicalRDD
+    // leaf IMMEDIATELY (plans, canonicalization, and explain strings
+    // stay linear per hop) while the RDD materializes inside the single
+    // final job, each hop's blocks persisted on first compute and
+    // reused by the second reference. Hop RDDs are released explicitly
     // once the result materializes — a serving loop calling beamFrom
     // per micro-batch (StreamingGraphServeSpec's pattern) pins nothing
-    // between calls.
-    val hopBeams = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var beam = cut(score(entries), beamWidth).persist()
-    hopBeams += beam
+    // between calls. Lineage caveat (same note as connectedComponents):
+    // checkpoint trades recompute-on-loss for bounded plans — on a
+    // cluster with executor-loss concerns, swap for reliable
+    // checkpoint(dir).
+    val hopRdds = scala.collection.mutable.ListBuffer.empty[
+      org.apache.spark.rdd.RDD[_]]
+    def hopCheckpoint(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(eager = false)
+      ck.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          hopRdds += lr.rdd
+        case _ =>
+      }
+      ck
+    }
+    var beam = hopCheckpoint(cut(score(entries), beamWidth))
     for (_ <- 1 to hops) {
       val nbrs = und
         .join(broadcast(beam.select(col("query_id"), col("node").as("src"))),
@@ -320,13 +351,16 @@ object GraphSearch {
       // in the cut's distinct-aware buffer — trading bounded duplicate
       // compute for a whole per-hop shuffle round
       val cands = nbrs.unionByName(beam.select(col("query_id"), col("node")))
-      beam = cut(score(cands), beamWidth).persist()
-      hopBeams += beam
+      beam = hopCheckpoint(cut(score(cands), beamWidth))
+    }
+    val served = excluded.fold(beam) { t =>
+      beam.join(broadcast(t.select(col("vec_id").as("node"))),
+        Seq("node"), "left_anti")
     }
     val result = graft.text.Dedup.materializeRelease(
-      cut(beam.select(col("query_id"), col("node"), col("dist")), k)
-        .select(col("query_id"), col("node").as("vec_id"), col("dist")),
-      hopBeams.toSeq: _*)
+      cut(served.select(col("query_id"), col("node"), col("dist")), k)
+        .select(col("query_id"), col("node").as("vec_id"), col("dist")))
+    hopRdds.foreach(_.unpersist(false))
     result
   }
 }

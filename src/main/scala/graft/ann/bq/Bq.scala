@@ -146,6 +146,27 @@ final class BqIndex(val model: BqModel, val codes: DataFrame) {
         col("n.dist").as("dist"))
   }
 
+  /** Serve-time delete view (tombstone pattern, semantics and scale
+    * shape as [[graft.ann.lsh.LshIndex.withDeletes]]). */
+  def withDeletes(tombstones: DataFrame): BqIndex =
+    new BqIndex(model,
+      codes.join(broadcast(tombstones.select("vec_id")),
+        Seq("vec_id"), "left_anti"))
+
+  /** Incremental append: sign-encode arrivals (vec_id, embedding)
+    * against the FROZEN midrange thresholds — map-side, union-only.
+    * Freshness caveat: under drift the thresholds stop bisecting the
+    * data, degrading Hamming ordering (never correctness — rerank
+    * recovers); the midrange fit is one min/max pass, re-fit freely. */
+  def append(arrivals: DataFrame): BqIndex =
+    new BqIndex(model,
+      codes.unionByName(model.transformDf(arrivals, "vec_id", "embedding")))
+
+  /** Upsert = tombstone-then-append (see
+    * [[graft.ann.lsh.LshIndex.upsert]]). */
+  def upsert(updates: DataFrame): BqIndex =
+    withDeletes(updates.select("vec_id")).append(updates)
+
   /** Persist thresholds + the packed codes table (same layout contract
     * as the SQ/LSH/IVF/PQ persistence: small model table + at-rest
     * index). */

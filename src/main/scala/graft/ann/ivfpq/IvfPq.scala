@@ -264,6 +264,31 @@ final class IvfPqIndex(val model: IvfPqModel, val codes: DataFrame) {
   def cellStats: DataFrame =
     codes.groupBy("cell").agg(count(lit(1)).as("n_vectors")).orderBy("cell")
 
+  /** Serve-time delete view (tombstone pattern, semantics and scale
+    * shape as [[graft.ann.lsh.LshIndex.withDeletes]]); composes with
+    * `codesFilter` (the view filters ids, the predicate filters the
+    * scan — both land before any ADC lookup). */
+  def withDeletes(tombstones: DataFrame): IvfPqIndex =
+    new IvfPqIndex(model,
+      codes.join(broadcast(tombstones.select("vec_id")),
+        Seq("vec_id"), "left_anti"))
+
+  /** Incremental append: cell-assign + residual-encode arrivals
+    * (vec_id, embedding) with BOTH quantizers frozen — map-side,
+    * union-only. Freshness caveats compose from the parts: drifted
+    * arrivals pile into few cells ([[graft.ann.ivf.IvfIndex.append]])
+    * AND their residuals quantize against stale sub-codebooks
+    * ([[graft.ann.pq.PqIndex.append]]); [[cellStats]]-style occupancy
+    * drift is the retrain watermark. */
+  def append(arrivals: DataFrame): IvfPqIndex =
+    new IvfPqIndex(model,
+      codes.unionByName(model.transform(arrivals, "vec_id", "embedding")))
+
+  /** Upsert = tombstone-then-append (see
+    * [[graft.ann.lsh.LshIndex.upsert]]). */
+  def upsert(updates: DataFrame): IvfPqIndex =
+    withDeletes(updates.select("vec_id")).append(updates)
+
   /** Persist both quantizers + the codes table; codes are written
     * `partitionBy(cell)` so a probe of nProbe cells prunes to nProbe
     * partition directories at rest (same layout rationale as

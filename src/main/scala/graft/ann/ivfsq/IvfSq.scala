@@ -128,6 +128,28 @@ final class IvfSqIndex(val config: IvfSqConfig, val ivf: IvfModel,
   def cellStats: DataFrame =
     codes.groupBy("cell").agg(count(lit(1)).as("n_vectors")).orderBy("cell")
 
+  /** Serve-time delete view (tombstone pattern, semantics and scale
+    * shape as [[graft.ann.lsh.LshIndex.withDeletes]]). */
+  def withDeletes(tombstones: DataFrame): IvfSqIndex =
+    new IvfSqIndex(config, ivf, sq,
+      codes.join(broadcast(tombstones.select("vec_id")),
+        Seq("vec_id"), "left_anti"))
+
+  /** Incremental append: cell-assign + SQ-encode arrivals
+    * (vec_id, embedding) with both models frozen — the same map-side
+    * projection the train path uses ([[IvfSq.encode]]), union-only.
+    * Freshness caveats are IVF's (cell drift, [[cellStats]] watermark)
+    * plus SQ's (bound saturation). */
+  def append(arrivals: DataFrame): IvfSqIndex =
+    new IvfSqIndex(config, ivf, sq,
+      codes.unionByName(
+        IvfSq.encode(arrivals, "vec_id", "embedding", config, ivf, sq)))
+
+  /** Upsert = tombstone-then-append (see
+    * [[graft.ann.lsh.LshIndex.upsert]]). */
+  def upsert(updates: DataFrame): IvfSqIndex =
+    withDeletes(updates.select("vec_id")).append(updates)
+
   /** Persist both models + the codes table, `partitionBy(cell)` for
     * at-rest probe pruning (the IVF-PQ layout contract). */
   def save(spark: SparkSession, path: String): Unit = {
@@ -166,17 +188,24 @@ object IvfSq {
   def train(df: DataFrame, idCol: String, vecCol: String,
             config: IvfSqConfig): IvfSqIndex = {
     val (ivfModel, sqModel) = fit(df, vecCol, config)
+    new IvfSqIndex(config, ivfModel, sqModel,
+      encode(df, idCol, vecCol, config, ivfModel, sqModel))
+  }
+
+  /** One map-side projection emitting (vec_id, cell, codes): the cell
+    * argmin expression normalizes internally in angular mode; the SQ
+    * encode sees the explicitly-normalized column. Shared by the train
+    * path and [[IvfSqIndex.append]] (frozen-model arrivals). */
+  private[ann] def encode(df: DataFrame, idCol: String, vecCol: String,
+                            config: IvfSqConfig, ivfModel: IvfModel,
+                            sqModel: SqModel): DataFrame = {
     val vec =
       if (!config.angular) col(vecCol)
       else graft.functions.VectorFunctions.l2Normalize(
         col(vecCol).cast(ArrayType(DoubleType)))
-    // one map-side projection emits (vec_id, cell, codes): the cell
-    // argmin expression normalizes internally in angular mode; the SQ
-    // encode sees the explicitly-normalized column
-    val codes = df.select(col(idCol).as("vec_id"),
+    df.select(col(idCol).as("vec_id"),
       IvfExpressions.ivfCell(ivfModel, col(vecCol)).as("cell"),
       sqModel.encodeCol(vec).as("codes"))
-    new IvfSqIndex(config, ivfModel, sqModel, codes)
   }
 
   /** Reopen a saved index. */

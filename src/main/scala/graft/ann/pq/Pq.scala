@@ -167,6 +167,27 @@ final class PqIndex(val model: PqModel, val codes: DataFrame) {
         col("n.dist").as("dist"))
   }
 
+  /** Serve-time delete view (tombstone pattern, semantics and scale
+    * shape as [[graft.ann.lsh.LshIndex.withDeletes]]). */
+  def withDeletes(tombstones: DataFrame): PqIndex =
+    new PqIndex(model,
+      codes.join(broadcast(tombstones.select("vec_id")),
+        Seq("vec_id"), "left_anti"))
+
+  /** Incremental append: encode arrivals (vec_id, embedding) with the
+    * FROZEN codebooks — map-side, union-only. Freshness caveat: frozen
+    * sub-codebooks quantize drifted arrivals against stale centroids,
+    * inflating ADC error (ordering quality, not correctness — rerank
+    * recovers); re-train on the k-means cadence that fits the drift. */
+  def append(arrivals: DataFrame): PqIndex =
+    new PqIndex(model,
+      codes.unionByName(model.transform(arrivals, "vec_id", "embedding")))
+
+  /** Upsert = tombstone-then-append (see
+    * [[graft.ann.lsh.LshIndex.upsert]]). */
+  def upsert(updates: DataFrame): PqIndex =
+    withDeletes(updates.select("vec_id")).append(updates)
+
   /** Persist codebooks + meta + the compressed codes table (the codes
     * ARE the index at scan time — m small ints per vector, the 4-75x
     * footprint cut that makes PQ the at-rest format for cold corpora). */

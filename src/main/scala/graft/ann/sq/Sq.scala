@@ -129,6 +129,31 @@ final class SqIndex(val model: SqModel, val codes: DataFrame) {
         col("n.dist").as("dist"))
   }
 
+  /** Serve-time delete view (tombstone pattern, semantics and scale
+    * shape as [[graft.ann.lsh.LshIndex.withDeletes]]): the codes table
+    * anti-joins the broadcast tombstone set map-side; compaction is
+    * `withDeletes(t).save(path)`. */
+  def withDeletes(tombstones: DataFrame): SqIndex =
+    new SqIndex(model,
+      codes.join(broadcast(tombstones.select("vec_id")),
+        Seq("vec_id"), "left_anti"))
+
+  /** Incremental append: encode arrivals (vec_id, embedding) with the
+    * FROZEN min/max bounds — map-side, union-only. Freshness caveat:
+    * arrival components outside the fitted range saturate at the
+    * bounds (encodeCol's clamp), so under distribution drift the
+    * quantization error is one-sided instead of ±scale/2 — re-fit when
+    * arrivals leave the trained envelope (the fit is one aggregation
+    * pass, effectively free). */
+  def append(arrivals: DataFrame): SqIndex =
+    new SqIndex(model,
+      codes.unionByName(model.transformDf(arrivals, "vec_id", "embedding")))
+
+  /** Upsert = tombstone-then-append (see
+    * [[graft.ann.lsh.LshIndex.upsert]]). */
+  def upsert(updates: DataFrame): SqIndex =
+    withDeletes(updates.select("vec_id")).append(updates)
+
   /** Persist bounds + the codes table (same layout contract as the
     * LSH/IVF/PQ persistence: small model tables + the at-rest index). */
   def save(spark: SparkSession, path: String): Unit = {
