@@ -613,6 +613,32 @@ object SimilarityQueries extends QueryPack {
         .orderBy("vec_id", "pos")
     }),
 
+    // Code-table lifecycle certification (CompressedLifecycleSpec pins
+    // the uniform 5-family contract; this row cross-engine-recomputes
+    // the SQ pole end to end): a deterministic delete + upsert script
+    // against FROZEN bounds — ids ≡ UpsertDeadRem (mod UpsertMod) are
+    // tombstoned, ids ≡ UpsertUpdRem are upserted to the embedding of
+    // (vec_id × UpsertSrcMul) mod n. DuckDB refits the bounds from the
+    // ORIGINAL corpus (the append contract: arrivals never refit) and
+    // re-derives the final codes table row for row.
+    "q_sq_upsert_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = sqIdx(s, dir)
+      val n = e.count()
+      val dead = e.where(pmod(col("vec_id"), lit(UpsertMod)) === UpsertDeadRem)
+        .select("vec_id")
+      val updates = e
+        .where(pmod(col("vec_id"), lit(UpsertMod)) === UpsertUpdRem)
+        .select(col("vec_id"),
+          pmod(col("vec_id") * UpsertSrcMul, lit(n)).as("src_id"))
+        .join(e.select(col("vec_id").as("src_id"), col("embedding")), "src_id")
+        .select(col("vec_id"), col("embedding"))
+      idx.withDeletes(dead).upsert(updates).codes
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos"), col("col").as("code"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // SQ rerank search: quantized-scan candidates + exact re-rank, so
     // returned distances are exact and every returned pair re-verifies
     // from the raw embeddings cross-engine (same gate as
@@ -899,6 +925,32 @@ object SimilarityQueries extends QueryPack {
       graft.ann.GraphSearch.beamFrom(dumpedG, e, "vec_id", "embedding",
           q, dumpedE, K, BeamWidth, BeamHops)
         .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // Serving under PENDING deletes (the FreshDiskANN rule,
+    // arXiv:2105.09613 §4; GraphMaintainer.tombstones / GraphDeleteSpec):
+    // walks still route THROUGH tombstoned nodes — cutting them from the
+    // frontier would sever the paths they anchor until the next
+    // consolidation — but the final k-cut filters them, so a deleted id
+    // is never served. The tombstone set is rule-derived
+    // (vec_id % TombstoneMod == 0, which tombstones query 0's and query
+    // 50's own nearest neighbor — the exclusion provably binds), so the
+    // DuckDB oracle replays the identical hop-for-hop walk from the
+    // dumped edge list and applies the same final-cut filter.
+    "q_graph_delete_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val withBackbone = graphRefinedBackbone(s, dir)
+      val dumpedG = LshQueries.dumpAndReload(s, withBackbone,
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_graph_del")
+      import s.implicits._
+      val q = queriesDf(e)
+      val entries = q.select(col("query_id"))
+        .crossJoin((0L until BeamEntries).toDF("node"))
+      val tombs = e.where(pmod(col("vec_id"), lit(TombstoneMod)) === 0)
+        .select(col("vec_id"))
+      graft.ann.GraphSearch.beamFrom(dumpedG, e, "vec_id", "embedding",
+          q, entries, K, BeamWidth, BeamHops, excluded = Some(tombs))
+        .orderBy("query_id", "dist", "vec_id")
     })
   )
 
@@ -932,6 +984,21 @@ object SimilarityQueries extends QueryPack {
 
   /** Neighbors per node in the k-NN graph queries. */
   val KnnK = 5
+
+  /** `q_graph_delete_serve`'s rule-derived tombstone set (vec_id ≡ 0
+    * mod this) — rule-derived instead of dumped so the DuckDB oracle
+    * regenerates the identical set from the embeddings table alone. */
+  val TombstoneMod = 50L
+
+  /** `q_sq_upsert_codes`' deterministic lifecycle script: ids ≡
+    * UpsertDeadRem (mod UpsertMod) are tombstoned, ids ≡ UpsertUpdRem
+    * take the embedding of (vec_id × UpsertSrcMul) mod corpus-size —
+    * all rule-derived, so DuckDB replays delete + frozen-bounds
+    * re-encode cross-engine. */
+  val UpsertMod = 97L
+  val UpsertDeadRem = 5L
+  val UpsertUpdRem = 3L
+  val UpsertSrcMul = 31L
 
   /** Hamming-scan depth for the BQ rerank queries: 250 of the sf0.01
     * corpus (500) per the depth-scaling rule — 1 bit/dim orders only
@@ -1279,6 +1346,45 @@ object SimilarityQueries extends QueryPack {
         |SELECT vec_id, unnest(range(len(codes))) AS pos, unnest(codes) AS code
         |FROM enc ORDER BY vec_id, pos""".stripMargin,
 
+    // Lifecycle replay: DuckDB refits the FROZEN bounds from the
+    // ORIGINAL corpus, applies the same rule-derived delete + upsert
+    // script (dead ≡ UpsertDeadRem, updated ≡ UpsertUpdRem take the
+    // embedding of (vec_id × UpsertSrcMul) mod n), and re-encodes the
+    // final table — a wrong row anywhere (a refit sneaking in, a
+    // tombstone surviving, an upsert double-row) breaks the hash.
+    "q_sq_upsert_codes" ->
+      s"""WITH dim AS (
+         |  SELECT unnest(embedding::DOUBLE[]) AS x,
+         |         unnest(range(len(embedding))) AS i
+         |  FROM embeddings
+         |),
+         |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM dim GROUP BY i),
+         |mml AS (
+         |  SELECT list(mn ORDER BY i) AS mins,
+         |         list(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn)/255 END ORDER BY i) AS scales
+         |  FROM mm
+         |),
+         |n AS (SELECT count(*) AS c FROM embeddings),
+         |fin AS (
+         |  SELECT e.vec_id,
+         |         CASE WHEN e.vec_id % $UpsertMod = $UpsertUpdRem
+         |              THEN s.embedding ELSE e.embedding END AS embedding
+         |  FROM embeddings e
+         |  CROSS JOIN n
+         |  LEFT JOIN embeddings s
+         |    ON s.vec_id = (e.vec_id * $UpsertSrcMul) % n.c
+         |  WHERE e.vec_id % $UpsertMod <> $UpsertDeadRem
+         |),
+         |enc AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |      (x, i) -> CASE WHEN scales[i] = 0 THEN 0
+         |                ELSE least(greatest(floor((x - mins[i])/scales[i] + 0.5), 0), 255)::INT END) AS codes
+         |  FROM fin, mml
+         |)
+         |SELECT vec_id, unnest(range(len(codes))) AS pos, unnest(codes) AS code
+         |FROM enc ORDER BY vec_id, pos""".stripMargin,
+
     // Every returned SQ rerank row re-verified from the raw embeddings
     // (rerank distances are exact by construction).
     "q_sq_search_l2" ->
@@ -1615,6 +1721,23 @@ object SimilarityQueries extends QueryPack {
          |  ) WHERE rn <= $BeamWidth
          |)""".stripMargin),
 
+    // Serving under pending deletes: the identical hop-for-hop walk
+    // replay over the q_graph_delete_serve dump, with the rule-derived
+    // tombstone set (vec_id ≡ 0 mod TombstoneMod) filtered at the FINAL
+    // cut only — the FreshDiskANN route-through/never-serve rule.
+    "q_graph_delete_serve" -> beamWalkSql(
+      "beam_graph_del",
+      s"""b0 AS (
+         |  SELECT query_id, node, dist FROM (
+         |    SELECT qs.query_id, e.vec_id AS node,
+         |      ${beamCos("qs.qv", "e.embedding::DOUBLE[]")} AS dist,
+         |      row_number() OVER (PARTITION BY qs.query_id
+         |        ORDER BY ${beamCos("qs.qv", "e.embedding::DOUBLE[]")}, e.vec_id) AS rn
+         |    FROM qs JOIN embeddings e ON e.vec_id < $BeamEntries
+         |  ) WHERE rn <= $BeamWidth
+         |)""".stripMargin,
+      servedPred = s"node % $TombstoneMod <> 0"),
+
     // Every dumped candidate pair re-verified from the raw embeddings:
     // DuckDB recomputes the exact cosine (hash-compared against the
     // Spark-side cos_dist) and re-derives `within` — together these
@@ -1710,7 +1833,12 @@ object SimilarityQueries extends QueryPack {
          |)""".stripMargin
     }.mkString(",\n")
 
-  private def beamWalkSql(graphDir: String, b0Sql: String): String =
+  /** `servedPred` filters the FINAL beam before the top-K cut — the
+    * replay of beamFrom's `excluded` tombstone rule (walks route
+    * through excluded nodes on every hop; only the served cut drops
+    * them). Default TRUE = no exclusion. */
+  private def beamWalkSql(graphDir: String, b0Sql: String,
+                          servedPred: String = "TRUE"): String =
     s"""WITH g AS (
        |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/$graphDir/*.parquet')
        |),
@@ -1727,7 +1855,7 @@ object SimilarityQueries extends QueryPack {
        |  SELECT query_id, node, dist,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY dist, node) AS rn
-       |  FROM b$BeamHops
+       |  FROM b$BeamHops WHERE $servedPred
        |) WHERE rn <= $K
        |ORDER BY query_id, dist, vec_id""".stripMargin
 
