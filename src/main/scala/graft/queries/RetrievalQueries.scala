@@ -66,7 +66,7 @@ object RetrievalQueries extends QueryPack {
     * doc_id and vec_id are aligned in the testdata). */
   val NumHybridQueries = 10
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
 
@@ -132,7 +132,7 @@ object RetrievalQueries extends QueryPack {
     * Memoized + checkpointed: three queries consume it (exact hybrid,
     * indexed hybrid, agreement) and the BM25 DAG is the expensive
     * part. */
-  private def hybridLex(s: SparkSession, dir: String): DataFrame =
+  private[queries] def hybridLex(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "hybrid_lex_ranks") {
       val d = docs(s, dir)
       val qterms = d.where(col("doc_id") < NumHybridQueries)
@@ -410,7 +410,16 @@ object RetrievalQueries extends QueryPack {
     * the Σ-max rounded to 6. */
   private[queries] def maxsimScores(cands: DataFrame, qt: DataFrame,
                                     dt: DataFrame): DataFrame = {
-    val pairs = dt
+    // Materialize the doc-token vectors BEFORE the query fan-out.
+    // Whole-stage codegen defers a joined-in projection's expressions
+    // to their first USE, which here lands after the cands⋈qt fan-out —
+    // so without the barrier each doc token's MaxSimDims-md5 `tokVec`
+    // array is recomputed once per (query, qtok) pair row instead of
+    // once per doc token (measured: 16× the md5 work, 7.2 s → 0.4 s at
+    // sf0.1; jstack pinned MessageDigest/NumberConverter as the hot
+    // loop). The table is tiny (candidate docs × distinct bigrams);
+    // the checkpoint is one bounded job.
+    val pairs = dt.localCheckpoint()
       .join(broadcast(cands), "doc_id")
       .join(broadcast(qt), "query_id")
       .select(col("query_id"), col("doc_id"), col("tok"),
