@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+import graft.ann.{ExactNN, GraphMaintainer, GraphSearch, KnnGraph}
+
+/** Graph-index DELETES on a stream — the delete twin of
+  * StreamingGraphInsertSpec: each micro-batch carries arrivals AND
+  * tombstones, driven through GraphMaintainer.onBatch inside
+  * foreachBatch (tombstone log, link-avoidance on insert, scheduled
+  * consolidation with the FreshDiskANN bridge rule). The identity under
+  * test: the stored bucketed graph and the tombstone log after the
+  * streaming loop — INCLUDING a consolidation triggered mid-stream by
+  * the refine cadence — are identical to a driver-side batch loop
+  * applying the same (arrivals, deletes) splits through an identically
+  * configured maintainer. The streaming machinery adds and loses
+  * nothing; deleted ids are gone from the store and never served. */
+class StreamingGraphDeleteSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  private def cleanTables(names: String*): Unit = names.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"target/spark-warehouse/$t")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
+
+  test("foreachBatch deletes+inserts+consolidation == sequential batch loop") {
+    val rng = new scala.util.Random(23)
+    def pt(center: Double) =
+      Seq.tabulate(8)(i => center + (if (i == 0) 0.0 else rng.nextGaussian() * 0.05))
+    // 40 existing nodes in two clusters + 4 arrivals (2 per batch)
+    val existingRows = (0L until 20L).map(i => (i, pt(0.0))) ++
+      (20L until 40L).map(i => (i, pt(10.0)))
+    val arrivalRows = Seq(40L -> pt(0.2), 41L -> pt(9.8),
+      42L -> pt(0.4), 43L -> pt(9.6))
+    val existing = existingRows.toDF("vec_id", "embedding")
+    val corpus = (existingRows ++ arrivalRows).toDF("vec_id", "embedding")
+
+    // batch 1: arrivals 40,41; delete 3, 27.  batch 2 (triggers the
+    // refineEvery=2 consolidation): arrivals 42,43; delete 11. Arrival
+    // vectors reuse arrivalRows so both sides see identical embeddings.
+    val batchDefs = Seq(
+      (arrivalRows.take(2), Seq(3L, 27L)),
+      (arrivalRows.drop(2), Seq(11L)))
+
+    def mkMaintainer(name: String) = new GraphMaintainer(spark, name,
+      "vec_id", "embedding", k = 4, beamWidth = 12, hops = 4,
+      refineEvery = 2, maxReverseDegree = 2, backbone = false,
+      metric = ExactNN.L2)
+
+    def seed(name: String): Unit = {
+      cleanTables(s"${name}_edges", s"${name}_tombstones")
+      val base = KnnGraph.exact(existing, "vec_id", "embedding", 4, ExactNN.L2)
+        .select($"src", $"dst")
+      GraphSearch.saveBucketed(base, name)
+    }
+
+    def entriesFor(arr: org.apache.spark.sql.DataFrame) =
+      arr.select($"vec_id".as("query_id"))
+        .crossJoin((0L until 8L).toDF("node"))
+
+    // batch twin
+    seed("gsdel_batch")
+    val mb = mkMaintainer("gsdel_batch")
+    for ((arr, dels) <- batchDefs) {
+      val a = arr.toDF("vec_id", "embedding")
+      mb.onBatch(corpus, a, entriesFor(a), deletes = Some(dels.toDF("vec_id")))
+    }
+
+    // streaming twin: (vec_id, embedding, del) rows through foreachBatch
+    seed("gsdel_stream")
+    val ms = mkMaintainer("gsdel_stream")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double], Boolean)]
+    val q = mem.toDF().toDF("vec_id", "embedding", "del")
+      .writeStream
+      .foreachBatch { (batchDf: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batchDf.isEmpty) {
+          val a = batchDf.where(!$"del").select($"vec_id", $"embedding")
+          val d = batchDf.where($"del").select($"vec_id")
+          ms.onBatch(corpus, a, entriesFor(a), deletes = Some(d))
+        }
+        ()
+      }
+      .start()
+    try {
+      for ((arr, dels) <- batchDefs) {
+        mem.addData(arr.map { case (id, e) => (id, e, false) } ++
+          dels.map(id => (id, Seq.empty[Double], true)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // identity: stored graph + tombstone log
+    val eb = GraphSearch.loadBucketed(spark, "gsdel_batch")
+      .as[(Long, Long)].collect().toSet
+    val es = GraphSearch.loadBucketed(spark, "gsdel_stream")
+      .as[(Long, Long)].collect().toSet
+    assert(es === eb,
+      s"streamed graph diverged: ${es.size} vs ${eb.size} edges")
+    assert(mb.tombstones.as[Long].collect().toSet ===
+      ms.tombstones.as[Long].collect().toSet)
+
+    // batch-2's consolidation folded batch-1's AND batch-2's tombstones
+    // into the store: no edge touches any deleted id, log is empty
+    assert(ms.batchesSeen === 2 && mb.batchesSeen === 2)
+    assert(ms.tombstones.isEmpty, "tombstone log survived consolidation")
+    val deadIds = Seq(3L, 27L, 11L)
+    assert(GraphSearch.loadBucketed(spark, "gsdel_stream")
+      .where($"src".isin(deadIds: _*) || $"dst".isin(deadIds: _*))
+      .count() === 0, "deleted ids survive in the streamed store")
+
+    // the maintained graph serves arrivals and never a deleted id
+    val stored = GraphSearch.loadBucketed(spark, "gsdel_stream")
+    val qv = Seq((42L, arrivalRows(2)._2)).toDF("query_id", "qv")
+    val served = GraphSearch.beamFrom(stored, corpus, "vec_id", "embedding",
+        qv, qv.select($"query_id").crossJoin((0L until 8L).toDF("node")),
+        3, 12, 5, metric = ExactNN.L2, symmetrize = false)
+      .as[(Long, Long, Double)].collect()
+    assert(served.exists(r => r._2 == 42L && r._3 == 0.0),
+      s"arrival not served: ${served.toSeq}")
+    assert(!served.exists(r => deadIds.contains(r._2)),
+      s"deleted id served: ${served.toSeq}")
+  }
+}
