@@ -100,12 +100,20 @@ final class GraphMaintainer(
       maxReverseDegree, metric, roundTo, symmetrize = false,
       excluded = excl)
     val newIds = newVectors.select(col(idCol).as("nid"))
+    // Materialized BEFORE the append (and the scheduled refine below):
+    // the lazy frame's lineage reads the stored edge table and the
+    // tombstone log, both of which the refine rewrites/drops — a caller
+    // evaluating the returned delta after a refine batch would otherwise
+    // hit a missing table or silently replay the walk against the
+    // post-refine graph. The delta is a bounded batch-sized frame; the
+    // checkpoint is one small job and the append reuses its rows.
     val delta = extended
       .join(newIds, col("src") === col("nid"), "left_semi")
       .unionByName(extended
         .join(newIds, col("dst") === col("nid"), "left_semi"))
       .dropDuplicates("src", "dst")
       .select(col("src"), col("dst"), col("dist"))
+      .localCheckpoint()
     GraphSearch.appendBucketed(delta, name, nBuckets)
     batches += 1
     if (batches % refineEvery == 0) refineNow(vectors)
@@ -215,8 +223,11 @@ final class GraphMaintainer(
         _.unionByName(_)).dropDuplicates("src", "dst")
     GraphSearch.saveBucketed(withBackbone, name, nBuckets)
     if (hasDeletes) spark.sql(s"DROP TABLE IF EXISTS $tombstoneTable")
-    log.info(s"stored graph '$name' refined after $batches insert batches " +
-      s"(max degree now $maxStoredDegree)")
+    // maxStoredDegree is a full edge-table aggregate — only pay for it
+    // when the log line is actually emitted
+    if (log.isInfoEnabled) log.info(
+      s"stored graph '$name' refined after $batches insert batches " +
+        s"(max degree now $maxStoredDegree)")
     refined
   }
 }

@@ -284,6 +284,15 @@ object GraphSearch {
     // walk's scale killer on non-bucketed graphs) and, measured at
     // sf0.1, ~2x off the board walks' wall time (per-hop stage latency
     // was 4 shuffles, now the dedup + top-k pair only).
+    //
+    // The bound is per QUERY BATCH: the forced broadcast collects
+    // ~batch × beamWidth × (degree + 1) rows to the driver per hop, so
+    // a serving loop must size its micro-batches accordingly (e.g. 10k
+    // queries × beam 32 × degree 17 ≈ 5.4M skinny rows — fine; a
+    // million-query batch is not — split it). Degree is part of the
+    // bound: run GraphMaintainer's scheduled refine (or watch its
+    // degree watermark) so hub growth under streaming inserts doesn't
+    // silently inflate the frontier fan-out.
     def score(cands: DataFrame): DataFrame =
       vecs.join(broadcast(cands), "node")
         .join(q, "query_id")

@@ -31,12 +31,15 @@ import org.apache.spark.sql.functions._
   *     via [[LshIndex.save]], and the delta/tombstone logs are dropped
   *     — bounded log size, one rewrite amortized over N batches;
   *   - between compactions an occupancy watermark warns (loud, cheap,
-  *     non-fatal — the [[Lsh.fit]] pattern) when the index has grown
-  *     past `occupancyWatermark`× its fit sample: frozen planes still
-  *     hash arrivals correctly, but expected bucket occupancy — and so
-  *     per-probe search cost — inflates by the growth factor
-  *     ([[LshConfig.expectedOccupancy]]); refit, or serve through
-  *     [[LshIndex.cappedBuckets]] / `maxCandidates`.
+  *     non-fatal — the [[Lsh.fit]] pattern) when the at-rest row count
+  *     (base + delta logs, INCLUDING tombstoned rows, which cost every
+  *     probe until compacted out) grows past `occupancyWatermark`× the
+  *     base snapshot the frozen forest serves: frozen planes still hash
+  *     arrivals correctly, but bucket occupancy — and so per-probe
+  *     search cost — inflates by the growth factor. The counts are
+  *     tracked incrementally (one base count at first use, += arrivals
+  *     per batch), never by re-assembling the serving view; refit, or
+  *     serve through [[LshIndex.cappedBuckets]] / `maxCandidates`.
   *
   * Driver-side state is one Int (the batch counter), safe inside
   * `foreachBatch` (runs on the driver); everything heavy is DataFrame
@@ -52,9 +55,46 @@ final class LshMaintainer(
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private var batches = 0
+  /** The frozen forest, loaded once — the class contract is that
+    * arrivals hash through the PERSISTED model, so re-reading it per
+    * micro-batch was pure repeated I/O. */
+  private lazy val model = LshModel.load(spark, s"$path/model")
 
-  /** Upsert/delete batches applied since construction. */
+  /** The LSM sequence is PERSISTENT state: a reconstructed maintainer
+    * (driver restart, new session over the same store) must continue
+    * the stamp sequence, not restart at 1 — a restarted counter lets an
+    * OLD tombstone (higher persisted seq) kill a NEW arrival, and a new
+    * delete fail to kill old delta rows. Recovered as max(seq) across
+    * the on-disk logs; base rows are seq 0 and compaction clears the
+    * logs, so a freshly-compacted store recovers 0. */
+  private var batches = {
+    val logs = Seq("vectors_delta", "tombstones")
+      .map(sub => readOr(sub, emptySeqIds).select("seq"))
+      .reduce(_.unionByName(_))
+    val m = logs.agg(org.apache.spark.sql.functions.max("seq")).head()
+    if (m.isNullAt(0)) 0 else m.getInt(0)
+  }
+
+  /** Occupancy-watermark state, tracked incrementally so the per-batch
+    * check costs nothing (the old form re-assembled and counted the
+    * whole serving view per batch, and measured growth against
+    * min(total, sampleCap) — which is 1.0x for any corpus under the
+    * cap, so it could never fire). `fitRows` is the base snapshot the
+    * frozen forest serves (counted once, lazily); `atRestRows` adds the
+    * delta-log rows INCLUDING tombstoned ones — dead rows still sit in
+    * the bucket files and cost every probe until compaction folds them
+    * out. Compaction resets both to the folded base (the forest is
+    * still the original fit — repeated warnings after compaction mean
+    * refit, not compact harder). */
+  private var fitRows: Long = -1L
+  private var atRestRows: Long = -1L
+  private def ensureCounts(): Unit = if (fitRows < 0) {
+    fitRows = Lsh.load(spark, path).vectors.count()
+    atRestRows = fitRows + readOr("vectors_delta", emptySeqIds).count()
+  }
+
+  /** Upsert/delete batches applied since the store's last compaction
+    * (recovered from the persisted logs on reconstruction). */
   def batchesSeen: Int = batches
 
   /** True when the NEXT [[onBatch]] call triggers compaction. */
@@ -100,7 +140,10 @@ final class LshMaintainer(
   def onBatch(arrivals: Option[DataFrame],
               deletes: Option[DataFrame]): Unit = {
     val seq = batches + 1
-    val model = LshModel.load(spark, s"$path/model")
+    // snapshot the at-rest counts BEFORE this batch's delta lands on
+    // disk (ensureCounts reads the delta log — initializing it after
+    // the write would double-count this batch's arrivals)
+    if (occupancyWatermark > 0) ensureCounts()
     arrivals.foreach { a0 =>
       val a = a0.select("vec_id", "embedding")
       a.withColumn("seq", lit(seq))
@@ -114,19 +157,18 @@ final class LshMaintainer(
       d.select(col("vec_id"), lit(seq).as("seq"))
         .write.mode("append").parquet(s"$path/tombstones")
     }
+    if (atRestRows >= 0) arrivals.foreach(a => atRestRows += a.count())
     batches = seq
     if (batches % compactEvery == 0) compactNow()
     else if (occupancyWatermark > 0) {
-      val total = index.vectors.count()
-      val cfg = model.config
-      if (cfg.expectedOccupancy(total) >
-          occupancyWatermark * cfg.kMinVecs) log.warn(
-        s"stored LSH index '$path' holds $total live vectors, " +
-          f"${total.toDouble / cfg.fitSampleSize(total)}%.1fx its fit " +
-          s"sample after $batches batches: expected bucket occupancy — " +
-          "and per-probe search cost — has inflated by the same factor " +
-          "(LshConfig.expectedOccupancy). Refit the forest, or serve " +
-          "through cappedBuckets/maxCandidates.")
+      if (atRestRows > occupancyWatermark * fitRows) log.warn(
+        s"stored LSH index '$path' holds $atRestRows rows at rest " +
+          f"(${atRestRows.toDouble / math.max(1L, fitRows)}%.1fx the " +
+          s"$fitRows-row base its frozen forest was fit for) after " +
+          s"$batches batches: expected bucket occupancy — and per-probe " +
+          "search cost — has inflated by the same factor. Refit the " +
+          "forest, or serve through cappedBuckets/maxCandidates " +
+          "(compaction drops tombstoned rows but never re-splits buckets).")
     }
   }
 
@@ -139,7 +181,14 @@ final class LshMaintainer(
     new LshIndex(live.model, v, b).save(spark, path)
     Seq("vectors_delta", "buckets_delta", "tombstones")
       .foreach(sub => fs.delete(new Path(s"$path/$sub"), true))
-    log.info(s"stored LSH index '$path' compacted after $batches batches " +
-      s"(${v.count()} live vectors)")
+    val folded = v.count()
+    // the folded base is the new at-rest snapshot; the forest is still
+    // the ORIGINAL fit, so the watermark reference moves with the base
+    // (repeated post-compaction warnings mean refit)
+    fitRows = folded
+    atRestRows = folded
+    if (log.isInfoEnabled) log.info(
+      s"stored LSH index '$path' compacted after $batches batches " +
+        s"($folded live vectors)")
   }
 }

@@ -16,15 +16,24 @@ trait QueryPack {
     * than one query (seeded graphs, verified pair pipelines): the
     * builds are pure, so sharing across Verify's concurrent query
     * threads changes no output — it only deletes redundant recompute.
-    * Keyed per-session (a WeakHashMap on the session REFERENCE — not
-    * its identity hash, which a later session could collide with after
-    * GC — so entries, and the checkpoint blocks they pin, die with the
-    * session); within a session, computeIfAbsent on (sfDir, tag)
-    * evaluates each build exactly once, and dependencies between
-    * memoized builds must be resolved BEFORE entering the compute
-    * lambda (nested computes on one ConcurrentHashMap are unsupported).
-    * Cache DataFrame values with `localCheckpoint()` so lineage never
-    * re-executes.
+    * Keyed per-session on the session REFERENCE (not its identity hash,
+    * which a later session could collide with after GC); within a
+    * session, computeIfAbsent on (sfDir, tag) evaluates each build
+    * exactly once, and dependencies between memoized builds must be
+    * resolved BEFORE entering the compute lambda (nested computes on
+    * one ConcurrentHashMap are unsupported). Cache DataFrame values
+    * with `localCheckpoint()` so lineage never re-executes.
+    *
+    * Lifetime honesty: the WeakHashMap alone cannot free anything —
+    * the memoized values are DataFrames/indexes that strongly reference
+    * their SparkSession (value→key, the pattern the WeakHashMap javadoc
+    * warns about), so entries are ALSO evicted explicitly whenever any
+    * memoized() call observes a key whose SparkContext has stopped
+    * (checkpoint blocks die with the context anyway). A session that is
+    * merely dereferenced but shares a live context keeps its builds for
+    * the JVM lifetime — acceptable for the certification board's
+    * one-session-per-JVM processes, stated here so nobody mistakes the
+    * weak keys for a working lifetime story.
     *
     * LOCAL-MODE MACHINERY, not library API: `localCheckpoint` stores
     * blocks on executors without lineage, so on a real cluster an
@@ -39,6 +48,11 @@ trait QueryPack {
   protected def memoized[T <: AnyRef](s: SparkSession, dir: String,
                                       tag: String)(f: => T): T = {
     val perSession = buildMemo.synchronized {
+      val it = buildMemo.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k != null && k.sparkContext.isStopped) it.remove()
+      }
       val got = buildMemo.get(s)
       if (got != null) got
       else {

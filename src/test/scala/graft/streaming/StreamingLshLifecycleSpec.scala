@@ -118,4 +118,35 @@ class StreamingLshLifecycleSpec extends AnyFunSuite with SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(served === exact, "stream view != exact over live corpus")
   }
+
+  test("reconstructed maintainer recovers the LSM seq from the persisted logs") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = emb.where($"vec_id" < 490)
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh_lsm_restart").toString + "/idx"
+    Lsh.train(base, "vec_id", "embedding",
+      LshConfig(nTrees = 2, kMinVecs = 4096, seed = 7L)).save(spark, path)
+    val v490 = emb.where($"vec_id" === 490L)
+      .select($"embedding").as[Seq[Float]].head()
+
+    // run 1: batch 1 adds id 490 (delta seq 1), batch 2 deletes it
+    // (tombstone seq 2)
+    val m1 = new LshMaintainer(spark, path, compactEvery = 100)
+    m1.onBatch(Some(Seq(490L -> v490).toDF("vec_id", "embedding")), None)
+    m1.onBatch(None, Some(Seq(490L).toDF("vec_id")))
+    assert(m1.index.vectors.where($"vec_id" === 490L).count() === 0)
+
+    // "restart": a NEW maintainer over the same store must CONTINUE the
+    // persisted sequence — a counter restarting at 0 would stamp the
+    // re-add below with seq 1, letting the surviving tombstone (seq 2)
+    // kill the NEW arrival (old delete beats new insert: the LSM
+    // ordering inverted)
+    val m2 = new LshMaintainer(spark, path, compactEvery = 100)
+    assert(m2.batchesSeen === 2,
+      s"seq not recovered from the persisted logs: ${m2.batchesSeen}")
+    m2.onBatch(Some(Seq(490L -> v490).toDF("vec_id", "embedding")), None)
+    assert(m2.index.vectors.where($"vec_id" === 490L).count() === 1,
+      "re-added id killed by a pre-restart tombstone")
+  }
 }
