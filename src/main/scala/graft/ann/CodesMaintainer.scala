@@ -41,11 +41,28 @@ final class CodesMaintainer(
     path: String,
     encode: DataFrame => DataFrame,
     compactEvery: Int,
-    partitionCols: Seq[String] = Nil) {
+    partitionCols: Seq[String] = Nil,
+    occupancyWatermark: Double = 0.0) {
 
   require(compactEvery > 0, s"compactEvery $compactEvery must be positive")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Watermark state, tracked incrementally (the LshMaintainer rule):
+    * `fitRows` is the base snapshot the frozen model was fit against,
+    * `atRestRows` adds the delta-log rows INCLUDING tombstoned ones
+    * (dead code rows still sit in the scanned files until compaction).
+    * For the frozen models the inflation is per-family drift — SQ
+    * bounds saturate, PQ codebooks go stale, IVF cells crowd — so the
+    * warning's action is refit/retrain, not compact harder; compaction
+    * resets the reference to the folded base. */
+  private var fitRows: Long = -1L
+  private var atRestRows: Long = -1L
+  private def ensureCounts(): Unit = if (fitRows < 0) {
+    fitRows = base.count()
+    atRestRows = fitRows +
+      readOr("codes_delta", emptySeqIds).count()
+  }
 
   private def fs =
     org.apache.hadoop.fs.FileSystem.get(
@@ -76,6 +93,12 @@ final class CodesMaintainer(
   /** True when the NEXT [[onBatch]] call triggers compaction. */
   def compactionDue: Boolean = (batches + 1) % compactEvery == 0
 
+  /** Current at-rest growth factor vs the fit-time base (resets to 1.0
+    * at compaction; -1.0 until the watermark path takes its first
+    * count). The number the occupancy warning fires on. */
+  def atRestGrowth: Double =
+    if (fitRows <= 0) -1.0 else atRestRows.toDouble / fitRows
+
   private def tombstones: DataFrame =
     readOr("tombstones", emptySeqIds).select("vec_id", "seq")
 
@@ -97,6 +120,9 @@ final class CodesMaintainer(
   def onBatch(arrivals: Option[DataFrame],
               deletes: Option[DataFrame]): Unit = {
     val seq = batches + 1
+    // counts snapshot BEFORE this batch's delta lands (the log read in
+    // ensureCounts would otherwise double-count this batch)
+    if (occupancyWatermark > 0) ensureCounts()
     arrivals.foreach { a =>
       val w = encode(a).withColumn("seq", lit(seq))
         .write.mode("append")
@@ -107,8 +133,19 @@ final class CodesMaintainer(
       d.select(col("vec_id"), lit(seq).as("seq"))
         .write.mode("append").parquet(s"$path/tombstones")
     }
+    if (atRestRows >= 0) arrivals.foreach(a => atRestRows += a.count())
     batches = seq
     if (batches % compactEvery == 0) compactNow()
+    else if (occupancyWatermark > 0 &&
+        atRestRows > occupancyWatermark * fitRows) log.warn(
+      s"stored codes table '$path' holds $atRestRows rows at rest " +
+        f"(${atRestRows.toDouble / math.max(1L, fitRows)}%.1fx the " +
+        s"$fitRows-row base its frozen model was fit for) after " +
+        s"$batches batches: the model's drift envelope (SQ bound " +
+        "saturation / PQ codebook staleness / IVF cell crowding — see " +
+        "each family's append scaladoc) has likely been outgrown. " +
+        "Refit/retrain; compaction drops tombstoned rows but never " +
+        "re-fits the model.")
   }
 
   /** Fold the logs into the base codes table (family layout preserved
@@ -120,8 +157,11 @@ final class CodesMaintainer(
       .parquet(s"$path/codes")
     Seq("codes_delta", "tombstones")
       .foreach(sub => fs.delete(new Path(s"$path/$sub"), true))
+    val folded = live.count()
+    fitRows = folded
+    atRestRows = folded
     if (log.isInfoEnabled) log.info(
       s"stored codes table '$path' compacted after $batches batches " +
-        s"(${live.count()} live rows)")
+        s"($folded live rows)")
   }
 }

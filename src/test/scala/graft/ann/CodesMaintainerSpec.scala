@@ -48,10 +48,15 @@ class CodesMaintainerSpec extends AnyFunSuite with SparkSpecBase {
     val up2 = Seq(5L -> newEmb).toDF("vec_id", "embedding")
 
     def enc(df: DataFrame) = idx.model.transformDf(df, "vec_id", "embedding")
-    val m = new CodesMaintainer(spark, path, enc, compactEvery = 3)
+    val m = new CodesMaintainer(spark, path, enc, compactEvery = 3,
+      occupancyWatermark = 10.0)
 
     m.onBatch(Some(arrivals1), Some(dead1.toDF("vec_id")))
     m.onBatch(Some(up2), Some(up2.select("vec_id")))
+    // at-rest growth counts delta rows INCLUDING tombstoned ones:
+    // 40 base + 10 arrivals + 1 upsert re-add over the 40-row fit
+    assert(math.abs(m.atRestGrowth - 51.0 / 40.0) < 1e-9,
+      s"at-rest growth ${m.atRestGrowth}")
 
     val chain = idx.withDeletes(dead1.toDF("vec_id"))
       .append(arrivals1).upsert(up2)
