@@ -57,8 +57,12 @@ final class LshMaintainer(
 
   /** The frozen forest, loaded once — the class contract is that
     * arrivals hash through the PERSISTED model, so re-reading it per
-    * micro-batch was pure repeated I/O. */
-  private lazy val model = LshModel.load(spark, s"$path/model")
+    * micro-batch was pure repeated I/O. Replaced only by [[refitNow]]. */
+  private var modelCache: LshModel = null
+  private def model: LshModel = {
+    if (modelCache == null) modelCache = LshModel.load(spark, s"$path/model")
+    modelCache
+  }
 
   /** The LSM sequence is PERSISTENT state: a reconstructed maintainer
     * (driver restart, new session over the same store) must continue
@@ -97,6 +101,12 @@ final class LshMaintainer(
     * (recovered from the persisted logs on reconstruction). */
   def batchesSeen: Int = batches
 
+  /** Current at-rest growth factor vs the fit-time base (resets to 1.0
+    * at compaction/refit; -1.0 until the watermark path takes its first
+    * count). The number the occupancy warning fires on. */
+  def atRestGrowth: Double =
+    if (fitRows <= 0) -1.0 else atRestRows.toDouble / fitRows
+
   /** True when the NEXT [[onBatch]] call triggers compaction. */
   def compactionDue: Boolean = (batches + 1) % compactEvery == 0
 
@@ -116,22 +126,30 @@ final class LshMaintainer(
     readOr("tombstones", emptySeqIds).select("vec_id", "seq")
 
   /** The serving view: persisted base + delta logs, minus tombstoned
-    * rows (t.seq > row.seq). Anti-joins broadcast the (small) log. */
+    * rows (t.seq > row.seq). Anti-joins broadcast the (small) log.
+    * Uses the once-loaded frozen [[model]] — `Lsh.load` here would
+    * collect the forest's node table to the driver on EVERY serving
+    * call (a per-micro-batch tax a foreachBatch loop pays for nothing:
+    * the model is frozen by the class contract, and compaction rewrites
+    * it byte-identically). */
   def index: LshIndex = {
-    val base = Lsh.load(spark, path)
-    val vecs = base.vectors.withColumn("seq", lit(0))
-      .unionByName(readOr("vectors_delta", base.vectors.limit(0)
+    val baseVectors = spark.read.parquet(s"$path/vectors")
+    val baseBuckets = spark.read.parquet(s"$path/buckets")
+      .select(col("tree_id").cast("int").as("tree_id"), col("hash"),
+        col("vec_id"))
+    val vecs = baseVectors.withColumn("seq", lit(0))
+      .unionByName(readOr("vectors_delta", baseVectors.limit(0)
         .withColumn("seq", lit(0)))
         .select("vec_id", "embedding", "seq"))
-    val bks = base.buckets.withColumn("seq", lit(0))
-      .unionByName(readOr("buckets_delta", base.buckets.limit(0)
+    val bks = baseBuckets.withColumn("seq", lit(0))
+      .unionByName(readOr("buckets_delta", baseBuckets.limit(0)
         .withColumn("seq", lit(0)))
         .select("tree_id", "hash", "vec_id", "seq"))
     val t = broadcast(tombstones)
     def live(df: DataFrame) = df.join(t,
         df("vec_id") === t("vec_id") && t("seq") > df("seq"), "left_anti")
       .drop("seq")
-    new LshIndex(base.model, live(vecs), live(bks))
+    new LshIndex(model, live(vecs), live(bks))
   }
 
   /** One streaming maintenance step. `arrivals` rows are
@@ -190,5 +208,28 @@ final class LshMaintainer(
     if (log.isInfoEnabled) log.info(
       s"stored LSH index '$path' compacted after $batches batches " +
         s"($folded live vectors)")
+  }
+
+  /** The occupancy warning's prescribed action, as code: RETRAIN the
+    * forest on the live view (arrivals included, tombstoned rows
+    * dropped), rewrite the whole store, drop the logs. The only
+    * maintenance step that re-splits buckets — compaction folds rows
+    * but keeps the frozen planes, so per-probe cost stays inflated
+    * until this runs. Same seeding/occupancy rules as the original
+    * [[Lsh.train]]; the maintainer swaps in the fresh model and keeps
+    * serving. */
+  def refitNow(config: LshConfig): Unit = {
+    val v = index.vectors.localCheckpoint()
+    val fresh = Lsh.train(v, "vec_id", "embedding", config)
+    fresh.save(spark, path)
+    Seq("vectors_delta", "buckets_delta", "tombstones")
+      .foreach(sub => fs.delete(new Path(s"$path/$sub"), true))
+    modelCache = fresh.model
+    val n = v.count()
+    fitRows = n
+    atRestRows = n
+    if (log.isInfoEnabled) log.info(
+      s"stored LSH index '$path' refit on $n live vectors after " +
+        s"$batches batches (occupancy restored to the config envelope)")
   }
 }

@@ -149,4 +149,35 @@ class StreamingLshLifecycleSpec extends AnyFunSuite with SparkSpecBase {
     assert(m2.index.vectors.where($"vec_id" === 490L).count() === 1,
       "re-added id killed by a pre-restart tombstone")
   }
+
+  test("refitNow retrains on the live view and restores the occupancy envelope") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = emb.where($"vec_id" < 300)
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh_lsm_refit").toString + "/idx"
+    val cfg = LshConfig(nTrees = 2, kMinVecs = 4096, seed = 7L)
+    Lsh.train(base, "vec_id", "embedding", cfg).save(spark, path)
+
+    val m = new LshMaintainer(spark, path, compactEvery = 100,
+      occupancyWatermark = 1.5)
+    m.onBatch(Some(emb.where($"vec_id" >= 300)), Some(Seq(5L, 12L).toDF("vec_id")))
+    // 300 base + 200 arrivals at rest over the 300-row fit
+    assert(math.abs(m.atRestGrowth - 500.0 / 300.0) < 1e-9)
+
+    m.refitNow(cfg)
+    assert(m.atRestGrowth === 1.0, s"growth not reset: ${m.atRestGrowth}")
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "logs survived refit")
+    // the refit store serves the LIVE corpus exactly (single-leaf
+    // forest: candidates are total, so view == exact)
+    val live = emb.where(!$"vec_id".isin(5L, 12L))
+    val queries = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val served = m.index.searchAll(queries, 5, 1e9, ExactNN.L2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = ExactNN.topK(queries, live, 5, ExactNN.L2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === exact, "refit store != exact over live corpus")
+  }
 }
