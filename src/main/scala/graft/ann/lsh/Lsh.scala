@@ -356,6 +356,43 @@ final class LshIndex(
       .distinct()
   }
 
+  /** Cross-set LSH similarity join (SURVEY §7.5's "LSH join of two
+    * embedding sets" — the record-linkage / cross-corpus shape):
+    * pair the INDEXED set A with a second embedding set B on
+    * same-bucket collision in any tree, exact-verify every candidate,
+    * keep pairs with dist ≤ `threshold`. B hashes map-side through the
+    * FITTED forest (no refit — [[append]]'s frozen-model contract);
+    * the candidate join shuffles on (tree_id, hash), never A×B;
+    * `maxBucketOccupancy` bounds A-side fan-out per bucket (the
+    * [[cappedBuckets]] guarantee — per-bucket work ≤ cap × |B-bucket|
+    * instead of occupancy²). Output rows carry the exact rounded
+    * distance, so every returned pair re-verifies cross-engine
+    * (pred ⊆ exact, the `q_lsh_near_dup_pairs` gate); misses are
+    * bounded by the forest's collision probability at `threshold`,
+    * graded by `q_lsh_sim_join_recall`. */
+  def similarityJoin(other: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double,
+                     metric: ExactNN.Metric = ExactNN.L2,
+                     roundTo: Int = 6,
+                     maxBucketOccupancy: Int = Int.MaxValue): DataFrame = {
+    val bk =
+      if (maxBucketOccupancy == Int.MaxValue) buckets
+      else cappedBuckets(maxBucketOccupancy)
+    val bBuckets = model.transform(
+      other.select(col(idCol).as("b_id"), col(vecCol).as("b_emb")),
+      "b_id", "b_emb")
+    val cands = bk.join(bBuckets, Seq("tree_id", "hash"))
+      .select(col("vec_id").as("vec_a"), col("b_id").as("vec_b"))
+      .distinct()
+    val va = vectors.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val vb = other.select(col(idCol).as("vec_b"), col(vecCol).as("eb"))
+    cands.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(metric.dist(col("ea"), col("eb")), roundTo).as("dist"))
+      .where(col("dist") <= threshold)
+  }
+
   /** Serve-time delete view — the tombstone pattern for index
     * mutability at scale: both tables anti-join the (small, broadcast)
     * tombstone id set, so deleted vectors vanish from candidate

@@ -193,6 +193,22 @@ object SimilarityQueries extends QueryPack {
         .localCheckpoint()
     }
 
+  /** Shared cross-set similarity-join pairs (even-id set indexed, odd-id
+    * set probing) — consumed by `q_lsh_sim_join` (per-pair distance
+    * gate) and `q_lsh_sim_join_recall` (completeness grade), each with
+    * its own dump path. */
+  private def simJoinPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "lsh_sim_join_pairs") {
+      val e = emb(s, dir)
+      val a = e.where(pmod(col("vec_id"), lit(2)) === 0)
+      val b = e.where(pmod(col("vec_id"), lit(2)) === 1)
+      val idx = Lsh.train(a, "vec_id", "embedding",
+        LshConfig(nTrees = 10, kMinVecs = 50, angular = true, seed = 42L))
+      idx.similarityJoin(b, "vec_id", "embedding", CosineDupThreshold,
+          ExactNN.Cosine, maxBucketOccupancy = 200)
+        .localCheckpoint()
+    }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact embedding near-dup pairs (quadratic baseline, oracle-checked).
     "q_embedding_near_dup" -> ((s, dir) => {
@@ -232,6 +248,45 @@ object SimilarityQueries extends QueryPack {
       LshQueries.dumpAndReload(s, pairs,
           s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/lsh_near_dup")
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // Cross-set LSH similarity join (LshIndex.similarityJoin — SURVEY
+    // §7.5's "LSH join of two embedding sets", the record-linkage /
+    // cross-corpus shape): set B (odd vec_ids) probes the forest fitted
+    // on set A (even vec_ids), same-bucket candidates exact-verified
+    // under the near-dup threshold. Every returned pair carries the
+    // exact cosine, so DuckDB recomputes each distance + the within
+    // flag from the raw embeddings (pairs ⊆ the exact cross-set
+    // near-dup set — the q_lsh_near_dup_pairs gate, cross-set form).
+    "q_lsh_sim_join" -> ((s, dir) => {
+      val pairs = simJoinPairs(s, dir)
+      LshQueries.dumpAndReload(s,
+          pairs.withColumn("within", col("dist") <= CosineDupThreshold),
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/lsh_sim_join")
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // Completeness grade for the cross-set join: found ⊆ exact by
+    // construction (the verified-threshold filter), so recall =
+    // |found| / |exact cross-set pairs under the threshold|. DuckDB
+    // re-derives BOTH sides — the exact set from the raw embeddings
+    // (quadratic cross-parity join), the found count from this query's
+    // own dump.
+    "q_lsh_sim_join_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val found = LshQueries.dumpAndReload(s, simJoinPairs(s, dir),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/lsh_sim_join_rec")
+      val exact = e.where(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .join(e.where(pmod(col("vec_id"), lit(2)) === 1)
+          .select(col("vec_id").as("vec_b"), col("embedding").as("eb")))
+        .where(round(exprs.cosineDistNative(col("ea"), col("eb")), 6)
+          <= CosineDupThreshold)
+      found.agg(count(lit(1)).as("n_found"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(col("n_found"), col("n_exact"),
+          round(col("n_found").cast("double") / col("n_exact"), 4)
+            .as("sim_recall"))
     }),
 
     // IVF ANN search (L2) over the standard 100-query set. Self-graded:
@@ -1757,6 +1812,44 @@ object SimilarityQueries extends QueryPack {
          |)
          |SELECT vec_a, vec_b, cos_dist, cos_dist <= $CosineDupThreshold AS within
          |FROM r ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Cross-set join: every dumped pair's cosine recomputed from the
+    // raw embeddings (same per-pair gate as q_lsh_near_dup_pairs).
+    "q_lsh_sim_join" ->
+      s"""WITH p AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/lsh_sim_join/*.parquet')
+         |),
+         |r AS (
+         |  SELECT p.vec_a, p.vec_b,
+         |    round(CASE WHEN 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 1e-6
+         |          THEN 0.0
+         |          ELSE 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6) AS dist
+         |  FROM p
+         |  JOIN embeddings a ON a.vec_id = p.vec_a
+         |  JOIN embeddings b ON b.vec_id = p.vec_b
+         |)
+         |SELECT vec_a, vec_b, dist, dist <= $CosineDupThreshold AS within
+         |FROM r ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Both sides re-derived: the exact cross-parity pair set from the
+    // raw embeddings, the found count from the dump.
+    "q_lsh_sim_join_recall" ->
+      s"""WITH f AS (
+         |  SELECT count(*) AS n
+         |  FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/lsh_sim_join_rec/*.parquet')
+         |),
+         |x AS (
+         |  SELECT count(*) AS n
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+         |  WHERE round(CASE WHEN 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 1e-6
+         |        THEN 0.0
+         |        ELSE 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6)
+         |        <= $CosineDupThreshold
+         |)
+         |SELECT f.n AS n_found, x.n AS n_exact,
+         |       round(f.n::DOUBLE / x.n, 4) AS sim_recall
+         |FROM f, x""".stripMargin,
 
     // The whole SemDeDup chain re-derived in DuckDB from the dumped
     // assignment: within-cell pairs, exact cosines, the min-id drop
