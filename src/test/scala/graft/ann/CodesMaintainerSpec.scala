@@ -68,13 +68,70 @@ class CodesMaintainerSpec extends AnyFunSuite with SparkSpecBase {
     assert(m2.batchesSeen === 2, s"seq not recovered: ${m2.batchesSeen}")
     assert(m2.compactionDue)
 
-    // batch 3 (empty) triggers compaction: base == view, logs gone
+    // batch 3 (empty) triggers compaction: base == view, logs gone,
+    // and the fence keeps the lifetime counter across reconstruction
     m2.onBatch(None, None)
     val reloaded = Sq.load(spark, path)
     assert(rows(reloaded.codes) === rows(chain.codes),
       "compacted base != lifecycle chain")
+    assert(!new java.io.File(s"$path/codes_delta").exists() &&
+      !new java.io.File(s"$path/tombstones").exists(),
+      "logs survived compaction")
     assert(new CodesMaintainer(spark, path, enc, compactEvery = 3)
-      .batchesSeen === 0, "logs survived compaction")
+      .batchesSeen === 3,
+      "compaction fence lost the lifetime batch counter")
+  }
+
+  test("compaction fence makes logs surviving a post-fence crash harmless") {
+    val corpus = mkCorpus(30)
+    val idx = Sq.train(corpus, "vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("codes_lsm_crash").toString + "/idx"
+    idx.save(spark, path)
+    def enc(df: DataFrame) = idx.model.transformDf(df, "vec_id", "embedding")
+
+    val m = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    val arrivals = mkCorpus(40, seed = 29).where($"vec_id" >= 30L)
+    m.onBatch(Some(arrivals), Some(Seq(3L).toDF("vec_id")))
+    val expected = rows(idx.withDeletes(Seq(3L).toDF("vec_id"))
+      .append(arrivals).codes)
+    assert(rows(m.liveCodes) === expected)
+
+    // snapshot the logs, compact, then restore them — simulating a
+    // crash AFTER the fence write but BEFORE the log deletion (the
+    // LsmStore crash window the fence exists for)
+    def cp(from: String, to: String): Unit = {
+      val src = java.nio.file.Paths.get(from)
+      val dst = java.nio.file.Paths.get(to)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val stash = java.nio.file.Files
+      .createTempDirectory("codes_lsm_stash").toString
+    cp(s"$path/codes_delta", s"$stash/codes_delta")
+    cp(s"$path/tombstones", s"$stash/tombstones")
+    m.compactNow()
+    cp(s"$stash/codes_delta", s"$path/codes_delta")
+    cp(s"$stash/tombstones", s"$path/tombstones")
+
+    // the restored (stale) log rows are fenced off: no duplicates, no
+    // resurrected tombstone kills — live view and a reconstructed
+    // maintainer's view both equal the folded truth
+    assert(rows(m.liveCodes) === expected,
+      "stale logs after the fence polluted the live view")
+    val m2 = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    assert(rows(m2.liveCodes) === expected)
+    assert(m2.batchesSeen === 1, s"seq: ${m2.batchesSeen}")
+    // and the duplicate-count check the fence exists for: a vec_id
+    // appears exactly once
+    val dups = m2.liveCodes.groupBy("vec_id").count()
+      .where($"count" > 1).count()
+    assert(dups === 0, s"$dups duplicated ids in the fenced view")
   }
 
   test("IVF-SQ codes LSM keeps the partitionBy(cell) layout through delta and compaction") {
