@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   * DataFrame jobs: the insert walk (bounded frontier), the edge rescore
   * (one O(E) join pair), the refine (bounded co-neighbor joins), the
   * bucketed rewrite (one shuffle by src).
+  *
+  * Unlike the LSM maintainers ([[graft.ann.LsmStore]]), the batch
+  * counter here is in-memory only: a reconstructed maintainer restarts
+  * its refine CADENCE (a frequency, not a correctness property — the
+  * edge store and tombstone log are themselves consistent at every
+  * point, and a crash between the consolidation's store rewrite and its
+  * tombstone-table drop merely leaves stale tombstones that exclude
+  * already-absent ids, a no-op). Callers that need an exact cadence
+  * across restarts should align refines with their own checkpoints via
+  * [[refineDue]]/[[refineNow]].
   */
 final class GraphMaintainer(
     spark: SparkSession,
