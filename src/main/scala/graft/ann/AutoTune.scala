@@ -1,0 +1,95 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ann.ivf.IvfIndex
+import graft.ann.lsh.LshIndex
+import graft.eval.Eval
+
+/** Recall-targeted operating-point selection — the production form of
+  * the reference's benchmark sweep (annbench.go:165-187 measures a
+  * recall/latency grid by hand; a deployment needs the grid walked FOR
+  * it). Each index family exposes one monotone cost knob (IVF: cells
+  * probed per query; LSH: trees probed per query — both price recall
+  * linearly in candidate volume, measured sweeps in SCALE.md). `sweep`
+  * grades every arm's recall against the exact ground truth on a
+  * validation query sample and flags the cheapest arm that meets the
+  * target — sample-in, config-out, so the expensive full-corpus
+  * serving config is chosen from a bounded validation workload.
+  *
+  * Scale shape: the ground truth is computed ONCE (bounded
+  * queries x k rows, persisted) and re-joined per arm; each arm is one
+  * index search at that operating point — the sweep costs `sum(arms)`
+  * searches on the SAMPLE queries, not the corpus-sized serving
+  * workload. The chosen-arm rule runs on an |arms|-row frame via a
+  * single-row cross join (no windows, nothing driver-side).
+  */
+object AutoTune {
+
+  /** Grade `arms` (ascending cost order) on `queries` vs exact ground
+    * truth over `corpus`; returns one row per arm
+    * `(arm, avg_recall, n_queries, chosen)` where `chosen` marks the
+    * first arm whose average recall meets `targetRecall` (falling back
+    * to the last arm — "best available" — when none does).
+    *
+    * `searchAt` runs the family's search at one operating point;
+    * `dumpArm` lets the certification queries persist each arm's raw
+    * predictions for the cross-engine oracle (identity by default). */
+  def sweep(arms: Seq[Int], queries: DataFrame, corpus: DataFrame, k: Int,
+            targetRecall: Double,
+            searchAt: Int => DataFrame,
+            metric: ExactNN.Metric = ExactNN.L2,
+            dumpArm: (Int, DataFrame) => DataFrame = (_, df) => df)
+      : DataFrame = {
+    require(arms.nonEmpty, "AutoTune.sweep: empty arm list")
+    require(arms == arms.sorted && arms.distinct == arms,
+      s"AutoTune.sweep: arms must be strictly ascending (got $arms)")
+    val gt = ExactNN.topKAgg(queries, corpus, k, metric)
+      .select("query_id", "vec_id").persist()
+    gt.count()
+    val perArm = arms.map { a =>
+      val pred = dumpArm(a, searchAt(a))
+      Eval.setPrecisionRecall(pred, gt)
+        .agg(round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
+        .select(lit(a).as("arm"), col("avg_recall"), col("n_queries"))
+    }.reduce(_ unionByName _)
+    val graded = perArm.persist()
+    graded.count()
+    gt.unpersist(false)
+    // cheapest arm meeting target, else the last (best-effort) arm —
+    // one row, broadcast back over the |arms|-row frame
+    val choice = graded.agg(
+      min(when(col("avg_recall") >= targetRecall, col("arm")))
+        .as("first_meeting"),
+      max(col("arm")).as("last_arm"))
+    graded.crossJoin(broadcast(choice))
+      .select(col("arm"), col("avg_recall"), col("n_queries"),
+        (col("arm") === coalesce(col("first_meeting"), col("last_arm")))
+          .as("chosen"))
+  }
+
+  /** IVF sweep over `nProbe` (cells probed per query). */
+  def sweepIvfNProbe(idx: IvfIndex, queries: DataFrame, k: Int,
+                     arms: Seq[Int], targetRecall: Double,
+                     metric: ExactNN.Metric = ExactNN.L2,
+                     dumpArm: (Int, DataFrame) => DataFrame = (_, df) => df)
+      : DataFrame =
+    sweep(arms, queries, idx.vectors, k, targetRecall,
+      p => idx.withNProbe(p).searchAll(queries, k, metric),
+      metric, dumpArm)
+
+  /** LSH sweep over the number of trees probed (the forest-density
+    * knob of SCALE.md's round-8 sweep: leaner forests walk the
+    * latency/recall curve down smoothly once occupancy is sized). */
+  def sweepLshTrees(idx: LshIndex, queries: DataFrame, k: Int,
+                    arms: Seq[Int], targetRecall: Double,
+                    metric: ExactNN.Metric = ExactNN.L2,
+                    distanceThreshold: Double = Double.MaxValue,
+                    dumpArm: (Int, DataFrame) => DataFrame = (_, df) => df)
+      : DataFrame =
+    sweep(arms, queries, idx.vectors, k, targetRecall,
+      t => idx.withTrees(t).searchAll(queries, k, distanceThreshold, metric),
+      metric, dumpArm)
+}

@@ -256,6 +256,17 @@ final class IvfIndex(
       searchAll(queries, k, metric, roundTo, allowed = Some(ids))
   }
 
+  /** The same index served at a different operating point: `nProbe` is
+    * a pure SEARCH-time knob (probe selection reads it; centroids, cell
+    * assignments, and stored tables are untouched), so re-tuning costs
+    * nothing — the lever [[graft.ann.AutoTune.sweepIvfNProbe]] walks. */
+  def withNProbe(nProbe: Int): IvfIndex = {
+    require(nProbe >= 1 && nProbe <= model.config.nCells,
+      s"withNProbe: nProbe $nProbe outside [1, ${model.config.nCells}]")
+    new IvfIndex(new IvfModel(model.config.copy(nProbe = nProbe),
+      model.centroids), vectors, cells)
+  }
+
   /** Serve-time delete view (tombstone pattern; semantics and scale
     * shape identical to [[graft.ann.lsh.LshIndex.withDeletes]]): both
     * tables anti-join the broadcast tombstone set map-side; compaction

@@ -378,6 +378,14 @@ final class LshIndex(
     val bk =
       if (maxBucketOccupancy == Int.MaxValue) buckets
       else cappedBuckets(maxBucketOccupancy)
+    // B hashes to its own bucket per tree (transform), NOT searchAll's
+    // flip-probe fan-out: measured at 1M × 10-pt clusters, multi-probe
+    // bought +0.004 sampled pair recall for 3× the join wall time —
+    // threshold-join misses come from planes cutting clusters at HIGHER
+    // tree levels, which the last-plane flip cannot recover. A join's
+    // completeness knob is the TREE COUNT (each tree is an independent
+    // chance to keep a pair co-bucketed; measured sweep in SCALE.md's
+    // cross-set block), priced linearly in candidate volume.
     val bBuckets = model.transform(
       other.select(col(idCol).as("b_id"), col(vecCol).as("b_emb")),
       "b_id", "b_emb")
@@ -406,6 +414,20 @@ final class LshIndex(
     * The reference has no delete at all (store/store.go grows
     * append-only); this is the production gap a long-lived 100 TB
     * index cannot live without. */
+  /** The forest thinned to its first `t` trees — the search-time half
+    * of SCALE.md's round-8 density law (once occupancy is sized, tree
+    * count prices recall linearly in candidate volume). Buckets of
+    * dropped trees are filtered out (partition-pruned when the store is
+    * tree-partitioned); the probe side still hashes all fitted trees
+    * per query — a per-query CPU constant, not a data-volume term —
+    * and its dropped-tree probes simply find no bucket to join.
+    * Serving lever of [[graft.ann.AutoTune.sweepLshTrees]]. */
+  def withTrees(t: Int): LshIndex = {
+    require(t >= 1 && t <= model.config.nTrees,
+      s"withTrees: $t outside [1, ${model.config.nTrees}]")
+    new LshIndex(model, vectors, buckets.where(col("tree_id") < t))
+  }
+
   def withDeletes(tombstones: DataFrame): LshIndex = {
     val t = broadcast(tombstones.select("vec_id"))
     new LshIndex(model,

@@ -32,6 +32,12 @@ object SimilarityQueries extends QueryPack {
     * dump-and-check gates the same index the searches use. */
   val ivfConfig: IvfConfig = IvfConfig(nCells = 16, nProbe = 8, seed = 42L)
 
+  /** `q_autotune_ivf_nprobe`'s sweep: ascending nProbe arms (each a
+    * pure search-time re-tune, [[graft.ann.ivf.IvfIndex.withNProbe]])
+    * and the recall target the chosen arm must meet. */
+  val AutoTuneArms: Seq[Int] = Seq(1, 2, 4, 8, 16)
+  val AutoTuneTarget = 0.95
+
   /** Angular twin: cells cluster the unit sphere, probes/assignment
     * normalize first (cosine ranking == L2 ranking on normalized
     * vectors — the reference's angular coupling, lsh/hasher.go:121-132). */
@@ -355,6 +361,26 @@ object SimilarityQueries extends QueryPack {
           round(avg("precision"), 4).as("avg_precision"),
           round(avg("recall"), 4).as("avg_recall"),
           count(lit(1)).as("n_queries"))
+    }),
+
+    // Recall-targeted operating-point selection under the oracle
+    // (graft.ann.AutoTune — the production form of the reference's
+    // annbench sweep, annbench.go:165-187): four nProbe arms searched
+    // on the validation query sample, each arm's raw predictions
+    // dumped, per-arm recall graded vs exact GT, the cheapest arm
+    // meeting the 0.95 target flagged. DuckDB recomputes the ground
+    // truth, re-derives every arm's recall from the dumps, and replays
+    // the min-arm-meeting-target rule — the WHOLE tuning decision is
+    // cross-engine checked, not just the recall numbers.
+    "q_autotune_ivf_nprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = ivfIdx(s, dir)
+      graft.ann.AutoTune.sweepIvfNProbe(idx, q, K, AutoTuneArms,
+        AutoTuneTarget, ExactNN.L2,
+        dumpArm = (p, df) => LshQueries.dumpAndReload(s, df,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/autotune_nprobe/arm_$p"))
+        .orderBy("arm")
     }),
 
     // IVF index lifecycle under the oracle — the IVF twin of
@@ -1142,6 +1168,61 @@ object SimilarityQueries extends QueryPack {
       s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_filtered_selective/*.parquet",
       LshQueries.L2DistSql, None, K,
       corpusWhere = "WHERE vec_id % 50 = 0"),
+
+    // Auto-tune sweep: DuckDB recomputes the exact GT, re-derives each
+    // arm's avg recall from that arm's prediction dump, and replays the
+    // cheapest-arm-meeting-target choice rule — the full tuning
+    // decision cross-engine, mirroring AutoTune.sweep's
+    // round(per-query recall, 6) -> round(avg, 4) -> min-arm pipeline.
+    "q_autotune_ivf_nprobe" -> {
+      val armScans = AutoTuneArms.map(p =>
+        s"SELECT $p AS arm, query_id, vec_id FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/autotune_nprobe/arm_$p/*.parquet')")
+        .mkString("\n  UNION ALL ")
+      s"""WITH qs AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+         |),
+         |sc AS (
+         |  SELECT qs.query_id, e.vec_id, ${LshQueries.L2DistSql} AS dist
+         |  FROM qs CROSS JOIN embeddings e
+         |),
+         |gt AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= $K
+         |),
+         |p AS (
+         |  $armScans
+         |),
+         |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
+         |np AS (SELECT arm, query_id FROM p GROUP BY arm, query_id),
+         |h AS (
+         |  SELECT p.arm, p.query_id, count(*) AS valid
+         |  FROM p JOIN gt USING (query_id, vec_id) GROUP BY p.arm, p.query_id
+         |),
+         |pr AS (
+         |  SELECT np.arm, np.query_id,
+         |         round(coalesce(h.valid, 0) / ng.n_gt, 6) AS recall
+         |  FROM np JOIN ng USING (query_id)
+         |  LEFT JOIN h ON h.arm = np.arm AND h.query_id = np.query_id
+         |),
+         |g AS (
+         |  SELECT arm, round(avg(recall), 4) AS avg_recall,
+         |         count(*) AS n_queries
+         |  FROM pr GROUP BY arm
+         |),
+         |c AS (
+         |  SELECT min(CASE WHEN avg_recall >= $AutoTuneTarget THEN arm END)
+         |           AS first_meeting,
+         |         max(arm) AS last_arm
+         |  FROM g
+         |)
+         |SELECT g.arm, g.avg_recall, g.n_queries,
+         |       g.arm = coalesce(c.first_meeting, c.last_arm) AS chosen
+         |FROM g CROSS JOIN c ORDER BY arm""".stripMargin
+    },
 
     // Delete view (IVF): per-pair recompute + tombstone re-check.
     "q_ivf_search_deleted" ->

@@ -1,0 +1,136 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+import graft.ann.ivf.{Ivf, IvfConfig}
+import graft.ann.lsh.{Lsh, LshConfig}
+
+/** Recall-targeted operating-point selection (AutoTune). Contract:
+  *
+  *   - one output row per arm, ascending, each arm's recall graded vs
+  *     the exact ground truth on the validation sample;
+  *   - recall is monotone non-decreasing in the knob (more cells / more
+  *     trees probed = superset candidates = GT hits can only appear);
+  *   - `chosen` marks exactly one arm: the CHEAPEST meeting the target,
+  *     or the last arm when none does (best-available fallback);
+  *   - the top arm (all cells / all trees probed) is exact — recall 1.0
+  *     — so a reachable target always yields a chosen arm;
+  *   - `withNProbe`/`withTrees` are pure search-time views: stored
+  *     tables untouched, original index unchanged by the sweep.
+  */
+class AutoTuneSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  // clustered corpus: 40 clusters x 5 points, cluster spread << gap, so
+  // nProbe=1 misses cross-cell GT neighbors but full probe is exact
+  private def mkCorpus(n: Int = 200, seed: Int = 5) = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val c = i % 40
+      val centre = Seq.tabulate(6)(j =>
+        new scala.util.Random(c * 31 + j).nextGaussian() * 10)
+      (i.toLong, centre.map(_ + rng.nextGaussian() * 0.3))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def queriesOf(corpus: org.apache.spark.sql.DataFrame, n: Int) =
+    corpus.orderBy("vec_id").limit(n)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+
+  private def armRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("arm").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+
+  test("IVF nProbe sweep: monotone recall, exact top arm, cheapest-meeting chosen") {
+    val corpus = mkCorpus()
+    val idx = Ivf.train(corpus, "vec_id", "embedding",
+      IvfConfig(nCells = 8, nProbe = 2, seed = 42L))
+    val q = queriesOf(corpus, 20)
+    val res = armRows(AutoTune.sweepIvfNProbe(idx, q, 5,
+      Seq(1, 2, 4, 8), targetRecall = 0.95))
+    assert(res.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    assert(res.forall(_._3 === 20L))
+    val recalls = res.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${recalls.toSeq}")
+    // nProbe = nCells probes every cell == exact search
+    assert(recalls.last === 1.0)
+    val chosen = res.filter(_._4)
+    assert(chosen.length === 1)
+    val firstMeeting = res.find(_._2 >= 0.95).get._1
+    assert(chosen.head._1 === firstMeeting)
+    // arms below the chosen one all miss the target
+    assert(res.takeWhile(_._1 < chosen.head._1).forall(_._2 < 0.95))
+  }
+
+  test("unreachable target falls back to the last (best-available) arm") {
+    val corpus = mkCorpus()
+    val idx = Ivf.train(corpus, "vec_id", "embedding",
+      IvfConfig(nCells = 8, nProbe = 2, seed = 42L))
+    val q = queriesOf(corpus, 10)
+    val res = armRows(AutoTune.sweepIvfNProbe(idx, q, 5,
+      Seq(1, 2), targetRecall = 2.0)) // > 1, unreachable by construction
+    assert(res.count(_._4) === 1)
+    assert(res.find(_._4).get._1 === 2)
+  }
+
+  test("LSH trees sweep: monotone recall, chosen meets target, index unchanged") {
+    val corpus = mkCorpus()
+    val idx = Lsh.train(corpus, "vec_id", "embedding",
+      LshConfig(nTrees = 6, kMinVecs = 8, seed = 7L))
+    val bucketRowsBefore = idx.buckets.count()
+    val q = queriesOf(corpus, 20)
+    val res = armRows(AutoTune.sweepLshTrees(idx, q, 5,
+      Seq(1, 3, 6), targetRecall = 0.8))
+    assert(res.map(_._1).toSeq === Seq(1, 3, 6))
+    val recalls = res.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    val chosen = res.filter(_._4)
+    assert(chosen.length === 1)
+    if (recalls.exists(_ >= 0.8))
+      assert(chosen.head._2 >= 0.8)
+    // sweep is a pure view: the original forest is untouched
+    assert(idx.buckets.count() === bucketRowsBefore)
+    assert(idx.model.config.nTrees === 6)
+  }
+
+  test("withTrees filters buckets to the retained trees only") {
+    val corpus = mkCorpus(60)
+    val idx = Lsh.train(corpus, "vec_id", "embedding",
+      LshConfig(nTrees = 4, kMinVecs = 8, seed = 7L))
+    val thinned = idx.withTrees(2)
+    val trees = thinned.buckets.select("tree_id").distinct()
+      .as[Int].collect().toSet
+    assert(trees.subsetOf(Set(0, 1)))
+    assertThrows[IllegalArgumentException](idx.withTrees(0))
+    assertThrows[IllegalArgumentException](idx.withTrees(5))
+  }
+
+  test("withNProbe bounds-checked and pure") {
+    val corpus = mkCorpus(60)
+    val idx = Ivf.train(corpus, "vec_id", "embedding",
+      IvfConfig(nCells = 4, nProbe = 2, seed = 42L))
+    val re = idx.withNProbe(4)
+    assert(re.model.config.nProbe === 4)
+    assert(idx.model.config.nProbe === 2)
+    assert(re.cells eq idx.cells) // stored tables shared, not copied
+    assertThrows[IllegalArgumentException](idx.withNProbe(0))
+    assertThrows[IllegalArgumentException](idx.withNProbe(5))
+  }
+
+  test("sweep rejects unsorted or duplicate arms") {
+    val corpus = mkCorpus(60)
+    val idx = Ivf.train(corpus, "vec_id", "embedding",
+      IvfConfig(nCells = 4, nProbe = 2, seed = 42L))
+    val q = queriesOf(corpus, 5)
+    assertThrows[IllegalArgumentException](
+      AutoTune.sweepIvfNProbe(idx, q, 5, Seq(4, 2), 0.9))
+    assertThrows[IllegalArgumentException](
+      AutoTune.sweepIvfNProbe(idx, q, 5, Seq(2, 2, 4), 0.9))
+    assertThrows[IllegalArgumentException](
+      AutoTune.sweepIvfNProbe(idx, q, 5, Seq.empty, 0.9))
+  }
+}
