@@ -46,6 +46,20 @@ object StatsQueries extends QueryPack {
     "q_scale_vectors" -> ((s, dir) =>
       VectorStats.scaleAll(tbl(s, dir, "embeddings")).orderBy("vec_id", "pos")),
 
+    // Embedding-distribution drift between two snapshots (ref = even
+    // vec_ids, cur = odd — a deterministic split both engines can
+    // replay): per-dim mean/MAD of both sides plus the scale-free
+    // location shift (in reference-MADs) and spread ratio. The monitor
+    // every frozen-model freshness caveat (append paths, maintainer
+    // watermarks) points at — here under the cross-engine oracle.
+    "q_embedding_drift" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      VectorStats.drift(
+        e.where(col("vec_id") % 2 === 0),
+        e.where(col("vec_id") % 2 === 1))
+        .orderBy("pos")
+    }),
+
     "q_set_precision_recall" -> ((s, dir) => {
       val (pred, gt) = predAndGt(s, dir)
       Eval.setPrecisionRecall(pred, gt).orderBy("query_id")
@@ -102,6 +116,33 @@ object StatsQueries extends QueryPack {
          |       round((x.v - s.mean) / s.mad, 6) AS sv
          |FROM x JOIN s ON x.pos = s.pos
          |ORDER BY vec_id, pos""".stripMargin,
+
+    "q_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |         unnest(generate_series(1, len(embedding))) AS pos,
+        |         unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings
+        |),
+        |side AS (SELECT pos, v, vec_id % 2 = 0 AS is_ref FROM x),
+        |m AS (SELECT pos, is_ref, avg(v) AS mean FROM side GROUP BY pos, is_ref),
+        |st AS (
+        |  SELECT s.pos, s.is_ref, max(m.mean) AS mean,
+        |         avg(abs(s.v - m.mean)) AS mad
+        |  FROM side s JOIN m ON s.pos = m.pos AND s.is_ref = m.is_ref
+        |  GROUP BY s.pos, s.is_ref
+        |),
+        |a AS (SELECT pos, mean AS mean_ref, mad AS mad_ref FROM st WHERE is_ref),
+        |b AS (SELECT pos, mean AS mean_cur, mad AS mad_cur FROM st WHERE NOT is_ref)
+        |SELECT a.pos AS pos,
+        |       round(mean_ref, 6) AS mean_ref,
+        |       round(mean_cur, 6) AS mean_cur,
+        |       round(mad_ref, 6) AS mad_ref,
+        |       round(mad_cur, 6) AS mad_cur,
+        |       round(abs(mean_cur - mean_ref) / nullif(mad_ref, 0), 6) AS shift_mads,
+        |       round(mad_cur / nullif(mad_ref, 0), 6) AS mad_ratio
+        |FROM a JOIN b ON a.pos = b.pos
+        |ORDER BY pos""".stripMargin,
 
     "q_set_precision_recall" ->
       s"""WITH $qCte,

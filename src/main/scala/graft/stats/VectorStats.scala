@@ -79,6 +79,43 @@ object VectorStats {
     meanMad(sampled)
   }
 
+  /** Embedding-distribution drift monitor between two corpus snapshots
+    * — the check a training-data pipeline runs before trusting a frozen
+    * index/model against newly arrived data (every frozen-model surface
+    * here documents its freshness caveat in terms of "while the
+    * distribution holds": [[graft.ann.lsh.LshIndex.append]],
+    * `IvfIndex.append`, the CodesMaintainer watermark; this is the
+    * measurement that tells you whether it still does).
+    *
+    * Per dimension: both snapshots' (mean, mad) plus
+    *   - `shift_mads` — |mean_cur − mean_ref| in units of the REFERENCE
+    *     MAD (the scale-free location drift; > ~0.5 means the scaler /
+    *     quantizer bounds fitted on `ref` are now off-center), and
+    *   - `mad_ratio` — mad_cur / mad_ref (spread drift; SQ bounds
+    *     saturate when it grows, codes under-use their range when it
+    *     shrinks). Both null when the reference dimension is constant
+    *     (mad_ref = 0), mirroring SQL `nullif` semantics.
+    *
+    * Scale shape: two independent exact [[meanMad]] passes (dim-keyed
+    * partial aggs, no corpus-sized shuffle) joined on the dims-sized
+    * key — the output is `dims` rows regardless of corpus size. */
+  def drift(ref: DataFrame, cur: DataFrame, roundTo: Int = 6): DataFrame = {
+    val a = meanMad(ref).select(col("pos"),
+      col("mean").as("mean_ref"), col("mad").as("mad_ref"))
+    val b = meanMad(cur).select(col("pos"),
+      col("mean").as("mean_cur"), col("mad").as("mad_cur"))
+    a.join(b, "pos").select(
+      col("pos"),
+      round(col("mean_ref"), roundTo).as("mean_ref"),
+      round(col("mean_cur"), roundTo).as("mean_cur"),
+      round(col("mad_ref"), roundTo).as("mad_ref"),
+      round(col("mad_cur"), roundTo).as("mad_cur"),
+      round(abs(col("mean_cur") - col("mean_ref")) /
+        nullif(col("mad_ref"), lit(0.0)), roundTo).as("shift_mads"),
+      round(col("mad_cur") / nullif(col("mad_ref"), lit(0.0)), roundTo)
+        .as("mad_ratio"))
+  }
+
   /** scaleAll re-assembled into an array column ordered by dimension —
     * the library-API shape (not oracle-comparable; see scaleAll). */
   def scaleAllVec(emb: DataFrame, roundTo: Int = 6): DataFrame =

@@ -30,4 +30,44 @@ class VectorStatsSpec extends AnyFunSuite with SparkSpecBase {
       .orderBy("pos").collect().toSeq
     assert(all === exact)
   }
+
+  test("drift of a snapshot against itself is zero shift, ratio 1") {
+    val d = VectorStats.drift(emb, emb).collect()
+    assert(d.nonEmpty)
+    d.foreach { r =>
+      assert(r.getAs[Double]("shift_mads") === 0.0)
+      assert(r.getAs[Double]("mad_ratio") === 1.0)
+    }
+  }
+
+  test("drift detects a planted location + scale shift per dimension") {
+    import spark.implicits._
+    val ref = (0 until 200).map { i =>
+      val rng = new scala.util.Random(i)
+      (i.toLong, Seq.fill(3)(rng.nextGaussian()))
+    }.toDF("vec_id", "embedding")
+    // dim 1 shifted by +5, dim 2 doubled in spread, dim 3 untouched
+    val cur = ref.select($"vec_id",
+      array($"embedding" (0) + 5.0, $"embedding" (1) * 2.0,
+        $"embedding" (2)).as("embedding"))
+    val d = VectorStats.drift(ref, cur).orderBy("pos").collect()
+    assert(d.length === 3)
+    val madRef1 = d(0).getAs[Double]("mad_ref")
+    assert(math.abs(d(0).getAs[Double]("shift_mads") - 5.0 / madRef1) < 1e-4)
+    assert(math.abs(d(1).getAs[Double]("mad_ratio") - 2.0) < 1e-4)
+    assert(d(2).getAs[Double]("shift_mads") === 0.0)
+    assert(d(2).getAs[Double]("mad_ratio") === 1.0)
+  }
+
+  test("constant reference dimension yields null drift columns, not a crash") {
+    import spark.implicits._
+    val ref = (0 until 50).map(i => (i.toLong, Seq(1.0, i.toDouble)))
+      .toDF("vec_id", "embedding")
+    val cur = (0 until 50).map(i => (i.toLong, Seq(2.0, i.toDouble)))
+      .toDF("vec_id", "embedding")
+    val d = VectorStats.drift(ref, cur).orderBy("pos").collect()
+    assert(d(0).isNullAt(d(0).fieldIndex("shift_mads")))
+    assert(d(0).isNullAt(d(0).fieldIndex("mad_ratio")))
+    assert(!d(1).isNullAt(d(1).fieldIndex("shift_mads")))
+  }
 }
