@@ -386,6 +386,19 @@ final class LshIndex(
     // completeness knob is the TREE COUNT (each tree is an independent
     // chance to keep a pair co-bucketed; measured sweep in SCALE.md's
     // cross-set block), priced linearly in candidate volume.
+    //
+    // Fit the forest on the FULL indexed set (or near it) for joins:
+    // candidate volume per bucket is |A_b| x |B_b| — occupancy SQUARED,
+    // unlike search's occupancy x probes — so the Lsh.fit sample-cap
+    // occupancy inflation (total/sampleCap) that costs a search a
+    // linear factor costs the join that factor squared, concentrated
+    // in the skewed tail. Measured at 1M: a 5x-capped fit spilled
+    // >79 GB on the pair-dedup shuffle and died; the full-set fit ran
+    // the same join in 149 s at sampled recall 1.000 (SCALE.md). The
+    // occupancy cap here is tail insurance ABOVE typical occupancy,
+    // not a volume knob — capping below true occupancy discards
+    // co-bucketed pairs and recall falls with it (measured 0.72 at
+    // cap = occupancy/4).
     val bBuckets = model.transform(
       other.select(col(idCol).as("b_id"), col(vecCol).as("b_emb")),
       "b_id", "b_emb")
