@@ -80,6 +80,22 @@ object AutoTune {
       p => idx.withNProbe(p).searchAll(queries, k, metric),
       metric, dumpArm)
 
+  /** IVF-PQ sweep over `rerankDepth` — the compressed families' recall
+    * knob (the quantized scan orders candidates only coarsely; the
+    * exact re-rank over the top `depth` does the last stretch, and
+    * depth must scale with probed rows — the SCALE.md rerank-depth
+    * rule this sweep finds the floor of empirically). `vectors` is the
+    * float table re-ranking reads ((vec_id, embedding), L2 — the
+    * metric `IvfPqIndex.searchRerank` serves). */
+  def sweepIvfPqRerankDepth(idx: graft.ann.ivfpq.IvfPqIndex,
+                            queries: DataFrame, vectors: DataFrame, k: Int,
+                            arms: Seq[Int], targetRecall: Double,
+                            dumpArm: (Int, DataFrame) => DataFrame =
+                              (_, df) => df): DataFrame =
+    sweep(arms, queries, vectors, k, targetRecall,
+      d => idx.searchRerank(queries, vectors, k, rerankDepth = d),
+      ExactNN.L2, dumpArm)
+
   /** LSH sweep over the number of trees probed (the forest-density
     * knob of SCALE.md's round-8 sweep: leaner forests walk the
     * latency/recall curve down smoothly once occupancy is sized). */

@@ -121,6 +121,24 @@ class AutoTuneSpec extends AnyFunSuite with SparkSpecBase {
     assertThrows[IllegalArgumentException](idx.withNProbe(5))
   }
 
+  test("IVF-PQ rerankDepth sweep: monotone recall, deep arm exact under all-probe") {
+    val corpus = mkCorpus()
+    // all cells probed -> coverage is total, so recall is purely the
+    // rerank-depth story and the deepest arm must reach 1.0
+    val idx = graft.ann.ivfpq.IvfPq.train(corpus, "vec_id", "embedding",
+      graft.ann.ivfpq.IvfPqConfig(nCells = 4, nProbe = 4,
+        numSubvectors = 3, codesPerSubvector = 8, seed = 42L))
+    val q = queriesOf(corpus, 10)
+    val res = armRows(AutoTune.sweepIvfPqRerankDepth(idx, q, corpus, 5,
+      Seq(5, 20, 200), targetRecall = 0.95))
+    assert(res.map(_._1).toSeq === Seq(5, 20, 200))
+    val recalls = res.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    assert(recalls.last === 1.0)
+    assert(res.count(_._4) === 1)
+    assert(res.find(_._4).get._2 >= 0.95)
+  }
+
   test("sweep rejects unsorted or duplicate arms") {
     val corpus = mkCorpus(60)
     val idx = Ivf.train(corpus, "vec_id", "embedding",
