@@ -65,6 +65,41 @@ object StatsQueries extends QueryPack {
       Eval.setPrecisionRecall(pred, gt).orderBy("query_id")
     }),
 
+    // kNN classification by neighbor label vote — the canonical
+    // similarity-search APPLICATION (label propagation / weak
+    // supervision over an embedding space), leave-one-out form: each
+    // validation vector is classified by majority vote of its k exact
+    // nearest neighbors EXCLUDING itself (self sits at dist 0 = rank 1
+    // always, so top-(k+1) minus self is exactly k rows). Vote ties
+    // break deterministically to the lowest label via a single
+    // max(struct(votes, -label)) aggregate — no per-query window.
+    // Scale shape: the vote is a (query_id, label)-keyed agg over
+    // bounded k x |queries| neighbor rows; the only corpus-sized work
+    // is the exact-NN scan, swappable for any index's searchAll.
+    // (The testdata's labels are only weakly coupled to embedding
+    // geometry — accuracy ~0.13 vs 0.10 chance at sf0.01 — the gate
+    // checks the mechanism's determinism cross-engine, not the
+    // corpus's learnability.)
+    "q_knn_classify" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = queriesDf(e)
+      val nn = ExactNN.topKAgg(q, e, K + 1, ExactNN.L2)
+        .where(col("vec_id") =!= col("query_id"))
+      val votes = nn
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      val pred = votes.groupBy("query_id")
+        .agg(max(struct(col("votes"), (-col("label")).as("negl"))).as("m"))
+        .select(col("query_id"), col("m.votes").as("votes"),
+          (-col("m.negl")).cast("int").as("pred_label"))
+      val truth = e.select(col("vec_id").as("query_id"),
+        col("label").as("true_label"))
+      pred.join(truth, "query_id")
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          col("votes"), (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy("query_id")
+    }),
+
     "q_eps_precision_recall" -> ((s, dir) => {
       val (pred, gt) = predAndGt(s, dir)
       Eval.distanceBasedPrecisionRecall(ranked(pred), ranked(gt), Eps).orderBy("query_id")
@@ -143,6 +178,40 @@ object StatsQueries extends QueryPack {
         |       round(mad_cur / nullif(mad_ref, 0), 6) AS mad_ratio
         |FROM a JOIN b ON a.pos = b.pos
         |ORDER BY pos""".stripMargin,
+
+    "q_knn_classify" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         |         label AS true_label
+         |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+         |),
+         |sc AS (
+         |  SELECT qs.query_id, e.vec_id, e.label,
+         |         round(list_distance(qs.qv, e.embedding::DOUBLE[]), 6) AS dist
+         |  FROM qs CROSS JOIN embeddings e
+         |),
+         |nn AS (
+         |  SELECT query_id, vec_id, label FROM (
+         |    SELECT query_id, vec_id, label,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= ${K + 1}
+         |),
+         |v AS (
+         |  SELECT query_id, label, count(*) AS votes
+         |  FROM nn WHERE vec_id <> query_id GROUP BY query_id, label
+         |),
+         |p AS (
+         |  SELECT query_id, label AS pred_label, votes FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY votes DESC, label ASC) AS rn
+         |    FROM v
+         |  ) WHERE rn = 1
+         |)
+         |SELECT p.query_id AS query_id, qs.true_label AS true_label,
+         |       p.pred_label AS pred_label, p.votes AS votes,
+         |       p.pred_label = qs.true_label AS correct
+         |FROM p JOIN qs USING (query_id) ORDER BY query_id""".stripMargin,
 
     "q_set_precision_recall" ->
       s"""WITH $qCte,
