@@ -48,7 +48,8 @@ final class CodesMaintainer(
     encode: DataFrame => DataFrame,
     compactEvery: Int,
     partitionCols: Seq[String] = Nil,
-    occupancyWatermark: Double = 0.0) extends LsmStore {
+    occupancyWatermark: Double = 0.0,
+    driftCheck: Option[DriftCheck] = None) extends LsmStore {
 
   require(compactEvery > 0, s"compactEvery $compactEvery must be positive")
 
@@ -62,6 +63,13 @@ final class CodesMaintainer(
   private def base: DataFrame = spark.read.parquet(s"$path/codes")
 
   private var batches = recoverSeq()
+
+  /** (max shift in fit-MADs, max spread fold) of the most recent
+    * batch's arrivals vs the fit stats — None until a batch with both
+    * a configured [[DriftCheck]] and arrivals has run. Exposed so
+    * callers (and specs) can act on the measurement, not just the log
+    * line. */
+  @volatile var lastDrift: Option[(Double, Double)] = None
 
   /** Batches applied over the store's lifetime (persistent: recovered
     * from the logs and the compaction fence, so a reconstructed
@@ -118,6 +126,22 @@ final class CodesMaintainer(
     }
     if (occupancyWatermark > 0)
       arrivals.foreach(a => atRestRows += a.count())
+    // Distribution watermark (the cause the occupancy warning can only
+    // name, measured): grade this batch's embeddings against the
+    // persisted fit stats — one aggregate over the BATCH, the corpus is
+    // never re-read. Mind DriftCheck's small-batch noise caveat.
+    lastDrift = for (dc <- driftCheck; a <- arrivals) yield dc.maxDrift(a)
+    lastDrift.foreach { case (shift, fold) =>
+      val dc = driftCheck.get
+      if (shift > dc.shiftWatermark || fold > dc.ratioWatermark) log.warn(
+        f"stored codes table '$path' batch $seq arrivals have drifted " +
+          f"from the fit distribution: max location shift $shift%.2f " +
+          f"fit-MADs (watermark ${dc.shiftWatermark}), max spread fold " +
+          f"$fold%.2f (watermark ${dc.ratioWatermark}). The frozen " +
+          "model is quantizing against stale geometry (SQ bounds " +
+          "saturate, PQ codebooks misassign, IVF cells crowd) — refit; " +
+          "compaction never re-fits.")
+    }
     batches = seq
     if (batches % compactEvery == 0) compactNow()
     else if (pastWatermark(occupancyWatermark)) log.warn(

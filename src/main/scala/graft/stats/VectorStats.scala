@@ -99,8 +99,18 @@ object VectorStats {
     * Scale shape: two independent exact [[meanMad]] passes (dim-keyed
     * partial aggs, no corpus-sized shuffle) joined on the dims-sized
     * key — the output is `dims` rows regardless of corpus size. */
-  def drift(ref: DataFrame, cur: DataFrame, roundTo: Int = 6): DataFrame = {
-    val a = meanMad(ref).select(col("pos"),
+  def drift(ref: DataFrame, cur: DataFrame, roundTo: Int = 6): DataFrame =
+    driftFromStats(meanMad(ref), cur, roundTo)
+
+  /** [[drift]] against PRECOMPUTED reference stats (`(pos, mean, mad)`,
+    * i.e. a [[meanMad]] result, typically persisted at fit time) — the
+    * serving form: the reference corpus is scanned once when the model
+    * is fit, and every later arrivals batch is graded against the tiny
+    * stored stats table without touching the corpus again
+    * ([[graft.ann.DriftCheck]] wraps exactly this). */
+  def driftFromStats(refStats: DataFrame, cur: DataFrame,
+                     roundTo: Int = 6): DataFrame = {
+    val a = refStats.select(col("pos"),
       col("mean").as("mean_ref"), col("mad").as("mad_ref"))
     val b = meanMad(cur).select(col("pos"),
       col("mean").as("mean_cur"), col("mad").as("mad_cur"))
