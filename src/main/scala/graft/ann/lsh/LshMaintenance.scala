@@ -53,7 +53,15 @@ final class LshMaintainer(
     spark: SparkSession,
     path: String,
     compactEvery: Int,
-    occupancyWatermark: Double = 0.0) extends graft.ann.LsmStore {
+    occupancyWatermark: Double = 0.0,
+    driftCheck: Option[graft.ann.DriftCheck] = None)
+  extends graft.ann.LsmStore {
+
+  /** (max shift in fit-MADs, max spread fold) of the most recent
+    * batch's arrivals vs the fit stats — None until a batch with both
+    * a configured [[graft.ann.DriftCheck]] and arrivals has run (the
+    * [[graft.ann.CodesMaintainer.lastDrift]] contract). */
+  @volatile var lastDrift: Option[(Double, Double)] = None
 
   require(compactEvery > 0, s"compactEvery $compactEvery must be positive")
 
@@ -143,6 +151,21 @@ final class LshMaintainer(
     }
     if (occupancyWatermark > 0)
       arrivals.foreach(a => atRestRows += a.count())
+    // Distribution watermark — same contract as CodesMaintainer: one
+    // batch-sized aggregate vs the persisted fit stats; the frozen
+    // planes keep HASHING drifted arrivals correctly, but the tree
+    // splits stop matching the data's density, so occupancy skews and
+    // per-probe cost concentrates. refitNow is the prescribed action.
+    lastDrift = for (dc <- driftCheck; a <- arrivals) yield dc.maxDrift(a)
+    lastDrift.foreach { case (shift, fold) =>
+      val dc = driftCheck.get
+      if (shift > dc.shiftWatermark || fold > dc.ratioWatermark) log.warn(
+        f"stored LSH index '$path' batch $seq arrivals have drifted " +
+          f"from the fit distribution: max location shift $shift%.2f " +
+          f"fit-MADs (watermark ${dc.shiftWatermark}), max spread fold " +
+          f"$fold%.2f (watermark ${dc.ratioWatermark}). Frozen planes " +
+          "split the OLD density — occupancy will skew; refitNow.")
+    }
     batches = seq
     if (batches % compactEvery == 0) compactNow()
     else if (pastWatermark(occupancyWatermark)) log.warn(

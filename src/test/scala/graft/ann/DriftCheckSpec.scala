@@ -70,4 +70,21 @@ class DriftCheckSpec extends AnyFunSuite with SparkSpecBase {
     m.onBatch(None, Some(Seq(10001L).toDF("vec_id")))
     assert(m.lastDrift.isEmpty)
   }
+
+  test("LshMaintainer surfaces the batch drift measurement") {
+    val fit = mkVecs(2000, seed = 21)
+    val dir = java.nio.file.Files.createTempDirectory("drift_lsh").toString
+    DriftCheck.writeFitStats(fit, s"$dir/fit_stats")
+    val idx = graft.ann.lsh.Lsh.train(fit, "vec_id", "embedding",
+      graft.ann.lsh.LshConfig(nTrees = 2, kMinVecs = 32, seed = 3L))
+    idx.save(spark, s"$dir/idx")
+    val m = new graft.ann.lsh.LshMaintainer(spark, s"$dir/idx",
+      compactEvery = 100,
+      driftCheck = Some(new DriftCheck(spark, s"$dir/fit_stats")))
+    assert(m.lastDrift.isEmpty)
+    m.onBatch(Some(mkVecs(1000, seed = 22, idBase = 10000)), None)
+    assert(m.lastDrift.get._1 < 0.5)
+    m.onBatch(Some(mkVecs(1000, seed = 23, shift = 3.0, idBase = 20000)), None)
+    assert(m.lastDrift.get._1 > 1.0)
+  }
 }
