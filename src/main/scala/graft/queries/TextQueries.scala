@@ -344,6 +344,29 @@ object TextQueries extends QueryPack {
     "q_minhash_near_dup" -> ((s, dir) =>
       minhashNearDupPairs(s, dir).orderBy("doc_a", "doc_b")),
 
+    // Incremental near-dup maintenance (new r11,
+    // Dedup.minhashNearDupIncremental): the corpus splits into a base
+    // (doc_id % 5 != 0, its band index "stored") and an arrivals batch
+    // (doc_id % 5 == 0) that bands map-side and joins the stored index —
+    // the arrivals-only work a growing corpus actually runs. The oracle
+    // is the IDENTITY ITSELF, cross-engine: DuckDB re-derives the FULL
+    // near-dup pipeline over the union and restricts to pairs touching
+    // an arrival — equal iff incremental == full recompute.
+    "q_incremental_near_dup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cfg = graft.text.Dedup.MinHashConfig(
+        shingleN = ShingleN, numHashes = NumHashes, bandRows = BandRows,
+        jaccardThreshold = JaccardThreshold, maxDocFreqRatio = 1.0)
+      val base = d.where(col("doc_id") % 5 =!= 0)
+      val arrivals = d.where(col("doc_id") % 5 === 0)
+      val baseBands = graft.text.Dedup.bandRows(
+        graft.text.Dedup.rawShingleArrays(base, "doc_id", "text", cfg), cfg)
+      graft.text.Dedup.minhashNearDupIncremental(
+          baseBands, arrivals, "doc_id", "text", cfg)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Near-dup CLUSTERS: connected components over the verified MinHash
     // pair graph (Dedup.connectedComponents, min-label propagation) —
     // the retention step after pair-finding: cluster_id = min doc id per
@@ -1141,6 +1164,28 @@ object TextQueries extends QueryPack {
          |${jacSql("cand")}
          |SELECT doc_a, doc_b, round(jac, 6) AS jac
          |FROM jac WHERE jac >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The incremental identity, replayed from scratch: FULL pipeline
+    // over the union, restricted to arrival-touching pairs.
+    "q_incremental_near_dup" ->
+      s"""WITH $tokCte, $shgCte, $sigCte,
+         |bands AS (
+         |  SELECT doc_id, hid // $BandRows AS band,
+         |         md5(string_agg(sig::VARCHAR, ',' ORDER BY hid)) AS bkey
+         |  FROM sig GROUP BY doc_id, band
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |              AND a.doc_id < b.doc_id
+         |),
+         |${jacSql("cand")}
+         |SELECT doc_a, doc_b, round(jac, 6) AS jac
+         |FROM jac
+         |WHERE jac >= $JaccardThreshold
+         |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same pipeline, then transitive closure (recursive CTE) in place of

@@ -119,24 +119,72 @@ object Dedup {
     * than once. `shingles` references `toks` three times (two size
     * bounds + the slice), so the tokenization materializes once per row
     * instead of once per shingle. */
-  private[text] def cappedShingleArrays(docs: DataFrame, idCol: String,
-                                        textCol: String, cfg: MinHashConfig): DataFrame = {
-    val withSh = docs
+  /** Raw (doc_id, sh) distinct-shingle arrays, no DF cap — the input
+    * shape of [[bandRows]] (public: the incremental path builds its
+    * stored band index from this, applying [[hotShingleRow]] capping —
+    * or none — explicitly). */
+  def rawShingleArrays(docs: DataFrame, idCol: String,
+                       textCol: String, cfg: MinHashConfig): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= cfg.shingleN)
       .select(col("doc_id"),
         array_distinct(shingles(col("toks"), cfg.shingleN)).as("sh"))
+
+  /** The hot-shingle row (ONE bounded row: shingles with document
+    * frequency > ratio × corpus) — computable once at fit time and
+    * freezable as the incremental path's cap artifact (the same
+    * frozen-model contract as every index append: a shingle that turns
+    * hot only AFTER the fit keeps generating candidates until refit —
+    * extra cost, never wrong answers, since every candidate is
+    * exact-verified). */
+  def hotShingleRow(docs: DataFrame, idCol: String, textCol: String,
+                    cfg: MinHashConfig): DataFrame = {
+    val nDocs = docs.count()
+    rawShingleArrays(docs, idCol, textCol, cfg)
+      .select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > cfg.maxDocFreqRatio * nDocs)
+      .agg(collect_list("s").as("hot"))
+  }
+
+  /** Apply a (possibly frozen) hot list to shingle arrays. */
+  private def capWithHot(shArr: DataFrame, hotRow: DataFrame): DataFrame =
+    shArr.crossJoin(broadcast(hotRow))
+      .select(col("doc_id"), array_except(col("sh"), col("hot")).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  private[text] def cappedShingleArrays(docs: DataFrame, idCol: String,
+                                        textCol: String, cfg: MinHashConfig): DataFrame = {
+    val withSh = rawShingleArrays(docs, idCol, textCol, cfg)
     if (cfg.maxDocFreqRatio >= 1.0) withSh
-    else {
-      val nDocs = docs.count()
-      val hotRow = withSh.select(explode(col("sh")).as("s"))
-        .groupBy("s").agg(count(lit(1)).as("df"))
-        .where(col("df") > cfg.maxDocFreqRatio * nDocs)
-        .agg(collect_list("s").as("hot")) // one bounded-size row
-      withSh.crossJoin(broadcast(hotRow))
-        .select(col("doc_id"), array_except(col("sh"), col("hot")).as("sh"))
-        .where(size(col("sh")) > 0)
-    }
+    else capWithHot(withSh, hotShingleRow(docs, idCol, textCol, cfg))
+  }
+
+  /** (doc_id, sh, band, bkey) band rows from a shingle-array frame
+    * ([[cappedShingleArrays]] output) — the STORABLE band index of a
+    * corpus: an incremental batch bands map-side through the same
+    * column builders and joins these rows, never re-reading the corpus
+    * ([[minhashNearDupIncremental]]).
+    *
+    * Chained projections: hash values once per shingle, then the
+    * signature from them, then band keys from the signature — each
+    * array materializes per row instead of re-deriving per reference
+    * (the builders reference their input multiple times, which is what
+    * stops CollapseProject from inlining the chain). */
+  def bandRows(shArrays: DataFrame, cfg: MinHashConfig): DataFrame = {
+    require(cfg.numHashes % cfg.bandRows == 0, "bands must tile the signature")
+    require(cfg.numHashes <= HashA.length,
+      s"at most ${HashA.length} hash functions available")
+    shArrays
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), s => hash60(0, s) % FpMod).as("hv"))
+      .select(col("doc_id"), col("sh"),
+        minhashSigFromHashes(col("hv"), cfg).as("sig"))
+      .select(col("doc_id"), col("sh"),
+        explode(bandKeysCol(col("sig"), cfg)).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification:
@@ -162,23 +210,7 @@ object Dedup {
     * same banding partition, same capped shingle sets). */
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    require(cfg.numHashes % cfg.bandRows == 0, "bands must tile the signature")
-    require(cfg.numHashes <= HashA.length,
-      s"at most ${HashA.length} hash functions available")
-    val banded = cappedShingleArrays(docs, idCol, textCol, cfg)
-      // chained projections: hash values once per shingle, then the
-      // signature from them, then band keys from the signature — each
-      // array materializes per row instead of re-deriving per reference
-      // (the builders below reference their input multiple times, which
-      // is what stops CollapseProject from inlining the chain)
-      .select(col("doc_id"), col("sh"),
-        transform(col("sh"), s => hash60(0, s) % FpMod).as("hv"))
-      .select(col("doc_id"), col("sh"),
-        minhashSigFromHashes(col("hv"), cfg).as("sig"))
-      .select(col("doc_id"), col("sh"),
-        explode(bandKeysCol(col("sig"), cfg)).as("bk"))
-      .select(col("doc_id"), col("sh"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val banded = bandRows(cappedShingleArrays(docs, idCol, textCol, cfg), cfg)
       // persisted: both sides of the candidate self-join
       .persist()
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
@@ -196,6 +228,84 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jac"))
       .where(col("jac") >= cfg.jaccardThreshold)
     materializeRelease(pairs, banded)
+  }
+
+  /** Incremental near-dup: the pairs INVOLVING an arrivals batch,
+    * against a corpus whose band index is already stored — the form a
+    * growing 100 TB corpus actually runs, since re-banding everything
+    * per batch is a corpus scan per batch.
+    *
+    *   - `baseBands` is the stored [[bandRows]] table of the existing
+    *     corpus ((doc_id, sh, band, bkey) — maintainable by the LSM
+    *     loop like any code table);
+    *   - arrivals band MAP-SIDE through the same column builders, with
+    *     the FROZEN `hot` list ([[hotShingleRow]] at fit time) so their
+    *     shingle capping matches the base's (frozen-model freshness
+    *     caveat on [[hotShingleRow]]);
+    *   - candidates = arrivals⋈base on (band, bkey) — the arrivals side
+    *     is batch-sized and broadcast, the corpus-sized band table
+    *     never shuffles — plus the arrivals self-join;
+    *   - every candidate is exact-Jaccard-verified inline (shingle
+    *     arrays ride the join rows, as in [[minhashNearDup]]).
+    *
+    * Base∖base pairs cannot change (their band rows are static), so
+    * incremental pairs ∪ the stored pairs IS the full recompute —
+    * pinned by IncrementalDedupSpec against [[minhashNearDup]] on the
+    * union corpus. */
+  def minhashNearDupIncremental(baseBands: DataFrame, arrivals: DataFrame,
+                                idCol: String, textCol: String,
+                                cfg: MinHashConfig = MinHashConfig(),
+                                hot: Option[DataFrame] = None): DataFrame = {
+    val aSh = {
+      val raw = rawShingleArrays(arrivals, idCol, textCol, cfg)
+      hot.fold(raw)(h => capWithHot(raw, h))
+    }
+    val aBands = bandRows(aSh, cfg).persist()
+    val base = baseBands.select(col("doc_id").as("b_doc"), col("sh").as("b_sh"),
+      col("band"), col("bkey"))
+    val arr = aBands.select(col("doc_id").as("a_doc"), col("sh").as("a_sh"),
+      col("band"), col("bkey"))
+    val cross = base.join(broadcast(arr), Seq("band", "bkey"))
+      .where(col("b_doc") =!= col("a_doc"))
+      .select(
+        when(col("b_doc") < col("a_doc"), col("b_doc")).otherwise(col("a_doc")).as("doc_a"),
+        when(col("b_doc") < col("a_doc"), col("b_sh")).otherwise(col("a_sh")).as("sh_a"),
+        when(col("b_doc") < col("a_doc"), col("a_doc")).otherwise(col("b_doc")).as("doc_b"),
+        when(col("b_doc") < col("a_doc"), col("a_sh")).otherwise(col("b_sh")).as("sh_b"))
+    val self = aBands.as("a")
+      .join(aBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val pairs = cross.unionByName(self)
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jac"))
+      .where(col("jac") >= cfg.jaccardThreshold)
+    materializeRelease(pairs, aBands)
+  }
+
+  /** Fold an incremental batch's pairs into an existing cluster
+    * assignment without re-running connected components over the full
+    * pair history: each old cluster collapses to a star around its
+    * representative (cluster ids here ARE min doc ids, so the star
+    * preserves both connectivity and labeling), new pairs bridge stars
+    * and arrivals, and CC over (stars ∪ new pairs) converges in
+    * O(merged-cluster diameter) — untouched stars settle in one round.
+    * Output covers every previously-clustered doc plus arrivals
+    * appearing in a pair; singleton arrivals stay absent, as in
+    * [[connectedComponents]]. Identity with the full recompute
+    * (CC over ALL pairs of the union corpus) is pinned by
+    * IncrementalDedupSpec. */
+  def mergeClusters(oldAssign: DataFrame, newPairs: DataFrame,
+                    maxIters: Int = 25): DataFrame = {
+    val stars = oldAssign.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    connectedComponents(
+      stars.unionByName(newPairs.select("doc_a", "doc_b")), maxIters)
   }
 
   /** SimHash near-dup pairs WITHOUT the quadratic all-pairs join: the
