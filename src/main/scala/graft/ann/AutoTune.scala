@@ -64,10 +64,14 @@ object AutoTune {
       min(when(col("avg_recall") >= targetRecall, col("arm")))
         .as("first_meeting"),
       max(col("arm")).as("last_arm"))
-    graded.crossJoin(broadcast(choice))
+    val out = graded.crossJoin(broadcast(choice))
       .select(col("arm"), col("avg_recall"), col("n_queries"),
         (col("arm") === coalesce(col("first_meeting"), col("last_arm")))
           .as("chosen"))
+      .persist()
+    out.count() // materialize, then release the per-arm scaffold
+    graded.unpersist(false)
+    out
   }
 
   /** IVF sweep over `nProbe` (cells probed per query). */
