@@ -97,6 +97,49 @@ object TextScaleProbe {
         f"pairs=$nPairs%,d plantedRecall=${found.toDouble / nPlanted}%.3f " +
         f"(planted=$nPlanted%,d) cc=${tCc}%.1fs clusters=$nClusters%,d")
 
+      // Incremental-maintenance leg (SPARK_GRAFT_INC=1): treat the
+      // planted twins as the arrivals batch — base banded once (the
+      // stored index), twins band map-side and join it. Headline:
+      // incremental wall vs the full recompute above, plus the
+      // incremental==full identity checked at corpus scale (full pairs
+      // touching an arrival == incremental pairs).
+      if (sys.env.get("SPARK_GRAFT_INC").contains("1")) {
+        val aIds = plantedPairs.select(col("doc_b").as("doc_id")).persist()
+        val arrivalsDf = corpus.join(aIds, Seq("doc_id"), "left_semi")
+        val baseDocs = corpus.join(aIds, Seq("doc_id"), "left_anti")
+        val (bb, tBand) = time {
+          val hot = Dedup.hotShingleRow(baseDocs, "doc_id", "text", cfg)
+            .persist()
+          val b = Dedup.bandIndex(baseDocs, "doc_id", "text", cfg,
+            hot = Some(hot)).persist()
+          b.count(); (b, hot)
+        }
+        val (incPairs, tInc) = time {
+          val p = Dedup.minhashNearDupIncremental(bb._1, arrivalsDf,
+            "doc_id", "text", cfg, hot = Some(bb._2))
+          p.count(); p
+        }
+        val nInc = incPairs.count()
+        val incPlanted = incPairs
+          .join(plantedPairs, Seq("doc_a", "doc_b"), "left_semi").count()
+        val fullTouching = pairs
+          .join(aIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+          .unionByName(pairs
+            .join(aIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi"))
+          .dropDuplicates("doc_a", "doc_b").persist()
+        val nTouch = fullTouching.count()
+        val identical = nTouch == nInc &&
+          fullTouching.join(incPairs.select("doc_a", "doc_b"),
+            Seq("doc_a", "doc_b"), "left_semi").count() == nTouch
+        println(f"[text-scale]   incremental: band base=${tBand}%.1fs " +
+          f"(once), batch=${arrivalsDf.count()}%,d docs in ${tInc}%.1fs " +
+          f"pairs=$nInc%,d plantedRecall=${incPlanted.toDouble / nPlanted}%.3f " +
+          f"identity_with_full=$identical (full touching=$nTouch%,d; " +
+          f"full recompute was ${tMinhash}%.1fs)")
+        fullTouching.unpersist(); aIds.unpersist()
+        bb._1.unpersist(); bb._2.unpersist()
+      }
+
       clusters.unpersist(); pairs.unpersist()
 
       // Span-level duplicate coverage (opt-in SPARK_GRAFT_SPANS=1): the
