@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+
+/** Plan pins for the round-11 operators: the scale-sensitive shape
+  * claims their scaladocs make must be visible in the optimized plan,
+  * not just asserted in prose. */
+class NewOpsPlanSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def plan(q: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
+                   name: String): String =
+    q(name)(spark, sf("sf0.001")).queryExecution.optimizedPlan.toString
+
+  test("q_knn_classify: vote tie-break is aggregate-only — no window anywhere") {
+    val p = plan(StatsQueries.queries, "q_knn_classify")
+    assert(!p.contains("Window"), s"per-query window leaked into the vote:\n$p")
+  }
+
+  test("q_embedding_drift: dim-keyed aggregates, no corpus-sized join key") {
+    val p = plan(StatsQueries.queries, "q_embedding_drift")
+    assert(!p.contains("Window"), p)
+    // the only joins are on pos (dims-sized); vec_id never joins
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty)
+    assert(joins.forall(j => j.contains("pos") && !j.contains("vec_id")),
+      s"drift must join on the dims-sized pos key only:\n${joins.mkString("\n")}")
+  }
+
+  test("incremental near-dup: arrivals side broadcast, base bands never") {
+    val cfg = graft.text.Dedup.MinHashConfig(maxDocFreqRatio = 1.0)
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val base = d.where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0)
+    val arrivals = d.where(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+    val bands = graft.text.Dedup.bandIndex(base, "doc_id", "text", cfg)
+    val res = graft.text.Dedup.minhashNearDupIncremental(
+      bands, arrivals, "doc_id", "text", cfg)
+    // the result is materialized (materializeRelease), so the join
+    // shape lives in the cached PHYSICAL plan inside InMemoryRelation
+    val cached = res.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }
+    assert(cached.nonEmpty, res.queryExecution.optimizedPlan.toString)
+    val p = cached.head
+    // base-vs-arrivals candidates join on (band, bkey) planned as a
+    // broadcast hash join (the batch-sized arrivals side is the build)
+    assert(p.contains("BroadcastHashJoin [band"), p)
+    res.unpersist()
+  }
+}
