@@ -161,6 +161,24 @@ object Dedup {
     else capWithHot(withSh, hotShingleRow(docs, idCol, textCol, cfg))
   }
 
+  /** Build the STORABLE band index of a corpus in one call:
+    * (doc_id, sh, band, bkey). `hot = None` derives the DF cap from
+    * `docs` itself (the fit-time build); `Some(row)` applies a frozen
+    * hot list instead (re-banding a corpus against another corpus's cap
+    * geometry — rarely what an incremental ARRIVALS batch wants, which
+    * is [[minhashNearDupIncremental]]'s own `hot` parameter). */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String,
+                cfg: MinHashConfig = MinHashConfig(),
+                hot: Option[DataFrame] = None): DataFrame = {
+    val raw = rawShingleArrays(docs, idCol, textCol, cfg)
+    val capped = hot match {
+      case Some(h) => capWithHot(raw, h)
+      case None => if (cfg.maxDocFreqRatio >= 1.0) raw
+        else capWithHot(raw, hotShingleRow(docs, idCol, textCol, cfg))
+    }
+    bandRows(capped, cfg)
+  }
+
   /** (doc_id, sh, band, bkey) band rows from a shingle-array frame
     * ([[cappedShingleArrays]] output) — the STORABLE band index of a
     * corpus: an incremental batch bands map-side through the same
