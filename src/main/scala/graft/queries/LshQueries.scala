@@ -406,7 +406,10 @@ object LshQueries extends QueryPack {
     * (n_pred inner-joined so a query absent from a dump drops out, hits
     * left-joined and coalesced to 0). */
   private[queries] def dualRecallOracle(adcGlob: String, rerankGlob: String,
-                                        k: Int): String =
+                                        k: Int,
+                                        adcName: String = "adc_recall",
+                                        rerankName: String = "rerank_recall")
+      : String =
     s"""WITH qs AS (
        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
        |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
@@ -431,7 +434,7 @@ object LshQueries extends QueryPack {
        |  FROM pa JOIN gt USING (query_id, vec_id) GROUP BY pa.query_id
        |),
        |ra AS (
-       |  SELECT round(avg(round(coalesce(ha.valid, 0) / ng.n_gt, 6)), 4) AS adc_recall
+       |  SELECT round(avg(round(coalesce(ha.valid, 0) / ng.n_gt, 6)), 4) AS $adcName
        |  FROM npa JOIN ng USING (query_id) LEFT JOIN ha USING (query_id)
        |),
        |pb AS (SELECT query_id, vec_id FROM read_parquet('$rerankGlob')),
@@ -441,10 +444,10 @@ object LshQueries extends QueryPack {
        |  FROM pb JOIN gt USING (query_id, vec_id) GROUP BY pb.query_id
        |),
        |rb AS (
-       |  SELECT round(avg(round(coalesce(hb.valid, 0) / ng.n_gt, 6)), 4) AS rerank_recall
+       |  SELECT round(avg(round(coalesce(hb.valid, 0) / ng.n_gt, 6)), 4) AS $rerankName
        |  FROM npb JOIN ng USING (query_id) LEFT JOIN hb USING (query_id)
        |)
-       |SELECT ra.adc_recall, rb.rerank_recall FROM ra, rb""".stripMargin
+       |SELECT ra.$adcName, rb.$rerankName FROM ra, rb""".stripMargin
 
   /** DuckDB L2 / cosine distance SQL over `qs`/`e` aliases, matching the
     * Spark-side 6-decimal rounding and the cosine near-zero clamp. */

@@ -70,6 +70,13 @@ object SimilarityQueries extends QueryPack {
     * anywhere in a cell breaks that cell's row. */
   def IvfSqCodeDumpRoot: String = s"${QueryPack.dumpRoot}/graft_ivfsq_code_dump"
 
+  /** Plain-PQ / OPQ code budget shared by `q_pq_recall` and
+    * `q_opq_recall` (matches [[ivfPqConfig]]'s subquantizers, so the
+    * three recall rows isolate residual-encoding and rotation deltas
+    * one axis at a time). */
+  val pqConfig: graft.ann.pq.PqConfig = graft.ann.pq.PqConfig(
+    numSubvectors = 16, codesPerSubvector = 16, seed = 42L)
+
   /** IVF-SQ: same coarse geometry as [[ivfConfig]], SQ8 codes. */
   val ivfSqConfig: graft.ann.ivfsq.IvfSqConfig =
     graft.ann.ivfsq.IvfSqConfig(nCells = 16, nProbe = 8, seed = 42L)
@@ -148,6 +155,13 @@ object SimilarityQueries extends QueryPack {
       graft.ann.ivfsq.IvfSq.train(emb(s, dir), "vec_id", "embedding",
         ivfSqConfig)
     }
+  /** Shared plain-PQ fit (16x16, the `q_pq_recall` budget) — consumed
+    * by `q_pq_recall` and as `q_opq_recall`'s unrotated baseline. */
+  private def pqIdx(s: SparkSession, dir: String): graft.ann.pq.PqIndex =
+    memoized(s, dir, "pq_idx") {
+      graft.ann.pq.Pq.train(emb(s, dir), "vec_id", "embedding", pqConfig)
+    }
+
   private def sqIdx(s: SparkSession, dir: String): graft.ann.sq.SqIndex =
     memoized(s, dir, "sq_idx") {
       graft.ann.sq.Sq.train(emb(s, dir), "vec_id", "embedding")
@@ -560,8 +574,7 @@ object SimilarityQueries extends QueryPack {
     "q_pq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graft.ann.pq.Pq.train(e, "vec_id", "embedding",
-        graft.ann.pq.PqConfig(numSubvectors = 16, codesPerSubvector = 16, seed = 42L))
+      val idx = pqIdx(s, dir)
       val gt = ExactNN.topK(q, e, K, ExactNN.L2)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
       val adcPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
@@ -574,6 +587,31 @@ object SimilarityQueries extends QueryPack {
       val rer = Eval.setPrecisionRecall(rerPred, gt)
         .agg(round(avg("recall"), 4).as("rerank_recall"))
       adc.crossJoin(rer)
+    }),
+
+    // OPQ vs plain PQ at the SAME code budget: ADC recall of both
+    // against exact ground truth (Ge et al. CVPR 2013 — a learned
+    // orthogonal rotation before PQ; fit alternation + never-worse
+    // contract spec-gated in OpqSpec). Both prediction dumps are
+    // regraded by DuckDB's own GT, so the comparison itself is
+    // cross-engine — the rotation's value shows up (or honestly
+    // doesn't, on isotropic data) as the opq_recall − pq_recall gap.
+    "q_opq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val pq = pqIdx(s, dir)
+      val opq = graft.ann.pq.Opq.train(e, "vec_id", "embedding", pqConfig)
+      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
+      val pqPred = LshQueries.dumpAndReload(s, pq.searchAll(q, K),
+        s"$dumpBase/opq_pq_adc")
+      val opqPred = LshQueries.dumpAndReload(s, opq.searchAll(q, K),
+        s"$dumpBase/opq_adc")
+      val a = Eval.setPrecisionRecall(pqPred, gt)
+        .agg(round(avg("recall"), 4).as("pq_recall"))
+      val b = Eval.setPrecisionRecall(opqPred, gt)
+        .agg(round(avg("recall"), 4).as("opq_recall"))
+      a.crossJoin(b)
     }),
 
     // IVF-SQ build: the (vec_id, cell, codes) dump carries the usual
@@ -1352,6 +1390,14 @@ object SimilarityQueries extends QueryPack {
     "q_pq_recall" -> LshQueries.dualRecallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/pq_adc/*.parquet",
       s"${LshQueries.SearchDumpRoot}/sf0.01/pq_rerank/*.parquet", K),
+
+    // Same grading machinery, columns renamed to the pair under
+    // comparison: DuckDB recomputes exact GT and both recalls from the
+    // two prediction dumps — the OPQ-vs-PQ verdict is cross-engine.
+    "q_opq_recall" -> LshQueries.dualRecallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/opq_pq_adc/*.parquet",
+      s"${LshQueries.SearchDumpRoot}/sf0.01/opq_adc/*.parquet", K,
+      adcName = "pq_recall", rerankName = "opq_recall"),
 
     // The IVF-SQ code check: DuckDB re-encodes EVERY vector from the
     // raw embeddings (the SQ bounds are deterministic min/max — no seed,

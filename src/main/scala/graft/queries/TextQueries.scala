@@ -384,6 +384,35 @@ object TextQueries extends QueryPack {
         .orderBy("cluster_id")
     }),
 
+    // Canonical-representative selection — the retention step AFTER
+    // clustering: instead of q_near_dup_clusters' keep-the-min-id rule,
+    // keep each cluster's highest-QUALITY doc (q_text_quality's
+    // composite score; ties to the lowest doc_id), the policy real
+    // pipelines use so boilerplate copies don't outlive the clean
+    // original. One doc-keyed join + one cluster-keyed agg on top of
+    // the shared pair memo; the argmax is a single max(struct) — no
+    // window, no per-cluster sort. DuckDB replays the whole chain:
+    // pairs, transitive closure, quality, argmax with the same
+    // tie-break.
+    "q_dedup_canonical" -> ((s, dir) => {
+      val pairs = minhashNearDupPairs(s, dir)
+      val cc = graft.text.Dedup.connectedComponents(pairs)
+      val stopR = tokenSetRatio(col("toks"), Stopwords)
+      val punctR = punctRatio(col("text"))
+      val quality = docs(s, dir).select(col("doc_id"),
+        round(log(size(col("toks")).cast(DoubleType) + lit(1.0))
+          * (lit(1.0) - stopR) * (lit(1.0) - punctR), 6).as("q"))
+      cc.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("cluster_id"), col("n_docs"),
+          (-col("best.nid")).as("keep_id"),
+          col("best.q").as("keep_quality"),
+          (col("n_docs") - 1).as("n_dropped"))
+        .orderBy("cluster_id")
+    }),
+
     // Sliding-window chunking (16-token windows, stride 12) — the
     // context-window prep step; chunks identified by content hash so the
     // output stays narrow. Pure map-side explode.
@@ -1217,6 +1246,54 @@ object TextQueries extends QueryPack {
          |SELECT cluster_id, count(*) AS n_docs,
          |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
          |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // Same pair graph + transitive closure, then the quality argmax
+    // with the identical (quality DESC, doc_id ASC) tie-break replayed
+    // as a window rank.
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $tokCte, $shgCte, $sigCte,
+         |bands AS (
+         |  SELECT doc_id, hid // $BandRows AS band,
+         |         md5(string_agg(sig::VARCHAR, ',' ORDER BY hid)) AS bkey
+         |  FROM sig GROUP BY doc_id, band
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |              AND a.doc_id < b.doc_id
+         |),
+         |${jacSql("cand")},
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jac >= $JaccardThreshold),
+         |nodes AS (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(ln(len(toks)::DOUBLE + 1.0)
+         |      * (1.0 - len(list_filter(toks, t -> t IN ${inList(Stopwords)}))::DOUBLE
+         |          / len(toks))
+         |      * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+         |          / length(text)), 6) AS q
+         |  FROM tok
+         |),
+         |j AS (
+         |  SELECT comp.cluster_id, comp.doc_id, q.q,
+         |         row_number() OVER (PARTITION BY comp.cluster_id
+         |                            ORDER BY q.q DESC, comp.doc_id) AS rn
+         |  FROM comp JOIN q USING (doc_id)
+         |),
+         |g AS (SELECT cluster_id, count(*) AS n_docs FROM j GROUP BY cluster_id)
+         |SELECT g.cluster_id, g.n_docs, j.doc_id AS keep_id, j.q AS keep_quality,
+         |       g.n_docs - 1 AS n_dropped
+         |FROM g JOIN j ON j.cluster_id = g.cluster_id AND j.rn = 1
+         |ORDER BY g.cluster_id""".stripMargin,
 
     "q_doc_chunks" ->
       s"""WITH $tokCte,
