@@ -74,7 +74,9 @@ object AutoTune {
     out
   }
 
-  /** IVF sweep over `nProbe` (cells probed per query). */
+  /** IVF sweep over `nProbe` (cells probed per query). Each arm is an
+    * independent `withNProbe(p).searchAll` — the simple form;
+    * [[sweepIvfNProbeShared]] is the row-identical one-scan form. */
   def sweepIvfNProbe(idx: IvfIndex, queries: DataFrame, k: Int,
                      arms: Seq[Int], targetRecall: Double,
                      metric: ExactNN.Metric = ExactNN.L2,
@@ -83,6 +85,46 @@ object AutoTune {
     sweep(arms, queries, idx.vectors, k, targetRecall,
       p => idx.withNProbe(p).searchAll(queries, k, metric),
       metric, dumpArm)
+
+  /** [[sweepIvfNProbe]] with the candidate scan SHARED across arms:
+    * probe ordering is deterministic by (distance, cell), so arm p's
+    * probe set is exactly the first p cells of the max arm's ordering
+    * — and each vector lives in exactly one cell, so scoring the max
+    * arm's candidates ONCE with the probe rank carried lets every
+    * smaller arm cut `probe_rank < p` from the same persisted frame.
+    * Collapses |arms| corpus-candidate scans to one; per-arm work
+    * shrinks to a filter + the bounded TopK over sample-sized rows.
+    * Row-identical to the per-arm form (AutoTuneSpec pins all arms). */
+  def sweepIvfNProbeShared(idx: IvfIndex, queries: DataFrame, k: Int,
+                           arms: Seq[Int], targetRecall: Double,
+                           metric: ExactNN.Metric = ExactNN.L2,
+                           dumpArm: (Int, DataFrame) => DataFrame =
+                             (_, df) => df): DataFrame = {
+    require(arms.nonEmpty, "sweepIvfNProbeShared: empty arm list")
+    val m = idx.withNProbe(arms.max).model
+    val probes = queries
+      .select(col("query_id"),
+        posexplode(graft.ann.ivf.IvfExpressions.ivfProbes(m, col("qv"))))
+      .select(col("query_id"), col("pos").as("probe_rank"),
+        col("col").as("cell"))
+    val scored = idx.cells
+      .join(broadcast(probes), "cell")
+      .select("query_id", "vec_id", "probe_rank")
+      .join(idx.vectors, "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"), col("probe_rank"),
+        round(metric.dist(col("qv"), col("embedding")), 6).as("dist"))
+      .persist()
+    scored.count()
+    try
+      sweep(arms, queries, idx.vectors, k, targetRecall,
+        p => graft.ann.TopK.perQueryTopK(
+          scored.where(col("probe_rank") < p)
+            .select("query_id", "vec_id", "dist"),
+          k, viaAggregator = true),
+        metric, dumpArm)
+    finally scored.unpersist(false)
+  }
 
   /** IVF-PQ sweep over `rerankDepth` — the compressed families' recall
     * knob (the quantized scan orders candidates only coarsely; the

@@ -132,16 +132,14 @@ object Opq {
     * the quantity the alternation monotonically decreases and the spec
     * compares against plain PQ. */
   def sampleError(vecs: Array[Array[Double]], model: OpqModel): Double = {
-    var s = 0.0
-    var i = 0
-    while (i < vecs.length) {
-      val y = model.rotation(vecs(i))
+    val errs = parMap(vecs) { v =>
+      val y = model.rotation(v)
       val rec = model.pq.decode(model.pq.encode(y).toSeq)
-      var k = 0
+      var s = 0.0; var k = 0
       while (k < y.length) { val d = y(k) - rec(k); s += d * d; k += 1 }
-      i += 1
+      s
     }
-    s / vecs.length
+    errs.sum / vecs.length
   }
 
   /** One warm-started Lloyd round per subspace: reassign (argmin, ties
@@ -180,27 +178,188 @@ object Opq {
     }
   }
 
+  /** Driver-side fit parallelism: the alternation's hot loops (sample
+    * rotate/re-encode, the d×d cross-matrix) are embarrassingly
+    * row-parallel; chunk them like the per-subvector Lloyd already is.
+    * At 784-d the single-threaded fit was wall-dominated by exactly
+    * these loops. FIXED chunk count, not availableProcessors: the
+    * cross-matrix partials are combined chunk-by-chunk, so a
+    * machine-dependent chunk count would make the float summation
+    * order — and hence the fitted rotation — machine-dependent. */
+  private val FitThreads: Int = 16
+
+  private def parMap[T: scala.reflect.ClassTag](
+      xs: Array[Array[Double]])(f: Array[Double] => T): Array[T] = {
+    val out = new Array[T](xs.length)
+    val chunks = math.min(FitThreads, math.max(1, xs.length))
+    graft.ann.ParallelFit.run(chunks) { c =>
+      var i = c
+      while (i < xs.length) { out(i) = f(xs(i)); i += chunks }
+    }
+    out
+  }
+
   /** Procrustes step: rotation minimizing ||X·R − Y||_F over orthogonal
     * R, i.e. R = U·Vᵀ with XᵀY = U·S·Vᵀ (d×d SVD, driver-side —
-    * breeze ships with Spark). */
+    * breeze ships with Spark). The cross-matrix accumulates per-thread
+    * partials, then sums. */
   private def procrustes(xs: Array[Array[Double]],
                          ys: Array[Array[Double]]): RotationMatrix = {
     val d = xs(0).length
+    val chunks = math.min(FitThreads, math.max(1, xs.length))
+    val partials = new Array[Array[Array[Double]]](chunks)
+    graft.ann.ParallelFit.run(chunks) { c =>
+      val p = Array.ofDim[Double](d, d)
+      var i = c
+      while (i < xs.length) {
+        val x = xs(i); val y = ys(i)
+        var a = 0
+        while (a < d) {
+          val xa = x(a)
+          if (xa != 0.0) {
+            val row = p(a)
+            var b = 0
+            while (b < d) { row(b) += xa * y(b); b += 1 }
+          }
+          a += 1
+        }
+        i += chunks
+      }
+      partials(c) = p
+    }
     val m = breeze.linalg.DenseMatrix.zeros[Double](d, d)
-    var i = 0
-    while (i < xs.length) {
-      val x = xs(i); val y = ys(i)
+    partials.foreach { p =>
       var a = 0
       while (a < d) {
-        val xa = x(a)
-        if (xa != 0.0) { var b = 0; while (b < d) { m(a, b) += xa * y(b); b += 1 } }
+        var b = 0
+        while (b < d) { m(a, b) += p(a)(b); b += 1 }
         a += 1
+      }
+    }
+    try {
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(m)
+      val rm = u * vt
+      new RotationMatrix(Array.tabulate(d, d)((a, b) => rm(a, b)))
+    } catch {
+      // LAPACK's divide-and-conquer dgesdd can refuse to converge on
+      // ill-conditioned cross-matrices (tiled/correlated data makes M's
+      // spectrum span many decades). The polar factor is all Procrustes
+      // needs, and one-sided Jacobi computes it deterministically for
+      // any conditioning — slower, but only the fallback path pays.
+      case _: breeze.linalg.NotConvergedException =>
+        new RotationMatrix(polarJacobi(
+          Array.tabulate(d, d)((a, b) => m(a, b))))
+    }
+  }
+
+  /** Polar (orthogonal) factor of a square matrix by one-sided Jacobi:
+    * right-rotate columns of G = M·V until pairwise orthogonal, so
+    * M = U·S·Vᵀ with U = normalized G columns — polar factor U·Vᵀ.
+    * Rank-deficient directions (column norm ~ 0 after sweeps) get any
+    * orthonormal completion: those directions carry no reconstruction
+    * mass, so every completion is an equally optimal Procrustes
+    * solution. Deterministic: fixed sweep order, fixed tolerances. */
+  private[pq] def polarJacobi(mIn: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = mIn.length
+    // column-major copies: g(j) = column j of M; v accumulates rotations
+    val g = Array.tabulate(d, d)((j, i) => mIn(i)(j))
+    val v = Array.tabulate(d, d)((j, i) => if (i == j) 1.0 else 0.0)
+    val tol = 1e-14
+    var sweep = 0
+    var rotated = true
+    while (sweep < 64 && rotated) {
+      rotated = false
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val gp = g(p); val gq = g(q)
+          var app = 0.0; var aqq = 0.0; var apq = 0.0
+          var i = 0
+          while (i < d) {
+            val x = gp(i); val y = gq(i)
+            app += x * x; aqq += y * y; apq += x * y
+            i += 1
+          }
+          if (math.abs(apq) > tol * math.sqrt(app * aqq) && apq != 0.0) {
+            rotated = true
+            val tau = (aqq - app) / (2.0 * apq)
+            val t = math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = c * t
+            val vp = v(p); val vq = v(q)
+            i = 0
+            while (i < d) {
+              val x = gp(i); val y = gq(i)
+              gp(i) = c * x - s * y; gq(i) = s * x + c * y
+              val a = vp(i); val b = vq(i)
+              vp(i) = c * a - s * b; vq(i) = s * a + c * b
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // normalize columns of G into U; complete rank-deficient columns by
+    // Gram-Schmidt over the standard basis (deterministic order)
+    val maxNorm = math.sqrt(
+      (0 until d).map(j => g(j).map(x => x * x).sum).max max Double.MinPositiveValue)
+    val u = Array.ofDim[Double](d, d) // column-major like g
+    val deficient = scala.collection.mutable.ArrayBuffer[Int]()
+    var j = 0
+    while (j < d) {
+      val n2 = g(j).map(x => x * x).sum
+      if (math.sqrt(n2) > 1e-12 * maxNorm) {
+        val inv = 1.0 / math.sqrt(n2)
+        var i = 0
+        while (i < d) { u(j)(i) = g(j)(i) * inv; i += 1 }
+      } else deficient += j
+      j += 1
+    }
+    var basis = 0
+    deficient.foreach { jj =>
+      var done = false
+      while (!done && basis < d) {
+        val w = new Array[Double](d)
+        w(basis) = 1.0
+        var k = 0
+        while (k < d) {
+          if (!deficient.contains(k) || k < jj) {
+            val uk = u(k)
+            var dot = 0.0; var i = 0
+            while (i < d) { dot += w(i) * uk(i); i += 1 }
+            if (dot != 0.0) { i = 0; while (i < d) { w(i) -= dot * uk(i); i += 1 } }
+          }
+          k += 1
+        }
+        val n2 = w.map(x => x * x).sum
+        if (math.sqrt(n2) > 1e-6) {
+          val inv = 1.0 / math.sqrt(n2)
+          var i = 0
+          while (i < d) { u(jj)(i) = w(i) * inv; i += 1 }
+          done = true
+        }
+        basis += 1
+      }
+      require(done, "polarJacobi: failed to complete an orthonormal basis")
+    }
+    // R = U · Vᵀ, both held column-major: R(i)(k) = Σ_j u(j)(i) · v(j)(k)
+    val out = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var k = 0
+      while (k < d) {
+        var s2 = 0.0; var jj = 0
+        while (jj < d) { s2 += u(jj)(i) * v(jj)(k); jj += 1 }
+        out(i)(k) = s2
+        k += 1
       }
       i += 1
     }
-    val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(m)
-    val rm = u * vt
-    new RotationMatrix(Array.tabulate(d, d)((a, b) => rm(a, b)))
+    out
   }
 
   /** Seeded random orthogonal matrix: QR of a seeded Gaussian (the
@@ -239,11 +398,12 @@ object Opq {
     var it = 0
     while (it < opqIters) {
       val model = new PqModel(config, dims, codebooks)
-      val rotated = vecs.map(rot(_))
+      val r = rot
       // reconstructions under current (R, codebooks)
-      val recon = rotated.map(y => model.decode(model.encode(y).toSeq))
+      val recon = parMap(vecs)(v => model.decode(model.encode(r(v)).toSeq))
       rot = procrustes(vecs, recon)
-      val rerotated = vecs.map(rot(_))
+      val r2 = rot
+      val rerotated = parMap(vecs)(r2(_))
       val next = new Array[Array[Array[Double]]](config.numSubvectors)
       graft.ann.ParallelFit.run(config.numSubvectors) { s =>
         val sub = rerotated.map(y =>
@@ -288,7 +448,7 @@ object Opq {
         randomRotation(dims, config.seed * 7919L + i))
     val candidates = starts.map { r0 =>
       val model = alternate(vecs, config, opqIters, r0,
-        lloydCodebooks(vecs.map(r0(_)), config))
+        lloydCodebooks(parMap(vecs)(r0(_)), config))
       (Opq.sampleError(vecs, model), model)
     }
     candidates.minBy(_._1)._2

@@ -108,6 +108,40 @@ object RetrievalQueries extends QueryPack {
           .as("tscore"))
   }
 
+  /** (doc_id, term, w): the sparse tf·ln(N/df) postings table — the
+    * STATIC half of a sparse-retrieval deployment (a query-weight
+    * stream joins it on term and sums the products; see
+    * StreamingRetrievalSpec). `terms = Some(t)` prunes the token
+    * stream through a broadcast semi-join before any aggregation (the
+    * batch-query path); None keeps every term (the precomputed-index
+    * path). df per term is identical under both (pruning drops terms,
+    * never a term's doc rows), so the paths agree on shared terms.
+    * Weights round to 6 BEFORE any product (class-doc rule).
+    *
+    * `minWeight > 0` drops postings below the threshold — the standard
+    * sparse-retrieval index pruning (near-zero weights are corpus-wide
+    * terms whose postings dominate join fan-out while contributing
+    * ~nothing to any score; SPLADE-style serving prunes them at index
+    * build). Recall tradeoff is the caller's: a pruned posting can
+    * only LOWER a doc's score by ≤ minWeight × the query's matching
+    * weight. df is computed BEFORE pruning, so surviving weights are
+    * unchanged — pruning drops rows, never reweights them. */
+  private[graft] def sparseWeights(d: DataFrame, terms: Option[DataFrame],
+                                   minWeight: Double = 0.0): DataFrame = {
+    val n = d.count()
+    val exploded = d.select(col("doc_id"), explode(col("toks")).as("term"))
+    val pruned = terms match {
+      case Some(t) => exploded.join(broadcast(t.select("term").distinct()), "term")
+      case None    => exploded
+    }
+    val tf = pruned.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(broadcast(dfreq), "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("w"))
+    if (minWeight > 0.0) w.where(col("w") > minWeight) else w
+  }
+
   private[graft] def bm25(d: DataFrame, qterms: DataFrame): DataFrame =
     termScores(d, Some(qterms))
       .join(broadcast(qterms), "term")
@@ -218,6 +252,37 @@ object RetrievalQueries extends QueryPack {
         .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
         .toDF("query_id", "term")
       topDesc(bm25(docs(s, dir), qterms), "score", TopKDocs, "score")
+        .orderBy("query_id", "rank")
+    }),
+
+    // Sparse weighted-term retrieval, query-by-example — the
+    // SPLADE-family serving shape (sparse learned term weights dotted
+    // through an inverted index; here the weights are tf·ln(N/df), the
+    // deterministic stand-in for a learned expansion): score(q, d) =
+    // Σ_t w_q(t)·w_d(t) over SHARED terms only. Complements BM25
+    // (fixed keyword queries, saturation scoring) with the
+    // vector-of-weights form dense/sparse hybrids fuse. Scale shape:
+    // the corpus token stream is pruned through a broadcast semi-join
+    // on the query docs' term set BEFORE any aggregation, postings
+    // join on term with the (small) query-weight side broadcast, and
+    // the tail is the bounded TopK aggregation — the corpus never
+    // shuffles on a term it shares no query with. Weights are rounded
+    // to 6 before the product and the score before ranking, ties
+    // pinned by doc_id (the class-doc determinism rule); DuckDB
+    // replays tf, df, both weight vectors, the dot product, and the
+    // rank cut.
+    "q_sparse_dot_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qsel = d.where(col("doc_id") < NumHybridQueries)
+        .select(explode(col("toks")).as("term")).distinct()
+      val w = sparseWeights(d, Some(qsel))
+      val qw = w.where(col("doc_id") < NumHybridQueries)
+        .select(col("doc_id").as("query_id"), col("term"), col("w").as("qw"))
+      val scored = w.join(broadcast(qw), "term")
+        .where(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum(col("qw") * col("w")), 6).as("score"))
+      topDesc(scored, "score", TopKDocs, "score")
         .orderBy("query_id", "rank")
     }),
 
@@ -488,6 +553,45 @@ object RetrievalQueries extends QueryPack {
          |SELECT query_id, rank, doc_id, score
          |FROM rk WHERE rank <= $TopKDocs ORDER BY query_id, rank""".stripMargin
     },
+
+    // Sparse dot-product retrieval: DuckDB re-derives the pruned tf,
+    // the df counts, both 6dp weight vectors, the dot product and the
+    // (score DESC, doc_id) rank cut — the whole inverted-index serve
+    // path cross-engine.
+    "q_sparse_dot_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |),
+         |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |qsel AS (SELECT DISTINCT term FROM ex WHERE doc_id < $NumHybridQueries),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM ex WHERE term IN (SELECT term FROM qsel)
+         |  GROUP BY doc_id, term
+         |),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |w AS (
+         |  SELECT tf.doc_id, tf.term, round(tf * ln(nd.n / df), 6) AS w
+         |  FROM tf JOIN dfq USING (term), nd
+         |),
+         |qw AS (SELECT doc_id AS query_id, term, w AS qw
+         |       FROM w WHERE doc_id < $NumHybridQueries),
+         |sc AS (
+         |  SELECT qw.query_id, w.doc_id, round(sum(qw.qw * w.w), 6) AS score
+         |  FROM w JOIN qw USING (term)
+         |  WHERE w.doc_id <> qw.query_id
+         |  GROUP BY qw.query_id, w.doc_id
+         |),
+         |rk AS (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT query_id, rank, doc_id, score
+         |FROM rk WHERE rank <= $TopKDocs ORDER BY query_id, rank""".stripMargin,
 
     "q_hybrid_rrf" -> {
       val qtermsCte =

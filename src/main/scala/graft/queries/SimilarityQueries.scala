@@ -87,6 +87,11 @@ object SimilarityQueries extends QueryPack {
     * dump directory would race. */
   def SemDedupDumpRoot: String = s"${QueryPack.dumpRoot}/graft_semdedup_dump"
 
+  /** `q_diverse_sample`'s dumps: the (vec_id, cell) assignment plus the
+    * centroid table, so DuckDB can re-derive every selection distance
+    * and replay the quota rule from raw embeddings. */
+  def DiverseDumpRoot: String = s"${QueryPack.dumpRoot}/graft_diverse_dump"
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings")
 
@@ -390,7 +395,10 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       val q = queriesDf(e)
       val idx = ivfIdx(s, dir)
-      graft.ann.AutoTune.sweepIvfNProbe(idx, q, K, AutoTuneArms,
+      // shared-scan form: one scored candidate pass at the max arm,
+      // smaller arms cut by probe rank — row-identical to the per-arm
+      // sweep (AutoTuneSpec), |arms|x fewer corpus-candidate scans
+      graft.ann.AutoTune.sweepIvfNProbeShared(idx, q, K, AutoTuneArms,
         AutoTuneTarget, ExactNN.L2,
         dumpArm = (p, df) => LshQueries.dumpAndReload(s, df,
           s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/autotune_nprobe/arm_$p"))
@@ -565,6 +573,51 @@ object SimilarityQueries extends QueryPack {
       val dump = s"$SemDedupDumpRoot/${LshQueries.sfName(dir)}"
       idx.cells.write.mode("overwrite").parquet(dump)
       semdedupSummary(s.read.parquet(dump), e, e.count()).orderBy("cell")
+    }),
+
+    // Diversity-preserving coreset subsample — the curation step that
+    // caps redundant regions while keeping coverage: per IVF cell keep
+    // the ceil(sqrt(n_cell)) vectors CLOSEST to the centroid (quota
+    // sublinear in cell mass downweights dense regions; closest-to-
+    // centroid = the cell's most representative members; ties by
+    // vec_id). Scale shape: distances are one broadcast-centroid
+    // map-side pass; the per-cell cut is the bounded TopK aggregator
+    // at the GLOBAL max quota (fixed by one driver-side agg), then the
+    // per-cell quota filter — no corpus-wide or per-cell full sort.
+    // Cells + centroids are dumped so DuckDB re-derives every
+    // selection distance from raw embeddings and replays rank + quota.
+    "q_diverse_sample" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val idx = ivfIdx(s, dir)
+      val dump = s"$DiverseDumpRoot/${LshQueries.sfName(dir)}"
+      idx.cells.write.mode("overwrite").parquet(s"$dump/cells")
+      idx.model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$dump/centroids")
+      val cells = s.read.parquet(s"$dump/cells")
+      val cents = s.read.parquet(s"$dump/centroids")
+      val withDist = cells
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(cents), "cell")
+        .select(col("cell"), col("vec_id"),
+          round(exprs.l2DistNative(col("embedding").cast("array<double>"),
+            col("centroid")), 6).as("dist"))
+      val quotas = withDist.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+      val maxQuota = math.ceil(math.sqrt(
+        quotas.agg(max("n_cell")).head().getLong(0).toDouble)).toInt
+      withDist
+        .groupBy("cell")
+        .agg(graft.ann.TopK.topK(maxQuota)(col("vec_id"), col("dist")).as("nn"))
+        .select(col("cell"), posexplode(col("nn")))
+        .select(col("cell"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.vec_id").as("vec_id"), col("col.dist").as("dist"))
+        .join(broadcast(quotas), "cell")
+        .where(col("rank") <= ceil(sqrt(col("n_cell"))))
+        .select(col("cell"), col("rank"), col("vec_id"), col("dist"),
+          col("n_cell"))
+        .orderBy("cell", "rank")
     }),
 
     // PQ compressed-search recall: ADC-only vs ADC+exact-rerank against
@@ -1390,6 +1443,36 @@ object SimilarityQueries extends QueryPack {
     "q_pq_recall" -> LshQueries.dualRecallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/pq_adc/*.parquet",
       s"${LshQueries.SearchDumpRoot}/sf0.01/pq_rerank/*.parquet", K),
+
+    // Coreset selection replayed end to end: DuckDB recomputes every
+    // vector's distance to its own cell centroid from raw embeddings
+    // (dumped assignment + dumped centroids), ranks within cell with
+    // the same (dist, vec_id) tie rule, and applies the same
+    // ceil(sqrt(n_cell)) quota — a wrong distance, rank, or quota
+    // anywhere breaks the row hash.
+    "q_diverse_sample" ->
+      s"""WITH c AS (
+         |  SELECT * FROM read_parquet('$DiverseDumpRoot/sf0.01/cells/*.parquet')
+         |),
+         |ct AS (
+         |  SELECT * FROM read_parquet('$DiverseDumpRoot/sf0.01/centroids/*.parquet')
+         |),
+         |d AS (
+         |  SELECT c.cell, c.vec_id,
+         |         round(list_distance(e.embedding::DOUBLE[], ct.centroid), 6) AS dist
+         |  FROM c JOIN embeddings e USING (vec_id) JOIN ct USING (cell)
+         |),
+         |n AS (SELECT cell, count(*) AS n_cell FROM d GROUP BY cell),
+         |r AS (
+         |  SELECT cell, vec_id, dist,
+         |         row_number() OVER (PARTITION BY cell
+         |                            ORDER BY dist, vec_id) AS rank
+         |  FROM d
+         |)
+         |SELECT r.cell, r.rank, r.vec_id, r.dist, n.n_cell
+         |FROM r JOIN n USING (cell)
+         |WHERE r.rank <= ceil(sqrt(n.n_cell))
+         |ORDER BY r.cell, r.rank""".stripMargin,
 
     // Same grading machinery, columns renamed to the pair under
     // comparison: DuckDB recomputes exact GT and both recalls from the

@@ -178,6 +178,39 @@ object TextScaleProbe {
           f"docs at coverage>=0.5 in ${tSpan}%.1fs " +
           f"(planted lower bound ${2 * nPlanted}%,d)")
       }
+      // Sparse-retrieval leg (opt-in SPARK_GRAFT_SPARSE=1): the
+      // q_sparse_dot_topk pipeline at corpus scale, query-by-example
+      // over the first 10 docs. Replica token suffixes make most query
+      // terms replica-local, but the UNSUFFIXED shared boilerplate (on
+      // 30% of ALL docs) is the realistic stopword-like fan-out: its
+      // postings join 0.3 x corpus rows per boilerplate query term.
+      // Measured twice — unpruned, and with minWeight=1.0 posting
+      // pruning (ln(N/df) -> 0 as df -> 0.3N, so boilerplate postings
+      // sit near weight 0 and pruning removes exactly the fan-out).
+      if (sys.env.get("SPARK_GRAFT_SPARSE").contains("1")) {
+        val d = corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
+        def sparseRun(minW: Double): (Long, Double) = time {
+          val qsel = d.where(col("doc_id") < 10)
+            .select(explode(col("toks")).as("term")).distinct()
+          val w = graft.queries.RetrievalQueries.sparseWeights(
+            d, Some(qsel), minWeight = minW)
+          val qw = w.where(col("doc_id") < 10)
+            .select(col("doc_id").as("query_id"), col("term"),
+              col("w").as("qw"))
+          val scored = w.join(broadcast(qw), "term")
+            .where(col("doc_id") =!= col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(round(sum(col("qw") * col("w")), 6).as("score"))
+          scored.groupBy("query_id")
+            .agg(graft.ann.TopK.topK(10)(col("doc_id"), -col("score")).as("nn"))
+            .select(col("query_id"), explode(col("nn")))
+            .count()
+        }
+        val (n0, t0) = sparseRun(0.0)
+        val (n1, t1) = sparseRun(1.0)
+        println(f"[text-scale]   sparse: unpruned $t0%.1fs ($n0 rows), " +
+          f"minWeight=1.0 $t1%.1fs ($n1 rows)")
+      }
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

@@ -58,6 +58,28 @@ class AutoTuneSpec extends AnyFunSuite with SparkSpecBase {
       s"recall not monotone: ${recalls.toSeq}")
     // nProbe = nCells probes every cell == exact search
     assert(recalls.last === 1.0)
+
+    // shared-scan form: identical graded rows AND identical per-arm
+    // prediction sets (probe ordering is deterministic by (dist, cell)
+    // and each vector has exactly one cell, so rank-filtering the max
+    // arm's scored scan IS each smaller arm's search)
+    val perArmPreds = scala.collection.mutable.Map[Int, Seq[String]]()
+    val sharedPreds = scala.collection.mutable.Map[Int, Seq[String]]()
+    def capture(into: scala.collection.mutable.Map[Int, Seq[String]])
+        : (Int, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      (a, df) => {
+        into(a) = df.orderBy("query_id", "dist", "vec_id")
+          .collect().map(_.toString).toSeq
+        df
+      }
+    val perArm = armRows(AutoTune.sweepIvfNProbe(idx, q, 5,
+      Seq(1, 2, 4, 8), targetRecall = 0.95, dumpArm = capture(perArmPreds)))
+    val shared = armRows(AutoTune.sweepIvfNProbeShared(idx, q, 5,
+      Seq(1, 2, 4, 8), targetRecall = 0.95, dumpArm = capture(sharedPreds)))
+    assert(shared.toSeq === perArm.toSeq)
+    Seq(1, 2, 4, 8).foreach { a =>
+      assert(sharedPreds(a) === perArmPreds(a), s"arm $a predictions differ")
+    }
     val chosen = res.filter(_._4)
     assert(chosen.length === 1)
     val firstMeeting = res.find(_._2 >= 0.95).get._1

@@ -75,6 +75,25 @@ class OpqSpec extends AnyFunSuite with SparkSpecBase {
     assert(opqErr < 0.9 * pqErr, s"opq $opqErr vs pq $pqErr")
   }
 
+  test("polarJacobi matches LAPACK's polar factor on a well-conditioned matrix") {
+    val rnd = new scala.util.Random(11)
+    val d = 12
+    val m = Array.fill(d, d)(rnd.nextGaussian())
+    val bm = breeze.linalg.DenseMatrix.tabulate[Double](d, d)((i, j) => m(i)(j))
+    val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(bm)
+    val lapack = u * vt
+    val jac = Opq.polarJacobi(m)
+    for (i <- 0 until d; j <- 0 until d)
+      assert(math.abs(jac(i)(j) - lapack(i, j)) < 1e-8, s"($i,$j)")
+    // and it survives a rank-deficient input with an orthogonal result
+    val rd = Array.tabulate(d, d)((i, j) => m(i)(0) * m(0)(j)) // rank 1
+    val r = Opq.polarJacobi(rd)
+    for (a <- 0 until d; b <- 0 until d) {
+      val dot = (0 until d).map(k => r(k)(a) * r(k)(b)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-8)
+    }
+  }
+
   test("native rotate expression matches driver-side rotation, float and double input") {
     val model = Opq.fit(emb, "embedding", cfg)
     val direct = emb.select($"vec_id", $"embedding".cast("array<double>"))

@@ -59,4 +59,46 @@ class StreamingRetrievalSpec extends AnyFunSuite with SparkSpecBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streamed sparse query-weight vectors x static postings == batch sparse dot") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+
+    // Static half: the full (doc_id, term, w) postings index.
+    val index = RetrievalQueries.sparseWeights(d, None)
+    index.persist().count()
+
+    // Queries are the first 3 docs' own weight vectors (query-by-
+    // example, the q_sparse_dot_topk shape).
+    val qRows = index.where(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("term"), col("w").as("qw"))
+      .as[(Long, String, Double)].collect().toSeq
+
+    val batch = index
+      .join(qRows.toDF("query_id", "term", "qw"), "term")
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("qw") * col("w")), 6).as("score"))
+      .orderBy("query_id", "doc_id").collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val scored = mem.toDF().toDF("query_id", "term", "qw")
+      .join(index, "term") // stream-static equi-join on term
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("qw") * col("w")), 6).as("score"))
+    val q = scored.writeStream.format("memory").queryName("stream_sparse")
+      .outputMode("complete").start()
+    try {
+      val (first, rest) = qRows.partition(_._1 < 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(rest: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sparse")
+        .orderBy("query_id", "doc_id").collect().toSeq
+      assert(streamed === batch)
+    } finally { q.stop(); index.unpersist() }
+  }
 }
