@@ -66,18 +66,23 @@ object TextScaleProbe {
     val cfg = MinHashConfig(shingleN = 3, numHashes = 8, bandRows = 2,
       jaccardThreshold = 0.5, maxDocFreqRatio = 0.1)
 
+    // SPARK_GRAFT_SPARSE_ONLY=1 skips the minhash/cc legs (573 s at
+    // K=100) when only the sparse-retrieval block is under study.
+    val sparseOnly = sys.env.get("SPARK_GRAFT_SPARSE_ONLY").contains("1")
+
     for (k <- replicas) {
       val (corpus, plantedPairs) = buildCorpus(spark, base, k)
       val nDocs = corpus.count()
       val nPlanted = plantedPairs.count()
 
-      reportFanout(corpus, nDocs, cfg)
+      if (!sparseOnly) reportFanout(corpus, nDocs, cfg)
 
       def time[T](f: => T): (T, Double) = {
         val t0 = System.nanoTime(); val r = f
         (r, (System.nanoTime() - t0) / 1e9)
       }
 
+      if (!sparseOnly) {
       val (pairs, tMinhash) = time {
         val p = Dedup.minhashNearDup(corpus, "doc_id", "text", cfg)
         p.count()
@@ -178,6 +183,7 @@ object TextScaleProbe {
           f"docs at coverage>=0.5 in ${tSpan}%.1fs " +
           f"(planted lower bound ${2 * nPlanted}%,d)")
       }
+      } // !sparseOnly
       // Sparse-retrieval leg (opt-in SPARK_GRAFT_SPARSE=1): the
       // q_sparse_dot_topk pipeline at corpus scale, query-by-example
       // over the first 10 docs. Replica token suffixes make most query

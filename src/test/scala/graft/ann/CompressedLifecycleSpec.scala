@@ -11,8 +11,8 @@ import graft.ann.ivfsq.{IvfSq, IvfSqConfig}
 import graft.ann.pq.{Pq, PqConfig}
 import graft.ann.sq.Sq
 
-/** Lifecycle (delete / append / upsert) across the five compressed
-  * code-table families — SQ, BQ, PQ, IVF-SQ, IVF-PQ. The uniform
+/** Lifecycle (delete / append / upsert) across the six compressed
+  * code-table families — SQ, BQ, PQ, OPQ, IVF-SQ, IVF-PQ. The uniform
   * contract (each family stores one codes DataFrame keyed by vec_id,
   * each model encodes map-side with frozen parameters):
   *
@@ -110,6 +110,16 @@ class CompressedLifecycleSpec extends AnyFunSuite with SparkSpecBase {
     val idx = Pq.train(corpus, "vec_id", "embedding",
       PqConfig(numSubvectors = 4, codesPerSubvector = 8, iters = 3, seed = 3L))
     checkFamily("pq", idx.codes,
+      idx.withDeletes(deadDf).codes, idx.append(arrivals).codes,
+      idx.upsert(updates).codes,
+      df => idx.model.transform(df, "vec_id", "embedding"))
+  }
+
+  test("OPQ lifecycle") {
+    val idx = graft.ann.pq.Opq.train(corpus, "vec_id", "embedding",
+      PqConfig(numSubvectors = 4, codesPerSubvector = 8, iters = 3, seed = 3L),
+      opqIters = 3)
+    checkFamily("opq", idx.codes,
       idx.withDeletes(deadDf).codes, idx.append(arrivals).codes,
       idx.upsert(updates).codes,
       df => idx.model.transform(df, "vec_id", "embedding"))
