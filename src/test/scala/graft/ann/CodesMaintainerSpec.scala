@@ -134,6 +134,35 @@ class CodesMaintainerSpec extends AnyFunSuite with SparkSpecBase {
     assert(dups === 0, s"$dups duplicated ids in the fenced view")
   }
 
+  test("OPQ codes LSM: frozen rotation+codebooks encode deltas; compaction reloads") {
+    val corpus = mkCorpus(40)
+    val idx = graft.ann.pq.Opq.train(corpus, "vec_id", "embedding",
+      graft.ann.pq.PqConfig(numSubvectors = 4, codesPerSubvector = 8,
+        iters = 3, seed = 3L), opqIters = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("codes_lsm_opq").toString + "/idx"
+    idx.save(spark, path)
+
+    def enc(df: DataFrame) = idx.model.transform(df, "vec_id", "embedding")
+    val m = new CodesMaintainer(spark, path, enc, compactEvery = 2)
+
+    val arrivals = mkCorpus(50, seed = 29).where($"vec_id" >= 40L)
+    val dead = Seq(2L, 6L)
+    m.onBatch(Some(arrivals), Some(dead.toDF("vec_id")))
+    val chain = idx.withDeletes(dead.toDF("vec_id")).append(arrivals)
+    assert(rows(m.liveCodes) === rows(chain.codes),
+      "OPQ LSM view != in-memory lifecycle chain")
+
+    // batch 2 triggers compaction; Opq.load reopens base + rotation
+    m.onBatch(None, None)
+    val reloaded = graft.ann.pq.Opq.load(spark, path)
+    assert(rows(reloaded.codes) === rows(chain.codes),
+      "compacted OPQ base != lifecycle chain")
+    assert(reloaded.model.rotation.r.map(_.toSeq).toSeq ===
+      idx.model.rotation.r.map(_.toSeq).toSeq,
+      "rotation lost through the LSM cycle")
+  }
+
   test("IVF-SQ codes LSM keeps the partitionBy(cell) layout through delta and compaction") {
     val corpus = mkCorpus(40)
     val cfg = IvfSqConfig(nCells = 4, nProbe = 4, iters = 3, seed = 3L)

@@ -28,6 +28,37 @@ class NewOpsPlanSpec extends AnyFunSuite with SparkSpecBase {
       s"drift must join on the dims-sized pos key only:\n${joins.mkString("\n")}")
   }
 
+  test("q_sparse_dot_topk: no window; query weights broadcast into the score join") {
+    val p = plan(RetrievalQueries.queries, "q_sparse_dot_topk")
+    // ranking tail is the bounded TopK aggregation, never a window sort
+    assert(!p.contains("Window"), s"window leaked into the rank tail:\n$p")
+    // the (small) query-weight side rides a broadcast hint into the
+    // term join — the corpus postings never shuffle against it
+    assert(p.contains("ResolvedHint") || p.contains("broadcast"),
+      s"query-weight broadcast hint missing:\n$p")
+  }
+
+  test("q_diverse_sample: no window; centroids broadcast; bounded TopK cut") {
+    val p = plan(SimilarityQueries.queries, "q_diverse_sample")
+    assert(!p.contains("Window"), s"per-cell window leaked into the cut:\n$p")
+    assert(p.contains("topk"), s"bounded TopK aggregator missing:\n$p")
+  }
+
+  test("OPQ codes build: rotation + encode are one map-side projection over the scan") {
+    // q_opq_recall's returned frame reads the prediction dumps, so the
+    // shape claim lives on the CODES build: rotate-then-encode must be
+    // a plain Project on the parquet scan — no join, no shuffle, no
+    // window between the scan and the code table
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val idx = graft.ann.pq.Opq.train(e, "vec_id", "embedding",
+      graft.ann.pq.PqConfig(numSubvectors = 16, codesPerSubvector = 16,
+        seed = 42L))
+    val p = idx.codes.queryExecution.optimizedPlan.toString
+    assert(p.contains("pq_encode(opq_rotate("), s"fused projection missing:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Exchange"),
+      s"codes build must be scan + project only:\n$p")
+  }
+
   test("incremental near-dup: arrivals side broadcast, base bands never") {
     val cfg = graft.text.Dedup.MinHashConfig(maxDocFreqRatio = 1.0)
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
