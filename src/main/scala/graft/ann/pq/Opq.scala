@@ -510,7 +510,7 @@ final class OpqIndex(val model: Opq.OpqModel, val codes: DataFrame) {
   }
 
   /** Serve-time delete view / frozen-model append / upsert — the
-    * uniform 5-family lifecycle contract (CompressedLifecycleSpec).
+    * uniform six-family lifecycle contract (CompressedLifecycleSpec).
     * Appends encode arrivals with the FROZEN rotation + codebooks. */
   def withDeletes(tombstones: DataFrame): OpqIndex =
     new OpqIndex(model,

@@ -167,6 +167,14 @@ object SimilarityQueries extends QueryPack {
       graft.ann.pq.Pq.train(emb(s, dir), "vec_id", "embedding", pqConfig)
     }
 
+  /** OPQ twin at the same budget (deterministic multi-start fit — the
+    * costliest driver-side fit on the board, ~4 s at sf0.1, so the
+    * build shares like every other family; dumps stay query-private). */
+  private def opqIdx(s: SparkSession, dir: String): graft.ann.pq.OpqIndex =
+    memoized(s, dir, "opq_idx") {
+      graft.ann.pq.Opq.train(emb(s, dir), "vec_id", "embedding", pqConfig)
+    }
+
   private def sqIdx(s: SparkSession, dir: String): graft.ann.sq.SqIndex =
     memoized(s, dir, "sq_idx") {
       graft.ann.sq.Sq.train(emb(s, dir), "vec_id", "embedding")
@@ -653,7 +661,7 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       val q = queriesDf(e)
       val pq = pqIdx(s, dir)
-      val opq = graft.ann.pq.Opq.train(e, "vec_id", "embedding", pqConfig)
+      val opq = opqIdx(s, dir)
       val gt = ExactNN.topK(q, e, K, ExactNN.L2)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
       val pqPred = LshQueries.dumpAndReload(s, pq.searchAll(q, K),
