@@ -93,8 +93,17 @@ object AutoTune {
     * arm's candidates ONCE with the probe rank carried lets every
     * smaller arm cut `probe_rank < p` from the same persisted frame.
     * Collapses |arms| corpus-candidate scans to one; per-arm work
-    * shrinks to a filter + the bounded TopK over sample-sized rows.
-    * Row-identical to the per-arm form (AutoTuneSpec pins all arms). */
+    * shrinks to a filter + the bounded TopK over the persisted frame.
+    * Row-identical to the per-arm form (AutoTuneSpec pins all arms).
+    *
+    * Footprint: the persisted scored frame is |queries| × corpus ×
+    * maxArm/nCells rows — at maxArm == nCells, the full queries ×
+    * corpus product (which the per-arm form never materializes past
+    * the map side). That is bounded ONLY because `queries` is
+    * contractually the small validation sample (the [[sweep]]
+    * scale-shape doc); for a sweep whose top arm probes every cell
+    * over a large validation set, prefer [[sweepIvfNProbe]] and pay
+    * the scans. */
   def sweepIvfNProbeShared(idx: IvfIndex, queries: DataFrame, k: Int,
                            arms: Seq[Int], targetRecall: Double,
                            metric: ExactNN.Metric = ExactNN.L2,

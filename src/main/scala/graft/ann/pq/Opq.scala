@@ -372,19 +372,6 @@ object Opq {
     new RotationMatrix(Array.tabulate(dims, dims)((a, b) => q(a, b)))
   }
 
-  /** Per-subspace seeded Lloyd codebooks of the rotated sample. */
-  private def lloydCodebooks(rotated: Array[Array[Double]],
-                             config: PqConfig): Array[Array[Array[Double]]] = {
-    val subDim = rotated(0).length / config.numSubvectors
-    val cbs = new Array[Array[Array[Double]]](config.numSubvectors)
-    graft.ann.ParallelFit.run(config.numSubvectors) { s =>
-      val sub = rotated.map(v =>
-        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
-      cbs(s) = graft.ann.ivf.Ivf.lloyd(sub, config.codesPerSubvector, config.iters)
-    }
-    cbs
-  }
-
   /** The OPQ-NP alternation from one (rotation, codebooks) start:
     * every step (re-encode, Procrustes with reconstructions fixed,
     * warm Lloyd) is non-increasing in sample quantization error. */
@@ -431,15 +418,11 @@ object Opq {
     * `config.seed`, ties go to the earlier init. */
   def fit(df: DataFrame, vecCol: String, config: PqConfig,
           opqIters: Int = 8, numInits: Int = 3): OpqModel = {
-    val total = df.count()
-    val sampled =
-      if (total <= config.sampleCap) df
-      else df.sample(withReplacement = false,
-        fraction = config.sampleCap.toDouble / total, seed = config.seed)
-    val vecs = graft.ann.FitSample.collectVectors(sampled, vecCol)
+    // same sample + same codebook fit as Pq.fit, STRUCTURALLY — the
+    // ≤-plain-PQ contract rests on the identity start being bit-
+    // identical to the plain-PQ solution, so both halves are Pq's own
+    val vecs = Pq.fitSample(df, vecCol, config)
     val dims = vecs(0).length
-    require(dims % config.numSubvectors == 0,
-      s"dims $dims must divide into ${config.numSubvectors} subvectors")
 
     val identity = new RotationMatrix(
       Array.tabulate(dims, dims)((a, b) => if (a == b) 1.0 else 0.0))
@@ -448,7 +431,7 @@ object Opq {
         randomRotation(dims, config.seed * 7919L + i))
     val candidates = starts.map { r0 =>
       val model = alternate(vecs, config, opqIters, r0,
-        lloydCodebooks(parMap(vecs)(r0(_)), config))
+        Pq.fitCodebooks(parMap(vecs)(r0(_)), config))
       (Opq.sampleError(vecs, model), model)
     }
     candidates.minBy(_._1)._2
@@ -461,13 +444,19 @@ object Opq {
   }
 
   /** Reopen a saved index — layout defined by [[OpqIndex.save]]:
-    * [[Pq.load]]'s layout plus a `rotation` table (row, col, value). */
+    * [[Pq.load]]'s layout plus a `rotation` table (row, col, value).
+    * The row count is checked against d×d: a partial rotation dump
+    * (interrupted save, lost part-file) would otherwise zero-fill
+    * missing cells and serve a silently non-orthogonal matrix. */
   def load(spark: SparkSession, path: String): OpqIndex = {
     val pqIdx = Pq.load(spark, path)
     val rows = spark.read.parquet(s"$path/rotation")
       .select(col("row").cast("int"), col("col").cast("int"), col("value"))
       .collect()
     val d = pqIdx.model.dims
+    require(rows.length == d * d,
+      s"Opq.load: rotation at $path/rotation has ${rows.length} entries, " +
+        s"expected ${d * d} (${d}x$d) — partial or corrupt dump")
     val r = Array.ofDim[Double](d, d)
     rows.foreach(x => r(x.getInt(0))(x.getInt(1)) = x.getDouble(2))
     new OpqIndex(new OpqModel(new RotationMatrix(r), pqIdx.model), pqIdx.codes)
@@ -494,20 +483,9 @@ final class OpqIndex(val model: Opq.OpqModel, val codes: DataFrame) {
     * vectors (isometry makes the two spaces rank-identical under exact
     * distances). */
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
-                   rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
-    val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
-    val exact = vectors
-      .join(broadcast(cands), "vec_id")
-      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        round(graft.functions.exprs.l2DistNative(col("qv"), col("embedding")),
-          roundTo).as("dist"))
-    exact.groupBy("query_id")
-      .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
-      .select(col("query_id"), explode(col("nn")).as("n"))
-      .select(col("query_id"), col("n.vec_id").as("vec_id"),
-        col("n.dist").as("dist"))
-  }
+                   rerankDepth: Int = 100, roundTo: Int = 6): DataFrame =
+    Pq.exactRerankTail(searchAll(queries, rerankDepth).select("query_id", "vec_id"),
+      queries, vectors, k, roundTo)
 
   /** Serve-time delete view / frozen-model append / upsert — the
     * uniform six-family lifecycle contract (CompressedLifecycleSpec).

@@ -213,23 +213,9 @@ final class PqIndex(val model: PqModel, val codes: DataFrame) {
     * final top-k. At 100 TB the full scan reads m-byte codes; the float
     * table is accessed for `rerankDepth` rows per query. */
   def searchRerank(queries: DataFrame, vectors: DataFrame, k: Int,
-                   rerankDepth: Int = 100, roundTo: Int = 6): DataFrame = {
-    // cands is bounded by rerankDepth * |queries| rows — broadcast it so
-    // the (corpus-sized) float-vector table is probed in place, never
-    // shuffled, on the one step that touches it
-    val cands = searchAll(queries, rerankDepth).select("query_id", "vec_id")
-    val exact = vectors
-      .join(broadcast(cands), "vec_id")
-      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        round(graft.functions.exprs.l2DistNative(col("qv"), col("embedding")),
-          roundTo).as("dist"))
-    exact.groupBy("query_id")
-      .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
-      .select(col("query_id"), explode(col("nn")).as("n"))
-      .select(col("query_id"), col("n.vec_id").as("vec_id"),
-        col("n.dist").as("dist"))
-  }
+                   rerankDepth: Int = 100, roundTo: Int = 6): DataFrame =
+    Pq.exactRerankTail(searchAll(queries, rerankDepth).select("query_id", "vec_id"),
+      queries, vectors, k, roundTo)
 }
 
 object Pq {
@@ -265,27 +251,63 @@ object Pq {
     new PqIndex(new PqModel(config, dims, codebooks), codes)
   }
 
-  def fit(df: DataFrame, vecCol: String, config: PqConfig): PqModel = {
+  /** The sampled, driver-collected fit vectors ([[fit]]'s prologue) —
+    * shared with [[Opq.fit]], whose spec-pinned never-worse-than-PQ
+    * contract depends on starting from THESE EXACT vectors and
+    * [[fitCodebooks]]'s exact codebooks (the warm-start equivalence is
+    * structural, not coincidental). */
+  private[pq] def fitSample(df: DataFrame, vecCol: String,
+                            config: PqConfig): Array[Array[Double]] = {
     val total = df.count()
     val sampled =
       if (total <= config.sampleCap) df
       else df.sample(withReplacement = false,
         fraction = config.sampleCap.toDouble / total, seed = config.seed)
     val vecs = graft.ann.FitSample.collectVectors(sampled, vecCol)
-    val dims = vecs(0).length
-    require(dims % config.numSubvectors == 0,
-      s"dims $dims must divide into ${config.numSubvectors} subvectors")
-    val subDim = dims / config.numSubvectors
-    // per-subvector codebooks are independent: fit them concurrently,
-    // reusing the IVF module's deterministic parallel Lloyd's
-    // (ParallelFit propagates a dead thread's failure instead of leaving
-    // a null codebook slot and a delayed NPE)
+    require(vecs(0).length % config.numSubvectors == 0,
+      s"dims ${vecs(0).length} must divide into ${config.numSubvectors} subvectors")
+    vecs
+  }
+
+  /** Per-subvector seeded Lloyd codebooks of `vecs` — per-subvector
+    * codebooks are independent, so they fit concurrently through the
+    * IVF module's deterministic parallel Lloyd's (ParallelFit
+    * propagates a dead thread's failure instead of leaving a null
+    * codebook slot and a delayed NPE). Shared with [[Opq.fit]]. */
+  private[pq] def fitCodebooks(vecs: Array[Array[Double]],
+                               config: PqConfig): Array[Array[Array[Double]]] = {
+    val subDim = vecs(0).length / config.numSubvectors
     val codebooks = new Array[Array[Array[Double]]](config.numSubvectors)
     graft.ann.ParallelFit.run(config.numSubvectors) { s =>
       val sub = vecs.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
       codebooks(s) = graft.ann.ivf.Ivf.lloyd(sub, config.codesPerSubvector, config.iters)
     }
-    new PqModel(config, dims, codebooks)
+    codebooks
+  }
+
+  def fit(df: DataFrame, vecCol: String, config: PqConfig): PqModel = {
+    val vecs = fitSample(df, vecCol, config)
+    new PqModel(config, vecs(0).length, fitCodebooks(vecs, config))
+  }
+
+  /** The ADC-candidates → exact-re-rank tail shared by [[PqIndex]] and
+    * [[OpqIndex]]: `cands` is bounded by rerankDepth × |queries| rows —
+    * broadcast it so the (corpus-sized) float-vector table is probed in
+    * place, never shuffled, on the one step that touches it. */
+  private[pq] def exactRerankTail(cands: DataFrame, queries: DataFrame,
+                                  vectors: DataFrame, k: Int,
+                                  roundTo: Int): DataFrame = {
+    val exact = vectors
+      .join(broadcast(cands), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.exprs.l2DistNative(col("qv"), col("embedding")),
+          roundTo).as("dist"))
+    exact.groupBy("query_id")
+      .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("n"))
+      .select(col("query_id"), col("n.vec_id").as("vec_id"),
+        col("n.dist").as("dist"))
   }
 
   def train(df: DataFrame, idCol: String, vecCol: String,

@@ -118,7 +118,8 @@ object RetrievalQueries extends QueryPack {
     * never a term's doc rows), so the paths agree on shared terms.
     * Weights round to 6 BEFORE any product (class-doc rule).
     *
-    * `minWeight > 0` drops postings below the threshold — the standard
+    * `minWeight > 0` drops postings AT or below the threshold
+    * (strictly-greater weights survive) — the standard
     * sparse-retrieval index pruning (near-zero weights are corpus-wide
     * terms whose postings dominate join fan-out while contributing
     * ~nothing to any score; SPLADE-style serving prunes them at index
@@ -275,7 +276,10 @@ object RetrievalQueries extends QueryPack {
       val d = docs(s, dir)
       val qsel = d.where(col("doc_id") < NumHybridQueries)
         .select(explode(col("toks")).as("term")).distinct()
-      val w = sparseWeights(d, Some(qsel))
+      // materialize the pruned postings once: qw derives from w, so an
+      // unmaterialized w would run the explode+tf+df chain twice in the
+      // same job (the serving deployment stores this table anyway)
+      val w = sparseWeights(d, Some(qsel)).localCheckpoint()
       val qw = w.where(col("doc_id") < NumHybridQueries)
         .select(col("doc_id").as("query_id"), col("term"), col("w").as("qw"))
       val scored = w.join(broadcast(qw), "term")

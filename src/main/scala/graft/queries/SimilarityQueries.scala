@@ -606,15 +606,22 @@ object SimilarityQueries extends QueryPack {
         .write.mode("overwrite").parquet(s"$dump/centroids")
       val cells = s.read.parquet(s"$dump/cells")
       val cents = s.read.parquet(s"$dump/centroids")
+      // one distance pass: the TopK cut re-reads the checkpoint, and
+      // the per-cell counts (<= nCells rows) collect once to both fix
+      // the global cap and feed the quota join as a local relation
       val withDist = cells
         .join(e.select(col("vec_id"), col("embedding")), "vec_id")
         .join(broadcast(cents), "cell")
         .select(col("cell"), col("vec_id"),
           round(exprs.l2DistNative(col("embedding").cast("array<double>"),
             col("centroid")), 6).as("dist"))
-      val quotas = withDist.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+        .localCheckpoint()
+      val quotaRows = withDist.groupBy("cell")
+        .agg(count(lit(1)).as("n_cell")).collect()
+      val quotas = quotaRows.map(r => (r.getInt(0), r.getLong(1))).toSeq
+        .toDF("cell", "n_cell")
       val maxQuota = math.ceil(math.sqrt(
-        quotas.agg(max("n_cell")).head().getLong(0).toDouble)).toInt
+        quotaRows.map(_.getLong(1)).max.toDouble)).toInt
       withDist
         .groupBy("cell")
         .agg(graft.ann.TopK.topK(maxQuota)(col("vec_id"), col("dist")).as("nn"))

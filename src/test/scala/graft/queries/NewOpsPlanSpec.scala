@@ -55,8 +55,13 @@ class NewOpsPlanSpec extends AnyFunSuite with SparkSpecBase {
         seed = 42L))
     val p = idx.codes.queryExecution.optimizedPlan.toString
     assert(p.contains("pq_encode(opq_rotate("), s"fused projection missing:\n$p")
-    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Exchange"),
+    assert(!p.contains("Join") && !p.contains("Window"),
       s"codes build must be scan + project only:\n$p")
+    // Exchange is a PHYSICAL node — the no-shuffle half of the claim
+    // must be pinned on the executed plan, not the logical one
+    val phys = idx.codes.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"),
+      s"codes build shuffled between scan and code table:\n$phys")
   }
 
   test("incremental near-dup: arrivals side broadcast, base bands never") {
