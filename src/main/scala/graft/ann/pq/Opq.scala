@@ -443,23 +443,40 @@ object Opq {
     new OpqIndex(model, model.transform(df, idCol, vecCol))
   }
 
-  /** Reopen a saved index — layout defined by [[OpqIndex.save]]:
-    * [[Pq.load]]'s layout plus a `rotation` table (row, col, value).
-    * The row count is checked against d×d: a partial rotation dump
-    * (interrupted save, lost part-file) would otherwise zero-fill
-    * missing cells and serve a silently non-orthogonal matrix. */
-  def load(spark: SparkSession, path: String): OpqIndex = {
-    val pqIdx = Pq.load(spark, path)
+  /** Rotation persistence shared by [[OpqIndex.save]] and
+    * [[graft.ann.ivfpq.IvfOpqIndex.save]]: (row, col, value) parquet. */
+  private[ann] def saveRotation(spark: SparkSession, path: String,
+                                rot: RotationMatrix): Unit = {
+    import spark.implicits._
+    val r = rot.r
+    r.indices.flatMap(a => r(a).indices.map(b => (a, b, r(a)(b))))
+      .toDF("row", "col", "value")
+      .write.mode("overwrite").parquet(s"$path/rotation")
+  }
+
+  /** The inverse of [[saveRotation]]. The row count is checked against
+    * d×d: a partial rotation dump (interrupted save, lost part-file)
+    * would otherwise zero-fill missing cells and serve a silently
+    * non-orthogonal matrix. */
+  private[ann] def loadRotation(spark: SparkSession, path: String,
+                                d: Int): RotationMatrix = {
     val rows = spark.read.parquet(s"$path/rotation")
       .select(col("row").cast("int"), col("col").cast("int"), col("value"))
       .collect()
-    val d = pqIdx.model.dims
     require(rows.length == d * d,
-      s"Opq.load: rotation at $path/rotation has ${rows.length} entries, " +
-        s"expected ${d * d} (${d}x$d) — partial or corrupt dump")
+      s"Opq.loadRotation: rotation at $path/rotation has ${rows.length} " +
+        s"entries, expected ${d * d} (${d}x$d) — partial or corrupt dump")
     val r = Array.ofDim[Double](d, d)
     rows.foreach(x => r(x.getInt(0))(x.getInt(1)) = x.getDouble(2))
-    new OpqIndex(new OpqModel(new RotationMatrix(r), pqIdx.model), pqIdx.codes)
+    new RotationMatrix(r)
+  }
+
+  /** Reopen a saved index — layout defined by [[OpqIndex.save]]:
+    * [[Pq.load]]'s layout plus the [[saveRotation]] table. */
+  def load(spark: SparkSession, path: String): OpqIndex = {
+    val pqIdx = Pq.load(spark, path)
+    val rot = loadRotation(spark, path, pqIdx.model.dims)
+    new OpqIndex(new OpqModel(rot, pqIdx.model), pqIdx.codes)
   }
 }
 
@@ -504,11 +521,7 @@ final class OpqIndex(val model: Opq.OpqModel, val codes: DataFrame) {
 
   /** [[PqIndex.save]]'s layout plus the rotation as (row, col, value). */
   def save(spark: SparkSession, path: String): Unit = {
-    import spark.implicits._
     inner.save(spark, path)
-    val r = model.rotation.r
-    r.indices.flatMap(a => r(a).indices.map(b => (a, b, r(a)(b))))
-      .toDF("row", "col", "value")
-      .write.mode("overwrite").parquet(s"$path/rotation")
+    Opq.saveRotation(spark, path, model.rotation)
   }
 }

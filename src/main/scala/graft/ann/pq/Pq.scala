@@ -290,19 +290,26 @@ object Pq {
     new PqModel(config, vecs(0).length, fitCodebooks(vecs, config))
   }
 
-  /** The ADC-candidates → exact-re-rank tail shared by [[PqIndex]] and
-    * [[OpqIndex]]: `cands` is bounded by rerankDepth × |queries| rows —
-    * broadcast it so the (corpus-sized) float-vector table is probed in
-    * place, never shuffled, on the one step that touches it. */
-  private[pq] def exactRerankTail(cands: DataFrame, queries: DataFrame,
-                                  vectors: DataFrame, k: Int,
-                                  roundTo: Int): DataFrame = {
+  /** The ADC-candidates → exact-re-rank tail shared by [[PqIndex]],
+    * [[OpqIndex]] and [[graft.ann.ivfpq.IvfOpqIndex]]: `cands` is
+    * bounded by rerankDepth × |queries| rows — broadcast it so the
+    * (corpus-sized) float-vector table is probed in place, never
+    * shuffled, on the one step that touches it. `angular` reranks by
+    * exact cosine (the IVF-PQ angular pairing); L2 otherwise. */
+  private[ann] def exactRerankTail(cands: DataFrame, queries: DataFrame,
+                                   vectors: DataFrame, k: Int,
+                                   roundTo: Int,
+                                   angular: Boolean = false): DataFrame = {
+    val distCol =
+      if (angular)
+        graft.functions.exprs.cosineDistNative(col("qv"), col("embedding"))
+      else
+        graft.functions.exprs.l2DistNative(col("qv"), col("embedding"))
     val exact = vectors
       .join(broadcast(cands), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("vec_id"),
-        round(graft.functions.exprs.l2DistNative(col("qv"), col("embedding")),
-          roundTo).as("dist"))
+        round(distCol, roundTo).as("dist"))
     exact.groupBy("query_id")
       .agg(TopK.topK(k)(col("vec_id"), col("dist")).as("nn"))
       .select(col("query_id"), explode(col("nn")).as("n"))
