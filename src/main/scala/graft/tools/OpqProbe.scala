@@ -91,6 +91,34 @@ object OpqProbe {
       f""""pq_adc_recall":$pqRecall%.3f,"opq_adc_recall":$opqRecall%.3f,""" +
       f""""pq_rerank100_recall":$pqRerank%.3f,"opq_rerank100_recall":$opqRerank%.3f,""" +
       f""""pq_search_s":$tPqSearch%.1f,"opq_search_s":$tOpqSearch%.1f}""")
+
+    // IVF-OPQ vs IVF-PQ at the same coarse geometry + code budget
+    // (SPARK_GRAFT_IVFOPQ=1): does the rotation help the RESIDUAL
+    // quantizer, ADC-only and under depth-100 rerank?
+    if (sys.env.get("SPARK_GRAFT_IVFOPQ").contains("1")) {
+      val nCells = math.max(4, math.sqrt(n.toDouble).toInt / 4)
+      val icfg = graft.ann.ivfpq.IvfPqConfig(nCells = nCells,
+        nProbe = math.max(2, nCells / 8), numSubvectors = m,
+        codesPerSubvector = 16, seed = 42L, sampleCap = 10000)
+      val (ipq, tIpqFit) = time {
+        val x = graft.ann.ivfpq.IvfPq.train(corpus, "vec_id", "embedding", icfg)
+        x.codes.persist().count(); x
+      }
+      val (iopq, tIopqFit) = time {
+        val x = graft.ann.ivfpq.IvfOpq.train(corpus, "vec_id", "embedding", icfg)
+        x.codes.persist().count(); x
+      }
+      def recallOf(pred: org.apache.spark.sql.DataFrame): Double =
+        Eval.setPrecisionRecall(pred, gt).agg(avg("recall")).head().getDouble(0)
+      val a1 = recallOf(ipq.searchAll(queries, 10))
+      val a2 = recallOf(iopq.searchAll(queries, 10))
+      val r1 = recallOf(ipq.searchRerank(queries, corpus, 10, 100))
+      val r2 = recallOf(iopq.searchRerank(queries, corpus, 10, 100))
+      println(f"""OPQPROBE_IVF {"nCells":$nCells,"nProbe":${icfg.nProbe},""" +
+        f""""ivfpq_fit_s":$tIpqFit%.1f,"ivfopq_fit_s":$tIopqFit%.1f,""" +
+        f""""ivfpq_adc_recall":$a1%.3f,"ivfopq_adc_recall":$a2%.3f,""" +
+        f""""ivfpq_rerank100":$r1%.3f,"ivfopq_rerank100":$r2%.3f}""")
+    }
     spark.stop()
   }
 }
