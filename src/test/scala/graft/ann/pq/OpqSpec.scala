@@ -142,6 +142,20 @@ class OpqSpec extends AnyFunSuite with SparkSpecBase {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("load rejects a partial rotation dump instead of zero-filling it") {
+    val idx = Opq.train(emb, "vec_id", "embedding", cfg, opqIters = 2)
+    val path = s"/tmp/graft_opq_partial_spec_${ProcessHandle.current().pid()}"
+    idx.save(spark, path)
+    // drop half the rotation rows — the lost-part-file failure mode
+    val partial = spark.read.parquet(s"$path/rotation")
+      .where($"row" < idx.model.rotation.dims / 2)
+    partial.write.mode("overwrite").parquet(s"$path/rotation_tmp")
+    spark.read.parquet(s"$path/rotation_tmp")
+      .write.mode("overwrite").parquet(s"$path/rotation")
+    val e = intercept[IllegalArgumentException](Opq.load(spark, path))
+    assert(e.getMessage.contains("partial or corrupt"))
+  }
+
   test("lifecycle: deletes never served, appends encoded with the frozen model") {
     val idx = Opq.train(emb, "vec_id", "embedding", cfg)
     val q = emb.orderBy("vec_id").limit(5)
