@@ -130,8 +130,12 @@ final class CodesMaintainer(
     // name, measured): grade this batch's embeddings against the
     // persisted fit stats — one aggregate over the BATCH, the corpus is
     // never re-read. Mind DriftCheck's small-batch noise caveat.
-    lastDrift = for (dc <- driftCheck; a <- arrivals) yield dc.maxDrift(a)
-    lastDrift.foreach { case (shift, fold) =>
+    // Reassigned only when this batch HAS arrivals: lastDrift is "the
+    // most recent batch's ARRIVALS" by contract, so a deletes-only
+    // batch must not clobber the last measured drift with None.
+    val batchDrift = for (dc <- driftCheck; a <- arrivals) yield dc.maxDrift(a)
+    batchDrift.foreach(d => lastDrift = Some(d))
+    batchDrift.foreach { case (shift, fold) =>
       val dc = driftCheck.get
       if (shift > dc.shiftWatermark || fold > dc.ratioWatermark) log.warn(
         f"stored codes table '$path' batch $seq arrivals have drifted " +

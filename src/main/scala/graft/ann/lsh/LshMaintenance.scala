@@ -156,8 +156,12 @@ final class LshMaintainer(
     // planes keep HASHING drifted arrivals correctly, but the tree
     // splits stop matching the data's density, so occupancy skews and
     // per-probe cost concentrates. refitNow is the prescribed action.
-    lastDrift = for (dc <- driftCheck; a <- arrivals) yield dc.maxDrift(a)
-    lastDrift.foreach { case (shift, fold) =>
+    // Reassigned only when this batch HAS arrivals (deletes-only
+    // batches must not clobber the last measured drift — the
+    // CodesMaintainer.lastDrift contract).
+    val batchDrift = for (dc <- driftCheck; a <- arrivals) yield dc.maxDrift(a)
+    batchDrift.foreach(d => lastDrift = Some(d))
+    batchDrift.foreach { case (shift, fold) =>
       val dc = driftCheck.get
       if (shift > dc.shiftWatermark || fold > dc.ratioWatermark) log.warn(
         f"stored LSH index '$path' batch $seq arrivals have drifted " +

@@ -454,10 +454,12 @@ object Opq {
       .write.mode("overwrite").parquet(s"$path/rotation")
   }
 
-  /** The inverse of [[saveRotation]]. The row count is checked against
-    * d×d: a partial rotation dump (interrupted save, lost part-file)
-    * would otherwise zero-fill missing cells and serve a silently
-    * non-orthogonal matrix. */
+  /** The inverse of [[saveRotation]]. The row count AND the distinct
+    * (row, col) cell count are checked against d×d: a partial rotation
+    * dump (interrupted save, lost part-file) would otherwise zero-fill
+    * missing cells — and a dump with duplicated cells masking missing
+    * ones would pass a total-count-only check — either way serving a
+    * silently non-orthogonal matrix. */
   private[ann] def loadRotation(spark: SparkSession, path: String,
                                 d: Int): RotationMatrix = {
     val rows = spark.read.parquet(s"$path/rotation")
@@ -466,6 +468,11 @@ object Opq {
     require(rows.length == d * d,
       s"Opq.loadRotation: rotation at $path/rotation has ${rows.length} " +
         s"entries, expected ${d * d} (${d}x$d) — partial or corrupt dump")
+    val distinctCells = rows.map(x => (x.getInt(0), x.getInt(1))).distinct.length
+    require(distinctCells == d * d,
+      s"Opq.loadRotation: rotation at $path/rotation has $distinctCells " +
+        s"distinct (row, col) cells, expected ${d * d} — duplicated cells " +
+        "are masking missing ones (corrupt dump)")
     val r = Array.ofDim[Double](d, d)
     rows.foreach(x => r(x.getInt(0))(x.getInt(1)) = x.getDouble(2))
     new RotationMatrix(r)

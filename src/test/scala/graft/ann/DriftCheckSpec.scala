@@ -65,10 +65,12 @@ class DriftCheckSpec extends AnyFunSuite with SparkSpecBase {
     m.onBatch(Some(mkVecs(1000, seed = 9, shift = 3.0, idBase = 20000)), None)
     val drifted = m.lastDrift.get
     assert(drifted._1 > 1.0, s"shift ${drifted._1}")
-    // delete-only batches leave the last measurement untouched? No —
-    // they carry no arrivals, so there is nothing to grade: None
+    // deletes-only batches have no arrivals to grade, so they leave the
+    // last measurement UNTOUCHED — lastDrift is "the most recent batch's
+    // ARRIVALS" by contract; a caller polling it after a delete batch
+    // must still see the drift that was measured
     m.onBatch(None, Some(Seq(10001L).toDF("vec_id")))
-    assert(m.lastDrift.isEmpty)
+    assert(m.lastDrift === Some(drifted))
   }
 
   test("LshMaintainer surfaces the batch drift measurement") {
@@ -85,6 +87,11 @@ class DriftCheckSpec extends AnyFunSuite with SparkSpecBase {
     m.onBatch(Some(mkVecs(1000, seed = 22, idBase = 10000)), None)
     assert(m.lastDrift.get._1 < 0.5)
     m.onBatch(Some(mkVecs(1000, seed = 23, shift = 3.0, idBase = 20000)), None)
-    assert(m.lastDrift.get._1 > 1.0)
+    val drifted = m.lastDrift.get
+    assert(drifted._1 > 1.0)
+    // deletes-only batch keeps the last measured drift (same contract
+    // as CodesMaintainer)
+    m.onBatch(None, Some(Seq(10001L).toDF("vec_id")))
+    assert(m.lastDrift === Some(drifted))
   }
 }

@@ -156,6 +156,25 @@ class OpqSpec extends AnyFunSuite with SparkSpecBase {
     assert(e.getMessage.contains("partial or corrupt"))
   }
 
+  test("load rejects a rotation dump whose duplicated cells mask missing ones") {
+    val idx = Opq.train(emb, "vec_id", "embedding", cfg, opqIters = 2)
+    val path = s"/tmp/graft_opq_dupcell_spec_${ProcessHandle.current().pid()}"
+    idx.save(spark, path)
+    val d = idx.model.rotation.dims
+    // duplicate row 0's cells verbatim while dropping row 1's — total
+    // count still d*d, so a count-only guard would zero-fill row 1 and
+    // serve a non-orthogonal matrix
+    val rot = spark.read.parquet(s"$path/rotation")
+    val corrupt = rot.where($"row" =!= 1)
+      .unionByName(rot.where($"row" === 0))
+    assert(corrupt.count() === d.toLong * d)
+    corrupt.write.mode("overwrite").parquet(s"$path/rotation_tmp")
+    spark.read.parquet(s"$path/rotation_tmp")
+      .write.mode("overwrite").parquet(s"$path/rotation")
+    val e = intercept[IllegalArgumentException](Opq.load(spark, path))
+    assert(e.getMessage.contains("duplicated cells"))
+  }
+
   test("lifecycle: deletes never served, appends encoded with the frozen model") {
     val idx = Opq.train(emb, "vec_id", "embedding", cfg)
     val q = emb.orderBy("vec_id").limit(5)
