@@ -5,59 +5,77 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.ivf.IvfIndex
 import graft.ann.lsh.LshIndex
-import graft.eval.Eval
 
 /** Recall-targeted operating-point selection — the production form of
   * the reference's benchmark sweep (annbench.go:165-187 measures a
   * recall/latency grid by hand; a deployment needs the grid walked FOR
   * it). Each index family exposes one monotone cost knob (IVF: cells
-  * probed per query; LSH: trees probed per query — both price recall
-  * linearly in candidate volume, measured sweeps in SCALE.md). `sweep`
-  * grades every arm's recall against the exact ground truth on a
-  * validation query sample and flags the cheapest arm that meets the
-  * target — sample-in, config-out, so the expensive full-corpus
-  * serving config is chosen from a bounded validation workload.
+  * probed per query; LSH: trees probed per query; PQ-family: rerank
+  * depth; graph: beam width — all price recall in candidate volume,
+  * measured sweeps in SCALE.md). `sweep` grades every arm's recall
+  * against the exact ground truth on a validation query sample and
+  * flags the cheapest arm that meets the target — sample-in,
+  * config-out, so the expensive full-corpus serving config is chosen
+  * from a bounded validation workload.
   *
   * Scale shape: the ground truth is computed ONCE (bounded
-  * queries x k rows, persisted) and re-joined per arm; each arm is one
-  * index search at that operating point — the sweep costs `sum(arms)`
-  * searches on the SAMPLE queries, not the corpus-sized serving
-  * workload. The chosen-arm rule runs on an |arms|-row frame via a
-  * single-row cross join (no windows, nothing driver-side).
+  * queries x k rows, persisted) — or passed in pre-computed via
+  * `gtOpt` when the caller already has it — and re-joined per arm;
+  * each arm is one index search at that operating point, so the sweep
+  * costs `sum(arms)` searches on the SAMPLE queries, not the
+  * corpus-sized serving workload. The chosen-arm rule runs on an
+  * |arms|-row frame via a single-row cross join (no windows, nothing
+  * driver-side).
+  *
+  * Recall is counted from the GROUND-TRUTH side: every validation
+  * query appears in every arm's grade, and a query for which an arm
+  * returned NO candidates scores recall 0 instead of silently
+  * vanishing from the average. Cheap arms (1 tree, 1 probe, a
+  * too-narrow beam) are exactly the ones that can return nothing for
+  * some queries — an average over only the answered queries would
+  * overstate them and could flag an arm `chosen` that misses the
+  * target on the full workload.
   */
 object AutoTune {
 
-  /** Grade `arms` (ascending cost order) on `queries` vs exact ground
-    * truth over `corpus`; returns one row per arm
-    * `(arm, avg_recall, n_queries, chosen)` where `chosen` marks the
-    * first arm whose average recall meets `targetRecall` (falling back
-    * to the last arm — "best available" — when none does).
+  /** Grade a combined predictions frame against the exact ground truth
+    * and apply the cheapest-arm-meeting-target rule.
     *
-    * `searchAt` runs the family's search at one operating point;
-    * `dumpArm` lets the certification queries persist each arm's raw
-    * predictions for the cross-engine oracle (identity by default). */
-  def sweep(arms: Seq[Int], queries: DataFrame, corpus: DataFrame, k: Int,
-            targetRecall: Double,
-            searchAt: Int => DataFrame,
-            metric: ExactNN.Metric = ExactNN.L2,
-            dumpArm: (Int, DataFrame) => DataFrame = (_, df) => df)
-      : DataFrame = {
-    require(arms.nonEmpty, "AutoTune.sweep: empty arm list")
+    * @param arms  the swept knob values, strictly ascending cost order
+    * @param preds (arm, query_id, vec_id) — every arm's predictions in
+    *              one frame (extra columns ignored)
+    * @param gt    (query_id, vec_id) exact ground truth
+    * @return one row per arm (arm, avg_recall, n_queries, chosen);
+    *         `chosen` marks the first arm whose average recall meets
+    *         `targetRecall`, falling back to the last arm ("best
+    *         available") when none does. `n_queries` is the validation
+    *         query count — identical for every arm by the gt-side
+    *         grading rule (class doc).
+    */
+  def gradeArms(arms: Seq[Int], preds: DataFrame, gt: DataFrame,
+                targetRecall: Double): DataFrame = {
+    require(arms.nonEmpty, "AutoTune.gradeArms: empty arm list")
     require(arms == arms.sorted && arms.distinct == arms,
-      s"AutoTune.sweep: arms must be strictly ascending (got $arms)")
-    val gt = ExactNN.topKAgg(queries, corpus, k, metric)
-      .select("query_id", "vec_id").persist()
-    gt.count()
-    val perArm = arms.map { a =>
-      val pred = dumpArm(a, searchAt(a))
-      Eval.setPrecisionRecall(pred, gt)
-        .agg(round(avg("recall"), 4).as("avg_recall"),
-          count(lit(1)).as("n_queries"))
-        .select(lit(a).as("arm"), col("avg_recall"), col("n_queries"))
-    }.reduce(_ unionByName _)
-    val graded = perArm.persist()
+      s"AutoTune.gradeArms: arms must be strictly ascending (got $arms)")
+    val spark = preds.sparkSession
+    import spark.implicits._
+    val ng = gt.groupBy("query_id").agg(count(lit(1)).as("n_gt"))
+    // |arms| x |validation queries| rows — bounded by construction
+    val armQueries = arms.toDF("arm").crossJoin(ng)
+    val hits = preds
+      .join(gt.select("query_id", "vec_id"), Seq("query_id", "vec_id"),
+        "left_semi")
+      .groupBy("arm", "query_id").agg(count(lit(1)).as("valid"))
+    val perQuery = armQueries
+      .join(hits, Seq("arm", "query_id"), "left")
+      .na.fill(0L, Seq("valid"))
+      .select(col("arm"),
+        round(col("valid") / col("n_gt"), 6).as("recall"))
+    val graded = perQuery.groupBy("arm")
+      .agg(round(avg("recall"), 4).as("avg_recall"),
+        count(lit(1)).as("n_queries"))
+      .persist()
     graded.count()
-    gt.unpersist(false)
     // cheapest arm meeting target, else the last (best-effort) arm —
     // one row, broadcast back over the |arms|-row frame
     val choice = graded.agg(
@@ -74,17 +92,66 @@ object AutoTune {
     out
   }
 
+  /** Grade `arms` (ascending cost order) on `queries` vs exact ground
+    * truth over `corpus`; returns one row per arm
+    * `(arm, avg_recall, n_queries, chosen)` — see [[gradeArms]] for the
+    * grading and choice semantics.
+    *
+    * `searchAt` runs the family's search at one operating point;
+    * `dumpArm` lets the certification queries persist each arm's raw
+    * predictions for the cross-engine oracle (identity by default);
+    * `gtOpt` passes a pre-computed (query_id, vec_id) ground truth so
+    * several sweeps — and the recall queries — share one exact scan
+    * (the caller keeps ownership: it is not unpersisted here). */
+  def sweep(arms: Seq[Int], queries: DataFrame, corpus: DataFrame, k: Int,
+            targetRecall: Double,
+            searchAt: Int => DataFrame,
+            metric: ExactNN.Metric = ExactNN.L2,
+            dumpArm: (Int, DataFrame) => DataFrame = (_, df) => df,
+            gtOpt: Option[DataFrame] = None)
+      : DataFrame = {
+    require(arms.nonEmpty, "AutoTune.sweep: empty arm list")
+    require(arms == arms.sorted && arms.distinct == arms,
+      s"AutoTune.sweep: arms must be strictly ascending (got $arms)")
+    val (gt, ownGt) = gtOpt match {
+      case Some(g) => (g.select("query_id", "vec_id"), false)
+      case None =>
+        val g = ExactNN.topKAgg(queries, corpus, k, metric)
+          .select("query_id", "vec_id").persist()
+        g.count()
+        (g, true)
+    }
+    try {
+      val preds = arms.map { a =>
+        dumpArm(a, searchAt(a))
+          .select(col("query_id"), col("vec_id"))
+          .withColumn("arm", lit(a))
+      }.reduce(_ unionByName _)
+      gradeArms(arms, preds, gt, targetRecall)
+    } finally if (ownGt) gt.unpersist(false)
+  }
+
   /** IVF sweep over `nProbe` (cells probed per query). Each arm is an
     * independent `withNProbe(p).searchAll` — the simple form;
     * [[sweepIvfNProbeShared]] is the row-identical one-scan form. */
   def sweepIvfNProbe(idx: IvfIndex, queries: DataFrame, k: Int,
                      arms: Seq[Int], targetRecall: Double,
                      metric: ExactNN.Metric = ExactNN.L2,
-                     dumpArm: (Int, DataFrame) => DataFrame = (_, df) => df)
+                     dumpArm: (Int, DataFrame) => DataFrame = (_, df) => df,
+                     gtOpt: Option[DataFrame] = None)
       : DataFrame =
     sweep(arms, queries, idx.vectors, k, targetRecall,
       p => idx.withNProbe(p).searchAll(queries, k, metric),
-      metric, dumpArm)
+      metric, dumpArm, gtOpt)
+
+  /** Whether the shared-scan sweep's persisted footprint fits a row
+    * budget: the scored frame is ~ |queries| × |corpus| × maxArm/nCells
+    * rows (see [[sweepIvfNProbeShared]]). Public so callers and specs
+    * can replay the dispatch decision. */
+  def sharedSweepFits(nQueries: Long, nCorpus: Long, maxArm: Int,
+                      nCells: Int, maxSharedRows: Long): Boolean =
+    nQueries.toDouble * nCorpus * maxArm / math.max(1, nCells) <=
+      maxSharedRows.toDouble
 
   /** [[sweepIvfNProbe]] with the candidate scan SHARED across arms:
     * probe ordering is deterministic by (distance, cell), so arm p's
@@ -101,16 +168,45 @@ object AutoTune {
     * corpus product (which the per-arm form never materializes past
     * the map side). That is bounded ONLY because `queries` is
     * contractually the small validation sample (the [[sweep]]
-    * scale-shape doc); for a sweep whose top arm probes every cell
-    * over a large validation set, prefer [[sweepIvfNProbe]] and pay
-    * the scans. */
+    * scale-shape doc) — and the contract is now EXECUTABLE: when the
+    * estimate exceeds `maxSharedRows` ([[sharedSweepFits]]), this
+    * method logs the decision and dispatches to the row-identical
+    * per-arm [[sweepIvfNProbe]], paying the scans instead of the
+    * persist. The two counts it needs are one aggregate each. */
   def sweepIvfNProbeShared(idx: IvfIndex, queries: DataFrame, k: Int,
                            arms: Seq[Int], targetRecall: Double,
                            metric: ExactNN.Metric = ExactNN.L2,
                            dumpArm: (Int, DataFrame) => DataFrame =
-                             (_, df) => df): DataFrame = {
+                             (_, df) => df,
+                           gtOpt: Option[DataFrame] = None,
+                           maxSharedRows: Long = 50000000L): DataFrame = {
     require(arms.nonEmpty, "sweepIvfNProbeShared: empty arm list")
-    val m = idx.withNProbe(arms.max).model
+    if (!sharedSweepFits(queries.count(), idx.vectors.count(), arms.max,
+        idx.model.config.nCells, maxSharedRows)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"sweepIvfNProbeShared: estimated scored-scan footprint exceeds " +
+          s"maxSharedRows=$maxSharedRows for arms=$arms over this " +
+          "corpus/validation set — dispatching to the row-identical " +
+          "per-arm sweep (one search per arm, nothing persisted " +
+          "corpus-sized).")
+      return sweepIvfNProbe(idx, queries, k, arms, targetRecall, metric,
+        dumpArm, gtOpt)
+    }
+    val scored = sharedScoredScan(idx, queries, arms.max, metric)
+    try
+      sweep(arms, queries, idx.vectors, k, targetRecall,
+        p => sharedArmTopK(scored, p, k),
+        metric, dumpArm, gtOpt)
+    finally scored.unpersist(false)
+  }
+
+  /** The shared scan both shared-sweep forms cut from: every candidate
+    * of the MAX arm scored once, probe rank carried. Persisted —
+    * callers unpersist. */
+  private def sharedScoredScan(idx: IvfIndex, queries: DataFrame,
+                               maxArm: Int,
+                               metric: ExactNN.Metric): DataFrame = {
+    val m = idx.withNProbe(maxArm).model
     val probes = queries
       .select(col("query_id"),
         posexplode(graft.ann.ivf.IvfExpressions.ivfProbes(m, col("qv"))))
@@ -125,14 +221,36 @@ object AutoTune {
         round(metric.dist(col("qv"), col("embedding")), 6).as("dist"))
       .persist()
     scored.count()
-    try
-      sweep(arms, queries, idx.vectors, k, targetRecall,
-        p => graft.ann.TopK.perQueryTopK(
-          scored.where(col("probe_rank") < p)
-            .select("query_id", "vec_id", "dist"),
-          k, viaAggregator = true),
-        metric, dumpArm)
-    finally scored.unpersist(false)
+    scored
+  }
+
+  private def sharedArmTopK(scored: DataFrame, p: Int, k: Int): DataFrame =
+    graft.ann.TopK.perQueryTopK(
+      scored.where(col("probe_rank") < p)
+        .select("query_id", "vec_id", "dist"),
+      k, viaAggregator = true)
+
+  /** EVERY arm's predictions of the shared-scan sweep as ONE frame
+    * (arm, query_id, vec_id, dist) — the certification-dump form: the
+    * caller writes one parquet table instead of |arms| round-trips and
+    * grades the reloaded frame with [[gradeArms]]. Row-identical per
+    * arm to [[sweepIvfNProbeShared]]'s searches (same scored scan, same
+    * rank cut, same TopK). */
+  def ivfNProbeSharedPreds(idx: IvfIndex, queries: DataFrame, k: Int,
+                           arms: Seq[Int],
+                           metric: ExactNN.Metric = ExactNN.L2): DataFrame = {
+    require(arms.nonEmpty, "ivfNProbeSharedPreds: empty arm list")
+    require(arms == arms.sorted && arms.distinct == arms,
+      s"ivfNProbeSharedPreds: arms must be strictly ascending (got $arms)")
+    val scored = sharedScoredScan(idx, queries, arms.max, metric)
+    try {
+      val preds = arms.map { p =>
+        sharedArmTopK(scored, p, k).withColumn("arm", lit(p))
+      }.reduce(_ unionByName _)
+      // materialize before releasing the shared scan the arms read
+      graft.text.Dedup.materializeRelease(
+        preds.select(col("arm"), col("query_id"), col("vec_id"), col("dist")))
+    } finally scored.unpersist(false)
   }
 
   /** IVF-PQ sweep over `rerankDepth` — the compressed families' recall
@@ -146,10 +264,11 @@ object AutoTune {
                             queries: DataFrame, vectors: DataFrame, k: Int,
                             arms: Seq[Int], targetRecall: Double,
                             dumpArm: (Int, DataFrame) => DataFrame =
-                              (_, df) => df): DataFrame =
+                              (_, df) => df,
+                            gtOpt: Option[DataFrame] = None): DataFrame =
     sweep(arms, queries, vectors, k, targetRecall,
       d => idx.searchRerank(queries, vectors, k, rerankDepth = d),
-      ExactNN.L2, dumpArm)
+      ExactNN.L2, dumpArm, gtOpt)
 
   /** LSH sweep over the number of trees probed (the forest-density
     * knob of SCALE.md's round-8 sweep: leaner forests walk the
@@ -158,9 +277,35 @@ object AutoTune {
                     arms: Seq[Int], targetRecall: Double,
                     metric: ExactNN.Metric = ExactNN.L2,
                     distanceThreshold: Double = Double.MaxValue,
-                    dumpArm: (Int, DataFrame) => DataFrame = (_, df) => df)
+                    dumpArm: (Int, DataFrame) => DataFrame = (_, df) => df,
+                    gtOpt: Option[DataFrame] = None)
       : DataFrame =
     sweep(arms, queries, idx.vectors, k, targetRecall,
       t => idx.withTrees(t).searchAll(queries, k, distanceThreshold, metric),
-      metric, dumpArm)
+      metric, dumpArm, gtOpt)
+
+  /** Graph sweep over `beamWidth` — the graph family's cost knob
+    * (per-hop work is beamWidth × degree; recall grows with the beam
+    * because a wider frontier survives more local minima — the
+    * SCALE.md beam-block sweep, walked automatically). Completes the
+    * tuning matrix: LSH trees / IVF nProbe / PQ rerankDepth / graph
+    * beam. Arms must all be ≥ k ([[GraphSearch.beamFrom]]'s
+    * precondition). `entries` is the per-query entry set
+    * ((query_id, node) — global entries crossed with the query set, or
+    * the coarse-index seeds of the scale form). */
+  def sweepGraphBeam(graph: DataFrame, vectors: DataFrame, idCol: String,
+                     vecCol: String, queries: DataFrame, entries: DataFrame,
+                     k: Int, hops: Int, arms: Seq[Int], targetRecall: Double,
+                     metric: ExactNN.Metric = ExactNN.Cosine,
+                     dumpArm: (Int, DataFrame) => DataFrame = (_, df) => df,
+                     gtOpt: Option[DataFrame] = None): DataFrame = {
+    require(arms.forall(_ >= k),
+      s"sweepGraphBeam: every beamWidth arm must be >= k=$k (got $arms)")
+    sweep(arms, queries,
+      vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      k, targetRecall,
+      b => GraphSearch.beamFrom(graph, vectors, idCol, vecCol, queries,
+        entries, k, b, hops, metric),
+      metric, dumpArm, gtOpt)
+  }
 }

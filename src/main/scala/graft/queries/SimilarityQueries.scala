@@ -129,6 +129,25 @@ object SimilarityQueries extends QueryPack {
     e.orderBy("vec_id").limit(VectorQueries.NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
+  /** Shared exact ground truth over the standard query set — one
+    * corpus scan per (session, sf, metric) instead of one per recall
+    * query: seven L2 recall queries plus the autotune sweep each
+    * re-derived the identical (query_id, vec_id, dist) frame per run
+    * (~1 s × 8 of board time at sf0.1). The DuckDB oracles recompute
+    * their OWN ground truth regardless, so sharing changes no output. */
+  private def exactGtL2(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "exact_gt_l2") {
+      val e = emb(s, dir)
+      ExactNN.topKAgg(queriesDf(e), e, K, ExactNN.L2).localCheckpoint()
+    }
+
+  /** Cosine twin of [[exactGtL2]] (the graph family's metric). */
+  private def exactGtCos(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "exact_gt_cos") {
+      val e = emb(s, dir)
+      ExactNN.topKAgg(queriesDf(e), e, K, ExactNN.Cosine).localCheckpoint()
+    }
+
   // The graph family's deterministic shared builds go through
   // QueryPack.memoized: five queries (k-NN graph via LSH, NN-Descent,
   // beam search, seeded beam, online insert) plus the two exact-graph
@@ -361,7 +380,7 @@ object SimilarityQueries extends QueryPack {
       val idx = ivfIdx(s, dir)
       val pred = LshQueries.dumpAndReload(s, idx.searchAll(q, K, ExactNN.L2),
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_recall_l2")
-      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val gt = exactGtL2(s, dir)
       Eval.setPrecisionRecall(pred, gt)
         .agg(
           round(avg("precision"), 4).as("avg_precision"),
@@ -405,11 +424,49 @@ object SimilarityQueries extends QueryPack {
       val idx = ivfIdx(s, dir)
       // shared-scan form: one scored candidate pass at the max arm,
       // smaller arms cut by probe rank — row-identical to the per-arm
-      // sweep (AutoTuneSpec), |arms|x fewer corpus-candidate scans
-      graft.ann.AutoTune.sweepIvfNProbeShared(idx, q, K, AutoTuneArms,
-        AutoTuneTarget, ExactNN.L2,
-        dumpArm = (p, df) => LshQueries.dumpAndReload(s, df,
-          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/autotune_nprobe/arm_$p"))
+      // sweep (AutoTuneSpec), |arms|x fewer corpus-candidate scans.
+      // ALL arms' predictions land in ONE dump (one write+reload
+      // round-trip instead of |arms|), and the exact GT is the memoized
+      // shared scan the recall queries grade against — together the
+      // round-11 board-cost trim (6.6 s -> target ≤4 s), decision
+      // unchanged: DuckDB still re-derives every arm's recall from the
+      // dump and replays the choice rule.
+      val preds = graft.ann.AutoTune.ivfNProbeSharedPreds(idx, q, K,
+        AutoTuneArms, ExactNN.L2)
+      val reloaded = LshQueries.dumpAndReload(s, preds,
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/autotune_nprobe_arms")
+      graft.ann.AutoTune.gradeArms(AutoTuneArms, reloaded,
+          exactGtL2(s, dir), AutoTuneTarget)
+        .orderBy("arm")
+    }),
+
+    // Graph-family tuning knob under the oracle — completes the tuning
+    // matrix (LSH trees / IVF nProbe / PQ rerankDepth / graph beam):
+    // three beamWidth arms walked over the shared refined+backboned
+    // graph from the standard global entry set, every arm's raw
+    // predictions dumped in one table, per-arm recall graded vs the
+    // exact cosine ground truth FROM THE GT SIDE (a query an arm
+    // returned nothing for scores 0, not skipped), cheapest arm meeting
+    // the target flagged. DuckDB recomputes its own GT, re-derives each
+    // arm's recall from the dump, and replays the choice rule — the
+    // whole tuning decision cross-engine, like q_autotune_ivf_nprobe.
+    "q_autotune_graph_beam" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val g = graphRefinedBackbone(s, dir)
+      import s.implicits._
+      val entries = q.select(col("query_id"))
+        .crossJoin((0L until BeamEntries).toDF("node"))
+      val preds = GraphBeamArms.map { b =>
+        graft.ann.GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
+            entries, K, b, BeamHops)
+          .withColumn("arm", lit(b))
+      }.reduce(_ unionByName _)
+      val reloaded = LshQueries.dumpAndReload(s,
+        preds.select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/autotune_beam_arms")
+      graft.ann.AutoTune.gradeArms(GraphBeamArms, reloaded,
+          exactGtCos(s, dir), GraphBeamTarget)
         .orderBy("arm")
     }),
 
@@ -523,7 +580,7 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       val q = queriesDf(e)
       val idx = ivfPqIdx(s, dir)
-      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val gt = exactGtL2(s, dir)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
       val adcPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
         s"$dumpBase/ivfpq_adc")
@@ -643,7 +700,7 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       val q = queriesDf(e)
       val idx = pqIdx(s, dir)
-      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val gt = exactGtL2(s, dir)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
       val adcPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
         s"$dumpBase/pq_adc")
@@ -669,7 +726,7 @@ object SimilarityQueries extends QueryPack {
       val q = queriesDf(e)
       val pq = pqIdx(s, dir)
       val opq = opqIdx(s, dir)
-      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val gt = exactGtL2(s, dir)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
       val pqPred = LshQueries.dumpAndReload(s, pq.searchAll(q, K),
         s"$dumpBase/opq_pq_adc")
@@ -770,7 +827,7 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       val q = queriesDf(e)
       val idx = ivfSqIdx(s, dir)
-      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val gt = exactGtL2(s, dir)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
       val scanPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
         s"$dumpBase/ivfsq_scan")
@@ -852,7 +909,7 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       val q = queriesDf(e)
       val idx = sqIdx(s, dir)
-      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val gt = exactGtL2(s, dir)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
       val sqPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
         s"$dumpBase/sq_adc")
@@ -910,7 +967,7 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       val q = queriesDf(e)
       val idx = bqIdx(s, dir)
-      val gt = ExactNN.topK(q, e, K, ExactNN.L2)
+      val gt = exactGtL2(s, dir)
       val scanPred = idx.searchHamming(q, K)
         .select(col("query_id"), col("vec_id"))
       val rerPred = idx.searchRerank(q,
@@ -1169,6 +1226,11 @@ object SimilarityQueries extends QueryPack {
   val BeamWidth = 32
   val BeamHops = 4
 
+  /** `q_autotune_graph_beam`'s beamWidth arms (all ≥ K, ascending
+    * cost) and its recall target. */
+  val GraphBeamArms: Seq[Int] = Seq(10, 16, 32)
+  val GraphBeamTarget = 0.95
+
   /** Neighbors per node in the k-NN graph queries. */
   val KnnK = 5
 
@@ -1276,59 +1338,20 @@ object SimilarityQueries extends QueryPack {
       corpusWhere = "WHERE vec_id % 50 = 0"),
 
     // Auto-tune sweep: DuckDB recomputes the exact GT, re-derives each
-    // arm's avg recall from that arm's prediction dump, and replays the
-    // cheapest-arm-meeting-target choice rule — the full tuning
-    // decision cross-engine, mirroring AutoTune.sweep's
-    // round(per-query recall, 6) -> round(avg, 4) -> min-arm pipeline.
-    "q_autotune_ivf_nprobe" -> {
-      val armScans = AutoTuneArms.map(p =>
-        s"SELECT $p AS arm, query_id, vec_id FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/autotune_nprobe/arm_$p/*.parquet')")
-        .mkString("\n  UNION ALL ")
-      s"""WITH qs AS (
-         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-         |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
-         |),
-         |sc AS (
-         |  SELECT qs.query_id, e.vec_id, ${LshQueries.L2DistSql} AS dist
-         |  FROM qs CROSS JOIN embeddings e
-         |),
-         |gt AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
-         |    FROM sc
-         |  ) WHERE rn <= $K
-         |),
-         |p AS (
-         |  $armScans
-         |),
-         |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
-         |np AS (SELECT arm, query_id FROM p GROUP BY arm, query_id),
-         |h AS (
-         |  SELECT p.arm, p.query_id, count(*) AS valid
-         |  FROM p JOIN gt USING (query_id, vec_id) GROUP BY p.arm, p.query_id
-         |),
-         |pr AS (
-         |  SELECT np.arm, np.query_id,
-         |         round(coalesce(h.valid, 0) / ng.n_gt, 6) AS recall
-         |  FROM np JOIN ng USING (query_id)
-         |  LEFT JOIN h ON h.arm = np.arm AND h.query_id = np.query_id
-         |),
-         |g AS (
-         |  SELECT arm, round(avg(recall), 4) AS avg_recall,
-         |         count(*) AS n_queries
-         |  FROM pr GROUP BY arm
-         |),
-         |c AS (
-         |  SELECT min(CASE WHEN avg_recall >= $AutoTuneTarget THEN arm END)
-         |           AS first_meeting,
-         |         max(arm) AS last_arm
-         |  FROM g
-         |)
-         |SELECT g.arm, g.avg_recall, g.n_queries,
-         |       g.arm = coalesce(c.first_meeting, c.last_arm) AS chosen
-         |FROM g CROSS JOIN c ORDER BY arm""".stripMargin
-    },
+    // arm's avg recall from the combined prediction dump, and replays
+    // the cheapest-arm-meeting-target choice rule — the full tuning
+    // decision cross-engine, mirroring AutoTune.gradeArms's GT-side
+    // round(per-query recall, 6) -> round(avg, 4) -> min-arm pipeline
+    // (every arm graded over EVERY validation query; an arm with no
+    // rows for a query scores recall 0 there, not a skipped row).
+    "q_autotune_ivf_nprobe" -> autotuneOracleSql(
+      "autotune_nprobe_arms", AutoTuneArms, AutoTuneTarget,
+      LshQueries.L2DistSql),
+
+    // Graph-beam sweep: identical decision replay, cosine GT.
+    "q_autotune_graph_beam" -> autotuneOracleSql(
+      "autotune_beam_arms", GraphBeamArms, GraphBeamTarget,
+      beamCos("qs.qv", "e.embedding::DOUBLE[]")),
 
     // Delete view (IVF): per-pair recompute + tombstone re-check.
     "q_ivf_search_deleted" ->
@@ -2122,6 +2145,61 @@ object SimilarityQueries extends QueryPack {
     s"""round(CASE WHEN 1.0 - list_cosine_similarity($a, $b) < 1e-6
        |      THEN 0.0
        |      ELSE 1.0 - list_cosine_similarity($a, $b) END, 6)""".stripMargin
+
+  /** Shared auto-tune decision-replay SQL (DuckDB): recompute the exact
+    * GT under `distSql` (which may reference `qs` as the query side and
+    * `e` as the corpus row), re-derive every arm's avg recall from the
+    * combined prediction dump at `dumpSub`, grading FROM THE GT SIDE
+    * (arms × every validation query; missing predictions coalesce to
+    * recall 0 — the AutoTune.gradeArms rule), and replay the
+    * cheapest-arm-meeting-target choice. */
+  private def autotuneOracleSql(dumpSub: String, arms: Seq[Int],
+                                target: Double, distSql: String): String =
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+       |),
+       |sc AS (
+       |  SELECT qs.query_id, e.vec_id, $distSql AS dist
+       |  FROM qs CROSS JOIN embeddings e
+       |),
+       |gt AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+       |    FROM sc
+       |  ) WHERE rn <= $K
+       |),
+       |p AS (
+       |  SELECT arm, query_id, vec_id
+       |  FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/$dumpSub/*.parquet')
+       |),
+       |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
+       |arms AS (SELECT unnest([${arms.mkString(", ")}]) AS arm),
+       |h AS (
+       |  SELECT p.arm, p.query_id, count(*) AS valid
+       |  FROM p JOIN gt USING (query_id, vec_id) GROUP BY p.arm, p.query_id
+       |),
+       |pr AS (
+       |  SELECT arms.arm, ng.query_id,
+       |         round(coalesce(h.valid, 0) / ng.n_gt, 6) AS recall
+       |  FROM arms CROSS JOIN ng
+       |  LEFT JOIN h ON h.arm = arms.arm AND h.query_id = ng.query_id
+       |),
+       |g AS (
+       |  SELECT arm, round(avg(recall), 4) AS avg_recall,
+       |         count(*) AS n_queries
+       |  FROM pr GROUP BY arm
+       |),
+       |c AS (
+       |  SELECT min(CASE WHEN avg_recall >= $target THEN arm END)
+       |           AS first_meeting,
+       |         max(arm) AS last_arm
+       |  FROM g
+       |)
+       |SELECT g.arm, g.avg_recall, g.n_queries,
+       |       g.arm = coalesce(c.first_meeting, c.last_arm) AS chosen
+       |FROM g CROSS JOIN c ORDER BY arm""".stripMargin
 
   /** Full beam-walk replay SQL: dumped edge list at `graphDir`, initial
     * beam supplied by `b0Sql` (which may reference the shared `qs` and

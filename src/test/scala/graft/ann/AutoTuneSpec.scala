@@ -161,6 +161,111 @@ class AutoTuneSpec extends AnyFunSuite with SparkSpecBase {
     assert(res.find(_._4).get._2 >= 0.95)
   }
 
+  test("recall is graded from the GT side: a no-answer arm scores 0, not skipped") {
+    val corpus = mkCorpus()
+    val idx = Ivf.train(corpus, "vec_id", "embedding",
+      IvfConfig(nCells = 8, nProbe = 2, seed = 42L))
+    val q = queriesOf(corpus, 20)
+    // arm 1 returns NOTHING (the cheap-arm empty-result failure mode);
+    // before GT-side grading its rows vanished from the average and an
+    // empty arm could look perfect
+    val res = armRows(AutoTune.sweep(Seq(1, 8), q, idx.vectors, 5,
+      targetRecall = 0.95,
+      searchAt = p =>
+        if (p == 1)
+          idx.searchAll(q, 5).where(org.apache.spark.sql.functions.lit(false))
+        else idx.withNProbe(p).searchAll(q, 5)))
+    assert(res.map(_._1).toSeq === Seq(1, 8))
+    // the empty arm: recall 0 over the FULL validation count
+    assert(res.head._2 === 0.0)
+    assert(res.forall(_._3 === 20L))
+    // and it is never chosen
+    assert(!res.head._4 && res.last._4)
+  }
+
+  test("oversized shared sweep falls back to the per-arm path, row-identical") {
+    val corpus = mkCorpus()
+    val idx = Ivf.train(corpus, "vec_id", "embedding",
+      IvfConfig(nCells = 8, nProbe = 2, seed = 42L))
+    val q = queriesOf(corpus, 20)
+    // the dispatch rule itself
+    assert(AutoTune.sharedSweepFits(20, 200, 8, 8, maxSharedRows = 50000000L))
+    assert(!AutoTune.sharedSweepFits(20, 200, 8, 8, maxSharedRows = 1L))
+    // a deliberately tiny budget forces the per-arm path; output rows
+    // (and each arm's predictions, via dumpArm) must be identical
+    val perArmPreds = scala.collection.mutable.Map[Int, Seq[String]]()
+    val guardPreds = scala.collection.mutable.Map[Int, Seq[String]]()
+    def capture(into: scala.collection.mutable.Map[Int, Seq[String]])
+        : (Int, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      (a, df) => {
+        into(a) = df.orderBy("query_id", "dist", "vec_id")
+          .collect().map(_.toString).toSeq
+        df
+      }
+    val perArm = armRows(AutoTune.sweepIvfNProbe(idx, q, 5,
+      Seq(1, 4, 8), targetRecall = 0.95, dumpArm = capture(perArmPreds)))
+    val guarded = armRows(AutoTune.sweepIvfNProbeShared(idx, q, 5,
+      Seq(1, 4, 8), targetRecall = 0.95, dumpArm = capture(guardPreds),
+      maxSharedRows = 1L))
+    assert(guarded.toSeq === perArm.toSeq)
+    Seq(1, 4, 8).foreach(a => assert(guardPreds(a) === perArmPreds(a)))
+  }
+
+  test("combined shared-preds frame is row-identical per arm to the shared sweep") {
+    val corpus = mkCorpus()
+    val idx = Ivf.train(corpus, "vec_id", "embedding",
+      IvfConfig(nCells = 8, nProbe = 2, seed = 42L))
+    val q = queriesOf(corpus, 20)
+    val sharedPreds = scala.collection.mutable.Map[Int, Seq[String]]()
+    AutoTune.sweepIvfNProbeShared(idx, q, 5, Seq(1, 4, 8), 0.95,
+      dumpArm = (a, df) => {
+        sharedPreds(a) = df.select("query_id", "vec_id", "dist")
+          .orderBy("query_id", "dist", "vec_id")
+          .collect().map(_.toString).toSeq
+        df
+      })
+    val combined = AutoTune.ivfNProbeSharedPreds(idx, q, 5, Seq(1, 4, 8))
+    Seq(1, 4, 8).foreach { a =>
+      val got = combined.where($"arm" === a)
+        .select("query_id", "vec_id", "dist")
+        .orderBy("query_id", "dist", "vec_id")
+        .collect().map(_.toString).toSeq
+      assert(got === sharedPreds(a), s"arm $a combined preds differ")
+    }
+    // grading the combined frame reproduces the sweep rows
+    val gt = ExactNN.topKAgg(q, idx.vectors, 5, ExactNN.L2)
+      .select("query_id", "vec_id")
+    val graded = armRows(AutoTune.gradeArms(Seq(1, 4, 8), combined, gt, 0.95))
+    val swept = armRows(AutoTune.sweepIvfNProbeShared(idx, q, 5,
+      Seq(1, 4, 8), 0.95))
+    assert(graded.toSeq === swept.toSeq)
+  }
+
+  test("graph beam sweep: wider beams never lose recall here, chosen meets target") {
+    val corpus = mkCorpus()
+    import org.apache.spark.sql.functions._
+    // exact 5-NN graph + a trivial backbone gives the walk something to
+    // traverse; entries = first 4 nodes for every query
+    val g = KnnGraph.exact(corpus, "vec_id", "embedding", 5, ExactNN.Cosine)
+    val q = queriesOf(corpus, 10)
+    val entries = q.select($"query_id")
+      .crossJoin((0L until 4L).toDF("node"))
+    val res = armRows(AutoTune.sweepGraphBeam(
+      g.select("src", "dst"), corpus, "vec_id", "embedding", q, entries,
+      k = 5, hops = 6, arms = Seq(5, 16, 48), targetRecall = 0.6,
+      metric = ExactNN.Cosine))
+    assert(res.map(_._1).toSeq === Seq(5, 16, 48))
+    assert(res.forall(_._3 === 10L))
+    val recalls = res.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"beam recall not monotone on this corpus: ${recalls.toSeq}")
+    assert(res.count(_._4) === 1)
+    // arms below k are rejected
+    assertThrows[IllegalArgumentException](AutoTune.sweepGraphBeam(
+      g.select("src", "dst"), corpus, "vec_id", "embedding", q, entries,
+      k = 5, hops = 2, arms = Seq(3, 16), targetRecall = 0.6))
+  }
+
   test("sweep rejects unsorted or duplicate arms") {
     val corpus = mkCorpus(60)
     val idx = Ivf.train(corpus, "vec_id", "embedding",
