@@ -1,6 +1,5 @@
 package graft.ann
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -159,13 +158,16 @@ final class CodesMaintainer(
   }
 
   /** Fold the logs into the base codes table (family layout preserved
-    * via `partitionCols`), stamp the compaction fence, drop the logs
-    * (the [[graft.ann.LsmStore]] crash-safety order). */
+    * via `partitionCols`): the folded base lands in the compaction
+    * temp dir first, then [[graft.ann.LsmStore.commitCompaction]] runs
+    * the crash-safe swap-fence-drop sequence — a crash at any point
+    * either leaves the old base + logs fully intact (pre-marker) or is
+    * finished by the next construction's
+    * [[graft.ann.LsmStore.recoverCompaction]]. */
   def compactNow(): Unit = {
     val live = liveCodes.localCheckpoint()
-    writeCodes(live, "codes", "overwrite")
-    writeFence(batches)
-    lsmLogDirs.foreach(sub => lsmFs.delete(new Path(s"$path/$sub"), true))
+    writeCodes(live, s"$CompactTmpDir/codes", "overwrite")
+    commitCompaction(batches, Seq(s"$CompactTmpDir/codes" -> "codes"))
     val folded = live.count()
     onCompacted(folded)
     if (log.isInfoEnabled) log.info(

@@ -23,11 +23,23 @@ import org.apache.spark.sql.functions._
   *     [[staleFilter]] drops them from every view — so a crash between
   *     the fence write and the log deletion re-serves correctly (the
   *     surviving rows are fenced off; the next compaction deletes
-  *     them). The remaining window — a crash between the base rewrite
-  *     and the fence write — leaves unfenced logs that would duplicate
-  *     folded rows: if a store may have died there, dedup the base once
-  *     (a vec_id-distinct rewrite) before resuming. Neither window
-  *     loses data;
+  *     them);
+  *   - **crash-safe compaction commit** ([[commitCompaction]] /
+  *     [[recoverCompaction]]): the folded base is written to TEMP
+  *     subdirs first, then a pre-commit marker (`_lsm_precommit`,
+  *     atomically renamed into place) records the target seq and the
+  *     pending renames, and only then do the destructive steps run
+  *     (swap temps into place, stamp the fence, drop the logs, drop
+  *     the marker). Construction calls [[recoverCompaction]] (via
+  *     [[recoverSeq]]): no marker means no compaction was mid-commit
+  *     (orphan temp dirs from a pre-marker crash are inert and
+  *     overwritten by the next compaction); a marker means every
+  *     remaining step is deterministic, so the reopen FINISHES the
+  *     commit instead of serving duplicates — the round-11 "residual
+  *     crash window" is now self-healing, not a documented manual
+  *     dedup. Every step is idempotent (rename skipped when the temp
+  *     is gone, fence monotone, log/marker deletes no-ops), so a crash
+  *     during recovery itself re-heals on the next open;
   *   - **occupancy-watermark accounting**: `fitRows` is the base
   *     snapshot the frozen model was fit against (counted once,
   *     lazily), `atRestRows` adds delta rows INCLUDING tombstoned ones
@@ -90,12 +102,89 @@ private[ann] trait LsmStore {
     else df.where(col("seq") === 0 || col("seq") > fence)
   }
 
+  // ---- crash-safe compaction commit ----
+
+  /** Subdir all compaction temp writes land under (relative to
+    * [[lsmPath]]) before being swapped into place. */
+  protected final val CompactTmpDir = "_compact_tmp"
+
+  private def precommitPath = new Path(s"$lsmPath/_lsm_precommit")
+
+  /** Commit a compaction whose folded base has already been fully
+    * written under `$lsmPath/$CompactTmpDir`: atomically publish the
+    * pre-commit marker (seq + pending renames), then swap each
+    * (tmpSub, finalSub) into place, stamp the fence at `seq`, drop the
+    * logs, drop the marker. The marker is written via temp-file +
+    * rename so it is never observed partially; once it exists, the
+    * commit is deterministic and [[recoverCompaction]] can finish it
+    * after a crash at ANY later point. */
+  protected final def commitCompaction(seq: Int,
+                                       renames: Seq[(String, String)]): Unit = {
+    val body = (seq.toString +: renames.map { case (t, f) => s"$t>$f" })
+      .mkString("\n")
+    val tmpMarker = new Path(s"$lsmPath/_lsm_precommit.tmp")
+    val out = lsmFs.create(tmpMarker, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    lsmFs.delete(precommitPath, false)
+    lsmFs.rename(tmpMarker, precommitPath)
+    finishCommit(seq, renames)
+  }
+
+  /** The destructive half of the commit — idempotent: a rename whose
+    * temp dir is gone already happened, the fence write is monotone,
+    * and the log/marker deletes are no-ops when already done. Runs
+    * both live (from [[commitCompaction]]) and on recovery. */
+  private def finishCommit(seq: Int, renames: Seq[(String, String)]): Unit = {
+    renames.foreach { case (tmp, fin) =>
+      val tp = new Path(s"$lsmPath/$tmp")
+      val fp = new Path(s"$lsmPath/$fin")
+      if (lsmFs.exists(tp)) {
+        lsmFs.delete(fp, true)
+        lsmFs.rename(tp, fp)
+      }
+    }
+    if (readFence() < seq) writeFence(seq)
+    lsmLogDirs.foreach(sub => lsmFs.delete(new Path(s"$lsmPath/$sub"), true))
+    lsmFs.delete(new Path(s"$lsmPath/$CompactTmpDir"), true)
+    lsmFs.delete(precommitPath, false)
+  }
+
+  /** Detect and finish a compaction that crashed mid-commit. Called by
+    * [[recoverSeq]] so every maintainer heals at construction; safe to
+    * call any time. No marker → nothing mid-commit (a crash BEFORE the
+    * marker leaves only inert temp dirs, which the next compaction
+    * overwrites — the base and logs are untouched at that point). */
+  protected final def recoverCompaction(): Unit = {
+    if (!lsmFs.exists(precommitPath)) return
+    val in = lsmFs.open(precommitPath)
+    val body = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    val seq = lines.head.toInt
+    val renames = lines.tail.map { l =>
+      val i = l.indexOf('>')
+      (l.substring(0, i), l.substring(i + 1))
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"LSM store '$lsmPath': found a compaction pre-commit marker " +
+        s"(seq $seq) — a previous process crashed mid-commit; finishing " +
+        "the commit (swap folded base into place, stamp fence, drop logs).")
+    finishCommit(seq, renames)
+  }
+
   // ---- persistent sequence ----
 
-  /** Recover the batch sequence at construction: max(fence, max log
+  /** Recover the batch sequence at construction: heal any mid-commit
+    * compaction first ([[recoverCompaction]]), then max(fence, max log
     * seq). Fresh store → 0; freshly-compacted store → the fence, so a
     * reconstructed maintainer agrees with the live one that compacted. */
   protected final def recoverSeq(): Int = {
+    recoverCompaction()
     val logs = lsmLogDirs
       .map(sub => readOr(sub, emptySeqIds).select("seq"))
       .reduce(_.unionByName(_))

@@ -1,6 +1,5 @@
 package graft.ann.lsh
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -96,6 +95,12 @@ final class LshMaintainer(
   private def tombstones: DataFrame =
     staleFilter(readOr("tombstones", emptySeqIds)).select("vec_id", "seq")
 
+  /** The [[LshIndex.save]] layout's three subdirs, as compaction-commit
+    * renames (temp → final). */
+  private def storeRenames: Seq[(String, String)] =
+    Seq("model", "vectors", "buckets")
+      .map(sub => s"$CompactTmpDir/$sub" -> sub)
+
   /** The serving view: persisted base + unfenced delta logs, minus
     * tombstoned rows (t.seq > row.seq). Anti-joins broadcast the
     * (small) log. Uses the once-loaded frozen [[model]] — `Lsh.load`
@@ -182,16 +187,18 @@ final class LshMaintainer(
         "but never re-splits buckets).")
   }
 
-  /** Fold the logs into the base: rewrite the store from the live view,
-    * stamp the compaction fence, drop the logs (the
-    * [[graft.ann.LsmStore]] crash-safety order). */
+  /** Fold the logs into the base: rewrite the store from the live view
+    * into the compaction temp dir, then run the crash-safe
+    * swap-fence-drop commit ([[graft.ann.LsmStore.commitCompaction]]) —
+    * a crash at any point either leaves the old store + logs fully
+    * intact (pre-marker) or is finished by the next construction's
+    * [[graft.ann.LsmStore.recoverCompaction]]. */
   def compactNow(): Unit = {
     val live = index
     val v = live.vectors.localCheckpoint()
     val b = live.buckets.localCheckpoint()
-    new LshIndex(live.model, v, b).save(spark, path)
-    writeFence(batches)
-    lsmLogDirs.foreach(sub => lsmFs.delete(new Path(s"$path/$sub"), true))
+    new LshIndex(live.model, v, b).save(spark, s"$path/$CompactTmpDir")
+    commitCompaction(batches, storeRenames)
     val folded = v.count()
     onCompacted(folded)
     if (log.isInfoEnabled) log.info(
@@ -210,9 +217,8 @@ final class LshMaintainer(
   def refitNow(config: LshConfig): Unit = {
     val v = index.vectors.localCheckpoint()
     val fresh = Lsh.train(v, "vec_id", "embedding", config)
-    fresh.save(spark, path)
-    writeFence(batches)
-    lsmLogDirs.foreach(sub => lsmFs.delete(new Path(s"$path/$sub"), true))
+    fresh.save(spark, s"$path/$CompactTmpDir")
+    commitCompaction(batches, storeRenames)
     modelCache = fresh.model
     val n = v.count()
     onRefit(n)

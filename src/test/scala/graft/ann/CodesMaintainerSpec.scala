@@ -134,6 +134,118 @@ class CodesMaintainerSpec extends AnyFunSuite with SparkSpecBase {
     assert(dups === 0, s"$dups duplicated ids in the fenced view")
   }
 
+  test("residual crash windows self-heal at construction (no manual dedup)") {
+    val corpus = mkCorpus(30)
+    val idx = Sq.train(corpus, "vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("codes_lsm_heal").toString + "/idx"
+    idx.save(spark, path)
+    def enc(df: DataFrame) = idx.model.transformDf(df, "vec_id", "embedding")
+    def writeMarker(seq: Int): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/_lsm_precommit"),
+        s"$seq\n_compact_tmp/codes>codes".getBytes("UTF-8"))
+    def noDups(df: DataFrame): Unit =
+      assert(df.groupBy("vec_id").count().where($"count" > 1).count() === 0)
+
+    // ---- window A: folded base written + marker published, CRASH
+    // before any rename/fence/log-drop (the round-11 "residual window":
+    // unfenced logs would duplicate folded rows) ----
+    val m = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    val arrivals = mkCorpus(40, seed = 29).where($"vec_id" >= 30L)
+    m.onBatch(Some(arrivals), Some(Seq(3L).toDF("vec_id")))
+    val expected = rows(idx.withDeletes(Seq(3L).toDF("vec_id"))
+      .append(arrivals).codes)
+    m.liveCodes.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$path/_compact_tmp/codes")
+    writeMarker(1)
+    // crash here. A reopened maintainer must FINISH the commit:
+    val m2 = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    assert(!new java.io.File(s"$path/_lsm_precommit").exists(), "marker kept")
+    assert(!new java.io.File(s"$path/codes_delta").exists() &&
+      !new java.io.File(s"$path/tombstones").exists(), "logs survived heal")
+    assert(rows(m2.liveCodes) === expected, "healed view wrong")
+    assert(rows(Sq.load(spark, path).codes) === expected, "healed base wrong")
+    noDups(m2.liveCodes)
+    assert(m2.batchesSeen === 1, s"seq: ${m2.batchesSeen}")
+
+    // ---- window B: base swapped into place, CRASH before the fence
+    // write (logs + marker still present, fence stale) ----
+    val arrivals2 = mkCorpus(50, seed = 31).where($"vec_id" >= 40L)
+    m2.onBatch(Some(arrivals2), Some(Seq(5L).toDF("vec_id")))
+    val expected2 = rows(idx.withDeletes(Seq(3L).toDF("vec_id"))
+      .append(arrivals).withDeletes(Seq(5L).toDF("vec_id"))
+      .append(arrivals2).codes)
+    val folded2 = m2.liveCodes.localCheckpoint()
+    folded2.write.mode("overwrite").parquet(s"$path/_compact_tmp/codes")
+    writeMarker(2)
+    // manual rename (the commit's first destructive step), then crash
+    def del(p: String): Unit = {
+      val f = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.walk(f)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => java.nio.file.Files.delete(x))
+    }
+    del(s"$path/codes")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$path/_compact_tmp/codes"),
+      java.nio.file.Paths.get(s"$path/codes"))
+    // crash here: fence still 1, logs still present, marker present
+    val m3 = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    assert(rows(m3.liveCodes) === expected2, "window-B healed view wrong")
+    noDups(m3.liveCodes)
+    assert(m3.batchesSeen === 2, s"seq: ${m3.batchesSeen}")
+    assert(!new java.io.File(s"$path/_lsm_precommit").exists())
+    assert(!new java.io.File(s"$path/codes_delta").exists())
+  }
+
+  test("LSH store heal finishes a partial multi-dir rename") {
+    val corpus = mkCorpus(30)
+    val idx = graft.ann.lsh.Lsh.train(corpus, "vec_id", "embedding",
+      graft.ann.lsh.LshConfig(nTrees = 2, kMinVecs = 16, seed = 3L))
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh_lsm_heal").toString + "/idx"
+    idx.save(spark, path)
+    val m = new graft.ann.lsh.LshMaintainer(spark, path, compactEvery = 100)
+    val arrivals = mkCorpus(40, seed = 29).where($"vec_id" >= 30L)
+    m.onBatch(Some(arrivals), Some(Seq(4L).toDF("vec_id")))
+    val expected = m.index.vectors.collect()
+      .map(r => r.getAs[Long]("vec_id")).sorted.toSeq
+
+    // folded store written to the temp dir, marker published, then ONE
+    // of the three renames done before the crash
+    val live = m.index
+    new graft.ann.lsh.LshIndex(live.model,
+      live.vectors.localCheckpoint(), live.buckets.localCheckpoint())
+      .save(spark, s"$path/_compact_tmp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_lsm_precommit"),
+      ("1\n_compact_tmp/model>model\n_compact_tmp/vectors>vectors\n" +
+        "_compact_tmp/buckets>buckets").getBytes("UTF-8"))
+    def del(p: String): Unit = {
+      val f = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.walk(f)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => java.nio.file.Files.delete(x))
+    }
+    del(s"$path/model")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$path/_compact_tmp/model"),
+      java.nio.file.Paths.get(s"$path/model"))
+    // crash here: vectors/buckets still old, logs present, no fence
+    val m2 = new graft.ann.lsh.LshMaintainer(spark, path, compactEvery = 100)
+    val healed = m2.index
+    assert(healed.vectors.collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+      === expected, "healed LSH vectors wrong")
+    assert(healed.vectors.groupBy("vec_id").count()
+      .where($"count" > 1).count() === 0, "duplicates after heal")
+    assert(m2.batchesSeen === 1)
+    assert(!new java.io.File(s"$path/_lsm_precommit").exists())
+    assert(!new java.io.File(s"$path/vectors_delta").exists())
+  }
+
   test("OPQ codes LSM: frozen rotation+codebooks encode deltas; compaction reloads") {
     val corpus = mkCorpus(40)
     val idx = graft.ann.pq.Opq.train(corpus, "vec_id", "embedding",
