@@ -31,19 +31,28 @@ import org.apache.spark.sql.functions._
   * (one O(E) join pair), the refine (bounded co-neighbor joins), the
   * bucketed rewrite (one shuffle by src).
   *
-  * Unlike the LSM maintainers ([[graft.ann.LsmStore]]), the batch
-  * counter here is in-memory only: a reconstructed maintainer restarts
-  * its refine CADENCE (a frequency, not a correctness property — the
-  * edge store and tombstone log are themselves consistent at every
-  * point, and a crash between the consolidation's store rewrite and its
-  * tombstone-table drop merely leaves stale tombstones that exclude
-  * already-absent ids, a no-op). Callers that need an exact cadence
-  * across restarts should align refines with their own checkpoints via
-  * [[refineDue]]/[[refineNow]].
+  * Deletes use the SAME LSM idiom as the other maintainers
+  * ([[LsmStore]]): seq-stamped path-based logs under `path` —
+  * `tombstones` (vec_id, seq) and `arrivals` (the inserted ids,
+  * (vec_id, seq)) — with the persistent sequence recovered at
+  * construction (max of the compaction fence and the log seqs, so a
+  * restarted maintainer continues the cadence AND the ordering). A
+  * tombstone kills an id only until an arrival of the same id at an
+  * EQUAL-OR-LATER seq: re-inserting a deleted id revives it (same
+  * batch = upsert, later batch = re-add), closing the "old delete
+  * beats new insert" inversion a bare id-set log has — where a
+  * re-inserted id stayed excluded from serving and the next refine
+  * silently dropped it. [[refineNow]] is this store's compaction: it
+  * applies the ACTIVE tombstones physically (FreshDiskANN bridge-edge
+  * consolidation), stamps the fence, and drops both logs — a crash
+  * between the store rewrite and the fence leaves stale log rows that
+  * exclude already-absent ids (and arrivals that neutralize nothing),
+  * harmless either way.
   */
 final class GraphMaintainer(
     spark: SparkSession,
     name: String,
+    path: String,
     idCol: String,
     vecCol: String,
     k: Int,
@@ -56,42 +65,57 @@ final class GraphMaintainer(
     backbone: Boolean = true,
     metric: ExactNN.Metric = ExactNN.Cosine,
     roundTo: Int = 6,
-    nBuckets: Int = 64) {
+    nBuckets: Int = 64) extends LsmStore {
 
   require(refineEvery > 0, s"refineEvery $refineEvery must be positive")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private var batches = 0
+  override protected def lsmSpark: SparkSession = spark
+  override protected def lsmPath: String = path
+  override protected def lsmLogDirs: Seq[String] =
+    Seq("tombstones", "arrivals")
 
-  /** Insert batches applied since construction (refines don't reset — the
-    * cadence is "every Nth batch", not "N since last manual refine"). */
+  /** The LSM sequence is PERSISTENT state (recovered from the logs and
+    * the refine fence) — a reconstructed maintainer continues both the
+    * refine CADENCE and the delete/re-insert ORDERING. */
+  private var batches = recoverSeq()
+
+  /** Insert batches applied over the store's lifetime (refines don't
+    * reset — the cadence is "every Nth batch"). */
   def batchesSeen: Int = batches
 
   /** True when the NEXT [[onBatch]] call will trigger the scheduled
     * refine — exposed so callers can align checkpoints around it. */
   def refineDue: Boolean = (batches + 1) % refineEvery == 0
 
-  private def tombstoneTable = s"${name}_tombstones"
-
-  /** Pending delete tombstones (FreshDiskANN-style, arXiv:2105.09613):
+  /** ACTIVE delete tombstones (FreshDiskANN-style, arXiv:2105.09613):
     * logged by [[onBatch]]'s `deletes`, applied physically by the next
     * [[refineNow]] consolidation. Until then, serving callers pass this
     * as `excluded` to [[GraphSearch.beamFrom]] — walks route THROUGH
     * deleted nodes (cutting them early would sever the paths they
-    * anchor) but never serve them. */
-  def tombstones: DataFrame =
-    if (spark.catalog.tableExists(tombstoneTable))
-      spark.table(tombstoneTable).select("vec_id").distinct()
-    else spark.range(0).select(col("id").as("vec_id"))
+    * anchor) but never serve them. A tombstone is DEAD once an arrival
+    * of the same id lands at an equal-or-later seq (re-insertion
+    * revives the id; same-batch delete+insert is an upsert). */
+  def tombstones: DataFrame = {
+    val t = staleFilter(readOr("tombstones", emptySeqIds))
+      .select(col("vec_id"), col("seq").as("tseq"))
+    val a = staleFilter(readOr("arrivals", emptySeqIds))
+      .select(col("vec_id").as("aid"), col("seq").as("aseq"))
+    t.join(broadcast(a), t("vec_id") === a("aid") && a("aseq") >= t("tseq"),
+        "left_anti")
+      .select("vec_id").distinct()
+  }
 
-  /** One streaming maintenance step: log `deletes` to the tombstone
-    * table, beam-insert `newVectors` against the stored graph (walks
-    * exclude tombstoned link targets), append the delta (edges touching
-    * an arriving id) to the bucketed store, and run the scheduled
-    * refine when due. `vectors` must cover existing AND arriving ids
-    * (the walk scores against it; the refine rescans it) — refineNow
-    * drops tombstoned rows itself. Returns the appended delta.
+  /** One streaming maintenance step: log `deletes` and the arriving ids
+    * (seq-stamped), beam-insert `newVectors` against the stored graph
+    * (walks exclude ACTIVE tombstoned link targets — a same-batch
+    * delete+re-insert id is already revived and linkable), append the
+    * delta (edges touching an arriving id) to the bucketed store, and
+    * run the scheduled refine when due. `vectors` must cover existing
+    * AND arriving ids (the walk scores against it; the refine rescans
+    * it) — refineNow drops tombstoned rows itself. Returns the
+    * appended delta.
     *
     * The delta filter is two semi-joins against the arriving id set —
     * never a collected id list, so a large micro-batch cannot build an
@@ -99,8 +123,13 @@ final class GraphMaintainer(
   def onBatch(vectors: DataFrame, newVectors: DataFrame,
               entries: DataFrame,
               deletes: Option[DataFrame] = None): DataFrame = {
-    deletes.foreach(_.select("vec_id").write.mode("append")
-      .saveAsTable(tombstoneTable))
+    val seq = batches + 1
+    deletes.foreach(_.select(col("vec_id"), lit(seq).as("seq"))
+      .write.mode("append").parquet(s"$path/tombstones"))
+    // arrivals logged BEFORE the tombstone view is taken, so a
+    // same-batch delete+insert of one id is an upsert (arrival wins)
+    newVectors.select(col(idCol).as("vec_id"), lit(seq).as("seq"))
+      .write.mode("append").parquet(s"$path/arrivals")
     val stored = GraphSearch.loadBucketed(spark, name)
     val pending = tombstones
     val excl = if (pending.isEmpty) None else Some(pending)
@@ -125,7 +154,7 @@ final class GraphMaintainer(
       .select(col("src"), col("dst"), col("dist"))
       .localCheckpoint()
     GraphSearch.appendBucketed(delta, name, nBuckets)
-    batches += 1
+    batches = seq
     if (batches % refineEvery == 0) refineNow(vectors)
     else if (degreeWatermark > 0) {
       val maxDeg = maxStoredDegree
@@ -161,6 +190,12 @@ final class GraphMaintainer(
     * dists) is returned for callers that track it; the store persists
     * its symmetrized+backboned form.
     *
+    * This is the graph store's COMPACTION: active tombstones are
+    * applied physically, the fence is stamped at the current seq, and
+    * both logs are dropped — log rows surviving a crash in that window
+    * are fenced off ([[LsmStore.staleFilter]]) like every other
+    * maintainer's.
+    *
     * The refined frame is localCheckpoint-materialized BEFORE the store
     * rewrite — Spark refuses to overwrite a table still being read, and
     * every frame here descends from the stored table. */
@@ -177,9 +212,9 @@ final class GraphMaintainer(
     // exactly the connectivity its removal destroys (GraphDeleteSpec's
     // two-cluster corridor). Like backbone edges, the insurance set is
     // re-priced at the next refine. Tombstoned rows themselves drop
-    // out in the va/vb inner joins (live vectors only), and the log is
-    // cleared after the rewrite.
-    val pending = tombstones
+    // out in the va/vb inner joins (live vectors only), and the logs
+    // are fenced+dropped after the rewrite.
+    val pending = tombstones.localCheckpoint()
     val hasDeletes = !pending.isEmpty
     val live =
       if (!hasDeletes) vectors
@@ -232,7 +267,11 @@ final class GraphMaintainer(
       else insurance.foldLeft(refined.select(col("src"), col("dst")))(
         _.unionByName(_)).dropDuplicates("src", "dst")
     GraphSearch.saveBucketed(withBackbone, name, nBuckets)
-    if (hasDeletes) spark.sql(s"DROP TABLE IF EXISTS $tombstoneTable")
+    // the store rewrite IS this maintainer's compaction: fence, then
+    // drop the logs (surviving rows after a crash are fenced off)
+    writeFence(batches)
+    lsmLogDirs.foreach(sub =>
+      lsmFs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true))
     // maxStoredDegree is a full edge-table aggregate — only pay for it
     // when the log line is actually emitted
     if (log.isInfoEnabled) log.info(

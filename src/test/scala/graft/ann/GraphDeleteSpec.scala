@@ -52,7 +52,10 @@ class GraphDeleteSpec extends AnyFunSuite with SparkSpecBase {
       .select($"src", $"dst")
     GraphSearch.saveBucketed(base, "gdel_spec")
 
-    val m = new GraphMaintainer(spark, "gdel_spec", "vec_id", "embedding",
+    val lsmPath = java.nio.file.Files
+      .createTempDirectory("gdel_spec_lsm").toString
+    val m = new GraphMaintainer(spark, "gdel_spec", lsmPath,
+      "vec_id", "embedding",
       k = 4, beamWidth = 12, hops = 6, refineEvery = 2,
       maxReverseDegree = 3, backbone = false, metric = ExactNN.L2)
 
@@ -110,5 +113,78 @@ class GraphDeleteSpec extends AnyFunSuite with SparkSpecBase {
       .as[(Long, Long, Double)].collect()
     assert(crossed.exists(_._2 >= 20L),
       s"A→B reachability lost after deleting the corridor: ${crossed.toSeq}")
+  }
+
+  test("re-inserting a tombstoned id revives it, across restarts and refine") {
+    val rng = new scala.util.Random(29)
+    def pt(center: Double) =
+      Seq.tabulate(8)(i => center + (if (i == 0) 0.0 else rng.nextGaussian() * 0.05))
+    val baseRows = (0L until 20L).map(i => (i, pt(i / 10 * 10.0)))
+    val all = baseRows.toDF("vec_id", "embedding")
+
+    spark.sql("DROP TABLE IF EXISTS greadd_spec_edges")
+    val loc = new java.io.File("target/spark-warehouse/greadd_spec_edges")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    GraphSearch.saveBucketed(
+      KnnGraph.exact(all, "vec_id", "embedding", 4, ExactNN.L2)
+        .select($"src", $"dst"), "greadd_spec")
+    val lsmPath = java.nio.file.Files
+      .createTempDirectory("greadd_lsm").toString
+    def mk() = new GraphMaintainer(spark, "greadd_spec", lsmPath,
+      "vec_id", "embedding", k = 4, beamWidth = 12, hops = 4,
+      refineEvery = 10, maxReverseDegree = 3, backbone = false,
+      metric = ExactNN.L2)
+    def entriesFor(arr: org.apache.spark.sql.DataFrame) =
+      arr.select($"vec_id".as("query_id"))
+        .crossJoin((0L until 4L).toDF("node"))
+
+    // batch 1: delete id 5 (and same-batch delete+insert of 9 = upsert)
+    val m1 = mk()
+    val up9 = Seq((9L, pt(0.1))).toDF("vec_id", "embedding")
+    m1.onBatch(all, up9, entriesFor(up9),
+      deletes = Some(Seq(5L, 9L).toDF("vec_id")))
+    // the upserted id is NOT tombstoned (same-batch arrival wins); the
+    // plain delete is
+    assert(m1.tombstones.as[Long].collect().toSet === Set(5L))
+
+    // RESTART: a reconstructed maintainer recovers seq AND the ordering
+    val m2 = mk()
+    assert(m2.batchesSeen === 1)
+    assert(m2.tombstones.as[Long].collect().toSet === Set(5L))
+
+    // batch 2 (post-restart): re-insert id 5 with a fresh vector — the
+    // newer arrival must beat the older tombstone (the LSM inversion a
+    // bare id-set log gets wrong)
+    val re5 = Seq((5L, pt(0.2))).toDF("vec_id", "embedding")
+    val all2 = all.where($"vec_id" =!= 5L).unionByName(re5)
+    m2.onBatch(all2, re5, entriesFor(re5))
+    assert(m2.tombstones.isEmpty,
+      "old tombstone still excludes the re-inserted id")
+
+    // serving finds the revived id at its new location
+    val q = Seq((100L, pt(0.2))).toDF("query_id", "qv")
+    val served = GraphSearch.beamFrom(
+        GraphSearch.loadBucketed(spark, "greadd_spec"), all2,
+        "vec_id", "embedding", q,
+        q.select($"query_id").crossJoin((0L until 4L).toDF("node")),
+        4, 12, 4, metric = ExactNN.L2, symmetrize = false,
+        excluded = Some(m2.tombstones))
+      .as[(Long, Long, Double)].collect()
+    assert(served.exists(_._2 == 5L),
+      s"revived id not served: ${served.toSeq}")
+
+    // refine keeps the revived id in the store and clears the logs
+    m2.refineNow(all2)
+    val after = GraphSearch.loadBucketed(spark, "greadd_spec")
+    assert(after.where($"src" === 5L || $"dst" === 5L).count() > 0,
+      "refine dropped the re-inserted id")
+    assert(m2.tombstones.isEmpty)
+    // a post-refine restart agrees
+    val m3 = mk()
+    assert(m3.batchesSeen === 2)
+    assert(m3.tombstones.isEmpty)
   }
 }

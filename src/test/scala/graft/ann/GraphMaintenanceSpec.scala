@@ -46,7 +46,9 @@ class GraphMaintenanceSpec extends AnyFunSuite with SparkSpecBase {
       .dropDuplicates("src", "dst")
     GraphSearch.saveBucketed(base, "maint_spec")
 
-    val m = new GraphMaintainer(spark, "maint_spec", "vec_id", "embedding",
+    val m = new GraphMaintainer(spark, "maint_spec",
+      java.nio.file.Files.createTempDirectory("maint_spec_lsm").toString,
+      "vec_id", "embedding",
       k = 4, beamWidth = 8, hops = 3, refineEvery = 4,
       maxReverseDegree = 3, degreeWatermark = 15)
 

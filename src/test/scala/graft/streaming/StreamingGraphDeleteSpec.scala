@@ -51,6 +51,7 @@ class StreamingGraphDeleteSpec extends AnyFunSuite with SparkSpecBase {
       (arrivalRows.drop(2), Seq(11L)))
 
     def mkMaintainer(name: String) = new GraphMaintainer(spark, name,
+      java.nio.file.Files.createTempDirectory(s"${name}_lsm").toString,
       "vec_id", "embedding", k = 4, beamWidth = 12, hops = 4,
       refineEvery = 2, maxReverseDegree = 2, backbone = false,
       metric = ExactNN.L2)
