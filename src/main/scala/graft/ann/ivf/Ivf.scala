@@ -45,7 +45,19 @@ final case class IvfConfig(
     iters: Int = 10,
     seed: Long = 42L,
     sampleCap: Int = 100000,
-    angular: Boolean = false)
+    angular: Boolean = false,
+    driverFitMaxSample: Int = IvfConfig.DefaultDriverFitMaxSample)
+
+object IvfConfig {
+  /** Largest fit sample collected to the driver before [[Ivf.fit]]
+    * dispatches to the distributed k-means path: 1M rows ≈ 2 GB of
+    * primitive doubles at 256-d (FitSample's measured ~820 MB at
+    * 400k × 256-d scales linearly) — comfortable on the recommended
+    * driver heap. At higher dims or a leaner driver, scale it down by
+    * dims/256; the distributed path's recall parity is spec-pinned
+    * (DistributedFitSpec), so the switch costs accuracy nothing. */
+  val DefaultDriverFitMaxSample: Int = 1000000
+}
 
 final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
     extends Serializable {
@@ -478,12 +490,57 @@ object Ivf {
     cent
   }
 
+  /** Distributed coarse-quantizer fit (MLlib k-means||): clusters the
+    * sample WITHOUT collecting it to the driver — the scale path past
+    * [[IvfConfig.driverFitMaxSample]], where the driver-side
+    * `FitSample.collectVectors` funnel (SCALE.md's `total/3` occupancy
+    * rule vs driver memory) stops holding. Angular mode normalizes
+    * map-side before clustering (same unit-sphere space the serving
+    * paths normalize into). Centroids are canonicalized by sorting
+    * lexicographically on their components, so cell ids are stable
+    * across re-fits of the same data regardless of MLlib's internal
+    * ordering. The seeded k-means|| init differs from the driver
+    * path's deterministic farthest-first/strided init, so the two
+    * paths produce different (both valid) cell geometries — the
+    * contract is same-operating-point recall parity
+    * (DistributedFitSpec), not bit-identical centroids. */
+  private[ann] def fitCentroidsDistributed(sampled: DataFrame,
+                                           vecCol: String, nCells: Int,
+                                           iters: Int, seed: Long,
+                                           angular: Boolean)
+      : Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vd = col(vecCol).cast(ArrayType(DoubleType))
+    val feat =
+      if (!angular) vd
+      else {
+        val nrm = sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x))
+        when(nrm <= lit(graft.functions.VectorFunctions.Tol), vd)
+          .otherwise(transform(vd, x => x / nrm))
+      }
+    val input = sampled.select(array_to_vector(feat).as("features"))
+    val km = new KMeans()
+      .setK(nCells)
+      .setMaxIter(iters)
+      .setSeed(seed)
+      .setFeaturesCol("features")
+      .setPredictionCol("graft_cell")
+    import scala.math.Ordering.Implicits._
+    km.fit(input).clusterCenters.map(_.toArray).sortBy(_.toSeq)
+  }
+
   def fit(df: DataFrame, vecCol: String, config: IvfConfig): IvfModel = {
     val total = df.count()
     val sampled =
       if (total <= config.sampleCap) df
       else df.sample(withReplacement = false,
         fraction = config.sampleCap.toDouble / total, seed = config.seed)
+    // Above the driver-collect bound, cluster distributed (the sample
+    // never leaves the executors — only nCells × dims centroids do).
+    if (math.min(total, config.sampleCap.toLong) > config.driverFitMaxSample)
+      return new IvfModel(config, fitCentroidsDistributed(sampled, vecCol,
+        config.nCells, config.iters, config.seed, config.angular))
     val raw = graft.ann.FitSample.collectVectors(sampled, vecCol)
     // angular: the centroids live on the unit sphere — the same space
     // cellOfData/probeCellsData normalize into (cf. IvfPq.fit)

@@ -61,9 +61,11 @@ final case class IvfPqConfig(
     iters: Int = 10,
     seed: Long = 42L,
     sampleCap: Int = 100000,
-    angular: Boolean = false) {
+    angular: Boolean = false,
+    driverFitMaxSample: Int = IvfConfig.DefaultDriverFitMaxSample) {
   def ivfConfig: IvfConfig =
-    IvfConfig(nCells, nProbe, iters, seed, sampleCap)
+    IvfConfig(nCells, nProbe, iters, seed, sampleCap,
+      driverFitMaxSample = driverFitMaxSample)
   def pqConfig: PqConfig =
     PqConfig(numSubvectors, codesPerSubvector, iters, seed, sampleCap)
 }
@@ -357,13 +359,26 @@ object IvfPq {
 
   /** One seeded sample fits both quantizers: cells over the raw vectors,
     * then per-subvector codebooks over the SAMPLE'S residuals (what the
-    * codes will actually quantize). */
+    * codes will actually quantize).
+    *
+    * Past `driverFitMaxSample`, the COARSE quantizer fits distributed
+    * ([[Ivf.fitCentroidsDistributed]] — the sample never leaves the
+    * executors) and only a driver-bounded SUB-sample is collected for
+    * the residual codebooks: codebooks are codesPerSubvector × subDim
+    * means whose estimation saturates long before millions of rows, so
+    * capping their sample costs recall nothing measurable
+    * (DistributedFitSpec pins parity), while the coarse cells — which
+    * set the pruning geometry the whole index serves through — still
+    * see the full sample. */
   def fit(df: DataFrame, vecCol: String, config: IvfPqConfig): IvfPqModel = {
     val total = df.count()
     val sampled =
       if (total <= config.sampleCap) df
       else df.sample(withReplacement = false,
         fraction = config.sampleCap.toDouble / total, seed = config.seed)
+    val effective = math.min(total, config.sampleCap.toLong)
+    if (effective > config.driverFitMaxSample)
+      return fitDistributedCoarse(sampled, effective, vecCol, config)
     val raw = FitSample.collectVectors(sampled, vecCol)
     // angular: both quantizers fit the unit sphere (same space the
     // transform/search paths normalize into)
@@ -378,6 +393,21 @@ object IvfPq {
       s"dims $dims must divide into ${config.numSubvectors} subvectors")
     val ivfModel = new IvfModel(config.ivfConfig,
       Ivf.lloyd(vecs, config.nCells, config.iters))
+    new IvfPqModel(config, ivfModel,
+      new PqModel(config.pqConfig, dims,
+        residualCodebooks(vecs, ivfModel, config)))
+  }
+
+  /** Per-subvector residual codebooks over an in-memory (already
+    * normalized) sample against FIXED coarse centroids — shared by the
+    * driver and distributed-coarse fit paths. Codebooks are
+    * independent: fit concurrently (same pattern as Pq.fit), each a
+    * deterministic Lloyd's over the residuals; ParallelFit propagates
+    * failures. */
+  private def residualCodebooks(vecs: Array[Array[Double]],
+                                ivfModel: IvfModel, config: IvfPqConfig)
+      : Array[Array[Array[Double]]] = {
+    val dims = vecs(0).length
     val residuals = vecs.map { v =>
       val c = ivfModel.centroids(ivfModel.cellOf(v))
       val out = new Array[Double](dims)
@@ -386,17 +416,41 @@ object IvfPq {
       out
     }
     val subDim = dims / config.numSubvectors
-    // per-subvector codebooks are independent: fit concurrently (same
-    // pattern as Pq.fit), each a deterministic Lloyd's over the
-    // residuals; ParallelFit propagates failures
     val codebooks = new Array[Array[Array[Double]]](config.numSubvectors)
     graft.ann.ParallelFit.run(config.numSubvectors) { s =>
       val sub = residuals.map(v =>
         java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
       codebooks(s) = Ivf.lloyd(sub, config.codesPerSubvector, config.iters)
     }
+    codebooks
+  }
+
+  /** The past-driver-bound fit path (see [[fit]]'s scaladoc): coarse
+    * cells from the distributed k-means over the FULL sample, residual
+    * codebooks from a driver-bounded sub-sample. */
+  private def fitDistributedCoarse(sampled: DataFrame, effective: Long,
+                                   vecCol: String,
+                                   config: IvfPqConfig): IvfPqModel = {
+    val ivfModel = new IvfModel(config.ivfConfig,
+      Ivf.fitCentroidsDistributed(sampled, vecCol, config.nCells,
+        config.iters, config.seed, config.angular))
+    val sub = sampled.sample(withReplacement = false,
+      fraction = math.min(1.0,
+        config.driverFitMaxSample.toDouble / effective),
+      seed = config.seed + 1)
+    val raw = FitSample.collectVectors(sub, vecCol)
+    val vecs = if (!config.angular) raw else raw.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n <= graft.functions.VectorFunctions.Tol) v else v.map(_ / n)
+    }
+    val dims = vecs(0).length
+    require(dims % config.numSubvectors == 0,
+      s"dims $dims must divide into ${config.numSubvectors} subvectors")
     new IvfPqModel(config, ivfModel,
-      new PqModel(config.pqConfig, dims, codebooks))
+      new PqModel(config.pqConfig, dims,
+        residualCodebooks(vecs, ivfModel, config)))
   }
 
   def train(df: DataFrame, idCol: String, vecCol: String,

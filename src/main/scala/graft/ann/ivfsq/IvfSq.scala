@@ -39,9 +39,11 @@ final case class IvfSqConfig(
     iters: Int = 10,
     seed: Long = 42L,
     sampleCap: Int = 100000,
-    angular: Boolean = false) {
+    angular: Boolean = false,
+    driverFitMaxSample: Int = graft.ann.ivf.IvfConfig.DefaultDriverFitMaxSample) {
   def ivfConfig: IvfConfig = IvfConfig(nCells = nCells, nProbe = nProbe,
-    iters = iters, seed = seed, sampleCap = sampleCap, angular = angular)
+    iters = iters, seed = seed, sampleCap = sampleCap, angular = angular,
+    driverFitMaxSample = driverFitMaxSample)
 }
 
 final class IvfSqIndex(val config: IvfSqConfig, val ivf: IvfModel,
