@@ -49,7 +49,7 @@ import org.apache.spark.sql.functions._
   *     repeated post-compaction warnings correctly say "refit"; only a
   *     refit (which retrains) resets the reference.
   */
-private[ann] trait LsmStore {
+private[graft] trait LsmStore {
 
   protected def lsmSpark: SparkSession
   protected def lsmPath: String

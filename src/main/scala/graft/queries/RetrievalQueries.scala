@@ -70,6 +70,20 @@ object RetrievalQueries extends QueryPack {
     tbl(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
 
+  /** The STORED lexical index both keyword queries serve from — built
+    * once per (session, sf) and persisted
+    * ([[graft.retrieval.PostingsStore]]): the round-11 "retrieval
+    * serving recomputes its index per call" gap. The stored tables are
+    * row-identical to the inline tokenize→tf→df pipelines (RetrievalSpec
+    * pins it), so the oracle SQL is UNCHANGED — the swap changes plans
+    * (probe a stored inverted index) not numbers. */
+  private def postings(s: SparkSession, dir: String): graft.retrieval.PostingsStore =
+    memoized(s, dir, "postings_store") {
+      graft.retrieval.PostingsStore.build(s,
+        s"${QueryPack.dumpRoot}/graft_postings/${LshQueries.sfName(dir)}",
+        docs(s, dir))
+    }
+
   /** (query_id, doc_id, score): BM25 scores for every (query, doc) pair
     * sharing at least one term. `qterms` is (query_id, term) — the
     * SMALL side, broadcast twice (once as the distinct-term semi-join
@@ -246,13 +260,20 @@ object RetrievalQueries extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // BM25 keyword search: fixed multi-term queries, top-10 docs each.
+    // BM25 keyword search: fixed multi-term queries, top-10 docs each —
+    // served from the STORED per-(doc, term) score table (the inverted
+    // index probed by the query's terms; tscore per term is independent
+    // of the query set, so rows are identical to the inline pipeline).
     "q_bm25_topk" -> ((s, dir) => {
       import s.implicits._
       val qterms = Bm25Queries
         .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
         .toDF("query_id", "term")
-      topDesc(bm25(docs(s, dir), qterms), "score", TopKDocs, "score")
+      val scored = postings(s, dir).bm25
+        .join(broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum(col("tscore")), 6).as("score"))
+      topDesc(scored, "score", TopKDocs, "score")
         .orderBy("query_id", "rank")
     }),
 
@@ -273,13 +294,12 @@ object RetrievalQueries extends QueryPack {
     // replays tf, df, both weight vectors, the dot product, and the
     // rank cut.
     "q_sparse_dot_topk" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val qsel = d.where(col("doc_id") < NumHybridQueries)
-        .select(explode(col("toks")).as("term")).distinct()
-      // materialize the pruned postings once: qw derives from w, so an
-      // unmaterialized w would run the explode+tf+df chain twice in the
-      // same job (the serving deployment stores this table anyway)
-      val w = sparseWeights(d, Some(qsel)).localCheckpoint()
+      // served from the STORED postings table: the query docs' weight
+      // vectors are stored rows too (broadcast-joined on term), and
+      // pruning-vs-full agreement on shared terms (the sparseWeights
+      // contract) makes the rows identical to the inline pipeline —
+      // terms outside the query set never match a qw row.
+      val w = postings(s, dir).sparse
       val qw = w.where(col("doc_id") < NumHybridQueries)
         .select(col("doc_id").as("query_id"), col("term"), col("w").as("qw"))
       val scored = w.join(broadcast(qw), "term")

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+import graft.retrieval.PostingsStore
+import graft.text.TextFunctions
+
+/** The stored lexical index ([[PostingsStore]]). Identities under test:
+  * the persisted tables are row-identical to the inline
+  * tokenize→tf→df pipelines (so serving from the store changes plans,
+  * not numbers); appends encode with the FROZEN stats (same doc →
+  * same rows, unseen terms dropped and measured); deletes/upserts
+  * follow the LSM seq rules; compaction folds without changing a row
+  * and never touches the frozen stats. */
+class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  private def docsOf(path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map { r =>
+      r.schema.fieldNames.sorted.map(f => r.get(r.fieldIndex(f)))
+        .mkString("|")
+    }.toSet
+
+  test("built tables are row-identical to the inline pipelines") {
+    val d = docsOf(sf("sf0.001") + "/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("postings_build").toString + "/idx"
+    val store = PostingsStore.build(spark, path, d)
+    assert(rows(store.sparse) === rows(RetrievalQueries.sparseWeights(d, None)))
+    assert(rows(store.bm25) === rows(RetrievalQueries.termScores(d, None)))
+  }
+
+  test("frozen-stats append: same doc same rows, OOV terms dropped and measured") {
+    val d = docsOf(sf("sf0.001") + "/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("postings_append").toString + "/idx"
+    val store = PostingsStore.build(spark, path, d, oovWatermark = 0.9)
+    assert(store.lastOovRatio.isEmpty)
+
+    // a verbatim copy of doc 0 under a new id: the frozen encode is
+    // deterministic, so its postings equal doc 0's value-for-value
+    val copy = d.where($"doc_id" === 0L)
+      .select(lit(777777L).as("doc_id"), $"toks")
+    store.onBatch(Some(copy), None)
+    assert(store.lastOovRatio === Some(0.0))
+    def strip(df: DataFrame) = df.select("term", "w")
+    assert(rows(strip(store.sparse.where($"doc_id" === 777777L))) ===
+      rows(strip(store.sparse.where($"doc_id" === 0L))),
+      "frozen re-encode of an identical doc differs")
+
+    // arrivals with unseen terms: the OOV posting gets NO row (it has
+    // no df), the known term still lands; the ratio is measured
+    val weird = Seq((888888L, Seq("zzzunseenterm", "vector")))
+      .toDF("doc_id", "toks")
+    store.onBatch(Some(weird), None)
+    assert(store.lastOovRatio === Some(0.5), s"oov ${store.lastOovRatio}")
+    val got = store.sparse.where($"doc_id" === 888888L)
+      .select("term").as[String].collect().toSet
+    assert(got === Set("vector"), s"postings for the OOV doc: $got")
+  }
+
+  test("deletes, same-batch upsert, and compaction keep the serving view exact") {
+    val d = docsOf(sf("sf0.001") + "/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("postings_lsm").toString + "/idx"
+    val store = PostingsStore.build(spark, path, d, compactEvery = 3)
+
+    val statsBefore = rows(spark.read.parquet(s"$path/stats"))
+
+    // batch 1: delete docs 1 and 2
+    store.onBatch(None, Some(Seq(1L, 2L).toDF("doc_id")))
+    assert(store.sparse.where($"doc_id".isin(1L, 2L)).count() === 0)
+    // batch 2: same-batch delete+arrival of doc 3 = upsert (new toks)
+    val newDoc3 = Seq((3L, Seq("vector", "vector", "query")))
+      .toDF("doc_id", "toks")
+    store.onBatch(Some(newDoc3), Some(Seq(3L).toDF("doc_id")))
+    val doc3Terms = store.sparse.where($"doc_id" === 3L)
+      .select("term").as[String].collect().toSet
+    assert(doc3Terms === Set("vector", "query"), s"upsert lost: $doc3Terms")
+    val expected = rows(store.sparse)
+    val expectedB = rows(store.bm25)
+
+    // batch 3 triggers compaction (crash-safe commit): rows unchanged,
+    // logs gone, frozen stats untouched, a reopened store agrees
+    store.onBatch(None, None)
+    assert(!new java.io.File(s"$path/sparse_delta").exists())
+    assert(rows(store.sparse) === expected)
+    assert(rows(store.bm25) === expectedB)
+    assert(rows(spark.read.parquet(s"$path/stats")) === statsBefore,
+      "compaction re-derived the frozen stats")
+    val reopened = new PostingsStore(spark, path, compactEvery = 3)
+    assert(reopened.batchesSeen === 3)
+    assert(rows(reopened.sparse) === expected)
+  }
+}

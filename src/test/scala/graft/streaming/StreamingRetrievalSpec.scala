@@ -101,4 +101,53 @@ class StreamingRetrievalSpec extends AnyFunSuite with SparkSpecBase {
       assert(streamed === batch)
     } finally { q.stop(); index.unpersist() }
   }
+
+  test("foreachBatch doc appends to the stored postings == direct batch appends") {
+    val all = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val base = all.where(col("doc_id") < 40L)
+    val arrivalRows = all.where(col("doc_id") >= 40L && col("doc_id") < 50L)
+      .as[(Long, Seq[String])].collect().toSeq
+    val (b1, b2) = arrivalRows.partition(_._1 < 45L)
+
+    def mk(tag: String) = graft.retrieval.PostingsStore.build(spark,
+      java.nio.file.Files.createTempDirectory(tag).toString + "/idx", base)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map { r =>
+        r.schema.fieldNames.sorted.map(f => r.get(r.fieldIndex(f)))
+          .mkString("|")
+      }.toSet
+
+    // batch twin: two direct onBatch calls
+    val pBatch = mk("postings_sb_batch")
+    pBatch.onBatch(Some(b1.toDF("doc_id", "toks")), None)
+    pBatch.onBatch(Some(b2.toDF("doc_id", "toks")), None)
+
+    // streaming twin: the same arrivals through foreachBatch
+    val pStream = mk("postings_sb_stream")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[String])]
+    val q = mem.toDF().toDF("doc_id", "toks")
+      .writeStream
+      .foreachBatch { (batchDf: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batchDf.isEmpty) pStream.onBatch(Some(batchDf), None)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(rows(pStream.sparse) === rows(pBatch.sparse),
+      "stream != batch stored sparse postings")
+    assert(rows(pStream.bm25) === rows(pBatch.bm25),
+      "stream != batch stored bm25 postings")
+    // frozen-df property: the arrivals' weights used the BASE stats —
+    // identical across twins even though a full rebuild over base +
+    // arrivals would produce different df
+    assert(pStream.batchesSeen === 2)
+  }
 }
