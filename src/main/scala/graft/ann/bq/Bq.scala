@@ -40,31 +40,45 @@ import graft.ann.TopK
   * a 3 TB scan where the float table is 100 TB); the model is one
   * dims-length double array embedded as a plan literal (KBs even at
   * 4096-d, no broadcast handle needed); rerank I/O is bounded at
-  * |queries| x rerankDepth float rows. 32-bit words (not 64) so the
-  * packing stays inside both engines' checked `<<` range — DuckDB
-  * range-errors on `1::BIGINT << 63`.
+  * |queries| x rerankDepth float rows.
+  *
+  * Word width: 64-bit packing is the at-rest default (the honest
+  * 1 bit/dim — 8 B/vec at 64-d). Bit 63's "power" is Long.MinValue:
+  * summing distinct powers equals bitwise OR in two's complement, and
+  * adding the one negative term to a ≤ 2^63−1 partial sum can't
+  * overflow, so the encode stays in checked-arithmetic range in BOTH
+  * engines (the DuckDB oracle re-derives the sign bit the same way —
+  * `(-9223372036854775807 - 1)` instead of an out-of-range `1 << 63`).
+  * `bitsPerWord = 32` remains available for dumps written before the
+  * packed format (loads of meta-less dumps default to it).
   */
-final class BqModel(val thresholds: Array[Double]) extends Serializable {
+final class BqModel(val thresholds: Array[Double],
+                    val bitsPerWord: Int = BqModel.BitsPerWord)
+    extends Serializable {
 
   require(thresholds.nonEmpty, "empty threshold vector")
+  require(bitsPerWord == 32 || bitsPerWord == 64,
+    s"bitsPerWord must be 32 or 64, got $bitsPerWord")
   val dims: Int = thresholds.length
-  val nWords: Int = (dims + BqModel.BitsPerWord - 1) / BqModel.BitsPerWord
+  val nWords: Int = (dims + bitsPerWord - 1) / bitsPerWord
 
   private def thrLit: Column = typedlit(thresholds.toSeq)
-  private def powLit: Column = typedlit(BqModel.Powers.toSeq)
+  private def powLit: Column = typedlit(BqModel.powers(bitsPerWord).toSeq)
 
-  /** codes(w) = sum over j in [0,32) of (vec[32w+j] > thr[32w+j]) << j;
-    * bits past `dims` in the last word stay 0. Distinct powers of two
-    * make `+` equal to bitwise OR, and the power table ships as a literal
-    * array because `shiftleft` takes only a literal shift amount. */
+  /** codes(w) = sum over j in [0,bitsPerWord) of
+    * (vec[w*bpw+j] > thr[w*bpw+j]) << j; bits past `dims` in the last
+    * word stay 0. Distinct powers of two make `+` equal to bitwise OR
+    * (mod 2^64 — the j=63 power IS Long.MinValue, see class doc), and
+    * the power table ships as a literal array because `shiftleft`
+    * takes only a literal shift amount. */
   def encodeCol(vec: Column): Column = {
     val v = vec.cast(ArrayType(DoubleType))
     transform(sequence(lit(0), lit(nWords - 1)), w =>
       aggregate(
-        sequence(lit(0), lit(BqModel.BitsPerWord - 1)),
+        sequence(lit(0), lit(bitsPerWord - 1)),
         lit(0L),
         (acc, j) => {
-          val d = w * BqModel.BitsPerWord + j // 0-based dimension index
+          val d = w * bitsPerWord + j // 0-based dimension index
           when(d < lit(dims) &&
               element_at(v, d + 1) > element_at(thrLit, d + 1),
             acc + element_at(powLit, j + 1)).otherwise(acc)
@@ -83,10 +97,12 @@ final class BqModel(val thresholds: Array[Double]) extends Serializable {
 }
 
 object BqModel {
-  /** 32 (not 64): DuckDB's `<<` range-checks `1::BIGINT << 63`, and the
-    * cross-engine codes oracle is the point of the midrange fit. */
-  val BitsPerWord = 32
-  private[bq] val Powers: Array[Long] = Array.tabulate(BitsPerWord)(1L << _)
+  /** Default word width: true 64-bit packing (8 B/vec at 64-d). */
+  val BitsPerWord = 64
+  /** 1L << j for j in [0, width): j = 63 is Long.MinValue — the signed
+    * representation of bit 63, exactly what OR-by-addition needs. */
+  private[bq] def powers(width: Int): Array[Long] =
+    Array.tabulate(width)(1L << _)
 }
 
 final class BqIndex(val model: BqModel, val codes: DataFrame) {
@@ -167,14 +183,16 @@ final class BqIndex(val model: BqModel, val codes: DataFrame) {
   def upsert(updates: DataFrame): BqIndex =
     withDeletes(updates.select("vec_id")).append(updates)
 
-  /** Persist thresholds + the packed codes table (same layout contract
-    * as the SQ/LSH/IVF/PQ persistence: small model table + at-rest
-    * index). */
+  /** Persist thresholds + word width + the packed codes table (same
+    * layout contract as the SQ/LSH/IVF/PQ persistence: small model
+    * table + at-rest index). */
   def save(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     model.thresholds.indices.map(i => (i, model.thresholds(i)))
       .toDF("dim", "thr")
       .write.mode("overwrite").parquet(s"$path/thresholds")
+    Seq(Tuple1(model.bitsPerWord)).toDF("bits_per_word")
+      .write.mode("overwrite").parquet(s"$path/meta")
     codes.write.mode("overwrite").parquet(s"$path/codes")
   }
 }
@@ -184,7 +202,8 @@ object Bq {
   /** Exact per-dimension midrange over the corpus — one explode +
     * min/max pass, `dims` rows collected. Deterministic, order-
     * independent, hence bit-identically recomputable cross-engine. */
-  def fit(df: DataFrame, vecCol: String): BqModel = {
+  def fit(df: DataFrame, vecCol: String,
+          bitsPerWord: Int = BqModel.BitsPerWord): BqModel = {
     val rows = df
       .select(posexplode(col(vecCol).cast(ArrayType(DoubleType))))
       .groupBy("pos")
@@ -196,20 +215,30 @@ object Bq {
     // would silently bias the tail thresholds otherwise
     require(rows.map(_.getLong(3)).distinct.length == 1,
       "embedding dimensions are ragged or contain nulls")
-    new BqModel(rows.map(r => (r.getDouble(1) + r.getDouble(2)) / 2))
+    new BqModel(rows.map(r => (r.getDouble(1) + r.getDouble(2)) / 2),
+      bitsPerWord)
   }
 
-  def train(df: DataFrame, idCol: String, vecCol: String): BqIndex = {
-    val model = fit(df, vecCol)
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            bitsPerWord: Int = BqModel.BitsPerWord): BqIndex = {
+    val model = fit(df, vecCol, bitsPerWord)
     new BqIndex(model, model.transformDf(df, idCol, vecCol))
   }
 
-  /** Reopen a saved index (thresholds + codes). */
+  /** Reopen a saved index (thresholds + word width + codes). Dumps
+    * written before the packed-64 format have no meta table and load
+    * as 32-bit — the width their codes were packed at. */
   def load(spark: SparkSession, path: String): BqIndex = {
     import spark.implicits._
     val thr = spark.read.parquet(s"$path/thresholds")
       .select($"dim", $"thr").as[(Int, Double)]
       .collect().sortBy(_._1).map(_._2)
-    new BqIndex(new BqModel(thr), spark.read.parquet(s"$path/codes"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val bpw =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))) 32
+      else spark.read.parquet(s"$path/meta").head().getAs[Int]("bits_per_word")
+    new BqIndex(new BqModel(thr, bpw), spark.read.parquet(s"$path/codes"))
   }
 }

@@ -437,6 +437,36 @@ object Opq {
     candidates.minBy(_._1)._2
   }
 
+  /** The pay-decision advisor SCALE.md's OPQ verdict prescribes:
+    * measure the per-subspace variance imbalance of the blind d/m
+    * split PQ would use BEFORE paying the OPQ fit (80 s at 784-d vs
+    * PQ's 3.4 s). One corpus/sample scan — per-dim population variance
+    * via posexplode + aggregation (dims result rows), grouped
+    * driver-side into the m contiguous subspaces, returning
+    * max(subspace variance total) / mean(subspace variance totals).
+    *
+    * ≈ 1.0: the blind split already balances variance — OPQ measured
+    * as a wash there (tiled / near-isotropic corpora; SCALE.md's 60k
+    * rows). ≫ 1: variance concentrates in few subspaces — the regime
+    * where the rotation's win lives (the anisotropic spec corpus
+    * measures > 2.5 and OPQ cuts sample error > 10%). */
+  def varianceSpread(df: DataFrame, vecCol: String,
+                     numSubvectors: Int): Double = {
+    val perDim = df
+      .select(posexplode(col(vecCol).cast(ArrayType(DoubleType))))
+      .groupBy("pos")
+      .agg((avg(col("col") * col("col")) - avg("col") * avg("col")).as("v"))
+      .orderBy("pos")
+      .collect().map(_.getDouble(1))
+    val dims = perDim.length
+    require(dims > 0, "varianceSpread over an empty corpus")
+    require(dims % numSubvectors == 0,
+      s"dims $dims must divide into $numSubvectors subvectors")
+    val totals = perDim.grouped(dims / numSubvectors).map(_.sum).toArray
+    val mean = totals.sum / totals.length
+    if (mean <= 0.0) 1.0 else totals.max / mean
+  }
+
   def train(df: DataFrame, idCol: String, vecCol: String,
             config: PqConfig = PqConfig(), opqIters: Int = 8): OpqIndex = {
     val model = fit(df, vecCol, config, opqIters)

@@ -1083,6 +1083,64 @@ object SimilarityQueries extends QueryPack {
         .orderBy("cluster_id")
     }),
 
+    // The clustering consumer CERTIFIED on the scale graph: the same
+    // mutual + distance-ceiling + connected-components chain as
+    // q_mutual_knn_clusters, but consuming the LSH-accelerated k-NN
+    // graph (KnnGraph.fromLsh — the 100 TB path) instead of the exact
+    // all-pairs one, graded at the CLUSTER level against the exact
+    // clusters via co-clustered-pair precision/recall (the
+    // recall-of-the-approximation pattern lifted from edges to
+    // clusters). The LSH graph's mutual-close pairs are dumped with
+    // their distances; DuckDB recomputes every dumped pair's cosine
+    // AND the ceiling check (bad_dist_pairs must hash as 0), re-derives
+    // clusters from the dumped pairs via a recursive CTE, re-derives
+    // the EXACT clusters from raw embeddings, and replays the
+    // agreement aggregates — so a wrong pair distance, a wrong closure,
+    // or a wrong agreement number all hash-mismatch.
+    "q_mutual_knn_clusters_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val g = graft.ann.KnnGraph.withMutual(graphInit(s, dir))
+      val pairs = g.where(col("mutual") && col("src") < col("dst")
+          && col("dist") <= MutualDistMax)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"), col("dist"))
+      val dumped = LshQueries.dumpAndReload(s, pairs,
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/mutual_lsh_pairs")
+      val bad = dumped
+        .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), "doc_a")
+        .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), "doc_b")
+        .agg(sum((round(exprs.cosineDistNative(col("ea"), col("eb")), 6)
+          =!= col("dist") || col("dist") > MutualDistMax).cast("long"))
+          .as("bad_dist_pairs"))
+      val lshC = graft.text.Dedup.connectedComponents(
+        dumped.select("doc_a", "doc_b"))
+      val gx = graft.ann.KnnGraph.withMutual(graphExact(s, dir))
+      val exC = graft.text.Dedup.connectedComponents(
+        gx.where(col("mutual") && col("src") < col("dst")
+            && col("dist") <= MutualDistMax)
+          .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      // co-clustered pairs (the transitive closure as a pair relation) —
+      // cluster-bounded self-joins, then one semi-join for the overlap
+      def co(c: DataFrame) = c
+        .select(col("cluster_id"), col("doc_id").as("a"))
+        .join(c.select(col("cluster_id"), col("doc_id").as("b")), "cluster_id")
+        .where(col("a") < col("b"))
+        .select("a", "b")
+      val coL = graft.text.Dedup.materializeRelease(co(lshC))
+      val coE = graft.text.Dedup.materializeRelease(co(exC))
+      coL.agg(count(lit(1)).as("n_copairs_lsh"))
+        .crossJoin(coE.agg(count(lit(1)).as("n_copairs_exact")))
+        .crossJoin(coL.join(coE, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("hits")))
+        .crossJoin(lshC.agg(countDistinct("cluster_id").as("n_clusters_lsh")))
+        .crossJoin(exC.agg(countDistinct("cluster_id").as("n_clusters_exact")))
+        .crossJoin(bad)
+        .select(col("n_clusters_lsh"), col("n_clusters_exact"),
+          col("n_copairs_lsh"), col("n_copairs_exact"),
+          round(col("hits") / col("n_copairs_lsh"), 4).as("pair_precision"),
+          round(col("hits") / col("n_copairs_exact"), 4).as("pair_recall"),
+          col("bad_dist_pairs"))
+    }),
+
     // Online insert under CORRECTNESS: the last 20 vec_ids play an
     // arriving batch against a graph built on the rest. The base graph
     // (LSH + NN-Descent + backbone) is dumped; DuckDB replays every
@@ -1254,10 +1312,13 @@ object SimilarityQueries extends QueryPack {
     * coarsely, so trust it for a corpus FRACTION, not a fixed count. */
   val BqRerankDepth = 250
 
-  /** DuckDB re-derivation of the BQ model + packed codes (32 bits/word,
-    * midrange thresholds) — shared CTE prefix of all four BQ oracles.
-    * 1-based list indexing; `(1::BIGINT << j)` stays in DuckDB's checked
-    * shift range because words are 32-bit. */
+  /** DuckDB re-derivation of the BQ model + packed codes (64 bits/word
+    * — the true-packing at-rest default, midrange thresholds) — shared
+    * CTE prefix of all four BQ oracles. 1-based list indexing. Bit 63
+    * can't go through DuckDB's checked `1::BIGINT << 63`; its signed
+    * power is written literally (−2^63), and list_sum's HUGEINT
+    * accumulation makes the OR-by-addition exact before the final
+    * BIGINT cast — mirroring the Spark encode's Long.MinValue power. */
   private val bqCodesSql =
     """dim AS (
       |  SELECT unnest(embedding::DOUBLE[]) AS x,
@@ -1268,11 +1329,14 @@ object SimilarityQueries extends QueryPack {
       |thrl AS (SELECT list(thr ORDER BY i) AS thr FROM mm),
       |bq AS (
       |  SELECT vec_id, embedding,
-      |    list_transform(range((len(embedding) + 31) // 32), w ->
-      |      list_sum(list_transform(range(32), j ->
-      |        CASE WHEN w*32 + j < len(embedding)
-      |              AND embedding[w*32 + j + 1]::DOUBLE > thr[w*32 + j + 1]
-      |             THEN (1::BIGINT << j) ELSE 0 END))::BIGINT) AS codes
+      |    list_transform(range((len(embedding) + 63) // 64), w ->
+      |      list_sum(list_transform(range(64), j ->
+      |        CASE WHEN w*64 + j < len(embedding)
+      |              AND embedding[w*64 + j + 1]::DOUBLE > thr[w*64 + j + 1]
+      |             THEN CASE WHEN j = 63
+      |                       THEN (-9223372036854775807 - 1)::BIGINT
+      |                       ELSE (1::BIGINT << j) END
+      |             ELSE 0 END))::BIGINT) AS codes
       |  FROM embeddings, thrl
       |)""".stripMargin
 
@@ -1986,6 +2050,83 @@ object SimilarityQueries extends QueryPack {
          |SELECT cluster_id, count(*) AS n_docs,
          |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
          |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // Scale-graph clustering certification: DuckDB re-checks every
+    // dumped LSH mutual-close pair's cosine + ceiling, re-derives the
+    // LSH clusters from the dump and the EXACT clusters from raw
+    // embeddings (two recursive closures), and replays the
+    // co-clustered-pair agreement aggregates.
+    "q_mutual_knn_clusters_lsh" ->
+      s"""WITH RECURSIVE sc AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${beamCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS dist
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |),
+         |g AS (
+         |  SELECT src, dst, dist FROM (
+         |    SELECT src, dst, dist,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= $KnnK
+         |),
+         |epairs AS (
+         |  SELECT g.src AS doc_a, g.dst AS doc_b
+         |  FROM g JOIN g r ON r.src = g.dst AND r.dst = g.src
+         |  WHERE g.src < g.dst AND g.dist <= $MutualDistMax
+         |),
+         |enodes AS (SELECT doc_a AS d FROM epairs UNION SELECT doc_b FROM epairs),
+         |eedges AS (SELECT doc_a AS a, doc_b AS b FROM epairs
+         |           UNION SELECT doc_b, doc_a FROM epairs),
+         |ereach(a, b) AS (
+         |  SELECT d, d FROM enodes
+         |  UNION
+         |  SELECT r.a, e.b FROM ereach r JOIN eedges e ON r.b = e.a
+         |),
+         |ecomp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM ereach GROUP BY a),
+         |dp AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/mutual_lsh_pairs/*.parquet')
+         |),
+         |bad AS (
+         |  SELECT coalesce(sum(CASE WHEN
+         |      abs(${beamCos("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")} - dp.dist) > 1e-9
+         |      OR dp.dist > $MutualDistMax THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS bad_dist_pairs
+         |  FROM dp
+         |  JOIN embeddings ea ON ea.vec_id = dp.doc_a
+         |  JOIN embeddings eb ON eb.vec_id = dp.doc_b
+         |),
+         |lnodes AS (SELECT doc_a AS d FROM dp UNION SELECT doc_b FROM dp),
+         |ledges AS (SELECT doc_a AS a, doc_b AS b FROM dp
+         |           UNION SELECT doc_b, doc_a FROM dp),
+         |lreach(a, b) AS (
+         |  SELECT d, d FROM lnodes
+         |  UNION
+         |  SELECT r.a, e.b FROM lreach r JOIN ledges e ON r.b = e.a
+         |),
+         |lcomp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM lreach GROUP BY a),
+         |coe AS (
+         |  SELECT e1.doc_id AS a, e2.doc_id AS b
+         |  FROM ecomp e1 JOIN ecomp e2
+         |    ON e2.cluster_id = e1.cluster_id AND e1.doc_id < e2.doc_id
+         |),
+         |colsh AS (
+         |  SELECT l1.doc_id AS a, l2.doc_id AS b
+         |  FROM lcomp l1 JOIN lcomp l2
+         |    ON l2.cluster_id = l1.cluster_id AND l1.doc_id < l2.doc_id
+         |),
+         |agg AS (
+         |  SELECT (SELECT count(*) FROM colsh) AS n_copairs_lsh,
+         |         (SELECT count(*) FROM coe) AS n_copairs_exact,
+         |         (SELECT count(*) FROM colsh JOIN coe USING (a, b)) AS hits,
+         |         (SELECT count(DISTINCT cluster_id) FROM lcomp) AS n_clusters_lsh,
+         |         (SELECT count(DISTINCT cluster_id) FROM ecomp) AS n_clusters_exact
+         |)
+         |SELECT n_clusters_lsh, n_clusters_exact, n_copairs_lsh,
+         |       n_copairs_exact,
+         |       round(hits / n_copairs_lsh, 4) AS pair_precision,
+         |       round(hits / n_copairs_exact, 4) AS pair_recall,
+         |       bad.bad_dist_pairs
+         |FROM agg, bad""".stripMargin,
 
     // Online insert: full replay of every arriving vector's walk plus
     // the out-edge cut and capped reverse links (see insertWalkSql).

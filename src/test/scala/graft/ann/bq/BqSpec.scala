@@ -22,7 +22,8 @@ class BqSpec extends AnyFunSuite with SparkSpecBase {
       .as[Seq[Double]].collect()
     val dims = vecs.head.length
     assert(model.dims === dims)
-    assert(model.nWords === (dims + 31) / 32)
+    assert(model.nWords === (dims + 63) / 64)
+    assert(model.bitsPerWord === 64)
     (0 until dims).foreach { i =>
       val mn = vecs.map(_(i)).min
       val mx = vecs.map(_(i)).max
@@ -43,15 +44,53 @@ class BqSpec extends AnyFunSuite with SparkSpecBase {
     val c = Array.fill(dims)(-0.5f)
     val df = Seq((1L, a.toSeq), (2L, b.toSeq), (3L, c.toSeq))
       .toDF("vec_id", "embedding")
+    // 64-bit packing (the default): 34 dims fit one word
     val idx = Bq.train(df, "vec_id", "embedding")
     assert(idx.model.thresholds.forall(_ === 0.0))
     val codes = idx.codes.orderBy("vec_id").as[(Long, Seq[Long])].collect()
-    // even bits of a 32-bit word: 0x55555555; odd bits: 0xAAAAAAAA
+    val even34 = 0x55555555L | (1L << 32)   // even bits 0..33
+    val odd34 = 0xAAAAAAAAL | (1L << 33)    // odd bits 0..33
+    assert(codes(0)._2 === Seq(even34))
+    assert(codes(1)._2 === Seq(odd34))
+    assert(codes(2)._2 === Seq(0L))
+    // 32-bit parity mode: two words, second uses 2 bits
+    val idx32 = Bq.train(df, "vec_id", "embedding", bitsPerWord = 32)
+    val codes32 = idx32.codes.orderBy("vec_id").as[(Long, Seq[Long])].collect()
     val even32 = 0x55555555L
     val odd32 = 0xAAAAAAAAL
-    assert(codes(0)._2 === Seq(even32, (even32 & 0x3L)))  // dims 32,33 -> bits 0,1
-    assert(codes(1)._2 === Seq(odd32, (odd32 & 0x3L)))
-    assert(codes(2)._2 === Seq(0L, 0L))
+    assert(codes32(0)._2 === Seq(even32, (even32 & 0x3L)))  // dims 32,33 -> bits 0,1
+    assert(codes32(1)._2 === Seq(odd32, (odd32 & 0x3L)))
+    assert(codes32(2)._2 === Seq(0L, 0L))
+  }
+
+  test("bit 63 packs through the signed power (negative word, OR-by-addition exact)") {
+    // 64 dims, all above threshold -> the single word is -1 (all 64
+    // bits set, bit 63 via Long.MinValue)
+    val dims = 64
+    val hi = Array.fill(dims)(1.0f)
+    val lo = Array.fill(dims)(-1.0f)
+    val df = Seq((1L, hi.toSeq), (2L, lo.toSeq)).toDF("vec_id", "embedding")
+    val idx = Bq.train(df, "vec_id", "embedding")
+    val codes = idx.codes.orderBy("vec_id").as[(Long, Seq[Long])].collect()
+    assert(codes(0)._2 === Seq(-1L), s"all-bits word: ${codes(0)._2}")
+    assert(codes(1)._2 === Seq(0L))
+    // Hamming across the sign bit counts all 64
+    val q = df.where($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val h = idx.searchHamming(q, 2).orderBy("hamming")
+      .as[(Long, Long, Long)].collect()
+    assert(h.map(_._3).toSeq === Seq(0L, 64L))
+  }
+
+  test("32-bit and 64-bit packing serve identical Hamming rows") {
+    val q = emb.orderBy("vec_id").limit(10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val r64 = Bq.train(emb, "vec_id", "embedding").searchHamming(q, 5)
+      .orderBy("query_id", "hamming", "vec_id").collect()
+    val r32 = Bq.train(emb, "vec_id", "embedding", bitsPerWord = 32)
+      .searchHamming(q, 5)
+      .orderBy("query_id", "hamming", "vec_id").collect()
+    assert(r64 === r32, "packing width changed search results")
   }
 
   test("encode equals an independent JVM re-encode over the real corpus") {
@@ -62,9 +101,10 @@ class BqSpec extends AnyFunSuite with SparkSpecBase {
       .as[(Long, Seq[Double])].collect()
     assert(got.size === orig.length)
     orig.foreach { case (id, v) =>
-      val expect = Array.fill((m.dims + 31) / 32)(0L)
+      val expect = Array.fill(m.nWords)(0L)
       v.indices.foreach { i =>
-        if (v(i) > m.thresholds(i)) expect(i / 32) |= (1L << (i % 32))
+        if (v(i) > m.thresholds(i))
+          expect(i / m.bitsPerWord) |= (1L << (i % m.bitsPerWord))
       }
       assert(got(id) === expect.toSeq, s"codes mismatch for vec $id")
     }
@@ -151,10 +191,29 @@ class BqSpec extends AnyFunSuite with SparkSpecBase {
     idx.save(spark, dir)
     val re = Bq.load(spark, dir)
     assert(re.model.thresholds.toSeq === idx.model.thresholds.toSeq)
+    assert(re.model.bitsPerWord === 64)
     val q = emb.orderBy("vec_id").limit(5)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
     val a = idx.searchHamming(q, 5).orderBy("query_id", "hamming", "vec_id").collect()
     val b = re.searchHamming(q, 5).orderBy("query_id", "hamming", "vec_id").collect()
+    assert(a === b)
+  }
+
+  test("meta-less dumps (pre-packed-64 format) load as 32-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("bq_legacy").toString
+    val idx32 = Bq.train(emb, "vec_id", "embedding", bitsPerWord = 32)
+    idx32.save(spark, dir)
+    // simulate an old dump: no meta table
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$dir/meta")).deleteRecursively()
+    val re = Bq.load(spark, dir)
+    assert(re.model.bitsPerWord === 32)
+    val q = emb.orderBy("vec_id").limit(5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val a = idx32.searchHamming(q, 5)
+      .orderBy("query_id", "hamming", "vec_id").collect()
+    val b = re.searchHamming(q, 5)
+      .orderBy("query_id", "hamming", "vec_id").collect()
     assert(a === b)
   }
 

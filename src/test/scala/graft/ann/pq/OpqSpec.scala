@@ -75,6 +75,26 @@ class OpqSpec extends AnyFunSuite with SparkSpecBase {
     assert(opqErr < 0.9 * pqErr, s"opq $opqErr vs pq $pqErr")
   }
 
+  test("varianceSpread separates the pay-OPQ regime from the wash regime") {
+    // the anisotropic spec corpus (where OPQ cuts error > 10%): dims
+    // 0-3 carry scales 8..5, the tail is near-zero — at m=4 the first
+    // subspace hoards the variance
+    val rnd = new scala.util.Random(7)
+    val scales = Array(8.0, 7.0, 6.0, 5.0, 0.1, 0.1, 0.1, 0.1)
+    val aniso = (0L until 400L)
+      .map(i => (i, scales.map(s => s * rnd.nextGaussian()).toSeq))
+      .toDF("vec_id", "embedding")
+    val hot = Opq.varianceSpread(aniso, "embedding", 4)
+    assert(hot > 2.0, s"anisotropic spread $hot should flag OPQ as paying")
+    // the near-isotropic testdata corpus (where OPQ measured a wash at
+    // 60k): the blind split already balances variance
+    val flat = Opq.varianceSpread(emb, "embedding", 16)
+    assert(flat < 1.5, s"near-isotropic spread $flat should read as a wash")
+    assert(hot > flat)
+    assertThrows[IllegalArgumentException](
+      Opq.varianceSpread(emb, "embedding", 7)) // 64 % 7 != 0
+  }
+
   test("polarJacobi matches LAPACK's polar factor on a well-conditioned matrix") {
     val rnd = new scala.util.Random(11)
     val d = 12
