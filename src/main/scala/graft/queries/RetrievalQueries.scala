@@ -177,17 +177,21 @@ object RetrievalQueries extends QueryPack {
         col("col.vec_id").as("doc_id"), (-col("col.dist")).as(out))
 
   /** The hybrid queries' lexical arm: BM25 over each query doc's own
-    * distinct terms, self excluded, cut to the top-FuseDepth ranks.
-    * Memoized + checkpointed: three queries consume it (exact hybrid,
-    * indexed hybrid, agreement) and the BM25 DAG is the expensive
-    * part. */
+    * distinct terms, self excluded, cut to the top-FuseDepth ranks —
+    * served from the STORED postings table like the keyword queries
+    * (tscore per (doc, term) is query-independent, so rows are
+    * identical to the inline pipeline). Memoized + checkpointed: four
+    * queries consume it. */
   private[queries] def hybridLex(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "hybrid_lex_ranks") {
       val d = docs(s, dir)
       val qterms = d.where(col("doc_id") < NumHybridQueries)
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(col("toks"))).as("term"))
-      val lexAll = bm25(d, qterms)
+      val lexAll = postings(s, dir).bm25
+        .join(broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum(col("tscore")), 6).as("score"))
         .where(col("doc_id") =!= col("query_id"))
       topDesc(lexAll, "score", FuseDepth, "score")
         .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
