@@ -245,6 +245,20 @@ object SimilarityQueries extends QueryPack {
         .localCheckpoint()
     }
 
+  /** Shared exact mutual-kNN clusters (mutual + ceiling + CC over the
+    * exact graph) — consumed by `q_mutual_knn_clusters` (as the
+    * answer) and `q_mutual_knn_clusters_lsh` (as the grading target);
+    * the CC rounds are the expensive half of both. */
+  private def mutualExactClusters(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "mutual_exact_clusters") {
+      val gx = graft.ann.KnnGraph.withMutual(graphExact(s, dir))
+      graft.text.Dedup.connectedComponents(
+          gx.where(col("mutual") && col("src") < col("dst")
+              && col("dist") <= MutualDistMax)
+            .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+        .localCheckpoint()
+    }
+
   /** Shared cross-set similarity-join pairs (even-id set indexed, odd-id
     * set probing) — consumed by `q_lsh_sim_join` (per-pair distance
     * gate) and `q_lsh_sim_join_recall` (completeness grade), each with
@@ -457,11 +471,20 @@ object SimilarityQueries extends QueryPack {
       import s.implicits._
       val entries = q.select(col("query_id"))
         .crossJoin((0L until BeamEntries).toDF("node"))
-      val preds = GraphBeamArms.map { b =>
-        graft.ann.GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
-            entries, K, b, BeamHops)
-          .withColumn("arm", lit(b))
-      }.reduce(_ unionByName _)
+      // the three arm walks are independent bounded-job chains whose
+      // per-hop stages leave most cores idle — run them concurrently
+      // (beamFrom materializes eagerly, so each Future IS the walk);
+      // results are arm-independent, so scheduling cannot change a row
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val armFrames = Await.result(
+        Future.sequence(GraphBeamArms.map { b => Future {
+          graft.ann.GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
+              entries, K, b, BeamHops)
+            .withColumn("arm", lit(b))
+        }}),
+        scala.concurrent.duration.Duration.Inf)
+      val preds = armFrames.reduce(_ unionByName _)
       val reloaded = LshQueries.dumpAndReload(s,
         preds.select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/autotune_beam_arms")
@@ -1070,11 +1093,7 @@ object SimilarityQueries extends QueryPack {
     // the graph, the mutual-and-close subset AND the transitive
     // closure (recursive CTE), so the whole chain is cross-engine.
     "q_mutual_knn_clusters" -> ((s, dir) => {
-      val g = graft.ann.KnnGraph.withMutual(graphExact(s, dir))
-      val pairs = g.where(col("mutual") && col("src") < col("dst")
-          && col("dist") <= MutualDistMax)
-        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
-      graft.text.Dedup.connectedComponents(pairs)
+      mutualExactClusters(s, dir)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_docs"),
           concat_ws(",",
@@ -1113,11 +1132,7 @@ object SimilarityQueries extends QueryPack {
           .as("bad_dist_pairs"))
       val lshC = graft.text.Dedup.connectedComponents(
         dumped.select("doc_a", "doc_b"))
-      val gx = graft.ann.KnnGraph.withMutual(graphExact(s, dir))
-      val exC = graft.text.Dedup.connectedComponents(
-        gx.where(col("mutual") && col("src") < col("dst")
-            && col("dist") <= MutualDistMax)
-          .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      val exC = mutualExactClusters(s, dir)
       // co-clustered pairs (the transitive closure as a pair relation) —
       // cluster-bounded self-joins, then one semi-join for the overlap
       def co(c: DataFrame) = c
