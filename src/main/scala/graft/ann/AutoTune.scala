@@ -235,22 +235,33 @@ object AutoTune {
     * caller writes one parquet table instead of |arms| round-trips and
     * grades the reloaded frame with [[gradeArms]]. Row-identical per
     * arm to [[sweepIvfNProbeShared]]'s searches (same scored scan, same
-    * rank cut, same TopK). */
+    * rank cut, same TopK), with the SAME footprint guard: past
+    * `maxSharedRows` ([[sharedSweepFits]]) the arms run as independent
+    * searches instead of persisting a corpus-sized scored scan. */
   def ivfNProbeSharedPreds(idx: IvfIndex, queries: DataFrame, k: Int,
                            arms: Seq[Int],
-                           metric: ExactNN.Metric = ExactNN.L2): DataFrame = {
+                           metric: ExactNN.Metric = ExactNN.L2,
+                           maxSharedRows: Long = 50000000L): DataFrame = {
     require(arms.nonEmpty, "ivfNProbeSharedPreds: empty arm list")
     require(arms == arms.sorted && arms.distinct == arms,
       s"ivfNProbeSharedPreds: arms must be strictly ascending (got $arms)")
-    val scored = sharedScoredScan(idx, queries, arms.max, metric)
-    try {
-      val preds = arms.map { p =>
-        sharedArmTopK(scored, p, k).withColumn("arm", lit(p))
-      }.reduce(_ unionByName _)
-      // materialize before releasing the shared scan the arms read
+    def combined(armPred: Int => DataFrame): DataFrame =
       graft.text.Dedup.materializeRelease(
-        preds.select(col("arm"), col("query_id"), col("vec_id"), col("dist")))
-    } finally scored.unpersist(false)
+        arms.map(p => armPred(p).withColumn("arm", lit(p)))
+          .reduce(_ unionByName _)
+          .select(col("arm"), col("query_id"), col("vec_id"), col("dist")))
+    if (!sharedSweepFits(queries.count(), idx.vectors.count(), arms.max,
+        idx.model.config.nCells, maxSharedRows)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ivfNProbeSharedPreds: estimated scored-scan footprint exceeds " +
+          s"maxSharedRows=$maxSharedRows for arms=$arms — running the " +
+          "arms as independent searches (row-identical).")
+      return combined(p => idx.withNProbe(p).searchAll(queries, k, metric))
+    }
+    val scored = sharedScoredScan(idx, queries, arms.max, metric)
+    // materializeRelease inside `combined` runs before the unpersist
+    try combined(p => sharedArmTopK(scored, p, k))
+    finally scored.unpersist(false)
   }
 
   /** IVF-PQ sweep over `rerankDepth` — the compressed families' recall

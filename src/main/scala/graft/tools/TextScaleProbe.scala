@@ -216,6 +216,35 @@ object TextScaleProbe {
         val (n1, t1) = sparseRun(1.0)
         println(f"[text-scale]   sparse: unpruned $t0%.1fs ($n0 rows), " +
           f"minWeight=1.0 $t1%.1fs ($n1 rows)")
+        // Stored-index serving (round 12): build the PostingsStore once,
+        // then serve the same query-by-example batch from the persisted
+        // table — the rebuild-per-call vs probe-the-index split the
+        // serving swap exists for. Serve is measured twice (cold file
+        // read, then page-cached) to separate I/O from plan cost.
+        val pPath = java.nio.file.Files
+          .createTempDirectory("text_scale_postings").toString + "/idx"
+        val (_, tBuild) = time {
+          graft.retrieval.PostingsStore.build(spark, pPath, d); 0L
+        }
+        val store = new graft.retrieval.PostingsStore(spark, pPath, 1000)
+        def serveRun(): (Long, Double) = time {
+          val w = store.sparse
+          val qw = w.where(col("doc_id") < 10)
+            .select(col("doc_id").as("query_id"), col("term"),
+              col("w").as("qw"))
+          val scored = w.join(broadcast(qw), "term")
+            .where(col("doc_id") =!= col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(round(sum(col("qw") * col("w")), 6).as("score"))
+          scored.groupBy("query_id")
+            .agg(graft.ann.TopK.topK(10)(col("doc_id"), -col("score")).as("nn"))
+            .select(col("query_id"), explode(col("nn")))
+            .count()
+        }
+        val (ns1, ts1) = serveRun()
+        val (ns2, ts2) = serveRun()
+        println(f"[text-scale]   postings store: build $tBuild%.1fs, " +
+          f"serve $ts1%.1fs cold / $ts2%.1fs warm ($ns1/$ns2 rows)")
       }
       spark.sharedState.cacheManager.clearCache()
     }

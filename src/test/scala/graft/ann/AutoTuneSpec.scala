@@ -239,6 +239,15 @@ class AutoTuneSpec extends AnyFunSuite with SparkSpecBase {
     val swept = armRows(AutoTune.sweepIvfNProbeShared(idx, q, 5,
       Seq(1, 4, 8), 0.95))
     assert(graded.toSeq === swept.toSeq)
+    // and the combined form honors the same footprint guard,
+    // row-identically (independent searches instead of the shared scan)
+    val guarded = AutoTune.ivfNProbeSharedPreds(idx, q, 5, Seq(1, 4, 8),
+      maxSharedRows = 1L)
+    val a = combined.orderBy("arm", "query_id", "dist", "vec_id")
+      .collect().map(_.toString).toSeq
+    val b = guarded.orderBy("arm", "query_id", "dist", "vec_id")
+      .collect().map(_.toString).toSeq
+    assert(a === b, "guarded combined preds differ from the shared scan's")
   }
 
   test("graph beam sweep: wider beams never lose recall here, chosen meets target") {
