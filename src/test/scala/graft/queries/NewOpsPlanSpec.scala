@@ -38,6 +38,29 @@ class NewOpsPlanSpec extends AnyFunSuite with SparkSpecBase {
       s"query-weight broadcast hint missing:\n$p")
   }
 
+  test("q_bm25_topk serves from the stored postings: no tokenize/explode in the plan") {
+    val p = plan(RetrievalQueries.queries, "q_bm25_topk")
+    // round 12: the per-(doc, term) scores come from the persisted
+    // postings table — the corpus tokenize→tf→df pipeline must be
+    // ABSENT from the serving plan (it ran once at build). The only
+    // Generate is topDesc's own posexplode over the bounded TopK
+    // buffer; exploding the documents' token arrays would show as
+    // explode(toks…)/the tokenizer's split.
+    assert(!p.contains("explode(toks"), s"inline tokenize leaked back:\n$p")
+    assert(!p.contains("split"), s"inline tokenize leaked back:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("tscore"), s"stored score column missing:\n$p")
+  }
+
+  test("q_autotune_graph_beam grade: aggregates only, no window, no corpus join") {
+    val p = plan(SimilarityQueries.queries, "q_autotune_graph_beam")
+    assert(!p.contains("Window"), s"window leaked into the grade:\n$p")
+    // the grade joins the (bounded) dump against the memoized GT —
+    // the embeddings table itself must not appear in the final frame
+    assert(!p.contains("embeddings.parquet"),
+      s"grade re-reads the corpus:\n$p")
+  }
+
   test("q_diverse_sample: no window; centroids broadcast; bounded TopK cut") {
     val p = plan(SimilarityQueries.queries, "q_diverse_sample")
     assert(!p.contains("Window"), s"per-cell window leaked into the cut:\n$p")

@@ -67,6 +67,21 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(got === Set("vector"), s"postings for the OOV doc: $got")
   }
 
+  test("serving-view plan: base parquet scan + broadcast anti-joined tombstones") {
+    val d = docsOf(sf("sf0.001") + "/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("postings_plan").toString + "/idx"
+    val store = PostingsStore.build(spark, path, d)
+    store.onBatch(None, Some(Seq(1L).toDF("doc_id")))
+    val p = store.sparse.queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftAnti"), s"tombstone anti-join missing:\n$p")
+    assert(p.contains("ResolvedHint") || p.contains("broadcast"),
+      s"tombstone broadcast hint missing:\n$p")
+    // serving never re-derives weights: no tokenize, no df aggregation
+    assert(!p.contains("explode") && !p.contains("string_split"),
+      s"serving view recomputes the pipeline:\n$p")
+  }
+
   test("deletes, same-batch upsert, and compaction keep the serving view exact") {
     val d = docsOf(sf("sf0.001") + "/documents.parquet")
     val path = java.nio.file.Files
