@@ -57,7 +57,7 @@ final class CodesMaintainer(
   override protected def lsmSpark: SparkSession = spark
   override protected def lsmPath: String = path
   override protected def lsmLogDirs: Seq[String] =
-    Seq("codes_delta", "tombstones")
+    Seq("codes_delta", "tombstones", "batch_commits")
 
   private def base: DataFrame = spark.read.parquet(s"$path/codes")
 
@@ -79,7 +79,8 @@ final class CodesMaintainer(
   def compactionDue: Boolean = (batches + 1) % compactEvery == 0
 
   private def tombstones: DataFrame =
-    staleFilter(readOr("tombstones", emptySeqIds)).select("vec_id", "seq")
+    committedFilter(staleFilter(readOr("tombstones", emptySeqIds)))
+      .select("vec_id", "seq")
 
   /** Write `df` to `$path/$sub`, repartitioned on the family layout so
     * a partitioned write emits one file per partition dir per write
@@ -98,8 +99,8 @@ final class CodesMaintainer(
     * the family's index constructor. */
   def liveCodes: DataFrame = {
     val all = base.withColumn("seq", lit(0))
-      .unionByName(staleFilter(readOr("codes_delta",
-        base.limit(0).withColumn("seq", lit(0)))))
+      .unionByName(committedFilter(staleFilter(readOr("codes_delta",
+        base.limit(0).withColumn("seq", lit(0))))))
     val t = broadcast(tombstones)
     all.join(t, all("vec_id") === t("vec_id") && t("seq") > all("seq"),
         "left_anti")
@@ -123,6 +124,9 @@ final class CodesMaintainer(
       d.select(col("vec_id"), lit(seq).as("seq"))
         .write.mode("append").parquet(s"$path/tombstones")
     }
+    // the batch becomes visible ATOMICALLY here: a crash above leaves
+    // a partial batch that committedFilter ignores (LsmStore doc)
+    markBatchCommitted(seq)
     if (occupancyWatermark > 0)
       arrivals.foreach(a => atRestRows += a.count())
     // Distribution watermark (the cause the occupancy warning can only

@@ -42,12 +42,14 @@ import org.apache.spark.sql.functions._
   * batch = upsert, later batch = re-add), closing the "old delete
   * beats new insert" inversion a bare id-set log has — where a
   * re-inserted id stayed excluded from serving and the next refine
-  * silently dropped it. [[refineNow]] is this store's compaction: it
-  * applies the ACTIVE tombstones physically (FreshDiskANN bridge-edge
-  * consolidation), stamps the fence, and drops both logs — a crash
-  * between the store rewrite and the fence leaves stale log rows that
-  * exclude already-absent ids (and arrivals that neutralize nothing),
-  * harmless either way.
+  * silently dropped it. [[refineNow]] is this store's compaction, and
+  * it commits CRASH-SAFELY like the dir-based maintainers: the refined
+  * graph lands in a TEMP catalog table first, a path-based swap marker
+  * records the commit, and only then do the destructive steps run
+  * (drop-and-rename the table, stamp the fence, drop the logs, drop
+  * the marker) — construction detects the marker and finishes a
+  * mid-commit crash, so every crash point either leaves the old store
+  * + logs fully intact or self-heals on reopen.
   */
 final class GraphMaintainer(
     spark: SparkSession,
@@ -74,12 +76,53 @@ final class GraphMaintainer(
   override protected def lsmSpark: SparkSession = spark
   override protected def lsmPath: String = path
   override protected def lsmLogDirs: Seq[String] =
-    Seq("tombstones", "arrivals")
+    Seq("tombstones", "arrivals", "batch_commits")
 
   /** The LSM sequence is PERSISTENT state (recovered from the logs and
     * the refine fence) — a reconstructed maintainer continues both the
-    * refine CADENCE and the delete/re-insert ORDERING. */
-  private var batches = recoverSeq()
+    * refine CADENCE and the delete/re-insert ORDERING. A refine that
+    * crashed mid-commit is finished FIRST ([[recoverSwap]]). */
+  private var batches = { recoverSwap(); recoverSeq() }
+
+  // ---- crash-safe refine commit (the catalog-table twin of
+  //      LsmStore.commitCompaction's dir protocol) ----
+
+  private def swapMarkerPath =
+    new org.apache.hadoop.fs.Path(s"$path/_graph_swap")
+  private def tmpTable = s"${name}_swap_edges"
+  private def finalTable = s"${name}_edges"
+
+  /** The destructive half of the refine commit — idempotent: the
+    * rename is skipped when the temp table is gone (it already
+    * happened), the fence is monotone, the log/marker deletes are
+    * no-ops when done. Runs live and on recovery. */
+  private def finishSwap(seq: Int): Unit = {
+    if (spark.catalog.tableExists(tmpTable)) {
+      spark.sql(s"DROP TABLE IF EXISTS $finalTable")
+      spark.sql(s"ALTER TABLE $tmpTable RENAME TO $finalTable")
+    }
+    if (readFence() < seq) writeFence(seq)
+    lsmLogDirs.foreach(sub =>
+      lsmFs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true))
+    lsmFs.delete(swapMarkerPath, false)
+  }
+
+  /** Detect and finish a refine that crashed mid-commit. No marker →
+    * nothing was mid-commit (an orphan temp table from a pre-marker
+    * crash is inert; the next refine drops it before writing). */
+  private def recoverSwap(): Unit = {
+    if (!lsmFs.exists(swapMarkerPath)) return
+    val in = lsmFs.open(swapMarkerPath)
+    val seq = try {
+      val buf = new Array[Byte](64)
+      val n = in.read(buf)
+      if (n <= 0) 0 else new String(buf, 0, n, "UTF-8").trim.toInt
+    } finally in.close()
+    log.warn(s"stored graph '$name': found a refine swap marker " +
+      s"(seq $seq) — a previous process crashed mid-commit; finishing " +
+      "the commit (swap refined table into place, fence, drop logs).")
+    finishSwap(seq)
+  }
 
   /** Insert batches applied over the store's lifetime (refines don't
     * reset — the cadence is "every Nth batch"). */
@@ -98,9 +141,9 @@ final class GraphMaintainer(
     * of the same id lands at an equal-or-later seq (re-insertion
     * revives the id; same-batch delete+insert is an upsert). */
   def tombstones: DataFrame = {
-    val t = staleFilter(readOr("tombstones", emptySeqIds))
+    val t = committedFilter(staleFilter(readOr("tombstones", emptySeqIds)))
       .select(col("vec_id"), col("seq").as("tseq"))
-    val a = staleFilter(readOr("arrivals", emptySeqIds))
+    val a = committedFilter(staleFilter(readOr("arrivals", emptySeqIds)))
       .select(col("vec_id").as("aid"), col("seq").as("aseq"))
     t.join(broadcast(a), t("vec_id") === a("aid") && a("aseq") >= t("tseq"),
         "left_anti")
@@ -130,6 +173,12 @@ final class GraphMaintainer(
     // same-batch delete+insert of one id is an upsert (arrival wins)
     newVectors.select(col(idCol).as("vec_id"), lit(seq).as("seq"))
       .write.mode("append").parquet(s"$path/arrivals")
+    // atomic log visibility BEFORE the walk: a crash between the two
+    // log writes leaves a partial batch (a delete without its upsert
+    // arrival) invisible; a crash during the walk/edge append leaves
+    // the logs committed and the edge delta partial — the refine
+    // repairs edges, the logs must not lie
+    markBatchCommitted(seq)
     val stored = GraphSearch.loadBucketed(spark, name)
     val pending = tombstones
     val excl = if (pending.isEmpty) None else Some(pending)
@@ -266,12 +315,22 @@ final class GraphMaintainer(
       if (insurance.isEmpty) refined
       else insurance.foldLeft(refined.select(col("src"), col("dst")))(
         _.unionByName(_)).dropDuplicates("src", "dst")
-    GraphSearch.saveBucketed(withBackbone, name, nBuckets)
-    // the store rewrite IS this maintainer's compaction: fence, then
-    // drop the logs (surviving rows after a crash are fenced off)
-    writeFence(batches)
-    lsmLogDirs.foreach(sub =>
-      lsmFs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true))
+    // Crash-safe commit (class doc): refined graph into the TEMP
+    // table, marker published atomically AFTER it is complete, then
+    // the idempotent destructive half — a crash at any point either
+    // leaves the old table + logs intact (pre-marker) or is finished
+    // by the next construction's recoverSwap.
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    GraphSearch.saveBucketed(withBackbone, s"${name}_swap", nBuckets)
+    val tmpMarker = new org.apache.hadoop.fs.Path(s"$path/_graph_swap.tmp")
+    val out = lsmFs.create(tmpMarker, true)
+    try out.write(batches.toString.getBytes("UTF-8")) finally out.close()
+    lsmFs.delete(swapMarkerPath, false)
+    require(lsmFs.rename(tmpMarker, swapMarkerPath),
+      s"stored graph '$name': failed to publish the refine swap marker " +
+        "— aborting before any destructive step (old table and logs " +
+        "untouched)")
+    finishSwap(batches)
     // maxStoredDegree is a full edge-table aggregate — only pay for it
     // when the log line is actually emitted
     if (log.isInfoEnabled) log.info(

@@ -102,6 +102,39 @@ private[graft] trait LsmStore {
     else df.where(col("seq") === 0 || col("seq") > fence)
   }
 
+  // ---- atomic multi-log batches ----
+
+  /** Append the batch-commit record for `seq` — the LAST write of a
+    * maintainer's onBatch, after every per-log append of the batch.
+    * Log rows of a seq with no commit record are IGNORED by
+    * [[committedFilter]], so a crash between a batch's log writes
+    * leaves a PARTIAL batch invisible instead of diverging the store
+    * (e.g. one postings table written and not the other, or a delete
+    * logged without its same-batch upsert arrival). Recovery needs no
+    * step: [[recoverSeq]] reads the max seq over ALL log rows
+    * (committed or not), so a retried batch lands at a FRESH seq and
+    * the orphan rows stay invisible until compaction drops the logs. */
+  protected final def markBatchCommitted(seq: Int): Unit =
+    lsmSpark.range(1).select(lit(seq).as("seq"))
+      .write.mode("append").parquet(s"$lsmPath/batch_commits")
+
+  /** Drop log rows whose batch never committed (base rows — seq 0 —
+    * always pass; rows at or below the fence were folded by a
+    * compaction that itself committed). Pass-through when no commit
+    * log exists yet: a store written before the commit-record format
+    * has committed-by-construction rows (such a store should
+    * compactNow() once before resuming batches under this format). */
+  protected final def committedFilter(df: DataFrame): DataFrame = {
+    if (!lsmFs.exists(new Path(s"$lsmPath/batch_commits"))) return df
+    val commits = lsmSpark.read.parquet(s"$lsmPath/batch_commits")
+      .select(col("seq").as("c_seq")).distinct()
+      .withColumn("c_ok", lit(true))
+    val fence = readFence()
+    df.join(broadcast(commits), df("seq") === col("c_seq"), "left")
+      .where(col("seq") === 0 || col("seq") <= fence || col("c_ok"))
+      .drop("c_seq", "c_ok")
+  }
+
   // ---- crash-safe compaction commit ----
 
   /** Subdir all compaction temp writes land under (relative to
@@ -126,21 +159,36 @@ private[graft] trait LsmStore {
     val out = lsmFs.create(tmpMarker, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     lsmFs.delete(precommitPath, false)
-    lsmFs.rename(tmpMarker, precommitPath)
+    // a failed marker publish must ABORT before any destructive step —
+    // Hadoop FileSystems report most rename failures as `false`, not
+    // exceptions, and proceeding without a marker would make a crash
+    // inside the destructive steps unrecoverable
+    require(lsmFs.rename(tmpMarker, precommitPath),
+      s"LSM store '$lsmPath': failed to publish the compaction " +
+        "pre-commit marker — aborting before any destructive step " +
+        "(base and logs untouched)")
     finishCommit(seq, renames)
   }
 
   /** The destructive half of the commit — idempotent: a rename whose
     * temp dir is gone already happened, the fence write is monotone,
     * and the log/marker deletes are no-ops when already done. Runs
-    * both live (from [[commitCompaction]]) and on recovery. */
+    * both live (from [[commitCompaction]]) and on recovery. Every
+    * swap's boolean result is CHECKED: a failed delete-or-rename
+    * throws with the marker and temp dirs still in place, so the
+    * fence/log-drop never run on a half-swapped store and the next
+    * open retries the commit. */
   private def finishCommit(seq: Int, renames: Seq[(String, String)]): Unit = {
     renames.foreach { case (tmp, fin) =>
       val tp = new Path(s"$lsmPath/$tmp")
       val fp = new Path(s"$lsmPath/$fin")
       if (lsmFs.exists(tp)) {
-        lsmFs.delete(fp, true)
-        lsmFs.rename(tp, fp)
+        require(!lsmFs.exists(fp) || lsmFs.delete(fp, true),
+          s"LSM store '$lsmPath': failed to clear '$fin' for the " +
+            "compaction swap — marker and temp base kept; reopen retries")
+        require(lsmFs.rename(tp, fp),
+          s"LSM store '$lsmPath': failed to swap '$tmp' into '$fin' — " +
+            "marker and temp base kept; reopen retries")
       }
     }
     if (readFence() < seq) writeFence(seq)

@@ -69,7 +69,7 @@ final class LshMaintainer(
   override protected def lsmSpark: SparkSession = spark
   override protected def lsmPath: String = path
   override protected def lsmLogDirs: Seq[String] =
-    Seq("vectors_delta", "buckets_delta", "tombstones")
+    Seq("vectors_delta", "buckets_delta", "tombstones", "batch_commits")
 
   /** The frozen forest, loaded once — the class contract is that
     * arrivals hash through the PERSISTED model, so re-reading it per
@@ -93,7 +93,8 @@ final class LshMaintainer(
   def compactionDue: Boolean = (batches + 1) % compactEvery == 0
 
   private def tombstones: DataFrame =
-    staleFilter(readOr("tombstones", emptySeqIds)).select("vec_id", "seq")
+    committedFilter(staleFilter(readOr("tombstones", emptySeqIds)))
+      .select("vec_id", "seq")
 
   /** The [[LshIndex.save]] layout's three subdirs, as compaction-commit
     * renames (temp → final). */
@@ -114,13 +115,15 @@ final class LshMaintainer(
       .select(col("tree_id").cast("int").as("tree_id"), col("hash"),
         col("vec_id"))
     val vecs = baseVectors.withColumn("seq", lit(0))
-      .unionByName(staleFilter(readOr("vectors_delta", baseVectors.limit(0)
-        .withColumn("seq", lit(0)))
-        .select("vec_id", "embedding", "seq")))
+      .unionByName(committedFilter(staleFilter(
+        readOr("vectors_delta", baseVectors.limit(0)
+          .withColumn("seq", lit(0)))
+        .select("vec_id", "embedding", "seq"))))
     val bks = baseBuckets.withColumn("seq", lit(0))
-      .unionByName(staleFilter(readOr("buckets_delta", baseBuckets.limit(0)
-        .withColumn("seq", lit(0)))
-        .select("tree_id", "hash", "vec_id", "seq")))
+      .unionByName(committedFilter(staleFilter(
+        readOr("buckets_delta", baseBuckets.limit(0)
+          .withColumn("seq", lit(0)))
+        .select("tree_id", "hash", "vec_id", "seq"))))
     val t = broadcast(tombstones)
     def live(df: DataFrame) = df.join(t,
         df("vec_id") === t("vec_id") && t("seq") > df("seq"), "left_anti")
@@ -154,6 +157,9 @@ final class LshMaintainer(
       d.select(col("vec_id"), lit(seq).as("seq"))
         .write.mode("append").parquet(s"$path/tombstones")
     }
+    // atomic visibility: a crash above leaves a partial batch (e.g.
+    // vectors written, buckets not) that committedFilter ignores
+    markBatchCommitted(seq)
     if (occupancyWatermark > 0)
       arrivals.foreach(a => atRestRows += a.count())
     // Distribution watermark — same contract as CodesMaintainer: one

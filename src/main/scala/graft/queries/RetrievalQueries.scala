@@ -38,9 +38,11 @@ import graft.text.TextFunctions._
 object RetrievalQueries extends QueryPack {
 
   /** BM25 term-saturation / length-normalization constants (the
-    * canonical defaults). */
-  val K1 = 1.2
-  val B = 0.75
+    * canonical defaults — owned by [[graft.retrieval.PostingsStore]],
+    * which also owns the ONE spelling of the scoring expressions every
+    * path shares). */
+  val K1: Double = graft.retrieval.PostingsStore.K1
+  val B: Double = graft.retrieval.PostingsStore.B
   /** Results kept per query. */
   val TopKDocs = 10
   /** Fixed keyword queries: mixes the corpus's one rare term ("dup",
@@ -112,14 +114,11 @@ object RetrievalQueries extends QueryPack {
     val tf = pruned.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val avgdl = d.agg(avg(size(col("toks"))).as("avgdl"))
-    val idf = log(lit(1.0)
-      + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(avgdl))
       .select(col("doc_id"), col("term"),
-        (idf * (col("tf") * (K1 + 1))
-          / (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
-          .as("tscore"))
+        graft.retrieval.PostingsStore
+          .tscoreCol(n.toDouble, K1, B, col("avgdl")).as("tscore"))
   }
 
   /** (doc_id, term, w): the sparse tf·ln(N/df) postings table — the
@@ -153,12 +152,23 @@ object RetrievalQueries extends QueryPack {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = tf.join(broadcast(dfreq), "term")
       .select(col("doc_id"), col("term"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("w"))
+        graft.retrieval.PostingsStore.sparseWCol(n.toDouble).as("w"))
     if (minWeight > 0.0) w.where(col("w") > minWeight) else w
   }
 
   private[graft] def bm25(d: DataFrame, qterms: DataFrame): DataFrame =
     termScores(d, Some(qterms))
+      .join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("tscore")), 6).as("score"))
+
+  /** BM25 over the STORED postings: Σ tscore per (query, doc) of the
+    * broadcast (query_id, term) list — the serving twin of [[bm25]],
+    * shared by q_bm25_topk and the hybrid lexical arm so the two
+    * keyword-serving paths cannot drift. */
+  private def bm25Stored(store: graft.retrieval.PostingsStore,
+                         qterms: DataFrame): DataFrame =
+    store.bm25
       .join(broadcast(qterms), "term")
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("tscore")), 6).as("score"))
@@ -188,10 +198,7 @@ object RetrievalQueries extends QueryPack {
       val qterms = d.where(col("doc_id") < NumHybridQueries)
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(col("toks"))).as("term"))
-      val lexAll = postings(s, dir).bm25
-        .join(broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(round(sum(col("tscore")), 6).as("score"))
+      val lexAll = bm25Stored(postings(s, dir), qterms)
         .where(col("doc_id") =!= col("query_id"))
       topDesc(lexAll, "score", FuseDepth, "score")
         .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
@@ -273,11 +280,8 @@ object RetrievalQueries extends QueryPack {
       val qterms = Bm25Queries
         .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
         .toDF("query_id", "term")
-      val scored = postings(s, dir).bm25
-        .join(broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(round(sum(col("tscore")), 6).as("score"))
-      topDesc(scored, "score", TopKDocs, "score")
+      topDesc(bm25Stored(postings(s, dir), qterms), "score", TopKDocs,
+          "score")
         .orderBy("query_id", "rank")
     }),
 

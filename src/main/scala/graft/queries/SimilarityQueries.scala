@@ -1124,11 +1124,13 @@ object SimilarityQueries extends QueryPack {
         .select(col("src").as("doc_a"), col("dst").as("doc_b"), col("dist"))
       val dumped = LshQueries.dumpAndReload(s, pairs,
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/mutual_lsh_pairs")
+      // coalesce: an empty dump sums to NULL, the oracle's coalesce
+      // yields 0 — the engines must agree on the no-pairs edge
       val bad = dumped
         .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), "doc_a")
         .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), "doc_b")
-        .agg(sum((round(exprs.cosineDistNative(col("ea"), col("eb")), 6)
-          =!= col("dist") || col("dist") > MutualDistMax).cast("long"))
+        .agg(coalesce(sum((round(exprs.cosineDistNative(col("ea"), col("eb")), 6)
+          =!= col("dist") || col("dist") > MutualDistMax).cast("long")), lit(0L))
           .as("bad_dist_pairs"))
       val lshC = graft.text.Dedup.connectedComponents(
         dumped.select("doc_a", "doc_b"))

@@ -55,7 +55,7 @@ final class PostingsStore(
   override protected def lsmSpark: SparkSession = spark
   override protected def lsmPath: String = path
   override protected def lsmLogDirs: Seq[String] =
-    Seq("sparse_delta", "bm25_delta", "tombstones")
+    Seq("sparse_delta", "bm25_delta", "tombstones", "batch_commits")
 
   private var batches = recoverSeq()
 
@@ -71,12 +71,13 @@ final class PostingsStore(
     spark.range(0).select(col("id").as("doc_id"), lit(0).as("seq"))
 
   private def tombstones: DataFrame =
-    staleFilter(readOr("tombstones", emptySeqDocs)).select("doc_id", "seq")
+    committedFilter(staleFilter(readOr("tombstones", emptySeqDocs)))
+      .select("doc_id", "seq")
 
   private def liveView(baseSub: String): DataFrame = {
     val base = spark.read.parquet(s"$path/$baseSub").withColumn("seq", lit(0))
     val all = base.unionByName(
-      staleFilter(readOr(s"${baseSub}_delta", base.limit(0))))
+      committedFilter(staleFilter(readOr(s"${baseSub}_delta", base.limit(0)))))
     val t = broadcast(tombstones)
     all.join(t, all("doc_id") === t("doc_id") && t("seq") > all("seq"),
         "left_anti")
@@ -121,25 +122,22 @@ final class PostingsStore(
           "get NO postings (docs under-score on them) and df for known " +
           "terms is stale. Refit (PostingsStore.build); compaction " +
           "never re-derives df.")
-      // exact expression mirror of the base table's idf (log(1+x), NOT
-      // log1p — the two differ in the last ulp and the stored table
-      // must stay bit-identical to a rebuild on undrifted data)
-      val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5))
-        / (col("df") + lit(0.5)))
       known.select(col("doc_id"), col("term"),
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("w"),
+          PostingsStore.sparseWCol(n.toDouble).as("w"),
           lit(seq).as("seq"))
         .write.mode("append").parquet(s"$path/sparse_delta")
       known.select(col("doc_id"), col("term"),
-          (idf * (col("tf") * (k1 + 1))
-            / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
-            .as("tscore"),
+          PostingsStore.tscoreCol(n.toDouble, k1, b, lit(avgdl)).as("tscore"),
           lit(seq).as("seq"))
         .write.mode("append").parquet(s"$path/bm25_delta")
       tf.unpersist(false)
     }
     deletes.foreach(_.select(col("doc_id"), lit(seq).as("seq"))
       .write.mode("append").parquet(s"$path/tombstones"))
+    // atomic visibility: a crash above leaves a partial batch (sparse
+    // written, bm25 not — or a delete without its upsert arrival) that
+    // committedFilter ignores instead of serving diverged views
+    markBatchCommitted(seq)
     batches = seq
     if (batches % compactEvery == 0) compactNow()
   }
@@ -162,9 +160,33 @@ final class PostingsStore(
 
 object PostingsStore {
   /** BM25 term-saturation / length-normalization constants (the
-    * canonical defaults — mirrored from RetrievalQueries). */
+    * canonical defaults; RetrievalQueries aliases these). */
   val K1 = 1.2
   val B = 0.75
+
+  // Canonical scoring EXPRESSIONS — the one spelling every consumer
+  // shares (RetrievalQueries' inline termScores/sparseWeights, build,
+  // and the frozen-stats append). Bit-identity across them is the
+  // store's contract, and these formulas must not exist in
+  // hand-synchronized copies: a one-sided tweak (k1/b handling, the
+  // log(1+x)-vs-log1p ulp, rounding) would silently break row-identity
+  // for exactly one path. Inputs are columns named df/tf/dl.
+
+  /** Lucene-standard BM25 idf: ln(1 + (N − df + 0.5)/(df + 0.5)). */
+  private[graft] def idfCol(n: Double): org.apache.spark.sql.Column =
+    log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+
+  /** BM25 per-(doc, term) partial score; `avgdl` as a Column so callers
+    * pass either the aggregated col("avgdl") or a frozen lit. */
+  private[graft] def tscoreCol(n: Double, k1: Double, b: Double,
+                               avgdl: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    idfCol(n) * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+
+  /** Sparse posting weight: round(tf · ln(N/df), 6). */
+  private[graft] def sparseWCol(n: Double): org.apache.spark.sql.Column =
+    round(col("tf") * log(lit(n) / col("df")), 6)
 
   /** Compute both postings tables + the frozen stats over `docs`
     * ((doc_id, toks)) and persist them at `path`; returns a store
@@ -186,18 +208,14 @@ object PostingsStore {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val avgdlRow = d.agg(avg(size(col("toks"))).as("avgdl"))
     val avgdl = avgdlRow.head().getDouble(0)
-    val idf = log(lit(1.0)
-      + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(avgdlRow))
       .select(col("doc_id"), col("term"),
-        (idf * (col("tf") * (k1 + 1))
-          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("tscore"))
+        tscoreCol(n.toDouble, k1, b, col("avgdl")).as("tscore"))
       .write.mode("overwrite").parquet(s"$path/bm25")
     tf.join(broadcast(dfreq), "term")
       .select(col("doc_id"), col("term"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("w"))
+        sparseWCol(n.toDouble).as("w"))
       .write.mode("overwrite").parquet(s"$path/sparse")
     dfreq.write.mode("overwrite").parquet(s"$path/stats")
     tf.unpersist(false)

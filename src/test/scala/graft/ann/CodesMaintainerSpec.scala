@@ -200,6 +200,48 @@ class CodesMaintainerSpec extends AnyFunSuite with SparkSpecBase {
     assert(!new java.io.File(s"$path/codes_delta").exists())
   }
 
+  test("a partial batch (no commit record) is invisible; a retry lands at a fresh seq") {
+    val corpus = mkCorpus(30)
+    val idx = Sq.train(corpus, "vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("codes_lsm_atomic").toString + "/idx"
+    idx.save(spark, path)
+    def enc(df: DataFrame) = idx.model.transformDf(df, "vec_id", "embedding")
+
+    // batch 1 commits normally
+    val m = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    val arrivals1 = mkCorpus(35, seed = 29).where($"vec_id" >= 30L)
+    m.onBatch(Some(arrivals1), None)
+    val afterB1 = rows(m.liveCodes)
+
+    // batch 2 CRASHES mid-write: the delta rows land, the tombstone
+    // row lands, but the commit record never does — simulate by
+    // writing the logs in onBatch's format directly
+    val arrivals2 = mkCorpus(40, seed = 31).where($"vec_id" >= 35L)
+    enc(arrivals2).withColumn("seq", lit(2))
+      .write.mode("append").parquet(s"$path/codes_delta")
+    Seq((3L, 2)).toDF("vec_id", "seq")
+      .write.mode("append").parquet(s"$path/tombstones")
+    // the partial batch is INVISIBLE: no half-applied upsert, no
+    // delete without its arrival
+    assert(rows(m.liveCodes) === afterB1,
+      "uncommitted partial batch leaked into the serving view")
+
+    // a reconstructed maintainer counts the orphan seq (so the retry
+    // cannot collide with the partial rows) and still serves afterB1
+    val m2 = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    assert(m2.batchesSeen === 2, s"seq: ${m2.batchesSeen}")
+    assert(rows(m2.liveCodes) === afterB1)
+    // the retried batch lands at seq 3 and becomes visible atomically
+    m2.onBatch(Some(arrivals2), Some(Seq(3L).toDF("vec_id")))
+    val expected = rows(idx.withDeletes(Seq(3L).toDF("vec_id"))
+      .append(arrivals1).append(arrivals2).codes)
+    assert(rows(m2.liveCodes) === expected, "retried batch wrong")
+    // compaction folds only the committed truth (orphans dropped)
+    m2.compactNow()
+    assert(rows(Sq.load(spark, path).codes) === expected)
+  }
+
   test("LSH store heal finishes a partial multi-dir rename") {
     val corpus = mkCorpus(30)
     val idx = graft.ann.lsh.Lsh.train(corpus, "vec_id", "embedding",

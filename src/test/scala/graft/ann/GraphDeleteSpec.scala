@@ -187,4 +187,59 @@ class GraphDeleteSpec extends AnyFunSuite with SparkSpecBase {
     assert(m3.batchesSeen === 2)
     assert(m3.tombstones.isEmpty)
   }
+
+  test("a refine that crashed mid-swap is finished at construction") {
+    val rng = new scala.util.Random(31)
+    def pt(center: Double) =
+      Seq.tabulate(8)(i => center + (if (i == 0) 0.0 else rng.nextGaussian() * 0.05))
+    val all = (0L until 20L).map(i => (i, pt(0.0))).toDF("vec_id", "embedding")
+    Seq("gswap_spec_edges", "gswap_spec_swap_edges").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"target/spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    GraphSearch.saveBucketed(
+      KnnGraph.exact(all, "vec_id", "embedding", 4, ExactNN.L2)
+        .select($"src", $"dst"), "gswap_spec")
+    val lsmPath = java.nio.file.Files
+      .createTempDirectory("gswap_lsm").toString
+    val m = new GraphMaintainer(spark, "gswap_spec", lsmPath,
+      "vec_id", "embedding", k = 4, beamWidth = 12, hops = 4,
+      refineEvery = 10, maxReverseDegree = 3, backbone = false,
+      metric = ExactNN.L2)
+    val arr = Seq((20L, pt(0.3))).toDF("vec_id", "embedding")
+    m.onBatch(all.unionByName(arr), arr,
+      arr.select($"vec_id".as("query_id"))
+        .crossJoin((0L until 4L).toDF("node")),
+      deletes = Some(Seq(2L).toDF("vec_id")))
+    assert(m.tombstones.as[Long].collect().toSet === Set(2L))
+
+    // simulate the mid-commit crash: the refined graph (a recognizable
+    // 2-edge stand-in) sits in the swap table, the marker is published,
+    // but the drop-rename/fence/log-drop never ran
+    import spark.implicits._
+    GraphSearch.saveBucketed(
+      Seq((0L, 1L), (1L, 3L)).toDF("src", "dst"), "gswap_spec_swap")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$lsmPath/_graph_swap"),
+      "1".getBytes("UTF-8"))
+    // a reconstructed maintainer FINISHES the commit
+    val m2 = new GraphMaintainer(spark, "gswap_spec", lsmPath,
+      "vec_id", "embedding", k = 4, beamWidth = 12, hops = 4,
+      refineEvery = 10, maxReverseDegree = 3, backbone = false,
+      metric = ExactNN.L2)
+    val edges = GraphSearch.loadBucketed(spark, "gswap_spec")
+      .as[(Long, Long)].collect().toSet
+    assert(edges === Set((0L, 1L), (1L, 0L), (1L, 3L), (3L, 1L)),
+      s"swap not finished: $edges")
+    assert(!spark.catalog.tableExists("gswap_spec_swap_edges"))
+    assert(!new java.io.File(s"$lsmPath/_graph_swap").exists())
+    assert(!new java.io.File(s"$lsmPath/tombstones").exists(),
+      "logs survived the finished commit")
+    assert(m2.tombstones.isEmpty)
+    assert(m2.batchesSeen === 1) // the fence carries the seq
+  }
 }

@@ -67,6 +67,35 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(got === Set("vector"), s"postings for the OOV doc: $got")
   }
 
+  test("a crash between the two postings writes cannot diverge sparse from bm25") {
+    val d = docsOf(sf("sf0.001") + "/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("postings_atomic").toString + "/idx"
+    val store = PostingsStore.build(spark, path, d)
+    // one COMMITTED batch establishes the commit-record format (a
+    // store written before the format is documented legacy-committed)
+    store.onBatch(Some(Seq((888888L, Seq("vector")))
+      .toDF("doc_id", "toks")), None)
+    val sparseBefore = rows(store.sparse)
+    val bm25Before = rows(store.bm25)
+    // simulate the mid-batch crash at seq 2: sparse_delta written,
+    // bm25_delta and the commit record never land
+    Seq((999999L, "vector", 1.5, 2)).toDF("doc_id", "term", "w", "seq")
+      .write.mode("append").parquet(s"$path/sparse_delta")
+    // BOTH views unchanged — the partial batch is invisible, so the
+    // two tables cannot disagree about the doc
+    assert(rows(store.sparse) === sparseBefore)
+    assert(rows(store.bm25) === bm25Before)
+    // a committed batch after the crash serves consistently at a
+    // fresh seq
+    val reopened = new PostingsStore(spark, path, compactEvery = 100)
+    assert(reopened.batchesSeen === 2) // the orphan seq is counted
+    reopened.onBatch(Some(Seq((999999L, Seq("vector", "query")))
+      .toDF("doc_id", "toks")), None)
+    assert(reopened.sparse.where($"doc_id" === 999999L).count() === 2)
+    assert(reopened.bm25.where($"doc_id" === 999999L).count() === 2)
+  }
+
   test("serving-view plan: base parquet scan + broadcast anti-joined tombstones") {
     val d = docsOf(sf("sf0.001") + "/documents.parquet")
     val path = java.nio.file.Files
