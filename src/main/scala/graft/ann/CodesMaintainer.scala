@@ -79,7 +79,7 @@ final class CodesMaintainer(
   def compactionDue: Boolean = (batches + 1) % compactEvery == 0
 
   private def tombstones: DataFrame =
-    committedFilter(staleFilter(readOr("tombstones", emptySeqIds)))
+    visibleFilter((readOr("tombstones", emptySeqIds)))
       .select("vec_id", "seq")
 
   /** Write `df` to `$path/$sub`, repartitioned on the family layout so
@@ -99,7 +99,7 @@ final class CodesMaintainer(
     * the family's index constructor. */
   def liveCodes: DataFrame = {
     val all = base.withColumn("seq", lit(0))
-      .unionByName(committedFilter(staleFilter(readOr("codes_delta",
+      .unionByName(visibleFilter((readOr("codes_delta",
         base.limit(0).withColumn("seq", lit(0))))))
     val t = broadcast(tombstones)
     all.join(t, all("vec_id") === t("vec_id") && t("seq") > all("seq"),
@@ -112,6 +112,10 @@ final class CodesMaintainer(
   def onBatch(arrivals: Option[DataFrame],
               deletes: Option[DataFrame]): Unit = {
     val seq = batches + 1
+    // the seq is BURNED up front: a failed attempt's partial log rows
+    // stay at a seq no retry reuses, so markBatchCommitted can never
+    // bless a failed attempt's orphans (LsmStore doc)
+    batches = seq
     // counts snapshot BEFORE this batch's delta lands (counting after
     // the write would double-count the batch)
     if (occupancyWatermark > 0) ensureCounts(
@@ -149,7 +153,6 @@ final class CodesMaintainer(
           "saturate, PQ codebooks misassign, IVF cells crowd) — refit; " +
           "compaction never re-fits.")
     }
-    batches = seq
     if (batches % compactEvery == 0) compactNow()
     else if (pastWatermark(occupancyWatermark)) log.warn(
       s"stored codes table '$path' holds $atRestRows rows at rest " +

@@ -104,6 +104,9 @@ final class GraphMaintainer(
     if (readFence() < seq) writeFence(seq)
     lsmLogDirs.foreach(sub =>
       lsmFs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true))
+    // the commit log's existence is load-bearing (LsmStore doc) —
+    // re-create it before any new batch lands
+    initCommitLog()
     lsmFs.delete(swapMarkerPath, false)
   }
 
@@ -111,13 +114,12 @@ final class GraphMaintainer(
     * nothing was mid-commit (an orphan temp table from a pre-marker
     * crash is inert; the next refine drops it before writing). */
   private def recoverSwap(): Unit = {
-    if (!lsmFs.exists(swapMarkerPath)) return
-    val in = lsmFs.open(swapMarkerPath)
-    val seq = try {
-      val buf = new Array[Byte](64)
-      val n = in.read(buf)
-      if (n <= 0) 0 else new String(buf, 0, n, "UTF-8").trim.toInt
-    } finally in.close()
+    // readMarker reads FULLY (a short InputStream.read could truncate
+    // the seq and regress the fence/cadence)
+    val seq = readMarker("_graph_swap") match {
+      case None => return
+      case Some(body) => body.trim.toInt
+    }
     log.warn(s"stored graph '$name': found a refine swap marker " +
       s"(seq $seq) — a previous process crashed mid-commit; finishing " +
       "the commit (swap refined table into place, fence, drop logs).")
@@ -141,9 +143,9 @@ final class GraphMaintainer(
     * of the same id lands at an equal-or-later seq (re-insertion
     * revives the id; same-batch delete+insert is an upsert). */
   def tombstones: DataFrame = {
-    val t = committedFilter(staleFilter(readOr("tombstones", emptySeqIds)))
+    val t = visibleFilter((readOr("tombstones", emptySeqIds)))
       .select(col("vec_id"), col("seq").as("tseq"))
-    val a = committedFilter(staleFilter(readOr("arrivals", emptySeqIds)))
+    val a = visibleFilter((readOr("arrivals", emptySeqIds)))
       .select(col("vec_id").as("aid"), col("seq").as("aseq"))
     t.join(broadcast(a), t("vec_id") === a("aid") && a("aseq") >= t("tseq"),
         "left_anti")
@@ -167,6 +169,10 @@ final class GraphMaintainer(
               entries: DataFrame,
               deletes: Option[DataFrame] = None): DataFrame = {
     val seq = batches + 1
+    // the seq is BURNED up front: a failed attempt's partial log rows
+    // stay at a seq no retry reuses (same-instance or post-restart),
+    // so markBatchCommitted can never bless a failed attempt's orphans
+    batches = seq
     deletes.foreach(_.select(col("vec_id"), lit(seq).as("seq"))
       .write.mode("append").parquet(s"$path/tombstones"))
     // arrivals logged BEFORE the tombstone view is taken, so a
@@ -175,9 +181,11 @@ final class GraphMaintainer(
       .write.mode("append").parquet(s"$path/arrivals")
     // atomic log visibility BEFORE the walk: a crash between the two
     // log writes leaves a partial batch (a delete without its upsert
-    // arrival) invisible; a crash during the walk/edge append leaves
-    // the logs committed and the edge delta partial — the refine
-    // repairs edges, the logs must not lie
+    // arrival) invisible. A crash during the walk/edge append leaves
+    // the logs committed and the arrival EDGE-LESS: with the default
+    // backbone the next refine re-links it (randomBackbone runs over
+    // the live vectors, which include it); with backbone = false no
+    // refine creates edges for an absent node — re-insert the id
     markBatchCommitted(seq)
     val stored = GraphSearch.loadBucketed(spark, name)
     val pending = tombstones
@@ -203,7 +211,6 @@ final class GraphMaintainer(
       .select(col("src"), col("dst"), col("dist"))
       .localCheckpoint()
     GraphSearch.appendBucketed(delta, name, nBuckets)
-    batches = seq
     if (batches % refineEvery == 0) refineNow(vectors)
     else if (degreeWatermark > 0) {
       val maxDeg = maxStoredDegree
@@ -322,14 +329,7 @@ final class GraphMaintainer(
     // by the next construction's recoverSwap.
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     GraphSearch.saveBucketed(withBackbone, s"${name}_swap", nBuckets)
-    val tmpMarker = new org.apache.hadoop.fs.Path(s"$path/_graph_swap.tmp")
-    val out = lsmFs.create(tmpMarker, true)
-    try out.write(batches.toString.getBytes("UTF-8")) finally out.close()
-    lsmFs.delete(swapMarkerPath, false)
-    require(lsmFs.rename(tmpMarker, swapMarkerPath),
-      s"stored graph '$name': failed to publish the refine swap marker " +
-        "— aborting before any destructive step (old table and logs " +
-        "untouched)")
+    publishMarker("_graph_swap", batches.toString)
     finishSwap(batches)
     // maxStoredDegree is a full edge-table aggregate — only pay for it
     // when the log line is actually emitted

@@ -107,32 +107,84 @@ private[graft] trait LsmStore {
   /** Append the batch-commit record for `seq` — the LAST write of a
     * maintainer's onBatch, after every per-log append of the batch.
     * Log rows of a seq with no commit record are IGNORED by
-    * [[committedFilter]], so a crash between a batch's log writes
+    * [[visibleFilter]], so a crash between a batch's log writes
     * leaves a PARTIAL batch invisible instead of diverging the store
     * (e.g. one postings table written and not the other, or a delete
     * logged without its same-batch upsert arrival). Recovery needs no
     * step: [[recoverSeq]] reads the max seq over ALL log rows
-    * (committed or not), so a retried batch lands at a FRESH seq and
-    * the orphan rows stay invisible until compaction drops the logs. */
+    * (committed or not) and maintainers burn their in-memory seq
+    * BEFORE writing, so a retried batch — same instance or after a
+    * restart — lands at a FRESH seq and the orphan rows stay invisible
+    * until compaction drops the logs. */
   protected final def markBatchCommitted(seq: Int): Unit =
     lsmSpark.range(1).select(lit(seq).as("seq"))
       .write.mode("append").parquet(s"$lsmPath/batch_commits")
 
-  /** Drop log rows whose batch never committed (base rows — seq 0 —
-    * always pass; rows at or below the fence were folded by a
-    * compaction that itself committed). Pass-through when no commit
-    * log exists yet: a store written before the commit-record format
-    * has committed-by-construction rows (such a store should
-    * compactNow() once before resuming batches under this format). */
-  protected final def committedFilter(df: DataFrame): DataFrame = {
-    if (!lsmFs.exists(new Path(s"$lsmPath/batch_commits"))) return df
+  /** (Re-)create the commit log, empty — its EXISTENCE is load-bearing:
+    * a missing dir reads as legacy pass-through, so every path that
+    * drops the logs must re-create it before new batches land, and
+    * construction creates/backfills it ([[recoverSeq]]). */
+  protected final def initCommitLog(): Unit =
+    lsmSpark.range(0).select(col("id").cast("int").as("seq"))
+      .write.mode("append").parquet(s"$lsmPath/batch_commits")
+
+  /** The single visibility rule every log read applies (fence + commit
+    * record fused — one fence read and one commit-log read per view):
+    * base rows (seq 0) always pass; rows at or below the fence were
+    * folded by a committed compaction and drop; rows above the fence
+    * pass only with a batch-commit record. The commit log exists from
+    * construction on (recoverSeq backfills legacy stores — whose rows
+    * were committed by the old single-write contract — and creates it
+    * empty for fresh ones; every log-dropping commit re-creates it),
+    * so the missing-dir pass-through can only be observed in the
+    * instant between a commit's log-drop and its re-create, when the
+    * logs are empty anyway. */
+  protected final def visibleFilter(df: DataFrame): DataFrame = {
+    val fence = readFence()
+    val unfenced =
+      if (fence == 0) df
+      else df.where(col("seq") === 0 || col("seq") > fence)
+    if (!lsmFs.exists(new Path(s"$lsmPath/batch_commits"))) return unfenced
     val commits = lsmSpark.read.parquet(s"$lsmPath/batch_commits")
       .select(col("seq").as("c_seq")).distinct()
       .withColumn("c_ok", lit(true))
-    val fence = readFence()
-    df.join(broadcast(commits), df("seq") === col("c_seq"), "left")
-      .where(col("seq") === 0 || col("seq") <= fence || col("c_ok"))
+    unfenced
+      .join(broadcast(commits), unfenced("seq") === col("c_seq"), "left")
+      .where(col("seq") === 0 || col("c_ok"))
       .drop("c_seq", "c_ok")
+  }
+
+  // ---- small atomic markers (shared by the compaction commit and
+  //      GraphMaintainer's table-swap commit) ----
+
+  /** Atomically publish a small marker file (temp + rename; ABORTS —
+    * nothing destructive has run yet — when the FS reports failure,
+    * which Hadoop FileSystems signal as `false`, not exceptions). */
+  protected final def publishMarker(markerFile: String, body: String): Unit = {
+    val tmp = new Path(s"$lsmPath/$markerFile.tmp")
+    val out = lsmFs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val fin = new Path(s"$lsmPath/$markerFile")
+    lsmFs.delete(fin, false)
+    require(lsmFs.rename(tmp, fin),
+      s"LSM store '$lsmPath': failed to publish marker '$markerFile' — " +
+        "aborting before any destructive step")
+  }
+
+  /** Read a marker FULLY (None when absent). InputStream.read may
+    * legally return fewer bytes than available — a single-read parse
+    * could truncate a seq and corrupt recovery. */
+  protected final def readMarker(markerFile: String): Option[String] = {
+    val mp = new Path(s"$lsmPath/$markerFile")
+    if (!lsmFs.exists(mp)) return None
+    val in = lsmFs.open(mp)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      Some(new String(bos.toByteArray, "UTF-8"))
+    } finally in.close()
   }
 
   // ---- crash-safe compaction commit ----
@@ -153,20 +205,9 @@ private[graft] trait LsmStore {
     * after a crash at ANY later point. */
   protected final def commitCompaction(seq: Int,
                                        renames: Seq[(String, String)]): Unit = {
-    val body = (seq.toString +: renames.map { case (t, f) => s"$t>$f" })
-      .mkString("\n")
-    val tmpMarker = new Path(s"$lsmPath/_lsm_precommit.tmp")
-    val out = lsmFs.create(tmpMarker, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    lsmFs.delete(precommitPath, false)
-    // a failed marker publish must ABORT before any destructive step —
-    // Hadoop FileSystems report most rename failures as `false`, not
-    // exceptions, and proceeding without a marker would make a crash
-    // inside the destructive steps unrecoverable
-    require(lsmFs.rename(tmpMarker, precommitPath),
-      s"LSM store '$lsmPath': failed to publish the compaction " +
-        "pre-commit marker — aborting before any destructive step " +
-        "(base and logs untouched)")
+    publishMarker("_lsm_precommit",
+      (seq.toString +: renames.map { case (t, f) => s"$t>$f" })
+        .mkString("\n"))
     finishCommit(seq, renames)
   }
 
@@ -194,6 +235,10 @@ private[graft] trait LsmStore {
     if (readFence() < seq) writeFence(seq)
     lsmLogDirs.foreach(sub => lsmFs.delete(new Path(s"$lsmPath/$sub"), true))
     lsmFs.delete(new Path(s"$lsmPath/$CompactTmpDir"), true)
+    // re-create the (empty) commit log IMMEDIATELY: its absence reads
+    // as legacy pass-through, and a first-post-compaction-batch crash
+    // must be filtered, not passed through
+    initCommitLog()
     lsmFs.delete(precommitPath, false)
   }
 
@@ -203,15 +248,7 @@ private[graft] trait LsmStore {
     * marker leaves only inert temp dirs, which the next compaction
     * overwrites — the base and logs are untouched at that point). */
   protected final def recoverCompaction(): Unit = {
-    if (!lsmFs.exists(precommitPath)) return
-    val in = lsmFs.open(precommitPath)
-    val body = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, "UTF-8")
-    } finally in.close()
+    val body = readMarker("_lsm_precommit").getOrElse(return)
     val lines = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     val seq = lines.head.toInt
     val renames = lines.tail.map { l =>
@@ -233,6 +270,22 @@ private[graft] trait LsmStore {
     * reconstructed maintainer agrees with the live one that compacted. */
   protected final def recoverSeq(): Int = {
     recoverCompaction()
+    if (!lsmFs.exists(new Path(s"$lsmPath/batch_commits"))) {
+      // legacy or fresh store: rows written before the commit-record
+      // format were committed by the old single-write contract —
+      // BACKFILL records for their seqs (atomically, via dir rename)
+      // so activating the filter cannot drop them; a fresh store gets
+      // the empty dir, so even its FIRST batch's crash is filtered
+      val backfill = new Path(s"$lsmPath/_batch_commits_backfill")
+      lsmLogDirs.filterNot(_ == "batch_commits")
+        .map(sub => readOr(sub, emptySeqIds).select("seq"))
+        .reduce(_.unionByName(_))
+        .where(col("seq") > 0).distinct()
+        .write.mode("overwrite").parquet(backfill.toString)
+      require(lsmFs.rename(backfill, new Path(s"$lsmPath/batch_commits")),
+        s"LSM store '$lsmPath': failed to install the backfilled " +
+          "commit log")
+    }
     val logs = lsmLogDirs
       .map(sub => readOr(sub, emptySeqIds).select("seq"))
       .reduce(_.unionByName(_))

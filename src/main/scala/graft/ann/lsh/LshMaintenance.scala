@@ -93,7 +93,7 @@ final class LshMaintainer(
   def compactionDue: Boolean = (batches + 1) % compactEvery == 0
 
   private def tombstones: DataFrame =
-    committedFilter(staleFilter(readOr("tombstones", emptySeqIds)))
+    visibleFilter((readOr("tombstones", emptySeqIds)))
       .select("vec_id", "seq")
 
   /** The [[LshIndex.save]] layout's three subdirs, as compaction-commit
@@ -115,12 +115,12 @@ final class LshMaintainer(
       .select(col("tree_id").cast("int").as("tree_id"), col("hash"),
         col("vec_id"))
     val vecs = baseVectors.withColumn("seq", lit(0))
-      .unionByName(committedFilter(staleFilter(
+      .unionByName(visibleFilter((
         readOr("vectors_delta", baseVectors.limit(0)
           .withColumn("seq", lit(0)))
         .select("vec_id", "embedding", "seq"))))
     val bks = baseBuckets.withColumn("seq", lit(0))
-      .unionByName(committedFilter(staleFilter(
+      .unionByName(visibleFilter((
         readOr("buckets_delta", baseBuckets.limit(0)
           .withColumn("seq", lit(0)))
         .select("tree_id", "hash", "vec_id", "seq"))))
@@ -137,6 +137,9 @@ final class LshMaintainer(
   def onBatch(arrivals: Option[DataFrame],
               deletes: Option[DataFrame]): Unit = {
     val seq = batches + 1
+    // the seq is BURNED up front: a failed attempt's partial log rows
+    // stay at a seq no retry reuses (LsmStore doc)
+    batches = seq
     // counts snapshot BEFORE this batch's delta lands (counting after
     // the write would double-count the batch); base counted from its
     // parquet directly — Lsh.load would collect the forest's node
@@ -181,7 +184,6 @@ final class LshMaintainer(
           f"$fold%.2f (watermark ${dc.ratioWatermark}). Frozen planes " +
           "split the OLD density — occupancy will skew; refitNow.")
     }
-    batches = seq
     if (batches % compactEvery == 0) compactNow()
     else if (pastWatermark(occupancyWatermark)) log.warn(
       s"stored LSH index '$path' holds $atRestRows rows at rest " +

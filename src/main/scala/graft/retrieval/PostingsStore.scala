@@ -71,13 +71,13 @@ final class PostingsStore(
     spark.range(0).select(col("id").as("doc_id"), lit(0).as("seq"))
 
   private def tombstones: DataFrame =
-    committedFilter(staleFilter(readOr("tombstones", emptySeqDocs)))
+    visibleFilter((readOr("tombstones", emptySeqDocs)))
       .select("doc_id", "seq")
 
   private def liveView(baseSub: String): DataFrame = {
     val base = spark.read.parquet(s"$path/$baseSub").withColumn("seq", lit(0))
     val all = base.unionByName(
-      committedFilter(staleFilter(readOr(s"${baseSub}_delta", base.limit(0)))))
+      visibleFilter((readOr(s"${baseSub}_delta", base.limit(0)))))
     val t = broadcast(tombstones)
     all.join(t, all("doc_id") === t("doc_id") && t("seq") > all("seq"),
         "left_anti")
@@ -101,6 +101,9 @@ final class PostingsStore(
   def onBatch(arrivals: Option[DataFrame],
               deletes: Option[DataFrame]): Unit = {
     val seq = batches + 1
+    // the seq is BURNED up front: a failed attempt's partial log rows
+    // stay at a seq no retry reuses (LsmStore doc)
+    batches = seq
     arrivals.foreach { a =>
       val (n, avgdl) = meta
       val tf = a.select(col("doc_id"), size(col("toks")).as("dl"),
@@ -138,7 +141,6 @@ final class PostingsStore(
     // written, bm25 not — or a delete without its upsert arrival) that
     // committedFilter ignores instead of serving diverged views
     markBatchCommitted(seq)
-    batches = seq
     if (batches % compactEvery == 0) compactNow()
   }
 

@@ -242,6 +242,40 @@ class CodesMaintainerSpec extends AnyFunSuite with SparkSpecBase {
     assert(rows(Sq.load(spark, path).codes) === expected)
   }
 
+  test("legacy store (no commit log) backfills at construction; rows stay visible") {
+    val corpus = mkCorpus(30)
+    val idx = Sq.train(corpus, "vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("codes_lsm_legacy").toString + "/idx"
+    idx.save(spark, path)
+    def enc(df: DataFrame) = idx.model.transformDf(df, "vec_id", "embedding")
+    val m = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    val arrivals = mkCorpus(40, seed = 29).where($"vec_id" >= 30L)
+    m.onBatch(Some(arrivals), Some(Seq(3L).toDF("vec_id")))
+    val expected = rows(m.liveCodes)
+    // simulate a store written BEFORE the commit-record format: the
+    // commit log does not exist, but its delta/tombstone rows were
+    // committed by the old single-write contract
+    def del(p: String): Unit = {
+      val f = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.walk(f)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => java.nio.file.Files.delete(x))
+    }
+    del(s"$path/batch_commits")
+    // a reconstructed maintainer BACKFILLS records for the legacy seqs
+    // instead of silently dropping the rows when the filter activates
+    val m2 = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    assert(rows(m2.liveCodes) === expected,
+      "legacy rows vanished when the commit filter activated")
+    // and a new committed batch coexists with the backfilled ones
+    val up = mkCorpus(42, seed = 31).where($"vec_id" >= 40L)
+    m2.onBatch(Some(up), None)
+    assert(rows(m2.liveCodes) === rows(idx
+      .withDeletes(Seq(3L).toDF("vec_id")).append(arrivals).append(up).codes))
+  }
+
   test("LSH store heal finishes a partial multi-dir rename") {
     val corpus = mkCorpus(30)
     val idx = graft.ann.lsh.Lsh.train(corpus, "vec_id", "embedding",

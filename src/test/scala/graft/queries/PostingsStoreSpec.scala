@@ -96,6 +96,27 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(reopened.bm25.where($"doc_id" === 999999L).count() === 2)
   }
 
+  test("a failed attempt burns its seq: a same-instance retry cannot double-serve") {
+    val d = docsOf(sf("sf0.001") + "/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("postings_retry").toString + "/idx"
+    val store = PostingsStore.build(spark, path, d)
+    // an arrivals frame that fails at evaluation time (assert_true in
+    // the filter predicate cannot be pruned away)
+    val failing = Seq((777777L, Seq("vector"))).toDF("doc_id", "toks")
+      .where(assert_true(lit(false)).isNull)
+    intercept[Exception](store.onBatch(Some(failing), None))
+    assert(store.batchesSeen === 1, "failed attempt did not burn its seq")
+    // the same-instance retry lands at a FRESH seq: even if the failed
+    // attempt had left partial log rows, the commit record cannot
+    // bless them
+    store.onBatch(Some(Seq((777777L, Seq("vector")))
+      .toDF("doc_id", "toks")), None)
+    assert(store.batchesSeen === 2)
+    assert(store.sparse.where($"doc_id" === 777777L).count() === 1,
+      "retry double-served the doc")
+  }
+
   test("serving-view plan: base parquet scan + broadcast anti-joined tombstones") {
     val d = docsOf(sf("sf0.001") + "/documents.parquet")
     val path = java.nio.file.Files
