@@ -192,18 +192,23 @@ object RetrievalQueries extends QueryPack {
     * (tscore per (doc, term) is query-independent, so rows are
     * identical to the inline pipeline). Memoized + checkpointed: four
     * queries consume it. */
-  private[queries] def hybridLex(s: SparkSession, dir: String): DataFrame =
+  private[queries] def hybridLex(s: SparkSession, dir: String): DataFrame = {
+    // the store memo is resolved BEFORE the memo lambda — nested
+    // computeIfAbsent on one map throws "Recursive update" (the
+    // QueryPack.memoized contract)
+    val store = postings(s, dir)
     memoized(s, dir, "hybrid_lex_ranks") {
       val d = docs(s, dir)
       val qterms = d.where(col("doc_id") < NumHybridQueries)
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(col("toks"))).as("term"))
-      val lexAll = bm25Stored(postings(s, dir), qterms)
+      val lexAll = bm25Stored(store, qterms)
         .where(col("doc_id") =!= col("query_id"))
       topDesc(lexAll, "score", FuseDepth, "score")
         .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
         .localCheckpoint()
     }
+  }
 
   private def hybridQueriesDf(e: DataFrame): DataFrame =
     e.where(col("vec_id") < NumHybridQueries)

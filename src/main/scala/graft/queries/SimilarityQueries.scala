@@ -249,15 +249,19 @@ object SimilarityQueries extends QueryPack {
     * exact graph) — consumed by `q_mutual_knn_clusters` (as the
     * answer) and `q_mutual_knn_clusters_lsh` (as the grading target);
     * the CC rounds are the expensive half of both. */
-  private def mutualExactClusters(s: SparkSession, dir: String): DataFrame =
+  private def mutualExactClusters(s: SparkSession, dir: String): DataFrame = {
+    // resolved BEFORE the memo lambda — nested computeIfAbsent on one
+    // map throws "Recursive update" (the QueryPack.memoized contract;
+    // graphInit's pattern)
+    val gx = graft.ann.KnnGraph.withMutual(graphExact(s, dir))
     memoized(s, dir, "mutual_exact_clusters") {
-      val gx = graft.ann.KnnGraph.withMutual(graphExact(s, dir))
       graft.text.Dedup.connectedComponents(
           gx.where(col("mutual") && col("src") < col("dst")
               && col("dist") <= MutualDistMax)
             .select(col("src").as("doc_a"), col("dst").as("doc_b")))
         .localCheckpoint()
     }
+  }
 
   /** Shared cross-set similarity-join pairs (even-id set indexed, odd-id
     * set probing) — consumed by `q_lsh_sim_join` (per-pair distance

@@ -14,6 +14,22 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("memoized build chains are first-query safe (no nested memo computes)") {
+    // ConcurrentHashMap.computeIfAbsent throws "Recursive update" when a
+    // memo lambda computes ANOTHER key of the same map — which only
+    // bites when the dependent build is the SESSION'S FIRST touch (a
+    // warmed memo returns without computing). The driver's Verify runs
+    // queries concurrently, so any query must be safe to run first.
+    // newSession() keys a fresh memo map (same context, new reference);
+    // these two queries own the deepest memo dependency chains.
+    val s2 = spark.newSession()
+    assert(graft.queries.SimilarityQueries
+      .queries("q_mutual_knn_clusters_lsh")(s2, sf("sf0.001")).count() > 0)
+    val s3 = spark.newSession()
+    assert(graft.queries.RetrievalQueries
+      .queries("q_hybrid_rrf_indexed")(s3, sf("sf0.001")).count() > 0)
+  }
+
   test("every oracle key has a query; no orphan oracle SQL") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
