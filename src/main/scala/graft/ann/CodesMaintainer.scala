@@ -75,11 +75,14 @@ final class CodesMaintainer(
     * maintainer agrees with the live one). */
   def batchesSeen: Int = batches
 
-  /** True when the NEXT [[onBatch]] call triggers compaction. */
-  def compactionDue: Boolean = (batches + 1) % compactEvery == 0
+  /** True when the NEXT [[onBatch]] call triggers compaction. The
+    * cadence is measured from the LAST compaction (the fence), not by
+    * seq divisibility — a failed attempt burns its seq, and a burned
+    * multiple must defer the fold by one batch, not a whole cycle. */
+  def compactionDue: Boolean = (batches + 1) - readFence() >= compactEvery
 
   private def tombstones: DataFrame =
-    visibleFilter((readOr("tombstones", emptySeqIds)))
+    visibleFilter(readOr("tombstones", emptySeqIds))
       .select("vec_id", "seq")
 
   /** Write `df` to `$path/$sub`, repartitioned on the family layout so
@@ -99,8 +102,8 @@ final class CodesMaintainer(
     * the family's index constructor. */
   def liveCodes: DataFrame = {
     val all = base.withColumn("seq", lit(0))
-      .unionByName(visibleFilter((readOr("codes_delta",
-        base.limit(0).withColumn("seq", lit(0))))))
+      .unionByName(visibleFilter(readOr("codes_delta",
+        base.limit(0).withColumn("seq", lit(0)))))
     val t = broadcast(tombstones)
     all.join(t, all("vec_id") === t("vec_id") && t("seq") > all("seq"),
         "left_anti")
@@ -129,7 +132,7 @@ final class CodesMaintainer(
         .write.mode("append").parquet(s"$path/tombstones")
     }
     // the batch becomes visible ATOMICALLY here: a crash above leaves
-    // a partial batch that committedFilter ignores (LsmStore doc)
+    // a partial batch that visibleFilter ignores (LsmStore doc)
     markBatchCommitted(seq)
     if (occupancyWatermark > 0)
       arrivals.foreach(a => atRestRows += a.count())
@@ -153,7 +156,7 @@ final class CodesMaintainer(
           "saturate, PQ codebooks misassign, IVF cells crowd) — refit; " +
           "compaction never re-fits.")
     }
-    if (batches % compactEvery == 0) compactNow()
+    if (batches - readFence() >= compactEvery) compactNow()
     else if (pastWatermark(occupancyWatermark)) log.warn(
       s"stored codes table '$path' holds $atRestRows rows at rest " +
         f"($atRestGrowth%.1fx the $fitRows-row base its frozen model " +

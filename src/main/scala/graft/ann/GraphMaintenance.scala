@@ -118,7 +118,10 @@ final class GraphMaintainer(
     // the seq and regress the fence/cadence)
     val seq = readMarker("_graph_swap") match {
       case None => return
-      case Some(body) => body.trim.toInt
+      // a 0-byte/garbled marker (FS that creates the rename target
+      // before the content syncs) must not brick every construction:
+      // seq 0 finishes the swap harmlessly (fence write is monotone)
+      case Some(body) => body.trim.toIntOption.getOrElse(0)
     }
     log.warn(s"stored graph '$name': found a refine swap marker " +
       s"(seq $seq) — a previous process crashed mid-commit; finishing " +
@@ -131,8 +134,11 @@ final class GraphMaintainer(
   def batchesSeen: Int = batches
 
   /** True when the NEXT [[onBatch]] call will trigger the scheduled
-    * refine — exposed so callers can align checkpoints around it. */
-  def refineDue: Boolean = (batches + 1) % refineEvery == 0
+    * refine — exposed so callers can align checkpoints around it. The
+    * cadence is measured from the LAST refine (the fence), not by seq
+    * divisibility — a failed attempt burns its seq, and a burned
+    * multiple must defer the refine by one batch, not a whole cycle. */
+  def refineDue: Boolean = (batches + 1) - readFence() >= refineEvery
 
   /** ACTIVE delete tombstones (FreshDiskANN-style, arXiv:2105.09613):
     * logged by [[onBatch]]'s `deletes`, applied physically by the next
@@ -143,9 +149,9 @@ final class GraphMaintainer(
     * of the same id lands at an equal-or-later seq (re-insertion
     * revives the id; same-batch delete+insert is an upsert). */
   def tombstones: DataFrame = {
-    val t = visibleFilter((readOr("tombstones", emptySeqIds)))
+    val t = visibleFilter(readOr("tombstones", emptySeqIds))
       .select(col("vec_id"), col("seq").as("tseq"))
-    val a = visibleFilter((readOr("arrivals", emptySeqIds)))
+    val a = visibleFilter(readOr("arrivals", emptySeqIds))
       .select(col("vec_id").as("aid"), col("seq").as("aseq"))
     t.join(broadcast(a), t("vec_id") === a("aid") && a("aseq") >= t("tseq"),
         "left_anti")
@@ -211,7 +217,7 @@ final class GraphMaintainer(
       .select(col("src"), col("dst"), col("dist"))
       .localCheckpoint()
     GraphSearch.appendBucketed(delta, name, nBuckets)
-    if (batches % refineEvery == 0) refineNow(vectors)
+    if (batches - readFence() >= refineEvery) refineNow(vectors)
     else if (degreeWatermark > 0) {
       val maxDeg = maxStoredDegree
       if (maxDeg > degreeWatermark) log.warn(

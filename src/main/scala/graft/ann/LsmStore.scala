@@ -73,33 +73,19 @@ private[graft] trait LsmStore {
   private def fencePath = new Path(s"$lsmPath/_lsm_fence")
 
   /** Seq through which the logs have been folded into the base (0 when
-    * no compaction has completed). A corrupt/unreadable marker reads as
-    * 0 — conservative: stale rows re-serve as duplicates rather than
-    * fresh rows being dropped. */
+    * no compaction has completed). Read FULLY ([[readMarker]] — a
+    * short single read could truncate the seq and regress both the
+    * visibility fence and the recovered batch counter). A
+    * corrupt/unreadable marker reads as 0 — conservative: stale rows
+    * re-serve as duplicates rather than fresh rows being dropped. */
   protected final def readFence(): Int =
-    try {
-      if (!lsmFs.exists(fencePath)) 0
-      else {
-        val in = lsmFs.open(fencePath)
-        try {
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          if (n <= 0) 0 else new String(buf, 0, n, "UTF-8").trim.toInt
-        } finally in.close()
-      }
-    } catch { case _: Exception => 0 }
+    try readMarker("_lsm_fence").map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).getOrElse(0)
+    catch { case _: Exception => 0 }
 
   protected final def writeFence(seq: Int): Unit = {
     val out = lsmFs.create(fencePath, true)
     try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
-  }
-
-  /** Drop log rows already folded into the base (seq ≤ fence); base
-    * rows (seq 0) always pass. Apply to every log read in a view. */
-  protected final def staleFilter(df: DataFrame): DataFrame = {
-    val fence = readFence()
-    if (fence == 0) df
-    else df.where(col("seq") === 0 || col("seq") > fence)
   }
 
   // ---- atomic multi-log batches ----
@@ -125,11 +111,16 @@ private[graft] trait LsmStore {
     * drops the logs must re-create it before new batches land, and
     * construction creates/backfills it ([[recoverSeq]]). */
   protected final def initCommitLog(): Unit =
-    lsmSpark.range(0).select(col("id").cast("int").as("seq"))
+    // the seq-0 sentinel keeps the dir NON-empty at rest (seq 0 rows
+    // always pass the filter anyway): sync/copy tools that drop empty
+    // dirs cannot erase the commit log and downgrade a new-format
+    // store to the legacy pass-through
+    lsmSpark.range(1).select(lit(0).as("seq"))
       .write.mode("append").parquet(s"$lsmPath/batch_commits")
 
   /** The single visibility rule every log read applies (fence + commit
-    * record fused — one fence read and one commit-log read per view):
+    * record fused — one fence read and one commit-log read per CALL;
+    * a view composed of several log reads pays one pair per leg):
     * base rows (seq 0) always pass; rows at or below the fence were
     * folded by a committed compaction and drop; rows above the fence
     * pass only with a batch-commit record. The commit log exists from
@@ -277,11 +268,28 @@ private[graft] trait LsmStore {
       // so activating the filter cannot drop them; a fresh store gets
       // the empty dir, so even its FIRST batch's crash is filtered
       val backfill = new Path(s"$lsmPath/_batch_commits_backfill")
-      lsmLogDirs.filterNot(_ == "batch_commits")
+      val legacySeqs = lsmLogDirs.filterNot(_ == "batch_commits")
         .map(sub => readOr(sub, emptySeqIds).select("seq"))
         .reduce(_.unionByName(_))
         .where(col("seq") > 0).distinct()
+        .persist()
+      val nLegacy = legacySeqs.count()
+      if (nLegacy > 0)
+        // loud: on a true pre-format store this is the intended
+        // upgrade; but if a new-format store LOST its commit log
+        // (partial copy/sync), this backfill blesses any orphan rows —
+        // the operator should know which of the two happened
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"LSM store '$lsmPath': no commit log found — backfilling " +
+            s"commit records for $nLegacy existing log seq(s) as " +
+            "legacy-committed (pre-commit-record format). If this " +
+            "store was written under the commit-record format and its " +
+            "commit log was lost in a copy, uncommitted partial " +
+            "batches (if any) are being blessed here.")
+      legacySeqs.unionByName(
+          lsmSpark.range(1).select(lit(0).as("seq")))
         .write.mode("overwrite").parquet(backfill.toString)
+      legacySeqs.unpersist(false)
       require(lsmFs.rename(backfill, new Path(s"$lsmPath/batch_commits")),
         s"LSM store '$lsmPath': failed to install the backfilled " +
           "commit log")

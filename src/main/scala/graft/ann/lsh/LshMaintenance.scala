@@ -89,11 +89,14 @@ final class LshMaintainer(
     * maintainer agrees with the live one). */
   def batchesSeen: Int = batches
 
-  /** True when the NEXT [[onBatch]] call triggers compaction. */
-  def compactionDue: Boolean = (batches + 1) % compactEvery == 0
+  /** True when the NEXT [[onBatch]] call triggers compaction. The
+    * cadence is measured from the LAST compaction (the fence), not by
+    * seq divisibility — a failed attempt burns its seq, and a burned
+    * multiple must defer the fold by one batch, not a whole cycle. */
+  def compactionDue: Boolean = (batches + 1) - readFence() >= compactEvery
 
   private def tombstones: DataFrame =
-    visibleFilter((readOr("tombstones", emptySeqIds)))
+    visibleFilter(readOr("tombstones", emptySeqIds))
       .select("vec_id", "seq")
 
   /** The [[LshIndex.save]] layout's three subdirs, as compaction-commit
@@ -115,15 +118,15 @@ final class LshMaintainer(
       .select(col("tree_id").cast("int").as("tree_id"), col("hash"),
         col("vec_id"))
     val vecs = baseVectors.withColumn("seq", lit(0))
-      .unionByName(visibleFilter((
+      .unionByName(visibleFilter(
         readOr("vectors_delta", baseVectors.limit(0)
           .withColumn("seq", lit(0)))
-        .select("vec_id", "embedding", "seq"))))
+        .select("vec_id", "embedding", "seq")))
     val bks = baseBuckets.withColumn("seq", lit(0))
-      .unionByName(visibleFilter((
+      .unionByName(visibleFilter(
         readOr("buckets_delta", baseBuckets.limit(0)
           .withColumn("seq", lit(0)))
-        .select("tree_id", "hash", "vec_id", "seq"))))
+        .select("tree_id", "hash", "vec_id", "seq")))
     val t = broadcast(tombstones)
     def live(df: DataFrame) = df.join(t,
         df("vec_id") === t("vec_id") && t("seq") > df("seq"), "left_anti")
@@ -161,7 +164,7 @@ final class LshMaintainer(
         .write.mode("append").parquet(s"$path/tombstones")
     }
     // atomic visibility: a crash above leaves a partial batch (e.g.
-    // vectors written, buckets not) that committedFilter ignores
+    // vectors written, buckets not) that visibleFilter ignores
     markBatchCommitted(seq)
     if (occupancyWatermark > 0)
       arrivals.foreach(a => atRestRows += a.count())
@@ -184,7 +187,7 @@ final class LshMaintainer(
           f"$fold%.2f (watermark ${dc.ratioWatermark}). Frozen planes " +
           "split the OLD density — occupancy will skew; refitNow.")
     }
-    if (batches % compactEvery == 0) compactNow()
+    if (batches - readFence() >= compactEvery) compactNow()
     else if (pastWatermark(occupancyWatermark)) log.warn(
       s"stored LSH index '$path' holds $atRestRows rows at rest " +
         f"($atRestGrowth%.1fx the $fitRows-row base its frozen forest " +

@@ -65,19 +65,22 @@ final class PostingsStore(
   @volatile var lastOovRatio: Option[Double] = None
 
   def batchesSeen: Int = batches
-  def compactionDue: Boolean = (batches + 1) % compactEvery == 0
+  /** Cadence measured from the LAST compaction (the fence), not seq
+    * divisibility — a failed attempt burns its seq, and a burned
+    * multiple must defer the fold by one batch, not a whole cycle. */
+  def compactionDue: Boolean = (batches + 1) - readFence() >= compactEvery
 
   private def emptySeqDocs: DataFrame =
     spark.range(0).select(col("id").as("doc_id"), lit(0).as("seq"))
 
   private def tombstones: DataFrame =
-    visibleFilter((readOr("tombstones", emptySeqDocs)))
+    visibleFilter(readOr("tombstones", emptySeqDocs))
       .select("doc_id", "seq")
 
   private def liveView(baseSub: String): DataFrame = {
     val base = spark.read.parquet(s"$path/$baseSub").withColumn("seq", lit(0))
     val all = base.unionByName(
-      visibleFilter((readOr(s"${baseSub}_delta", base.limit(0)))))
+      visibleFilter(readOr(s"${baseSub}_delta", base.limit(0))))
     val t = broadcast(tombstones)
     all.join(t, all("doc_id") === t("doc_id") && t("seq") > all("seq"),
         "left_anti")
@@ -110,6 +113,7 @@ final class PostingsStore(
           explode(col("toks")).as("term"))
         .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
         .persist()
+      try {
       val known = tf.join(broadcast(stats), "term")
       // staleness watermark: OOV fraction of this batch's postings
       val agg = tf.agg(count(lit(1)).as("total")).crossJoin(
@@ -133,15 +137,18 @@ final class PostingsStore(
           PostingsStore.tscoreCol(n.toDouble, k1, b, lit(avgdl)).as("tscore"),
           lit(seq).as("seq"))
         .write.mode("append").parquet(s"$path/bm25_delta")
-      tf.unpersist(false)
+      // finally: the burn-and-retry contract makes the failure path an
+      // expected flow — a leaked cached RDD per failed attempt would
+      // accumulate across retries
+      } finally tf.unpersist(false)
     }
     deletes.foreach(_.select(col("doc_id"), lit(seq).as("seq"))
       .write.mode("append").parquet(s"$path/tombstones"))
     // atomic visibility: a crash above leaves a partial batch (sparse
     // written, bm25 not — or a delete without its upsert arrival) that
-    // committedFilter ignores instead of serving diverged views
+    // visibleFilter ignores instead of serving diverged views
     markBatchCommitted(seq)
-    if (batches % compactEvery == 0) compactNow()
+    if (batches - readFence() >= compactEvery) compactNow()
   }
 
   /** Fold the logs into both base tables through the crash-safe

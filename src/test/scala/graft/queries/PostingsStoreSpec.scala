@@ -100,19 +100,27 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
     val d = docsOf(sf("sf0.001") + "/documents.parquet")
     val path = java.nio.file.Files
       .createTempDirectory("postings_retry").toString + "/idx"
-    val store = PostingsStore.build(spark, path, d)
+    // compactEvery = 2 so the FAILED attempt lands exactly on a
+    // cadence multiple — the fold must be deferred one batch, not a
+    // whole cycle (cadence measures from the fence, not divisibility)
+    val store = PostingsStore.build(spark, path, d, compactEvery = 2)
+    store.onBatch(None, None) // committed batch 1
     // an arrivals frame that fails at evaluation time (assert_true in
     // the filter predicate cannot be pruned away)
     val failing = Seq((777777L, Seq("vector"))).toDF("doc_id", "toks")
       .where(assert_true(lit(false)).isNull)
     intercept[Exception](store.onBatch(Some(failing), None))
-    assert(store.batchesSeen === 1, "failed attempt did not burn its seq")
+    assert(store.batchesSeen === 2, "failed attempt did not burn its seq")
     // the same-instance retry lands at a FRESH seq: even if the failed
     // attempt had left partial log rows, the commit record cannot
-    // bless them
+    // bless them — and the compaction the burned seq 2 would have run
+    // fires HERE instead of waiting for seq 4
+    assert(store.compactionDue)
     store.onBatch(Some(Seq((777777L, Seq("vector")))
       .toDF("doc_id", "toks")), None)
-    assert(store.batchesSeen === 2)
+    assert(store.batchesSeen === 3)
+    assert(!new java.io.File(s"$path/sparse_delta").exists(),
+      "burned cadence multiple skipped the compaction cycle")
     assert(store.sparse.where($"doc_id" === 777777L).count() === 1,
       "retry double-served the doc")
   }
