@@ -81,8 +81,34 @@ final class GraphMaintainer(
   /** The LSM sequence is PERSISTENT state (recovered from the logs and
     * the refine fence) — a reconstructed maintainer continues both the
     * refine CADENCE and the delete/re-insert ORDERING. A refine that
-    * crashed mid-commit is finished FIRST ([[recoverSwap]]). */
-  private var batches = { recoverSwap(); recoverSeq() }
+    * crashed mid-commit is finished FIRST ([[recoverSwap]]); legacy
+    * catalog-table tombstones are folded in SECOND
+    * ([[backfillLegacyTombstones]]) so pre-log-format pending deletes
+    * don't silently resurrect on upgrade. */
+  private var batches = {
+    recoverSwap(); backfillLegacyTombstones(); recoverSeq()
+  }
+
+  /** Pending deletes of a pre-log-format store lived in the catalog
+    * table `${name}_tombstones`; the log-based view reads only
+    * `$path/tombstones` — without this fold, an existing store's
+    * un-refined tombstones would silently resurrect on upgrade (the
+    * commit-log analog is recoverSeq's legacy backfill). Folded at
+    * seq 0: visible without a commit record, and killed by any later
+    * re-insert arrival (seq ≥ 1 ≥ 0) — exactly the legacy semantics,
+    * where every logged arrival postdates the legacy table. The
+    * legacy table is dropped after the fold so this runs once. */
+  private def backfillLegacyTombstones(): Unit = {
+    val legacy = s"${name}_tombstones"
+    if (!spark.catalog.tableExists(legacy)) return
+    log.warn(s"stored graph '$name': found the pre-log-format tombstone " +
+      s"table '$legacy' — folding its ids into the seq-stamped " +
+      s"tombstone log at '$path/tombstones' (seq 0) and dropping the " +
+      "legacy table, so pending deletes survive the upgrade.")
+    spark.table(legacy).select(col("vec_id"), lit(0).as("seq"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    spark.sql(s"DROP TABLE IF EXISTS $legacy")
+  }
 
   // ---- crash-safe refine commit (the catalog-table twin of
   //      LsmStore.commitCompaction's dir protocol) ----
@@ -126,7 +152,7 @@ final class GraphMaintainer(
     log.warn(s"stored graph '$name': found a refine swap marker " +
       s"(seq $seq) — a previous process crashed mid-commit; finishing " +
       "the commit (swap refined table into place, fence, drop logs).")
-    finishSwap(seq)
+    poisonOnFailure(finishSwap(seq))
   }
 
   /** Insert batches applied over the store's lifetime (refines don't
@@ -174,6 +200,7 @@ final class GraphMaintainer(
   def onBatch(vectors: DataFrame, newVectors: DataFrame,
               entries: DataFrame,
               deletes: Option[DataFrame] = None): DataFrame = {
+    guardPoisoned()
     val seq = batches + 1
     // the seq is BURNED up front: a failed attempt's partial log rows
     // stay at a seq no retry reuses (same-instance or post-restart),
@@ -255,13 +282,14 @@ final class GraphMaintainer(
     * This is the graph store's COMPACTION: active tombstones are
     * applied physically, the fence is stamped at the current seq, and
     * both logs are dropped — log rows surviving a crash in that window
-    * are fenced off ([[LsmStore.staleFilter]]) like every other
+    * are fenced off ([[LsmStore.visibleFilter]]) like every other
     * maintainer's.
     *
     * The refined frame is localCheckpoint-materialized BEFORE the store
     * rewrite — Spark refuses to overwrite a table still being read, and
     * every frame here descends from the stored table. */
   def refineNow(vectors: DataFrame): DataFrame = {
+    guardPoisoned()
     val stored0 = GraphSearch.loadBucketed(spark, name)
     // Delete consolidation (FreshDiskANN §4.2): for every tombstoned
     // node d, bridge its in-neighbors to its out-neighbors (a→d, d→b ⇒
@@ -336,7 +364,7 @@ final class GraphMaintainer(
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     GraphSearch.saveBucketed(withBackbone, s"${name}_swap", nBuckets)
     publishMarker("_graph_swap", batches.toString)
-    finishSwap(batches)
+    poisonOnFailure(finishSwap(batches))
     // maxStoredDegree is a full edge-table aggregate — only pay for it
     // when the log line is actually emitted
     if (log.isInfoEnabled) log.info(

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *   - **compaction fence** (`_lsm_fence`, a tiny marker file): written
   *     AFTER the folded base lands and BEFORE the logs are deleted.
   *     Log rows with seq ≤ fence are already IN the base, and
-  *     [[staleFilter]] drops them from every view — so a crash between
+  *     [[visibleFilter]] drops them from every view — so a crash between
   *     the fence write and the log deletion re-serves correctly (the
   *     surviving rows are fenced off; the next compaction deletes
   *     them);
@@ -102,9 +102,11 @@ private[graft] trait LsmStore {
     * BEFORE writing, so a retried batch — same instance or after a
     * restart — lands at a FRESH seq and the orphan rows stay invisible
     * until compaction drops the logs. */
-  protected final def markBatchCommitted(seq: Int): Unit =
+  protected final def markBatchCommitted(seq: Int): Unit = {
+    guardPoisoned()
     lsmSpark.range(1).select(lit(seq).as("seq"))
       .write.mode("append").parquet(s"$lsmPath/batch_commits")
+  }
 
   /** (Re-)create the commit log, empty — its EXISTENCE is load-bearing:
     * a missing dir reads as legacy pass-through, so every path that
@@ -117,6 +119,33 @@ private[graft] trait LsmStore {
     // store to the legacy pass-through
     lsmSpark.range(1).select(lit(0).as("seq"))
       .write.mode("append").parquet(s"$lsmPath/batch_commits")
+
+  // ---- poisoned-instance guard ----
+
+  /** Set when the destructive half of a commit threw mid-swap: the
+    * store may be HALF-SWAPPED on disk (e.g. new sparse + old bm25,
+    * fence unstamped, logs visible). A caller that catches the commit
+    * exception and keeps serving would read diverged or duplicated
+    * views — healing only happens at the next CONSTRUCTION
+    * ([[recoverCompaction]] retries the commit from the marker), so
+    * every serving/maintenance entry point throws until then. */
+  @volatile private var commitPoisoned: Boolean = false
+
+  /** Throws when a failed commit has poisoned this instance (see
+    * [[commitPoisoned]]) — called by every serving/batch entry point. */
+  protected final def guardPoisoned(): Unit =
+    if (commitPoisoned) throw new IllegalStateException(
+      s"LSM store '$lsmPath': a compaction/swap commit failed mid-swap " +
+        "on this instance — the on-disk store may be half-swapped. " +
+        "Construct a new instance (recovery finishes the commit from " +
+        "the pre-commit marker at construction); do not keep serving " +
+        "from this one.")
+
+  /** Run the destructive half of a commit, poisoning this instance if
+    * it throws (the marker and temps stay on disk for recovery). */
+  protected final def poisonOnFailure[T](f: => T): T =
+    try { val r = f; commitPoisoned = false; r }
+    catch { case e: Throwable => commitPoisoned = true; throw e }
 
   /** The single visibility rule every log read applies (fence + commit
     * record fused — one fence read and one commit-log read per CALL;
@@ -131,6 +160,7 @@ private[graft] trait LsmStore {
     * instant between a commit's log-drop and its re-create, when the
     * logs are empty anyway. */
   protected final def visibleFilter(df: DataFrame): DataFrame = {
+    guardPoisoned()
     val fence = readFence()
     val unfenced =
       if (fence == 0) df
@@ -199,7 +229,7 @@ private[graft] trait LsmStore {
     publishMarker("_lsm_precommit",
       (seq.toString +: renames.map { case (t, f) => s"$t>$f" })
         .mkString("\n"))
-    finishCommit(seq, renames)
+    poisonOnFailure(finishCommit(seq, renames))
   }
 
   /** The destructive half of the commit — idempotent: a rename whose
@@ -240,17 +270,43 @@ private[graft] trait LsmStore {
     * overwrites — the base and logs are untouched at that point). */
   protected final def recoverCompaction(): Unit = {
     val body = readMarker("_lsm_precommit").getOrElse(return)
-    val lines = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-    val seq = lines.head.toInt
-    val renames = lines.tail.map { l =>
-      val i = l.indexOf('>')
-      (l.substring(0, i), l.substring(i + 1))
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    // Defensive parse: the marker is published via temp-file + rename,
+    // so a 0-byte or garbled body can only come from an FS that creates
+    // the rename target before the content syncs — a crash point BEFORE
+    // publishMarker returned, hence BEFORE any destructive step ran
+    // (base and logs are fully intact; only inert temps exist). The
+    // safe recovery is to ABORT the never-started commit — drop the
+    // marker and the temp dir — not to brick every construction with a
+    // NumberFormatException (the recoverSwap tolerance, applied here).
+    val parsed: Option[(Int, Seq[(String, String)])] = try {
+      val lines = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      val seq = lines.head.toInt
+      val renames = lines.tail.map { l =>
+        val i = l.indexOf('>')
+        require(i > 0 && i < l.length - 1, s"rename line '$l' has no '>'")
+        (l.substring(0, i), l.substring(i + 1))
+      }
+      Some((seq, renames))
+    } catch { case _: Exception => None }
+    parsed match {
+      case None =>
+        log.warn(
+          s"LSM store '$lsmPath': the compaction pre-commit marker at " +
+            s"$precommitPath is empty or unparseable (body: " +
+            s"'${body.take(80)}') — the publishing process crashed " +
+            "before the marker content synced, so no destructive step " +
+            "ran. Discarding the marker and the temp dir; the aborted " +
+            "compaction simply retries at its next cadence.")
+        lsmFs.delete(precommitPath, false)
+        lsmFs.delete(new Path(s"$lsmPath/$CompactTmpDir"), true)
+      case Some((seq, renames)) =>
+        log.warn(
+          s"LSM store '$lsmPath': found a compaction pre-commit marker " +
+            s"(seq $seq) — a previous process crashed mid-commit; finishing " +
+            "the commit (swap folded base into place, stamp fence, drop logs).")
+        poisonOnFailure(finishCommit(seq, renames))
     }
-    org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"LSM store '$lsmPath': found a compaction pre-commit marker " +
-        s"(seq $seq) — a previous process crashed mid-commit; finishing " +
-        "the commit (swap folded base into place, stamp fence, drop logs).")
-    finishCommit(seq, renames)
   }
 
   // ---- persistent sequence ----

@@ -9,8 +9,9 @@ import graft.ann.TopK
 /** Binary quantization (1 bit/dimension) — the deepest compression point
   * in the index family (LSH forest, IVF, SQ8, PQ, IVF-SQ, IVF-PQ): each
   * dimension keeps only its sign against a fixed per-dimension threshold,
-  * so a d-dim float vector stores as ceil(d/32) packed words (32x smaller
-  * than float32 at rest) and candidate scoring is XOR + popcount — the
+  * so a d-dim float vector stores as ceil(d/64) packed 64-bit words
+  * (1 bit/dim — 32x smaller than float32 at rest, 8 B/vec at 64-d; see
+  * the word-width note below) and candidate scoring is XOR + popcount — the
   * same sign-bit sketch family as SimHash (text/Dedup.scala) applied to
   * dense embeddings, and the scan-side shape of the reference's
   * hyperplane hashing (lsh/hasher.go:175-205) with the forest replaced by

@@ -439,6 +439,15 @@ object IvfPq {
         config.driverFitMaxSample.toDouble / effective),
       seed = config.seed + 1)
     val raw = FitSample.collectVectors(sub, vecCol)
+    // a degenerate driverFitMaxSample (e.g. 1, used by tests to force
+    // this path) can make the fraction sample return zero rows — fail
+    // with the config's name, not an ArrayIndexOutOfBounds at vecs(0)
+    require(raw.nonEmpty,
+      s"fitDistributedCoarse: the residual-codebook sub-sample is empty " +
+        s"(driverFitMaxSample=${config.driverFitMaxSample} over " +
+        s"$effective sampled rows) — raise driverFitMaxSample; the " +
+        "codebook fit needs a non-empty driver-side sample even when " +
+        "the coarse fit runs distributed")
     val vecs = if (!config.angular) raw else raw.map { v =>
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }

@@ -103,6 +103,7 @@ final class PostingsStore(
     * upsert. Arrivals encode against the FROZEN stats (class doc). */
   def onBatch(arrivals: Option[DataFrame],
               deletes: Option[DataFrame]): Unit = {
+    guardPoisoned()
     val seq = batches + 1
     // the seq is BURNED up front: a failed attempt's partial log rows
     // stay at a seq no retry reuses (LsmStore doc)

@@ -242,6 +242,44 @@ class CodesMaintainerSpec extends AnyFunSuite with SparkSpecBase {
     assert(rows(Sq.load(spark, path).codes) === expected)
   }
 
+  test("a 0-byte or garbled pre-commit marker aborts the commit instead of bricking construction") {
+    val corpus = mkCorpus(30)
+    val idx = Sq.train(corpus, "vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("codes_lsm_garbled").toString + "/idx"
+    idx.save(spark, path)
+    def enc(df: DataFrame) = idx.model.transformDf(df, "vec_id", "embedding")
+    val m = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    val arrivals = mkCorpus(40, seed = 29).where($"vec_id" >= 30L)
+    m.onBatch(Some(arrivals), Some(Seq(3L).toDF("vec_id")))
+    val expected = rows(m.liveCodes)
+
+    // the FS anomaly recoverSwap tolerates: the marker's rename target
+    // exists but the content never synced (0 bytes) — pre-content crash,
+    // so nothing destructive ran; base + logs are fully intact
+    m.liveCodes.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$path/_compact_tmp/codes")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_lsm_precommit"), Array.empty[Byte])
+    val m2 = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    assert(!new java.io.File(s"$path/_lsm_precommit").exists(),
+      "garbled marker kept — would re-log the abort on every open")
+    assert(!new java.io.File(s"$path/_compact_tmp").exists(),
+      "orphan temp dir kept after the aborted commit")
+    assert(new java.io.File(s"$path/codes_delta").exists(),
+      "logs destroyed by an aborted (never-started) commit")
+    assert(rows(m2.liveCodes) === expected, "aborted-commit view wrong")
+    assert(m2.batchesSeen === 1, s"seq: ${m2.batchesSeen}")
+
+    // garbled rename line (valid seq, no '>') takes the same abort path
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_lsm_precommit"),
+      "1\n_compact_tmp/codescodes".getBytes("UTF-8"))
+    val m3 = new CodesMaintainer(spark, path, enc, compactEvery = 100)
+    assert(!new java.io.File(s"$path/_lsm_precommit").exists())
+    assert(rows(m3.liveCodes) === expected)
+  }
+
   test("legacy store (no commit log) backfills at construction; rows stay visible") {
     val corpus = mkCorpus(30)
     val idx = Sq.train(corpus, "vec_id", "embedding")

@@ -14,6 +14,37 @@ class GraphMaintenanceSpec extends AnyFunSuite with SparkSpecBase {
 
   import spark.implicits._
 
+  test("legacy catalog-table tombstones fold into the log at construction (no silent resurrection)") {
+    // a pre-log-format store kept pending deletes in `${name}_tombstones`;
+    // the log-based view must inherit them on upgrade, and a later
+    // re-insert arrival (seq >= 1 >= the fold's seq 0) must revive the id
+    spark.sql("DROP TABLE IF EXISTS legacy_ts_spec_tombstones")
+    Seq(3L, 9L).toDF("vec_id")
+      .write.mode("overwrite").saveAsTable("legacy_ts_spec_tombstones")
+    val path = java.nio.file.Files
+      .createTempDirectory("legacy_ts_lsm").toString
+    val m = new GraphMaintainer(spark, "legacy_ts_spec", path,
+      "vec_id", "embedding", k = 4, beamWidth = 8, hops = 2,
+      refineEvery = 100)
+    assert(m.tombstones.as[Long].collect().sorted.toSeq === Seq(3L, 9L),
+      "legacy tombstones resurrected on upgrade")
+    assert(!spark.catalog.tableExists("legacy_ts_spec_tombstones"),
+      "legacy table kept — the fold would re-append on every open")
+    // a reconstructed maintainer sees the folded log, not the table
+    val m2 = new GraphMaintainer(spark, "legacy_ts_spec", path,
+      "vec_id", "embedding", k = 4, beamWidth = 8, hops = 2,
+      refineEvery = 100)
+    assert(m2.tombstones.as[Long].collect().sorted.toSeq === Seq(3L, 9L))
+    // revival: a committed arrival of id 3 at seq 1 kills the seq-0
+    // tombstone (write the logs in onBatch's format — no graph needed)
+    Seq((3L, 1)).toDF("vec_id", "seq")
+      .write.mode("append").parquet(s"$path/arrivals")
+    Seq(Tuple1(1)).toDF("seq")
+      .write.mode("append").parquet(s"$path/batch_commits")
+    assert(m2.tombstones.as[Long].collect().toSeq === Seq(9L),
+      "re-inserted id stayed tombstoned (old delete beat new insert)")
+  }
+
   test("scheduled refine re-bounds the hub in a multi-batch streaming insert run") {
     val rng = new scala.util.Random(13)
     val magnet = Array.fill(8)(rng.nextGaussian())
