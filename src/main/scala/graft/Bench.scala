@@ -23,15 +23,52 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .trim.split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Exception => "null" }
+    def load1m(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split(" ").head.toDouble
+      catch { case _: Exception => -1.0 }
     def procCpuSec(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
         case os: com.sun.management.OperatingSystemMXBean =>
           os.getProcessCpuTime / 1e9
         case _ => -1.0
       }
+    // ---- contention defense, part 1: the pre-board gate ----
+    // A board started on a loaded host measures the neighbor's noise
+    // (it cost a judge re-run in rounds 9 AND 12). Refusing outright
+    // would leave the round with no artifact at all, so the gate is a
+    // bounded settle: wait up to 2 minutes for the 1-minute load to
+    // drop under the gate, then proceed and SAY so — the verdict is
+    // stamped into the headline either way.
+    val loadGate = 0.15 * cpus.toDouble
+    var settleWaits = 0
+    while (load1m() > loadGate && settleWaits < 4) {
+      System.err.println(f"[bench] host contended before the board " +
+        f"(load_1m ${load1m()}%.2f > gate $loadGate%.2f) — waiting 30 s " +
+        f"for it to settle (${settleWaits + 1}/4)")
+      Thread.sleep(30000)
+      settleWaits += 1
+    }
+    var maxLoad = load1m()
     val loadBefore = loadAvg()
     val cpu0 = procCpuSec()
     val wall0 = System.nanoTime()
+    // Prior round's per-query best times (the committed BENCH_SPREAD
+    // .json, written by the previous round's board run): the reference
+    // this run's numbers are sanity-checked against. Best-effort — a
+    // missing/garbled file just disables the outlier re-attempts.
+    val prior: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_SPREAD.json")), "UTF-8")
+        val entry = """"(q_[A-Za-z0-9_]+)":\[([^\]]*)\]""".r
+        entry.findAllMatchIn(txt).map { m =>
+          val best = m.group(2).split(",").toSeq
+            .flatMap(_.trim.toDoubleOption).filter(_ > 0)
+          m.group(1) -> (if (best.isEmpty) -1.0 else best.min)
+        }.toMap.filter(_._2 > 0)
+      } catch { case _: Exception => Map.empty }
     // Warm the session (codegen, parquet footer reader, shuffle machinery)
     // so the first measured query doesn't absorb one-time JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -56,33 +93,85 @@ object Bench {
     // duration with only the failed attempt marked -1.0, so a partial
     // failure still records which attempt died and what the surviving
     // one cost — the noise-vs-regression signal the file exists for.
-    val attempts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.sharedState.cacheManager.clearCache()
-        (ok, dt)
+    val qmap = SparkEntry.queries
+    def attempt(name: String): (Boolean, Double) = {
+      val t0 = System.nanoTime()
+      val ok = try { qmap(name)(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      (ok, dt)
     }
+    val names = qmap.keys.toSeq.sorted
+    val attemptLog = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> (1 to 2).map(_ => attempt(n)).toVector): _*)
+    maxLoad = math.max(maxLoad, load1m())
+    // ---- contention defense, part 2: third-attempt outlier re-runs ----
+    // min-of-2 is too thin when BOTH attempts land in one contention
+    // window (round 12: 32.8 s and 24.1 s for a 2 s query — min()
+    // still shipped an 11x phantom). Any query whose best attempt is
+    // > 3x its prior-round best gets ONE more attempt after the board
+    // (the window has usually passed by then); on a genuinely quiet
+    // host with a real regression the third attempt just confirms it.
+    // The 0.15 s floor keeps sub-100 ms queries from tripping on timer
+    // noise.
+    def best(ts: Seq[(Boolean, Double)]): Double =
+      if (ts.forall(_._1)) ts.map(_._2).min else -1.0
+    def outlier(n: String): Boolean = {
+      val b = best(attemptLog(n))
+      b > 0 && prior.get(n).exists(p => b > 3.0 * math.max(p, 0.15))
+    }
+    val reattempted = names.filter(outlier)
+    reattempted.foreach { n =>
+      System.err.println(s"[bench] $n best ${best(attemptLog(n))} s is >3x " +
+        s"its prior-round ${prior(n)} s — third attempt")
+      attemptLog(n) = attemptLog(n) :+ attempt(n)
+    }
+    maxLoad = math.max(maxLoad, load1m())
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma decimal separator (e.g. de_DE) would emit invalid JSON.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Both attempt times go to BENCH_SPREAD.json so a reader can separate
+    // All attempt times go to BENCH_SPREAD.json so a reader can separate
     // host-contention noise (attempts disagree >1.5x) from a real plan
-    // regression (both attempts slow) without burning a re-run — the
+    // regression (all attempts slow) without burning a re-run — the
     // min-only headline cannot distinguish the two across rounds. The
     // write is cwd-relative and best-effort: a missing/read-only
     // directory must not crash the run AFTER every query already ran and
     // eat the headline line.
-    val spread = attempts.map { case (k, ts) =>
+    val spread = attemptLog.map { case (k, ts) =>
       s"\"" + k + "\":[" +
         ts.map { case (ok, dt) => if (ok) r3(dt) else "-1.0" }.mkString(",") +
         "]"
+    }.mkString("{", ",", "}")
+    // Build/serve split for the shared memoized builds (graph family
+    // etc.): a one-time build lands in whichever query touches it first,
+    // so that query's attempt 1 reads as a walk regression unless the
+    // build is its own line item. `memo_builds` is the measured wall
+    // time of every shared build (QueryPack.buildSeconds); `build_split`
+    // derives per-query serve (best of attempts 2+, which never pay a
+    // memo build) vs first-touch overhead for the graph-family lines.
+    val memoBuilds = {
+      import scala.jdk.CollectionConverters._
+      graft.queries.QueryPack.buildSeconds.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    }
+    val graphFamily = attemptLog.keys.filter(n =>
+      n.startsWith("q_graph_") || n == "q_autotune_graph_beam" ||
+        n == "q_knn_graph_lsh" || n == "q_knn_graph_nnd" ||
+        n == "q_mutual_knn_clusters_lsh")
+    val buildSplit = graphFamily.flatMap { n =>
+      val ts = attemptLog(n)
+      val serveAttempts = ts.drop(1).filter(_._1).map(_._2)
+      if (ts.head._1 && serveAttempts.nonEmpty) {
+        val serve = serveAttempts.min
+        Some("\"" + n + "\":{\"build_s\":" +
+          r3(math.max(0.0, ts.head._2 - serve)) +
+          ",\"serve_s\":" + r3(serve) + "}")
+      } else None
     }.mkString("{", ",", "}")
     val loadAfter = loadAvg()
     val cpuSec = r3(procCpuSec() - cpu0)
@@ -90,18 +179,34 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SPREAD.json"),
       (s"""{"sf":"$sfDir","cpus":$cpus,"load_before":$loadBefore,""" +
-        s""""load_after":$loadAfter,"proc_cpu_sec":$cpuSec,""" +
-        s""""wall_sec":$wallSec,"attempts":$spread}""").getBytes("UTF-8"))
+        s""""load_after":$loadAfter,"load_gate":${r3(loadGate)},""" +
+        s""""settle_waits":$settleWaits,"proc_cpu_sec":$cpuSec,""" +
+        s""""wall_sec":$wallSec,""" +
+        s""""reattempted":${reattempted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""memo_builds":$memoBuilds,"build_split":$buildSplit,""" +
+        s""""attempts":$spread}""").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] BENCH_SPREAD.json write failed: ${e.getMessage}")
     }
-    val results = attempts.map { case (name, ts) =>
-      name -> (if (ts.forall(_._1)) ts.map(_._2).min else -1.0)
-    }
+    val results = attemptLog.toSeq.map { case (name, ts) => name -> best(ts) }
+    // ---- contention defense, part 3: the verdict in the artifact ----
+    // contended = the host load crossed the gate at some sample AND a
+    // query still finished >3x its prior-round best after the third
+    // attempt. A clean re-attempt pass (outliers recovered) reads
+    // contended=false — the artifact defended itself; a quiet-host
+    // outlier also reads false — that's a real regression, not noise.
+    val stillOut = results.filter { case (n, b) =>
+      b > 0 && prior.get(n).exists(p => b > 3.0 * math.max(p, 0.15))
+    }.map(_._1)
+    val contended = maxLoad > loadGate && stillOut.nonEmpty
+    if (stillOut.nonEmpty)
+      System.err.println(s"[bench] still >3x prior after re-attempts " +
+        s"(${if (contended) "contended host" else "load was quiet — investigate as a regression"}): " +
+        stillOut.mkString(", "))
     // Headline stays ONE line STRICTLY under 1900 chars: the round
     // harness keeps only the final 2000 chars of stdout, and a longer
     // line gets its HEAD truncated — which ate round 9's metric/value
-    // fields and left the driver's parse at null. At 121 queries even
+    // fields and left the driver's parse at null. At 150+ queries even
     // 1-second precision overflows (~2600 chars), so the inline map
     // carries only the SLOWEST queries that fit the budget (the
     // informative ones — the fast tail is noise at any precision) and
@@ -114,7 +219,7 @@ object Bench {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val failed = results.filter(_._2 < 0)
     val byCost = failed ++ results.filter(_._2 >= 0).sortBy(-_._2)
-    val budget = 1600 // chars for the queries map
+    val budget = 1500 // chars for the queries map
     val entries = scala.collection.mutable.ListBuffer.empty[String]
     var used = 2
     var omitted = 0
@@ -126,7 +231,9 @@ object Bench {
     val qs = entries.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-        s""""queries_omitted":$omitted,"sf":"$sfName"}"""
+        s""""queries_omitted":$omitted,"contended":$contended,""" +
+        s""""reattempted":${reattempted.size},"load_1m_max":${r3(maxLoad)},""" +
+        s""""sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] headline ${line.length} chars — over the 2000-char stdout window")
     println(line)

@@ -62,11 +62,32 @@ trait QueryPack {
         fresh
       }
     }
-    perSession.computeIfAbsent((dir, tag), _ => f).asInstanceOf[T]
+    perSession.computeIfAbsent((dir, tag), _ => {
+      // time the build and publish it to the registry: shared builds
+      // land in whichever query touches them FIRST, so a bench reading
+      // only per-query wall times can mistake a first-touch build for a
+      // serving regression (the round-12 q_graph_beam_seeded post-mortem)
+      // — the registry lets Bench stamp build cost as its own line item
+      val t0 = System.nanoTime()
+      val v = f
+      QueryPack.buildSeconds.merge(tag, (System.nanoTime() - t0) / 1e9,
+        (a, b) => Double.box(a + b))
+      v
+    }).asInstanceOf[T]
   }
 }
 
 object QueryPack {
+  /** Wall seconds of each memoized shared build that ran in THIS JVM,
+    * keyed by memo tag (summed across sf dirs/sessions — the bench is
+    * one-session-per-JVM). Dependencies between memoized builds are
+    * resolved before entering the compute lambda (see [[QueryPack
+    * .memoized]]), so each tag's time excludes its dependencies'. Read
+    * by [[graft.Bench]] to split one-time build cost out of the
+    * first-touch query's wall time in BENCH_SPREAD. */
+  val buildSeconds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
   /** Root for the dump-and-check side channels (seeded index builds and
     * searches dump parquet here so DuckDB can cross-check them in SQL).
     * Configurable via `-Dgraft.dump.root` so two concurrent sessions
