@@ -43,6 +43,15 @@ object SimilarityQueries extends QueryPack {
     * vectors — the reference's angular coupling, lsh/hasher.go:121-132). */
   val ivfAngularConfig: IvfConfig = ivfConfig.copy(angular = true)
 
+  /** `q_ivf_search_l2_distfit`'s config: driverFitMaxSample = 1 forces
+    * the distributed k-means|| coarse fit (Ivf.fitCentroidsDistributed
+    * — the past-driver-bound scale path) at gate scale, so BOTH fit
+    * paths sit under the driver's cross-engine correctness gate, not
+    * only under DistributedFitSpec. The dispatch is deterministic
+    * (total > driverFitMaxSample), pinned by DistributedFitSpec's
+    * board-config test. */
+  val ivfDistFitConfig: IvfConfig = ivfConfig.copy(driverFitMaxSample = 1)
+
   /** IVF-PQ: same coarse geometry as [[ivfConfig]], same code budget as
     * `q_pq_recall`'s PqConfig — so the two recall queries isolate exactly
     * the residual-encoding + cell-pruning delta. */
@@ -198,6 +207,28 @@ object SimilarityQueries extends QueryPack {
     memoized(s, dir, "sq_idx") {
       graft.ann.sq.Sq.train(emb(s, dir), "vec_id", "embedding")
     }
+
+  /** IVF-OPQ at the shared budgets — the faiss "OPQ,IVF,PQ" deployment
+    * shape (`q_ivfopq_recall` sits beside `q_ivfpq_recall`, isolating
+    * exactly the rotation's candidate-generation delta). Reuses the
+    * memoized OPQ rotation: [[graft.ann.pq.Opq.train]] and
+    * [[graft.ann.ivfpq.IvfOpq.train]] fit the identical rotation (same
+    * sample, same PqConfig, same iters/inits defaults), so the board
+    * pays ONE multi-start OPQ fit — the costliest driver-side fit.
+    * The dependency is resolved BEFORE the memo lambda (nested
+    * computeIfAbsent on the shared memo map is unsupported). */
+  private def ivfOpqIdx(s: SparkSession,
+                        dir: String): graft.ann.ivfpq.IvfOpqIndex = {
+    val rot = opqIdx(s, dir).model.rotation
+    memoized(s, dir, "ivfopq_idx") {
+      val e = emb(s, dir)
+      val rotated = e.select(col("vec_id"),
+        graft.ann.pq.Opq.rotateCol(rot, col("embedding")).as("embedding"))
+      new graft.ann.ivfpq.IvfOpqIndex(rot,
+        graft.ann.ivfpq.IvfPq.train(rotated, "vec_id", "embedding",
+          ivfPqConfig))
+    }
+  }
   private def bqIdx(s: SparkSession, dir: String): graft.ann.bq.BqIndex =
     memoized(s, dir, "bq_idx") {
       graft.ann.bq.Bq.train(emb(s, dir), "vec_id", "embedding")
@@ -370,6 +401,28 @@ object SimilarityQueries extends QueryPack {
       val res = Eval.withValidity(idx.searchAll(q, K, ExactNN.L2), e, q, ExactNN.L2)
       LshQueries.dumpAndReload(s, res,
           s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_l2")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // Distributed-fit twin of q_ivf_search_l2: driverFitMaxSample = 1
+    // forces the MLlib k-means|| coarse fit (the fit path a 100 TB
+    // corpus uses, where FitSample.collectVectors stops holding), then
+    // serves the same 100-query L2 search under the same per-pair
+    // distance oracle — cheap insurance that the distributed fit's
+    // index SERVES correctly under the driver gate, not only in specs.
+    // The cell geometry differs from the driver fit (seeded k-means||
+    // init — DistributedFitSpec's recall-parity contract), so this row
+    // re-verifies distances, not cell assignments.
+    "q_ivf_search_l2_distfit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = memoized(s, dir, "ivf_dist_idx") {
+        Ivf.train(e, "vec_id", "embedding", ivfDistFitConfig)
+      }
+      val res = Eval.withValidity(idx.searchAll(q, K, ExactNN.L2), e, q,
+        ExactNN.L2)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_l2_distfit")
         .orderBy("query_id", "dist", "vec_id")
     }),
 
@@ -614,6 +667,35 @@ object SimilarityQueries extends QueryPack {
       val rerPred = LshQueries.dumpAndReload(s,
         idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
         s"$dumpBase/ivfpq_rerank")
+      val adc = Eval.setPrecisionRecall(adcPred, gt)
+        .agg(round(avg("recall"), 4).as("adc_recall"))
+      val rer = Eval.setPrecisionRecall(rerPred, gt)
+        .agg(round(avg("recall"), 4).as("rerank_recall"))
+      adc.crossJoin(rer)
+    }),
+
+    // IVF-OPQ recall — the faiss "OPQ,IVF,PQ" production shape under
+    // the oracle, beside q_ivfpq_recall at the SAME coarse geometry and
+    // code budget so the two rows isolate exactly the learned rotation:
+    // rotated-space candidate generation (ADC over residual codes of
+    // the rotated corpus), original-space exact L2 rerank (the rotation
+    // is an isometry — IvfOpq scaladoc). Both prediction sets are
+    // dumped and regraded against DuckDB's OWN exact ground truth, so
+    // the IVF-OPQ-vs-IVF-PQ delta reads directly off the board: compare
+    // adc_recall here to q_ivfpq_recall's (win on anisotropic data,
+    // wash on near-isotropic — the SCALE.md measured story; extends the
+    // reference's recall grading, annbench/annbench.go:165-187).
+    "q_ivfopq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = ivfOpqIdx(s, dir)
+      val gt = exactGtL2(s, dir)
+      val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
+      val adcPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
+        s"$dumpBase/ivfopq_adc")
+      val rerPred = LshQueries.dumpAndReload(s,
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        s"$dumpBase/ivfopq_rerank")
       val adc = Eval.setPrecisionRecall(adcPred, gt)
         .agg(round(avg("recall"), 4).as("adc_recall"))
       val rer = Eval.setPrecisionRecall(rerPred, gt)
@@ -1415,6 +1497,23 @@ object SimilarityQueries extends QueryPack {
          |       abs(exact - dist) < 1e-9 AS valid
          |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
 
+    // Distributed-fit twin: same per-pair distance recompute as
+    // q_ivf_search_l2, over the distfit dump.
+    "q_ivf_search_l2_distfit" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivf_l2_distfit/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
     // IVF selective-dispatch recall vs DuckDB's own filtered exact
     // ground truth — must be exactly 1.0 (exact-scan path binds at 2%).
     "q_ivf_search_filtered_selective" -> LshQueries.recallOracle(
@@ -1559,6 +1658,15 @@ object SimilarityQueries extends QueryPack {
          |       inv.nc <= ${ivfPqConfig.nCells} AS cell_count_ok,
          |       inv.badtot = 0 AS codes_len_ok
          |FROM st, inv, nv ORDER BY st.cell""".stripMargin,
+
+    // IVF-OPQ: same dual-dump regrade as q_ivfpq_recall — DuckDB
+    // recomputes its own exact GT and grades both the rotated-space ADC
+    // predictions and the original-space rerank predictions, so the
+    // rotation's candidate-generation delta vs q_ivfpq_recall is itself
+    // cross-engine.
+    "q_ivfopq_recall" -> LshQueries.dualRecallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/ivfopq_adc/*.parquet",
+      s"${LshQueries.SearchDumpRoot}/sf0.01/ivfopq_rerank/*.parquet", K),
 
     // Both PQ prediction dumps graded against DuckDB's own exact-NN
     // ground truth (LshQueries.dualRecallOracle mirrors

@@ -78,6 +78,22 @@ class DistributedFitSpec extends AnyFunSuite with SparkSpecBase {
       s"angular distributed recall $rDist below driver $rDriver - 0.05")
   }
 
+  test("the board's distfit twin config dispatches to the k-means|| path") {
+    // q_ivf_search_l2_distfit's promise is that the DISTRIBUTED fit sits
+    // under the driver's correctness gate — pin that its config actually
+    // takes that path: Ivf.fit with the board config must produce
+    // exactly fitCentroidsDistributed's centroids (any corpus larger
+    // than driverFitMaxSample = 1 dispatches distributed).
+    val corpus = mkCorpus(seed = 19)
+    val cfg = graft.queries.SimilarityQueries.ivfDistFitConfig
+    assert(cfg.driverFitMaxSample === 1)
+    val viaFit = Ivf.fit(corpus, "embedding", cfg).centroids
+    val direct = Ivf.fitCentroidsDistributed(corpus, "embedding",
+      cfg.nCells, cfg.iters, cfg.seed, cfg.angular)
+    assert(viaFit.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq,
+      "board distfit config did not dispatch to fitCentroidsDistributed")
+  }
+
   test("distributed fit is reproducible: same data + seed => same centroids") {
     val corpus = mkCorpus(seed = 13)
     val cfg = IvfConfig(nCells = 8, nProbe = 4, seed = 42L,
