@@ -281,6 +281,38 @@ object AutoTune {
       d => idx.searchRerank(queries, vectors, k, rerankDepth = d),
       ExactNN.L2, dumpArm, gtOpt)
 
+  /** BQ sweep over the Hamming candidate depth — the binary family's
+    * recall knob (1 bit/dim orders only coarsely, so the depth the
+    * exact rerank re-orders must scale with the corpus fraction the
+    * scan is trusted to rank; SCALE.md's depth rule, found empirically
+    * here instead of hand-set). Each arm is one Hamming scan to depth d
+    * plus the exact rerank tail ([[graft.ann.bq.BqIndex.searchRerank]],
+    * the deployment shape); `vectors` is the float table the rerank
+    * reads. Completes the tuning matrix's compressed-scan edge next to
+    * [[sweepSqRerankDepth]]. */
+  def sweepBqDepth(idx: graft.ann.bq.BqIndex, queries: DataFrame,
+                   vectors: DataFrame, k: Int, arms: Seq[Int],
+                   targetRecall: Double,
+                   metric: ExactNN.Metric = ExactNN.L2,
+                   dumpArm: (Int, DataFrame) => DataFrame = (_, df) => df,
+                   gtOpt: Option[DataFrame] = None): DataFrame =
+    sweep(arms, queries, vectors, k, targetRecall,
+      d => idx.searchRerank(queries, vectors, k, rerankDepth = d, metric),
+      metric, dumpArm, gtOpt)
+
+  /** SQ sweep over `rerankDepth` — same knob semantics as the BQ depth
+    * (the 8-bit scan ranks nearly exactly, so depth floors low; the
+    * sweep proves it instead of assuming it). */
+  def sweepSqRerankDepth(idx: graft.ann.sq.SqIndex, queries: DataFrame,
+                         vectors: DataFrame, k: Int, arms: Seq[Int],
+                         targetRecall: Double,
+                         dumpArm: (Int, DataFrame) => DataFrame =
+                           (_, df) => df,
+                         gtOpt: Option[DataFrame] = None): DataFrame =
+    sweep(arms, queries, vectors, k, targetRecall,
+      d => idx.searchRerank(queries, vectors, k, rerankDepth = d),
+      ExactNN.L2, dumpArm, gtOpt)
+
   /** LSH sweep over the number of trees probed (the forest-density
     * knob of SCALE.md's round-8 sweep: leaner forests walk the
     * latency/recall curve down smoothly once occupancy is sized). */

@@ -550,6 +550,42 @@ object SimilarityQueries extends QueryPack {
         .orderBy("arm")
     }),
 
+    // Compressed-scan tuning knob under the oracle — the BQ Hamming
+    // candidate depth, completing the tuning matrix's last edge (LSH
+    // trees / IVF nProbe / PQ rerankDepth / graph beam / BQ depth):
+    // four depth arms of the deployment-shape search (Hamming scan to
+    // depth d, exact L2 rerank to top-k), every arm's predictions in
+    // one dump, per-arm recall graded GT-side vs the shared exact
+    // ground truth, cheapest arm meeting the target flagged. DuckDB
+    // recomputes its own GT, re-derives each arm's recall from the
+    // dump, and replays the choice rule — the decision that sets
+    // [[BqRerankDepth]] (the previously hand-set constant) is itself
+    // cross-engine checked.
+    "q_autotune_bq_depth" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = bqIdx(s, dir)
+      val vecs = e.select(col("vec_id"), col("embedding"))
+      // arm searches are independent bounded jobs — run them
+      // concurrently (the q_autotune_graph_beam pattern); results are
+      // arm-local, so scheduling cannot change a row
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val armFrames = Await.result(
+        Future.sequence(BqDepthArms.map { d => Future {
+          idx.searchRerank(q, vecs, K, rerankDepth = d)
+            .withColumn("arm", lit(d))
+        }}),
+        scala.concurrent.duration.Duration.Inf)
+      val reloaded = LshQueries.dumpAndReload(s,
+        armFrames.reduce(_ unionByName _)
+          .select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/autotune_bq_arms")
+      graft.ann.AutoTune.gradeArms(BqDepthArms, reloaded,
+          exactGtL2(s, dir), AutoTuneTarget)
+        .orderBy("arm")
+    }),
+
     // IVF index lifecycle under the oracle — the IVF twin of
     // q_lsh_search_deleted (IvfIndex.withDeletes, tombstone serve-time
     // view; full view == exact semantics spec-gated in LifecycleSpec's
@@ -1410,9 +1446,19 @@ object SimilarityQueries extends QueryPack {
   val UpsertUpdRem = 3L
   val UpsertSrcMul = 31L
 
-  /** Hamming-scan depth for the BQ rerank queries: 250 of the sf0.01
-    * corpus (500) per the depth-scaling rule — 1 bit/dim orders only
-    * coarsely, so trust it for a corpus FRACTION, not a fixed count. */
+  /** `q_autotune_bq_depth`'s Hamming-depth arms (ascending cost) —
+    * fractions of the sf0.01 corpus (500), since 1 bit/dim orders only
+    * coarsely and the trustable depth scales with corpus size. */
+  val BqDepthArms: Seq[Int] = Seq(25, 50, 100, 250)
+
+  /** Hamming-scan depth for the BQ rerank queries — the SWEPT default:
+    * `q_autotune_bq_depth` grades the [[BqDepthArms]] against exact GT
+    * and 250 is the cheapest arm meeting the [[AutoTuneTarget]] recall
+    * at the gate scale (the shallower arms top out below it — 1 bit/dim
+    * Hamming ordering is coarse enough on this corpus that half of it
+    * must be re-ranked). Previously a hand-set constant; now the board
+    * replays the decision cross-engine every round, so a corpus change
+    * that shifts the depth floor shows up as a changed `chosen` row. */
   val BqRerankDepth = 250
 
   /** DuckDB re-derivation of the BQ model + packed codes (64 bits/word
@@ -1530,6 +1576,12 @@ object SimilarityQueries extends QueryPack {
     // rows for a query scores recall 0 there, not a skipped row).
     "q_autotune_ivf_nprobe" -> autotuneOracleSql(
       "autotune_nprobe_arms", AutoTuneArms, AutoTuneTarget,
+      LshQueries.L2DistSql),
+
+    // BQ depth sweep: identical decision replay, L2 GT — the row that
+    // certifies the BqRerankDepth default cross-engine.
+    "q_autotune_bq_depth" -> autotuneOracleSql(
+      "autotune_bq_arms", BqDepthArms, AutoTuneTarget,
       LshQueries.L2DistSql),
 
     // Graph-beam sweep: identical decision replay, cosine GT.

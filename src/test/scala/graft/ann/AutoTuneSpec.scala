@@ -161,6 +161,41 @@ class AutoTuneSpec extends AnyFunSuite with SparkSpecBase {
     assert(res.find(_._4).get._2 >= 0.95)
   }
 
+  test("BQ depth sweep: monotone recall, corpus-depth arm exact, chosen meets target") {
+    val corpus = mkCorpus()
+    val idx = graft.ann.bq.Bq.train(corpus, "vec_id", "embedding")
+    val q = queriesOf(corpus, 10)
+    val vecs = corpus.select($"vec_id", $"embedding")
+    // depth == corpus size re-ranks EVERYTHING exactly -> recall 1.0
+    val res = armRows(AutoTune.sweepBqDepth(idx, q, vecs, 5,
+      Seq(5, 25, 200), targetRecall = 0.95))
+    assert(res.map(_._1).toSeq === Seq(5, 25, 200))
+    val recalls = res.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in depth: ${recalls.toSeq}")
+    assert(recalls.last === 1.0)
+    assert(res.count(_._4) === 1)
+    assert(res.find(_._4).get._2 >= 0.95)
+  }
+
+  test("SQ rerankDepth sweep: monotone recall, corpus-depth arm exact") {
+    val corpus = mkCorpus()
+    val idx = graft.ann.sq.Sq.train(corpus, "vec_id", "embedding")
+    val q = queriesOf(corpus, 10)
+    val vecs = corpus.select($"vec_id", $"embedding")
+    val res = armRows(AutoTune.sweepSqRerankDepth(idx, q, vecs, 5,
+      Seq(5, 25, 200), targetRecall = 0.95))
+    assert(res.map(_._1).toSeq === Seq(5, 25, 200))
+    val recalls = res.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    assert(recalls.last === 1.0)
+    assert(res.count(_._4) === 1)
+    // 8-bit codes rank near-exactly: the depth floor is LOW (the sweep's
+    // value here is proving shallow depth suffices, unlike 1-bit BQ)
+    assert(res.find(_._4).get._1 <= 25,
+      s"SQ depth floor unexpectedly deep: ${res.toSeq}")
+  }
+
   test("recall is graded from the GT side: a no-answer arm scores 0, not skipped") {
     val corpus = mkCorpus()
     val idx = Ivf.train(corpus, "vec_id", "embedding",
