@@ -245,6 +245,31 @@ object TextScaleProbe {
         val (ns2, ts2) = serveRun()
         println(f"[text-scale]   postings store: build $tBuild%.1fs, " +
           f"serve $ts1%.1fs cold / $ts2%.1fs warm ($ns1/$ns2 rows)")
+        // Merge-refit at corpus scale (round 13): drift 1k docs (half
+        // arrivals with a fresh OOV-suffixed vocabulary, half deletes)
+        // into the store, then fold the stats with mergeRefit — the
+        // O(drift) remedy — vs the O(corpus) full rebuild it replaces.
+        // Row-identity of the two is spec-pinned (PostingsStoreSpec);
+        // this measures the cost split the design exists for.
+        val nC = corpus.count()
+        val arrivals = d.where(col("doc_id") < 500)
+          .select((col("doc_id") + lit(2L * nC)).as("doc_id"),
+            transform(col("toks"),
+              t => concat(t, lit("~oov"))).as("toks"))
+        val deletes = d.where(col("doc_id") >= 500 && col("doc_id") < 1000)
+          .select("doc_id")
+        val (_, tBatch) = time { store.onBatch(Some(arrivals), Some(deletes)); 0L }
+        val (_, tRefit) = time { store.mergeRefit(); 0L }
+        val (_, tRebuild) = time {
+          val rbPath = java.nio.file.Files
+            .createTempDirectory("text_scale_rebuild").toString + "/idx"
+          graft.retrieval.PostingsStore.build(spark, rbPath,
+            d.where(col("doc_id") >= 1000 || col("doc_id") < 500)
+              .unionByName(arrivals))
+          0L
+        }
+        println(f"[text-scale]   stats refit: onBatch(1k drift) $tBatch%.1fs, " +
+          f"mergeRefit $tRefit%.1fs vs full rebuild $tRebuild%.1fs")
       }
       spark.sharedState.cacheManager.clearCache()
     }

@@ -67,7 +67,7 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(got === Set("vector"), s"postings for the OOV doc: $got")
   }
 
-  test("a crash between the two postings writes cannot diverge sparse from bm25") {
+  test("a crash between the postings and doc-length writes cannot diverge the views") {
     val d = docsOf(sf("sf0.001") + "/documents.parquet")
     val path = java.nio.file.Files
       .createTempDirectory("postings_atomic").toString + "/idx"
@@ -78,12 +78,12 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
       .toDF("doc_id", "toks")), None)
     val sparseBefore = rows(store.sparse)
     val bm25Before = rows(store.bm25)
-    // simulate the mid-batch crash at seq 2: sparse_delta written,
-    // bm25_delta and the commit record never land
-    Seq((999999L, "vector", 1.5, 2)).toDF("doc_id", "term", "w", "seq")
-      .write.mode("append").parquet(s"$path/sparse_delta")
-    // BOTH views unchanged — the partial batch is invisible, so the
-    // two tables cannot disagree about the doc
+    // simulate the mid-batch crash at seq 2: tfs_delta written, the
+    // doclens_delta row and the commit record never land (a doc with
+    // postings but no length would diverge n/avgdl from the rows)
+    Seq((999999L, "vector", 1L, 1, 2)).toDF("doc_id", "term", "tf", "dl", "seq")
+      .write.mode("append").parquet(s"$path/tfs_delta")
+    // BOTH views unchanged — the partial batch is invisible
     assert(rows(store.sparse) === sparseBefore)
     assert(rows(store.bm25) === bm25Before)
     // a committed batch after the crash serves consistently at a
@@ -119,7 +119,7 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
     store.onBatch(Some(Seq((777777L, Seq("vector")))
       .toDF("doc_id", "toks")), None)
     assert(store.batchesSeen === 3)
-    assert(!new java.io.File(s"$path/sparse_delta").exists(),
+    assert(!new java.io.File(s"$path/tfs_delta").exists(),
       "burned cadence multiple skipped the compaction cycle")
     assert(store.sparse.where($"doc_id" === 777777L).count() === 1,
       "retry double-served the doc")
@@ -146,8 +146,6 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
       .createTempDirectory("postings_lsm").toString + "/idx"
     val store = PostingsStore.build(spark, path, d, compactEvery = 3)
 
-    val statsBefore = rows(spark.read.parquet(s"$path/stats"))
-
     // batch 1: delete docs 1 and 2
     store.onBatch(None, Some(Seq(1L, 2L).toDF("doc_id")))
     assert(store.sparse.where($"doc_id".isin(1L, 2L)).count() === 0)
@@ -158,19 +156,129 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
     val doc3Terms = store.sparse.where($"doc_id" === 3L)
       .select("term").as[String].collect().toSet
     assert(doc3Terms === Set("vector", "query"), s"upsert lost: $doc3Terms")
-    val expected = rows(store.sparse)
-    val expectedB = rows(store.bm25)
 
-    // batch 3 triggers compaction (crash-safe commit): rows unchanged,
-    // logs gone, frozen stats untouched, a reopened store agrees
+    // batch 3 triggers compaction (crash-safe commit): logs gone, the
+    // stats fold ran first (compaction == mergeRefit + row fold), so
+    // the compacted store serves EXACTLY what a fresh build over the
+    // live corpus serves — the strongest identity on offer — and a
+    // reopened store agrees
     store.onBatch(None, None)
-    assert(!new java.io.File(s"$path/sparse_delta").exists())
-    assert(rows(store.sparse) === expected)
-    assert(rows(store.bm25) === expectedB)
-    assert(rows(spark.read.parquet(s"$path/stats")) === statsBefore,
-      "compaction re-derived the frozen stats")
+    assert(!new java.io.File(s"$path/tfs_delta").exists())
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val drifted = d.where(!$"doc_id".isin(1L, 2L, 3L))
+      .unionByName(newDoc3)
+    val fresh = PostingsStore.build(spark,
+      java.nio.file.Files.createTempDirectory("postings_lsm_fresh")
+        .toString + "/idx", drifted)
+    assert(rows(store.sparse) === rows(fresh.sparse),
+      "compacted serving != fresh build over the live corpus (sparse)")
+    assert(rows(store.bm25) === rows(fresh.bm25),
+      "compacted serving != fresh build over the live corpus (bm25)")
     val reopened = new PostingsStore(spark, path, compactEvery = 3)
     assert(reopened.batchesSeen === 3)
-    assert(rows(reopened.sparse) === expected)
+    assert(rows(reopened.sparse) === rows(fresh.sparse))
+  }
+
+  test("mergeRefit == full rebuild on a drifted corpus, in O(drift) not O(corpus)") {
+    val d = docsOf(sf("sf0.001") + "/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("postings_refit").toString + "/idx"
+    // high compactEvery: the refit must do its own folding, no
+    // compaction in sight
+    val store = PostingsStore.build(spark, path, d, oovWatermark = 0.9)
+
+    // drift: two new docs (one with an OOV term), two deletes, one
+    // upsert — every fold direction at once
+    val arrivals = Seq(
+      (888801L, Seq("vector", "qqzznewterm", "vector")),
+      (888802L, Seq("query", "search"))).toDF("doc_id", "toks")
+    store.onBatch(Some(arrivals), Some(Seq(5L, 6L).toDF("doc_id")))
+    val upsert7 = Seq((7L, Seq("vector", "qqzznewterm")))
+      .toDF("doc_id", "toks")
+    store.onBatch(Some(upsert7), Some(Seq(7L).toDF("doc_id")))
+
+    // pre-refit: the OOV term's stored raw rows exist but score nothing
+    assert(store.sparse.where($"term" === "qqzznewterm").count() === 0,
+      "OOV term scored against the fence-time stats")
+
+    assert(store.mergeRefit(), "refit reported no drift")
+
+    // post-refit serving is row-identical to a full rebuild over the
+    // drifted corpus — including the previously-OOV term, which now
+    // scores retroactively on BOTH its stored docs
+    val drifted = d.where(!$"doc_id".isin(5L, 6L, 7L))
+      .unionByName(arrivals).unionByName(upsert7)
+    val fresh = PostingsStore.build(spark,
+      java.nio.file.Files.createTempDirectory("postings_refit_fresh")
+        .toString + "/idx", drifted)
+    assert(rows(store.sparse) === rows(fresh.sparse),
+      "merge-refit sparse != full rebuild")
+    assert(rows(store.bm25) === rows(fresh.bm25),
+      "merge-refit bm25 != full rebuild")
+    assert(store.sparse.where($"term" === "qqzznewterm").count() === 2,
+      "previously-OOV rows did not re-score after the refit")
+
+    // a second refit with no new drift is a no-op
+    assert(!store.mergeRefit(), "no-drift refit claimed a fold")
+
+    // and the fold composes: more drift after the refit folds again,
+    // still rebuild-identical (the fence advanced correctly — no
+    // double-count of the first window's deltas)
+    store.onBatch(Some(Seq((888803L, Seq("vector")))
+      .toDF("doc_id", "toks")), Some(Seq(888801L).toDF("doc_id")))
+    assert(store.mergeRefit())
+    val drifted2 = drifted.where($"doc_id" =!= 888801L)
+      .unionByName(Seq((888803L, Seq("vector"))).toDF("doc_id", "toks"))
+    val fresh2 = PostingsStore.build(spark,
+      java.nio.file.Files.createTempDirectory("postings_refit_fresh2")
+        .toString + "/idx", drifted2)
+    assert(rows(store.sparse) === rows(fresh2.sparse),
+      "second merge-refit sparse != full rebuild")
+    assert(rows(store.bm25) === rows(fresh2.bm25),
+      "second merge-refit bm25 != full rebuild")
+  }
+
+  test("a crashed refit commit finishes at construction; a garbled marker aborts") {
+    val d = docsOf(sf("sf0.001") + "/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("postings_refit_heal").toString + "/idx"
+    val store = PostingsStore.build(spark, path, d)
+    store.onBatch(Some(Seq((888801L, Seq("vector", "vector")))
+      .toDF("doc_id", "toks")), None)
+
+    // what a completed refit WOULD produce, from an identical twin
+    val twinPath = java.nio.file.Files
+      .createTempDirectory("postings_refit_twin").toString + "/idx"
+    val twin = PostingsStore.build(spark, twinPath, d)
+    twin.onBatch(Some(Seq((888801L, Seq("vector", "vector")))
+      .toDF("doc_id", "toks")), None)
+    twin.mergeRefit()
+    val want = rows(twin.sparse)
+
+    // crash window: new stats/meta fully written to the temp dir +
+    // marker published, CRASH before any rename — construction must
+    // finish the commit
+    spark.read.parquet(s"$twinPath/stats").write.mode("overwrite")
+      .parquet(s"$path/_refit_tmp/stats")
+    spark.read.parquet(s"$twinPath/meta").write.mode("overwrite")
+      .parquet(s"$path/_refit_tmp/meta")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_postings_refit"),
+      "1".getBytes("UTF-8"))
+    val healed = new PostingsStore(spark, path, compactEvery = 1000)
+    assert(!new java.io.File(s"$path/_postings_refit").exists(),
+      "refit marker kept after heal")
+    assert(rows(healed.sparse) === want, "healed refit serving wrong")
+    // the healed fence is durable: no drift since seq 1 -> no-op
+    assert(!healed.mergeRefit(), "healed fence lost (refold attempted)")
+
+    // garbled marker: pre-content crash, nothing destructive ran —
+    // construction discards it and the store serves the PRE-refit view
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_postings_refit"),
+      Array.empty[Byte])
+    val ok = new PostingsStore(spark, path, compactEvery = 1000)
+    assert(!new java.io.File(s"$path/_postings_refit").exists())
+    assert(rows(ok.sparse) === want)
   }
 }
