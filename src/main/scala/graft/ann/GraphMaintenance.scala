@@ -14,11 +14,21 @@ import org.apache.spark.sql.functions._
   *
   *   - [[onBatch]] runs one insert+append maintenance step (the
   *     foreachBatch body of StreamingGraphInsertSpec) and counts it;
-  *   - every `refineEvery` batches it triggers [[refineNow]] — rescore
-  *     the stored edges exactly, cut every node back to its best k
-  *     out-edges (the degree restore), run [[NnDescent.refine]] rounds
-  *     to recover edge quality, re-union the connectivity backbone, and
-  *     rewrite the bucketed store;
+  *   - every `refineEvery` batches it triggers the scheduled refine:
+  *     [[refineNow]] (the default) — rescore the stored edges exactly,
+  *     cut every node back to its best k out-edges (the degree
+  *     restore), run [[NnDescent.refine]] rounds to recover edge
+  *     quality, re-union the connectivity backbone, and rewrite the
+  *     bucketed store — or, with `scopedRefine = true`, the
+  *     TOUCHED-REGION form [[refineScopedNow]], whose compute AND
+  *     write cost scale with the batch window, not the corpus: only
+  *     nodes within `scopeHops` hops of the window's
+  *     inserts/deletes/watermark offenders are re-cut, committed as
+  *     seq-stamped supersede + replacement rows in the LSM logs while
+  *     every untouched base row stays byte-identical ([[servingEdges]]
+  *     assembles the view). Scoped stores log insert deltas
+  *     seq-stamped (`edges_delta`) instead of appending to the base;
+  *     run a periodic [[refineNow]] to fold the logs down;
   *   - between refines, an optional degree watermark
   *     (`degreeWatermark` > 0) warns when the stored max degree has
   *     outgrown the expected k + refineEvery × cap envelope — the
@@ -67,16 +77,20 @@ final class GraphMaintainer(
     backbone: Boolean = true,
     metric: ExactNN.Metric = ExactNN.Cosine,
     roundTo: Int = 6,
-    nBuckets: Int = 64) extends LsmStore {
+    nBuckets: Int = 64,
+    scopedRefine: Boolean = false,
+    scopeHops: Int = 1) extends LsmStore {
 
   require(refineEvery > 0, s"refineEvery $refineEvery must be positive")
+  require(scopeHops > 0, s"scopeHops $scopeHops must be positive")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   override protected def lsmSpark: SparkSession = spark
   override protected def lsmPath: String = path
   override protected def lsmLogDirs: Seq[String] =
-    Seq("tombstones", "arrivals", "batch_commits")
+    Seq("tombstones", "arrivals", "edges_delta", "superseded",
+      "batch_commits")
 
   /** The LSM sequence is PERSISTENT state (recovered from the logs and
     * the refine fence) — a reconstructed maintainer continues both the
@@ -128,6 +142,9 @@ final class GraphMaintainer(
       spark.sql(s"ALTER TABLE $tmpTable RENAME TO $finalTable")
     }
     if (readFence() < seq) writeFence(seq)
+    // a full refine absorbs everything a scoped refine would — advance
+    // the scope fence so the scoped cadence restarts from here
+    if (scopeFence < seq) publishMarker("_scope_fence", seq.toString)
     lsmLogDirs.foreach(sub =>
       lsmFs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true))
     // the commit log's existence is load-bearing (LsmStore doc) —
@@ -159,12 +176,64 @@ final class GraphMaintainer(
     * reset — the cadence is "every Nth batch"). */
   def batchesSeen: Int = batches
 
+  /** Seq through which arrivals/deletes have been absorbed by a SCOPED
+    * refine (`_scope_fence` marker, 0 = never) — the touched-region
+    * twin of the LSM fence: full refines advance both (finishSwap),
+    * scoped refines advance only this one (the logs they DIDN'T fold —
+    * tombstone revival history, un-refined arrivals — stay live). */
+  private def scopeFence: Int =
+    try readMarker("_scope_fence").map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).getOrElse(0)
+    catch { case _: Exception => 0 }
+
+  /** The last refine of either kind — the cadence origin. */
+  private def lastRefineSeq: Int = math.max(readFence(), scopeFence)
+
   /** True when the NEXT [[onBatch]] call will trigger the scheduled
     * refine — exposed so callers can align checkpoints around it. The
-    * cadence is measured from the LAST refine (the fence), not by seq
-    * divisibility — a failed attempt burns its seq, and a burned
-    * multiple must defer the refine by one batch, not a whole cycle. */
-  def refineDue: Boolean = (batches + 1) - readFence() >= refineEvery
+    * cadence is measured from the LAST refine (full fence or scope
+    * fence), not by seq divisibility — a failed attempt burns its seq,
+    * and a burned multiple must defer the refine by one batch, not a
+    * whole cycle. */
+  def refineDue: Boolean = (batches + 1) - lastRefineSeq >= refineEvery
+
+  private def emptyEdges: DataFrame =
+    spark.range(0).select(col("id").as("src"), col("id").as("dst"),
+      lit(0).as("seq"))
+  private def emptySrcSeq: DataFrame =
+    spark.range(0).select(col("id").as("src"), lit(0).as("seq"))
+
+  /** The stored graph as SERVED: the bucketed base plus the committed
+    * `edges_delta` log rows, under the SUPERSEDE rule — a scoped refine
+    * that re-cut a node's out-edges at seq s writes a `superseded`
+    * record (src, s), after which the node's base rows and any delta
+    * rows older than s are dead; its replacement rows (written at s)
+    * and any NEWER additive rows serve. Untouched nodes' base rows are
+    * never rewritten — byte-identical through any number of scoped
+    * refines (the whole point: a scoped refine's write cost is
+    * O(region), not O(corpus)).
+    *
+    * Plan shape: the base leg keeps its bucketed zero-Exchange walk
+    * property; the supersede rule is one broadcast join + filter
+    * (supersede records are region-sized per refine, dropped at every
+    * full refine); the delta leg is batch-sized files. In full-refine
+    * mode ([[scopedRefine]] = false) both legs are empty and this view
+    * IS [[GraphSearch.loadBucketed]]. The view carries no duplicate
+    * (src, dst) rows by construction: insert deltas only touch ids the
+    * store has never seen, and scoped-refine additive rows are
+    * anti-joined against the serving rows they extend before landing. */
+  def servingEdges: DataFrame = {
+    val base = GraphSearch.loadBucketed(spark, name)
+      .select(col("src"), col("dst")).withColumn("seq", lit(0))
+    val delta = visibleFilter(readOr("edges_delta", emptyEdges))
+      .select("src", "dst", "seq")
+    val sup = visibleFilter(readOr("superseded", emptySrcSeq))
+      .groupBy("src").agg(max("seq").as("sup_seq"))
+    base.unionByName(delta)
+      .join(broadcast(sup), Seq("src"), "left")
+      .where(col("sup_seq").isNull || col("seq") >= col("sup_seq"))
+      .select("src", "dst")
+  }
 
   /** ACTIVE delete tombstones (FreshDiskANN-style, arXiv:2105.09613):
     * logged by [[onBatch]]'s `deletes`, applied physically by the next
@@ -220,7 +289,7 @@ final class GraphMaintainer(
     // the live vectors, which include it); with backbone = false no
     // refine creates edges for an absent node — re-insert the id
     markBatchCommitted(seq)
-    val stored = GraphSearch.loadBucketed(spark, name)
+    val stored = servingEdges
     val pending = tombstones
     val excl = if (pending.isEmpty) None else Some(pending)
     val extended = GraphSearch.insert(
@@ -243,8 +312,22 @@ final class GraphMaintainer(
       .dropDuplicates("src", "dst")
       .select(col("src"), col("dst"), col("dist"))
       .localCheckpoint()
-    GraphSearch.appendBucketed(delta, name, nBuckets)
-    if (batches - readFence() >= refineEvery) refineNow(vectors)
+    // The delta lands per mode: the full-refine store appends straight
+    // into the bucketed base (zero extra serving legs — every refine
+    // rewrites the table anyway); the scoped store logs it seq-stamped
+    // so [[refineScopedNow]]'s supersede rule can never kill a
+    // POST-refine arrival edge (base rows read as seq 0 — an appended
+    // row would look older than the supersede that preceded it).
+    if (scopedRefine)
+      delta.select(col("src"), col("dst"))
+        .unionByName(delta.select(col("dst").as("src"), col("src").as("dst")))
+        .dropDuplicates("src", "dst")
+        .withColumn("seq", lit(seq))
+        .write.mode("append").parquet(s"$path/edges_delta")
+    else GraphSearch.appendBucketed(delta, name, nBuckets)
+    if (batches - lastRefineSeq >= refineEvery) {
+      if (scopedRefine) refineScopedNow(vectors) else refineNow(vectors)
+    }
     else if (degreeWatermark > 0) {
       val maxDeg = maxStoredDegree
       if (maxDeg > degreeWatermark) log.warn(
@@ -257,11 +340,11 @@ final class GraphMaintainer(
     delta
   }
 
-  /** Max per-node degree in the stored (symmetrized) table — one
-    * src-keyed aggregate over the bucketed layout (no shuffle of the
-    * edge table; the bucket files are already clustered by src). */
+  /** Max per-node degree in the SERVED graph — one src-keyed aggregate
+    * (the base leg aggregates in place on the bucketed layout; the
+    * delta leg is batch-sized). */
   def maxStoredDegree: Long = {
-    val r = GraphSearch.loadBucketed(spark, name)
+    val r = servingEdges
       .groupBy("src").agg(count(lit(1)).as("d"))
       .agg(max("d")).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -290,7 +373,7 @@ final class GraphMaintainer(
     * every frame here descends from the stored table. */
   def refineNow(vectors: DataFrame): DataFrame = {
     guardPoisoned()
-    val stored0 = GraphSearch.loadBucketed(spark, name)
+    val stored0 = servingEdges
     // Delete consolidation (FreshDiskANN §4.2): for every tombstoned
     // node d, bridge its in-neighbors to its out-neighbors (a→d, d→b ⇒
     // candidate a→b). Bridges enter TWICE, for two different jobs:
@@ -370,6 +453,209 @@ final class GraphMaintainer(
     if (log.isInfoEnabled) log.info(
       s"stored graph '$name' refined after $batches insert batches " +
         s"(max degree now $maxStoredDegree)")
+    refined
+  }
+
+  /** The TOUCHED-REGION refine — [[refineNow]]'s O(batch) form for the
+    * scoped store ([[scopedRefine]] = true). [[refineNow]] rescores and
+    * REWRITES the whole table every cadence: at 100 TB that is a full
+    * O(n·k) rebuild to absorb a 20-row batch. This pass instead
+    * re-bounds only the subgraph the window touched:
+    *
+    *   - **region** = arrivals + deletes since the last refine (the
+    *     scope fence) + the degree-watermark offenders (when set),
+    *     expanded [[scopeHops]] hops over the served graph — the nodes
+    *     whose edge lists the window could have degraded (reverse-link
+    *     accumulation lands within 1 hop of an insert; delete bridges
+    *     within 1 hop of a tombstone);
+    *   - region nodes' out-edges are exact-rescored together with the
+    *     window's delete bridges (FreshDiskANN local consolidation —
+    *     tombstoned nodes' in-neighbors bridge to their out-neighbors,
+    *     capped), cut back to the best k, NN-Descent-refined on the
+    *     REGION subgraph, and re-unioned with the region's slice of the
+    *     deterministic backbone (hash-derived, so the rows match what a
+    *     full refine would produce for those srcs);
+    *   - the result commits through the LSM idiom, NOT a table rewrite:
+    *     one `superseded` record per region node (tombstoned nodes get
+    *     the record and NO replacement — their physical delete) plus
+    *     the symmetrized replacement rows in `edges_delta`, all at one
+    *     burned seq made visible atomically by the batch-commit record.
+    *     Reverse partners landing on non-region srcs are ADDITIVE
+    *     (anti-joined against those srcs' current rows — no
+    *     duplicates), and region srcs keep the return directions of
+    *     untouched in-edges (what full-refine symmetrization would
+    *     restore from the untouched side).
+    *
+    * Untouched subgraph rows are BYTE-IDENTICAL afterwards — nothing
+    * outside the region is rewritten (GraphScopedRefineSpec pins it),
+    * and both compute and write cost scale with the region, not the
+    * corpus (GraphRefineScaleProbe measures it). Pending tombstones
+    * stay active as serving exclusions until the next FULL refine
+    * drops the logs; their edges are already gone here, so the
+    * remaining cost is one broadcast anti-join. */
+  def refineScopedNow(vectors: DataFrame): DataFrame = {
+    guardPoisoned()
+    val sf = scopeFence
+    val seq = batches + 1
+    // burned up front, like onBatch: a failed attempt's partial
+    // supersede/replacement rows stay at a seq no retry reuses
+    batches = seq
+    val serving = servingEdges
+    val arr = visibleFilter(readOr("arrivals", emptySeqIds))
+      .where(col("seq") > sf).select(col("vec_id").as("node"))
+    val tombWindow = visibleFilter(readOr("tombstones", emptySeqIds))
+      .where(col("seq") > sf).select(col("vec_id").as("node"))
+    val pending = tombstones.localCheckpoint(eager = false)
+    val pendingNodes = pending.select(col("vec_id").as("node"))
+    val offenders =
+      if (degreeWatermark <= 0) arr.limit(0)
+      else serving.groupBy("src").agg(count(lit(1)).as("d"))
+        .where(col("d") > degreeWatermark).select(col("src").as("node"))
+    var region = arr.unionByName(tombWindow).unionByName(offenders)
+      .distinct().localCheckpoint(eager = false)
+    val empty = vectors.limit(0)
+      .select(col(idCol).as("src"), col(idCol).as("dst"),
+        lit(0.0).as("dist"))
+    if (region.isEmpty) {
+      if (sf < seq) publishMarker("_scope_fence", seq.toString)
+      return empty
+    }
+    for (_ <- 1 to scopeHops) {
+      val nbrs = serving
+        .join(broadcast(region.select(col("node").as("src"))),
+          Seq("src"), "left_semi")
+        .select(col("dst").as("node"))
+      region = region.unionByName(nbrs).distinct().localCheckpoint(eager = false)
+    }
+    // replacement targets: live region nodes (tombstoned region nodes
+    // are superseded with no replacement)
+    val regionLive = region
+      .join(broadcast(pendingNodes), Seq("node"), "left_anti")
+      .localCheckpoint(eager = false)
+    // ---- the region's edge slice, materialized ONCE ----
+    // Everything below derives from rows TOUCHING the region, so the
+    // corpus-sized edge table is read exactly scopeHops + 2 times per
+    // refine (the hop expansions above + the two directed slices here)
+    // instead of once per consumer; the slice itself is region-bounded.
+    val rSrc = broadcast(region.select(col("node").as("src")))
+    val rDst = broadcast(region.select(col("node").as("dst")))
+    val touched = serving.join(rSrc, Seq("src"), "left_semi")
+      .unionByName(serving.join(rDst, Seq("dst"), "left_semi"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(eager = false)
+    // ---- the vector slice, materialized ONCE ----
+    // every id the refine scores lives in the touched slice (both
+    // endpoints) — one broadcast-filtered pass over the vector table
+    // feeds every rescore AND the NN-Descent rounds (at 100 TB,
+    // partition/bucket the vector table by id so this probe prunes)
+    val needIds = touched.select(col("src").as("node"))
+      .unionByName(touched.select(col("dst").as("node")))
+      .unionByName(region).distinct()
+    val vecsNeeded = vectors
+      .join(broadcast(needIds), vectors(idCol) === col("node"), "left_semi")
+      .join(broadcast(pending), vectors(idCol) === pending("vec_id"),
+        "left_anti")
+      .localCheckpoint(eager = false)
+    val va = vecsNeeded.select(col(idCol).as("src"), col(vecCol).as("va"))
+    val vb = vecsNeeded.select(col(idCol).as("dst"), col(vecCol).as("vb"))
+    def rescore(edges: DataFrame): DataFrame =
+      edges.select("src", "dst")
+        .join(va, "src").join(vb, "dst")
+        .select(col("src"), col("dst"),
+          round(metric.dist(col("va"), col("vb")), roundTo).as("dist"))
+    // window deletes, bridged locally (in-nbr → out-nbr, capped) — the
+    // full refine's consolidation restricted to this window's dead
+    val tombActive = tombWindow
+      .join(broadcast(pendingNodes), Seq("node"), "left_semi")
+    val hasDeletes = !tombActive.isEmpty
+    val bridgesCapped =
+      if (!hasDeletes) None
+      else {
+        val tn = broadcast(tombActive.select(col("node")))
+        val into = touched.join(tn, touched("dst") === tn("node"),
+          "left_semi").select(col("src").as("a"), col("dst").as("d"))
+        val outof = touched.join(tn, touched("src") === tn("node"),
+          "left_semi").select(col("src").as("d"), col("dst").as("b"))
+        val bridges = into.join(outof, "d")
+          .where(col("a") =!= col("b"))
+          .select(col("a").as("src"), col("b").as("dst"))
+          .dropDuplicates("src", "dst")
+        Some(TopK.perQueryTopK(
+            rescore(bridges).select(col("src").as("query_id"),
+              col("dst").as("vec_id"), col("dist")),
+            maxReverseDegree, viaAggregator = true)
+          .select(col("query_id").as("src"), col("vec_id").as("dst"))
+          .localCheckpoint(eager = false))
+      }
+    val regionOut = touched
+      .join(broadcast(regionLive.select(col("node").as("src"))),
+        Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
+    val candEdges = bridgesCapped.fold(regionOut) { br =>
+      regionOut.unionByName(br).dropDuplicates("src", "dst")
+    }
+    val cut = TopK.perQueryTopK(
+        rescore(candEdges).select(col("src").as("query_id"),
+          col("dst").as("vec_id"), col("dist")),
+        k, viaAggregator = true)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"),
+        col("dist"))
+    val refined = NnDescent.refine(cut, vecsNeeded, idCol, vecCol, k,
+        metric, refineIterations, roundTo = roundTo)
+      .localCheckpoint(eager = false)
+    // backbone slice: the dense-id fast path over the FULL id space is
+    // a pure projection (no rank, no sort); dead targets are dropped.
+    // A full refine over post-delete ids would hash different jumps —
+    // the scoped slice keeps the pre-delete jump structure, which is
+    // fine: the backbone is connectivity insurance, re-priced at the
+    // next full refine.
+    val backboneR =
+      if (!backbone) refined.select(col("src"), col("dst")).limit(0)
+      else GraphSearch.randomBackbone(vectors, idCol)
+        .join(broadcast(regionLive.select(col("node").as("src"))),
+          Seq("src"), "left_semi")
+        .join(broadcast(pendingNodes.select(col("node").as("dst"))),
+          Seq("dst"), "left_anti")
+    val withIns = refined.select(col("src"), col("dst"))
+      .unionByName(bridgesCapped.toSeq.foldLeft(backboneR)(_ unionByName _))
+      .dropDuplicates("src", "dst")
+    val sym = withIns
+      .unionByName(withIns.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+    val supSrcs = broadcast(region.select(col("node").as("src")))
+    val replacement = sym.join(supSrcs, Seq("src"), "left_semi")
+    // reverse partners on non-region srcs are additive — only rows
+    // those srcs don't already serve land, keeping the view dup-free.
+    // Every additive row's dst is a region node (it is a reversed
+    // region edge), so the dedup reference is inside the touched slice.
+    val additiveRaw = sym.join(supSrcs, Seq("src"), "left_anti")
+    val additive = additiveRaw
+      .join(touched.select("src", "dst"), Seq("src", "dst"), "left_anti")
+    // region srcs keep the return direction of in-edges from UNTOUCHED
+    // srcs (full-refine symmetrization restores exactly these from the
+    // untouched side's surviving rows)
+    val untouchedInto = touched
+      .join(broadcast(regionLive.select(col("node").as("dst"))),
+        Seq("dst"), "left_semi")
+      .join(supSrcs, Seq("src"), "left_anti")
+      .join(broadcast(pendingNodes.select(col("node").as("src"))),
+        Seq("src"), "left_anti")
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val out = replacement.unionByName(untouchedInto)
+      .dropDuplicates("src", "dst")
+      .unionByName(additive)
+      .withColumn("seq", lit(seq))
+      .localCheckpoint(eager = false)
+    region.select(col("node").as("src"), lit(seq).as("seq"))
+      .write.mode("append").parquet(s"$path/superseded")
+    out.write.mode("append").parquet(s"$path/edges_delta")
+    // one commit record makes supersede + replacement visible
+    // ATOMICALLY — a crash above leaves both halves invisible and the
+    // burned seq dead
+    markBatchCommitted(seq)
+    publishMarker("_scope_fence", seq.toString)
+    if (log.isInfoEnabled) log.info(
+      s"stored graph '$name' scope-refined through seq $seq")
     refined
   }
 }

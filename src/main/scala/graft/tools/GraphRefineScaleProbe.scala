@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ann.{ExactNN, GraphMaintainer, GraphSearch, KnnGraph}
+import graft.ann.lsh.{Lsh, LshConfig}
+
+/** Scoped-vs-full graph refine at scale — the measurement behind
+  * [[graft.ann.GraphMaintainer.refineScopedNow]]'s claim: refine cost
+  * must track the BATCH (the touched region), not the corpus. Builds a
+  * 100k-node LSH kNN graph + backbone, then streams insert batches of
+  * increasing size through a scoped maintainer, timing each scheduled
+  * scoped refine; one full [[graft.ann.GraphMaintainer.refineNow]] at
+  * the end prices the O(n·k) rewrite the scoped pass replaces.
+  *
+  * Usage: runMain graft.tools.GraphRefineScaleProbe [n] [batches...]
+  * (default: 100000 100 1000 10000)
+  */
+object GraphRefineScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args.head.toInt else 100000
+    val batchSizes =
+      if (args.length > 1) args.tail.map(_.toInt).toSeq
+      else Seq(100, 1000, 10000)
+    val k = 8
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // clustered corpus generator, deterministic by id (10-point
+    // clusters — the GraphScaleProbe geometry)
+    def gen(upTo: Long) = spark.range(upTo).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(floor(col("id") / 10), i), lit(2000))
+            .cast("double") - 1000.0) / 250.0
+            + (pmod(xxhash64(col("id"), i), lit(2000))
+              .cast("double") - 1000.0) / 5000.0).as("embedding"))
+
+    val corpus = gen(n).persist()
+    corpus.count()
+    spark.sql("DROP TABLE IF EXISTS refine_scale_edges")
+    spark.sql("DROP TABLE IF EXISTS refine_scale_swap_edges")
+    // a prior run's managed-table location survives the (no-op) DROP in
+    // a fresh session's catalog — clear it or saveAsTable refuses
+    Seq("refine_scale_edges", "refine_scale_swap_edges").foreach { t =>
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val (_, tBuild) = timed {
+      val idx = Lsh.train(corpus, "vec_id", "embedding",
+        LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
+      val g = KnnGraph.fromLsh(idx, corpus, "vec_id", "embedding", k,
+          ExactNN.Cosine, maxBucketOccupancy = 50)
+        .select(col("src"), col("dst"))
+        .unionByName(GraphSearch.randomBackbone(corpus, "vec_id"))
+        .dropDuplicates("src", "dst")
+      GraphSearch.saveBucketed(g, "refine_scale")
+    }
+    println(f"[refine-scale] n=$n%,d graph built in $tBuild%.1fs")
+
+    val m = new GraphMaintainer(spark, "refine_scale",
+      java.nio.file.Files.createTempDirectory("refine_scale_lsm").toString,
+      "vec_id", "embedding", k = k, beamWidth = 16, hops = 3,
+      refineEvery = 1000, maxReverseDegree = 2,
+      scopedRefine = true, scopeHops = 1)
+
+    var nextId = n.toLong
+    batchSizes.foreach { b =>
+      val all = gen(nextId + b).persist()
+      all.count()
+      val batch = all.where(col("vec_id") >= nextId)
+      // 10% deletes from the previous id range exercise the bridges
+      val dead = all.where(col("vec_id") >= nextId - b / 10 &&
+        col("vec_id") < nextId && col("vec_id") % 10 === 3).select("vec_id")
+      val entries = batch.select(col("vec_id").as("query_id"))
+        .crossJoin(spark.range(32).select(col("id").as("node")))
+      val (_, tIns) = timed {
+        m.onBatch(all, batch, entries, Some(dead))
+      }
+      val (_, tRef) = timed { m.refineScopedNow(all).count() }
+      println(f"[refine-scale] batch=$b%,d: onBatch $tIns%.1fs, " +
+        f"scoped refine $tRef%.1fs")
+      nextId += b
+      corpus.unpersist(false)
+      all.unpersist(false)
+    }
+    val allFinal = gen(nextId).persist()
+    allFinal.count()
+    val (_, tFull) = timed { m.refineNow(allFinal).count() }
+    println(f"[refine-scale] FULL refine over ${nextId}%,d nodes: $tFull%.1fs")
+    spark.stop()
+  }
+}

@@ -107,6 +107,34 @@ object LifecycleScaleProbe {
     val liveN = folded.vectors.count()
     println(f"### compaction: $tCompact%.1f s; post search $tPost%.2f s " +
       f"($nPost rows, $liveN live vectors)")
+
+    // ---- serve latency vs LOG DEPTH (round 13) ----
+    // Every serving view stacks visibleFilter (fence + commit-record
+    // joins) + the tombstone anti-join over base ∪ delta; each batch
+    // adds parquet fragments to both logs. 100 small batches (500
+    // arrivals + 100 deletes each), the view search timed at growing
+    // depths, then one compaction to show the base plan restored — the
+    // curve a compactEvery default must be read off.
+    val measureAt = Set(1, 5, 10, 25, 50, 100)
+    var nextId = n + 10000L
+    var logged = 0.0
+    (1 to 100).foreach { b =>
+      val arr = emb(spark.range(nextId, nextId + 500))
+      val del = spark.range(nextId - 200, nextId - 100)
+        .select(col("id").as("vec_id"))
+      val (_, t) = time(m.onBatch(Some(arr), Some(del)))
+      logged += t
+      nextId += 500
+      if (measureAt(b)) {
+        val (nV, tV) = min2(m.index.searchAll(queries, 10, threshold).count())
+        println(f"### log depth $b%3d batches: view search $tV%.2f s " +
+          f"($nV rows; $logged%.1f s logging so far)")
+      }
+    }
+    val (_, tC2) = time(m.compactNow())
+    val (nP2, tP2) = min2(m.index.searchAll(queries, 10, threshold).count())
+    println(f"### compaction after 100 batches: $tC2%.1f s; " +
+      f"post search $tP2%.2f s ($nP2 rows)")
     spark.stop()
   }
 }

@@ -9,12 +9,15 @@ import graft.retrieval.PostingsStore
 import graft.text.TextFunctions
 
 /** The stored lexical index ([[PostingsStore]]). Identities under test:
-  * the persisted tables are row-identical to the inline
-  * tokenize→tf→df pipelines (so serving from the store changes plans,
-  * not numbers); appends encode with the FROZEN stats (same doc →
-  * same rows, unseen terms dropped and measured); deletes/upserts
-  * follow the LSM seq rules; compaction folds without changing a row
-  * and never touches the frozen stats. */
+  * the serving views are row-identical to the inline tokenize→tf→df
+  * pipelines (so serving from the store changes plans, not numbers);
+  * between refits, arrivals score against the fence-time stats (same
+  * doc → same rows, unseen terms unscored and measured); deletes/
+  * upserts follow the LSM seq rules; [[PostingsStore.mergeRefit]]
+  * folds drift into the stats in O(drift) and lands EXACTLY where a
+  * full rebuild over the drifted corpus lands; compaction (stats fold
+  * + row fold) serves exactly what a fresh build serves; both the
+  * refit and the compaction commits heal crashes at construction. */
 class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
 
   import spark.implicits._
