@@ -45,7 +45,7 @@ final class CodesMaintainer(
     spark: SparkSession,
     path: String,
     encode: DataFrame => DataFrame,
-    compactEvery: Int,
+    compactEvery: Int = LsmStore.DefaultCompactEvery,
     partitionCols: Seq[String] = Nil,
     occupancyWatermark: Double = 0.0,
     driftCheck: Option[DriftCheck] = None) extends LsmStore {

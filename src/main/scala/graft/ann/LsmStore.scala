@@ -397,3 +397,16 @@ private[graft] trait LsmStore {
     atRestRows = n
   }
 }
+
+object LsmStore {
+  /** Default compaction cadence, read off the measured serve-latency-
+    * vs-log-depth curve (LifecycleScaleProbe at 1M×64-d, SCALE.md):
+    * view searches are FLAT through ~25 batches of logs (3.0 → 3.4 s),
+    * then small-fragment overhead compounds (5.0 s at 50, 7.4 s at
+    * 100, vs a 2.0 s compacted baseline). 32 sits at the knee: serve
+    * overhead stays inside ~20% while the fold amortizes to well under
+    * the per-batch logging cost itself (14.8 s / 32 ≈ 0.5 s per
+    * batch). Deployments with bigger batches (fewer, larger fragments)
+    * can raise it; the watermark warnings fire either way. */
+  val DefaultCompactEvery = 32
+}

@@ -51,7 +51,7 @@ import org.apache.spark.sql.functions._
 final class LshMaintainer(
     spark: SparkSession,
     path: String,
-    compactEvery: Int,
+    compactEvery: Int = graft.ann.LsmStore.DefaultCompactEvery,
     occupancyWatermark: Double = 0.0,
     driftCheck: Option[graft.ann.DriftCheck] = None)
   extends graft.ann.LsmStore {

@@ -65,7 +65,7 @@ import org.apache.spark.sql.functions._
 final class PostingsStore(
     spark: SparkSession,
     path: String,
-    compactEvery: Int,
+    compactEvery: Int = graft.ann.LsmStore.DefaultCompactEvery,
     k1: Double = PostingsStore.K1,
     b: Double = PostingsStore.B,
     oovWatermark: Double = 0.0) extends graft.ann.LsmStore {
@@ -416,7 +416,8 @@ object PostingsStore {
     * the inline avg()'s double-sum for any corpus under 2^53 total
     * tokens, and exact past it. */
   def build(spark: SparkSession, path: String, docs: DataFrame,
-            compactEvery: Int = 1000, k1: Double = K1, b: Double = B,
+            compactEvery: Int = graft.ann.LsmStore.DefaultCompactEvery,
+            k1: Double = K1, b: Double = B,
             oovWatermark: Double = 0.0): PostingsStore = {
     val d = docs.select(col("doc_id"), col("toks"))
     d.select(col("doc_id"), size(col("toks")).as("dl"),
