@@ -47,7 +47,10 @@ class NewOpsPlanSpec extends AnyFunSuite with SparkSpecBase {
     // buffer; exploding the documents' token arrays would show as
     // explode(toks…)/the tokenizer's split.
     assert(!p.contains("explode(toks"), s"inline tokenize leaked back:\n$p")
-    assert(!p.contains("split"), s"inline tokenize leaked back:\n$p")
+    // the tokenizer renders as the split(...) CALL — a bare "split"
+    // substring also matches Range leaves' "splits=Some(n)" (the
+    // store's empty-log fallbacks since the raw-postings layout)
+    assert(!p.contains("split("), s"inline tokenize leaked back:\n$p")
     assert(!p.contains("Window"), p)
     assert(p.contains("tscore"), s"stored score column missing:\n$p")
   }
