@@ -100,7 +100,13 @@ final class GraphMaintainer(
     * ([[backfillLegacyTombstones]]) so pre-log-format pending deletes
     * don't silently resurrect on upgrade. */
   private var batches = {
-    recoverSwap(); backfillLegacyTombstones(); recoverSeq()
+    recoverSwap(); backfillLegacyTombstones()
+    // the scope fence joins the recovery max: an empty-region scoped
+    // refine burns a seq that lands in NO log (its only trace is the
+    // fence) — without this, a reconstructed maintainer would reuse
+    // that seq and the next window's arrivals would sit at-or-below
+    // the fence, permanently skipped by the scoped cadence
+    math.max(recoverSeq(), scopeFence)
   }
 
   /** Pending deletes of a pre-log-format store lived in the catalog

@@ -178,6 +178,39 @@ class AutoTuneSpec extends AnyFunSuite with SparkSpecBase {
     assert(res.find(_._4).get._2 >= 0.95)
   }
 
+  test("BQ shared-scan arm cut == per-arm searchRerank (the q_autotune_bq_depth form)") {
+    // the oracle regrades whatever the query dumps, so shared==per-arm
+    // must be pinned HERE: the Hamming ordering is deterministic by
+    // (hamming, vec_id), so rank-cutting the max arm's candidates and
+    // re-ranking once must equal each arm's own searchRerank row-for-row
+    import org.apache.spark.sql.functions._
+    val corpus = mkCorpus()
+    val idx = graft.ann.bq.Bq.train(corpus, "vec_id", "embedding")
+    val q = queriesOf(corpus, 10)
+    val vecs = corpus.select($"vec_id", $"embedding")
+    val arms = Seq(5, 25, 100)
+    val maxArm = arms.max
+    val ranked = idx.searchHamming(q, maxArm)
+      .groupBy("query_id")
+      .agg(TopK.topK(maxArm)($"vec_id", $"hamming".cast("double")).as("nn"))
+      .select($"query_id", posexplode($"nn"))
+      .select($"query_id", $"pos".as("hrank"), $"col.vec_id".as("vec_id"))
+    val scored = ranked.join(vecs, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select($"query_id", $"vec_id", $"hrank",
+        round(ExactNN.L2.dist($"qv", $"embedding"), 6).as("dist"))
+      .localCheckpoint()
+    arms.foreach { d =>
+      val shared = TopK.perQueryTopK(
+          scored.where($"hrank" < d).select("query_id", "vec_id", "dist"),
+          5, viaAggregator = true)
+        .orderBy("query_id", "dist", "vec_id").collect().toSeq
+      val perArm = idx.searchRerank(q, vecs, 5, rerankDepth = d)
+        .orderBy("query_id", "dist", "vec_id").collect().toSeq
+      assert(shared === perArm, s"arm $d shared cut != per-arm searchRerank")
+    }
+  }
+
   test("SQ rerankDepth sweep: monotone recall, corpus-depth arm exact") {
     val corpus = mkCorpus()
     val idx = graft.ann.sq.Sq.train(corpus, "vec_id", "embedding")

@@ -136,6 +136,16 @@ class GraphScopedRefineSpec extends AnyFunSuite with SparkSpecBase {
     m2.refineScopedNow(all).count()
     assert(edgeSet(m2.servingEdges) === servedAfter,
       "a no-drift scoped refine changed the served graph")
+    // the no-drift refine burned seq 3 with NO log rows (its only trace
+    // is the scope fence) — a reconstructed maintainer must not reuse
+    // it, or the next window's arrivals would sit at the fence and be
+    // skipped by every future scoped refine
+    val m3 = new GraphMaintainer(spark, "scoped_spec", lsm,
+      "vec_id", "embedding", k = 4, beamWidth = 8, hops = 3,
+      refineEvery = 100, maxReverseDegree = 3,
+      scopedRefine = true, scopeHops = 1)
+    assert(m3.batchesSeen === 3,
+      s"burned empty-refine seq reused after restart: ${m3.batchesSeen}")
   }
 
   test("scheduled scoped refine re-bounds the insert hub without a table rewrite") {
