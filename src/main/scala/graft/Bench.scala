@@ -62,7 +62,10 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_SPREAD.json")), "UTF-8")
-        val entry = """"(q_[A-Za-z0-9_]+)":\[([^\]]*)\]""".r
+        // whitespace-tolerant: the file is normally this class's own
+        // compact output, but any JSON-aware tool that rewrites it
+        // (pretty-printers, jq) adds spaces after colons
+        val entry = """"(q_[A-Za-z0-9_]+)"\s*:\s*\[([^\]]*)\]""".r
         entry.findAllMatchIn(txt).map { m =>
           val best = m.group(2).split(",").toSeq
             .flatMap(_.trim.toDoubleOption).filter(_ > 0)
