@@ -130,4 +130,106 @@ class StreamingGraphDeleteSpec extends AnyFunSuite with SparkSpecBase {
     assert(!served.exists(r => deadIds.contains(r._2)),
       s"deleted id served: ${served.toSeq}")
   }
+
+  test("SCOPED store: foreachBatch == sequential batch loop, base never rewritten") {
+    // the scoped-refine twin of the test above: deltas land in the
+    // seq-stamped edges_delta log, the mid-stream cadence triggers
+    // refineScopedNow (supersede + replacement rows, NOT a table
+    // rewrite), and the streamed store's SERVED graph is identical to
+    // the driver-side batch loop's — while both base tables stay
+    // byte-identical to the seed (the rewrite-free contract).
+    val rng = new scala.util.Random(23)
+    def pt(center: Double) =
+      Seq.tabulate(8)(i => center + (if (i == 0) 0.0 else rng.nextGaussian() * 0.05))
+    val existingRows = (0L until 20L).map(i => (i, pt(0.0))) ++
+      (20L until 40L).map(i => (i, pt(10.0)))
+    val arrivalRows = Seq(40L -> pt(0.2), 41L -> pt(9.8),
+      42L -> pt(0.4), 43L -> pt(9.6))
+    val existing = existingRows.toDF("vec_id", "embedding")
+    val corpus = (existingRows ++ arrivalRows).toDF("vec_id", "embedding")
+    val batchDefs = Seq(
+      (arrivalRows.take(2), Seq(3L, 27L)),
+      (arrivalRows.drop(2), Seq(11L)))
+
+    def mkMaintainer(name: String) = new GraphMaintainer(spark, name,
+      java.nio.file.Files.createTempDirectory(s"${name}_lsm").toString,
+      "vec_id", "embedding", k = 4, beamWidth = 12, hops = 4,
+      refineEvery = 2, maxReverseDegree = 2, backbone = false,
+      metric = ExactNN.L2, scopedRefine = true, scopeHops = 1)
+
+    def seed(name: String): Unit = {
+      cleanTables(s"${name}_edges", s"${name}_tombstones")
+      val base = KnnGraph.exact(existing, "vec_id", "embedding", 4, ExactNN.L2)
+        .select($"src", $"dst")
+      GraphSearch.saveBucketed(base, name)
+    }
+    def entriesFor(arr: org.apache.spark.sql.DataFrame) =
+      arr.select($"vec_id".as("query_id"))
+        .crossJoin((0L until 8L).toDF("node"))
+
+    seed("gsco_batch")
+    val baseRows = GraphSearch.loadBucketed(spark, "gsco_batch")
+      .as[(Long, Long)].collect().toSet
+    val mb = mkMaintainer("gsco_batch")
+    for ((arr, dels) <- batchDefs) {
+      val a = arr.toDF("vec_id", "embedding")
+      mb.onBatch(corpus, a, entriesFor(a), deletes = Some(dels.toDF("vec_id")))
+    }
+
+    seed("gsco_stream")
+    val ms = mkMaintainer("gsco_stream")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double], Boolean)]
+    val q = mem.toDF().toDF("vec_id", "embedding", "del")
+      .writeStream
+      .foreachBatch { (batchDf: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batchDf.isEmpty) {
+          val a = batchDf.where(!$"del").select($"vec_id", $"embedding")
+          val d = batchDf.where($"del").select($"vec_id")
+          ms.onBatch(corpus, a, entriesFor(a), deletes = Some(d))
+        }
+        ()
+      }
+      .start()
+    try {
+      for ((arr, dels) <- batchDefs) {
+        mem.addData(arr.map { case (id, e) => (id, e, false) } ++
+          dels.map(id => (id, Seq.empty[Double], true)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // 2 batches + the burned scoped-refine seq
+    assert(mb.batchesSeen === 3 && ms.batchesSeen === 3)
+    // served identity (the scoped store's serving view, not the table)
+    val sb = mb.servingEdges.as[(Long, Long)].collect().toSet
+    val ss = ms.servingEdges.as[(Long, Long)].collect().toSet
+    assert(ss === sb,
+      s"streamed scoped graph diverged: ${ss.size} vs ${sb.size} edges")
+    // the rewrite-free contract on BOTH sides: base tables untouched
+    assert(GraphSearch.loadBucketed(spark, "gsco_batch")
+      .as[(Long, Long)].collect().toSet === baseRows)
+    assert(GraphSearch.loadBucketed(spark, "gsco_stream")
+      .as[(Long, Long)].collect().toSet === baseRows)
+    // the scoped refine consolidated the window's deletes locally:
+    // nothing served touches them (tombstones stay ACTIVE as exclusions
+    // until a full refine — unlike the full-refine twin's empty log)
+    val deadIds = Seq(3L, 27L, 11L)
+    assert(!ss.exists { case (s, d) =>
+      deadIds.contains(s) || deadIds.contains(d) },
+      "deleted ids survive in the scoped served graph")
+    assert(ms.tombstones.as[Long].collect().toSet === deadIds.toSet,
+      "scoped tombstones dropped before a full refine")
+    // serves arrivals, never a deleted id
+    val qv = Seq((42L, arrivalRows(2)._2)).toDF("query_id", "qv")
+    val served = GraphSearch.beamFrom(ms.servingEdges, corpus, "vec_id",
+        "embedding", qv,
+        qv.select($"query_id").crossJoin((0L until 8L).toDF("node")),
+        3, 12, 5, metric = ExactNN.L2, symmetrize = false)
+      .as[(Long, Long, Double)].collect()
+    assert(served.exists(r => r._2 == 42L && r._3 == 0.0),
+      s"arrival not served: ${served.toSeq}")
+    assert(!served.exists(r => deadIds.contains(r._2)),
+      s"deleted id served: ${served.toSeq}")
+  }
 }
