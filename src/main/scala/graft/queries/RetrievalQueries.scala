@@ -53,6 +53,19 @@ object RetrievalQueries extends QueryPack {
     2L -> Seq("spark", "window"),
     3L -> Seq("vector", "query", "fast"),
     4L -> Seq("dup", "customer", "join"))
+
+  /** `q_bm25_refit_topk`'s rule-derived drift script (SQL-replayable):
+    * docs ≡ RefitDelRem (mod RefitMod) are deleted; docs ≡ RefitAddRem
+    * re-arrive under doc_id + RefitIdOffset with `refitterm` appended
+    * to their tokens — a term UNSEEN at fit time, so the row exercises
+    * BOTH the df/N/avgdl fold and the OOV retroactive scoring. Query
+    * 999 asks for the OOV term directly. */
+  val RefitMod = 25L
+  val RefitDelRem = 7L
+  val RefitAddRem = 3L
+  val RefitIdOffset = 10000000L
+  val RefitQueries: Seq[(Long, Seq[String])] =
+    Bm25Queries :+ (999L -> Seq("refitterm", "vector"))
   /** RRF constant (Cormack et al. 2009's K=60). */
   val RrfK = 60
   /** Late-interaction token-embedding dims (±1 components, so every
@@ -84,6 +97,37 @@ object RetrievalQueries extends QueryPack {
       graft.retrieval.PostingsStore.build(s,
         s"${QueryPack.dumpRoot}/graft_postings/${LshQueries.sfName(dir)}",
         docs(s, dir))
+    }
+
+  /** The DRIFTED-and-REFIT store `q_bm25_refit_topk` serves from:
+    * build over the base corpus, apply the rule-derived drift
+    * ([[RefitMod]] script — deletes + OOV-suffixed re-arrivals) through
+    * one LSM batch, then [[graft.retrieval.PostingsStore.mergeRefit]]
+    * — the O(drift) stats fold whose result must be row-identical to a
+    * fresh build over the drifted corpus, which is EXACTLY what the
+    * DuckDB oracle computes from scratch. The path is cleared first:
+    * build overwrites the base tables but a prior process's LSM logs
+    * would otherwise leak into the recovered state. */
+  private def refitPostings(s: SparkSession,
+                            dir: String): graft.retrieval.PostingsStore =
+    memoized(s, dir, "postings_refit_store") {
+      val d = docs(s, dir)
+      val path =
+        s"${QueryPack.dumpRoot}/graft_postings_refit/${LshQueries.sfName(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(path).toUri,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val store = graft.retrieval.PostingsStore.build(s, path, d)
+      val arrivals = d.where(pmod(col("doc_id"), lit(RefitMod)) === RefitAddRem)
+        .select((col("doc_id") + RefitIdOffset).as("doc_id"),
+          concat(col("toks"),
+            array(lit("refitterm")).cast("array<string>")).as("toks"))
+      val deletes = d.where(pmod(col("doc_id"), lit(RefitMod)) === RefitDelRem)
+        .select("doc_id")
+      store.onBatch(Some(arrivals), Some(deletes))
+      store.mergeRefit()
+      store
     }
 
   /** (query_id, doc_id, score): BM25 scores for every (query, doc) pair
@@ -286,6 +330,26 @@ object RetrievalQueries extends QueryPack {
         .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
         .toDF("query_id", "term")
       topDesc(bm25Stored(postings(s, dir), qterms), "score", TopKDocs,
+          "score")
+        .orderBy("query_id", "rank")
+    }),
+
+    // BM25 after DRIFT + the O(drift) stats refit, under the oracle:
+    // the store absorbs the rule-derived drift (deletes + re-arrivals
+    // carrying a fit-unseen term) through one LSM batch and one
+    // mergeRefit, then serves the extended query set — while DuckDB
+    // computes BM25 over the drifted corpus FROM SCRATCH (tokenize →
+    // tf → df → scores). A wrong fold anywhere (df delta, N, avgdl,
+    // the OOV term's retroactive df) shifts a score and mismatches;
+    // query 999 probes the OOV term directly, so the refit's headline
+    // property (previously-unscored stored rows begin scoring) is
+    // itself cross-engine.
+    "q_bm25_refit_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qterms = RefitQueries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      topDesc(bm25Stored(refitPostings(s, dir), qterms), "score", TopKDocs,
           "score")
         .orderBy("query_id", "rank")
     }),
@@ -544,15 +608,18 @@ object RetrievalQueries extends QueryPack {
     }: _*)
 
   /** Shared oracle-SQL fragments (DuckDB). The BM25 CTE chain mirrors
-    * [[bm25]] stage-for-stage; `%s` slots take the query-terms CTE body
-    * and the self-exclusion predicate. */
-  private def bm25Cte(qtermsCte: String, exclude: String): String =
+    * [[bm25]] stage-for-stage; the slots take the query-terms CTE body,
+    * the self-exclusion predicate, and (for the drifted-corpus rows)
+    * an alternative `tok` source CTE body producing (doc_id, toks). */
+  private def bm25Cte(qtermsCte: String, exclude: String,
+                      tokCte: String = """SELECT doc_id,
+      string_split_regex(trim(text), '\s+') AS toks FROM documents""")
+      : String =
     s"""tok AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-       |  FROM documents
+       |  $tokCte
        |),
        |qt AS ($qtermsCte),
-       |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |nd AS (SELECT count(*)::DOUBLE AS n FROM tok),
        |adl AS (SELECT avg(len(toks))::DOUBLE AS avgdl FROM tok),
        |tf AS (
        |  SELECT doc_id, len(toks) AS dl, term, count(*) AS tf
@@ -581,6 +648,34 @@ object RetrievalQueries extends QueryPack {
         .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
         .mkString(", ")
       s"""WITH ${bm25Cte(s"SELECT * FROM (VALUES $qrows) AS v(query_id, term)", "")},
+         |rk AS (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT query_id, rank, doc_id, score
+         |FROM rk WHERE rank <= $TopKDocs ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Drift + merge-refit replay: DuckDB constructs the drifted corpus
+    // itself (rule-derived deletes; re-arrivals with the appended OOV
+    // term) and recomputes BM25 from scratch — the merged df/N/avgdl
+    // must land exactly where the fresh derivation lands.
+    "q_bm25_refit_topk" -> {
+      val qrows = RefitQueries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      val driftedTok =
+        s"""SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           |  FROM documents WHERE doc_id % $RefitMod <> $RefitDelRem
+           |  UNION ALL
+           |  SELECT doc_id + $RefitIdOffset,
+           |         list_append(string_split_regex(trim(text), '\\s+'),
+           |                     'refitterm')
+           |  FROM documents WHERE doc_id % $RefitMod = $RefitAddRem""".stripMargin
+      s"""WITH ${bm25Cte(s"SELECT * FROM (VALUES $qrows) AS v(query_id, term)",
+             "", driftedTok)},
          |rk AS (
          |  SELECT query_id, doc_id, score,
          |         row_number() OVER (PARTITION BY query_id

@@ -270,6 +270,50 @@ object SimilarityQueries extends QueryPack {
     }
   }
 
+  /** `q_graph_scoped_recall`'s maintained store: exact kNN + backbone
+    * over the base corpus (all but the tail-20 ids), then ONE
+    * maintainer batch — the tail-20 arrivals plus the mod-50 deletes —
+    * whose refineEvery=1 cadence runs the scheduled SCOPED refine
+    * inside onBatch. Everything is rule-derived and deterministic, so
+    * the DuckDB oracle can reconstruct the live corpus; the store
+    * builds once per (session, sf). Catalog-table names are sf-scoped
+    * (Verify runs both sfs' queries in one session). */
+  private def scopedGraphStore(s: SparkSession,
+                               dir: String): graft.ann.GraphMaintainer =
+    memoized(s, dir, "scoped_graph_store") {
+      val e = emb(s, dir)
+      import s.implicits._
+      val name = s"scoped_row_${LshQueries.sfName(dir).replace('.', '_')}"
+      Seq(s"${name}_edges", s"${name}_swap_edges").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(s"spark-warehouse/$t")
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      val n = e.count()
+      val base = e.where(col("vec_id") < n - InsertTailCount)
+      val g = graft.ann.KnnGraph.exact(base, "vec_id", "embedding", KnnK,
+          ExactNN.Cosine)
+        .select(col("src"), col("dst"))
+        .unionByName(graft.ann.GraphSearch.randomBackbone(base, "vec_id"))
+        .dropDuplicates("src", "dst")
+      graft.ann.GraphSearch.saveBucketed(g, name)
+      val m = new graft.ann.GraphMaintainer(s, name,
+        java.nio.file.Files.createTempDirectory(s"${name}_lsm").toString,
+        "vec_id", "embedding", k = KnnK, beamWidth = BeamWidth,
+        hops = BeamHops, refineEvery = 1, maxReverseDegree = InsertRevCap,
+        scopedRefine = true, scopeHops = 1)
+      val arrivals = e.where(col("vec_id") >= n - InsertTailCount)
+      val deletes = e.where(pmod(col("vec_id"), lit(TombstoneMod)) === 0 &&
+        col("vec_id") < n - InsertTailCount).select("vec_id")
+      val entries = arrivals.select(col("vec_id").as("query_id"))
+        .crossJoin((0L until InsertEntries).toDF("node"))
+      m.onBatch(e, arrivals, entries, Some(deletes))
+      m
+    }
+
   /** Shared exact (quadratic) k-NN ground-truth graph — the oracle
     * baseline consumed by four queries. */
   private def graphExact(s: SparkSession, dir: String): DataFrame =
@@ -1403,6 +1447,43 @@ object SimilarityQueries extends QueryPack {
     // 50's own nearest neighbor — the exclusion provably binds), so the
     // DuckDB oracle replays the identical hop-for-hop walk from the
     // dumped edge list and applies the same final-cut filter.
+    // The SCOPED graph store under the oracle: a maintainer with
+    // scopedRefine=true absorbs one rule-derived batch (the tail-20
+    // arrivals + the mod-50 deletes) and its scheduled TOUCHED-REGION
+    // refine (supersede + replacement LSM rows — the base table is
+    // never rewritten), then serves the standard 100-query beam from
+    // the supersede-aware view with tombstone exclusion. Predictions
+    // are dumped and graded against DuckDB's OWN exact cosine ground
+    // truth over the live corpus (deleted ids excluded by the same
+    // rule), so the whole scoped lifecycle — delta logging, local
+    // consolidation, the serving view's supersede rule — sits under
+    // CORRECTNESS, not only specs (the q_ivf_search_l2_distfit
+    // pattern applied to round 13's other new engine path).
+    "q_graph_scoped_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val m = scopedGraphStore(s, dir)
+      import s.implicits._
+      val entries = q.select(col("query_id"))
+        .crossJoin((0L until BeamEntries).toDF("node"))
+      val pred = LshQueries.dumpAndReload(s,
+        graft.ann.GraphSearch.beamFrom(m.servingEdges, e, "vec_id",
+          "embedding", q, entries, K, BeamWidth, BeamHops,
+          excluded = Some(m.tombstones)),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_scoped_recall")
+      val gt = memoized(s, dir, "exact_gt_cos_live") {
+        ExactNN.topKAgg(q,
+            e.where(pmod(col("vec_id"), lit(TombstoneMod)) =!= 0),
+            K, ExactNN.Cosine)
+          .localCheckpoint()
+      }
+      Eval.setPrecisionRecall(pred.select("query_id", "vec_id"), gt)
+        .agg(
+          round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
+    }),
+
     "q_graph_delete_serve" -> ((s, dir) => {
       val e = emb(s, dir)
       val withBackbone = graphRefinedBackbone(s, dir)
@@ -1608,6 +1689,16 @@ object SimilarityQueries extends QueryPack {
     "q_autotune_bq_depth" -> autotuneOracleSql(
       "autotune_bq_arms", BqDepthArms, AutoTuneTarget,
       LshQueries.L2DistSql),
+
+    // Scoped-store serving graded against DuckDB's own exact cosine GT
+    // over the live corpus (the rule-derived mod-50 deletes excluded;
+    // the tail-20 arrivals are embeddings rows, so they're in the
+    // corpus by construction) — recallOracle mirrors
+    // Eval.setPrecisionRecall's join shapes exactly.
+    "q_graph_scoped_recall" -> LshQueries.recallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/graph_scoped_recall/*.parquet",
+      LshQueries.CosineDistSql, None, K,
+      corpusWhere = s"WHERE vec_id % $TombstoneMod <> 0"),
 
     // Graph-beam sweep: identical decision replay, cosine GT.
     "q_autotune_graph_beam" -> autotuneOracleSql(
