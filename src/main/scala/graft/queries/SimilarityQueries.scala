@@ -1463,11 +1463,17 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       val q = queriesDf(e)
       val m = scopedGraphStore(s, dir)
+      // the serving view is base+delta+supersede JOINS re-evaluated per
+      // walk hop — materialize it once (n×k rows, the graph itself);
+      // dependency (the store) resolved before the memo lambda
+      val g = memoized(s, dir, "scoped_graph_serving") {
+        m.servingEdges.localCheckpoint()
+      }
       import s.implicits._
       val entries = q.select(col("query_id"))
         .crossJoin((0L until BeamEntries).toDF("node"))
       val pred = LshQueries.dumpAndReload(s,
-        graft.ann.GraphSearch.beamFrom(m.servingEdges, e, "vec_id",
+        graft.ann.GraphSearch.beamFrom(g, e, "vec_id",
           "embedding", q, entries, K, BeamWidth, BeamHops,
           excluded = Some(m.tombstones)),
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_scoped_recall")
