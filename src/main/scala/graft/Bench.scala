@@ -120,8 +120,15 @@ object Bench {
     // host with a real regression the third attempt just confirms it.
     // The 0.15 s floor keeps sub-100 ms queries from tripping on timer
     // noise.
+    // The failure sentinel applies to the two MANDATORY attempts (a
+    // fast crash must not masquerade as a great number). A third
+    // contention re-attempt that itself fails must NOT flip a
+    // twice-successful query to -1 — the defense would then be strictly
+    // worse than not re-running; its failure just means the re-attempt
+    // didn't help, and the surviving attempts' min stands.
     def best(ts: Seq[(Boolean, Double)]): Double =
-      if (ts.forall(_._1)) ts.map(_._2).min else -1.0
+      if (!ts.take(2).forall(_._1)) -1.0
+      else ts.filter(_._1).map(_._2).min
     def outlier(n: String): Boolean = {
       val b = best(attemptLog(n))
       b > 0 && prior.get(n).exists(p => b > 3.0 * math.max(p, 0.15))

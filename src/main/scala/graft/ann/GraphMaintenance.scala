@@ -229,8 +229,19 @@ final class GraphMaintainer(
     * store has never seen, and scoped-refine additive rows are
     * anti-joined against the serving rows they extend before landing. */
   def servingEdges: DataFrame = {
-    val base = GraphSearch.loadBucketed(spark, name)
-      .select(col("src"), col("dst")).withColumn("seq", lit(0))
+    val base0 = GraphSearch.loadBucketed(spark, name)
+      .select(col("src"), col("dst"))
+    // full-refine mode never writes the scoped legs — short-circuit to
+    // the bare bucketed read so the default mode's hot paths (the walk
+    // re-evaluates this frame per hop) don't pay union + fence/commit
+    // reads + a supersede join for provably empty legs. The dir checks
+    // guard the one legitimate crossover (a full-mode maintainer opened
+    // on a store a scoped one wrote): present logs are always honored.
+    if (!scopedRefine &&
+        !lsmFs.exists(new org.apache.hadoop.fs.Path(s"$path/edges_delta")) &&
+        !lsmFs.exists(new org.apache.hadoop.fs.Path(s"$path/superseded")))
+      return base0
+    val base = base0.withColumn("seq", lit(0))
     val delta = visibleFilter(readOr("edges_delta", emptyEdges))
       .select("src", "dst", "seq")
     val sup = visibleFilter(readOr("superseded", emptySrcSeq))

@@ -66,6 +66,24 @@ object GraphSearch {
                    name: String): DataFrame =
     spark.table(s"${name}_edges")
 
+  /** Drop managed tables AND their warehouse locations: a prior
+    * process's location survives the (no-op) DROP in a fresh session's
+    * catalog, and the next saveAsTable refuses with
+    * LOCATION_ALREADY_EXISTS. The location derives from the session's
+    * warehouse conf — probes, specs, and the query packs were each
+    * hand-rolling this with divergent cwd-relative literals. */
+  def dropManagedTables(spark: org.apache.spark.sql.SparkSession,
+                        tables: String*): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(wh,
+        t.toLowerCase(java.util.Locale.ROOT)), true)
+    }
+  }
+
   /** Append an edge DELTA (e.g. [[insert]]'s new-node edges) to a
     * stored bucketed graph, symmetrized with the same bucket layout —
     * the write half of the streaming maintenance loop

@@ -284,14 +284,8 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       import s.implicits._
       val name = s"scoped_row_${LshQueries.sfName(dir).replace('.', '_')}"
-      Seq(s"${name}_edges", s"${name}_swap_edges").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new java.io.File(s"spark-warehouse/$t")
-        if (loc.exists()) {
-          import scala.reflect.io.Directory
-          new Directory(loc).deleteRecursively()
-        }
-      }
+      graft.ann.GraphSearch.dropManagedTables(s,
+        s"${name}_edges", s"${name}_swap_edges")
       val n = e.count()
       val base = e.where(col("vec_id") < n - InsertTailCount)
       val g = graft.ann.KnnGraph.exact(base, "vec_id", "embedding", KnnK,
@@ -1477,9 +1471,15 @@ object SimilarityQueries extends QueryPack {
           "embedding", q, entries, K, BeamWidth, BeamHops,
           excluded = Some(m.tombstones)),
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_scoped_recall")
+      // the live-corpus rule mirrors the STORE's delete rule exactly —
+      // deletes apply only BELOW the tail cut, so a tail arrival whose
+      // id happens to be a TombstoneMod multiple (possible at other
+      // corpus sizes) stays live AND graded
+      val nRows = e.count()
       val gt = memoized(s, dir, "exact_gt_cos_live") {
         ExactNN.topKAgg(q,
-            e.where(pmod(col("vec_id"), lit(TombstoneMod)) =!= 0),
+            e.where(!(pmod(col("vec_id"), lit(TombstoneMod)) === 0 &&
+              col("vec_id") < nRows - InsertTailCount)),
             K, ExactNN.Cosine)
           .localCheckpoint()
       }
@@ -1704,7 +1704,8 @@ object SimilarityQueries extends QueryPack {
     "q_graph_scoped_recall" -> LshQueries.recallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/graph_scoped_recall/*.parquet",
       LshQueries.CosineDistSql, None, K,
-      corpusWhere = s"WHERE vec_id % $TombstoneMod <> 0"),
+      corpusWhere =
+        s"WHERE NOT (vec_id % $TombstoneMod = 0 AND vec_id < $InsertFrom)"),
 
     // Graph-beam sweep: identical decision replay, cosine GT.
     "q_autotune_graph_beam" -> autotuneOracleSql(

@@ -87,7 +87,12 @@ final class PostingsStore(
       "(precomputed sparse/bm25, raw tf rows never persisted) — " +
       "rebuild it with PostingsStore.build")
 
-  private var batches = { recoverRefit(); recoverSeq() }
+  // the stats fence joins the recovery max (the GraphMaintainer scope-
+  // fence rule): a seq burned by a failed batch can reach the fence via
+  // mergeRefit with NO log row carrying it — recovery from the logs
+  // alone would reuse it, and the reused batch's rows would sit
+  // at-or-below the fence, permanently excluded from every stats fold
+  private var batches = { recoverRefit(); math.max(recoverSeq(), statsFence) }
 
   /** OOV posting ratio of the most recent batch's ARRIVALS (None until
     * a batch with arrivals has run) — the fraction of the batch's
@@ -319,12 +324,15 @@ final class PostingsStore(
         .groupBy("term").agg(sum("d").as("ddf"))
         .where(col("ddf") =!= 0L)
         .persist()
+      // try/finally like onBatch's tf: the negative-fold require below
+      // is an EXPECTED error path (corrupt fence), and repeated retries
+      // against it must not accumulate cached RDDs
+      try {
       val nMoved = dfMoves.count()
       if (dN == 0L && dTdl == 0L && nMoved == 0L) {
         // nothing drifted — still advance the fence so later folds
         // don't rescan this window
         if (newFence > sf) publishMarker("_stats_fence", newFence.toString)
-        dfMoves.unpersist(false)
         return false
       }
       val (n, _, tdl) = meta
@@ -342,7 +350,6 @@ final class PostingsStore(
         .where(col("df") > 0L)
       merged.localCheckpoint()
         .write.mode("overwrite").parquet(s"$path/$RefitTmpDir/stats")
-      dfMoves.unpersist(false)
       import spark.implicits._
       Seq((n2, if (n2 == 0L) 0.0 else tdl2.toDouble / n2, tdl2))
         .toDF("n", "avgdl", "tdl")
@@ -353,6 +360,7 @@ final class PostingsStore(
         s"stored postings '$path' stats refit: folded drift through " +
           s"seq $newFence ($nMoved terms, $dN docs)")
       true
+      } finally dfMoves.unpersist(false)
     } finally tombs.unpersist(false)
   }
 

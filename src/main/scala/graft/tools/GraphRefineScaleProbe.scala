@@ -46,17 +46,8 @@ object GraphRefineScaleProbe {
 
     val corpus = gen(n).persist()
     corpus.count()
-    spark.sql("DROP TABLE IF EXISTS refine_scale_edges")
-    spark.sql("DROP TABLE IF EXISTS refine_scale_swap_edges")
-    // a prior run's managed-table location survives the (no-op) DROP in
-    // a fresh session's catalog — clear it or saveAsTable refuses
-    Seq("refine_scale_edges", "refine_scale_swap_edges").foreach { t =>
-      val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) {
-        import scala.reflect.io.Directory
-        new Directory(loc).deleteRecursively()
-      }
-    }
+    GraphSearch.dropManagedTables(spark,
+      "refine_scale_edges", "refine_scale_swap_edges")
     val (_, tBuild) = timed {
       val idx = Lsh.train(corpus, "vec_id", "embedding",
         LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))

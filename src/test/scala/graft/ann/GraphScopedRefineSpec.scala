@@ -35,15 +35,9 @@ class GraphScopedRefineSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
-  private def freshTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_edges")
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_swap_edges")
-    val loc = new java.io.File(s"target/spark-warehouse/${name}_edges")
-    if (loc.exists()) {
-      import scala.reflect.io.Directory
-      new Directory(loc).deleteRecursively()
-    }
-  }
+  private def freshTable(name: String): Unit =
+    GraphSearch.dropManagedTables(spark,
+      s"${name}_edges", s"${name}_swap_edges")
 
   private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("src", "dst").as[(Long, Long)].collect().toSet

@@ -241,6 +241,38 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
       "second merge-refit bm25 != full rebuild")
   }
 
+  test("a seq burned into the stats fence alone is not reused after restart") {
+    // the PostingsStore twin of the GraphMaintainer scope-fence bug: a
+    // failed batch burns seq N with NO log row; mergeRefit then
+    // advances _stats_fence to N (its only trace). Recovery from the
+    // logs alone would reuse N — and the reused batch's rows would sit
+    // at-or-below the fence, permanently excluded from every fold.
+    val d = docsOf(sf("sf0.001") + "/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("postings_burn").toString + "/idx"
+    val store = PostingsStore.build(spark, path, d)
+    store.onBatch(Some(Seq((888801L, Seq("vector")))
+      .toDF("doc_id", "toks")), None) // committed seq 1
+    val failing = Seq((888802L, Seq("vector"))).toDF("doc_id", "toks")
+      .where(assert_true(lit(false)).isNull)
+    intercept[Exception](store.onBatch(Some(failing), None)) // burns seq 2
+    assert(store.mergeRefit()) // folds seq 1's drift; fence -> 2
+    val reopened = new PostingsStore(spark, path, compactEvery = 1000)
+    assert(reopened.batchesSeen === 2,
+      s"burned fence seq reused after restart: ${reopened.batchesSeen}")
+    // the next batch lands ABOVE the fence and folds correctly
+    reopened.onBatch(Some(Seq((888803L, Seq("vector", "query")))
+      .toDF("doc_id", "toks")), None)
+    assert(reopened.mergeRefit(), "post-restart batch sat below the fence")
+    val fresh = PostingsStore.build(spark,
+      java.nio.file.Files.createTempDirectory("postings_burn_fresh")
+        .toString + "/idx",
+      d.unionByName(Seq((888801L, Seq("vector")),
+        (888803L, Seq("vector", "query"))).toDF("doc_id", "toks")))
+    assert(rows(reopened.sparse) === rows(fresh.sparse),
+      "fold after a burned-fence restart != full rebuild")
+  }
+
   test("a crashed refit commit finishes at construction; a garbled marker aborts") {
     val d = docsOf(sf("sf0.001") + "/documents.parquet")
     val path = java.nio.file.Files
