@@ -28,7 +28,17 @@ import org.apache.spark.sql.functions._
   *     every untouched base row stays byte-identical ([[servingEdges]]
   *     assembles the view). Scoped stores log insert deltas
   *     seq-stamped (`edges_delta`) instead of appending to the base;
-  *     run a periodic [[refineNow]] to fold the logs down;
+  *   - the scoped store's logs DO NOT grow without bound: every
+  *     `compactEvery` batches (checked right after the scheduled
+  *     scoped refine, so the window's deletes are already
+  *     bridge-consolidated) [[foldNow]] rewrites the bucketed base
+  *     from the served view — a RESCORE-FREE fold, no O(n·k) re-cut —
+  *     applies the active tombstones physically, and drops every log
+  *     through the same crash-safe swap commit a full refine uses.
+  *     Serve cost is therefore bounded by the fold cadence instead of
+  *     degrading with lifetime (the [[LsmStore]] compaction idiom;
+  *     cadence default read off the measured serve-vs-depth curve,
+  *     [[GraphMaintainer.DefaultFoldEvery]]);
   *   - between refines, an optional degree watermark
   *     (`degreeWatermark` > 0) warns when the stored max degree has
   *     outgrown the expected k + refineEvery × cap envelope — the
@@ -79,12 +89,25 @@ final class GraphMaintainer(
     roundTo: Int = 6,
     nBuckets: Int = 64,
     scopedRefine: Boolean = false,
-    scopeHops: Int = 1) extends LsmStore {
+    scopeHops: Int = 1,
+    compactEvery: Int = GraphMaintainer.DefaultFoldEvery) extends LsmStore {
 
   require(refineEvery > 0, s"refineEvery $refineEvery must be positive")
   require(scopeHops > 0, s"scopeHops $scopeHops must be positive")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // a pure-scoped deployment that never folds accumulates supersede
+  // records and delta fragments forever (the serve-path broadcast and
+  // the per-leg fence/commit reads grow with them) — loud at
+  // construction, like the Lsh.fit occupancy warning: the operator
+  // disabled the only mechanism that bounds serve cost over time
+  if (scopedRefine && compactEvery <= 0) log.warn(
+    s"stored graph '$name': scopedRefine with compactEvery disabled " +
+      s"($compactEvery) — superseded/edges_delta/tombstone logs will " +
+      "grow without bound and serve cost degrades with store lifetime. " +
+      "Schedule foldNow/refineNow manually, or set compactEvery > 0 " +
+      s"(default ${GraphMaintainer.DefaultFoldEvery}).")
 
   override protected def lsmSpark: SparkSession = spark
   override protected def lsmPath: String = path
@@ -217,7 +240,10 @@ final class GraphMaintainer(
     * and any NEWER additive rows serve. Untouched nodes' base rows are
     * never rewritten — byte-identical through any number of scoped
     * refines (the whole point: a scoped refine's write cost is
-    * O(region), not O(corpus)).
+    * O(region), not O(corpus)). The log legs are BOUNDED in time:
+    * [[foldNow]] (scheduled every `compactEvery` batches) folds them
+    * into the base, so the supersede broadcast and fragment counts
+    * reset each cadence instead of growing with store lifetime.
     *
     * Plan shape: the base leg keeps its bucketed zero-Exchange walk
     * property; the supersede rule is one broadcast join + filter
@@ -225,9 +251,11 @@ final class GraphMaintainer(
     * full refine); the delta leg is batch-sized files. In full-refine
     * mode ([[scopedRefine]] = false) both legs are empty and this view
     * IS [[GraphSearch.loadBucketed]]. The view carries no duplicate
-    * (src, dst) rows by construction: insert deltas only touch ids the
-    * store has never seen, and scoped-refine additive rows are
-    * anti-joined against the serving rows they extend before landing. */
+    * (src, dst) rows by construction: insert deltas are anti-joined in
+    * [[onBatch]] against the serving rows they could duplicate (a
+    * delete→re-insert revives an id whose un-superseded rows still
+    * serve), and scoped-refine additive rows against the rows they
+    * extend, before landing. */
   def servingEdges: DataFrame = {
     val base0 = GraphSearch.loadBucketed(spark, name)
       .select(col("src"), col("dst"))
@@ -329,21 +357,48 @@ final class GraphMaintainer(
       .dropDuplicates("src", "dst")
       .select(col("src"), col("dst"), col("dist"))
       .localCheckpoint()
+    // A delete→re-insert of a KNOWN id breaks appendBucketed's
+    // "arriving ids were never seen" disjointness: the revived id's old
+    // rows still serve (no supersede record was written — tombstones
+    // are serve-time exclusions until a refine), so the walk's new
+    // edges can duplicate them. Anti-join the symmetrized delta against
+    // the rows it could duplicate — a BOUNDED probe: serving rows whose
+    // src is a delta endpoint (the delta is symmetric, so endpoints ==
+    // srcs), batch-sized broadcast against the bucketed scan.
+    val deltaSym = delta.select(col("src"), col("dst"))
+      .unionByName(delta.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+    val dupRef = stored
+      .join(broadcast(deltaSym.select(col("src")).distinct()),
+        Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
+    // checkpointed: the anti-join's lineage reads the stored table the
+    // full-mode append writes into (and the scoped refine drops)
+    val deltaNew = deltaSym.join(dupRef, Seq("src", "dst"), "left_anti")
+      .localCheckpoint()
     // The delta lands per mode: the full-refine store appends straight
     // into the bucketed base (zero extra serving legs — every refine
-    // rewrites the table anyway); the scoped store logs it seq-stamped
+    // rewrites the table anyway; already symmetrized + dedup'd above,
+    // so the write is direct); the scoped store logs it seq-stamped
     // so [[refineScopedNow]]'s supersede rule can never kill a
     // POST-refine arrival edge (base rows read as seq 0 — an appended
     // row would look older than the supersede that preceded it).
     if (scopedRefine)
-      delta.select(col("src"), col("dst"))
-        .unionByName(delta.select(col("dst").as("src"), col("src").as("dst")))
-        .dropDuplicates("src", "dst")
-        .withColumn("seq", lit(seq))
+      deltaNew.withColumn("seq", lit(seq))
         .write.mode("append").parquet(s"$path/edges_delta")
-    else GraphSearch.appendBucketed(delta, name, nBuckets)
+    else deltaNew.write.mode("append")
+      .bucketBy(nBuckets, "src").sortBy("src")
+      .saveAsTable(s"${name}_edges")
     if (batches - lastRefineSeq >= refineEvery) {
-      if (scopedRefine) refineScopedNow(vectors) else refineNow(vectors)
+      if (scopedRefine) {
+        refineScopedNow(vectors)
+        // the scheduled fold runs ONLY here — right after the scoped
+        // refine, so every pending delete has been bridge-consolidated
+        // before the fold applies it physically (foldNow's ordering
+        // contract)
+        if (compactEvery > 0 && batches - readFence() >= compactEvery)
+          foldNow()
+      } else refineNow(vectors)
     }
     else if (degreeWatermark > 0) {
       val maxDeg = maxStoredDegree
@@ -480,7 +535,9 @@ final class GraphMaintainer(
     * re-bounds only the subgraph the window touched:
     *
     *   - **region** = arrivals + deletes since the last refine (the
-    *     scope fence) + the degree-watermark offenders (when set),
+    *     scope fence) + the dead nodes' IN-neighbors (one explicit
+    *     reverse hop — OUT-hop expansion alone misses them on an
+    *     asymmetric graph) + the degree-watermark offenders (when set),
     *     expanded [[scopeHops]] hops over the served graph — the nodes
     *     whose edge lists the window could have degraded (reverse-link
     *     accumulation lands within 1 hop of an insert; delete bridges
@@ -528,7 +585,18 @@ final class GraphMaintainer(
       if (degreeWatermark <= 0) arr.limit(0)
       else serving.groupBy("src").agg(count(lit(1)).as("d"))
         .where(col("d") > degreeWatermark).select(col("src").as("node"))
-    var region = arr.unionByName(tombWindow).unionByName(offenders)
+    // the dead nodes' IN-neighbors, pulled in explicitly: the hop
+    // expansion below walks OUT-edges, so on an asymmetric stored
+    // graph a src u with u→d but no return d→u would escape the
+    // region, keep its supersede-less rows, and serve an edge into the
+    // dead node forever (the consolidation would never reach it). One
+    // dst-keyed semi-join over the served view, window-dead-bounded.
+    val intoDead = serving
+      .join(broadcast(tombWindow.select(col("node").as("dst"))),
+        Seq("dst"), "left_semi")
+      .select(col("src").as("node"))
+    var region = arr.unionByName(tombWindow).unionByName(intoDead)
+      .unionByName(offenders)
       .distinct().localCheckpoint(eager = false)
     val empty = vectors.limit(0)
       .select(col(idCol).as("src"), col(idCol).as("dst"),
@@ -675,4 +743,74 @@ final class GraphMaintainer(
       s"stored graph '$name' scope-refined through seq $seq")
     refined
   }
+
+  /** True when the NEXT [[onBatch]] will also run the scheduled log
+    * fold ([[foldNow]]) after its scoped refine — the compaction twin
+    * of [[refineDue]] (and of the sibling maintainers'
+    * `compactionDue`), exposed so callers can align checkpoints around
+    * the one batch per `compactEvery` that rewrites the base. The
+    * burned-seq arithmetic mirrors onBatch: the batch takes one seq
+    * and the due scoped refine a second, so the fold check sees
+    * `batches + 2`. */
+  def foldDue: Boolean =
+    scopedRefine && compactEvery > 0 && refineDue &&
+      (batches + 2) - readFence() >= compactEvery
+
+  /** The scoped store's COMPACTION — the log fold [[refineNow]]
+    * performs as a side effect, without the O(n·k) re-score/re-cut: the
+    * current served view ([[servingEdges]], minus rows touching an
+    * ACTIVE tombstone — their physical delete) is rewritten as the
+    * bucketed base through the same crash-safe swap protocol the full
+    * refine uses (temp table → `_graph_swap` marker → idempotent
+    * [[finishSwap]]: rename, fence at the current seq, drop ALL logs,
+    * re-create the commit log). Cost is one pass over the served view
+    * plus the bucketed rewrite — no vector reads, no distance math.
+    *
+    * The served view is preserved EXACTLY (GraphScopedFoldSpec pins
+    * fold == served-view identity): rows land as-is — NOT re-
+    * symmetrized, because a scoped refine legitimately leaves the view
+    * asymmetric at the region boundary and a fold must not invent
+    * return edges the refine cut.
+    *
+    * Ordering contract: run AFTER a refine has consolidated the
+    * window's deletes (the scheduled path in [[onBatch]] folds right
+    * after the due scoped refine). Folding with unconsolidated deletes
+    * pending drops the dead nodes' edges without the FreshDiskANN
+    * bridges — connectivity the region refine would have preserved. */
+  def foldNow(): Unit = {
+    guardPoisoned()
+    val pending = tombstones.localCheckpoint()
+    // materialized BEFORE the swap: the lineage reads the stored table
+    // and the logs, both of which finishSwap rewrites/drops
+    val folded = servingEdges
+      .join(broadcast(pending.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(broadcast(pending.select(col("vec_id").as("dst"))),
+        Seq("dst"), "left_anti")
+      .dropDuplicates("src", "dst")
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    folded.write.mode("overwrite")
+      .bucketBy(nBuckets, "src").sortBy("src")
+      .saveAsTable(tmpTable)
+    publishMarker("_graph_swap", batches.toString)
+    poisonOnFailure(finishSwap(batches))
+    if (log.isInfoEnabled) log.info(
+      s"stored graph '$name' folded its logs into the base at seq " +
+        s"$batches (scoped-store compaction)")
+  }
+}
+
+object GraphMaintainer {
+  /** Default scoped-store fold cadence in BATCHES since the last fold
+    * (the fence), checked right after each scheduled scoped refine —
+    * the [[LsmStore.DefaultCompactEvery]] treatment applied to the
+    * graph store, read off the measured serve-latency-vs-log-depth
+    * curve (GraphRefineScaleProbe, SCALE.md): scoped-store beam
+    * searches stay flat through ~16 unfolded batches, then the
+    * supersede broadcast + per-leg fence/commit reads compound. 32
+    * matches the sibling stores' knee; the fold itself is rescore-free
+    * (one served-view pass + the bucketed rewrite), so over-folding
+    * costs far less than the full refine it replaces. */
+  val DefaultFoldEvery: Int = LsmStore.DefaultCompactEvery
 }

@@ -210,10 +210,14 @@ final class PostingsStore(
   // ---- O(drift) stats refit ----
 
   /** Log seq through which arrivals/deletes are folded into stats/meta
-    * (0 = fit-time only). A corrupt marker reads as 0 — conservative:
-    * the next refit re-folds from the fit, and the fold arithmetic is
-    * guarded against double-counting only by this fence, so 0 forces a
-    * loud mismatch rather than silent drift — see [[mergeRefit]]. */
+    * (0 = fit-time only). A corrupt marker reads as 0, which
+    * [[mergeRefit]] cross-checks before folding: a TRUE fence of 0
+    * means stats describe exactly the fit-time corpus, so meta.n must
+    * equal the persisted seq≤0 doc count — a fence regression with
+    * surviving seq>0 rows (stats already cover them; re-folding would
+    * silently inflate df/n/tdl, and the negative-fold require only
+    * catches decrements) fails that equality and the refit refuses
+    * loudly instead. */
   private def statsFence: Int =
     try readMarker("_stats_fence").map(_.trim).filter(_.nonEmpty)
       .map(_.toInt).getOrElse(0)
@@ -286,6 +290,22 @@ final class PostingsStore(
   def mergeRefit(): Boolean = {
     guardPoisoned()
     val sf = statsFence
+    // fence-0 cross-check (see [[statsFence]]): stats claiming
+    // "fit-time only" must agree with the persisted fit-time doc count
+    // (build stamps base rows seq 0 and meta.n from them; every later
+    // row carries seq ≥ 1). One doc-count-sized scan, paid at most on
+    // a store's first refit — or when a lost `_stats_fence` marker is
+    // about to double-count already-folded rows, where it aborts.
+    if (sf == 0) {
+      val fitDocs = withDelta("doclens").where(col("seq") <= 0).count()
+      val (n0, _, _) = meta
+      require(fitDocs == n0,
+        s"postings store '$path': stats fence reads 0 (fit-time only) " +
+          s"but meta.n=$n0 differs from the seq<=0 doc count $fitDocs — " +
+          "the `_stats_fence` marker was likely lost or corrupted after " +
+          "a refit/compaction; folding from 0 would double-count " +
+          "already-folded rows. Rebuild (PostingsStore.build).")
+    }
     val newFence = batches
     val tombs = tombstonesAll.persist()
     try {

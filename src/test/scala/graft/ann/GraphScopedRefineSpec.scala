@@ -75,8 +75,12 @@ class GraphScopedRefineSpec extends AnyFunSuite with SparkSpecBase {
     val baseBefore = edgeSet(GraphSearch.loadBucketed(spark, "scoped_spec"))
     val servedBefore = edgeSet(m.servingEdges)
     // independently derive the region the refine may touch: seeds =
-    // arrivals + deletes, one hop over the served (symmetric) graph
-    val seeds = (arriving.map(_._1) ++ dead).toSet
+    // arrivals + deletes + the deletes' in-neighbors (the explicit
+    // reverse hop — consolidation must reach them even on an
+    // asymmetric graph), one hop over the served graph
+    val deadSet = dead.toSet
+    val intoDead = servedBefore.collect { case (s, d) if deadSet(d) => s }
+    val seeds = arriving.map(_._1).toSet ++ deadSet ++ intoDead
     val hop1 = servedBefore.collect { case (s, d) if seeds(s) => d }
     val region = seeds ++ hop1
 

@@ -316,4 +316,38 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(!new java.io.File(s"$path/_postings_refit").exists())
     assert(rows(ok.sparse) === want)
   }
+
+  test("a lost stats fence cannot silently re-inflate folded stats") {
+    // insert-only drift is the hole the negative-fold require can't
+    // see: with `_stats_fence` lost after a refit, a fold from 0 would
+    // re-count every already-folded arrival as a fresh df/n/tdl
+    // increment — pure inflation, nothing goes negative. The fence-0
+    // cross-check (meta.n vs the seq<=0 doc count) must refuse.
+    val d = docsOf(sf("sf0.001") + "/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("postings_fence_lost").toString + "/idx"
+    val store = PostingsStore.build(spark, path, d)
+    store.onBatch(Some(Seq((888801L, Seq("vector", "query")))
+      .toDF("doc_id", "toks")), None)
+    assert(store.mergeRefit()) // arrivals folded; fence -> 1
+    val nAfter = spark.read.parquet(s"$path/meta")
+      .head().getAs[Long]("n")
+    // simulate the marker loss
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/_stats_fence"))
+    val reopened = new PostingsStore(spark, path, compactEvery = 1000)
+    val e = intercept[IllegalArgumentException](reopened.mergeRefit())
+    assert(e.getMessage.contains("_stats_fence"),
+      s"wrong refusal: ${e.getMessage}")
+    // nothing was mutated by the refusal: stats/meta still the folded
+    // post-refit state
+    assert(spark.read.parquet(s"$path/meta").head().getAs[Long]("n")
+      === nAfter, "the refused refit mutated meta")
+    // and a legitimately-fresh store (true fence 0) still refits fine
+    val fresh = PostingsStore.build(spark, java.nio.file.Files
+      .createTempDirectory("postings_fence_fresh").toString + "/idx", d)
+    fresh.onBatch(Some(Seq((888802L, Seq("vector")))
+      .toDF("doc_id", "toks")), None)
+    assert(fresh.mergeRefit(), "fence-0 cross-check broke the legit path")
+  }
 }
