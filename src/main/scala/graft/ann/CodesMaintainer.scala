@@ -48,9 +48,16 @@ final class CodesMaintainer(
     compactEvery: Int = LsmStore.DefaultCompactEvery,
     partitionCols: Seq[String] = Nil,
     occupancyWatermark: Double = 0.0,
-    driftCheck: Option[DriftCheck] = None) extends LsmStore {
+    driftCheck: Option[DriftCheck] = None,
+    refitAfterBreaches: Int = 3) extends LsmStore {
 
   require(compactEvery > 0, s"compactEvery $compactEvery must be positive")
+  require(refitAfterBreaches > 0,
+    s"refitAfterBreaches $refitAfterBreaches must be positive")
+
+  // the frozen-model transform future batches encode through —
+  // replaced atomically by [[refitAndSwap]]
+  private var encodeFn: DataFrame => DataFrame = encode
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -124,7 +131,7 @@ final class CodesMaintainer(
     if (occupancyWatermark > 0) ensureCounts(
       base.count(), readOr("codes_delta", emptySeqIds).count())
     arrivals.foreach { a =>
-      writeCodes(encode(a).withColumn("seq", lit(seq)),
+      writeCodes(encodeFn(a).withColumn("seq", lit(seq)),
         "codes_delta", "append")
     }
     deletes.foreach { d =>
@@ -147,14 +154,20 @@ final class CodesMaintainer(
     batchDrift.foreach(d => lastDrift = Some(d))
     batchDrift.foreach { case (shift, fold) =>
       val dc = driftCheck.get
-      if (shift > dc.shiftWatermark || fold > dc.ratioWatermark) log.warn(
+      val breached = shift > dc.shiftWatermark || fold > dc.ratioWatermark
+      // one clean batch resets the run: refitDue means SUSTAINED drift
+      // (a new distribution the model must re-fit), not one noisy
+      // batch — the DriftCheck small-batch noise caveat as scheduling
+      val run = recordDriftBreach(breached)
+      if (breached) log.warn(
         f"stored codes table '$path' batch $seq arrivals have drifted " +
           f"from the fit distribution: max location shift $shift%.2f " +
           f"fit-MADs (watermark ${dc.shiftWatermark}), max spread fold " +
-          f"$fold%.2f (watermark ${dc.ratioWatermark}). The frozen " +
-          "model is quantizing against stale geometry (SQ bounds " +
-          "saturate, PQ codebooks misassign, IVF cells crowd) — refit; " +
-          "compaction never re-fits.")
+          f"$fold%.2f (watermark ${dc.ratioWatermark}); consecutive " +
+          s"drifted batches: $run/$refitAfterBreaches before refitDue. " +
+          "The frozen model is quantizing against stale geometry (SQ " +
+          "bounds saturate, PQ codebooks misassign, IVF cells crowd) — " +
+          "refit (refitAndSwap); compaction never re-fits.")
     }
     if (batches - readFence() >= compactEvery) compactNow()
     else if (pastWatermark(occupancyWatermark)) log.warn(
@@ -183,5 +196,63 @@ final class CodesMaintainer(
     if (log.isInfoEnabled) log.info(
       s"stored codes table '$path' compacted after $batches batches " +
         s"($folded live rows)")
+  }
+
+  /** True when the drift watermark has been breached by
+    * `refitAfterBreaches` CONSECUTIVE measured batches — the refit
+    * twin of [[compactionDue]] (and of
+    * [[graft.retrieval.PostingsStore.compactionDue]]'s cadence style):
+    * persistent across restarts via the `_drift_breaches` marker, so
+    * an operator loop can poll it and call [[refitAndSwap]] exactly
+    * when the drift warnings stop being noise and start being a new
+    * distribution. */
+  def refitDue: Boolean =
+    driftCheck.nonEmpty && driftBreaches >= refitAfterBreaches
+
+  /** The drift warning's prescribed action, as code — the
+    * [[graft.ann.lsh.LshMaintainer.refitNow]] of the codes stores:
+    * RETRAIN on the live corpus and swap model + codes atomically.
+    * The maintainer is family-generic (it holds only an encode
+    * closure), so the caller owns the family fit and hands back:
+    *
+    *   - `newEncode` — the freshly-trained frozen model's transform
+    *     ((vec_id, embedding) → code rows, the constructor `encode`
+    *     contract), used for the re-encode here and every later batch;
+    *   - `writeModel` — persists the new model dirs UNDER THE GIVEN
+    *     TEMP ROOT using the same subdir names the live model occupies
+    *     (each family's `model.save` pointed at the temp root);
+    *   - `modelSubs` — those subdir names, so the commit swaps them
+    *     with the codes in ONE crash-safe step.
+    *
+    * `vectors` must cover the live ids (rows of deleted ids are
+    * dropped by the serve-view semi-join; the id set served afterwards
+    * is exactly the id set served before). Everything lands in the
+    * compaction temp dir first, then
+    * [[graft.ann.LsmStore.commitCompaction]] runs the swap-fence-drop
+    * sequence — a crash either leaves the old model + codes + logs
+    * intact or is finished at the next construction. Afterwards the
+    * occupancy fit reference resets ([[graft.ann.LsmStore.onRefit]])
+    * and the drift-breach run restarts; the caller should also refresh
+    * the [[DriftCheck]] stats ([[DriftCheck.writeFitStats]] on the
+    * refit corpus — the check reads its stats path live). */
+  def refitAndSwap(vectors: DataFrame,
+                   newEncode: DataFrame => DataFrame,
+                   writeModel: String => Unit = _ => (),
+                   modelSubs: Seq[String] = Nil): Unit = {
+    guardPoisoned()
+    val live = vectors
+      .join(liveCodes.select("vec_id"), Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    writeCodes(newEncode(live), s"$CompactTmpDir/codes", "overwrite")
+    writeModel(s"$path/$CompactTmpDir")
+    commitCompaction(batches,
+      ("codes" +: modelSubs).map(s => s"$CompactTmpDir/$s" -> s))
+    encodeFn = newEncode
+    val n = live.count()
+    onRefit(n)
+    resetDriftBreaches()
+    if (log.isInfoEnabled) log.info(
+      s"stored codes table '$path' refit on $n live vectors after " +
+        s"$batches batches (model swapped; drift-breach run reset)")
   }
 }

@@ -175,6 +175,37 @@ private[graft] trait LsmStore {
       .drop("c_seq", "c_ok")
   }
 
+  // ---- consecutive-drift-breach run (the refitDue signal) ----
+
+  /** Length of the consecutive-drifted-batch run ending at the most
+    * recent MEASURED batch (a batch with arrivals under a configured
+    * [[DriftCheck]]) — persistent via the `_drift_breaches` marker, so
+    * a reconstructed maintainer agrees with the live one (the
+    * `compactionDue` treatment: the refit signal must survive a
+    * restart, or a crash loop would reset the clock forever). 0 when
+    * never measured, the last measured batch was clean, or a refit
+    * restarted the run. */
+  final def driftBreaches: Int =
+    try readMarker("_drift_breaches").map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).getOrElse(0)
+    catch { case _: Exception => 0 }
+
+  /** Record one measured batch: a breach extends the run, a clean
+    * batch resets it. Returns the updated run length. One tiny marker
+    * write per CHANGE of run length (a clean batch on a zero run is
+    * free). */
+  protected final def recordDriftBreach(breached: Boolean): Int = {
+    val prev = driftBreaches
+    val run = if (breached) prev + 1 else 0
+    if (run != prev) publishMarker("_drift_breaches", run.toString)
+    run
+  }
+
+  /** A refit retrained the model on the drifted corpus — the run
+    * restarts from zero. */
+  protected final def resetDriftBreaches(): Unit =
+    if (driftBreaches != 0) publishMarker("_drift_breaches", "0")
+
   // ---- small atomic markers (shared by the compaction commit and
   //      GraphMaintainer's table-swap commit) ----
 

@@ -53,7 +53,8 @@ final class LshMaintainer(
     path: String,
     compactEvery: Int = graft.ann.LsmStore.DefaultCompactEvery,
     occupancyWatermark: Double = 0.0,
-    driftCheck: Option[graft.ann.DriftCheck] = None)
+    driftCheck: Option[graft.ann.DriftCheck] = None,
+    refitAfterBreaches: Int = 3)
   extends graft.ann.LsmStore {
 
   /** (max shift in fit-MADs, max spread fold) of the most recent
@@ -63,6 +64,8 @@ final class LshMaintainer(
   @volatile var lastDrift: Option[(Double, Double)] = None
 
   require(compactEvery > 0, s"compactEvery $compactEvery must be positive")
+  require(refitAfterBreaches > 0,
+    s"refitAfterBreaches $refitAfterBreaches must be positive")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -98,6 +101,14 @@ final class LshMaintainer(
   private def tombstones: DataFrame =
     visibleFilter(readOr("tombstones", emptySeqIds))
       .select("vec_id", "seq")
+
+  /** True when the drift watermark has been breached by
+    * `refitAfterBreaches` CONSECUTIVE measured batches — the refit
+    * twin of [[compactionDue]], persistent across restarts via the
+    * `_drift_breaches` marker ([[graft.ann.LsmStore.driftBreaches]]);
+    * [[refitNow]] is the prescribed action and resets the run. */
+  def refitDue: Boolean =
+    driftCheck.nonEmpty && driftBreaches >= refitAfterBreaches
 
   /** The [[LshIndex.save]] layout's three subdirs, as compaction-commit
     * renames (temp → final). */
@@ -180,12 +191,18 @@ final class LshMaintainer(
     batchDrift.foreach(d => lastDrift = Some(d))
     batchDrift.foreach { case (shift, fold) =>
       val dc = driftCheck.get
-      if (shift > dc.shiftWatermark || fold > dc.ratioWatermark) log.warn(
+      val breached = shift > dc.shiftWatermark || fold > dc.ratioWatermark
+      // a clean batch resets the run: refitDue fires on SUSTAINED
+      // drift, not one noisy batch (DriftCheck's small-batch caveat)
+      val run = recordDriftBreach(breached)
+      if (breached) log.warn(
         f"stored LSH index '$path' batch $seq arrivals have drifted " +
           f"from the fit distribution: max location shift $shift%.2f " +
           f"fit-MADs (watermark ${dc.shiftWatermark}), max spread fold " +
-          f"$fold%.2f (watermark ${dc.ratioWatermark}). Frozen planes " +
-          "split the OLD density — occupancy will skew; refitNow.")
+          f"$fold%.2f (watermark ${dc.ratioWatermark}); consecutive " +
+          s"drifted batches: $run/$refitAfterBreaches before refitDue. " +
+          "Frozen planes split the OLD density — occupancy will skew; " +
+          "refitNow.")
     }
     if (batches - readFence() >= compactEvery) compactNow()
     else if (pastWatermark(occupancyWatermark)) log.warn(
@@ -233,6 +250,7 @@ final class LshMaintainer(
     modelCache = fresh.model
     val n = v.count()
     onRefit(n)
+    resetDriftBreaches()
     if (log.isInfoEnabled) log.info(
       s"stored LSH index '$path' refit on $n live vectors after " +
         s"$batches batches (occupancy restored to the config envelope)")

@@ -59,6 +59,19 @@ object SimilarityQueries extends QueryPack {
     nCells = 16, nProbe = 8, numSubvectors = 16, codesPerSubvector = 16,
     seed = 42L)
 
+  /** `q_ivfpq_search_l2_distfit`'s config: a driverFitMaxSample below
+    * the gate-scale corpus forces [[graft.ann.ivfpq.IvfPq]]'s
+    * distributed-coarse path — k-means|| cells over the full sample
+    * plus the driver-BOUNDED residual-codebook sub-sample — so the
+    * flagship compressed family's 100 TB fit path sits under the
+    * driver's cross-engine gate like IVF's (q_ivf_search_l2_distfit).
+    * 200 rather than the IVF row's 1: codebooks are per-subvector
+    * means that need a non-degenerate sample, while the IVF row has no
+    * codebook to feed. The dispatch stays deterministic
+    * (corpus > driverFitMaxSample at sf0.01's 500 rows). */
+  val ivfPqDistFitConfig: graft.ann.ivfpq.IvfPqConfig =
+    ivfPqConfig.copy(driverFitMaxSample = 200)
+
   /** Where `q_ivf_cell_stats` dumps the (vec_id, cell) assignment so its
     * DuckDB oracle can check the index BUILD cross-engine: Σ per-cell
     * counts must equal `count(*) FROM embeddings` (every vector assigned
@@ -279,7 +292,10 @@ object SimilarityQueries extends QueryPack {
     * builds once per (session, sf). Catalog-table names are sf-scoped
     * (Verify runs both sfs' queries in one session). */
   private def scopedGraphStore(s: SparkSession,
-                               dir: String): graft.ann.GraphMaintainer =
+                               dir: String): graft.ann.GraphMaintainer = {
+    // resolved BEFORE the memo lambda (the mutualExactClusters rule:
+    // nested computeIfAbsent on one map throws "Recursive update")
+    val gx = graphExact(s, dir)
     memoized(s, dir, "scoped_graph_store") {
       val e = emb(s, dir)
       import s.implicits._
@@ -288,8 +304,17 @@ object SimilarityQueries extends QueryPack {
         s"${name}_edges", s"${name}_swap_edges")
       val n = e.count()
       val base = e.where(col("vec_id") < n - InsertTailCount)
-      val g = graft.ann.KnnGraph.exact(base, "vec_id", "embedding", KnnK,
-          ExactNN.Cosine)
+      // base graph = the session's exact-GT graph (memoized once,
+      // consumed by four other rows — this was a second quadratic kNN
+      // pass over 96% of the same corpus) restricted to base×base
+      // edges: a base node whose true top-k includes a tail arrival
+      // starts with k-1 out-edges, which is fine for a STARTING graph —
+      // the maintainer's scoped refine (NN-Descent over the touched
+      // region) is what certifies serving, and recall is graded
+      // against DuckDB's own exact GT either way.
+      val g = gx
+        .where(col("src") < n - InsertTailCount &&
+          col("dst") < n - InsertTailCount)
         .select(col("src"), col("dst"))
         .unionByName(graft.ann.GraphSearch.randomBackbone(base, "vec_id"))
         .dropDuplicates("src", "dst")
@@ -307,6 +332,7 @@ object SimilarityQueries extends QueryPack {
       m.onBatch(e, arrivals, entries, Some(deletes))
       m
     }
+  }
 
   /** Shared exact (quadratic) k-NN ground-truth graph — the oracle
     * baseline consumed by four queries. */
@@ -645,6 +671,52 @@ object SimilarityQueries extends QueryPack {
         .orderBy("arm")
     }),
 
+    // SQ rerank-depth sweep — the BQ twin's 8-bit counterpart and the
+    // tuning matrix's final row (AutoTune.sweepSqRerankDepth was
+    // spec-gated only): the same shared-scan decision replay, over the
+    // quantized-scan ordering instead of the Hamming one. The point the
+    // sweep PROVES rather than assumes: at 255 levels the quantized
+    // scan ranks nearly exactly, so the depth floors at k itself —
+    // [[SqRerankDepth]] is the certified cheapest arm, and the
+    // q_sq_search_l2 / q_sq_recall family serves with it.
+    "q_autotune_sq_depth" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = sqIdx(s, dir)
+      // shared-scan form: the quantized ordering is deterministic by
+      // (dist, vec_id), so arm d's candidate set is exactly the first
+      // d of the max arm's ranking — ONE decoded-codes scan and ONE
+      // exact rescore serve every arm (row-identical to the per-arm
+      // searchRerank AutoTune.sweepSqRerankDepth runs).
+      val maxArm = SqDepthArms.max
+      val ranked = idx.searchAll(q, maxArm)
+        .groupBy("query_id")
+        .agg(graft.ann.TopK.topK(maxArm)(col("vec_id"), col("dist")).as("nn"))
+        .select(col("query_id"), posexplode(col("nn")))
+        .select(col("query_id"), col("pos").as("qrank"),
+          col("col.vec_id").as("vec_id"))
+      val scored = ranked
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"), col("qrank"),
+          round(ExactNN.L2.dist(col("qv"), col("embedding")), 6).as("dist"))
+        .localCheckpoint()
+      val armFrames = SqDepthArms.map { d =>
+        graft.ann.TopK.perQueryTopK(
+            scored.where(col("qrank") < d)
+              .select("query_id", "vec_id", "dist"),
+            K, viaAggregator = true)
+          .withColumn("arm", lit(d))
+      }
+      val reloaded = LshQueries.dumpAndReload(s,
+        armFrames.reduce(_ unionByName _)
+          .select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/autotune_sq_arms")
+      graft.ann.AutoTune.gradeArms(SqDepthArms, reloaded,
+          exactGtL2(s, dir), AutoTuneTarget)
+        .orderBy("arm")
+    }),
+
     // IVF index lifecycle under the oracle — the IVF twin of
     // q_lsh_search_deleted (IvfIndex.withDeletes, tombstone serve-time
     // view; full view == exact semantics spec-gated in LifecycleSpec's
@@ -700,6 +772,26 @@ object SimilarityQueries extends QueryPack {
         e, q, ExactNN.L2)
       LshQueries.dumpAndReload(s, res,
           s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfpq_l2")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // Distributed-fit twin of q_ivfpq_search_l2 ([[ivfPqDistFitConfig]]
+    // forces IvfPq.fitDistributedCoarse): same deployment-shape rerank
+    // search, same per-pair distance recompute oracle — the compressed
+    // family's past-driver-bound fit path under CORRECTNESS, not only
+    // under DistributedFitSpec.
+    "q_ivfpq_search_l2_distfit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = memoized(s, dir, "ivfpq_dist_idx") {
+        graft.ann.ivfpq.IvfPq.train(e, "vec_id", "embedding",
+          ivfPqDistFitConfig)
+      }
+      val res = Eval.withValidity(
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        e, q, ExactNN.L2)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfpq_l2_distfit")
         .orderBy("query_id", "dist", "vec_id")
     }),
 
@@ -1100,7 +1192,8 @@ object SimilarityQueries extends QueryPack {
       val q = queriesDf(e)
       val idx = sqIdx(s, dir)
       val res = Eval.withValidity(
-        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K,
+          SqRerankDepth),
         e, q, ExactNN.L2)
       LshQueries.dumpAndReload(s, res,
           s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/sq_l2")
@@ -1122,7 +1215,8 @@ object SimilarityQueries extends QueryPack {
       val sqPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
         s"$dumpBase/sq_adc")
       val rerPred = LshQueries.dumpAndReload(s,
-        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K,
+          SqRerankDepth),
         s"$dumpBase/sq_rerank")
       val adc = Eval.setPrecisionRecall(sqPred, gt)
         .agg(round(avg("recall"), 4).as("adc_recall"))
@@ -1573,6 +1667,23 @@ object SimilarityQueries extends QueryPack {
     * that shifts the depth floor shows up as a changed `chosen` row. */
   val BqRerankDepth = 250
 
+  /** `q_autotune_sq_depth`'s rerank-depth arms (ascending cost) —
+    * starting AT k itself: 8-bit scalar quantization ranks nearly
+    * exactly on 64-d data, so unlike the BQ arms (corpus fractions)
+    * the interesting question is whether any depth beyond k buys
+    * recall at all. */
+  val SqDepthArms: Seq[Int] = Seq(10, 15, 25, 50)
+
+  /** Rerank depth the SQ serving queries (q_sq_search_l2 /
+    * q_sq_recall) use — the SWEPT default: `q_autotune_sq_depth`
+    * grades [[SqDepthArms]] against exact GT and 10 (= k: the
+    * quantized candidate set re-ranked but not widened) is the
+    * cheapest arm meeting the [[AutoTuneTarget]] recall at the gate
+    * scale — the 255-level scan orders so nearly exactly that depth
+    * floors at k, which is the claim sweepSqRerankDepth's Scaladoc
+    * made and the board now replays cross-engine every round. */
+  val SqRerankDepth = 10
+
   /** DuckDB re-derivation of the BQ model + packed codes (64 bits/word
     * — the true-packing at-rest default, midrange thresholds) — shared
     * CTE prefix of all four BQ oracles. 1-based list indexing. Bit 63
@@ -1696,6 +1807,12 @@ object SimilarityQueries extends QueryPack {
       "autotune_bq_arms", BqDepthArms, AutoTuneTarget,
       LshQueries.L2DistSql),
 
+    // SQ depth sweep: identical decision replay, L2 GT — the row that
+    // certifies the SqRerankDepth default cross-engine.
+    "q_autotune_sq_depth" -> autotuneOracleSql(
+      "autotune_sq_arms", SqDepthArms, AutoTuneTarget,
+      LshQueries.L2DistSql),
+
     // Scoped-store serving graded against DuckDB's own exact cosine GT
     // over the live corpus (the rule-derived mod-50 deletes excluded;
     // the tail-20 arrivals are embeddings rows, so they're in the
@@ -1758,6 +1875,23 @@ object SimilarityQueries extends QueryPack {
     "q_ivfpq_search_l2" ->
       s"""WITH d AS (
          |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfpq_l2/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    // Distributed-fit twin: same per-pair distance recompute, over the
+    // distfit dump (the q_ivf_search_l2_distfit treatment for IVF-PQ).
+    "q_ivfpq_search_l2_distfit" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfpq_l2_distfit/*.parquet')
          |),
          |r AS (
          |  SELECT d.query_id, d.vec_id, d.dist,
