@@ -806,11 +806,15 @@ object GraphMaintainer {
     * (the fence), checked right after each scheduled scoped refine —
     * the [[LsmStore.DefaultCompactEvery]] treatment applied to the
     * graph store, read off the measured serve-latency-vs-log-depth
-    * curve (GraphRefineScaleProbe, SCALE.md): scoped-store beam
-    * searches stay flat through ~16 unfolded batches, then the
-    * supersede broadcast + per-leg fence/commit reads compound. 32
-    * matches the sibling stores' knee; the fold itself is rescore-free
-    * (one served-view pass + the bucketed rewrite), so over-folding
-    * costs far less than the full refine it replaces. */
+    * curve (GraphFoldDepthProbe at 200k × 64-d, SCALE.md): beam serves
+    * degrade gently but monotonically with unfolded batches (6.1 s at
+    * depth 0 → 7.3 s at 16 → 8.0 s at 32 → 8.2 s at 64; the folded
+    * store serves the same set at 5.4 s), so the walk compute hides
+    * the per-leg log overhead better than the flat-scan stores but
+    * never recovers it. 32 matches the sibling stores' cadence with
+    * the serve tax bounded under ~1.5× folded; the fold itself is
+    * rescore-free (9.1 s at 200k — one served-view pass + the bucketed
+    * rewrite, ~0.3 s/batch amortized), far under the full refine it
+    * replaces. */
   val DefaultFoldEvery: Int = LsmStore.DefaultCompactEvery
 }

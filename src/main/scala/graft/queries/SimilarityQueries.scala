@@ -1183,6 +1183,64 @@ object SimilarityQueries extends QueryPack {
         .orderBy("vec_id", "pos")
     }),
 
+    // The CLOSED DRIFT LOOP under the oracle (round 14's
+    // refitDue/refitAndSwap maintainer API, q_sq_upsert_codes'
+    // frozen-bounds complement): a store fit on the base corpus takes
+    // one rule-derived DRIFTED batch — the tail ids arrive with every
+    // component shifted +RefitShift (a real distribution move, ~10
+    // fit-MADs) while ids ≡ 0 (mod RefitDeadMod) are deleted — which
+    // must trip `refitDue` (refitAfterBreaches = 1; asserted, not
+    // assumed), and `refitAndSwap` then re-fits the bounds on the LIVE
+    // corpus and re-encodes it atomically. DuckDB re-derives the live
+    // corpus from the same rules, re-fits min/max bounds itself, and
+    // re-encodes every row — the whole refit output hash-compared code
+    // by code (the q_sq_codes gate applied to the lifecycle's hardest
+    // step: a refit that lands one wrong bound mismatches everywhere).
+    "q_sq_refit_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cut = e.agg(max("vec_id")).head().getLong(0) + 1 - InsertTailCount
+      val base = e.where(col("vec_id") < cut)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      val arrivals = e.where(col("vec_id") >= cut)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x + RefitShift).as("embedding"))
+      val dead = base.where(pmod(col("vec_id"), lit(RefitDeadMod)) === 0)
+        .select("vec_id")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("sq_refit_row").toString
+      val idx = graft.ann.sq.Sq.train(base, "vec_id", "embedding")
+      idx.save(s, s"$tmp/idx")
+      graft.ann.DriftCheck.writeFitStats(base, s"$tmp/fit_stats")
+      val m = new graft.ann.CodesMaintainer(s, s"$tmp/idx",
+        encode = a => idx.model.transformDf(a, "vec_id", "embedding"),
+        compactEvery = 100,
+        driftCheck = Some(new graft.ann.DriftCheck(s, s"$tmp/fit_stats")),
+        refitAfterBreaches = 1)
+      m.onBatch(Some(arrivals), Some(dead))
+      require(m.refitDue,
+        "q_sq_refit_codes: the rule-derived drift must trip refitDue")
+      val live = base.join(broadcast(dead), Seq("vec_id"), "left_anti")
+        .unionByName(arrivals)
+      val model2 = graft.ann.sq.Sq.fit(live, "embedding")
+      m.refitAndSwap(live,
+        newEncode = df => model2.transformDf(df, "vec_id", "embedding"),
+        writeModel = out => {
+          import s.implicits._
+          model2.mins.indices.map(i =>
+              (i, model2.mins(i), model2.maxs(i)))
+            .toDF("dim", "mn", "mx")
+            .write.mode("overwrite").parquet(s"$out/bounds")
+          Seq(model2.levels).toDF("levels")
+            .write.mode("overwrite").parquet(s"$out/meta")
+        },
+        modelSubs = Seq("bounds", "meta"))
+      m.liveCodes.select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos"), col("col").as("code"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // SQ rerank search: quantized-scan candidates + exact re-rank, so
     // returned distances are exact and every returned pair re-verifies
     // from the raw embeddings cross-engine (same gate as
@@ -1651,6 +1709,17 @@ object SimilarityQueries extends QueryPack {
   val UpsertDeadRem = 5L
   val UpsertUpdRem = 3L
   val UpsertSrcMul = 31L
+
+  /** `q_sq_refit_codes`' drift script (sf0.01-pins in the oracle SQL
+    * follow the [[InsertFrom]] convention): the last
+    * [[InsertTailCount]] ids arrive with every component shifted
+    * +[[RefitShift]] (~10 fit-MADs on the synthetic embeddings — a
+    * real distribution move, far over DriftCheck's 0.5 default), and
+    * base ids ≡ 0 (mod [[RefitDeadMod]]) are deleted in the same
+    * batch. Both rules are DuckDB-replayable, so the oracle re-derives
+    * the live corpus, re-fits the bounds, and re-encodes it. */
+  val RefitShift = 1.0
+  val RefitDeadMod = 41L
 
   /** `q_autotune_bq_depth`'s Hamming-depth arms (ascending cost) —
     * fractions of the sf0.01 corpus (500), since 1 bit/dim orders only
@@ -2186,6 +2255,40 @@ object SimilarityQueries extends QueryPack {
          |      (x, i) -> CASE WHEN scales[i] = 0 THEN 0
          |                ELSE least(greatest(floor((x - mins[i])/scales[i] + 0.5), 0), 255)::INT END) AS codes
          |  FROM fin, mml
+         |)
+         |SELECT vec_id, unnest(range(len(codes))) AS pos, unnest(codes) AS code
+         |FROM enc ORDER BY vec_id, pos""".stripMargin,
+
+    // The drift-loop refit, re-derived from scratch: DuckDB rebuilds
+    // the live corpus from the same rules (tail arrivals shifted
+    // +RefitShift, base ids = 0 mod RefitDeadMod deleted), re-fits the
+    // min/max bounds on it, and re-encodes every live row — the
+    // q_sq_codes gate applied to refitAndSwap's output.
+    "q_sq_refit_codes" ->
+      s"""WITH live AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb
+         |  FROM embeddings
+         |  WHERE vec_id < $InsertFrom AND vec_id % $RefitDeadMod != 0
+         |  UNION ALL
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |                                x -> x + $RefitShift) AS emb
+         |  FROM embeddings WHERE vec_id >= $InsertFrom
+         |),
+         |dim AS (
+         |  SELECT unnest(emb) AS x, unnest(range(len(emb))) AS i FROM live
+         |),
+         |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM dim GROUP BY i),
+         |mml AS (
+         |  SELECT list(mn ORDER BY i) AS mins,
+         |         list(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn)/255 END ORDER BY i) AS scales
+         |  FROM mm
+         |),
+         |enc AS (
+         |  SELECT vec_id,
+         |    list_transform(emb,
+         |      (x, i) -> CASE WHEN scales[i] = 0 THEN 0
+         |                ELSE least(greatest(floor((x - mins[i])/scales[i] + 0.5), 0), 255)::INT END) AS codes
+         |  FROM live, mml
          |)
          |SELECT vec_id, unnest(range(len(codes))) AS pos, unnest(codes) AS code
          |FROM enc ORDER BY vec_id, pos""".stripMargin,
