@@ -234,7 +234,15 @@ final class CodesMaintainer(
     * occupancy fit reference resets ([[graft.ann.LsmStore.onRefit]])
     * and the drift-breach run restarts; the caller should also refresh
     * the [[DriftCheck]] stats ([[DriftCheck.writeFitStats]] on the
-    * refit corpus — the check reads its stats path live). */
+    * refit corpus — the check reads its stats path live).
+    *
+    * Restart contract: this instance swaps `newEncode` in for later
+    * batches, but a maintainer constructed AFTER the refit gets
+    * whatever `encode` closure the caller passes — always construct
+    * with the transform of the PERSISTED model (each family's `load`
+    * over `path`, the [[graft.ann.lsh.LshMaintainer]] model-cache
+    * rule); a stale closure would encode future arrivals against the
+    * swapped-out geometry. */
   def refitAndSwap(vectors: DataFrame,
                    newEncode: DataFrame => DataFrame,
                    writeModel: String => Unit = _ => (),
@@ -245,12 +253,15 @@ final class CodesMaintainer(
       .localCheckpoint()
     writeCodes(newEncode(live), s"$CompactTmpDir/codes", "overwrite")
     writeModel(s"$path/$CompactTmpDir")
+    // the breach-run reset rides the commit (staged rename, not a
+    // post-commit write): a crash after the swap can't leave refitDue
+    // latched true and trigger a spurious second O(corpus) refit
     commitCompaction(batches,
-      ("codes" +: modelSubs).map(s => s"$CompactTmpDir/$s" -> s))
+      ("codes" +: modelSubs).map(s => s"$CompactTmpDir/$s" -> s) :+
+        stageDriftBreachReset())
     encodeFn = newEncode
     val n = live.count()
     onRefit(n)
-    resetDriftBreaches()
     if (log.isInfoEnabled) log.info(
       s"stored codes table '$path' refit on $n live vectors after " +
         s"$batches batches (model swapped; drift-breach run reset)")

@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions._
   *     assembles the view). Scoped stores log insert deltas
   *     seq-stamped (`edges_delta`) instead of appending to the base;
   *   - the scoped store's logs DO NOT grow without bound: every
-  *     `compactEvery` batches (checked right after the scheduled
-  *     scoped refine, so the window's deletes are already
-  *     bridge-consolidated) [[foldNow]] rewrites the bucketed base
-  *     from the served view — a RESCORE-FREE fold, no O(n·k) re-cut —
+  *     `compactEvery` batches [[foldNow]] rewrites the bucketed base
+  *     — always right after a scoped refine (the scheduled one, or an
+  *     early consolidating refine when the fold cadence arrives first,
+  *     so the window's deletes are already bridge-consolidated either
+  *     way) from the served view — a RESCORE-FREE fold, no O(n·k)
+  *     re-cut —
   *     applies the active tombstones physically, and drops every log
   *     through the same crash-safe swap commit a full refine uses.
   *     Serve cost is therefore bounded by the fold cadence instead of
@@ -392,13 +394,23 @@ final class GraphMaintainer(
     if (batches - lastRefineSeq >= refineEvery) {
       if (scopedRefine) {
         refineScopedNow(vectors)
-        // the scheduled fold runs ONLY here — right after the scoped
-        // refine, so every pending delete has been bridge-consolidated
-        // before the fold applies it physically (foldNow's ordering
-        // contract)
+        // the fold always runs right after a scoped refine, so every
+        // pending delete has been bridge-consolidated before the fold
+        // applies it physically (foldNow's ordering contract)
         if (compactEvery > 0 && batches - readFence() >= compactEvery)
           foldNow()
       } else refineNow(vectors)
+    } else if (scopedRefine && compactEvery > 0 &&
+        (batches + 1) - readFence() >= compactEvery) {
+      // the fold cadence arrived BEFORE the refine cadence
+      // (compactEvery < refineEvery): quantizing the fold to the
+      // refine schedule would let the logs grow for refineEvery
+      // batches regardless of compactEvery — the bound the fold
+      // exists to enforce. Consolidate the window first (an early
+      // scoped refine — foldNow's ordering contract; the scope fence
+      // advances, so the scheduled cadence re-bases here), then fold.
+      refineScopedNow(vectors)
+      foldNow()
     }
     else if (degreeWatermark > 0) {
       val maxDeg = maxStoredDegree
@@ -590,11 +602,15 @@ final class GraphMaintainer(
     // graph a src u with u→d but no return d→u would escape the
     // region, keep its supersede-less rows, and serve an edge into the
     // dead node forever (the consolidation would never reach it). One
-    // dst-keyed semi-join over the served view, window-dead-bounded.
-    val intoDead = serving
-      .join(broadcast(tombWindow.select(col("node").as("dst"))),
-        Seq("dst"), "left_semi")
-      .select(col("src").as("node"))
+    // dst-keyed semi-join over the served view, window-dead-bounded —
+    // gated on the window actually having deletes, so a delete-free
+    // refine keeps the scopeHops + 2 edge-table scan count
+    val intoDead =
+      if (tombWindow.isEmpty) arr.limit(0)
+      else serving
+        .join(broadcast(tombWindow.select(col("node").as("dst"))),
+          Seq("dst"), "left_semi")
+        .select(col("src").as("node"))
     var region = arr.unionByName(tombWindow).unionByName(intoDead)
       .unionByName(offenders)
       .distinct().localCheckpoint(eager = false)
@@ -620,8 +636,10 @@ final class GraphMaintainer(
     // ---- the region's edge slice, materialized ONCE ----
     // Everything below derives from rows TOUCHING the region, so the
     // corpus-sized edge table is read exactly scopeHops + 2 times per
-    // refine (the hop expansions above + the two directed slices here)
-    // instead of once per consumer; the slice itself is region-bounded.
+    // delete-free refine (the hop expansions above + the two directed
+    // slices here; a window WITH deletes pays one more for the
+    // reverse-hop seed scan) instead of once per consumer; the slice
+    // itself is region-bounded.
     val rSrc = broadcast(region.select(col("node").as("src")))
     val rDst = broadcast(region.select(col("node").as("dst")))
     val touched = serving.join(rSrc, Seq("src"), "left_semi")
@@ -744,16 +762,17 @@ final class GraphMaintainer(
     refined
   }
 
-  /** True when the NEXT [[onBatch]] will also run the scheduled log
-    * fold ([[foldNow]]) after its scoped refine — the compaction twin
-    * of [[refineDue]] (and of the sibling maintainers'
-    * `compactionDue`), exposed so callers can align checkpoints around
-    * the one batch per `compactEvery` that rewrites the base. The
-    * burned-seq arithmetic mirrors onBatch: the batch takes one seq
-    * and the due scoped refine a second, so the fold check sees
-    * `batches + 2`. */
+  /** True when the NEXT [[onBatch]] will run the scheduled log fold
+    * ([[foldNow]]) — the compaction twin of [[refineDue]] (and of the
+    * sibling maintainers' `compactionDue`), exposed so callers can
+    * align checkpoints around the one batch per `compactEvery` that
+    * rewrites the base. A due fold always brings a scoped refine with
+    * it (scheduled or early — the consolidate-first ordering
+    * contract), so the burned-seq arithmetic is the same either way:
+    * the batch takes one seq and the refine a second, and the fold
+    * check sees `batches + 2`. */
   def foldDue: Boolean =
-    scopedRefine && compactEvery > 0 && refineDue &&
+    scopedRefine && compactEvery > 0 &&
       (batches + 2) - readFence() >= compactEvery
 
   /** The scoped store's COMPACTION — the log fold [[refineNow]]

@@ -201,10 +201,21 @@ private[graft] trait LsmStore {
     run
   }
 
-  /** A refit retrained the model on the drifted corpus — the run
-    * restarts from zero. */
-  protected final def resetDriftBreaches(): Unit =
-    if (driftBreaches != 0) publishMarker("_drift_breaches", "0")
+  /** Stage a zeroed breach marker inside the compaction temp dir and
+    * return its rename pair — a REFIT commit includes it in its
+    * [[commitCompaction]] renames so the run reset is ATOMIC with the
+    * model swap: a crash after the commit's destructive half can never
+    * leave `refitDue` latched true over an already-refit store (the
+    * reconstructed maintainer would re-run the O(corpus) refit for
+    * nothing), and recovery re-applies the reset with the rest of the
+    * marker's renames. */
+  protected final def stageDriftBreachReset(): (String, String) = {
+    lsmFs.mkdirs(new Path(s"$lsmPath/$CompactTmpDir"))
+    val tmp = new Path(s"$lsmPath/$CompactTmpDir/_drift_breaches")
+    val out = lsmFs.create(tmp, true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    s"$CompactTmpDir/_drift_breaches" -> "_drift_breaches"
+  }
 
   // ---- small atomic markers (shared by the compaction commit and
   //      GraphMaintainer's table-swap commit) ----

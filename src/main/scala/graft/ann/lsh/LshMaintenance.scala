@@ -246,11 +246,13 @@ final class LshMaintainer(
     val v = index.vectors.localCheckpoint()
     val fresh = Lsh.train(v, "vec_id", "embedding", config)
     fresh.save(spark, s"$path/$CompactTmpDir")
-    commitCompaction(batches, storeRenames)
+    // breach-run reset staged into the commit (CodesMaintainer
+    // .refitAndSwap rule): atomic with the model swap, re-applied by
+    // recovery, never latched true over an already-refit store
+    commitCompaction(batches, storeRenames :+ stageDriftBreachReset())
     modelCache = fresh.model
     val n = v.count()
     onRefit(n)
-    resetDriftBreaches()
     if (log.isInfoEnabled) log.info(
       s"stored LSH index '$path' refit on $n live vectors after " +
         s"$batches batches (occupancy restored to the config envelope)")

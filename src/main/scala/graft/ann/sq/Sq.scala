@@ -76,6 +76,22 @@ final class SqModel(val mins: Array[Double], val maxs: Array[Double],
   /** (vec_id, codes ARRAY<INT>) — the compressed corpus (map-side). */
   def transformDf(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("vec_id"), encodeCol(col(vecCol)).as("codes"))
+
+  /** Persist the MODEL dirs only (`bounds` + `meta` — the layout
+    * [[Sq.load]] reads back), without the codes table: the
+    * [[SqIndex.save]] model half, and the `writeModel` callback shape
+    * [[graft.ann.CodesMaintainer]]'s `refitAndSwap` expects (point it
+    * at the commit temp root). One owner of the layout — callers that
+    * hand-rolled these writes would silently drift if the schema ever
+    * changed under them. */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    mins.indices.map(i => (i, mins(i), maxs(i)))
+      .toDF("dim", "mn", "mx")
+      .write.mode("overwrite").parquet(s"$path/bounds")
+    Seq(levels).toDF("levels")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
 }
 
 final class SqIndex(val model: SqModel, val codes: DataFrame) {
@@ -157,12 +173,7 @@ final class SqIndex(val model: SqModel, val codes: DataFrame) {
   /** Persist bounds + the codes table (same layout contract as the
     * LSH/IVF/PQ persistence: small model tables + the at-rest index). */
   def save(spark: SparkSession, path: String): Unit = {
-    import spark.implicits._
-    model.mins.indices.map(i => (i, model.mins(i), model.maxs(i)))
-      .toDF("dim", "mn", "mx")
-      .write.mode("overwrite").parquet(s"$path/bounds")
-    Seq(model.levels).toDF("levels")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    model.save(spark, path)
     codes.write.mode("overwrite").parquet(s"$path/codes")
   }
 }

@@ -1226,15 +1226,7 @@ object SimilarityQueries extends QueryPack {
       val model2 = graft.ann.sq.Sq.fit(live, "embedding")
       m.refitAndSwap(live,
         newEncode = df => model2.transformDf(df, "vec_id", "embedding"),
-        writeModel = out => {
-          import s.implicits._
-          model2.mins.indices.map(i =>
-              (i, model2.mins(i), model2.maxs(i)))
-            .toDF("dim", "mn", "mx")
-            .write.mode("overwrite").parquet(s"$out/bounds")
-          Seq(model2.levels).toDF("levels")
-            .write.mode("overwrite").parquet(s"$out/meta")
-        },
+        writeModel = out => model2.save(s, out),
         modelSubs = Seq("bounds", "meta"))
       m.liveCodes.select(col("vec_id"), posexplode(col("codes")))
         .select(col("vec_id"), col("pos"), col("col").as("code"))
@@ -1263,7 +1255,9 @@ object SimilarityQueries extends QueryPack {
     // dual oracle as q_pq_recall). At 255 levels the quantized scan is
     // near-lossless on 64-d data — the point of SQ is a 4-8x footprint
     // cut at ~unit recall, sitting between the exact scan and PQ's
-    // deeper compression.
+    // deeper compression. The rerank leg probes SqRecallProbeDepth
+    // (NOT the swept serving depth, which equals k and would make the
+    // comparison tautological — see the constant's scaladoc).
     "q_sq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
@@ -1274,7 +1268,7 @@ object SimilarityQueries extends QueryPack {
         s"$dumpBase/sq_adc")
       val rerPred = LshQueries.dumpAndReload(s,
         idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K,
-          SqRerankDepth),
+          SqRecallProbeDepth),
         s"$dumpBase/sq_rerank")
       val adc = Eval.setPrecisionRecall(sqPred, gt)
         .agg(round(avg("recall"), 4).as("adc_recall"))
@@ -1752,6 +1746,15 @@ object SimilarityQueries extends QueryPack {
     * floors at k, which is the claim sweepSqRerankDepth's Scaladoc
     * made and the board now replays cross-engine every round. */
   val SqRerankDepth = 10
+
+  /** `q_sq_recall`'s rerank-leg depth — deliberately NOT
+    * [[SqRerankDepth]]: at the swept serving depth (= k) the rerank
+    * set is exactly the quantized top-k re-priced, so ADC-vs-rerank
+    * recall would compare a set to itself and the row would stop
+    * measuring rerank lift. The recall row keeps a deeper DIAGNOSTIC
+    * arm (the lift ceiling the sweep's last arm certifies) while the
+    * serving row (`q_sq_search_l2`) runs the swept deployment shape. */
+  val SqRecallProbeDepth = 50
 
   /** DuckDB re-derivation of the BQ model + packed codes (64 bits/word
     * — the true-packing at-rest default, midrange thresholds) — shared

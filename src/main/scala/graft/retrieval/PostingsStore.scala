@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *     token-less docs, which have no `tfs` rows but still count in
   *     N/avgdl) — the BM25 doc-length sidecar the n/avgdl fold reads
   *     without touching the postings table;
-  *   - `stats`   (term, df) and `meta` (n, avgdl, tdl): the corpus
-  *     statistics as of the STATS FENCE (`_stats_fence` marker — the
-  *     log seq through which arrivals/deletes are folded into them).
+  *   - `stats`   (term, df) and `meta` (n, avgdl, tdl, stats_seq): the
+  *     corpus statistics as of the STATS FENCE (the log seq through
+  *     which arrivals/deletes are folded into them — embedded in meta
+  *     as `stats_seq` AND cached in the `_stats_fence` marker).
   *     `tdl` (total doc length, a long) makes the avgdl fold exact:
   *     avgdl = tdl/n in both build and refit, bit-equal to the inline
   *     pipelines' double-sum avg() for any corpus whose token total
@@ -210,18 +211,38 @@ final class PostingsStore(
   // ---- O(drift) stats refit ----
 
   /** Log seq through which arrivals/deletes are folded into stats/meta
-    * (0 = fit-time only). A corrupt marker reads as 0, which
-    * [[mergeRefit]] cross-checks before folding: a TRUE fence of 0
-    * means stats describe exactly the fit-time corpus, so meta.n must
-    * equal the persisted seq≤0 doc count — a fence regression with
-    * surviving seq>0 rows (stats already cover them; re-folding would
-    * silently inflate df/n/tdl, and the negative-fold require only
-    * catches decrements) fails that equality and the refit refuses
-    * loudly instead. */
-  private def statsFence: Int =
+    * (0 = fit-time only) — read as max(the `_stats_fence` marker, the
+    * `stats_seq` column embedded in meta since round 14). The embedded
+    * copy makes marker loss recoverable: it is written in the SAME
+    * crash-safe commit as the stats it fences, so the two cannot
+    * diverge destructively (see the body comment for the one benign
+    * divergence). For a pre-stats_seq store whose marker is lost, the
+    * [[mergeRefit]] fence-0 cross-check (meta.n vs the persisted seq≤0
+    * doc count) still refuses the doc-count-changing cases loudly;
+    * count-neutral drift (same-length upserts) on such a store is the
+    * residual documented gap — rebuild closes it. */
+  private def markerFence: Int =
     try readMarker("_stats_fence").map(_.trim).filter(_.nonEmpty)
       .map(_.toInt).getOrElse(0)
     catch { case _: Exception => 0 }
+
+  private def statsFence: Int = {
+    val marker = markerFence
+    // meta's embedded copy (absent on pre-round-14 stores) is the
+    // durable one — it swapped WITH the stats it fences, so it can
+    // only be lost by losing the stats themselves. max() is safe in
+    // the one divergence case (marker ahead after a no-drift advance,
+    // which rewrites no meta): the skipped window had zero moves, so
+    // re-scanning it from the meta fence would fold nothing anyway.
+    val embedded =
+      try {
+        val df = spark.read.parquet(s"$path/meta")
+        if (df.schema.fieldNames.contains("stats_seq"))
+          df.head().getAs[Int]("stats_seq")
+        else 0
+      } catch { case _: Exception => 0 }
+    math.max(marker, embedded)
+  }
 
   private def refitMarkerPath = new Path(s"$path/_postings_refit")
   // a def, NOT a val: recoverRefit runs during construction (the
@@ -246,7 +267,11 @@ final class PostingsStore(
             "marker and temp kept; reopen retries")
       }
     }
-    if (statsFence < newFence)
+    // compared against the MARKER's own value, not the combined fence:
+    // the swap above already advanced the embedded copy, and the
+    // marker cache must still be (re)published for the no-drift
+    // advance path (which never rewrites meta) to build on
+    if (markerFence < newFence)
       publishMarker("_stats_fence", newFence.toString)
     lsmFs.delete(new Path(s"$path/$RefitTmpDir"), true)
     lsmFs.delete(refitMarkerPath, false)
@@ -294,8 +319,10 @@ final class PostingsStore(
     // "fit-time only" must agree with the persisted fit-time doc count
     // (build stamps base rows seq 0 and meta.n from them; every later
     // row carries seq ≥ 1). One doc-count-sized scan, paid at most on
-    // a store's first refit — or when a lost `_stats_fence` marker is
-    // about to double-count already-folded rows, where it aborts.
+    // a store's first refit. With the fence now embedded in meta this
+    // guard only fires for PRE-stats_seq stores with a lost marker (or
+    // a hand-damaged meta), where it refuses the doc-count-changing
+    // double-fold cases loudly.
     if (sf == 0) {
       val fitDocs = withDelta("doclens").where(col("seq") <= 0).count()
       val (n0, _, _) = meta
@@ -371,8 +398,13 @@ final class PostingsStore(
       merged.localCheckpoint()
         .write.mode("overwrite").parquet(s"$path/$RefitTmpDir/stats")
       import spark.implicits._
-      Seq((n2, if (n2 == 0L) 0.0 else tdl2.toDouble / n2, tdl2))
-        .toDF("n", "avgdl", "tdl")
+      // the fence travels INSIDE meta (stats_seq): meta swaps in the
+      // same commit as the stats it describes, so a lost/corrupt
+      // `_stats_fence` marker is recovered from the store itself —
+      // see [[statsFence]]
+      Seq((n2, if (n2 == 0L) 0.0 else tdl2.toDouble / n2, tdl2,
+          newFence))
+        .toDF("n", "avgdl", "tdl", "stats_seq")
         .write.mode("overwrite").parquet(s"$path/$RefitTmpDir/meta")
       publishMarker("_postings_refit", newFence.toString)
       poisonOnFailure(finishRefit(newFence))
@@ -466,8 +498,8 @@ object PostingsStore {
     val n = m.getLong(0)
     val tdl = m.getLong(1)
     import spark.implicits._
-    Seq((n, if (n == 0L) 0.0 else tdl.toDouble / n, tdl))
-      .toDF("n", "avgdl", "tdl")
+    Seq((n, if (n == 0L) 0.0 else tdl.toDouble / n, tdl, 0))
+      .toDF("n", "avgdl", "tdl", "stats_seq")
       .write.mode("overwrite").parquet(s"$path/meta")
     new PostingsStore(spark, path, compactEvery, k1, b, oovWatermark)
   }

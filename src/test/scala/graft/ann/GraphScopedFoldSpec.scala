@@ -136,7 +136,8 @@ class GraphScopedFoldSpec extends AnyFunSuite with SparkSpecBase {
     GraphSearch.saveBucketed(base, "fold_sched_spec")
     val lsm = java.nio.file.Files.createTempDirectory("fold_sched_lsm").toString
     // refine every 2nd seq, fold once 5 seqs have passed since the
-    // last fold — batch 4's refine (seq 6 > 5) triggers it
+    // last fold — batch 3 reaches the fold cadence first (seq 5), so
+    // the EARLY consolidating refine + fold fire there
     val m = new GraphMaintainer(spark, "fold_sched_spec", lsm,
       "vec_id", "embedding", k = 4, beamWidth = 8, hops = 3,
       refineEvery = 2, maxReverseDegree = 3,
@@ -166,6 +167,58 @@ class GraphScopedFoldSpec extends AnyFunSuite with SparkSpecBase {
       }
     }
     assert(folded, "the scheduled fold never fired")
+  }
+
+  test("fold cadence is NOT quantized by the refine cadence (compactEvery < refineEvery)") {
+    // the round-14 review finding: with the fold check nested under
+    // the due-refine branch, refineEvery = 100 would let the logs grow
+    // for ~100 batches no matter what compactEvery says — the early
+    // consolidating-refine + fold path must hold the compactEvery
+    // bound on its own
+    val existing = mkClustered(60, seed = 53)
+    val arriving = (400L until 424L).map { i =>
+      val rngA = new scala.util.Random(i * 13 + 3)
+      val centre = Seq.tabulate(8)(j =>
+        new scala.util.Random(j).nextGaussian() * 8)
+      (i, centre.map(_ + rngA.nextGaussian() * 0.3))
+    }
+    val all = (existing ++ arriving).toDF("vec_id", "embedding")
+    val existDf = existing.toDF("vec_id", "embedding")
+    freshTable("fold_unq_spec")
+    val base = KnnGraph.exact(existDf, "vec_id", "embedding", 4, ExactNN.Cosine)
+      .select($"src", $"dst")
+      .unionByName(GraphSearch.randomBackbone(existDf, "vec_id"))
+      .dropDuplicates("src", "dst")
+    GraphSearch.saveBucketed(base, "fold_unq_spec")
+    val lsm = java.nio.file.Files.createTempDirectory("fold_unq_lsm").toString
+    val m = new GraphMaintainer(spark, "fold_unq_spec", lsm,
+      "vec_id", "embedding", k = 4, beamWidth = 8, hops = 3,
+      refineEvery = 100, maxReverseDegree = 3,
+      scopedRefine = true, scopeHops = 1, compactEvery = 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(lsm).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    var folds = 0
+    arriving.grouped(6).zipWithIndex.foreach { case (split, i) =>
+      val due = m.foldDue
+      val batchDf = split.toDF("vec_id", "embedding")
+      m.onBatch(all, batchDf, entriesFor(split.map(_._1)))
+      if (due) {
+        folds += 1
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$lsm/edges_delta")),
+          s"batch $i: foldDue but logs survived (fold quantized to " +
+            "the refine cadence)")
+        // the early refine consolidated + the fold applied: arrivals
+        // are in the base
+        val baseNow = edgeSet(GraphSearch.loadBucketed(spark,
+          "fold_unq_spec"))
+        split.foreach { case (id, _) =>
+          assert(baseNow.exists(_._1 == id), s"arrival $id lost by fold")
+        }
+      }
+    }
+    assert(folds >= 2,
+      s"compactEvery=3 over 4 batches must fold at least twice ($folds)")
   }
 
   test("asymmetric graph: delete consolidation reaches the dead node's in-neighbors") {

@@ -85,13 +85,7 @@ class MaintainerRefitLoopSpec extends AnyFunSuite with SparkSpecBase {
     val model2 = Sq.fit(corpus, "embedding")
     m.refitAndSwap(corpus,
       newEncode = df => model2.transformDf(df, "vec_id", "embedding"),
-      writeModel = tmp => {
-        model2.mins.indices.map(i => (i, model2.mins(i), model2.maxs(i)))
-          .toDF("dim", "mn", "mx")
-          .write.mode("overwrite").parquet(s"$tmp/bounds")
-        Seq(model2.levels).toDF("levels")
-          .write.mode("overwrite").parquet(s"$tmp/meta")
-      },
+      writeModel = tmp => model2.save(spark, tmp),
       modelSubs = Seq("bounds", "meta"))
     DriftCheck.writeFitStats(corpus, s"$dir/fit_stats")
 

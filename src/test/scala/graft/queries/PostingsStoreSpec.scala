@@ -321,8 +321,9 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
     // insert-only drift is the hole the negative-fold require can't
     // see: with `_stats_fence` lost after a refit, a fold from 0 would
     // re-count every already-folded arrival as a fresh df/n/tdl
-    // increment — pure inflation, nothing goes negative. The fence-0
-    // cross-check (meta.n vs the seq<=0 doc count) must refuse.
+    // increment — pure inflation, nothing goes negative. Since the
+    // fence is embedded in meta (stats_seq, swapped WITH the stats),
+    // the marker loss must be RECOVERED, not just refused.
     val d = docsOf(sf("sf0.001") + "/documents.parquet")
     val path = java.nio.file.Files
       .createTempDirectory("postings_fence_lost").toString + "/idx"
@@ -330,19 +331,47 @@ class PostingsStoreSpec extends AnyFunSuite with SparkSpecBase {
     store.onBatch(Some(Seq((888801L, Seq("vector", "query")))
       .toDF("doc_id", "toks")), None)
     assert(store.mergeRefit()) // arrivals folded; fence -> 1
-    val nAfter = spark.read.parquet(s"$path/meta")
-      .head().getAs[Long]("n")
-    // simulate the marker loss
+    val metaAfter = spark.read.parquet(s"$path/meta").head()
+    val nAfter = metaAfter.getAs[Long]("n")
+    assert(metaAfter.getAs[Int]("stats_seq") === 1,
+      "refit must embed the fence in meta")
+    val statsAfter = rows(spark.read.parquet(s"$path/stats"))
+    // simulate the marker loss: the embedded copy takes over — the
+    // reopened store's next fold is a no-op, not a double-fold
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(s"$path/_stats_fence"))
     val reopened = new PostingsStore(spark, path, compactEvery = 1000)
-    val e = intercept[IllegalArgumentException](reopened.mergeRefit())
+    assert(reopened.batchesSeen === 1,
+      "embedded fence must keep the recovered seq")
+    assert(!reopened.mergeRefit(),
+      "marker loss must not re-fold the already-folded window")
+    assert(rows(spark.read.parquet(s"$path/stats")) === statsAfter &&
+      spark.read.parquet(s"$path/meta").head().getAs[Long]("n") === nAfter,
+      "marker loss re-inflated the folded stats")
+
+    // a PRE-stats_seq store (legacy meta) with a lost marker: the
+    // fence-0 cross-check refuses the doc-count-changing double-fold
+    // loudly instead of folding from 0
+    import org.apache.spark.sql.functions.col
+    val legacyMeta = spark.read.parquet(s"$path/meta")
+      .select(col("n"), col("avgdl"), col("tdl")).collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(legacyMeta.toIndexedSeq),
+        spark.read.parquet(s"$path/meta")
+          .select("n", "avgdl", "tdl").schema)
+      .write.mode("overwrite").parquet(s"$path/meta_legacy")
+    // swap in the legacy-format meta
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/meta_legacy"),
+      new org.apache.hadoop.fs.Path(s"$path/meta"))
+    val legacy = new PostingsStore(spark, path, compactEvery = 1000)
+    val e = intercept[IllegalArgumentException](legacy.mergeRefit())
     assert(e.getMessage.contains("_stats_fence"),
       s"wrong refusal: ${e.getMessage}")
-    // nothing was mutated by the refusal: stats/meta still the folded
-    // post-refit state
-    assert(spark.read.parquet(s"$path/meta").head().getAs[Long]("n")
-      === nAfter, "the refused refit mutated meta")
+
     // and a legitimately-fresh store (true fence 0) still refits fine
     val fresh = PostingsStore.build(spark, java.nio.file.Files
       .createTempDirectory("postings_fence_fresh").toString + "/idx", d)
