@@ -103,6 +103,15 @@ object SimilarityQueries extends QueryPack {
   val ivfSqConfig: graft.ann.ivfsq.IvfSqConfig =
     graft.ann.ivfsq.IvfSqConfig(nCells = 16, nProbe = 8, seed = 42L)
 
+  /** `q_ivfsq_search_l2_distfit`'s config: driverFitMaxSample = 1
+    * forces the k-means|| coarse fit (IvfSq.fit delegates to Ivf.fit's
+    * dispatch; the SQ bounds fit is an exact distributed aggregation
+    * either way, so unlike IVF-PQ there is no driver sub-sample to
+    * keep healthy) — the third compressed family's scale fit path
+    * under the driver gate. */
+  val ivfSqDistFitConfig: graft.ann.ivfsq.IvfSqConfig =
+    ivfSqConfig.copy(driverFitMaxSample = 1)
+
   /** `q_semdedup`'s own (vec_id, cell) dump — same assignment as
     * [[CellDumpRoot]] (same seeded config) but a separate path, because
     * Verify runs queries concurrently and two queries overwriting one
@@ -1074,6 +1083,27 @@ object SimilarityQueries extends QueryPack {
         e, q, ExactNN.L2)
       LshQueries.dumpAndReload(s, res,
           s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfsq_l2")
+        .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // Distributed-fit twin of q_ivfsq_search_l2 ([[ivfSqDistFitConfig]]
+    // forces Ivf.fitCentroidsDistributed under the IVF-SQ build): all
+    // three compressed IVF families' 100 TB fit paths now sit under the
+    // per-pair distance oracle (IVF, IVF-PQ, IVF-SQ; IVF-OPQ trains
+    // through IvfPq on the rotated corpus, so the IVF-PQ row covers
+    // its dispatch).
+    "q_ivfsq_search_l2_distfit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = memoized(s, dir, "ivfsq_dist_idx") {
+        graft.ann.ivfsq.IvfSq.train(e, "vec_id", "embedding",
+          ivfSqDistFitConfig)
+      }
+      val res = Eval.withValidity(
+        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
+        e, q, ExactNN.L2)
+      LshQueries.dumpAndReload(s, res,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivfsq_l2_distfit")
         .orderBy("query_id", "dist", "vec_id")
     }),
 
@@ -2150,6 +2180,23 @@ object SimilarityQueries extends QueryPack {
     "q_ivfsq_search_l2" ->
       s"""WITH d AS (
          |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfsq_l2/*.parquet')
+         |),
+         |r AS (
+         |  SELECT d.query_id, d.vec_id, d.dist,
+         |         round(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS exact
+         |  FROM d
+         |  JOIN embeddings e ON e.vec_id = d.vec_id
+         |  JOIN embeddings q ON q.vec_id = d.query_id
+         |)
+         |SELECT query_id, vec_id, dist,
+         |       abs(exact - dist) < 1e-9 AS valid
+         |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
+
+    // Distributed-fit twin: same per-pair distance recompute, over the
+    // distfit dump.
+    "q_ivfsq_search_l2_distfit" ->
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivfsq_l2_distfit/*.parquet')
          |),
          |r AS (
          |  SELECT d.query_id, d.vec_id, d.dist,

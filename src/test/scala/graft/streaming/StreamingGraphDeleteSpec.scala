@@ -232,4 +232,104 @@ class StreamingGraphDeleteSpec extends AnyFunSuite with SparkSpecBase {
     assert(!served.exists(r => deadIds.contains(r._2)),
       s"deleted id served: ${served.toSeq}")
   }
+
+  test("SCOPED store: a mid-stream FOLD keeps stream == batch (logs dropped, base rewritten)") {
+    // the fold twin of the scoped test above: compactEvery = 3 makes
+    // batch 2's scheduled scoped refine (seq 3) immediately due for
+    // the log fold — the streamed store must land exactly where the
+    // driver-side batch loop lands THROUGH the fold: identical
+    // rewritten base (now == the served view, tombstones applied
+    // physically), logs dropped, serving unchanged.
+    val rng = new scala.util.Random(23)
+    def pt(center: Double) =
+      Seq.tabulate(8)(i => center + (if (i == 0) 0.0 else rng.nextGaussian() * 0.05))
+    val existingRows = (0L until 20L).map(i => (i, pt(0.0))) ++
+      (20L until 40L).map(i => (i, pt(10.0)))
+    val arrivalRows = Seq(40L -> pt(0.2), 41L -> pt(9.8),
+      42L -> pt(0.4), 43L -> pt(9.6))
+    val existing = existingRows.toDF("vec_id", "embedding")
+    val corpus = (existingRows ++ arrivalRows).toDF("vec_id", "embedding")
+    val batchDefs = Seq(
+      (arrivalRows.take(2), Seq(3L, 27L)),
+      (arrivalRows.drop(2), Seq(11L)))
+
+    def mkMaintainer(name: String) = new GraphMaintainer(spark, name,
+      java.nio.file.Files.createTempDirectory(s"${name}_lsm").toString,
+      "vec_id", "embedding", k = 4, beamWidth = 12, hops = 4,
+      refineEvery = 2, maxReverseDegree = 2, backbone = false,
+      metric = ExactNN.L2, scopedRefine = true, scopeHops = 1,
+      compactEvery = 3)
+
+    def seed(name: String): Unit = {
+      cleanTables(s"${name}_edges", s"${name}_tombstones",
+        s"${name}_swap_edges")
+      val base = KnnGraph.exact(existing, "vec_id", "embedding", 4, ExactNN.L2)
+        .select($"src", $"dst")
+      GraphSearch.saveBucketed(base, name)
+    }
+    def entriesFor(arr: org.apache.spark.sql.DataFrame) =
+      arr.select($"vec_id".as("query_id"))
+        .crossJoin((0L until 8L).toDF("node"))
+
+    seed("gsfold_batch")
+    val baseRows = GraphSearch.loadBucketed(spark, "gsfold_batch")
+      .as[(Long, Long)].collect().toSet
+    val mb = mkMaintainer("gsfold_batch")
+    for ((arr, dels) <- batchDefs) {
+      val a = arr.toDF("vec_id", "embedding")
+      mb.onBatch(corpus, a, entriesFor(a), deletes = Some(dels.toDF("vec_id")))
+    }
+
+    seed("gsfold_stream")
+    val ms = mkMaintainer("gsfold_stream")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double], Boolean)]
+    val q = mem.toDF().toDF("vec_id", "embedding", "del")
+      .writeStream
+      .foreachBatch { (batchDf: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batchDf.isEmpty) {
+          val a = batchDf.where(!$"del").select($"vec_id", $"embedding")
+          val d = batchDf.where($"del").select($"vec_id")
+          ms.onBatch(corpus, a, entriesFor(a), deletes = Some(d))
+        }
+        ()
+      }
+      .start()
+    try {
+      for ((arr, dels) <- batchDefs) {
+        mem.addData(arr.map { case (id, e) => (id, e, false) } ++
+          dels.map(id => (id, Seq.empty[Double], true)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // 2 batches + the burned scoped-refine seq; the fold burns none
+    assert(mb.batchesSeen === 3 && ms.batchesSeen === 3)
+    // the fold RAN on both sides: base rewritten, logs dropped,
+    // tombstones physically applied
+    val bb = GraphSearch.loadBucketed(spark, "gsfold_batch")
+      .as[(Long, Long)].collect().toSet
+    val bs = GraphSearch.loadBucketed(spark, "gsfold_stream")
+      .as[(Long, Long)].collect().toSet
+    assert(bb !== baseRows, "the mid-stream fold never rewrote the base")
+    assert(bs === bb, s"streamed folded base diverged: ${bs.size} vs ${bb.size}")
+    assert(mb.tombstones.isEmpty && ms.tombstones.isEmpty,
+      "tombstones survived the fold")
+    // fold == served-view identity on both sides
+    assert(mb.servingEdges.as[(Long, Long)].collect().toSet === bb)
+    assert(ms.servingEdges.as[(Long, Long)].collect().toSet === bs)
+    val deadIds = Seq(3L, 27L, 11L)
+    assert(!bs.exists { case (s, d) =>
+      deadIds.contains(s) || deadIds.contains(d) },
+      "deleted ids survive the fold")
+    // serving through the folded store
+    val qv = Seq((42L, arrivalRows(2)._2)).toDF("query_id", "qv")
+    val served = GraphSearch.beamFrom(ms.servingEdges, corpus, "vec_id",
+        "embedding", qv,
+        qv.select($"query_id").crossJoin((0L until 8L).toDF("node")),
+        3, 12, 5, metric = ExactNN.L2, symmetrize = false)
+      .as[(Long, Long, Double)].collect()
+    assert(served.exists(r => r._2 == 42L && r._3 == 0.0),
+      s"arrival not served post-fold: ${served.toSeq}")
+  }
 }
