@@ -92,7 +92,9 @@ final class GraphMaintainer(
     nBuckets: Int = 64,
     scopedRefine: Boolean = false,
     scopeHops: Int = 1,
-    compactEvery: Int = GraphMaintainer.DefaultFoldEvery) extends LsmStore {
+    compactEvery: Int = GraphMaintainer.DefaultFoldEvery,
+    scopePruneMax: Int = GraphMaintainer.DefaultScopePruneMax)
+  extends LsmStore {
 
   require(refineEvery > 0, s"refineEvery $refineEvery must be positive")
   require(scopeHops > 0, s"scopeHops $scopeHops must be positive")
@@ -575,10 +577,25 @@ final class GraphMaintainer(
     * Untouched subgraph rows are BYTE-IDENTICAL afterwards — nothing
     * outside the region is rewritten (GraphScopedRefineSpec pins it),
     * and both compute and write cost scale with the region, not the
-    * corpus (GraphRefineScaleProbe measures it). Pending tombstones
-    * stay active as serving exclusions until the next FULL refine
-    * drops the logs; their edges are already gone here, so the
+    * corpus (GraphRefineScaleProbe measures it). READ cost is
+    * region-scaled too when the region fits under [[scopePruneMax]]:
+    * the region ids are collected (bounded) and every edge-table pass
+    * — the hop expansions, the reverse-hop seed scan, the touched
+    * slices — becomes an InSet filter the scan planner turns into
+    * bucket pruning on the base table's `src` bucket column, so the
+    * refine reads the region's buckets instead of the corpus
+    * (GraphScopedPruneSpec pins plan + identity; past the cap it falls
+    * back to the broadcast semi-join full-scan form). Pending
+    * tombstones stay active as serving exclusions until the next FULL
+    * refine drops the logs; their edges are already gone here, so the
     * remaining cost is one broadcast anti-join. */
+  /** Whether the LAST [[refineScopedNow]] ran its edge-table passes in
+    * the bucket-pruned InSet form (region fit under [[scopePruneMax]]
+    * through every hop) or fell back to the broadcast semi-join full
+    * scans — observability for specs and probes; None before the first
+    * scoped refine. */
+  @volatile private[graft] var lastScopedPrune: Option[Boolean] = None
+
   def refineScopedNow(vectors: DataFrame): DataFrame = {
     guardPoisoned()
     val sf = scopeFence
@@ -597,37 +614,99 @@ final class GraphMaintainer(
       if (degreeWatermark <= 0) arr.limit(0)
       else serving.groupBy("src").agg(count(lit(1)).as("d"))
         .where(col("d") > degreeWatermark).select(col("src").as("node"))
+    // ---- bounded region-id collection for scan pruning ----
+    // The region walk and the touched slices below are all filters on
+    // the EDGE table; with the region ids in hand as a LITERAL set,
+    // each `src` filter is an InSet on the base table's bucket column,
+    // which the scan planner turns into bucket pruning
+    // (SelectedBucketsCount < nBuckets — GraphScopedPruneSpec pins the
+    // plan) plus a pushed parquet predicate on the delta leg: the
+    // corpus-sized scans the region walk otherwise pays per hop read
+    // only the buckets the region hashes into. The collect is BOUNDED
+    // by construction (the region is O(window × k^scopeHops)) and
+    // capped by `scopePruneMax` — past the cap, or mid-loop when a hop
+    // outgrows it, the refine falls back to the broadcast semi-join
+    // form (identical output, unpruned scans; identity is spec-pinned
+    // both ways). `scopePruneMax = 0` disables collection entirely —
+    // the onBatch rule that a log-derived id set must never become an
+    // UNBOUNDED driver-side literal stays intact.
+    def collectNodes(df: DataFrame): Option[Array[Long]] =
+      if (scopePruneMax <= 0) None
+      else {
+        val t = df.select("node").limit(scopePruneMax + 1).collect()
+        if (t.length > scopePruneMax) None else Some(t.map(_.getLong(0)))
+      }
+    def nodesDf(ids: Array[Long]): DataFrame = {
+      import spark.implicits._
+      spark.createDataset(ids.toIndexedSeq).toDF("node")
+    }
     // the dead nodes' IN-neighbors, pulled in explicitly: the hop
     // expansion below walks OUT-edges, so on an asymmetric stored
     // graph a src u with u→d but no return d→u would escape the
     // region, keep its supersede-less rows, and serve an edge into the
     // dead node forever (the consolidation would never reach it). One
-    // dst-keyed semi-join over the served view, window-dead-bounded —
-    // gated on the window actually having deletes, so a delete-free
-    // refine keeps the scopeHops + 2 edge-table scan count
+    // dst-keyed pass over the served view, window-dead-bounded — gated
+    // on the window actually having deletes, so a delete-free refine
+    // keeps the scopeHops + 2 edge-table scan count (dst is not the
+    // bucket column, so the pruned form here is a pushed predicate,
+    // not a bucket prune)
+    val tombIds = collectNodes(tombWindow)
+    val hasWindowDeletes = tombIds.fold(!tombWindow.isEmpty)(_.nonEmpty)
     val intoDead =
-      if (tombWindow.isEmpty) arr.limit(0)
-      else serving
-        .join(broadcast(tombWindow.select(col("node").as("dst"))),
-          Seq("dst"), "left_semi")
-        .select(col("src").as("node"))
+      if (!hasWindowDeletes) arr.limit(0)
+      else tombIds match {
+        case Some(ids) =>
+          serving.where(col("dst").isInCollection(ids.toIndexedSeq))
+            .select(col("src").as("node"))
+        case None => serving
+          .join(broadcast(tombWindow.select(col("node").as("dst"))),
+            Seq("dst"), "left_semi")
+          .select(col("src").as("node"))
+      }
     var region = arr.unionByName(tombWindow).unionByName(intoDead)
       .unionByName(offenders)
       .distinct().localCheckpoint(eager = false)
+    var regionIds = collectNodes(region)
+    regionIds.foreach(ids => region = nodesDf(ids))
     val empty = vectors.limit(0)
       .select(col(idCol).as("src"), col(idCol).as("dst"),
         lit(0.0).as("dist"))
-    if (region.isEmpty) {
+    if (regionIds.fold(region.isEmpty)(_.isEmpty)) {
       if (sf < seq) publishMarker("_scope_fence", seq.toString)
       return empty
     }
-    for (_ <- 1 to scopeHops) {
+    def hopExpand(r: DataFrame): DataFrame = {
       val nbrs = serving
-        .join(broadcast(region.select(col("node").as("src"))),
+        .join(broadcast(r.select(col("node").as("src"))),
           Seq("src"), "left_semi")
         .select(col("dst").as("node"))
-      region = region.unionByName(nbrs).distinct().localCheckpoint(eager = false)
+      r.unionByName(nbrs).distinct().localCheckpoint(eager = false)
     }
+    for (_ <- 1 to scopeHops) {
+      regionIds match {
+        case Some(ids) =>
+          // pruned hop: the frontier filter is an InSet on the bucket
+          // column — the base leg reads only the region's buckets
+          val nbrs = serving.where(col("src").isInCollection(ids.toIndexedSeq))
+            .select(col("dst")).distinct()
+            .limit(scopePruneMax + 1).collect().map(_.getLong(0))
+          if (nbrs.length > scopePruneMax) {
+            // the hop's frontier outgrew the cap and the collect is
+            // TRUNCATED — redo this hop in the semi-join form from the
+            // (complete) prior region and stay there
+            regionIds = None
+            region = hopExpand(region)
+          } else {
+            val merged = (ids ++ nbrs).distinct
+            region = nodesDf(merged)
+            regionIds = if (merged.length > scopePruneMax) None
+                        else Some(merged)
+          }
+        case None =>
+          region = hopExpand(region)
+      }
+    }
+    lastScopedPrune = Some(regionIds.isDefined)
     // replacement targets: live region nodes (tombstoned region nodes
     // are superseded with no replacement)
     val regionLive = region
@@ -639,12 +718,20 @@ final class GraphMaintainer(
     // delete-free refine (the hop expansions above + the two directed
     // slices here; a window WITH deletes pays one more for the
     // reverse-hop seed scan) instead of once per consumer; the slice
-    // itself is region-bounded.
-    val rSrc = broadcast(region.select(col("node").as("src")))
-    val rDst = broadcast(region.select(col("node").as("dst")))
-    val touched = serving.join(rSrc, Seq("src"), "left_semi")
-      .unionByName(serving.join(rDst, Seq("dst"), "left_semi"))
-      .dropDuplicates("src", "dst")
+    // itself is region-bounded — and under the pruned form the src-side
+    // reads are bucket-pruned, so "read" means the region's buckets,
+    // not the corpus.
+    val touched = (regionIds match {
+      case Some(ids) =>
+        val idSeq = ids.toIndexedSeq
+        serving.where(col("src").isInCollection(idSeq))
+          .unionByName(serving.where(col("dst").isInCollection(idSeq)))
+      case None =>
+        val rSrc = broadcast(region.select(col("node").as("src")))
+        val rDst = broadcast(region.select(col("node").as("dst")))
+        serving.join(rSrc, Seq("src"), "left_semi")
+          .unionByName(serving.join(rDst, Seq("dst"), "left_semi"))
+    }).dropDuplicates("src", "dst")
       .localCheckpoint(eager = false)
     // ---- the vector slice, materialized ONCE ----
     // every id the refine scores lives in the touched slice (both
@@ -836,4 +923,16 @@ object GraphMaintainer {
     * rewrite, ~0.3 s/batch amortized), far under the full refine it
     * replaces. */
   val DefaultFoldEvery: Int = LsmStore.DefaultCompactEvery
+
+  /** Cap on the scoped-refine region id set collected to the driver
+    * for scan pruning (ids as an InSet on the edge table's bucket
+    * column → bucket-pruned hop expansions and slices instead of
+    * corpus scans). The cap bounds three costs at once: driver memory
+    * (50k longs ≈ 400 KB), the InSet literal shipped with each task,
+    * and Catalyst's planning time over the literal list. A region past
+    * the cap falls back to the broadcast semi-join form — correctness
+    * is identical either way (GraphScopedPruneSpec), only the scan
+    * shape changes. Typical regions sit far below it: a 1k-row batch
+    * window at k = 16, scopeHops = 1 reaches ~17k nodes. */
+  val DefaultScopePruneMax: Int = 50000
 }

@@ -278,16 +278,39 @@ object GraphSearch {
     * the paths they anchor until the refine rewires them — but the
     * final k-cut filters them, so a deleted id is never SERVED. Size
     * `beamWidth ≥ k + expected deleted-per-beam`; the filter runs on
-    * the final beam (≤ queries × beamWidth rows, broadcast anti-join). */
+    * the final beam (≤ queries × beamWidth rows, broadcast anti-join).
+    *
+    * `allowed`: a BOOLEAN COLUMN over the `vectors` frame's columns —
+    * constrained (metadata-filtered) graph search, the Filtered-DiskANN
+    * serving rule (arXiv:2211.12850 applied to serving, not index
+    * construction): the walk still routes through DISALLOWED nodes
+    * (they carry the graph's navigability — pre-filtering the frontier
+    * disconnects it, the same collapse measured for LSH
+    * probe-then-filter in SCALE.md §filtered ANN), while a separate
+    * best-k pool accumulates ONLY allowed nodes from every hop's scored
+    * candidates, not just the final beam (the final beam may hold
+    * mostly disallowed rows precisely when the filter is selective).
+    * Because the predicate is a column over `vectors`, membership is
+    * evaluated MAP-SIDE inside the scoring join — no allow-list
+    * materialization, no extra corpus pass, no per-hop join against an
+    * allowed table; the extra cost is one bounded k-cut per hop. For
+    * HIGHLY selective predicates prefer the [[FilteredSearch]]
+    * dispatch ([[beamFromFiltered]]), which brute-forces the allowed
+    * subset below the cutoff. */
   def beamFrom(graph: DataFrame, vectors: DataFrame, idCol: String,
                vecCol: String, queries: DataFrame, entries: DataFrame,
                k: Int, beamWidth: Int, hops: Int,
                metric: ExactNN.Metric = ExactNN.Cosine,
                roundTo: Int = 6, symmetrize: Boolean = true,
-               excluded: Option[DataFrame] = None): DataFrame = {
+               excluded: Option[DataFrame] = None,
+               allowed: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     val und = undirected(graph, symmetrize)
-    val vecs = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"))
+    val vecs = allowed match {
+      case Some(p) => vectors.select(col(idCol).as("node"),
+        col(vecCol).as("nv"), p.cast("boolean").as("ok"))
+      case None => vectors.select(col(idCol).as("node"), col(vecCol).as("nv"))
+    }
     val q = broadcast(queries.select(col("query_id"), col("qv")))
 
     // The walk's per-hop state is the SMALL side by the algorithm's own
@@ -311,11 +334,14 @@ object GraphSearch {
     // bound: run GraphMaintainer's scheduled refine (or watch its
     // degree watermark) so hub growth under streaming inserts doesn't
     // silently inflate the frontier fan-out.
-    def score(cands: DataFrame): DataFrame =
-      vecs.join(broadcast(cands), "node")
+    def score(cands: DataFrame): DataFrame = {
+      val scored = vecs.join(broadcast(cands), "node")
         .join(q, "query_id")
-        .select(col("query_id"), col("node"),
-          round(metric.dist(col("qv"), col("nv")), roundTo).as("dist"))
+      val out = Seq(col("query_id"), col("node"),
+        round(metric.dist(col("qv"), col("nv")), roundTo).as("dist")) ++
+        (if (allowed.isDefined) Seq(col("ok")) else Nil)
+      scored.select(out: _*)
+    }
 
     // Distinct-aware bounded cut (TopK.topKDistinct): candidate rows
     // arrive WITH duplicates — a node reached from several beam nodes,
@@ -367,7 +393,27 @@ object GraphSearch {
       }
       ck
     }
-    var beam = hopCheckpoint(cut(score(entries), beamWidth))
+    // Constrained-search pool: the best k ALLOWED nodes seen at ANY hop
+    // (the beam's own carry-over makes the final beam the global
+    // top-beamWidth of visited nodes, but that argument only holds for
+    // the unfiltered order — an allowed node can fall out of the beam
+    // to disallowed rows and must still be servable). `absorb` shares
+    // one lazy checkpoint of the hop's scored candidates between the
+    // beam cut and the pool cut, so filtering adds zero extra scoring
+    // passes — one bounded k-cut per hop is the whole cost. The
+    // unfiltered path is UNTOUCHED plan-for-plan (absorb is identity).
+    var best: Option[DataFrame] = None
+    def absorb(scored: DataFrame): DataFrame = allowed match {
+      case None => scored
+      case Some(_) =>
+        val ck = hopCheckpoint(scored)
+        val allowedRows = ck.where(col("ok"))
+          .select(col("query_id"), col("node"), col("dist"))
+        val pool = best.fold(allowedRows)(allowedRows.unionByName(_))
+        best = Some(hopCheckpoint(cut(pool, k)))
+        ck
+    }
+    var beam = hopCheckpoint(cut(absorb(score(entries)), beamWidth))
     for (_ <- 1 to hops) {
       val nbrs = und
         .join(broadcast(beam.select(col("query_id"), col("node").as("src"))),
@@ -378,10 +424,11 @@ object GraphSearch {
       // in the cut's distinct-aware buffer — trading bounded duplicate
       // compute for a whole per-hop shuffle round
       val cands = nbrs.unionByName(beam.select(col("query_id"), col("node")))
-      beam = hopCheckpoint(cut(score(cands), beamWidth))
+      beam = hopCheckpoint(cut(absorb(score(cands)), beamWidth))
     }
-    val served = excluded.fold(beam) { t =>
-      beam.join(broadcast(t.select(col("vec_id").as("node"))),
+    val pool = best.getOrElse(beam)
+    val served = excluded.fold(pool) { t =>
+      pool.join(broadcast(t.select(col("vec_id").as("node"))),
         Seq("node"), "left_anti")
     }
     val result = graft.text.Dedup.materializeRelease(
@@ -389,5 +436,41 @@ object GraphSearch {
         .select(col("query_id"), col("node").as("vec_id"), col("dist")))
     hopRdds.foreach(_.unpersist(false))
     result
+  }
+
+  /** Constrained graph search under the [[FilteredSearch]] selectivity
+    * dispatch — the graph twin of `LshIndex.searchAllFiltered`. Above
+    * the cutoff the filtered beam walk runs ([[beamFrom]] `allowed`:
+    * route through everything, serve the per-hop allowed pool); at or
+    * below it the exact scan over the allowed subset is both correct
+    * (recall 1.0 by construction) and cheap (the subset IS small), and
+    * sidesteps the walk's recall risk when the allowed rows cluster
+    * where the descent never goes — the same measured collapse that
+    * motivated the LSH dispatch (SCALE.md §filtered ANN). The two
+    * COUNTS drive the rule; both come from one aggregate pass over
+    * `vectors` with the predicate evaluated map-side. */
+  def beamFromFiltered(graph: DataFrame, vectors: DataFrame, idCol: String,
+                       vecCol: String, queries: DataFrame, entries: DataFrame,
+                       k: Int, beamWidth: Int, hops: Int,
+                       allowed: org.apache.spark.sql.Column,
+                       metric: ExactNN.Metric = ExactNN.Cosine,
+                       roundTo: Int = 6, symmetrize: Boolean = true,
+                       excluded: Option[DataFrame] = None,
+                       maxExactFraction: Double =
+                         FilteredSearch.DefaultMaxExactFraction): DataFrame = {
+    val counts = vectors.agg(
+      count(lit(1)).as("corpus"),
+      count(when(allowed, lit(1))).as("allowed")).head()
+    val (corpusN, allowedN) = (counts.getLong(0), counts.getLong(1))
+    if (FilteredSearch.useExactScan(allowedN, corpusN, maxExactFraction)) {
+      val subset = vectors.where(allowed)
+        .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      val excl = excluded.fold(subset)(t =>
+        subset.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti"))
+      ExactNN.topKAgg(queries.select(col("query_id"), col("qv")), excl, k,
+        metric, roundTo = roundTo)
+    } else beamFrom(graph, vectors, idCol, vecCol, queries, entries, k,
+      beamWidth, hops, metric, roundTo, symmetrize, excluded, Some(allowed))
   }
 }

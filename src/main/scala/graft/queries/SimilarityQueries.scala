@@ -1688,6 +1688,70 @@ object SimilarityQueries extends QueryPack {
       graft.ann.GraphSearch.beamFrom(dumpedG, e, "vec_id", "embedding",
           q, entries, K, BeamWidth, BeamHops, excluded = Some(tombs))
         .orderBy("query_id", "dist", "vec_id")
+    }),
+
+    // Constrained graph serving (GraphSearch.beamFrom `allowed` — the
+    // Filtered-DiskANN rule, arXiv:2211.12850 applied at serve time):
+    // the walk routes through DISALLOWED nodes (they carry the graph's
+    // navigability) while a per-hop bounded pool accumulates the best
+    // k allowed nodes seen ANYWHERE along the walk — post-filtering
+    // the final beam under-delivers exactly when the filter binds.
+    // Membership is the label % 2 = 0 predicate (~50% selective, the
+    // q_lsh_search_filtered twin) evaluated MAP-SIDE in the scoring
+    // join — no allow-list materialization, no extra corpus pass.
+    // Graded against DuckDB's OWN exact cosine ground truth over the
+    // predicate subset (recallOracle corpusWhere), so both the pool's
+    // correctness and the walk's filtered recall sit under the oracle.
+    "q_graph_filtered_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graphLshIndex(s, dir)
+      val g = graphRefinedBackbone(s, dir)
+      val entries = idx.searchAll(q, BeamWidth, Double.MaxValue,
+          ExactNN.Cosine)
+        .select(col("query_id"), col("vec_id").as("node"))
+      val pred = LshQueries.dumpAndReload(s,
+        graft.ann.GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
+          entries, K, BeamWidth, BeamHops,
+          allowed = Some(col("label") % 2 === 0)),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_filtered_recall")
+      val gt = ExactNN.topKAgg(q, e.where(col("label") % 2 === 0), K,
+        ExactNN.Cosine)
+      Eval.setPrecisionRecall(pred.select("query_id", "vec_id"), gt)
+        .agg(
+          round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
+    }),
+
+    // Selectivity dispatch for the graph family
+    // (GraphSearch.beamFromFiltered / FilteredSearch — the
+    // q_lsh_search_filtered_selective twin): a 2% allow-list
+    // (vec_id % 50 = 0, under the 5% cutoff at every sf) BINDS the
+    // exact-scan path, so recall vs DuckDB's own filtered exact ground
+    // truth must be EXACTLY 1.0 — any walk-path leakage or subset
+    // mis-scan breaks the hash.
+    "q_graph_filtered_selective" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graphLshIndex(s, dir)
+      val g = graphRefinedBackbone(s, dir)
+      val entries = idx.searchAll(q, BeamWidth, Double.MaxValue,
+          ExactNN.Cosine)
+        .select(col("query_id"), col("vec_id").as("node"))
+      val pred = LshQueries.dumpAndReload(s,
+        graft.ann.GraphSearch.beamFromFiltered(g, e, "vec_id", "embedding",
+          q, entries, K, BeamWidth, BeamHops,
+          allowed = pmod(col("vec_id"), lit(50)) === 0,
+          metric = ExactNN.Cosine),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_filtered_selective")
+      val gt = ExactNN.topKAgg(q,
+        e.where(pmod(col("vec_id"), lit(50)) === 0), K, ExactNN.Cosine)
+      Eval.setPrecisionRecall(pred.select("query_id", "vec_id"), gt)
+        .agg(
+          round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
     })
   )
 
@@ -1933,6 +1997,20 @@ object SimilarityQueries extends QueryPack {
       LshQueries.CosineDistSql, None, K,
       corpusWhere =
         s"WHERE NOT (vec_id % $TombstoneMod = 0 AND vec_id < $InsertFrom)"),
+
+    // Constrained walk graded against DuckDB's own exact cosine GT over
+    // the ~50% predicate subset — the pool's recall, cross-engine.
+    "q_graph_filtered_recall" -> LshQueries.recallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/graph_filtered_recall/*.parquet",
+      LshQueries.CosineDistSql, None, K,
+      corpusWhere = "WHERE label % 2 = 0"),
+
+    // Selective dispatch: exact-scan path over the 2% subset — recall
+    // vs DuckDB's own filtered GT must be exactly 1.0.
+    "q_graph_filtered_selective" -> LshQueries.recallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/graph_filtered_selective/*.parquet",
+      LshQueries.CosineDistSql, None, K,
+      corpusWhere = "WHERE vec_id % 50 = 0"),
 
     // Graph-beam sweep: identical decision replay, cosine GT.
     "q_autotune_graph_beam" -> autotuneOracleSql(

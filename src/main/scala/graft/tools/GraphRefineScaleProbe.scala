@@ -14,14 +14,18 @@ import graft.ann.lsh.{Lsh, LshConfig}
   * scoped refine; one full [[graft.ann.GraphMaintainer.refineNow]] at
   * the end prices the O(n·k) rewrite the scoped pass replaces.
   *
-  * Usage: runMain graft.tools.GraphRefineScaleProbe [n] [batches...]
-  * (default: 100000 100 1000 10000)
+  * Usage: runMain graft.tools.GraphRefineScaleProbe [--noprune] [n] [batches...]
+  * (default: 100000 100 1000 10000; `--noprune` sets scopePruneMax = 0
+  * to time the broadcast semi-join fallback — the pruned-vs-fallback
+  * delta is the [[graft.ann.GraphMaintainer.scopePruneMax]] SCALE.md row)
   */
 object GraphRefineScaleProbe {
   def main(args: Array[String]): Unit = {
-    val n = if (args.nonEmpty) args.head.toInt else 100000
+    val noPrune = args.contains("--noprune")
+    val rest = args.filterNot(_ == "--noprune")
+    val n = if (rest.nonEmpty) rest.head.toInt else 100000
     val batchSizes =
-      if (args.length > 1) args.tail.map(_.toInt).toSeq
+      if (rest.length > 1) rest.tail.map(_.toInt).toSeq
       else Seq(100, 1000, 10000)
     val k = 8
     val spark = SparkSession.builder().master("local[32]")
@@ -64,7 +68,9 @@ object GraphRefineScaleProbe {
       java.nio.file.Files.createTempDirectory("refine_scale_lsm").toString,
       "vec_id", "embedding", k = k, beamWidth = 16, hops = 3,
       refineEvery = 1000, maxReverseDegree = 2,
-      scopedRefine = true, scopeHops = 1)
+      scopedRefine = true, scopeHops = 1,
+      scopePruneMax = if (noPrune) 0 else GraphMaintainer.DefaultScopePruneMax)
+    println(s"[refine-scale] scan pruning ${if (noPrune) "OFF" else "ON"}")
 
     var nextId = n.toLong
     batchSizes.foreach { b =>
@@ -81,7 +87,8 @@ object GraphRefineScaleProbe {
       }
       val (_, tRef) = timed { m.refineScopedNow(all).count() }
       println(f"[refine-scale] batch=$b%,d: onBatch $tIns%.1fs, " +
-        f"scoped refine $tRef%.1fs")
+        f"scoped refine $tRef%.1fs " +
+        s"(pruned=${m.lastScopedPrune.getOrElse(false)})")
       nextId += b
       corpus.unpersist(false)
       all.unpersist(false)

@@ -225,4 +225,81 @@ class GraphSearchSpec extends AnyFunSuite with SparkSpecBase {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Window"), s"window in beam plan:\n$plan")
   }
+
+  private def backboned(e: DataFrame): DataFrame =
+    KnnGraph.exact(e, "vec_id", "embedding", 5, ExactNN.Cosine)
+      .select($"src", $"dst")
+      .unionByName(GraphSearch.randomBackbone(e, "vec_id"))
+      .dropDuplicates("src", "dst")
+
+  private def entriesOf(q: DataFrame, n: Int) =
+    q.select($"query_id").crossJoin((0L until n.toLong).toDF("node"))
+
+  test("filtered walk: only allowed ids served, k delivered, near-exact filtered recall") {
+    val e = clustered
+    val g = backboned(e)
+    val q = queriesOf(e, 50)
+    val pred = GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
+      entriesOf(q, 32), 10, 32, 6, ExactNN.Cosine,
+      allowed = Some($"vec_id" % 2 === 0))
+    assert(pred.where($"vec_id" % 2 =!= 0).isEmpty,
+      "disallowed id served")
+    val perQuery = pred.groupBy("query_id").count()
+      .agg(min("count")).as[Long].head()
+    assert(perQuery === 10L,
+      s"filtered walk under-delivered k (min $perQuery)")
+    val gt = ExactNN.topKAgg(q, e.where($"vec_id" % 2 === 0), 10,
+      ExactNN.Cosine)
+    val recall = recallOf(pred, gt)
+    assert(recall > 0.9, s"filtered walk recall $recall")
+  }
+
+  test("filtered walk serves allowed nodes the FINAL beam dropped (the pool, not post-filter)") {
+    // 10%-selective predicate: the final beam (width 32, nearest
+    // overall) holds ~3 allowed rows per query — post-filtering it
+    // cannot deliver k = 10, so this test fails unless the per-hop
+    // allowed pool is what serves
+    val e = clustered
+    val g = backboned(e)
+    val q = queriesOf(e, 30)
+    val pred = GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
+      entriesOf(q, 32), 10, 32, 6, ExactNN.Cosine,
+      allowed = Some($"vec_id" % 10 === 3))
+    val perQuery = pred.groupBy("query_id").count()
+      .agg(min("count")).as[Long].head()
+    assert(perQuery === 10L,
+      s"pool under-delivered k at 10% selectivity (min $perQuery)")
+    val gt = ExactNN.topKAgg(q, e.where($"vec_id" % 10 === 3), 10,
+      ExactNN.Cosine)
+    val recall = recallOf(pred, gt)
+    assert(recall > 0.8, s"filtered pool recall $recall at 10% selectivity")
+  }
+
+  test("a trivially-true filter returns exactly the unfiltered answer") {
+    val e = clustered
+    val g = backboned(e)
+    val q = queriesOf(e, 25)
+    def run(allowed: Option[org.apache.spark.sql.Column]) =
+      GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
+          entriesOf(q, 32), 10, 32, 6, ExactNN.Cosine, allowed = allowed)
+        .select($"query_id", $"vec_id", $"dist")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(Some(lit(true))) === run(None))
+  }
+
+  test("beamFromFiltered dispatch: selective predicate binds the exact path (recall 1.0)") {
+    val e = clustered
+    val g = backboned(e)
+    val q = queriesOf(e, 25)
+    // 2% allowed (10 of 500) — far under the 5% cutoff
+    val pred = GraphSearch.beamFromFiltered(g, e, "vec_id", "embedding", q,
+      entriesOf(q, 32), 5, 32, 6, $"vec_id" % 50 === 0, ExactNN.Cosine)
+    val gt = ExactNN.topKAgg(q, e.where($"vec_id" % 50 === 0), 5,
+      ExactNN.Cosine)
+    assert(recallOf(pred, gt) === 1.0)
+    // 50% allowed — the walk path binds and still serves only allowed
+    val walk = GraphSearch.beamFromFiltered(g, e, "vec_id", "embedding", q,
+      entriesOf(q, 32), 10, 32, 6, $"vec_id" % 2 === 0, ExactNN.Cosine)
+    assert(walk.where($"vec_id" % 2 =!= 0).isEmpty)
+  }
 }
