@@ -296,14 +296,36 @@ object GraphSearch {
     * allowed table; the extra cost is one bounded k-cut per hop. For
     * HIGHLY selective predicates prefer the [[FilteredSearch]]
     * dispatch ([[beamFromFiltered]]), which brute-forces the allowed
-    * subset below the cutoff. */
+    * subset below the cutoff.
+    *
+    * `pruneScanMax` (> 0 to enable): the STORED-TABLE serving shape.
+    * The default walk probes the full edge and vector tables in place
+    * once per hop — no shuffle, but at 100 TB each hop still SCANS the
+    * corpus. The walk's frontier is driver-bounded by construction
+    * (≤ queries × beamWidth ids — the same rows the broadcast already
+    * collects), so with the cap set, each hop collects the beam's ids
+    * and pre-filters both tables with an InSet: on a graph stored via
+    * [[saveBucketed]] (bucketed by `src`) the edge read bucket-prunes,
+    * and on an id-bucketed/sorted vector table the score probe prunes
+    * too — per-hop read cost becomes O(frontier's buckets), not
+    * O(corpus) (the [[graft.ann.GraphMaintainer.scopePruneMax]] idiom
+    * applied to serving; BeamPruneSpec pins identity + the bytes-read
+    * drop). Results are IDENTICAL: the InSet merely names the rows the
+    * hop join would keep anyway. Costs: one bounded collect per hop
+    * (the ids the broadcast ships regardless) and per-hop jobs instead
+    * of one fused final job — at gate scale that stage latency can
+    * exceed the scan savings, which is why 0 (off) is the default;
+    * flip it on when the graph/vector tables are big enough that
+    * per-hop corpus scans dominate (the 100 TB regime). A frontier
+    * past the cap runs that hop unpruned. */
   def beamFrom(graph: DataFrame, vectors: DataFrame, idCol: String,
                vecCol: String, queries: DataFrame, entries: DataFrame,
                k: Int, beamWidth: Int, hops: Int,
                metric: ExactNN.Metric = ExactNN.Cosine,
                roundTo: Int = 6, symmetrize: Boolean = true,
                excluded: Option[DataFrame] = None,
-               allowed: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+               allowed: Option[org.apache.spark.sql.Column] = None,
+               pruneScanMax: Int = 0): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     val und = undirected(graph, symmetrize)
     val vecs = allowed match {
@@ -334,14 +356,29 @@ object GraphSearch {
     // bound: run GraphMaintainer's scheduled refine (or watch its
     // degree watermark) so hub growth under streaming inserts doesn't
     // silently inflate the frontier fan-out.
-    def score(cands: DataFrame): DataFrame = {
-      val scored = vecs.join(broadcast(cands), "node")
+    def score(cands: DataFrame,
+              candIds: Option[IndexedSeq[Long]] = None): DataFrame = {
+      // candIds (pruned serving): the vector probe reads only the
+      // candidate ids' buckets/row-groups instead of the corpus — the
+      // InSet is a superset of the join's matches, so the result is
+      // unchanged
+      val v = candIds.fold(vecs)(ids =>
+        vecs.where(col("node").isInCollection(ids)))
+      val scored = v.join(broadcast(cands), "node")
         .join(q, "query_id")
       val out = Seq(col("query_id"), col("node"),
         round(metric.dist(col("qv"), col("nv")), roundTo).as("dist")) ++
         (if (allowed.isDefined) Seq(col("ok")) else Nil)
       scored.select(out: _*)
     }
+    // bounded frontier-id collection for pruned serving: None when
+    // disabled or past the cap (the hop then runs the full-scan form)
+    def collectIds(df: DataFrame, cap: Int): Option[IndexedSeq[Long]] =
+      if (cap <= 0) None
+      else {
+        val t = df.distinct().limit(cap + 1).collect()
+        if (t.length > cap) None else Some(t.map(_.getLong(0)).toIndexedSeq)
+      }
 
     // Distinct-aware bounded cut (TopK.topKDistinct): candidate rows
     // arrive WITH duplicates — a node reached from several beam nodes,
@@ -413,9 +450,25 @@ object GraphSearch {
         best = Some(hopCheckpoint(cut(pool, k)))
         ck
     }
-    var beam = hopCheckpoint(cut(absorb(score(entries)), beamWidth))
+    val entryIds = collectIds(entries.select(col("node")), pruneScanMax)
+    var beam = hopCheckpoint(cut(absorb(score(entries, entryIds)),
+      beamWidth))
     for (_ <- 1 to hops) {
-      val nbrs = und
+      val beamIds = collectIds(beam.select(col("node")), pruneScanMax)
+      // pruned hop: the edge read is an InSet on the bucket column
+      // (src) — only the frontier's buckets are scanned; the bounded
+      // slice is checkpointed once and feeds both the expansion join
+      // and the dst-id collect that prunes the vector probe
+      val (edges, candIds) = beamIds match {
+        case Some(ids) =>
+          val slice = hopCheckpoint(
+            und.where(col("src").isInCollection(ids)))
+          val dstIds = collectIds(slice.select(col("dst")),
+            pruneScanMax * 16)
+          (slice, dstIds.map(d => (d ++ ids).distinct))
+        case None => (und, None)
+      }
+      val nbrs = edges
         .join(broadcast(beam.select(col("query_id"), col("node").as("src"))),
           "src")
         .select(col("query_id"), col("dst").as("node"))
@@ -424,7 +477,7 @@ object GraphSearch {
       // in the cut's distinct-aware buffer — trading bounded duplicate
       // compute for a whole per-hop shuffle round
       val cands = nbrs.unionByName(beam.select(col("query_id"), col("node")))
-      beam = hopCheckpoint(cut(absorb(score(cands)), beamWidth))
+      beam = hopCheckpoint(cut(absorb(score(cands, candIds)), beamWidth))
     }
     val pool = best.getOrElse(beam)
     val served = excluded.fold(pool) { t =>

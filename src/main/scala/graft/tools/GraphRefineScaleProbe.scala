@@ -14,15 +14,20 @@ import graft.ann.lsh.{Lsh, LshConfig}
   * scoped refine; one full [[graft.ann.GraphMaintainer.refineNow]] at
   * the end prices the O(n·k) rewrite the scoped pass replaces.
   *
-  * Usage: runMain graft.tools.GraphRefineScaleProbe [--noprune] [n] [batches...]
+  * Usage: runMain graft.tools.GraphRefineScaleProbe [--noprune|--compare]
+  * [n] [batches...]
   * (default: 100000 100 1000 10000; `--noprune` sets scopePruneMax = 0
-  * to time the broadcast semi-join fallback — the pruned-vs-fallback
-  * delta is the [[graft.ann.GraphMaintainer.scopePruneMax]] SCALE.md row)
+  * to time the broadcast semi-join fallback; `--compare` builds ONE
+  * graph, saves it under two names, and times pruned vs fallback
+  * refines on the twin stores in the SAME process and batch sequence —
+  * the cross-run noise-free form of the
+  * [[graft.ann.GraphMaintainer.scopePruneMax]] SCALE.md row)
   */
 object GraphRefineScaleProbe {
   def main(args: Array[String]): Unit = {
     val noPrune = args.contains("--noprune")
-    val rest = args.filterNot(_ == "--noprune")
+    val compare = args.contains("--compare")
+    val rest = args.filterNot(a => a == "--noprune" || a == "--compare")
     val n = if (rest.nonEmpty) rest.head.toInt else 100000
     val batchSizes =
       if (rest.length > 1) rest.tail.map(_.toInt).toSeq
@@ -50,8 +55,12 @@ object GraphRefineScaleProbe {
 
     val corpus = gen(n).persist()
     corpus.count()
-    GraphSearch.dropManagedTables(spark,
-      "refine_scale_edges", "refine_scale_swap_edges")
+    val storeNames =
+      if (compare) Seq("refine_scale_p" -> true, "refine_scale_np" -> false)
+      else Seq("refine_scale" -> !noPrune)
+    storeNames.foreach { case (nm, _) =>
+      GraphSearch.dropManagedTables(spark, s"${nm}_edges", s"${nm}_swap_edges")
+    }
     val (_, tBuild) = timed {
       val idx = Lsh.train(corpus, "vec_id", "embedding",
         LshConfig(nTrees = 10, kMinVecs = 80, angular = true, seed = 42L))
@@ -60,17 +69,26 @@ object GraphRefineScaleProbe {
         .select(col("src"), col("dst"))
         .unionByName(GraphSearch.randomBackbone(corpus, "vec_id"))
         .dropDuplicates("src", "dst")
-      GraphSearch.saveBucketed(g, "refine_scale")
+        .localCheckpoint()
+      storeNames.foreach { case (nm, _) => GraphSearch.saveBucketed(g, nm) }
     }
     println(f"[refine-scale] n=$n%,d graph built in $tBuild%.1fs")
 
-    val m = new GraphMaintainer(spark, "refine_scale",
-      java.nio.file.Files.createTempDirectory("refine_scale_lsm").toString,
-      "vec_id", "embedding", k = k, beamWidth = 16, hops = 3,
-      refineEvery = 1000, maxReverseDegree = 2,
-      scopedRefine = true, scopeHops = 1,
-      scopePruneMax = if (noPrune) 0 else GraphMaintainer.DefaultScopePruneMax)
-    println(s"[refine-scale] scan pruning ${if (noPrune) "OFF" else "ON"}")
+    val maintainers = storeNames.map { case (nm, prune) =>
+      (nm, prune, new GraphMaintainer(spark, nm,
+        java.nio.file.Files.createTempDirectory(s"${nm}_lsm").toString,
+        "vec_id", "embedding", k = k, beamWidth = 16, hops = 3,
+        refineEvery = 1000, maxReverseDegree = 2,
+        scopedRefine = true, scopeHops = 1,
+        scopePruneMax =
+          if (prune) GraphMaintainer.DefaultScopePruneMax else 0,
+        // the probe times each path explicitly — bypass the size
+        // dispatch so "ON" means pruned even on a sub-threshold table
+        scopePruneMinBytes = 0L))
+    }
+    maintainers.foreach { case (nm, prune, _) =>
+      println(s"[refine-scale] store $nm: scan pruning ${if (prune) "ON" else "OFF"}")
+    }
 
     var nextId = n.toLong
     batchSizes.foreach { b =>
@@ -82,20 +100,24 @@ object GraphRefineScaleProbe {
         col("vec_id") < nextId && col("vec_id") % 10 === 3).select("vec_id")
       val entries = batch.select(col("vec_id").as("query_id"))
         .crossJoin(spark.range(32).select(col("id").as("node")))
-      val (_, tIns) = timed {
-        m.onBatch(all, batch, entries, Some(dead))
+      maintainers.foreach { case (nm, _, m) =>
+        val (_, tIns) = timed {
+          m.onBatch(all, batch, entries, Some(dead))
+        }
+        val (_, tRef) = timed { m.refineScopedNow(all).count() }
+        println(f"[refine-scale] $nm batch=$b%,d: onBatch $tIns%.1fs, " +
+          f"scoped refine $tRef%.1fs " +
+          s"(pruned=${m.lastScopedPrune.getOrElse(false)})")
       }
-      val (_, tRef) = timed { m.refineScopedNow(all).count() }
-      println(f"[refine-scale] batch=$b%,d: onBatch $tIns%.1fs, " +
-        f"scoped refine $tRef%.1fs " +
-        s"(pruned=${m.lastScopedPrune.getOrElse(false)})")
       nextId += b
       corpus.unpersist(false)
       all.unpersist(false)
     }
     val allFinal = gen(nextId).persist()
     allFinal.count()
-    val (_, tFull) = timed { m.refineNow(allFinal).count() }
+    val (_, tFull) = timed {
+      maintainers.head._3.refineNow(allFinal).count()
+    }
     println(f"[refine-scale] FULL refine over ${nextId}%,d nodes: $tFull%.1fs")
     spark.stop()
   }

@@ -70,7 +70,10 @@ class GraphScopedPruneSpec extends AnyFunSuite with SparkSpecBase {
     val m = new GraphMaintainer(spark, name, lsm,
       "vec_id", "embedding", k = 4, beamWidth = 8, hops = 3,
       refineEvery = 100, maxReverseDegree = 3,
-      scopedRefine = true, scopeHops = 2, scopePruneMax = pruneMax)
+      scopedRefine = true, scopeHops = 2, scopePruneMax = pruneMax,
+      // force the size dispatch open — spec tables are far below the
+      // production threshold
+      scopePruneMinBytes = 0L)
     val newDf = arriving.toDF("vec_id", "embedding")
     val entries = newDf.select($"vec_id".as("query_id"))
       .crossJoin((0L until 8L).toDF("node"))
