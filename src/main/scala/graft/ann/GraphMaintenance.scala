@@ -977,6 +977,15 @@ object GraphMaintainer {
     * of scan per refine — comfortably past the measured overhead, and
     * on remote/object storage the crossover comes far earlier. 8 GiB
     * keeps gate-scale and single-node stores on the measured-faster
-    * path while any store big enough to care about scan cost prunes. */
+    * path while any store big enough to care about scan cost prunes.
+    *
+    * Geometry caveat (why size is necessary but not sufficient):
+    * hash-bucketing leaves a bucket untouched with probability
+    * (1 - 1/nBuckets)^region, so the file skip is real only while the
+    * region is small relative to the bucket count — size `nBuckets`
+    * at save time for the store's scale (a 100 TB store wants
+    * thousands of buckets, not the 64 default). Past that the InSet
+    * degenerates to a pushed row filter: correct, scan-shaped, and
+    * what the fallback would do anyway. */
   val DefaultScopePruneMinBytes: Long = 8L << 30
 }

@@ -298,26 +298,26 @@ object GraphSearch {
     * dispatch ([[beamFromFiltered]]), which brute-forces the allowed
     * subset below the cutoff.
     *
-    * `pruneScanMax` (> 0 to enable): the STORED-TABLE serving shape.
-    * The default walk probes the full edge and vector tables in place
-    * once per hop — no shuffle, but at 100 TB each hop still SCANS the
-    * corpus. The walk's frontier is driver-bounded by construction
-    * (≤ queries × beamWidth ids — the same rows the broadcast already
-    * collects), so with the cap set, each hop collects the beam's ids
-    * and pre-filters both tables with an InSet: on a graph stored via
-    * [[saveBucketed]] (bucketed by `src`) the edge read bucket-prunes,
-    * and on an id-bucketed/sorted vector table the score probe prunes
-    * too — per-hop read cost becomes O(frontier's buckets), not
-    * O(corpus) (the [[graft.ann.GraphMaintainer.scopePruneMax]] idiom
-    * applied to serving; BeamPruneSpec pins identity + the bytes-read
-    * drop). Results are IDENTICAL: the InSet merely names the rows the
-    * hop join would keep anyway. Costs: one bounded collect per hop
-    * (the ids the broadcast ships regardless) and per-hop jobs instead
-    * of one fused final job — at gate scale that stage latency can
-    * exceed the scan savings, which is why 0 (off) is the default;
-    * flip it on when the graph/vector tables are big enough that
-    * per-hop corpus scans dominate (the 100 TB regime). A frontier
-    * past the cap runs that hop unpruned. */
+    * `pruneScanMax` (> 0 to enable): point-lookup serving against
+    * STORED tables. Each hop collects the beam's driver-bounded ids
+    * (the same rows the broadcast already ships) and pre-filters the
+    * edge and vector reads with an InSet, which bucket-FILE-prunes a
+    * [[saveBucketed]] graph and an id-bucketed vector table. Results
+    * are IDENTICAL — the InSet only names rows the hop join keeps
+    * anyway (BeamPruneSpec) — but whether it's FASTER is a geometry
+    * question the numbers answer harshly: hash-bucketing means a
+    * frontier of f ids leaves a bucket untouched with probability
+    * (1 - 1/nBuckets)^f, so pruning only bites when the frontier is
+    * SMALL relative to the bucket count. A batch of 1000 queries ×
+    * beam 32 hits every bucket of a 64-bucket 1M-node store and pays
+    * the per-hop collects + InSet planning for nothing — measured
+    * 143 s vs 12 s full-scan (BeamPruneProbe). Keep the default 0
+    * (off) for batched serving; consider it only for few-query
+    * low-latency lookups against stores whose bucket count dwarfs
+    * queries × beamWidth (and measure — the refine-side twin,
+    * [[graft.ann.GraphMaintainer.scopePruneMax]], gates itself on
+    * table size for the same reason). A frontier past the cap runs
+    * that hop unpruned. */
   def beamFrom(graph: DataFrame, vectors: DataFrame, idCol: String,
                vecCol: String, queries: DataFrame, entries: DataFrame,
                k: Int, beamWidth: Int, hops: Int,
@@ -463,8 +463,12 @@ object GraphSearch {
         case Some(ids) =>
           val slice = hopCheckpoint(
             und.where(col("src").isInCollection(ids)))
-          val dstIds = collectIds(slice.select(col("dst")),
-            pruneScanMax * 16)
+          // the vector probe's InSet is held to the SAME cap: a
+          // frontier×degree dst set can reach hundreds of thousands of
+          // ids, and an In expression that size costs more in analysis
+          // + task-closure shipping than the scan it prunes (measured,
+          // BeamPruneProbe) — past the cap only the edge read prunes
+          val dstIds = collectIds(slice.select(col("dst")), pruneScanMax)
           (slice, dstIds.map(d => (d ++ ids).distinct))
         case None => (und, None)
       }
