@@ -88,6 +88,12 @@ object Bench {
     // window in a shared sandbox once turned a 1 s query into an 18 s
     // phantom regression. Min-of-2 measures the plan, not the
     // neighbor's noise; back-to-back runs should agree within ~1.5x.
+    // Do NOT "optimize" attempt 2 away for prior-confirming attempt-1
+    // times (tried in round 14): attempt 1 is the COLD run — it pays
+    // the query's codegen, JIT, and page-cache warmup — so shipping it
+    // inflated the whole headline ~50% (157.7 s vs 103.4 s on a quiet
+    // host) while saving no comparability: min-of-2 is the warm
+    // measurement, not just the contention defense.
     // A failed attempt must NOT report its time-to-failure as a bench
     // time (min-of-2 would let a fast crash masquerade as a great
     // number): any thrown attempt poisons the query's HEADLINE to the
