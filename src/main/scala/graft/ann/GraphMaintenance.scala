@@ -424,7 +424,12 @@ final class GraphMaintainer(
           s"$refineEvery) — lower refineEvery or maxReverseDegree " +
           "(GraphSearch.insert degree-growth caveat).")
     }
-    delta
+    // the APPENDED delta — post-dedup, matching what actually landed
+    // in edges_delta/the bucketed table, so a caller mirroring the
+    // store from the return value agrees with servingEdges after a
+    // delete→re-insert batch (whose duplicate rows the anti-join
+    // dropped)
+    deltaNew
   }
 
   /** Max per-node degree in the SERVED graph — one src-keyed aggregate
@@ -543,6 +548,32 @@ final class GraphMaintainer(
     refined
   }
 
+  /** Whether the LAST [[refineScopedNow]] ran its edge-table passes in
+    * the bucket-pruned InSet form (region fit under [[scopePruneMax]]
+    * through every hop) or fell back to the broadcast semi-join full
+    * scans — observability for specs and probes; None before the first
+    * scoped refine. */
+  @volatile private[graft] var lastScopedPrune: Option[Boolean] = None
+
+  /** The stored base table's on-disk size, RE-STATTED at each scoped
+    * refine (one fs content-summary call — negligible next to a
+    * refine, and a long-lived store that grows past the threshold
+    * through folds and appends must switch forms without a process
+    * restart) — the input to the prune-vs-scan size dispatch.
+    * Unstatable (not yet saved, remote fs error) counts as
+    * Long.MaxValue: at the scales where the dispatch matters, failing
+    * toward pruning is the scan-safe side. */
+  private def baseTableBytes: Long =
+    try {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_edges"))
+        .location
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+
   /** The TOUCHED-REGION refine — [[refineNow]]'s O(batch) form for the
     * scoped store ([[scopedRefine]] = true). [[refineNow]] rescores and
     * REWRITES the whole table every cadence: at 100 TB that is a full
@@ -590,29 +621,6 @@ final class GraphMaintainer(
     * tombstones stay active as serving exclusions until the next FULL
     * refine drops the logs; their edges are already gone here, so the
     * remaining cost is one broadcast anti-join. */
-  /** Whether the LAST [[refineScopedNow]] ran its edge-table passes in
-    * the bucket-pruned InSet form (region fit under [[scopePruneMax]]
-    * through every hop) or fell back to the broadcast semi-join full
-    * scans — observability for specs and probes; None before the first
-    * scoped refine. */
-  @volatile private[graft] var lastScopedPrune: Option[Boolean] = None
-
-  /** The stored base table's on-disk size, statted once per maintainer
-    * — the input to the prune-vs-scan size dispatch. Unstatable (not
-    * yet saved, remote fs error) counts as Long.MaxValue: at the
-    * scales where the dispatch matters, failing toward pruning is the
-    * scan-safe side. */
-  private lazy val baseTableBytes: Long =
-    try {
-      val loc = spark.sessionState.catalog
-        .getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_edges"))
-        .location
-      val p = new org.apache.hadoop.fs.Path(loc)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getContentSummary(p).getLength
-    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
-
   def refineScopedNow(vectors: DataFrame): DataFrame = {
     guardPoisoned()
     val sf = scopeFence
@@ -662,7 +670,12 @@ final class GraphMaintainer(
     def collectNodes(df: DataFrame): Option[Array[Long]] =
       if (!pruneActive) None
       else {
-        val t = df.select("node").limit(scopePruneMax + 1).collect()
+        // distinct BEFORE the cap: log-derived frames carry duplicate
+        // rows (an id deleted in several batches of one window), and
+        // counting those against the cap would spuriously force the
+        // full-scan fallback
+        val t = df.select("node").distinct()
+          .limit(scopePruneMax + 1).collect()
         if (t.length > scopePruneMax) None else Some(t.map(_.getLong(0)))
       }
     def nodesDf(ids: Array[Long]): DataFrame = {

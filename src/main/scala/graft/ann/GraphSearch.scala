@@ -447,7 +447,12 @@ object GraphSearch {
         val allowedRows = ck.where(col("ok"))
           .select(col("query_id"), col("node"), col("dist"))
         val pool = best.fold(allowedRows)(allowedRows.unionByName(_))
-        best = Some(hopCheckpoint(cut(pool, k)))
+        // the pool keeps beamWidth (not k) allowed rows: the excluded
+        // anti-join runs AFTER the walk, and a tombstoned-but-allowed
+        // node cut into a k-sized pool would permanently evict a live
+        // allowed candidate — the same `beamWidth ≥ k + expected
+        // deletes` slack the beam's own final cut relies on
+        best = Some(hopCheckpoint(cut(pool, beamWidth)))
         ck
     }
     val entryIds = collectIds(entries.select(col("node")), pruneScanMax)

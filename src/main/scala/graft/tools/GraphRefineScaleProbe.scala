@@ -39,19 +39,10 @@ object GraphRefineScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
+    def timed[T](f: => T): (T, Double) = ProbeGen.timed(f)
     // clustered corpus generator, deterministic by id (10-point
     // clusters — the GraphScaleProbe geometry)
-    def gen(upTo: Long) = spark.range(upTo).select(
-        col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(63)), i =>
-          (pmod(xxhash64(floor(col("id") / 10), i), lit(2000))
-            .cast("double") - 1000.0) / 250.0
-            + (pmod(xxhash64(col("id"), i), lit(2000))
-              .cast("double") - 1000.0) / 5000.0).as("embedding"))
+    def gen(upTo: Long) = ProbeGen.clustered(spark, upTo)
 
     val corpus = gen(n).persist()
     corpus.count()
