@@ -234,6 +234,31 @@ object GraphSearch {
     * stored pre-symmetrized by [[saveBucketed]], whose hop joins then
     * plan with no edge-table Exchange at all (GraphSearchSpec asserts
     * the contrast on this exact frame). */
+  /** Per-label RING edges — intra-label connectivity insurance for
+    * filter-aware serving: [[graft.ann.KnnGraph.fromLshSameLabel]]'s
+    * edges are LOCAL by construction (same-label pairs sharing an LSH
+    * bucket), so a sparse label scattered across clusters would still
+    * fragment into islands; the ring chains each label's members in
+    * xxhash64(id) order (a deterministic random cycle), guaranteeing
+    * every allowed node is reachable from any allowed seed, the same
+    * duty [[randomBackbone]] performs for the unfiltered graph. One
+    * Window partitioned BY LABEL VALUE — partition-parallel across
+    * values; each value's members sort within one partition, fine for
+    * the many-moderate-labels shape this exists for. A label value
+    * owning a giant fraction of a 100 TB corpus needs the
+    * [[randomBackbone]] dense-projection treatment applied per label
+    * instead (rank-free), not this ring. */
+  def labelRing(vectors: DataFrame, idCol: String,
+                labelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lbl")).orderBy(xxhash64(col("src")), col("src"))
+    vectors.select(col(idCol).as("src"), col(labelCol).as("lbl"))
+      .withColumn("nxt", lead(col("src"), 1).over(w))
+      .withColumn("fst", first(col("src")).over(w))
+      .select(col("src"), coalesce(col("nxt"), col("fst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+  }
+
   private[ann] def undirected(graph: DataFrame,
                               symmetrize: Boolean): DataFrame =
     if (!symmetrize) graph.select(col("src"), col("dst"))

@@ -80,6 +80,47 @@ object KnnGraph {
       .select(col("query_id").as("src"), col("vec_id").as("dst"), col("dist"))
   }
 
+  /** SAME-LABEL k-NN edges from the same LSH bucket join — the
+    * build-time half of filter-aware graph serving (the
+    * FilteredDiskANN idea, arXiv:2211.12850, re-expressed on the
+    * stored-bucket candidate structure): for every label value at
+    * once, candidate pairs are the [[fromLsh]] bucket pairs RESTRICTED
+    * to equal labels (the equality filter runs before any distance
+    * math), then per-src top-k. Unioned into a serving graph, these
+    * edges give a `label = v` constrained walk a navigable ALLOWED
+    * subgraph instead of hoping the unfiltered descent passes through
+    * allowed rows — the measured density collapse in SCALE.md
+    * §filtered ANN (recall 0.22 at 10% selectivity with no walk
+    * parameter able to move it). Cost: one more pass over the SAME
+    * candidate-pair frame fromLsh scores — no second forest, no
+    * second bucket join. Pair it with [[GraphSearch.labelRing]] for
+    * intra-label connectivity insurance (same-label bucket pairs are
+    * local by construction). */
+  def fromLshSameLabel(idx: graft.ann.lsh.LshIndex, vectors: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String,
+                       k: Int,
+                       metric: ExactNN.Metric = ExactNN.Cosine,
+                       maxBucketOccupancy: Int = Int.MaxValue,
+                       roundTo: Int = 6): DataFrame = {
+    val pairs = idx.candidatePairs(maxBucketOccupancy)
+    val va = vectors.select(col(idCol).as("vec_a"), col(vecCol).as("ea"),
+      col(labelCol).as("la"))
+    val vb = vectors.select(col(idCol).as("vec_b"), col(vecCol).as("eb"),
+      col(labelCol).as("lb"))
+    val scoredPairs = pairs
+      .join(va, "vec_a")
+      .join(vb, "vec_b")
+      .where(col("la") === col("lb"))
+      .select(col("vec_a"), col("vec_b"),
+        round(metric.dist(col("ea"), col("eb")), roundTo).as("dist"))
+    val sym = scoredPairs
+      .select(col("vec_a").as("query_id"), col("vec_b").as("vec_id"), col("dist"))
+      .unionByName(scoredPairs
+        .select(col("vec_b").as("query_id"), col("vec_a").as("vec_id"), col("dist")))
+    TopK.perQueryTopK(sym, k, viaAggregator = true)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("dist"))
+  }
+
   /** Mark edges whose reverse edge is also in the graph — the
     * mutual-kNN subgraph is the standard robust-clustering reduction
     * (an edge both endpoints agree on). One self-join on the (already

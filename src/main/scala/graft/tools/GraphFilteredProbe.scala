@@ -36,7 +36,13 @@ object GraphFilteredProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val corpus = ProbeGen.clustered(spark, n).persist()
+    // label columns ride on the ONE persisted corpus frame — a second
+    // persisted corpus copy (an earlier probe revision) evicted the
+    // graph cache and the walk recomputed the LSH bucket join per hop
+    val corpus = ProbeGen.clustered(spark, n)
+      .withColumn("label10", col("vec_id") % 10)
+      .withColumn("label50", pmod(col("vec_id"), lit(50)))
+      .persist()
     corpus.count()
     val (graphAndIdx, tBuild) = ProbeGen.timed {
       val ix = Lsh.train(corpus, "vec_id", "embedding",
@@ -130,6 +136,42 @@ object GraphFilteredProbe {
       fwalk.unpersist(); fseed.unpersist(); disp.unpersist()
       gt.unpersist(); subset.unpersist()
     }
+
+    // ---- filter-aware augmentation (KnnGraph.fromLshSameLabel +
+    // GraphSearch.labelRing): build-time label edges + filtered seeds,
+    // the FilteredDiskANN answer to the density-bound recall above ----
+    Seq(("10% (label10 = 3)", "label10", lit(3)),
+        ("2% (label50 = 0)", "label50", lit(0)))
+      .foreach { case (label, lcol, lval) =>
+        val p = col(lcol) === lval
+        val (augG, tAug) = ProbeGen.timed {
+          g.unionByName(KnnGraph.fromLshSameLabel(idx, corpus, "vec_id",
+              "embedding", lcol, 8, ExactNN.Cosine,
+              maxBucketOccupancy = 50).select(col("src"), col("dst")))
+            .unionByName(GraphSearch.labelRing(corpus, "vec_id", lcol))
+            .dropDuplicates("src", "dst")
+            .localCheckpoint()
+        }
+        val subset = corpus.where(p).persist()
+        val gt = ExactNN.topKAgg(queries, subset, k, ExactNN.Cosine)
+          .persist()
+        gt.count()
+        val fseed = idx.searchAll(queries, 32, Double.MaxValue,
+            ExactNN.Cosine, allowed = Some(subset.select(col("vec_id"))))
+          .select(col("query_id"), col("vec_id").as("node")).persist()
+        fseed.count()
+        val (walk, tW) = ProbeGen.timed {
+          val r = GraphSearch.beamFrom(augG, corpus, "vec_id", "embedding",
+            queries, fseed, k, 32, 4, ExactNN.Cosine,
+            symmetrize = false, allowed = Some(p)).persist()
+          r.count(); r
+        }
+        println(f"[graph-filtered] AUGMENTED $label: recall=" +
+          f"${recallOf(walk, gt)}%.4f ${tW / qn * 1000}%.1f ms/q " +
+          f"(label edges+ring built in $tAug%.1fs)")
+        walk.unpersist(); fseed.unpersist(); gt.unpersist()
+        subset.unpersist()
+      }
     spark.stop()
   }
 }
