@@ -1752,6 +1752,50 @@ object SimilarityQueries extends QueryPack {
           round(avg("precision"), 4).as("avg_precision"),
           round(avg("recall"), 4).as("avg_recall"),
           count(lit(1)).as("n_queries"))
+    }),
+
+    // Filter-AWARE graph construction under the oracle
+    // (KnnGraph.fromLshSameLabel + GraphSearch.labelRing — the
+    // FilteredDiskANN build-time idea, arXiv:2211.12850): the serving
+    // graph is augmented with same-label k-NN edges (derived from the
+    // SAME LSH bucket join the base graph used — no second forest) and
+    // a per-label connectivity ring, the walk starts from
+    // filter-aware seeds (the LSH probe restricted to the allowed
+    // subset), and a ~10%-selective `label = 3` predicate constrains
+    // serving. Recall is graded against DuckDB's own exact cosine GT
+    // over the label subset — the regime where SCALE.md measured the
+    // UN-augmented walk density-starved, so this row certifies the
+    // build-time answer end to end.
+    "q_graph_filtered_labeled" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graphLshIndex(s, dir)
+      val base = graphRefinedBackbone(s, dir)
+      val allowed = col("label") === 3
+      val aug = memoized(s, dir, "graph_label_aug") {
+        base
+          .unionByName(graft.ann.KnnGraph.fromLshSameLabel(idx, e,
+              "vec_id", "embedding", "label", KnnK, ExactNN.Cosine,
+              maxBucketOccupancy = 200)
+            .select(col("src"), col("dst")))
+          .unionByName(graft.ann.GraphSearch.labelRing(e, "vec_id", "label"))
+          .dropDuplicates("src", "dst")
+          .localCheckpoint()
+      }
+      val entries = idx.searchAll(q, BeamWidth, Double.MaxValue,
+          ExactNN.Cosine, allowed = Some(e.where(allowed).select("vec_id")))
+        .select(col("query_id"), col("vec_id").as("node"))
+      val pred = LshQueries.dumpAndReload(s,
+        graft.ann.GraphSearch.beamFrom(aug, e, "vec_id", "embedding", q,
+          entries, K, BeamWidth, BeamHops, ExactNN.Cosine,
+          allowed = Some(allowed)),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_filtered_labeled")
+      val gt = ExactNN.topKAgg(q, e.where(allowed), K, ExactNN.Cosine)
+      Eval.setPrecisionRecall(pred.select("query_id", "vec_id"), gt)
+        .agg(
+          round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
     })
   )
 
@@ -2011,6 +2055,13 @@ object SimilarityQueries extends QueryPack {
       s"${LshQueries.SearchDumpRoot}/sf0.01/graph_filtered_selective/*.parquet",
       LshQueries.CosineDistSql, None, K,
       corpusWhere = "WHERE vec_id % 50 = 0"),
+
+    // Filter-aware construction: augmented-walk recall vs DuckDB's own
+    // exact cosine GT over the ~10% label subset.
+    "q_graph_filtered_labeled" -> LshQueries.recallOracle(
+      s"${LshQueries.SearchDumpRoot}/sf0.01/graph_filtered_labeled/*.parquet",
+      LshQueries.CosineDistSql, None, K,
+      corpusWhere = "WHERE label = 3"),
 
     // Graph-beam sweep: identical decision replay, cosine GT.
     "q_autotune_graph_beam" -> autotuneOracleSql(
