@@ -29,6 +29,16 @@ object FilteredSearch {
     * allowed subset is preferred to probe-then-filter. */
   val DefaultMaxExactFraction = 0.05
 
+  /** Ceiling for the DENSITY-triggered exact dispatch (graph family):
+    * a density-starved filter above [[DefaultMaxExactFraction]] still
+    * dispatches to the exact subset scan as long as the subset costs no
+    * more than this fraction of a brute-force pass. 0.15 is read off
+    * the 1M measurement (SCALE.md §filtered ANN, round 14): the exact
+    * path costs ~1.1 ms/q per 1% of corpus, so a 10-15% subset scan ≈
+    * the walk's own 14 ms/q — recall 1.0 at parity cost. Above it the
+    * exact scan stops being free and the engine can only warn. */
+  val DefaultMaxAutoExactFraction = 0.15
+
   /** True when a filtered search over `allowedCount` of `corpusCount`
     * rows should brute-force the allowed subset instead of probing the
     * index. Degenerate corpus counts (<= 0) also dispatch to the exact
@@ -36,4 +46,70 @@ object FilteredSearch {
   def useExactScan(allowedCount: Long, corpusCount: Long,
                    maxExactFraction: Double = DefaultMaxExactFraction): Boolean =
     corpusCount <= 0L || allowedCount.toDouble <= maxExactFraction * corpusCount
+
+  /** How a constrained graph search is served. `name` is the stable
+    * string specs and oracle rows pin (and DuckDB re-derives). */
+  sealed abstract class Route(val name: String) {
+    /** Whether this route serves by brute-forcing the allowed subset. */
+    def exact: Boolean = this == ExactSelectivity || this == ExactDensity
+  }
+  /** Allowed fraction ≤ maxExactFraction: the subset is tiny, the exact
+    * scan wins on both cost and recall (the round-11 measurement). */
+  case object ExactSelectivity extends Route("exact_selectivity")
+  /** The filter thins the walk's LOCAL neighborhoods below k (the
+    * median query sees < k allowed rows among its beamWidth nearest
+    * entry-hop candidates) and the subset is still cheap enough to
+    * scan: the 1M-measured regime where the walk silently serves 0.22
+    * recall at 10% selectivity and no walk parameter helps. */
+  case object ExactDensity extends Route("exact_density")
+  /** Local neighborhoods stay dense under the filter — the walk's
+    * recall holds (the uncorrelated-predicate regime, measured 1.000
+    * at 50% selectivity at 1M). */
+  case object Walk extends Route("walk")
+  /** Density-starved BUT the subset is too large for the auto exact
+    * dispatch: the walk runs, a warning names the measured risk —
+    * label-augmented construction or a raised cutoff is on the caller. */
+  case object WalkStarved extends Route("walk_starved")
+
+  /** Routes by name — the inverse specs/oracles use. */
+  def routeOf(name: String): Route = name match {
+    case "exact_selectivity" => ExactSelectivity
+    case "exact_density"     => ExactDensity
+    case "walk"              => Walk
+    case "walk_starved"      => WalkStarved
+    case other => throw new IllegalArgumentException(s"unknown route $other")
+  }
+
+  /** The full decision a [[graft.ann.GraphSearch.beamFromFiltered]]
+    * call made — counts, the density estimate (None when the
+    * selectivity cutoff short-circuited or density dispatch was off),
+    * and the route taken. */
+  final case class Decision(corpusCount: Long, allowedCount: Long,
+                            medianLocalAllowed: Option[Double],
+                            route: Route) {
+    def selectivity: Double =
+      if (corpusCount <= 0L) 0.0 else allowedCount.toDouble / corpusCount
+  }
+
+  /** The density-aware routing rule — a pure function of the two
+    * corpus counts and the local-density estimate, so callers, specs,
+    * and the DuckDB oracle can all re-derive the decision without
+    * running a search. `medianLocalAllowed` is the median over queries
+    * of the allowed count among each query's beamWidth nearest
+    * entry-neighborhood candidates ([[graft.ann.GraphSearch
+    * .localAllowedCounts]]): when the MEDIAN query cannot even fill k
+    * from its local region, the greedy walk cannot either — that is
+    * the measured collapse (0.22 recall at 10% selectivity at 1M,
+    * SCALE.md §filtered ANN), and mere selectivity does not see it. */
+  def route(allowedCount: Long, corpusCount: Long,
+            medianLocalAllowed: Double, k: Int,
+            maxExactFraction: Double = DefaultMaxExactFraction,
+            maxAutoExactFraction: Double = DefaultMaxAutoExactFraction)
+      : Route =
+    if (useExactScan(allowedCount, corpusCount, maxExactFraction))
+      ExactSelectivity
+    else if (medianLocalAllowed >= k) Walk
+    else if (allowedCount.toDouble <= maxAutoExactFraction * corpusCount)
+      ExactDensity
+    else WalkStarved
 }

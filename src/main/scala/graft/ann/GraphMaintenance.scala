@@ -673,8 +673,10 @@ final class GraphMaintainer(
         // distinct BEFORE the cap: log-derived frames carry duplicate
         // rows (an id deleted in several batches of one window), and
         // counting those against the cap would spuriously force the
-        // full-scan fallback
-        val t = df.select("node").distinct()
+        // full-scan fallback. Cast to long so Int-id stores collect the
+        // same way they join (the unpruned path is type-generic;
+        // isInCollection coerces the column side back).
+        val t = df.select(col("node").cast("long").as("node")).distinct()
           .limit(scopePruneMax + 1).collect()
         if (t.length > scopePruneMax) None else Some(t.map(_.getLong(0)))
       }
@@ -714,6 +716,10 @@ final class GraphMaintainer(
       .select(col(idCol).as("src"), col(idCol).as("dst"),
         lit(0.0).as("dist"))
     if (regionIds.fold(region.isEmpty)(_.isEmpty)) {
+      // observability must reflect THIS call: without this, a no-op
+      // refine leaves the PREVIOUS refine's mode in lastScopedPrune and
+      // probes attribute the empty-window call to the wrong path
+      lastScopedPrune = Some(pruneActive && regionIds.isDefined)
       if (sf < seq) publishMarker("_scope_fence", seq.toString)
       return empty
     }

@@ -398,10 +398,14 @@ object GraphSearch {
     }
     // bounded frontier-id collection for pruned serving: None when
     // disabled or past the cap (the hop then runs the full-scan form)
+    // cast to long before collecting: the unpruned path is type-generic,
+    // so an Int-id store must not fail only when pruning is enabled
+    // (isInCollection coerces the column side back for the filter)
     def collectIds(df: DataFrame, cap: Int): Option[IndexedSeq[Long]] =
       if (cap <= 0) None
       else {
-        val t = df.distinct().limit(cap + 1).collect()
+        val t = df.select(col(df.columns.head).cast("long"))
+          .distinct().limit(cap + 1).collect()
         if (t.length > cap) None else Some(t.map(_.getLong(0)).toIndexedSeq)
       }
 
@@ -525,17 +529,125 @@ object GraphSearch {
     result
   }
 
-  /** Constrained graph search under the [[FilteredSearch]] selectivity
-    * dispatch — the graph twin of `LshIndex.searchAllFiltered`. Above
-    * the cutoff the filtered beam walk runs ([[beamFrom]] `allowed`:
-    * route through everything, serve the per-hop allowed pool); at or
-    * below it the exact scan over the allowed subset is both correct
-    * (recall 1.0 by construction) and cheap (the subset IS small), and
-    * sidesteps the walk's recall risk when the allowed rows cluster
-    * where the descent never goes — the same measured collapse that
-    * motivated the LSH dispatch (SCALE.md §filtered ANN). The two
-    * COUNTS drive the rule; both come from one aggregate pass over
-    * `vectors` with the predicate evaluated map-side. */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Per-query allowed count within the walk's LOCAL neighborhood —
+    * the density estimate behind [[beamFromFiltered]]'s routing: each
+    * query's entry nodes are expanded ONE graph hop (exactly the
+    * walk's first candidate set), scored, cut to the `beamWidth`
+    * NEAREST in the UNFILTERED order (the region the greedy descent
+    * converges into), and the allowed rows among them counted.
+    * Returns (query_id, local_allowed).
+    *
+    * Why this and not selectivity: the 1M measurement (SCALE.md
+    * §filtered ANN, round 14) shows filtered-walk recall is a density
+    * property — a 10%-selective filter on 10-point clusters leaves ~1
+    * allowed row per local neighborhood and the walk serves 0.22
+    * recall with NO walk parameter able to move it, while the same
+    * selectivity with locally-dense allowed rows serves 1.000. The
+    * count of allowed rows among the nearest beamWidth candidates is
+    * the cheapest observable that separates the two regimes, and the
+    * walk was about to compute these exact rows anyway (hop 0 + 1),
+    * so the estimate costs roughly one hop of the walk it gates.
+    *
+    * Scale shape: candidates are bounded by queries × entries ×
+    * (degree + 1) — the walk's own per-hop bound; the frontier
+    * broadcasts, the edge and vector tables are probed in place, and
+    * the only shuffle is the bounded dedup + per-query window. */
+  def localAllowedCounts(graph: DataFrame, vectors: DataFrame,
+                         idCol: String, vecCol: String, queries: DataFrame,
+                         entries: DataFrame, beamWidth: Int,
+                         allowed: org.apache.spark.sql.Column,
+                         metric: ExactNN.Metric = ExactNN.Cosine,
+                         roundTo: Int = 6,
+                         symmetrize: Boolean = true): DataFrame = {
+    val und = undirected(graph, symmetrize)
+    val vecs = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"),
+      allowed.cast("boolean").as("ok"))
+    val q = broadcast(queries.select(col("query_id"), col("qv")))
+    val ent = entries.select(col("query_id"), col("node"))
+    val nbrs = und
+      .join(broadcast(ent.select(col("query_id"), col("node").as("src"))),
+        "src")
+      .select(col("query_id"), col("dst").as("node"))
+    // dedup before scoring: a node reached from several entries must
+    // count once in the top-beamWidth window (bounded frame — one
+    // shuffle of ≤ queries × entries × (degree + 1) skinny rows)
+    val cands = ent.unionByName(nbrs).dropDuplicates("query_id", "node")
+    val scored = vecs.join(broadcast(cands), "node").join(q, "query_id")
+      .select(col("query_id"), col("node"),
+        round(metric.dist(col("qv"), col("nv")), roundTo).as("dist"),
+        col("ok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist"), col("node"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= beamWidth)
+      .groupBy("query_id")
+      .agg(sum(when(col("ok"), lit(1L)).otherwise(lit(0L)))
+        .as("local_allowed"))
+  }
+
+  /** The routing decision [[beamFromFiltered]] executes, as data — so
+    * specs pin it and oracle rows replay it the way `q_autotune_*`
+    * rows replay tuning decisions. One counts pass over `vectors`
+    * (predicate map-side); the density estimate runs only when the
+    * selectivity cutoff does not already bind and `densityDispatch`
+    * is on. The median (exact, interpolated — `percentile(0.5)`,
+    * DuckDB-replayable) is compared against k: a median query that
+    * cannot fill k locally means the walk cannot either. */
+  def filteredDecision(graph: DataFrame, vectors: DataFrame, idCol: String,
+                       vecCol: String, queries: DataFrame,
+                       entries: DataFrame, k: Int, beamWidth: Int,
+                       allowed: org.apache.spark.sql.Column,
+                       metric: ExactNN.Metric = ExactNN.Cosine,
+                       roundTo: Int = 6, symmetrize: Boolean = true,
+                       maxExactFraction: Double =
+                         FilteredSearch.DefaultMaxExactFraction,
+                       maxAutoExactFraction: Double =
+                         FilteredSearch.DefaultMaxAutoExactFraction,
+                       densityDispatch: Boolean = true)
+      : FilteredSearch.Decision = {
+    val counts = vectors.agg(
+      count(lit(1)).as("corpus"),
+      count(when(allowed, lit(1))).as("allowed")).head()
+    val (corpusN, allowedN) = (counts.getLong(0), counts.getLong(1))
+    if (FilteredSearch.useExactScan(allowedN, corpusN, maxExactFraction))
+      FilteredSearch.Decision(corpusN, allowedN, None,
+        FilteredSearch.ExactSelectivity)
+    else if (!densityDispatch)
+      FilteredSearch.Decision(corpusN, allowedN, None, FilteredSearch.Walk)
+    else {
+      val med = localAllowedCounts(graph, vectors, idCol, vecCol, queries,
+          entries, beamWidth, allowed, metric, roundTo, symmetrize)
+        .agg(expr("percentile(local_allowed, 0.5)").as("med"))
+        .head().getDouble(0)
+      FilteredSearch.Decision(corpusN, allowedN, Some(med),
+        FilteredSearch.route(allowedN, corpusN, med, k,
+          maxExactFraction, maxAutoExactFraction))
+    }
+  }
+
+  /** Constrained graph search under the [[FilteredSearch]] dispatch —
+    * the graph twin of `LshIndex.searchAllFiltered`, routing on BOTH
+    * signals the 1M measurements say matter (SCALE.md §filtered ANN):
+    *
+    *  - selectivity ≤ `maxExactFraction` → exact scan over the allowed
+    *    subset (tiny by definition; recall 1.0 by construction);
+    *  - locally DENSE filter (median query sees ≥ k allowed rows among
+    *    its beamWidth nearest entry-hop candidates,
+    *    [[localAllowedCounts]]) → the filtered beam walk ([[beamFrom]]
+    *    `allowed`: route through everything, serve the per-hop pool);
+    *  - density-STARVED filter with the subset still ≤
+    *    `maxAutoExactFraction` of the corpus → exact scan again — the
+    *    measured regime where the walk silently serves 0.22 recall at
+    *    10% selectivity and quadrupling the beam moves it +0.003;
+    *  - starved AND too large to scan → the walk runs, with a logged
+    *    warning naming the measured risk and the build-time answer
+    *    ([[graft.ann.KnnGraph.fromLshSameLabel]] + [[labelRing]]).
+    *
+    * `densityDispatch = false` restores the round-13 selectivity-only
+    * rule (and skips the estimator's one-hop cost). The decision
+    * itself is available as data via [[filteredDecision]]. */
   def beamFromFiltered(graph: DataFrame, vectors: DataFrame, idCol: String,
                        vecCol: String, queries: DataFrame, entries: DataFrame,
                        k: Int, beamWidth: Int, hops: Int,
@@ -544,12 +656,25 @@ object GraphSearch {
                        roundTo: Int = 6, symmetrize: Boolean = true,
                        excluded: Option[DataFrame] = None,
                        maxExactFraction: Double =
-                         FilteredSearch.DefaultMaxExactFraction): DataFrame = {
-    val counts = vectors.agg(
-      count(lit(1)).as("corpus"),
-      count(when(allowed, lit(1))).as("allowed")).head()
-    val (corpusN, allowedN) = (counts.getLong(0), counts.getLong(1))
-    if (FilteredSearch.useExactScan(allowedN, corpusN, maxExactFraction)) {
+                         FilteredSearch.DefaultMaxExactFraction,
+                       maxAutoExactFraction: Double =
+                         FilteredSearch.DefaultMaxAutoExactFraction,
+                       densityDispatch: Boolean = true): DataFrame = {
+    val d = filteredDecision(graph, vectors, idCol, vecCol, queries,
+      entries, k, beamWidth, allowed, metric, roundTo, symmetrize,
+      maxExactFraction, maxAutoExactFraction, densityDispatch)
+    if (d.route == FilteredSearch.WalkStarved) log.warn(
+      f"filtered graph search is density-starved: the median query sees " +
+      f"${d.medianLocalAllowed.getOrElse(Double.NaN)}%.1f allowed rows " +
+      f"among its $beamWidth nearest local candidates (< k=$k) but the " +
+      f"allowed subset (${d.selectivity * 100}%.1f%% of " +
+      f"${d.corpusCount}%,d rows) exceeds maxAutoExactFraction=" +
+      f"$maxAutoExactFraction — the walk may under-deliver recall " +
+      f"(measured 0.22 at 10%% selectivity at 1M, SCALE.md §filtered " +
+      f"ANN). Consider label-augmented construction " +
+      f"(KnnGraph.fromLshSameLabel + GraphSearch.labelRing) or raising " +
+      f"maxAutoExactFraction.")
+    if (d.route.exact) {
       val subset = vectors.where(allowed)
         .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       val excl = excluded.fold(subset)(t =>

@@ -1796,6 +1796,120 @@ object SimilarityQueries extends QueryPack {
           round(avg("precision"), 4).as("avg_precision"),
           round(avg("recall"), 4).as("avg_recall"),
           count(lit(1)).as("n_queries"))
+    }),
+
+    // Density-aware filtered dispatch under the oracle
+    // (GraphSearch.filteredDecision / beamFromFiltered over
+    // FilteredSearch.route — the round-15 answer to the measured 1M
+    // collapse where a 10%-selective filter starves local
+    // neighborhoods and the walk silently serves 0.22 recall): two
+    // predicate arms cross the density boundary — ~50% (locally dense
+    // → route `walk`) and ~10% (locally starved → route
+    // `exact_density`). The estimator's inputs (entry sets, walk
+    // graph) and every arm's predictions are dumped; DuckDB recomputes
+    // the corpus/allowed counts, RE-DERIVES the median local-allowed
+    // density from the dumps (entry ∪ one-hop candidates, top-BeamWidth
+    // by the same rounded distance/ties, allowed counted, exact median),
+    // replays the routing rule, and grades each arm's recall vs its own
+    // filtered exact ground truth — the whole dispatch decision
+    // cross-engine, the way q_autotune_* rows pin tuning decisions.
+    "q_graph_filtered_auto" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graphLshIndex(s, dir)
+      val g = graphRefinedBackbone(s, dir)
+      val entries = LshQueries.dumpAndReload(s,
+        idx.searchAll(q, BeamWidth, Double.MaxValue, ExactNN.Cosine)
+          .select(col("query_id"), col("vec_id").as("node")),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_auto_entries")
+      val gDumped = LshQueries.dumpAndReload(s, g,
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_auto_edges")
+      val arms = FilteredAutoArms.map { case (name, mod, rem) =>
+        (name, pmod(col("vec_id"), lit(mod)) === rem)
+      }
+      val results = arms.map { case (name, pred) =>
+        val d = graft.ann.GraphSearch.filteredDecision(gDumped, e,
+          "vec_id", "embedding", q, entries, K, BeamWidth, pred,
+          ExactNN.Cosine)
+        val res = graft.ann.GraphSearch.beamFromFiltered(gDumped, e,
+            "vec_id", "embedding", q, entries, K, BeamWidth, BeamHops,
+            pred, ExactNN.Cosine)
+          .withColumn("arm", lit(name))
+        (name, pred, d, res)
+      }
+      val preds = LshQueries.dumpAndReload(s,
+        results.map(_._4).reduce(_ unionByName _)
+          .select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_auto_preds")
+      import s.implicits._
+      val decisions = results.map { case (name, _, d, _) =>
+        (name, d.corpusCount, d.allowedCount,
+          BigDecimal(d.medianLocalAllowed.getOrElse(-1.0))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          d.route.name)
+      }.toDF("arm", "corpus_n", "allowed_n", "median_local_allowed",
+        "route")
+      val recalls = results.map { case (name, pred, _, _) =>
+        val gt = ExactNN.topKAgg(q, e.where(pred), K, ExactNN.Cosine)
+        Eval.setPrecisionRecall(
+            preds.where(col("arm") === name).select("query_id", "vec_id"),
+            gt.select("query_id", "vec_id"))
+          .agg(round(avg("recall"), 4).as("avg_recall"),
+            count(lit(1)).as("n_queries"))
+          .withColumn("arm", lit(name))
+      }.reduce(_ unionByName _)
+      decisions.join(recalls, "arm").orderBy("arm")
+    }),
+
+    // The constrained tuning knob under the oracle — completes the
+    // tuning matrix's filtered edge (verdict r14 #3): four
+    // maxExactFraction arms (percent values) swept over the fixed
+    // ~10%-selective predicate with the selectivity-only rule (density
+    // dispatch off: the cutoff itself is the knob under sweep). The
+    // two serve paths the cutoff can pick are computed ONCE each (the
+    // shared-scan sweep form — row-identical to per-arm
+    // beamFromFiltered, GraphFilteredDispatchSpec); every arm's
+    // predictions land in one dump, per-arm recall is graded GT-side
+    // vs the exact ground truth over the PREDICATE SUBSET, and the
+    // cheapest-arm-meeting-target rule picks the operating point.
+    // DuckDB recomputes its own filtered GT, re-derives each arm's
+    // recall from the dump, and replays the choice — the whole
+    // constrained operating-point decision cross-engine.
+    "q_autotune_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx = graphLshIndex(s, dir)
+      val g = graphRefinedBackbone(s, dir)
+      val pred = pmod(col("vec_id"), lit(10)) === 3
+      val entries = idx.searchAll(q, BeamWidth, Double.MaxValue,
+          ExactNN.Cosine)
+        .select(col("query_id"), col("vec_id").as("node"))
+      val counts = e.agg(count(lit(1)).as("c"),
+        count(when(pred, lit(1))).as("a")).head()
+      val (nCorpus, nAllowed) = (counts.getLong(0), counts.getLong(1))
+      val walk = graft.ann.GraphSearch.beamFrom(g, e, "vec_id",
+        "embedding", q, entries, K, BeamWidth, BeamHops, ExactNN.Cosine,
+        allowed = Some(pred))
+      // the exact serve IS the ground truth (same subset, same k, same
+      // metric) — one scan serves both the exact arms and the grading
+      val exact = ExactNN.topKAgg(q,
+          e.where(pred).select(col("vec_id"), col("embedding")), K,
+          ExactNN.Cosine)
+        .localCheckpoint()
+      val armFrames = FilteredCutoffArms.map { a =>
+        val serve =
+          if (graft.ann.FilteredSearch.useExactScan(nAllowed, nCorpus,
+            a / 100.0)) exact
+          else walk
+        serve.withColumn("arm", lit(a))
+      }
+      val reloaded = LshQueries.dumpAndReload(s,
+        armFrames.reduce(_ unionByName _)
+          .select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
+        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/autotune_filtered_arms")
+      graft.ann.AutoTune.gradeArms(FilteredCutoffArms, reloaded, exact,
+          AutoTuneTarget)
+        .orderBy("arm")
     })
   )
 
@@ -1831,6 +1945,26 @@ object SimilarityQueries extends QueryPack {
     * cost) and its recall target. */
   val GraphBeamArms: Seq[Int] = Seq(10, 16, 32)
   val GraphBeamTarget = 0.95
+
+  /** `q_graph_filtered_auto`'s predicate arms — (name, mod, remainder)
+    * for `vec_id % mod = remainder`: ~50% selective (locally dense →
+    * walk) and ~10% (locally starved at every sf → the density-exact
+    * dispatch). Modular forms so DuckDB evaluates the identical
+    * predicate. */
+  val FilteredAutoArms: Seq[(String, Int, Int)] = Seq(
+    ("dense_50pct", 2, 0),
+    ("starved_10pct", 10, 3))
+
+  /** `q_autotune_filtered`'s sweep: `maxExactFraction` arms as PERCENT
+    * values, swept over the fixed ~10%-selective predicate
+    * (`vec_id % 10 = 3`) with the selectivity-only rule (density
+    * dispatch off — the knob under sweep IS the selectivity cutoff).
+    * Arms below the predicate's 10% serve the filtered walk; arms at
+    * or above it serve the exact subset scan (recall 1.0 by
+    * construction). Ascending = ascending exact-scan cost, so
+    * gradeArms' cheapest-meeting-target rule reads "the smallest
+    * cutoff whose serve path still meets the recall target". */
+  val FilteredCutoffArms: Seq[Int] = Seq(2, 5, 15, 50)
 
   /** Neighbors per node in the k-NN graph queries. */
   val KnnK = 5
@@ -2063,10 +2197,28 @@ object SimilarityQueries extends QueryPack {
       LshQueries.CosineDistSql, None, K,
       corpusWhere = "WHERE label = 3"),
 
+    // Density-aware dispatch: DuckDB recomputes the corpus/allowed
+    // counts, re-derives the median local-allowed density from the
+    // dumped entries + edge list (entry ∪ one-hop candidates,
+    // top-BeamWidth by the same rounded distance and (dist, node)
+    // ties, allowed counted per query, exact interpolated median),
+    // replays FilteredSearch.route as a CASE, and grades each arm's
+    // predictions vs its own filtered exact GT.
+    "q_graph_filtered_auto" -> filteredAutoOracleSql,
+
     // Graph-beam sweep: identical decision replay, cosine GT.
     "q_autotune_graph_beam" -> autotuneOracleSql(
       "autotune_beam_arms", GraphBeamArms, GraphBeamTarget,
       beamCos("qs.qv", "e.embedding::DOUBLE[]")),
+
+    // Constrained cutoff sweep: the same decision replay, with the
+    // ground truth computed over the PREDICATE SUBSET (DuckDB's own
+    // filtered exact GT) — arms below the predicate's 10% selectivity
+    // carry walk predictions, arms at/above it the exact scan's.
+    "q_autotune_filtered" -> autotuneOracleSql(
+      "autotune_filtered_arms", FilteredCutoffArms, AutoTuneTarget,
+      beamCos("qs.qv", "e.embedding::DOUBLE[]"),
+      corpusWhere = "WHERE vec_id % 10 = 3"),
 
     // Delete view (IVF): per-pair recompute + tombstone re-check.
     "q_ivf_search_deleted" ->
@@ -3023,14 +3175,15 @@ object SimilarityQueries extends QueryPack {
     * recall 0 — the AutoTune.gradeArms rule), and replay the
     * cheapest-arm-meeting-target choice. */
   private def autotuneOracleSql(dumpSub: String, arms: Seq[Int],
-                                target: Double, distSql: String): String =
+                                target: Double, distSql: String,
+                                corpusWhere: String = ""): String =
     s"""WITH qs AS (
        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
        |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
        |),
        |sc AS (
        |  SELECT qs.query_id, e.vec_id, $distSql AS dist
-       |  FROM qs CROSS JOIN embeddings e
+       |  FROM qs CROSS JOIN (SELECT * FROM embeddings $corpusWhere) e
        |),
        |gt AS (
        |  SELECT query_id, vec_id FROM (
@@ -3069,6 +3222,129 @@ object SimilarityQueries extends QueryPack {
        |SELECT g.arm, g.avg_recall, g.n_queries,
        |       g.arm = coalesce(c.first_meeting, c.last_arm) AS chosen
        |FROM g CROSS JOIN c ORDER BY arm""".stripMargin
+
+  /** `q_graph_filtered_auto`'s decision-replay SQL: the density-aware
+    * routing rule ([[graft.ann.FilteredSearch.route]]) re-derived
+    * end-to-end by DuckDB — counts from the embeddings table, the
+    * median local-allowed estimate from the dumped entry sets + edge
+    * list (the same entry ∪ one-hop candidate set, the same rounded
+    * cosine and (dist, node) tie order, top-BeamWidth cut, exact
+    * interpolated median), the route CASE mirroring the Scala rule's
+    * cutoffs, and per-arm recall graded vs DuckDB's own filtered exact
+    * GT with [[LshQueries.recallOracle]]'s join shapes. */
+  private def filteredAutoOracleSql: String = {
+    val dump = s"${LshQueries.SearchDumpRoot}/sf0.01"
+    val cos = beamCos("qs.qv", "e.embedding::DOUBLE[]")
+    // per-arm fragments, indexed to keep CTE names stable
+    val armDefs = FilteredAutoArms.zipWithIndex.map {
+      case ((name, mod, rem), i) => (name, s"vec_id % $mod = $rem", i)
+    }
+    val okCols = armDefs.map { case (_, pred, i) =>
+      s"e.$pred AS ok_a$i" }.mkString(",\n    ")
+    val laCols = armDefs.map { case (_, _, i) =>
+      s"count(*) FILTER (WHERE ok_a$i) AS la_a$i" }.mkString(",\n    ")
+    val medCols = armDefs.map { case (_, _, i) =>
+      s"round(quantile_cont(la_a$i, 0.5), 4) AS m_a$i" }.mkString(",\n    ")
+    val cntCols = armDefs.map { case (_, pred, i) =>
+      s"(count(*) FILTER (WHERE $pred))::BIGINT AS a_a$i" }
+      .mkString(",\n    ")
+    val recallCtes = armDefs.map { case (name, pred, i) =>
+      s"""sc$i AS (
+         |  SELECT qs.query_id, e.vec_id, $cos AS dist
+         |  FROM qs CROSS JOIN (SELECT * FROM embeddings WHERE $pred) e
+         |),
+         |gt$i AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |    FROM sc$i
+         |  ) WHERE rn <= $K
+         |),
+         |p$i AS (SELECT query_id, vec_id FROM preds WHERE arm = '$name'),
+         |np$i AS (SELECT query_id, count(*) AS n_pred FROM p$i GROUP BY query_id),
+         |ng$i AS (SELECT query_id, count(*) AS n_gt FROM gt$i GROUP BY query_id),
+         |h$i AS (
+         |  SELECT p$i.query_id, count(*) AS valid
+         |  FROM p$i JOIN gt$i USING (query_id, vec_id) GROUP BY p$i.query_id
+         |),
+         |r$i AS (
+         |  SELECT round(avg(round(coalesce(h$i.valid, 0) / ng$i.n_gt, 6)), 4)
+         |           AS avg_recall,
+         |         count(*) AS n_queries
+         |  FROM np$i JOIN ng$i USING (query_id)
+         |  LEFT JOIN h$i USING (query_id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val maxExact = graft.ann.FilteredSearch.DefaultMaxExactFraction
+    val maxAuto = graft.ann.FilteredSearch.DefaultMaxAutoExactFraction
+    val armRows = armDefs.map { case (name, _, i) =>
+      s"""  SELECT '$name' AS arm, cnts.corpus_n, cnts.a_a$i AS allowed_n,
+         |    med.m_a$i AS median_local_allowed,
+         |    CASE WHEN cnts.a_a$i <= $maxExact * cnts.corpus_n
+         |           THEN 'exact_selectivity'
+         |         WHEN med.m_a$i >= $K THEN 'walk'
+         |         WHEN cnts.a_a$i <= $maxAuto * cnts.corpus_n
+         |           THEN 'exact_density'
+         |         ELSE 'walk_starved' END AS route,
+         |    r$i.avg_recall, r$i.n_queries
+         |  FROM cnts, med, r$i""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT * FROM read_parquet('$dump/graph_auto_edges/*.parquet')
+       |),
+       |und AS (
+       |  SELECT src, dst FROM g UNION SELECT dst, src FROM g
+       |),
+       |qs AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+       |),
+       |en AS (
+       |  SELECT query_id, node
+       |  FROM read_parquet('$dump/graph_auto_entries/*.parquet')
+       |),
+       |preds AS (
+       |  SELECT arm, query_id, vec_id
+       |  FROM read_parquet('$dump/graph_auto_preds/*.parquet')
+       |),
+       |cand AS (
+       |  SELECT DISTINCT query_id, node FROM (
+       |    SELECT query_id, node FROM en
+       |    UNION ALL
+       |    SELECT en.query_id, u.dst AS node FROM en JOIN und u ON u.src = en.node
+       |  )
+       |),
+       |sc AS (
+       |  SELECT c.query_id, c.node,
+       |    $okCols,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY $cos, c.node) AS rn
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.node
+       |  JOIN qs ON qs.query_id = c.query_id
+       |),
+       |la AS (
+       |  SELECT query_id,
+       |    $laCols
+       |  FROM sc WHERE rn <= $BeamWidth GROUP BY query_id
+       |),
+       |med AS (
+       |  SELECT
+       |    $medCols
+       |  FROM la
+       |),
+       |cnts AS (
+       |  SELECT count(*)::BIGINT AS corpus_n,
+       |    $cntCols
+       |  FROM embeddings
+       |),
+       |$recallCtes
+       |SELECT arm, corpus_n, allowed_n, median_local_allowed, route,
+       |       avg_recall, n_queries
+       |FROM (
+       |$armRows
+       |) ORDER BY arm""".stripMargin
+  }
 
   /** Full beam-walk replay SQL: dumped edge list at `graphDir`, initial
     * beam supplied by `b0Sql` (which may reference the shared `qs` and

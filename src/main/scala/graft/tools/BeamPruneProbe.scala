@@ -40,11 +40,14 @@ object BeamPruneProbe {
             bytesAcc.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
       })
     def settleBytes(): Long = {
-      var last = -1L; var stable = 0
-      while (stable < 3) {
+      // bounded like the spec versions: a straggler task stream must not
+      // hang the probe — return the last observed value after ~10 s
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 100) {
         Thread.sleep(100)
         val now = bytesAcc.get()
         if (now == last) stable += 1 else { stable = 0; last = now }
+        waited += 1
       }
       last
     }

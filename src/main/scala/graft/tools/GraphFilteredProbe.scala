@@ -122,6 +122,13 @@ object GraphFilteredProbe {
       }
       fseed.count()
       val (fwalk, tFw) = walkAt(32, fseed)
+      // the density-aware route (round 15): decision printed alongside
+      // the dispatch row, so the table shows WHICH path served it —
+      // the auto path must recover 1.0 exactly where the fixed walk
+      // measured 0.22 (10% selectivity, starved local neighborhoods)
+      val dec = GraphSearch.filteredDecision(g, corpus, "vec_id",
+        "embedding", queries, entries, k, 32, p, ExactNN.Cosine,
+        symmetrize = false)
       val (disp, tD) = ProbeGen.timed {
         val r = GraphSearch.beamFromFiltered(g, corpus, "vec_id",
           "embedding", queries, entries, k, 32, 4, p,
@@ -131,7 +138,9 @@ object GraphFilteredProbe {
       println(f"[graph-filtered] $label: ${sweep.mkString("; ")}; " +
         f"filtered-seeded w=32 recall=${recallOf(fwalk, gt)}%.4f " +
         f"${(tFs + tFw) / qn * 1000}%.1f ms/q; " +
-        f"dispatch recall=${recallOf(disp, gt)}%.4f " +
+        f"dispatch[route=${dec.route.name} medianLocal=" +
+        f"${dec.medianLocalAllowed.getOrElse(-1.0)}%.1f] " +
+        f"recall=${recallOf(disp, gt)}%.4f " +
         f"${tD / qn * 1000}%.1f ms/q")
       fwalk.unpersist(); fseed.unpersist(); disp.unpersist()
       gt.unpersist(); subset.unpersist()

@@ -130,6 +130,8 @@ class GraphScopedPruneSpec extends AnyFunSuite with SparkSpecBase {
     assert(pruned < (unpruned * 0.7).toLong,
       s"InSet form read $pruned bytes vs semi-join's $unpruned — no file pruning")
     // layer 2: keep the bucketed scan and read the plan's own account
+    val prevAuto = spark.conf.getOption(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
     spark.conf.set(
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     try {
@@ -141,8 +143,14 @@ class GraphScopedPruneSpec extends AnyFunSuite with SparkSpecBase {
       assert(hit.isDefined, s"no SelectedBucketsCount in:\n$plan")
       assert(hit.get.group(1).toInt < hit.get.group(2).toInt,
         s"expected a pruned bucketed scan, got ${hit.get.matched}")
-    } finally spark.conf.set(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    } finally prevAuto match {
+      // restore the PRE-TEST value, not a hardcoded default — a session
+      // running with a non-default conf must leave this test unchanged
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    }
   }
 
   test("pruned refine == fallback refine, row for row (and the dispatch is observable)") {
