@@ -44,6 +44,80 @@ object PipelineQueries extends QueryPack {
     * 3.0 drops a real ~15% tail without emptying any stratum. */
   val QualityMin = 3.0
 
+  /** `q_ingest_composed`'s rule-derived batch: arrivals are
+    * doc_id ≡ 0 (mod 5), deletes are base ids ≡ 1 (mod 25) (never
+    * arrivals — 25k+1 ≡ 1 mod 5), so DuckDB reconstructs both sets. */
+  val IngestArrivalMod = 5L
+  val IngestDeleteMod = 25L
+
+  /** The composed-ingestion store build, memoized per (session, sf)
+    * like the other stored-lifecycle rows: all four stores built on
+    * the base corpus, then ONE [[graft.streaming.IngestPipeline]]
+    * micro-batch — the rule-derived arrivals gated, fanned to
+    * postings/codes/graph, deletes fanned to all — with the graph on
+    * refineEvery = 1 so the batch ends in a full refine (deleted
+    * nodes physically gone; every live node backbone-linked), making
+    * graph membership a pure liveness predicate. */
+  private def ingestStores(s: SparkSession, dir: String)
+      : (graft.text.DedupGate, graft.retrieval.PostingsStore,
+         graft.ann.CodesMaintainer, graft.ann.GraphMaintainer,
+         graft.streaming.IngestPipeline.Report) = {
+    import s.implicits._
+    memoized(s, dir, "ingest_composed") {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("toks", tokens(col("text")))
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val joined = d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("doc_id"), col("text"), col("toks"), col("embedding"))
+        .localCheckpoint()
+      val base = joined.where(pmod(col("doc_id"), lit(IngestArrivalMod)) =!= 0)
+      val arrivals = joined.where(pmod(col("doc_id"), lit(IngestArrivalMod)) === 0)
+      val deletes = base.where(pmod(col("doc_id"), lit(IngestDeleteMod)) === 1)
+        .select("doc_id")
+      val cfg = graft.text.Dedup.MinHashConfig(
+        shingleN = TextQueries.ShingleN, numHashes = TextQueries.NumHashes,
+        bandRows = TextQueries.BandRows,
+        jaccardThreshold = TextQueries.JaccardThreshold,
+        maxDocFreqRatio = 1.0)
+      val root = java.nio.file.Files
+        .createTempDirectory("ingest_row").toString
+      val gate = graft.text.DedupGate.build(s, s"$root/gate", base,
+        cfg = cfg, compactEvery = 100)
+      val postings = graft.retrieval.PostingsStore.build(s,
+        s"$root/postings", base.select(col("doc_id"), col("toks")),
+        compactEvery = 100)
+      val baseVecs = base.select(col("doc_id").as("vec_id"), col("embedding"))
+      val sq = graft.ann.sq.Sq.train(baseVecs, "vec_id", "embedding")
+      sq.save(s, s"$root/codes")
+      val codes = new graft.ann.CodesMaintainer(s, s"$root/codes",
+        encode = a => sq.model.transformDf(a, "vec_id", "embedding"),
+        compactEvery = 100)
+      val name = s"ingest_row_${LshQueries.sfName(dir).replace('.', '_')}"
+      graft.ann.GraphSearch.dropManagedTables(s, s"${name}_edges",
+        s"${name}_swap_edges")
+      val g = graft.ann.KnnGraph.exact(baseVecs, "vec_id", "embedding", 5,
+          graft.ann.ExactNN.Cosine)
+        .select(col("src"), col("dst"))
+        .unionByName(graft.ann.GraphSearch.randomBackbone(baseVecs, "vec_id"))
+        .dropDuplicates("src", "dst")
+      graft.ann.GraphSearch.saveBucketed(g, name)
+      val graph = new graft.ann.GraphMaintainer(s, name, s"$root/graph",
+        "vec_id", "embedding", k = 5, beamWidth = 32, hops = 4,
+        refineEvery = 1, maxReverseDegree = 2)
+      // 16 deterministic base entry ids (1..20 minus the multiples of 5)
+      val entryIds = (1L to 20L).filterNot(_ % IngestArrivalMod == 0)
+      val pipeline = new graft.streaming.IngestPipeline(gate, postings,
+        codes, graph,
+        entriesFor = nv => nv.select(col("vec_id").as("query_id"))
+          .crossJoin(entryIds.toDF("node")))
+      val report = pipeline.onBatch(arrivals,
+        joined.select(col("doc_id").as("vec_id"), col("embedding")),
+        Some(deletes))
+      (gate, postings, codes, graph, report)
+    }
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_demo" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
@@ -96,6 +170,52 @@ object PipelineQueries extends QueryPack {
           sum("n_chunks").as("n_chunks"),
           round(avg("quality_score"), 4).as("avg_quality"))
         .orderBy("lang", "split")
+    }),
+
+    // The composed INGESTION lifecycle under the oracle — one arrivals
+    // micro-batch through dedup-gate → postings → codes → graph from
+    // the same IngestPipeline.onBatch (the q_pipeline_demo idea applied
+    // to the OPERATE loop; each store's maintenance is oracle/spec-
+    // gated in isolation elsewhere, THIS row certifies the composed
+    // end state). Output: one row per arrival and per deleted doc with
+    // the gate's decision and each store's observed membership AFTER
+    // the batch. DuckDB independently replays the admission decision
+    // (MinHash bands over the same fragments as q_incremental_near_dup,
+    // exact-Jaccard verification, recursive-CTE components, the
+    // anchored/min-id retention rule) and asserts every store's
+    // membership equals it — a store ingesting a rejected doc,
+    // dropping an admitted one, or serving a deleted one mismatches
+    // the hash.
+    "q_ingest_composed" -> ((s, dir) => {
+      val (gate, postings, codes, graph, report) = ingestStores(s, dir)
+      val d = tbl(s, dir, "documents")
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"))
+      val withEmb = d.join(e, d("doc_id") === e("vec_id"))
+        .select("doc_id")
+      val arr = withEmb.where(pmod(col("doc_id"), lit(IngestArrivalMod)) === 0)
+        .withColumn("kind", lit("arrival"))
+      val del = withEmb.where(pmod(col("doc_id"), lit(IngestArrivalMod)) =!= 0
+          && pmod(col("doc_id"), lit(IngestDeleteMod)) === 1)
+        .withColumn("kind", lit("delete"))
+      val ids = arr.unionByName(del)
+      val admitted = report.admittedRows.select(col("doc_id"))
+        .withColumn("admitted", lit(true))
+      val inBands = gate.servingBands.select("doc_id").distinct()
+        .withColumn("in_bands", lit(true))
+      val inPost = postings.liveDocs.select("doc_id")
+        .withColumn("in_postings", lit(true))
+      val inCodes = codes.liveCodes.select(col("vec_id").as("doc_id"))
+        .withColumn("in_codes", lit(true))
+      val inGraph = graph.servingEdges.select(col("src").as("doc_id"))
+        .distinct().withColumn("in_graph", lit(true))
+      ids
+        .join(admitted, Seq("doc_id"), "left")
+        .join(inBands, Seq("doc_id"), "left")
+        .join(inPost, Seq("doc_id"), "left")
+        .join(inCodes, Seq("doc_id"), "left")
+        .join(inGraph, Seq("doc_id"), "left")
+        .na.fill(false)
+        .orderBy("kind", "doc_id")
     })
   )
 
@@ -145,6 +265,75 @@ object PipelineQueries extends QueryPack {
          |  count(*) AS n_docs,
          |  sum(n_chunks)::BIGINT AS n_chunks,
          |  round(avg(quality_score), 4) AS avg_quality
-         |FROM s4 GROUP BY lang, split ORDER BY lang, split""".stripMargin
+         |FROM s4 GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // Full admission replay: MinHash bands over TextQueries' shared
+    // fragments, exact-Jaccard verification, recursive transitive
+    // closure, the anchored/min-id retention rule — then every store's
+    // membership column asserted equal to the replayed decision
+    // (arrivals) or false (deletes).
+    "q_ingest_composed" ->
+      s"""WITH RECURSIVE ${TextQueries.tokCte}, ${TextQueries.shgCte},
+         |${TextQueries.sigCte},
+         |bands AS (
+         |  SELECT doc_id, hid // ${TextQueries.BandRows} AS band,
+         |         md5(string_agg(sig::VARCHAR, ',' ORDER BY hid)) AS bkey
+         |  FROM sig GROUP BY doc_id, band
+         |),
+         |del AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % $IngestArrivalMod <> 0
+         |    AND doc_id % $IngestDeleteMod = 1
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |              AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id % $IngestArrivalMod = 0
+         |         OR b.doc_id % $IngestArrivalMod = 0)
+         |    AND a.doc_id NOT IN (SELECT doc_id FROM del)
+         |    AND b.doc_id NOT IN (SELECT doc_id FROM del)
+         |),
+         |${TextQueries.jacSql("cand")},
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM jac
+         |  WHERE jac >= ${TextQueries.JaccardThreshold}
+         |),
+         |nodes AS (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |anchored AS (
+         |  SELECT DISTINCT cluster_id FROM comp
+         |  WHERE doc_id % $IngestArrivalMod <> 0
+         |),
+         |rej AS (
+         |  SELECT doc_id FROM comp
+         |  WHERE doc_id % $IngestArrivalMod = 0
+         |    AND (cluster_id IN (SELECT cluster_id FROM anchored)
+         |         OR doc_id <> cluster_id)
+         |),
+         |arr AS (
+         |  SELECT doc_id,
+         |         doc_id NOT IN (SELECT doc_id FROM rej) AS adm
+         |  FROM documents WHERE doc_id % $IngestArrivalMod = 0
+         |)
+         |SELECT doc_id, kind, admitted, in_bands, in_postings, in_codes,
+         |       in_graph
+         |FROM (
+         |  SELECT doc_id, 'arrival' AS kind, adm AS admitted,
+         |         adm AS in_bands, adm AS in_postings, adm AS in_codes,
+         |         adm AS in_graph
+         |  FROM arr
+         |  UNION ALL
+         |  SELECT doc_id, 'delete', false, false, false, false, false
+         |  FROM del
+         |) ORDER BY kind, doc_id""".stripMargin
   )
 }

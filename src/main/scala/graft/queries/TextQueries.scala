@@ -976,14 +976,14 @@ object TextQueries extends QueryPack {
 
   /** Shared fragments mirroring TextFunctions (see its scaladoc for the
     * cross-engine hash contract). */
-  private val tokCte =
+  private[queries] val tokCte =
     """tok AS (
       |  SELECT doc_id, lang, text,
       |         string_split_regex(trim(text), '\s+') AS toks
       |  FROM documents
       |)""".stripMargin
 
-  private val shgCte = // distinct shingles per doc
+  private[queries] val shgCte = // distinct shingles per doc
     s"""shg AS (
        |  SELECT doc_id,
        |         unnest(list_distinct(list_transform(range(0, len(toks)-${ShingleN - 1}),
@@ -991,7 +991,7 @@ object TextQueries extends QueryPack {
        |  FROM tok
        |)""".stripMargin
 
-  private val sigCte =
+  private[queries] val sigCte =
     s"""hbase AS (
        |  SELECT doc_id,
        |         ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT % ${FpMod} AS h
@@ -1030,7 +1030,7 @@ object TextQueries extends QueryPack {
 
   /** jac scoring of `cand(doc_a, doc_b)` against a shingle table —
     * mirrors Dedup.verifyJaccard / the inline array_intersect form. */
-  private def jacSql(candCte: String, shgTable: String = "shg"): String =
+  private[queries] def jacSql(candCte: String, shgTable: String = "shg"): String =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM $shgTable GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS i

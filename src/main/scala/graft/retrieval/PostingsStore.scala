@@ -132,6 +132,13 @@ final class PostingsStore(
   /** Live doc-length sidecar (doc_id, dl, seq) — one row per live doc. */
   private[retrieval] def liveDoclens: DataFrame = killDead(withDelta("doclens"))
 
+  /** The live DOCUMENT set (doc_id, dl) — membership, not scoring: a
+    * freshly-appended doc whose terms are all OOV since the stats
+    * fence is LIVE here even though [[sparse]]/[[bm25]] won't score it
+    * until a refit (the under-score-never-over-score rule). The view
+    * composed pipelines and specs check store membership against. */
+  def liveDocs: DataFrame = liveDoclens.select(col("doc_id"), col("dl"))
+
   private def stats: DataFrame = spark.read.parquet(s"$path/stats")
   private def meta: (Long, Double, Long) = {
     val r = spark.read.parquet(s"$path/meta").head()

@@ -149,7 +149,7 @@ object Dedup {
   }
 
   /** Apply a (possibly frozen) hot list to shingle arrays. */
-  private def capWithHot(shArr: DataFrame, hotRow: DataFrame): DataFrame =
+  private[text] def capWithHot(shArr: DataFrame, hotRow: DataFrame): DataFrame =
     shArr.crossJoin(broadcast(hotRow))
       .select(col("doc_id"), array_except(col("sh"), col("hot")).as("sh"))
       .where(size(col("sh")) > 0)

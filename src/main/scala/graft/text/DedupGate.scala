@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A STORED near-duplicate gate — the dedup stage of a streaming
+  * ingestion pipeline, as a maintained LSM store like the other three
+  * ([[graft.retrieval.PostingsStore]], [[graft.ann.CodesMaintainer]],
+  * [[graft.ann.GraphMaintainer]]): the corpus's MinHash band index
+  * ([[Dedup.bandRows]] — (doc_id, sh, band, bkey), the shingle array
+  * riding each row for exact verification) persists at `$path/bands`;
+  * each arrivals micro-batch is gated against the serving view and the
+  * ADMITTED docs' band rows append seq-stamped, so batch 2 dedups
+  * against batch 1's admissions without ever re-banding the corpus.
+  *
+  * Admission rule (the retention policy the batch queries pin —
+  * `q_near_dup_clusters`' min-id-per-component, applied incrementally):
+  * verified near-dup pairs involving the batch
+  * ([[Dedup.minhashNearDupIncremental]]: arrivals×stored banded
+  * candidates + the within-batch self-join, every candidate
+  * exact-Jaccard-verified) feed connected components; an arrival in a
+  * component ANCHORED by a stored doc is rejected (the stored doc is
+  * already canonical — admission cannot retroactively evict it), an
+  * unanchored component keeps exactly its min-id arrival. Arrivals
+  * with no pair (including docs too short to shingle) admit. An
+  * arrival reusing a STORED id is an upsert: same-id pairs never form
+  * (the incremental join excludes them), so re-arrivals — including a
+  * crashed batch's replay — re-admit instead of self-colliding.
+  *
+  * LSM legs (shared [[graft.ann.LsmStore]] machinery): admitted band
+  * rows land seq-stamped in `bands_delta`; deletes append to the
+  * `tombstones` log (a tombstone kills band rows of its id from
+  * strictly earlier batches, so a deleted doc stops blocking future
+  * arrivals); a batch-commit record makes each batch atomic; every
+  * `compactEvery` batches the serving view folds into `$path/bands`
+  * through the crash-safe commit.
+  *
+  * Scale shape: gating cost is per-BATCH — arrivals band map-side and
+  * broadcast into the stored band table (never shuffling it), the
+  * pair set is banding-bounded, and components span only docs touched
+  * by the batch's pairs (O(merged-component diameter) rounds). The
+  * corpus is re-read only by compaction.
+  */
+final class DedupGate(
+    spark: SparkSession,
+    path: String,
+    cfg: Dedup.MinHashConfig,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    compactEvery: Int = graft.ann.LsmStore.DefaultCompactEvery,
+    hot: Option[DataFrame] = None) extends graft.ann.LsmStore {
+
+  require(compactEvery > 0, s"compactEvery $compactEvery must be positive")
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  override protected def lsmSpark: SparkSession = spark
+  override protected def lsmPath: String = path
+  override protected def lsmLogDirs: Seq[String] =
+    Seq("bands_delta", "tombstones", "batch_commits")
+
+  private def base: DataFrame = spark.read.parquet(s"$path/bands")
+
+  private var batches = recoverSeq()
+
+  /** Batches applied over the store's lifetime (persistent — recovered
+    * from the logs and the compaction fence). */
+  def batchesSeen: Int = batches
+
+  private def emptySeqDocs: DataFrame =
+    spark.range(0).select(col("id").as("doc_id"), lit(0).as("seq"))
+
+  private def tombstones: DataFrame =
+    visibleFilter(readOr("tombstones", emptySeqDocs))
+      .select("doc_id", "seq")
+
+  /** The serving band index: persisted base + unfenced committed delta,
+    * minus tombstoned docs (t.seq > row.seq; base rows are seq 0). */
+  def servingBands: DataFrame = {
+    val all = base.withColumn("seq", lit(0))
+      .unionByName(visibleFilter(readOr("bands_delta",
+        base.limit(0).withColumn("seq", lit(0)))))
+    val t = broadcast(tombstones)
+    all.join(t, all("doc_id") === t("doc_id") && t("seq") > all("seq"),
+        "left_anti")
+      .drop("seq")
+  }
+
+  /** One gated maintenance step. `arrivals` rows carry (`idCol`,
+    * `textCol`, …) — extra columns ride through to `admitted`
+    * untouched; `deletes` rows are (`idCol`). A doc deleted and
+    * re-arriving in one batch is an upsert: the gate evaluates the
+    * batch against the serving view MINUS this batch's deletes, so the
+    * old version cannot block its own replacement. Returns the
+    * admitted arrivals (the caller feeds them to the downstream
+    * stores) and the rejected (doc_id, cluster_id) assignment — each
+    * rejected doc names the canonical doc that outranked it. */
+  def onBatch(arrivals: DataFrame,
+              deletes: Option[DataFrame] = None): DedupGate.Result = {
+    guardPoisoned()
+    val seq = batches + 1
+    // the seq is BURNED up front (LsmStore doc): a failed attempt's
+    // partial log rows stay at a seq no retry reuses
+    batches = seq
+    val serving = deletes.fold(servingBands)(d =>
+      servingBands.join(
+        broadcast(d.select(col(idCol).as("doc_id"))),
+        Seq("doc_id"), "left_anti"))
+    val pairs = Dedup.minhashNearDupIncremental(serving, arrivals,
+      idCol, textCol, cfg, hot)
+    val aIds = arrivals.select(col(idCol).as("doc_id"))
+    val cc = Dedup.connectedComponents(pairs)
+    // a component holding ANY stored doc is anchored: its canonical row
+    // already serves, so every arrival member is a duplicate of it
+    val anchored = cc.join(aIds, Seq("doc_id"), "left_anti")
+      .select("cluster_id").distinct()
+    val arrivalCc = cc.join(aIds, Seq("doc_id"), "left_semi")
+    // rejected BEFORE the delta append and materialized: its lineage
+    // reads the serving view this batch is about to extend
+    val rejected = arrivalCc
+      .join(anchored, Seq("cluster_id"), "left_semi")
+      .unionByName(arrivalCc.where(col("doc_id") =!= col("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"))
+      .dropDuplicates("doc_id")
+      .localCheckpoint()
+    val admitted = arrivals.join(
+      broadcast(rejected.select(col("doc_id").as(idCol))),
+      Seq(idCol), "left_anti")
+    deletes.foreach(_.select(col(idCol).as("doc_id"), lit(seq).as("seq"))
+      .write.mode("append").parquet(s"$path/tombstones"))
+    // admitted docs' band rows — banded map-side through the same
+    // column builders the gating pass used (frozen `hot` capping)
+    val aSh = {
+      val raw = Dedup.rawShingleArrays(admitted, idCol, textCol, cfg)
+      hot.fold(raw)(h => Dedup.capWithHot(raw, h))
+    }
+    Dedup.bandRows(aSh, cfg).withColumn("seq", lit(seq))
+      .write.mode("append").parquet(s"$path/bands_delta")
+    // the batch becomes visible ATOMICALLY here (LsmStore doc): a crash
+    // above leaves a partial batch that visibleFilter ignores
+    markBatchCommitted(seq)
+    if (batches - readFence() >= compactEvery) compactNow()
+    DedupGate.Result(admitted, rejected)
+  }
+
+  /** Fold the logs into `$path/bands` through the crash-safe commit
+    * ([[graft.ann.LsmStore.commitCompaction]]). */
+  def compactNow(): Unit = {
+    val live = servingBands.localCheckpoint()
+    live.write.mode("overwrite").parquet(s"$path/$CompactTmpDir/bands")
+    commitCompaction(batches, Seq(s"$CompactTmpDir/bands" -> "bands"))
+    if (log.isInfoEnabled) log.info(
+      s"dedup gate '$path' compacted after $batches batches")
+  }
+}
+
+object DedupGate {
+  /** One gated batch's outcome: `admitted` — the arrivals that passed
+    * (full caller schema, feed downstream); `rejected` — (doc_id,
+    * cluster_id), each rejected doc with the canonical doc of its
+    * near-dup component. */
+  final case class Result(admitted: DataFrame, rejected: DataFrame)
+
+  /** Build the stored gate over an existing corpus: band the docs once
+    * ([[Dedup.bandIndex]]) into `$path/bands` and open the store. The
+    * corpus itself is assumed already deduplicated (run the batch
+    * near-dup + retention queries first); the gate keeps it that way
+    * under streaming arrivals. */
+  def build(spark: SparkSession, path: String, docs: DataFrame,
+            idCol: String = "doc_id", textCol: String = "text",
+            cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(),
+            compactEvery: Int = graft.ann.LsmStore.DefaultCompactEvery,
+            hot: Option[DataFrame] = None): DedupGate = {
+    Dedup.bandIndex(docs, idCol, textCol, cfg, hot)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    new DedupGate(spark, path, cfg, idCol, textCol, compactEvery, hot)
+  }
+}

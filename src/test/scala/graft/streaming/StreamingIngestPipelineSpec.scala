@@ -1,0 +1,218 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+import graft.ann.{CodesMaintainer, ExactNN, GraphMaintainer, GraphSearch,
+  KnnGraph}
+import graft.retrieval.PostingsStore
+import graft.text.{Dedup, DedupGate}
+
+/** The composed ingestion lifecycle ([[IngestPipeline]]): ONE arrivals
+  * micro-batch flowing through dedup-gate → postings append → codes
+  * append → graph insert from the same foreachBatch. Contracts:
+  *
+  *   - stream == batch identity ACROSS ALL FOUR STORES: the streaming
+  *     run's final store states (band index, postings, codes, graph
+  *     edges) are row-identical to a driver-side loop applying the
+  *     same splits sequentially;
+  *   - one consistency cut: every admitted doc is in all four stores,
+  *     every rejected doc in none;
+  *   - gate semantics across batches: a batch-2 arrival duplicating a
+  *     batch-1 ADMISSION is rejected (the stored band index grew), a
+  *     same-batch delete unblocks a near-identical arrival (upsert);
+  *   - deletes fan out: a deleted doc leaves postings/codes/bands and
+  *     is tombstoned in the graph.
+  */
+class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  private val cfg = Dedup.MinHashConfig(shingleN = 3, numHashes = 8,
+    bandRows = 2, jaccardThreshold = 0.5, maxDocFreqRatio = 1.0)
+
+  private def baseText(i: Long) =
+    s"base doc $i carries tokens t${i}a t${i}b t${i}c t${i}d"
+
+  private val rng = new scala.util.Random(29L)
+  private val vecs: Map[Long, Seq[Double]] =
+    ((0L until 40L) ++ Seq(100L, 101L, 102L, 103L, 110L, 111L, 112L))
+      .map(i => i -> Seq.fill(8)(rng.nextGaussian())).toMap
+
+  // batch rows: (doc_id, text, op) — op 'del' rows are deletes
+  private val batch1: Seq[(Long, String, String)] = Seq(
+    (100L, baseText(5), "ins"),               // dup of stored 5 -> rejected
+    (101L, "fresh arrival alpha one two three four five six", "ins"),
+    (102L, "fresh arrival alpha one two three four five six", "ins"),
+    (103L, "unique arrival beta seven eight nine ten eleven", "ins"))
+  private val batch2: Seq[(Long, String, String)] = Seq(
+    (110L, "fresh arrival alpha one two three four five six", "ins"),
+    (111L, "unique arrival gamma twelve thirteen fourteen fifteen", "ins"),
+    (112L, baseText(7), "ins"),                // 7 deleted SAME batch -> admitted
+    (7L, "", "del"))
+
+  private def baseDocs: DataFrame =
+    (0L until 40L).map(i => (i, baseText(i), vecs(i)))
+      .toDF("doc_id", "text", "embedding")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+
+  private def allVectors: DataFrame =
+    vecs.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+
+  private def arrivalsDf(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.filter(_._3 == "ins")
+      .map { case (i, t, _) => (i, t, vecs(i)) }
+      .toDF("doc_id", "text", "embedding")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+
+  private def deletesDf(rows: Seq[(Long, String, String)]): Option[DataFrame] = {
+    val d = rows.filter(_._3 == "del").map(_._1)
+    if (d.isEmpty) None else Some(d.toDF("doc_id"))
+  }
+
+  /** Build the four stores fresh under `tag` and return the pipeline
+    * plus handles to each store. */
+  private def buildStores(tag: String)
+      : (IngestPipeline, DedupGate, PostingsStore, CodesMaintainer,
+         GraphMaintainer) = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"ingest_$tag").toString
+    val gate = DedupGate.build(spark, s"$root/gate", baseDocs,
+      cfg = cfg, compactEvery = 100)
+    val postings = PostingsStore.build(spark, s"$root/postings",
+      baseDocs.select($"doc_id", $"toks"), compactEvery = 100)
+    val baseVecs = baseDocs.select($"doc_id".as("vec_id"), $"embedding")
+    val sq = graft.ann.sq.Sq.train(baseVecs, "vec_id", "embedding")
+    sq.save(spark, s"$root/codes")
+    val codes = new CodesMaintainer(spark, s"$root/codes",
+      encode = a => sq.model.transformDf(a, "vec_id", "embedding"),
+      compactEvery = 100)
+    val name = s"ingest_${tag}_graph"
+    GraphSearch.dropManagedTables(spark, s"${name}_edges",
+      s"${name}_swap_edges")
+    val g = KnnGraph.exact(baseVecs, "vec_id", "embedding", 3,
+        ExactNN.Cosine)
+      .select($"src", $"dst")
+      .unionByName(GraphSearch.randomBackbone(baseVecs, "vec_id"))
+      .dropDuplicates("src", "dst")
+    GraphSearch.saveBucketed(g, name)
+    val graph = new GraphMaintainer(spark, name, s"$root/graph",
+      "vec_id", "embedding", k = 3, beamWidth = 8, hops = 2,
+      refineEvery = 100, maxReverseDegree = 2)
+    val pipeline = new IngestPipeline(gate, postings, codes, graph,
+      entriesFor = nv => nv.select($"vec_id".as("query_id"))
+        .crossJoin((0L until 8L).toDF("node")))
+    (pipeline, gate, postings, codes, graph)
+  }
+
+  private def bandsSet(g: DedupGate): Set[(Long, Int, String)] =
+    g.servingBands.select($"doc_id", $"band", $"bkey")
+      .as[(Long, Int, String)].collect().toSet
+
+  // membership via liveDocs (a new doc's terms can be all-OOV until a
+  // stats refit, so `sparse` under-reports by design); the scored view
+  // compared too, so the weights' stream==batch identity stays pinned
+  private def postingsSet(p: PostingsStore): Set[(Long, Long)] =
+    p.liveDocs.select($"doc_id", $"dl".cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  private def sparseSet(p: PostingsStore): Set[(Long, String, Double)] =
+    p.sparse.select($"doc_id", $"term", round($"w", 6))
+      .as[(Long, String, Double)].collect().toSet
+
+  private def codesSet(c: CodesMaintainer): Set[(Long, Seq[Int])] =
+    c.liveCodes.select($"vec_id", $"codes".cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().toSet
+
+  private def edgesSet(g: GraphMaintainer): Set[(Long, Long)] =
+    g.servingEdges.select($"src", $"dst")
+      .as[(Long, Long)].collect().toSet
+
+  test("one micro-batch drives all four stores; stream == batch; rejected in none, admitted in all") {
+    // ---- streaming side ----
+    val (sp, sGate, sPost, sCodes, sGraph) = buildStores("s")
+    val reports = scala.collection.mutable.ListBuffer
+      .empty[IngestPipeline.Report]
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("doc_id", "text", "op")
+      .writeStream
+      .foreachBatch { (batchDf: DataFrame, _: Long) =>
+        if (!batchDf.isEmpty) {
+          val rows = batchDf.select($"doc_id", $"text", $"op")
+            .as[(Long, String, String)].collect().toSeq
+          reports += sp.onBatch(arrivalsDf(rows), allVectors,
+            deletesDf(rows))
+        }
+        ()
+      }
+      .start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // ---- batch twin: same splits, sequential ----
+    val (bp, bGate, bPost, bCodes, bGraph) = buildStores("b")
+    val bReports = Seq(batch1, batch2).map(rows =>
+      bp.onBatch(arrivalsDf(rows), allVectors, deletesDf(rows)))
+
+    // stream == batch, store for store
+    assert(bandsSet(sGate) === bandsSet(bGate), "band index diverged")
+    assert(postingsSet(sPost) === postingsSet(bPost), "postings diverged")
+    assert(sparseSet(sPost) === sparseSet(bPost), "sparse weights diverged")
+    assert(codesSet(sCodes) === codesSet(bCodes), "codes diverged")
+    assert(edgesSet(sGraph) === edgesSet(bGraph), "graph diverged")
+
+    // gate semantics: batch 1 rejects the stored-dup and the
+    // within-batch higher id; batch 2 rejects the dup of batch 1's
+    // ADMISSION and admits the same-batch-delete upsert
+    val rej1 = reports(0).rejected.as[(Long, Long)].collect().toMap
+    assert(rej1.keySet === Set(100L, 102L), s"batch-1 rejects: $rej1")
+    assert(rej1(100L) === 5L && rej1(102L) === 101L)
+    assert(reports(0).admitted === 2L && reports(0).arrived === 4L)
+    val rej2 = reports(1).rejected.as[(Long, Long)].collect().toMap
+    assert(rej2.keySet === Set(110L), s"batch-2 rejects: $rej2")
+    assert(rej2(110L) === 101L,
+      "batch-2 dup not caught against batch-1's stored admission")
+    assert(reports(1).admitted === 2L)
+    // the batch twin decided identically
+    assert(bReports(0).rejected.as[(Long, Long)].collect().toMap === rej1)
+    assert(bReports(1).rejected.as[(Long, Long)].collect().toMap === rej2)
+
+    // the consistency cut: admitted ids in ALL stores, rejected in NONE
+    val admitted = Set(101L, 103L, 111L, 112L)
+    val rejected = Set(100L, 102L, 110L)
+    val inBands = bandsSet(sGate).map(_._1)
+    val inPost = postingsSet(sPost).map(_._1)
+    val inCodes = codesSet(sCodes).map(_._1)
+    val inGraph = edgesSet(sGraph).map(_._1)
+    admitted.foreach { id =>
+      assert(inBands(id), s"admitted $id missing from band index")
+      assert(inPost(id), s"admitted $id missing from postings")
+      assert(inCodes(id), s"admitted $id missing from codes")
+      assert(inGraph(id), s"admitted $id missing from graph")
+    }
+    rejected.foreach { id =>
+      assert(!inBands(id) && !inPost(id) && !inCodes(id) && !inGraph(id),
+        s"rejected $id leaked into a store")
+    }
+
+    // deletes fanned out: doc 7 left postings/codes/bands and is
+    // tombstoned in the graph (served-excluded until the next refine)
+    assert(!inBands(7L) && !inPost(7L) && !inCodes(7L),
+      "deleted doc 7 still serving")
+    assert(sGraph.tombstones.as[Long].collect().contains(7L),
+      "deleted doc 7 not tombstoned in the graph")
+
+    // and a rejected doc really was a verified near-dup of its anchor
+    // (jaccard >= threshold against the canonical doc's text)
+    val pairs = Dedup.minhashNearDup(
+      Seq((100L, baseText(5)), (5L, baseText(5))).toDF("doc_id", "text"),
+      "doc_id", "text", cfg)
+    assert(pairs.where($"jac" >= cfg.jaccardThreshold).count() === 1L)
+  }
+}
