@@ -22,6 +22,8 @@ object SparkEntry {
     TextQueries,
     EventQueries,
     SimilarityQueries,
+    GraphQueries,
+    CompressedQueries,
     MultimodalQueries,
     PipelineQueries,
     RetrievalQueries

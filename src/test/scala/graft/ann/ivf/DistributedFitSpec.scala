@@ -85,7 +85,7 @@ class DistributedFitSpec extends AnyFunSuite with SparkSpecBase {
     // exactly fitCentroidsDistributed's centroids (any corpus larger
     // than driverFitMaxSample = 1 dispatches distributed).
     val corpus = mkCorpus(seed = 19)
-    val cfg = graft.queries.SimilarityQueries.ivfDistFitConfig
+    val cfg = graft.queries.CompressedQueries.ivfDistFitConfig
     assert(cfg.driverFitMaxSample === 1)
     val viaFit = Ivf.fit(corpus, "embedding", cfg).centroids
     val direct = Ivf.fitCentroidsDistributed(corpus, "embedding",
