@@ -93,8 +93,11 @@ final class DedupGate(
     * batch against the serving view MINUS this batch's deletes, so the
     * old version cannot block its own replacement. Returns the
     * admitted arrivals (the caller feeds them to the downstream
-    * stores) and the rejected (doc_id, cluster_id) assignment — each
-    * rejected doc names the canonical doc that outranked it. */
+    * stores) and the rejected (doc_id, cluster_id) assignment —
+    * cluster_id is the component's MIN doc id (the retention rule's
+    * canonical label; for an anchored component whose min happens to
+    * be the rejected arrival itself, the stored anchor rejects it
+    * regardless and the label stays the component min). */
   def onBatch(arrivals: DataFrame,
               deletes: Option[DataFrame] = None): DedupGate.Result = {
     guardPoisoned()
