@@ -23,7 +23,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkSpecBase {
     // newSession() keys a fresh memo map (same context, new reference);
     // these two queries own the deepest memo dependency chains.
     val s2 = spark.newSession()
-    assert(graft.queries.SimilarityQueries
+    assert(graft.queries.GraphQueries
       .queries("q_mutual_knn_clusters_lsh")(s2, sf("sf0.001")).count() > 0)
     val s3 = spark.newSession()
     assert(graft.queries.RetrievalQueries

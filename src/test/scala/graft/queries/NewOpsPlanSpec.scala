@@ -56,7 +56,7 @@ class NewOpsPlanSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("q_autotune_graph_beam grade: aggregates only, no window, no corpus join") {
-    val p = plan(SimilarityQueries.queries, "q_autotune_graph_beam")
+    val p = plan(GraphQueries.queries, "q_autotune_graph_beam")
     assert(!p.contains("Window"), s"window leaked into the grade:\n$p")
     // the grade joins the (bounded) dump against the memoized GT —
     // the embeddings table itself must not appear in the final frame
