@@ -251,7 +251,13 @@ final class IvfIndex(
     * to an exact scan over the allowed subset (recall 1.0 by
     * construction, cheap because the subset is small); otherwise the
     * probe-then-filter path ([[searchAll]] with `allowed`) runs.
-    * Counts are one aggregate each; pass them when known upstream. */
+    * Counts are one aggregate each; pass them when known upstream.
+    * The density caveat on the LSH twin's scaladoc applies verbatim:
+    * above the cutoff, recall is a property of how the filter thins
+    * the probed CELLS — certify the operating point GT-side
+    * (`q_autotune_filtered`'s sweep) or raise `maxExactFraction`
+    * toward the ~15% cost-parity point for geometry-correlated
+    * filters. */
   def searchAllFiltered(queries: DataFrame, allowed: DataFrame, k: Int,
                         metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
                         maxExactFraction: Double =

@@ -299,6 +299,20 @@ final class LshIndex(
     * `corpusCount` when the caller already knows them (e.g. the
     * predicate's selectivity is tracked upstream) to skip the jobs.
     *
+    * Density caveat (the graph family's round-15 lesson, SCALE.md):
+    * ABOVE the cutoff, probe-then-filter recall is governed by how the
+    * filter thins the probed buckets, which mere selectivity does not
+    * see — the bucketed twin of the graph walk's measured 0.22-at-10%
+    * collapse. The graph family estimates local allowed density and
+    * auto-routes ([[graft.ann.GraphSearch.filteredDecision]]); for the
+    * bucket indexes the probed candidate set IS the whole search, so
+    * an equivalent estimator costs the search itself. Certify a
+    * probe-then-filter operating point GT-side instead — the
+    * `q_autotune_filtered` sweep replays the cutoff decision against
+    * an exact filtered ground truth cross-engine — or raise
+    * `maxExactFraction` toward the measured ~15% cost-parity point
+    * when the filter correlates with query geometry.
+    *
     * @param allowed (vec_id) allow-list — extra columns are ignored
     */
   def searchAllFiltered(queries: DataFrame, allowed: DataFrame, k: Int,

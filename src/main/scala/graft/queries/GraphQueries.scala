@@ -709,30 +709,42 @@ object GraphQueries extends QueryPack {
       val arms = FilteredAutoArms.map { case (name, mod, rem) =>
         (name, pmod(col("vec_id"), lit(mod)) === rem)
       }
+      // decision computed ONCE per arm, then its route executed
+      // directly — row-identical to beamFromFiltered by construction
+      // (each route IS one of these two serves; the identity is
+      // spec-pinned, GraphFilteredDispatchSpec) but without paying the
+      // counts pass + density estimator a second time. The exact
+      // subset scan doubles as the arm's ground truth (recall 1.0 by
+      // construction on exact routes — exactly the dispatch's claim).
       val results = arms.map { case (name, pred) =>
         val d = graft.ann.GraphSearch.filteredDecision(gDumped, e,
           "vec_id", "embedding", q, entries, K, BeamWidth, pred,
           ExactNN.Cosine)
-        val res = graft.ann.GraphSearch.beamFromFiltered(gDumped, e,
-            "vec_id", "embedding", q, entries, K, BeamWidth, BeamHops,
-            pred, ExactNN.Cosine)
-          .withColumn("arm", lit(name))
-        (name, pred, d, res)
+        val exactSubset = ExactNN.topKAgg(q,
+            e.where(pred).select(col("vec_id"), col("embedding")), K,
+            ExactNN.Cosine)
+          .localCheckpoint()
+        val res =
+          (if (d.route.exact) exactSubset
+           else graft.ann.GraphSearch.beamFrom(gDumped, e, "vec_id",
+             "embedding", q, entries, K, BeamWidth, BeamHops,
+             ExactNN.Cosine, allowed = Some(pred)))
+            .withColumn("arm", lit(name))
+        (name, d, res, exactSubset)
       }
       val preds = LshQueries.dumpAndReload(s,
-        results.map(_._4).reduce(_ unionByName _)
+        results.map(_._3).reduce(_ unionByName _)
           .select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_auto_preds")
       import s.implicits._
-      val decisions = results.map { case (name, _, d, _) =>
+      val decisions = results.map { case (name, d, _, _) =>
         (name, d.corpusCount, d.allowedCount,
           BigDecimal(d.medianLocalAllowed.getOrElse(-1.0))
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
           d.route.name)
       }.toDF("arm", "corpus_n", "allowed_n", "median_local_allowed",
         "route")
-      val recalls = results.map { case (name, pred, _, _) =>
-        val gt = ExactNN.topKAgg(q, e.where(pred), K, ExactNN.Cosine)
+      val recalls = results.map { case (name, _, _, gt) =>
         Eval.setPrecisionRecall(
             preds.where(col("arm") === name).select("query_id", "vec_id"),
             gt.select("query_id", "vec_id"))
