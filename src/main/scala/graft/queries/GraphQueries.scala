@@ -127,7 +127,7 @@ object GraphQueries extends QueryPack {
 
   /** Shared exact (quadratic) k-NN ground-truth graph — the oracle
     * baseline consumed by four queries. */
-  private def graphExact(s: SparkSession, dir: String): DataFrame =
+  private[queries] def graphExact(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "graph_exact") {
       graft.ann.KnnGraph.exact(emb(s, dir), "vec_id", "embedding", KnnK,
           ExactNN.Cosine)

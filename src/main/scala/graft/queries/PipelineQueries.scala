@@ -96,15 +96,32 @@ object PipelineQueries extends QueryPack {
       val name = s"ingest_row_${LshQueries.sfName(dir).replace('.', '_')}"
       graft.ann.GraphSearch.dropManagedTables(s, s"${name}_edges",
         s"${name}_swap_edges")
-      val g = graft.ann.KnnGraph.exact(baseVecs, "vec_id", "embedding", 5,
-          graft.ann.ExactNN.Cosine)
+      // base graph = the session's memoized exact-GT graph restricted
+      // to base x base edges (the scopedGraphStore trick — a second
+      // quadratic kNN pass over 80% of the same corpus was this memo's
+      // single biggest line, 25.9 s at sf0.1); a base node whose true
+      // top-k includes an arrival starts with k-1 out-edges, fine for
+      // a starting graph — membership, not edge quality, is what this
+      // row certifies
+      val arrIds = arrivals.select(col("doc_id")).localCheckpoint()
+      val g = GraphQueries.graphExact(s, dir)
+        .join(broadcast(arrIds.select(col("doc_id").as("src"))),
+          Seq("src"), "left_anti")
+        .join(broadcast(arrIds.select(col("doc_id").as("dst"))),
+          Seq("dst"), "left_anti")
         .select(col("src"), col("dst"))
         .unionByName(graft.ann.GraphSearch.randomBackbone(baseVecs, "vec_id"))
         .dropDuplicates("src", "dst")
       graft.ann.GraphSearch.saveBucketed(g, name)
+      // scoped refine (refineEvery = 1 so the batch consolidates its
+      // own deletes): the region pass supersedes the deleted nodes'
+      // rows in the SERVED view, which is all the membership predicate
+      // needs — the full-rewrite refine measured ~3x the cost for the
+      // same observable end state here
       val graph = new graft.ann.GraphMaintainer(s, name, s"$root/graph",
         "vec_id", "embedding", k = 5, beamWidth = 32, hops = 4,
-        refineEvery = 1, maxReverseDegree = 2)
+        refineEvery = 1, maxReverseDegree = 2,
+        scopedRefine = true, scopeHops = 1)
       // 16 deterministic base entry ids (1..20 minus the multiples of 5)
       val entryIds = (1L to 20L).filterNot(_ % IngestArrivalMod == 0)
       val pipeline = new graft.streaming.IngestPipeline(gate, postings,
