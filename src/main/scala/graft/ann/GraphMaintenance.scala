@@ -735,8 +735,10 @@ final class GraphMaintainer(
         case Some(ids) =>
           // pruned hop: the frontier filter is an InSet on the bucket
           // column — the base leg reads only the region's buckets
+          // (dst cast to long like collectNodes: Int-id stores must not
+          // fail only in pruned mode)
           val nbrs = serving.where(col("src").isInCollection(ids.toIndexedSeq))
-            .select(col("dst")).distinct()
+            .select(col("dst").cast("long")).distinct()
             .limit(scopePruneMax + 1).collect().map(_.getLong(0))
           if (nbrs.length > scopePruneMax) {
             // the hop's frontier outgrew the cap and the collect is

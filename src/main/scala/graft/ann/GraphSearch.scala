@@ -617,10 +617,17 @@ object GraphSearch {
     else if (!densityDispatch)
       FilteredSearch.Decision(corpusN, allowedN, None, FilteredSearch.Walk)
     else {
-      val med = localAllowedCounts(graph, vectors, idCol, vecCol, queries,
+      val row = localAllowedCounts(graph, vectors, idCol, vecCol, queries,
           entries, beamWidth, allowed, metric, roundTo, symmetrize)
         .agg(expr("percentile(local_allowed, 0.5)").as("med"))
-        .head().getDouble(0)
+        .head()
+      // no estimator rows (empty queries/entries, or entry nodes absent
+      // from `vectors`): treat as median 0 — maximally starved. The walk
+      // would return NOTHING from an empty frontier, while the exact
+      // routes still serve real results (or an empty frame for empty
+      // queries, which costs nothing) — so routing on zero density is
+      // both the safe and the useful degradation, not just an NPE guard.
+      val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
       FilteredSearch.Decision(corpusN, allowedN, Some(med),
         FilteredSearch.route(allowedN, corpusN, med, k,
           maxExactFraction, maxAutoExactFraction))

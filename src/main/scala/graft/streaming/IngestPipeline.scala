@@ -42,10 +42,21 @@ import graft.text.DedupGate
   * `vecCol`); the graph maintainer must be constructed with
   * idCol = "vec_id" over `vecCol` (the pipeline renames `idCol` →
   * vec_id for the vector-keyed stores); `deletes` carries (`idCol`).
-  * `vectors` is the live corpus view INCLUDING this batch's arrivals
-  * (vec_id, `vecCol`) — the walk's scoring side. `entriesFor` maps the
-  * admitted (vec_id, `vecCol`) rows to the walk's per-query entry set
-  * (query_id, node) — fixed ids or coarse-index seeds.
+  *
+  * `vectors` is the LIVE corpus view plus this batch's arrivals
+  * (vec_id, `vecCol`) — the graph's scoring AND refine basis, so it
+  * must NOT carry ids rejected in EARLIER batches (a scheduled refine
+  * treats vectors ∖ tombstones as the corpus and would backbone a
+  * rejected id back in). The natural construction satisfies this for
+  * free: base corpus ∪ each prior batch's `report.admittedRows` ∪ the
+  * current batch's arrivals — the pipeline itself strips the CURRENT
+  * batch's rejections before the graph call (the caller cannot know
+  * them yet), and prior batches' rejections never entered the union.
+  * StreamingIngestPipelineSpec models exactly this construction.
+  *
+  * `entriesFor` maps the admitted (vec_id, `vecCol`) rows to the
+  * walk's per-query entry set (query_id, node) — fixed ids or
+  * coarse-index seeds.
   */
 final class IngestPipeline(
     gate: DedupGate,

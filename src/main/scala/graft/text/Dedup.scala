@@ -274,6 +274,24 @@ object Dedup {
                                 idCol: String, textCol: String,
                                 cfg: MinHashConfig = MinHashConfig(),
                                 hot: Option[DataFrame] = None): DataFrame = {
+    val (pairs, aBands) = incrementalPairsWithBands(baseBands, arrivals,
+      idCol, textCol, cfg, hot)
+    materializeRelease(pairs, aBands)
+  }
+
+  /** [[minhashNearDupIncremental]]'s working form: returns the verified
+    * pairs TOGETHER with the arrivals' (persisted) band rows, so a
+    * caller that appends the admitted subset to a stored band index
+    * ([[DedupGate.onBatch]]) reuses the banding pass instead of
+    * re-shingling the batch — identical rows, half the per-batch
+    * map-side cost. The caller owns the returned bands' lifetime
+    * (unpersist after the append; [[minhashNearDupIncremental]] wraps
+    * this with [[materializeRelease]] for pair-only consumers). */
+  def incrementalPairsWithBands(baseBands: DataFrame, arrivals: DataFrame,
+                                idCol: String, textCol: String,
+                                cfg: MinHashConfig = MinHashConfig(),
+                                hot: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
     val aSh = {
       val raw = rawShingleArrays(arrivals, idCol, textCol, cfg)
       hot.fold(raw)(h => capWithHot(raw, h))
@@ -303,7 +321,7 @@ object Dedup {
         (inter.cast(DoubleType) /
           (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jac"))
       .where(col("jac") >= cfg.jaccardThreshold)
-    materializeRelease(pairs, aBands)
+    (pairs, aBands)
   }
 
   /** Fold an incremental batch's pairs into an existing cluster

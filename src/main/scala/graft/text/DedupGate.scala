@@ -109,8 +109,12 @@ final class DedupGate(
       servingBands.join(
         broadcast(d.select(col(idCol).as("doc_id"))),
         Seq("doc_id"), "left_anti"))
-    val pairs = Dedup.minhashNearDupIncremental(serving, arrivals,
-      idCol, textCol, cfg, hot)
+    // the banding pass is shared: the same persisted arrival band rows
+    // feed the candidate pairs here AND the admitted delta append below
+    // (re-shingling the batch was the gate's one redundant map pass)
+    val (pairs0, aBands) = Dedup.incrementalPairsWithBands(serving,
+      arrivals, idCol, textCol, cfg, hot)
+    val pairs = pairs0.localCheckpoint()
     val aIds = arrivals.select(col(idCol).as("doc_id"))
     val cc = Dedup.connectedComponents(pairs)
     // a component holding ANY stored doc is anchored: its canonical row
@@ -131,14 +135,14 @@ final class DedupGate(
       Seq(idCol), "left_anti")
     deletes.foreach(_.select(col(idCol).as("doc_id"), lit(seq).as("seq"))
       .write.mode("append").parquet(s"$path/tombstones"))
-    // admitted docs' band rows — banded map-side through the same
-    // column builders the gating pass used (frozen `hot` capping)
-    val aSh = {
-      val raw = Dedup.rawShingleArrays(admitted, idCol, textCol, cfg)
-      hot.fold(raw)(h => Dedup.capWithHot(raw, h))
-    }
-    Dedup.bandRows(aSh, cfg).withColumn("seq", lit(seq))
+    // admitted docs' band rows = the gating pass's own rows, filtered —
+    // no second shingling/banding of the batch
+    aBands
+      .join(broadcast(rejected.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti")
+      .withColumn("seq", lit(seq))
       .write.mode("append").parquet(s"$path/bands_delta")
+    aBands.unpersist(false)
     // the batch becomes visible ATOMICALLY here (LsmStore doc): a crash
     // above leaves a partial batch that visibleFilter ignores
     markBatchCommitted(seq)
@@ -168,14 +172,27 @@ object DedupGate {
     * ([[Dedup.bandIndex]]) into `$path/bands` and open the store. The
     * corpus itself is assumed already deduplicated (run the batch
     * near-dup + retention queries first); the gate keeps it that way
-    * under streaming arrivals. */
+    * under streaming arrivals.
+    *
+    * Hot-shingle capping is FROZEN AT FIT TIME, like every other
+    * frozen-model append: when `cfg.maxDocFreqRatio < 1` and no `hot`
+    * row is supplied, the corpus-derived hot list is computed ONCE
+    * here and handed to the gate, so arrivals band and verify against
+    * exactly the geometry the stored index was built with — a base
+    * capped one way and arrivals another would depress cross Jaccard
+    * and silently admit near-dups of stored docs. */
   def build(spark: SparkSession, path: String, docs: DataFrame,
             idCol: String = "doc_id", textCol: String = "text",
             cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(),
             compactEvery: Int = graft.ann.LsmStore.DefaultCompactEvery,
             hot: Option[DataFrame] = None): DedupGate = {
-    Dedup.bandIndex(docs, idCol, textCol, cfg, hot)
+    val frozenHot = hot.orElse(
+      if (cfg.maxDocFreqRatio >= 1.0) None
+      else Some(Dedup.hotShingleRow(docs, idCol, textCol, cfg)
+        .localCheckpoint()))
+    Dedup.bandIndex(docs, idCol, textCol, cfg, frozenHot)
       .write.mode("overwrite").parquet(s"$path/bands")
-    new DedupGate(spark, path, cfg, idCol, textCol, compactEvery, hot)
+    new DedupGate(spark, path, cfg, idCol, textCol, compactEvery,
+      frozenHot)
   }
 }

@@ -150,6 +150,25 @@ class GraphFilteredDispatchSpec extends AnyFunSuite with SparkSpecBase {
     assert(rows(dispatch(pred)) === rows(walk))
   }
 
+  test("empty entry set: estimator reads median 0 and routes exact (no crash, real results)") {
+    // no estimator rows (empty entries; same for entry ids absent from
+    // the vector table) must degrade to maximally-starved, not throw —
+    // and the exact route then serves REAL results where the walk's
+    // empty frontier would serve nothing
+    val pred = pmod($"vec_id", lit(10)) === 3
+    val noEntries = entries.limit(0)
+    val d = GraphSearch.filteredDecision(graph, corpus, "vec_id",
+      "embedding", queries, noEntries, K, Beam, pred, ExactNN.Cosine)
+    assert(d.medianLocalAllowed.contains(0.0), d.toString)
+    assert(d.route === FilteredSearch.ExactDensity)
+    val expected = ExactNN.topKAgg(queries, corpus.where(pred)
+      .select($"vec_id", $"embedding"), K, ExactNN.Cosine)
+    val got = GraphSearch.beamFromFiltered(graph, corpus, "vec_id",
+      "embedding", queries, noEntries, K, Beam, Hops, pred,
+      ExactNN.Cosine)
+    assert(rows(got) === rows(expected))
+  }
+
   test("selectivity cutoff short-circuits before the estimator") {
     val pred = pmod($"vec_id", lit(50)) === 0 // 2% <= 5%
     val d = decide(pred)

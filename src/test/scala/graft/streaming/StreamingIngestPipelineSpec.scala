@@ -59,8 +59,16 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
       .toDF("doc_id", "text", "embedding")
       .withColumn("toks", split(trim(col("text")), "\\s+"))
 
-  private def allVectors: DataFrame =
-    vecs.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+  // the pipeline's `vectors` contract: live corpus (base ∪ admitted so
+  // far) ∪ the CURRENT batch's arrivals — prior batches' rejections
+  // never enter the union (a scheduled refine would backbone them back
+  // into the graph otherwise; IngestPipeline scaladoc)
+  private def vectorsFor(admittedSoFar: Seq[Long],
+                         current: Seq[(Long, String, String)]): DataFrame =
+    ((0L until 40L) ++ admittedSoFar ++
+        current.filter(_._3 == "ins").map(_._1))
+      .distinct.sorted.map(i => (i, vecs(i)))
+      .toDF("vec_id", "embedding")
 
   private def arrivalsDf(rows: Seq[(Long, String, String)]): DataFrame =
     rows.filter(_._3 == "ins")
@@ -136,6 +144,7 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     val (sp, sGate, sPost, sCodes, sGraph) = buildStores("s")
     val reports = scala.collection.mutable.ListBuffer
       .empty[IngestPipeline.Report]
+    val sAdmitted = scala.collection.mutable.ListBuffer.empty[Long]
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
     val q = mem.toDF().toDF("doc_id", "text", "op")
@@ -144,8 +153,11 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
         if (!batchDf.isEmpty) {
           val rows = batchDf.select($"doc_id", $"text", $"op")
             .as[(Long, String, String)].collect().toSeq
-          reports += sp.onBatch(arrivalsDf(rows), allVectors,
-            deletesDf(rows))
+          val rep = sp.onBatch(arrivalsDf(rows),
+            vectorsFor(sAdmitted.toSeq, rows), deletesDf(rows))
+          reports += rep
+          sAdmitted ++= rep.admittedRows.select($"doc_id")
+            .as[Long].collect()
         }
         ()
       }
@@ -157,8 +169,13 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
 
     // ---- batch twin: same splits, sequential ----
     val (bp, bGate, bPost, bCodes, bGraph) = buildStores("b")
-    val bReports = Seq(batch1, batch2).map(rows =>
-      bp.onBatch(arrivalsDf(rows), allVectors, deletesDf(rows)))
+    val bAdmitted = scala.collection.mutable.ListBuffer.empty[Long]
+    val bReports = Seq(batch1, batch2).map { rows =>
+      val rep = bp.onBatch(arrivalsDf(rows),
+        vectorsFor(bAdmitted.toSeq, rows), deletesDf(rows))
+      bAdmitted ++= rep.admittedRows.select($"doc_id").as[Long].collect()
+      rep
+    }
 
     // stream == batch, store for store
     assert(bandsSet(sGate) === bandsSet(bGate), "band index diverged")
@@ -214,5 +231,29 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
       Seq((100L, baseText(5)), (5L, baseText(5))).toDF("doc_id", "text"),
       "doc_id", "text", cfg)
     assert(pairs.where($"jac" >= cfg.jaccardThreshold).count() === 1L)
+  }
+
+  test("DedupGate.build freezes the corpus hot list: capped base and arrivals band identically") {
+    // every doc shares a boilerplate prefix whose pure-boilerplate
+    // shingles are hot at ratio 0.5 (df = 100%). The gate must cap
+    // ARRIVALS with the same frozen hot list the stored index was
+    // built with: a base capped one way and arrivals banded raw put
+    // different shingle sets under the signatures, so an identical
+    // arrival would miss every band key and slip through admitted.
+    val boiler = "terms of service apply to this document"
+    val docs = (0L until 30L).map(i =>
+        (i, s"$boiler unique body u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("gate_hot").toString
+    val gate = DedupGate.build(spark, s"$root/gate", docs,
+      cfg = cfg.copy(maxDocFreqRatio = 0.5), compactEvery = 100)
+    val arrival = Seq((100L, s"$boiler unique body u5a u5b u5c u5d"))
+      .toDF("doc_id", "text")
+    val res = gate.onBatch(arrival)
+    assert(res.admitted.isEmpty,
+      "near-dup of a stored doc admitted under hot capping")
+    assert(res.rejected.select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect().toMap === Map(100L -> 5L))
   }
 }
