@@ -31,12 +31,15 @@ import graft.text.DedupGate
   * REPLAY, not by transaction: a crash between two stores' appends
   * leaves the earlier store one batch ahead; the stream checkpoint
   * replays the batch and every store treats the re-arrival as an
-  * upsert — the gate never pairs a doc against its own id, postings/
-  * codes tombstone-free re-appends supersede by seq, and the graph's
-  * insert path anti-joins the delta against rows it would duplicate —
-  * so the composed end state converges (the same contract each store's
-  * own streaming spec pins, here pinned jointly by
-  * StreamingIngestPipelineSpec).
+  * UPSERT — the gate never pairs a doc against its own id (and its
+  * compaction collapses replay-duplicated band rows), the pipeline
+  * rides every admitted id as a same-batch delete into postings/codes
+  * (the LSM rule: a tombstone kills strictly earlier rows, so fresh
+  * arrivals are untouched and replays supersede instead of
+  * duplicating), and the graph's insert path anti-joins the delta
+  * against rows it would duplicate — so the composed end state
+  * converges (pinned jointly by StreamingIngestPipelineSpec,
+  * including a replayed-batch case).
   *
   * Schema contract: `arrivals` carries (`idCol`, `textCol`, `toksCol`,
   * `vecCol`); the graph maintainer must be constructed with
@@ -82,11 +85,23 @@ final class IngestPipeline(
     val admitted = res.admitted.localCheckpoint()
     val admittedVecs = admitted
       .select(col(idCol).as("vec_id"), col(vecCol))
+    // every admitted id rides as a SAME-BATCH delete alongside its
+    // arrival — the LSM upsert rule (a tombstone kills strictly
+    // EARLIER rows only), so fresh arrivals are untouched while a
+    // re-arrival of a known id supersedes its old rows instead of
+    // duplicating them. This is what makes the at-least-once replay
+    // contract true for the flat stores: without it, a replayed batch
+    // would re-APPEND its postings/code rows and double-serve them
+    // (the gate never self-pairs an id, and the graph insert
+    // anti-joins its delta — the flat stores were the gap).
+    val admittedIds = admitted.select(col(idCol)).localCheckpoint()
+    val upserts = delIds.fold(admittedIds)(d =>
+      d.unionByName(admittedIds).distinct())
     postings.onBatch(
       Some(admitted.select(col(idCol).as("doc_id"), col(toksCol))),
-      delIds.map(_.select(col(idCol).as("doc_id"))))
+      Some(upserts.select(col(idCol).as("doc_id"))))
     codes.onBatch(Some(admittedVecs),
-      delIds.map(_.select(col(idCol).as("vec_id"))))
+      Some(upserts.select(col(idCol).as("vec_id"))))
     // the graph's vectors view is its LIVE basis (a scheduled refine
     // treats vectors ∖ tombstones as the corpus — backbone edges are
     // built for every row), so rejected arrivals must not ride along:

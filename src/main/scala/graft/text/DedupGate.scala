@@ -153,7 +153,12 @@ final class DedupGate(
   /** Fold the logs into `$path/bands` through the crash-safe commit
     * ([[graft.ann.LsmStore.commitCompaction]]). */
   def compactNow(): Unit = {
-    val live = servingBands.localCheckpoint()
+    // dropDuplicates: a replayed batch (at-least-once delivery)
+    // re-appends its admitted band rows at a fresh seq — identical
+    // (doc_id, band, bkey) triples that pair generation already
+    // dedups; the fold is where they physically collapse
+    val live = servingBands.dropDuplicates("doc_id", "band", "bkey")
+      .localCheckpoint()
     live.write.mode("overwrite").parquet(s"$path/$CompactTmpDir/bands")
     commitCompaction(batches, Seq(s"$CompactTmpDir/bands" -> "bands"))
     if (log.isInfoEnabled) log.info(

@@ -233,6 +233,45 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     assert(pairs.where($"jac" >= cfg.jaccardThreshold).count() === 1L)
   }
 
+  test("at-least-once replay converges: re-applying a batch changes no flat-store view") {
+    // the crash-replay contract: a stream checkpoint re-delivers a
+    // batch whose stores already applied it; the composed end state
+    // must equal the once-applied state. The gate re-admits (an id
+    // never pairs against itself), and the pipeline's upsert-deletes
+    // make the replayed postings/codes rows SUPERSEDE the originals
+    // instead of double-serving them.
+    val (p, gate, post, codes, graph) = buildStores("r")
+    val rows1 = batch1
+    p.onBatch(arrivalsDf(rows1), vectorsFor(Nil, rows1), deletesDf(rows1))
+    val postOnce = postingsSet(post)
+    val sparseOnce = sparseSet(post)
+    val codesOnce = codesSet(codes)
+    val bandsOnce = bandsSet(gate)
+    // replay the SAME batch (fresh seq, same rows)
+    val rep2 = p.onBatch(arrivalsDf(rows1), vectorsFor(Nil, rows1),
+      deletesDf(rows1))
+    assert(rep2.admitted === 2L, "replayed arrivals must re-admit")
+    assert(postingsSet(post) === postOnce, "postings diverged on replay")
+    assert(sparseSet(post) === sparseOnce, "sparse weights diverged on replay")
+    assert(codesSet(codes) === codesOnce, "codes diverged on replay")
+    // the band index may briefly hold duplicate rows pre-compaction;
+    // the candidate-facing SET is unchanged, and compaction collapses
+    // the physical duplicates
+    assert(bandsSet(gate) === bandsOnce, "band key set diverged on replay")
+    gate.compactNow()
+    assert(bandsSet(gate) === bandsOnce)
+    val physical = gate.servingBands.count()
+    assert(physical === gate.servingBands
+      .dropDuplicates("doc_id", "band", "bkey").count(),
+      "compaction left physical duplicate band rows")
+    // graph: the replayed insert's delta anti-joins rows it would
+    // duplicate — no duplicate edges, and the admitted ids still serve
+    val edges = edgesSet(graph)
+    assert(edges.size === graph.servingEdges.count(),
+      "duplicate edges after replay")
+    assert(Set(101L, 103L).subsetOf(edges.map(_._1)))
+  }
+
   test("DedupGate.build freezes the corpus hot list: capped base and arrivals band identically") {
     // every doc shares a boilerplate prefix whose pure-boilerplate
     // shingles are hot at ratio 0.5 (df = 100%). The gate must cap
