@@ -560,10 +560,26 @@ object GraphSearch {
                          allowed: org.apache.spark.sql.Column,
                          metric: ExactNN.Metric = ExactNN.Cosine,
                          roundTo: Int = 6,
-                         symmetrize: Boolean = true): DataFrame = {
+                         symmetrize: Boolean = true,
+                         excluded: Option[DataFrame] = None): DataFrame = {
     val und = undirected(graph, symmetrize)
-    val vecs = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"),
+    // `excluded` (pending tombstones) rows stay IN the top-beamWidth
+    // window — the walk routes through them, so they occupy local
+    // slots — but must not COUNT as allowed: the walk never serves
+    // them, so a store with many pending deletes would otherwise
+    // overestimate servable local density and route `walk` into a
+    // starved neighborhood. ANDed into the `ok` flag via a broadcast
+    // left join (the tombstone set is batch-sized).
+    val okRaw = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"),
       allowed.cast("boolean").as("ok"))
+    val vecs = excluded.fold(okRaw) { t =>
+      okRaw.join(
+          broadcast(t.select(col("vec_id").as("node"))
+            .withColumn("_excl", lit(true))),
+          Seq("node"), "left")
+        .select(col("node"), col("nv"),
+          (col("ok") && col("_excl").isNull).as("ok"))
+    }
     val q = broadcast(queries.select(col("query_id"), col("qv")))
     val ent = entries.select(col("query_id"), col("node"))
     val nbrs = und
@@ -605,12 +621,26 @@ object GraphSearch {
                          FilteredSearch.DefaultMaxExactFraction,
                        maxAutoExactFraction: Double =
                          FilteredSearch.DefaultMaxAutoExactFraction,
-                       densityDispatch: Boolean = true)
+                       densityDispatch: Boolean = true,
+                       excluded: Option[DataFrame] = None,
+                       knownCounts: Option[(Long, Long)] = None)
       : FilteredSearch.Decision = {
-    val counts = vectors.agg(
-      count(lit(1)).as("corpus"),
-      count(when(allowed, lit(1))).as("allowed")).head()
-    val (corpusN, allowedN) = (counts.getLong(0), counts.getLong(1))
+    // `excluded` (pending tombstones) feeds the density estimate only
+    // (see [[localAllowedCounts]]); the corpus/allowed COUNTS keep
+    // including excluded rows — the tombstone log is batch-sized by
+    // the maintenance contract, so its effect on a corpus-level
+    // selectivity ratio is noise, while recounting through an
+    // anti-join would shuffle the corpus per decision.
+    // `knownCounts` = (corpusCount, allowedCount) skips the counts
+    // pass entirely — the `Lsh.searchAllFiltered` pass-through for
+    // serving loops that track selectivity upstream (two corpus
+    // aggregates per batch otherwise).
+    val (corpusN, allowedN) = knownCounts.getOrElse {
+      val counts = vectors.agg(
+        count(lit(1)).as("corpus"),
+        count(when(allowed, lit(1))).as("allowed")).head()
+      (counts.getLong(0), counts.getLong(1))
+    }
     if (FilteredSearch.useExactScan(allowedN, corpusN, maxExactFraction))
       FilteredSearch.Decision(corpusN, allowedN, None,
         FilteredSearch.ExactSelectivity)
@@ -618,7 +648,8 @@ object GraphSearch {
       FilteredSearch.Decision(corpusN, allowedN, None, FilteredSearch.Walk)
     else {
       val row = localAllowedCounts(graph, vectors, idCol, vecCol, queries,
-          entries, beamWidth, allowed, metric, roundTo, symmetrize)
+          entries, beamWidth, allowed, metric, roundTo, symmetrize,
+          excluded)
         .agg(expr("percentile(local_allowed, 0.5)").as("med"))
         .head()
       // no estimator rows (empty queries/entries, or entry nodes absent
@@ -666,10 +697,12 @@ object GraphSearch {
                          FilteredSearch.DefaultMaxExactFraction,
                        maxAutoExactFraction: Double =
                          FilteredSearch.DefaultMaxAutoExactFraction,
-                       densityDispatch: Boolean = true): DataFrame = {
+                       densityDispatch: Boolean = true,
+                       knownCounts: Option[(Long, Long)] = None): DataFrame = {
     val d = filteredDecision(graph, vectors, idCol, vecCol, queries,
       entries, k, beamWidth, allowed, metric, roundTo, symmetrize,
-      maxExactFraction, maxAutoExactFraction, densityDispatch)
+      maxExactFraction, maxAutoExactFraction, densityDispatch,
+      excluded, knownCounts)
     if (d.route == FilteredSearch.WalkStarved) log.warn(
       f"filtered graph search is density-starved: the median query sees " +
       f"${d.medianLocalAllowed.getOrElse(Double.NaN)}%.1f allowed rows " +

@@ -297,8 +297,9 @@ object PipelineQueries extends QueryPack {
          |         md5(string_agg(sig::VARCHAR, ',' ORDER BY hid)) AS bkey
          |  FROM sig GROUP BY doc_id, band
          |),
+         |emb AS (SELECT vec_id AS doc_id FROM embeddings),
          |del AS (
-         |  SELECT doc_id FROM documents
+         |  SELECT doc_id FROM documents JOIN emb USING (doc_id)
          |  WHERE doc_id % $IngestArrivalMod <> 0
          |    AND doc_id % $IngestDeleteMod = 1
          |),
@@ -309,6 +310,8 @@ object PipelineQueries extends QueryPack {
          |              AND a.doc_id < b.doc_id
          |  WHERE (a.doc_id % $IngestArrivalMod = 0
          |         OR b.doc_id % $IngestArrivalMod = 0)
+         |    AND a.doc_id IN (SELECT doc_id FROM emb)
+         |    AND b.doc_id IN (SELECT doc_id FROM emb)
          |    AND a.doc_id NOT IN (SELECT doc_id FROM del)
          |    AND b.doc_id NOT IN (SELECT doc_id FROM del)
          |),
@@ -339,7 +342,8 @@ object PipelineQueries extends QueryPack {
          |arr AS (
          |  SELECT doc_id,
          |         doc_id NOT IN (SELECT doc_id FROM rej) AS adm
-         |  FROM documents WHERE doc_id % $IngestArrivalMod = 0
+         |  FROM documents JOIN emb USING (doc_id)
+         |  WHERE doc_id % $IngestArrivalMod = 0
          |)
          |SELECT doc_id, kind, admitted, in_bands, in_postings, in_codes,
          |       in_graph

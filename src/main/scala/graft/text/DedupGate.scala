@@ -61,6 +61,36 @@ final class DedupGate(
 
   private def base: DataFrame = spark.read.parquet(s"$path/bands")
 
+  /** The frozen hot-shingle row the gate bands arrivals with. When
+    * capping is on (`cfg.maxDocFreqRatio < 1`) and no `hot` frame was
+    * supplied, it is LOADED from the `$path/hot` artifact [[DedupGate
+    * .build]] persisted at fit time — the crash-recovery path: a gate
+    * reopened after a driver restart must band arrivals with exactly
+    * the geometry the stored index was built with, or cross Jaccard
+    * depresses and near-dups of stored docs silently admit (the
+    * [[DedupGate.build]] scaladoc's failure mode). A capped gate whose
+    * path predates the artifact fails loudly here rather than banding
+    * wrong. */
+  private val frozenHot: Option[DataFrame] = hot.orElse {
+    if (cfg.maxDocFreqRatio >= 1.0) None
+    else {
+      val p = s"$path/hot"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(path).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p)))
+        throw new IllegalStateException(
+          s"dedup gate '$path' was configured with maxDocFreqRatio=" +
+            s"${cfg.maxDocFreqRatio} (< 1) but has no persisted hot-" +
+            "shingle artifact at $path/hot and none was supplied: " +
+            "arrivals would band with different geometry than the " +
+            "stored index and silently admit near-dups. Rebuild via " +
+            "DedupGate.build (which persists the artifact) or pass " +
+            "the identical fit-time hot row.")
+      Some(spark.read.parquet(p))
+    }
+  }
+
   private var batches = recoverSeq()
 
   /** Batches applied over the store's lifetime (persistent — recovered
@@ -113,36 +143,41 @@ final class DedupGate(
     // feed the candidate pairs here AND the admitted delta append below
     // (re-shingling the batch was the gate's one redundant map pass)
     val (pairs0, aBands) = Dedup.incrementalPairsWithBands(serving,
-      arrivals, idCol, textCol, cfg, hot)
-    val pairs = pairs0.localCheckpoint()
-    val aIds = arrivals.select(col(idCol).as("doc_id"))
-    val cc = Dedup.connectedComponents(pairs)
-    // a component holding ANY stored doc is anchored: its canonical row
-    // already serves, so every arrival member is a duplicate of it
-    val anchored = cc.join(aIds, Seq("doc_id"), "left_anti")
-      .select("cluster_id").distinct()
-    val arrivalCc = cc.join(aIds, Seq("doc_id"), "left_semi")
-    // rejected BEFORE the delta append and materialized: its lineage
-    // reads the serving view this batch is about to extend
-    val rejected = arrivalCc
-      .join(anchored, Seq("cluster_id"), "left_semi")
-      .unionByName(arrivalCc.where(col("doc_id") =!= col("cluster_id")))
-      .select(col("doc_id"), col("cluster_id"))
-      .dropDuplicates("doc_id")
-      .localCheckpoint()
+      arrivals, idCol, textCol, cfg, frozenHot)
+    // try/finally from here through the delta append: a failed attempt
+    // is an EXPECTED flow (burn-and-retry), and without the guard each
+    // one leaks a cached band frame (the PostingsStore.onBatch rule)
+    val rejected = try {
+      val pairs = pairs0.localCheckpoint()
+      val aIds = arrivals.select(col(idCol).as("doc_id"))
+      val cc = Dedup.connectedComponents(pairs)
+      // a component holding ANY stored doc is anchored: its canonical row
+      // already serves, so every arrival member is a duplicate of it
+      val anchored = cc.join(aIds, Seq("doc_id"), "left_anti")
+        .select("cluster_id").distinct()
+      val arrivalCc = cc.join(aIds, Seq("doc_id"), "left_semi")
+      // rejected BEFORE the delta append and materialized: its lineage
+      // reads the serving view this batch is about to extend
+      val rej = arrivalCc
+        .join(anchored, Seq("cluster_id"), "left_semi")
+        .unionByName(arrivalCc.where(col("doc_id") =!= col("cluster_id")))
+        .select(col("doc_id"), col("cluster_id"))
+        .dropDuplicates("doc_id")
+        .localCheckpoint()
+      deletes.foreach(_.select(col(idCol).as("doc_id"), lit(seq).as("seq"))
+        .write.mode("append").parquet(s"$path/tombstones"))
+      // admitted docs' band rows = the gating pass's own rows, filtered —
+      // no second shingling/banding of the batch
+      aBands
+        .join(broadcast(rej.select(col("doc_id"))), Seq("doc_id"),
+          "left_anti")
+        .withColumn("seq", lit(seq))
+        .write.mode("append").parquet(s"$path/bands_delta")
+      rej
+    } finally aBands.unpersist(false)
     val admitted = arrivals.join(
       broadcast(rejected.select(col("doc_id").as(idCol))),
       Seq(idCol), "left_anti")
-    deletes.foreach(_.select(col(idCol).as("doc_id"), lit(seq).as("seq"))
-      .write.mode("append").parquet(s"$path/tombstones"))
-    // admitted docs' band rows = the gating pass's own rows, filtered —
-    // no second shingling/banding of the batch
-    aBands
-      .join(broadcast(rejected.select(col("doc_id"))), Seq("doc_id"),
-        "left_anti")
-      .withColumn("seq", lit(seq))
-      .write.mode("append").parquet(s"$path/bands_delta")
-    aBands.unpersist(false)
     // the batch becomes visible ATOMICALLY here (LsmStore doc): a crash
     // above leaves a partial batch that visibleFilter ignores
     markBatchCommitted(seq)
@@ -195,6 +230,12 @@ object DedupGate {
       if (cfg.maxDocFreqRatio >= 1.0) None
       else Some(Dedup.hotShingleRow(docs, idCol, textCol, cfg)
         .localCheckpoint()))
+    // persist the frozen row under $path/hot (the Sq.save model-artifact
+    // pattern): a gate reopened after a driver restart recovers the
+    // identical banding geometry instead of silently constructing
+    // uncapped (the class's frozenHot loader reads it back)
+    frozenHot.foreach(
+      _.write.mode("overwrite").parquet(s"$path/hot"))
     Dedup.bandIndex(docs, idCol, textCol, cfg, frozenHot)
       .write.mode("overwrite").parquet(s"$path/bands")
     new DedupGate(spark, path, cfg, idCol, textCol, compactEvery,

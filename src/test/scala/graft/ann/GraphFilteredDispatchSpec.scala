@@ -201,6 +201,47 @@ class GraphFilteredDispatchSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("pending tombstones lower the density estimate: excluded rows don't count as allowed") {
+    // mod-2 is locally DENSE (median >= k, routes `walk`) — but if a
+    // delete-heavy batch tombstones 4/5 of the allowed rows, the
+    // SERVABLE local density is starved and the estimate must see it:
+    // excluded rows still occupy local top-beamWidth slots (the walk
+    // routes through them) but never serve. Without the threading the
+    // estimator counted them as allowed and routed `walk` into a
+    // neighborhood the walk cannot fill.
+    val pred = pmod($"vec_id", lit(2)) === 0
+    val tomb = corpus.where(pmod($"vec_id", lit(10)).isin(0L, 2L, 4L, 6L))
+      .select($"vec_id")
+    val without = decide(pred)
+    assert(without.route === FilteredSearch.Walk)
+    val d = GraphSearch.filteredDecision(graph, corpus, "vec_id",
+      "embedding", queries, entries, K, Beam, pred, ExactNN.Cosine,
+      excluded = Some(tomb))
+    assert(d.medianLocalAllowed.exists(_ < K),
+      s"median ${d.medianLocalAllowed} expected < $K under tombstones")
+    assert(d.medianLocalAllowed.get < without.medianLocalAllowed.get)
+    // counts still include excluded rows (corpus-level ratio; the
+    // tombstone log is batch-sized by contract) -> 50% > the 15%
+    // ceiling -> the warning route, not a silent walk
+    assert(d.route === FilteredSearch.WalkStarved, d.toString)
+  }
+
+  test("knownCounts skips the counts pass and drives the rule") {
+    val pred = pmod($"vec_id", lit(10)) === 3
+    // identical counts -> identical decision as the counted path
+    val d = GraphSearch.filteredDecision(graph, corpus, "vec_id",
+      "embedding", queries, entries, K, Beam, pred, ExactNN.Cosine,
+      knownCounts = Some((2000L, 200L)))
+    assert(d === decide(pred))
+    // the supplied counts are AUTHORITATIVE: a 2%-selective claim
+    // short-circuits to the selectivity route without any corpus scan
+    val d2 = GraphSearch.filteredDecision(graph, corpus, "vec_id",
+      "embedding", queries, entries, K, Beam, pred, ExactNN.Cosine,
+      knownCounts = Some((2000L, 40L)))
+    assert(d2.route === FilteredSearch.ExactSelectivity)
+    assert(d2.corpusCount === 2000L && d2.allowedCount === 40L)
+  }
+
   test("densityDispatch = false restores the selectivity-only rule") {
     val pred = pmod($"vec_id", lit(10)) === 3 // starved, but dispatch off
     val d = decide(pred, densityDispatch = false)

@@ -294,5 +294,30 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
       "near-dup of a stored doc admitted under hot capping")
     assert(res.rejected.select($"doc_id", $"cluster_id")
       .as[(Long, Long)].collect().toMap === Map(100L -> 5L))
+
+    // crash recovery: a gate REOPENED from the path alone (driver
+    // restart — no hot frame in hand) must recover the persisted
+    // fit-time hot list and keep banding arrivals with the stored
+    // index's geometry; before the $path/hot artifact it silently
+    // constructed uncapped and this near-dup slipped through admitted
+    val reopened = new DedupGate(spark, s"$root/gate",
+      cfg.copy(maxDocFreqRatio = 0.5))
+    val res2 = reopened.onBatch(
+      Seq((200L, s"$boiler unique body u9a u9b u9c u9d"))
+        .toDF("doc_id", "text"))
+    assert(res2.admitted.isEmpty,
+      "reopened capped gate lost the frozen hot list and admitted a " +
+        "near-dup of a stored doc")
+    assert(res2.rejected.select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect().toMap === Map(200L -> 9L))
+
+    // a capped gate over a path with no persisted artifact fails LOUDLY
+    // at construction instead of banding with the wrong geometry
+    val bare = java.nio.file.Files
+      .createTempDirectory("gate_hot_bare").toString
+    val ex = intercept[IllegalStateException] {
+      new DedupGate(spark, s"$bare/gate", cfg.copy(maxDocFreqRatio = 0.5))
+    }
+    assert(ex.getMessage.contains("hot"))
   }
 }
