@@ -71,12 +71,26 @@ object FilteredSearch {
     * label-augmented construction or a raised cutoff is on the caller. */
   case object WalkStarved extends Route("walk_starved")
 
+  /** The bucket-index (LSH/IVF) twin of [[Walk]]: the probed candidate
+    * set keeps the MEDIAN query's allowed-candidate count at or above
+    * k, so probe-then-filter serves full result sets — the
+    * uncorrelated-predicate regime (measured 0.999 at 50% selectivity,
+    * SCALE.md §filtered ANN). */
+  case object Probe extends Route("probe")
+  /** Density-starved bucket probe whose subset is too large for the
+    * auto exact dispatch: probe-then-filter runs, a warning names the
+    * measured risk — more trees/probes or a raised ceiling is on the
+    * caller. */
+  case object ProbeStarved extends Route("probe_starved")
+
   /** Routes by name — the inverse specs/oracles use. */
   def routeOf(name: String): Route = name match {
     case "exact_selectivity" => ExactSelectivity
     case "exact_density"     => ExactDensity
     case "walk"              => Walk
     case "walk_starved"      => WalkStarved
+    case "probe"             => Probe
+    case "probe_starved"     => ProbeStarved
     case other => throw new IllegalArgumentException(s"unknown route $other")
   }
 
@@ -112,4 +126,30 @@ object FilteredSearch {
     else if (allowedCount.toDouble <= maxAutoExactFraction * corpusCount)
       ExactDensity
     else WalkStarved
+
+  /** [[route]] for the BUCKET indexes (LSH forest / IVF cells) — the
+    * identical rule over the identical cutoffs, with the density
+    * observable instantiated for buckets: `medianLocalAllowed` is the
+    * median over queries of the count of ALLOWED rows among the
+    * query's beamWidth NEAREST own-leaf/own-cell candidates
+    * ([[graft.ann.lsh.LshIndex.localAllowedCounts]] /
+    * [[graft.ann.ivf.IvfIndex.localAllowedCounts]]) — the graph
+    * estimator's exact shape. NEAREST is load-bearing: the measured
+    * negative result (documented on the LSH estimator) is that
+    * counting allowed rows among ALL probed candidates does not
+    * discriminate — collapsed arms keep filling k with far allowed
+    * rows, so starvation for a bucket index is a nearness property
+    * and the estimator must rank. Delegates to [[route]] and renames
+    * the probe-path outcomes, so the two rules can never drift. */
+  def routeBucket(allowedCount: Long, corpusCount: Long,
+                  medianLocalAllowed: Double, k: Int,
+                  maxExactFraction: Double = DefaultMaxExactFraction,
+                  maxAutoExactFraction: Double = DefaultMaxAutoExactFraction)
+      : Route =
+    route(allowedCount, corpusCount, medianLocalAllowed, k,
+        maxExactFraction, maxAutoExactFraction) match {
+      case Walk        => Probe
+      case WalkStarved => ProbeStarved
+      case r           => r
+    }
 }

@@ -206,6 +206,8 @@ final class IvfIndex(
     val cells: DataFrame    // (vec_id, cell)
 ) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Batch ANN search: probe nProbe cells per query, exact distance over
     * the candidates, per-query top-k (deterministic vec_id tiebreak).
     * The bounded TopK partial aggregation is the default tail (per-query
@@ -216,10 +218,7 @@ final class IvfIndex(
                 metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
                 topKViaAggregator: Boolean = true,
                 allowed: Option[DataFrame] = None): DataFrame = {
-    val probes = model.probeRows(queries, "query_id", "qv")
-    val cands = cells
-      .join(broadcast(probes), "cell")
-      .select("query_id", "vec_id")
+    val cands = probedCandidates(queries)
     // Constrained search: the allow-list filter sits between cell
     // probing and scoring, so the top-k cut runs over allowed
     // candidates only — same semantics as LshIndex.searchAll's
@@ -231,13 +230,32 @@ final class IvfIndex(
     // measured size is small and otherwise runs a vec_id-partitioned
     // shuffle join. Recall caveats incl. the filter-geometry-
     // correlation failure mode are in SCALE.md §filtered ANN; for
-    // selective filters use [[searchAllFiltered]].
-    val filtered = allowed.fold(cands) { a =>
-      a.select("vec_id").join(cands, "vec_id")
-        .select("query_id", "vec_id")
-        .dropDuplicates("query_id", "vec_id")
-    }
-    val scored = filtered
+    // selective or correlated filters use [[searchAllFiltered]] (the
+    // density-aware dispatch).
+    val filtered = allowed.fold(cands)(a =>
+      filterCandidates(cands, a.select("vec_id")))
+    scoreTopK(filtered, queries, k, metric, roundTo, topKViaAggregator)
+  }
+
+  /** Candidate retrieval (cell probe join) — shared with the
+    * density-aware filtered dispatch so the dispatch's observable and
+    * the search's candidate set can never drift. */
+  private def probedCandidates(queries: DataFrame): DataFrame = {
+    val probes = model.probeRows(queries, "query_id", "qv")
+    cells
+      .join(broadcast(probes), "cell")
+      .select("query_id", "vec_id")
+  }
+
+  private def filterCandidates(cands: DataFrame, ids: DataFrame): DataFrame =
+    ids.join(cands, "vec_id")
+      .select("query_id", "vec_id")
+      .dropDuplicates("query_id", "vec_id")
+
+  private def scoreTopK(cands: DataFrame, queries: DataFrame, k: Int,
+                        metric: ExactNN.Metric, roundTo: Int,
+                        topKViaAggregator: Boolean): DataFrame = {
+    val scored = cands
       .join(vectors, "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("vec_id"),
@@ -245,33 +263,132 @@ final class IvfIndex(
     graft.ann.TopK.perQueryTopK(scored, k, topKViaAggregator)
   }
 
-  /** Selectivity-aware constrained search — the IVF twin of
-    * [[graft.ann.lsh.LshIndex.searchAllFiltered]]: a selective
-    * allow-list ([[graft.ann.FilteredSearch.useExactScan]]) dispatches
-    * to an exact scan over the allowed subset (recall 1.0 by
-    * construction, cheap because the subset is small); otherwise the
-    * probe-then-filter path ([[searchAll]] with `allowed`) runs.
-    * Counts are one aggregate each; pass them when known upstream.
-    * The density caveat on the LSH twin's scaladoc applies verbatim:
-    * above the cutoff, recall is a property of how the filter thins
-    * the probed CELLS — certify the operating point GT-side
-    * (`q_autotune_filtered`'s sweep) or raise `maxExactFraction`
-    * toward the ~15% cost-parity point for geometry-correlated
-    * filters. */
+  /** Per-query count of ALLOWED rows among the query's `beamWidth`
+    * NEAREST candidates in its own (nearest) cell — the IVF density
+    * observable; contract identical to
+    * [[graft.ann.lsh.LshIndex.localAllowedCounts]], including the
+    * measured negative result documented there (counting allowed rows
+    * among ALL probed candidates does not discriminate: collapsed arms
+    * keep filling k with far allowed rows). One nearest cell per query
+    * (the frozen-model assignment [[IvfModel]] `transform` computes),
+    * so the estimate costs ≈ 1/nProbe of the unfiltered scoring work. */
+  def localAllowedCounts(queries: DataFrame, allowed: DataFrame,
+                         beamWidth: Int,
+                         metric: ExactNN.Metric = ExactNN.L2,
+                         roundTo: Int = 6): DataFrame = {
+    val qCell = model.transform(
+        queries.select(col("query_id"), col("qv")), "query_id", "qv")
+      .select(col("query_id"), col("cell"))
+    val cands = cells
+      .join(broadcast(qCell), "cell")
+      .select("query_id", "vec_id")
+    val ids = allowed.select(col("vec_id")).withColumn("ok", lit(true))
+    val scored = cands
+      .join(vectors, "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))),
+        "query_id")
+      .join(ids, Seq("vec_id"), "left")
+      .select(col("query_id"), col("vec_id"),
+        round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"),
+        coalesce(col("ok"), lit(false)).as("ok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    val counts = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= beamWidth)
+      .groupBy("query_id")
+      .agg(sum(when(col("ok"), lit(1L)).otherwise(lit(0L)))
+        .as("local_allowed"))
+    queries.select(col("query_id"))
+      .join(counts, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("local_allowed"), lit(0L)).as("local_allowed"))
+  }
+
+  /** The routing decision a density-aware [[searchAllFiltered]] call
+    * makes, as data — the IVF twin of
+    * [[graft.ann.lsh.LshIndex.filteredDecision]]. */
+  def filteredDecision(queries: DataFrame, allowed: DataFrame, k: Int,
+                       beamWidth: Int =
+                         graft.ann.lsh.LshIndex.DefaultLocalBeamWidth,
+                       metric: ExactNN.Metric = ExactNN.L2,
+                       roundTo: Int = 6,
+                       maxExactFraction: Double =
+                         graft.ann.FilteredSearch.DefaultMaxExactFraction,
+                       maxAutoExactFraction: Double =
+                         graft.ann.FilteredSearch.DefaultMaxAutoExactFraction,
+                       allowedCount: Option[Long] = None,
+                       corpusCount: Option[Long] = None,
+                       densityDispatch: Boolean = true)
+      : graft.ann.FilteredSearch.Decision = {
+    import graft.ann.FilteredSearch
+    val ids = allowed.select("vec_id")
+    val nAllowed = allowedCount.getOrElse(ids.count())
+    val nCorpus = corpusCount.getOrElse(vectors.count())
+    if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
+      FilteredSearch.Decision(nCorpus, nAllowed, None,
+        FilteredSearch.ExactSelectivity)
+    else if (!densityDispatch)
+      FilteredSearch.Decision(nCorpus, nAllowed, None, FilteredSearch.Probe)
+    else {
+      val row = localAllowedCounts(queries, ids, beamWidth, metric, roundTo)
+        .agg(expr("percentile(local_allowed, 0.5)").as("med"))
+        .head()
+      val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      FilteredSearch.Decision(nCorpus, nAllowed, Some(med),
+        FilteredSearch.routeBucket(nAllowed, nCorpus, med, k,
+          maxExactFraction, maxAutoExactFraction))
+    }
+  }
+
+  /** Constrained search under the density-aware dispatch — the IVF
+    * twin of [[graft.ann.lsh.LshIndex.searchAllFiltered]], same rule,
+    * same routes, same post-hoc observable (the scaladoc there applies
+    * verbatim with buckets → cells): selective allow-list → exact
+    * subset scan; dense probed cells (median allowed candidates ≥ k)
+    * → probe-then-filter; starved with the subset ≤
+    * `maxAutoExactFraction` → exact re-serve; starved and too large →
+    * probe with a logged warning. `densityDispatch = false` restores
+    * the selectivity-only rule. Counts are one aggregate each; pass
+    * them when known upstream. */
   def searchAllFiltered(queries: DataFrame, allowed: DataFrame, k: Int,
                         metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
                         maxExactFraction: Double =
                           graft.ann.FilteredSearch.DefaultMaxExactFraction,
                         allowedCount: Option[Long] = None,
-                        corpusCount: Option[Long] = None): DataFrame = {
+                        corpusCount: Option[Long] = None,
+                        maxAutoExactFraction: Double =
+                          graft.ann.FilteredSearch.DefaultMaxAutoExactFraction,
+                        densityDispatch: Boolean = true,
+                        localBeamWidth: Int =
+                          graft.ann.lsh.LshIndex.DefaultLocalBeamWidth)
+      : DataFrame = {
+    import graft.ann.FilteredSearch
     val ids = allowed.select("vec_id")
     val nAllowed = allowedCount.getOrElse(ids.count())
     val nCorpus = corpusCount.getOrElse(vectors.count())
-    if (graft.ann.FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
+    def exactSubset: DataFrame =
       ExactNN.topKAgg(queries, vectors.join(ids, "vec_id"), k, metric,
         roundTo = roundTo)
-    else
+    if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
+      exactSubset
+    else if (!densityDispatch)
       searchAll(queries, k, metric, roundTo, allowed = Some(ids))
+    else {
+      val d = filteredDecision(queries, ids, k, localBeamWidth, metric,
+        roundTo, maxExactFraction, maxAutoExactFraction,
+        Some(nAllowed), Some(nCorpus))
+      if (d.route == FilteredSearch.ProbeStarved) log.warn(
+        f"filtered IVF search is density-starved: the median query has " +
+        f"${d.medianLocalAllowed.getOrElse(Double.NaN)}%.1f allowed " +
+        f"rows among its $localBeamWidth nearest own-cell candidates " +
+        f"(< k=$k) but the allowed subset (${d.selectivity * 100}%.1f%% " +
+        f"of ${d.corpusCount}%,d rows) exceeds maxAutoExactFraction=" +
+        f"$maxAutoExactFraction — probe-then-filter may under-deliver " +
+        "recall (SCALE.md §filtered ANN). Raise nProbe or " +
+        "maxAutoExactFraction.")
+      if (d.route.exact) exactSubset
+      else searchAll(queries, k, metric, roundTo, allowed = Some(ids))
+    }
   }
 
   /** The same index served at a different operating point: `nProbe` is

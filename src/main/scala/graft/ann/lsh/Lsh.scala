@@ -194,11 +194,20 @@ object LshModel {
 /** A trained index: the fitted model plus the two persisted-shape
   * DataFrames (reference `Store` namespaces, store/store.go:12-18 →
   * SURVEY.md §1.1: `vectors(id, vec)` + `buckets(tree_id, hash, id)`). */
+object LshIndex {
+  /** Local-neighborhood cut for the filtered-dispatch density estimate
+    * ([[LshIndex.localAllowedCounts]]) — the graph family's beamWidth
+    * analog, and the same 32 the graph queries serve with. */
+  val DefaultLocalBeamWidth = 32
+}
+
 final class LshIndex(
     val model: LshModel,
     val vectors: DataFrame, // (vec_id, embedding)
     val buckets: DataFrame  // (tree_id, hash, vec_id)
 ) {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Batch ANN search (reference Search, lsh.go:137-197), Spark-first:
     *
@@ -229,13 +238,7 @@ final class LshIndex(
                 maxCandidates: Option[Int] = None,
                 topKViaAggregator: Boolean = true,
                 allowed: Option[DataFrame] = None): DataFrame = {
-    val probes = model.probeRows(queries, "query_id", "qv")
-      .dropDuplicates("query_id", "tree_id", "hash")
-    val uncapped = buckets
-      .join(broadcast(probes.select("query_id", "tree_id", "hash")),
-        Seq("tree_id", "hash"))
-      .select("query_id", "vec_id")
-      .dropDuplicates("query_id", "vec_id")
+    val uncapped = probedCandidates(queries)
     // Constrained (metadata-filtered) search: the (vec_id) allow-list —
     // typically the output of a metadata predicate — lands BETWEEN
     // candidate retrieval and scoring, so disallowed candidates are
@@ -261,16 +264,43 @@ final class LshIndex(
     // (dedup AFTER the join: it runs on the join output, where a
     // distinct() on the allow-list side would shuffle the whole
     // corpus-scale id set just to guard against duplicate allow rows)
-    val filtered = allowed.fold(uncapped) { a =>
-      a.select("vec_id").join(uncapped, "vec_id")
-        .select("query_id", "vec_id")
-        .dropDuplicates("query_id", "vec_id")
-    }
+    val filtered = allowed.fold(uncapped)(a =>
+      filterCandidates(uncapped, a.select("vec_id")))
     val cands = maxCandidates.fold(filtered) { cap =>
       val cw = Window.partitionBy("query_id").orderBy("vec_id")
       filtered.withColumn("crn", row_number().over(cw))
         .where(col("crn") <= cap).drop("crn")
     }
+    scoreTopK(cands, queries, k, distanceThreshold, metric, roundTo,
+      topKViaAggregator)
+  }
+
+  /** Candidate retrieval — steps 1-3 of [[searchAll]]'s pipeline,
+    * shared with the density-aware filtered dispatch so the dispatch's
+    * observable and the search's candidate set can never drift. */
+  private def probedCandidates(queries: DataFrame): DataFrame = {
+    val probes = model.probeRows(queries, "query_id", "qv")
+      .dropDuplicates("query_id", "tree_id", "hash")
+    buckets
+      .join(broadcast(probes.select("query_id", "tree_id", "hash")),
+        Seq("tree_id", "hash"))
+      .select("query_id", "vec_id")
+      .dropDuplicates("query_id", "vec_id")
+  }
+
+  /** The allow-list filter on a candidate set (the join-shape notes in
+    * [[searchAll]]'s body apply). */
+  private def filterCandidates(cands: DataFrame, ids: DataFrame): DataFrame =
+    ids.join(cands, "vec_id")
+      .select("query_id", "vec_id")
+      .dropDuplicates("query_id", "vec_id")
+
+  /** Steps 4-5 of [[searchAll]]'s pipeline: vec join + distance +
+    * threshold + per-query top-k. */
+  private def scoreTopK(cands: DataFrame, queries: DataFrame, k: Int,
+                        distanceThreshold: Double, metric: ExactNN.Metric,
+                        roundTo: Int,
+                        topKViaAggregator: Boolean): DataFrame = {
     val scored = cands
       .join(vectors, "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
@@ -283,6 +313,109 @@ final class LshIndex(
     // candidate scale-up. topKViaAggregator=false restores the
     // row_number() window (row-identical, TopKSpec) for plan comparison.
     graft.ann.TopK.perQueryTopK(scored, k, topKViaAggregator)
+  }
+
+  /** Per-query count of ALLOWED rows among the query's `beamWidth`
+    * NEAREST own-leaf candidates — the bucket-index density observable
+    * ([[graft.ann.FilteredSearch.routeBucket]]'s input), the exact
+    * twin of [[graft.ann.GraphSearch.localAllowedCounts]]: the query's
+    * own leaf in ONE tree (`treeId`, no bit-flip fan-out) is its local
+    * neighborhood; score it, cut to the beamWidth nearest by the
+    * search's own (dist, vec_id) tie order, count allowed. When the
+    * MEDIAN query cannot fill k from its nearest local candidates, the
+    * filtered top-k must come from buckets the probes never visit and
+    * probe-then-filter recall collapses.
+    *
+    * Negative result, measured (SCALE.md §filtered ANN, round 16) and
+    * kept here as a contract: the "free" post-hoc signal — the count
+    * of allowed rows among ALL probed candidates — does NOT
+    * discriminate. On the 200-cluster dispatch-spec geometry every
+    * collapsed arm (probe recall 0.33-0.69) kept its median total
+    * allowed-candidate count at 8-38, well above k=5: the probed
+    * buckets hold PLENTY of allowed rows, just the wrong (far) ones,
+    * and probe-then-filter fills k with them. Starvation for a bucket
+    * index is a NEARNESS property, so the estimator must rank — which
+    * is why this costs a bounded distance pass (one leaf per query,
+    * ≈ 1/(2·nTrees) of the unfiltered scoring work) instead of a
+    * metadata aggregate.
+    *
+    * Queries whose own leaf holds NO rows appear with count 0 —
+    * dropping them would overstate the median in exactly the starved
+    * regime the signal exists to catch. */
+  def localAllowedCounts(queries: DataFrame, allowed: DataFrame,
+                         beamWidth: Int,
+                         metric: ExactNN.Metric = ExactNN.L2,
+                         roundTo: Int = 6, treeId: Int = 0): DataFrame = {
+    val qHash = model.transform(
+        queries.select(col("query_id"), col("qv")), "query_id", "qv")
+      .where(col("tree_id") === treeId)
+      .select(col("query_id"), col("hash"))
+    val cands = buckets.where(col("tree_id") === treeId)
+      .join(broadcast(qHash), "hash")
+      .select("query_id", "vec_id")
+    val ids = allowed.select(col("vec_id")).withColumn("ok", lit(true))
+    val scored = cands
+      .join(vectors, "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))),
+        "query_id")
+      .join(ids, Seq("vec_id"), "left")
+      .select(col("query_id"), col("vec_id"),
+        round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"),
+        coalesce(col("ok"), lit(false)).as("ok"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    val counts = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= beamWidth)
+      .groupBy("query_id")
+      .agg(sum(when(col("ok"), lit(1L)).otherwise(lit(0L)))
+        .as("local_allowed"))
+    queries.select(col("query_id"))
+      .join(counts, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("local_allowed"), lit(0L)).as("local_allowed"))
+  }
+
+  /** The routing decision a density-aware [[searchAllFiltered]] call
+    * makes, as data — specs pin it and `q_lsh_filtered_auto` replays
+    * it in DuckDB the way `q_graph_filtered_auto` replays the graph
+    * family's. The median (exact, interpolated — `percentile(0.5)`,
+    * DuckDB-replayable) of [[localAllowedCounts]] is compared against
+    * k: a median query that cannot fill k from its nearest local
+    * candidates means probe-then-filter cannot serve the NEAR allowed
+    * rows either — it fills k with far ones and recall collapses
+    * silently (the measured failure this rule exists to catch). */
+  def filteredDecision(queries: DataFrame, allowed: DataFrame, k: Int,
+                       beamWidth: Int = LshIndex.DefaultLocalBeamWidth,
+                       metric: ExactNN.Metric = ExactNN.L2,
+                       roundTo: Int = 6,
+                       maxExactFraction: Double =
+                         graft.ann.FilteredSearch.DefaultMaxExactFraction,
+                       maxAutoExactFraction: Double =
+                         graft.ann.FilteredSearch.DefaultMaxAutoExactFraction,
+                       allowedCount: Option[Long] = None,
+                       corpusCount: Option[Long] = None,
+                       densityDispatch: Boolean = true)
+      : graft.ann.FilteredSearch.Decision = {
+    import graft.ann.FilteredSearch
+    val ids = allowed.select("vec_id")
+    val nAllowed = allowedCount.getOrElse(ids.count())
+    val nCorpus = corpusCount.getOrElse(vectors.count())
+    if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
+      FilteredSearch.Decision(nCorpus, nAllowed, None,
+        FilteredSearch.ExactSelectivity)
+    else if (!densityDispatch)
+      FilteredSearch.Decision(nCorpus, nAllowed, None, FilteredSearch.Probe)
+    else {
+      val row = localAllowedCounts(queries, ids, beamWidth, metric, roundTo)
+        .agg(expr("percentile(local_allowed, 0.5)").as("med"))
+        .head()
+      // no queries: median 0 — maximally starved, mirroring
+      // GraphSearch.filteredDecision's empty-estimate rule (the exact
+      // routes serve an empty frame for empty queries, which is free)
+      val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      FilteredSearch.Decision(nCorpus, nAllowed, Some(med),
+        FilteredSearch.routeBucket(nAllowed, nCorpus, med, k,
+          maxExactFraction, maxAutoExactFraction))
+    }
   }
 
   /** Selectivity-aware constrained search — the production answer to
@@ -299,19 +432,34 @@ final class LshIndex(
     * `corpusCount` when the caller already knows them (e.g. the
     * predicate's selectivity is tracked upstream) to skip the jobs.
     *
-    * Density caveat (the graph family's round-15 lesson, SCALE.md):
-    * ABOVE the cutoff, probe-then-filter recall is governed by how the
-    * filter thins the probed buckets, which mere selectivity does not
-    * see — the bucketed twin of the graph walk's measured 0.22-at-10%
-    * collapse. The graph family estimates local allowed density and
-    * auto-routes ([[graft.ann.GraphSearch.filteredDecision]]); for the
-    * bucket indexes the probed candidate set IS the whole search, so
-    * an equivalent estimator costs the search itself. Certify a
-    * probe-then-filter operating point GT-side instead — the
-    * `q_autotune_filtered` sweep replays the cutoff decision against
-    * an exact filtered ground truth cross-engine — or raise
-    * `maxExactFraction` toward the measured ~15% cost-parity point
-    * when the filter correlates with query geometry.
+    * Density dispatch (the graph family's round-15 rule, applied to
+    * the bucket index in round 16): ABOVE the cutoff, probe-then-filter
+    * recall is governed by whether the query's NEAR allowed rows sit in
+    * probed buckets, which mere selectivity does not see — the
+    * bucketed twin of the graph walk's measured 0.22-at-10% collapse,
+    * with one twist the measurement forced (see
+    * [[localAllowedCounts]]): the probed buckets usually hold enough
+    * allowed rows to FILL k, just far ones, so the search returns
+    * complete result sets at collapsed recall with nothing underfilled
+    * to observe. The estimator therefore ranks the query's own-leaf
+    * neighborhood (one tree, beamWidth nearest) and counts allowed —
+    * the graph estimator's exact shape at ≈ 1/(2·nTrees) of one
+    * search's scoring work. When the MEDIAN query cannot fill k from
+    * its nearest local candidates ([[graft.ann.FilteredSearch
+    * .routeBucket]]):
+    *
+    *  - subset ≤ `maxAutoExactFraction` of the corpus → serve the
+    *    exact subset scan (route `exact_density` — recall 1.0 at the
+    *    measured ≤15% cost-parity ceiling);
+    *  - subset too large to scan → the probe path serves, with a
+    *    logged warning naming the measured risk (route
+    *    `probe_starved` — more trees, more probes, or a raised
+    *    ceiling is on the caller).
+    *
+    * `densityDispatch = false` restores the selectivity-only rule
+    * (and skips the estimator's one-leaf cost). The decision itself
+    * is available as data via [[filteredDecision]];
+    * `q_lsh_filtered_auto` replays it cross-engine.
     *
     * @param allowed (vec_id) allow-list — extra columns are ignored
     */
@@ -321,20 +469,45 @@ final class LshIndex(
                         maxExactFraction: Double =
                           graft.ann.FilteredSearch.DefaultMaxExactFraction,
                         allowedCount: Option[Long] = None,
-                        corpusCount: Option[Long] = None): DataFrame = {
+                        corpusCount: Option[Long] = None,
+                        maxAutoExactFraction: Double =
+                          graft.ann.FilteredSearch.DefaultMaxAutoExactFraction,
+                        densityDispatch: Boolean = true,
+                        localBeamWidth: Int =
+                          LshIndex.DefaultLocalBeamWidth): DataFrame = {
+    import graft.ann.FilteredSearch
     val ids = allowed.select("vec_id")
     val nAllowed = allowedCount.getOrElse(ids.count())
     val nCorpus = corpusCount.getOrElse(vectors.count())
-    if (graft.ann.FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
-      // exact path: the corpus scan is pre-filtered to the allowed rows
-      // (join on vec_id, no forced hint — AQE broadcasts the id list
-      // when small), then ExactNN's broadcast-queries scan + bounded
-      // top-k tail runs over just that subset
+    // exact path: the corpus scan is pre-filtered to the allowed rows
+    // (join on vec_id, no forced hint — AQE broadcasts the id list
+    // when small), then ExactNN's broadcast-queries scan + bounded
+    // top-k tail runs over just that subset
+    def exactSubset: DataFrame =
       ExactNN.topKAgg(queries, vectors.join(ids, "vec_id"), k, metric,
         threshold = Some(distanceThreshold), roundTo = roundTo)
-    else
+    if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
+      exactSubset
+    else if (!densityDispatch)
       searchAll(queries, k, distanceThreshold, metric, roundTo,
         allowed = Some(ids))
+    else {
+      val d = filteredDecision(queries, ids, k, localBeamWidth, metric,
+        roundTo, maxExactFraction, maxAutoExactFraction,
+        Some(nAllowed), Some(nCorpus))
+      if (d.route == FilteredSearch.ProbeStarved) log.warn(
+        f"filtered LSH search is density-starved: the median query has " +
+        f"${d.medianLocalAllowed.getOrElse(Double.NaN)}%.1f allowed " +
+        f"rows among its $localBeamWidth nearest own-leaf candidates " +
+        f"(< k=$k) but the allowed subset (${d.selectivity * 100}%.1f%% " +
+        f"of ${d.corpusCount}%,d rows) exceeds maxAutoExactFraction=" +
+        f"$maxAutoExactFraction — probe-then-filter may under-deliver " +
+        "recall (SCALE.md §filtered ANN: the correlated-filter " +
+        "collapse). Add trees/probes or raise maxAutoExactFraction.")
+      if (d.route.exact) exactSubset
+      else searchAll(queries, k, distanceThreshold, metric, roundTo,
+        allowed = Some(ids))
+    }
   }
 
   /** The buckets table with a deterministic per-bucket occupancy cap:

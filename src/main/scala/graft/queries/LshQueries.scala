@@ -250,6 +250,80 @@ object LshQueries extends QueryPack {
           count(lit(1)).as("n_queries"))
     }),
 
+    // Density-aware filtered dispatch under the oracle — the bucket
+    // index's q_graph_filtered_auto (round 16, closing the round-15
+    // `weak`: LshIndex.searchAllFiltered routed on selectivity alone
+    // above the cutoff while the measured failure is a density
+    // property). Two predicate arms cross the density boundary — ~50%
+    // (own-leaf locally dense → route `probe`) and ~10% (starved →
+    // `exact_density`). The estimator's inputs (the tree-0 query
+    // hashes and the buckets table) and every arm's predictions are
+    // dumped; DuckDB recomputes the corpus/allowed counts, RE-DERIVES
+    // the median own-leaf local-allowed density from the dumps (tree-0
+    // bucket join, top-DefaultLocalBeamWidth by the same rounded L2 /
+    // (dist, vec_id) ties, allowed counted, zero-candidate queries
+    // kept at 0, exact interpolated median), replays the routing rule,
+    // and grades each arm's recall vs its own filtered exact ground
+    // truth — the whole dispatch decision cross-engine.
+    "q_lsh_filtered_auto" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = queriesDf(emb)
+      val idx0 = lshIdx(s, dir, angular = false)
+      val dump = s"$SearchDumpRoot/${sfName(dir)}"
+      // decisions and serves run over the DUMPED buckets, so the rows
+      // DuckDB re-derives from are bit-for-bit the rows Spark routed on
+      val bk = dumpAndReload(s, idx0.buckets, s"$dump/lsh_auto_buckets")
+      val idx = new LshIndex(idx0.model, idx0.vectors, bk)
+      dumpAndReload(s,
+        idx0.model.transform(q, "query_id", "qv")
+          .where(col("tree_id") === 0).select("query_id", "hash"),
+        s"$dump/lsh_auto_qhash")
+      val arms = GraphQueries.FilteredAutoArms.map { case (name, m, r) =>
+        (name, pmod(col("vec_id"), lit(m)) === r)
+      }
+      // decision computed ONCE per arm, then its route executed
+      // directly (the q_graph_filtered_auto form — row-identical to
+      // searchAllFiltered by construction, BucketFilteredDispatchSpec
+      // pins the identity, without paying the counts + estimator
+      // twice). The exact subset scan doubles as each arm's ground
+      // truth.
+      val results = arms.map { case (name, pred) =>
+        val allowed = emb.where(pred).select("vec_id")
+        val d = idx.filteredDecision(q, allowed, K, metric = ExactNN.L2)
+        val exactSubset = graft.ann.ExactNN.topKAgg(q,
+            emb.where(pred).select(col("vec_id"), col("embedding")), K,
+            ExactNN.L2, threshold = Some(SelectiveThreshold))
+          .localCheckpoint()
+        val res =
+          (if (d.route.exact) exactSubset
+           else idx.searchAll(q, K, SelectiveThreshold, ExactNN.L2,
+             allowed = Some(allowed)))
+            .withColumn("arm", lit(name))
+        (name, d, res, exactSubset)
+      }
+      val preds = dumpAndReload(s,
+        results.map(_._3).reduce(_ unionByName _)
+          .select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
+        s"$dump/lsh_auto_preds")
+      import s.implicits._
+      val decisions = results.map { case (name, d, _, _) =>
+        (name, d.corpusCount, d.allowedCount,
+          BigDecimal(d.medianLocalAllowed.getOrElse(-1.0))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          d.route.name)
+      }.toDF("arm", "corpus_n", "allowed_n", "median_local_allowed",
+        "route")
+      val recalls = results.map { case (name, _, _, gt) =>
+        Eval.setPrecisionRecall(
+            preds.where(col("arm") === name).select("query_id", "vec_id"),
+            gt.select("query_id", "vec_id"))
+          .agg(round(avg("recall"), 4).as("avg_recall"),
+            count(lit(1)).as("n_queries"))
+          .withColumn("arm", lit(name))
+      }.reduce(_ unionByName _)
+      decisions.join(recalls, "arm").orderBy("arm")
+    }),
+
     // Index lifecycle under the oracle, part 1 — DELETE
     // (LshIndex.withDeletes, the tombstone serve-time view; the
     // reference's store is append-only, store/store.go — deletes are a
@@ -449,6 +523,122 @@ object LshQueries extends QueryPack {
        |)
        |SELECT ra.$adcName, rb.$rerankName FROM ra, rb""".stripMargin
 
+  /** `q_lsh_filtered_auto`'s decision-replay SQL: the density-aware
+    * bucket routing rule ([[graft.ann.FilteredSearch.routeBucket]])
+    * re-derived end-to-end by DuckDB — counts from the embeddings
+    * table, the median own-leaf local-allowed estimate from the dumped
+    * tree-0 query hashes + buckets (the same bucket join, the same
+    * rounded L2 and (dist, vec_id) tie order,
+    * top-[[graft.ann.lsh.LshIndex.DefaultLocalBeamWidth]] cut,
+    * zero-candidate queries kept at 0, exact interpolated median), the
+    * route CASE mirroring the Scala rule's cutoffs, and per-arm recall
+    * graded vs DuckDB's own filtered exact GT with [[recallOracle]]'s
+    * join shapes. */
+  private def lshFilteredAutoOracleSql: String = {
+    val dump = s"$SearchDumpRoot/sf0.01"
+    val beam = graft.ann.lsh.LshIndex.DefaultLocalBeamWidth
+    val armDefs = GraphQueries.FilteredAutoArms.zipWithIndex.map {
+      case ((name, mod, rem), i) => (name, s"vec_id % $mod = $rem", i)
+    }
+    val okCols = armDefs.map { case (_, pred, i) =>
+      s"e.$pred AS ok_a$i" }.mkString(",\n    ")
+    val laCols = armDefs.map { case (_, _, i) =>
+      s"count(*) FILTER (WHERE s.ok_a$i) AS la_a$i" }.mkString(",\n    ")
+    val medCols = armDefs.map { case (_, _, i) =>
+      s"round(quantile_cont(la_a$i, 0.5), 4) AS m_a$i" }.mkString(",\n    ")
+    val cntCols = armDefs.map { case (_, pred, i) =>
+      s"(count(*) FILTER (WHERE $pred))::BIGINT AS a_a$i" }
+      .mkString(",\n    ")
+    val recallCtes = armDefs.map { case (name, pred, i) =>
+      s"""sc$i AS (
+         |  SELECT qs.query_id, e.vec_id, $L2DistSql AS dist
+         |  FROM qs CROSS JOIN (SELECT * FROM embeddings WHERE $pred) e
+         |),
+         |gt$i AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |    FROM sc$i
+         |  ) WHERE rn <= $K
+         |),
+         |p$i AS (SELECT query_id, vec_id FROM preds WHERE arm = '$name'),
+         |np$i AS (SELECT query_id, count(*) AS n_pred FROM p$i GROUP BY query_id),
+         |ng$i AS (SELECT query_id, count(*) AS n_gt FROM gt$i GROUP BY query_id),
+         |h$i AS (
+         |  SELECT p$i.query_id, count(*) AS valid
+         |  FROM p$i JOIN gt$i USING (query_id, vec_id) GROUP BY p$i.query_id
+         |),
+         |r$i AS (
+         |  SELECT round(avg(round(coalesce(h$i.valid, 0) / ng$i.n_gt, 6)), 4)
+         |           AS avg_recall,
+         |         count(*) AS n_queries
+         |  FROM np$i JOIN ng$i USING (query_id)
+         |  LEFT JOIN h$i USING (query_id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val maxExact = graft.ann.FilteredSearch.DefaultMaxExactFraction
+    val maxAuto = graft.ann.FilteredSearch.DefaultMaxAutoExactFraction
+    val armRows = armDefs.map { case (name, _, i) =>
+      s"""  SELECT '$name' AS arm, cnts.corpus_n, cnts.a_a$i AS allowed_n,
+         |    med.m_a$i AS median_local_allowed,
+         |    CASE WHEN cnts.a_a$i <= $maxExact * cnts.corpus_n
+         |           THEN 'exact_selectivity'
+         |         WHEN med.m_a$i >= $K THEN 'probe'
+         |         WHEN cnts.a_a$i <= $maxAuto * cnts.corpus_n
+         |           THEN 'exact_density'
+         |         ELSE 'probe_starved' END AS route,
+         |    r$i.avg_recall, r$i.n_queries
+         |  FROM cnts, med, r$i""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+       |),
+       |preds AS (
+       |  SELECT arm, query_id, vec_id
+       |  FROM read_parquet('$dump/lsh_auto_preds/*.parquet')
+       |),
+       |cand AS (
+       |  SELECT qh.query_id, bk.vec_id
+       |  FROM read_parquet('$dump/lsh_auto_qhash/*.parquet') qh
+       |  JOIN (SELECT hash, vec_id
+       |        FROM read_parquet('$dump/lsh_auto_buckets/*.parquet')
+       |        WHERE tree_id = 0) bk USING (hash)
+       |),
+       |sc AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    $okCols,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY $L2DistSql, c.vec_id) AS rn
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN qs ON qs.query_id = c.query_id
+       |),
+       |la AS (
+       |  SELECT qs.query_id,
+       |    $laCols
+       |  FROM qs LEFT JOIN (SELECT * FROM sc WHERE rn <= $beam) s
+       |    ON s.query_id = qs.query_id
+       |  GROUP BY qs.query_id
+       |),
+       |med AS (
+       |  SELECT
+       |    $medCols
+       |  FROM la
+       |),
+       |cnts AS (
+       |  SELECT count(*)::BIGINT AS corpus_n,
+       |    $cntCols
+       |  FROM embeddings
+       |),
+       |$recallCtes
+       |SELECT arm, corpus_n, allowed_n, median_local_allowed, route,
+       |       avg_recall, n_queries
+       |FROM (
+       |$armRows
+       |) ORDER BY arm""".stripMargin
+  }
+
   /** DuckDB L2 / cosine distance SQL over `qs`/`e` aliases, matching the
     * Spark-side 6-decimal rounding and the cosine near-zero clamp. */
   private[queries] val L2DistSql =
@@ -551,6 +741,9 @@ object LshQueries extends QueryPack {
         s"$SearchDumpRoot/sf0.01/lsh_filtered_selective/*.parquet",
         L2DistSql, None, K,
         corpusWhere = "WHERE vec_id % 50 = 0"),
+
+      // Density-aware dispatch replay (see the query's scaladoc).
+      "q_lsh_filtered_auto" -> lshFilteredAutoOracleSql,
 
       // Delete view: per-pair distance recompute + tombstone-predicate
       // re-check — a leaked deleted id flips `valid` cross-engine.
