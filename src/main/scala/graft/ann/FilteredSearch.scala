@@ -97,12 +97,36 @@ object FilteredSearch {
   /** The full decision a [[graft.ann.GraphSearch.beamFromFiltered]]
     * call made — counts, the density estimate (None when the
     * selectivity cutoff short-circuited or density dispatch was off),
-    * and the route taken. */
+    * and the route taken.
+    *
+    * `lowQuartileLocalAllowed` (same estimator, 25th percentile) is
+    * the BIMODALITY signal the 1M-shape measurement forced: a filter
+    * correlated with geometry at ~50% selectivity leaves the MEDIAN
+    * query locally dense (route `probe`/`walk` — correctly, since the
+    * subset is far too large for the exact dispatch) while the starved
+    * HALF of the queries serve collapsed recall (measured 0.58 average
+    * = ~1.0 dense half / ~0.16 starved half, SCALE.md §filtered ANN,
+    * round 16). The median routes; the quartile warns — see
+    * [[bimodalStarved]]. */
   final case class Decision(corpusCount: Long, allowedCount: Long,
                             medianLocalAllowed: Option[Double],
-                            route: Route) {
+                            route: Route,
+                            lowQuartileLocalAllowed: Option[Double] = None) {
     def selectivity: Double =
       if (corpusCount <= 0L) 0.0 else allowedCount.toDouble / corpusCount
+
+    /** True when the route is a probe/walk serve (the median query is
+      * locally dense) but the lower-quartile query cannot fill k
+      * locally — the bimodal regime where a correlated even-split
+      * filter serves collapsed recall to a large minority of queries
+      * with nothing in the average to observe. The serve rule is
+      * unchanged (no global route helps: the subset is too large to
+      * scan and the dense half is served correctly); callers warn, and
+      * the remediation is label-aware construction keyed on the filter
+      * column ([[graft.ann.KnnGraph.labelAware]]). */
+    def bimodalStarved(k: Int): Boolean =
+      (route == Walk || route == Probe) &&
+        lowQuartileLocalAllowed.exists(_ < k)
   }
 
   /** The density-aware routing rule — a pure function of the two

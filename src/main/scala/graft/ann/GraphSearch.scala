@@ -650,7 +650,8 @@ object GraphSearch {
       val row = localAllowedCounts(graph, vectors, idCol, vecCol, queries,
           entries, beamWidth, allowed, metric, roundTo, symmetrize,
           excluded)
-        .agg(expr("percentile(local_allowed, 0.5)").as("med"))
+        .agg(expr("percentile(local_allowed, 0.5)").as("med"),
+          expr("percentile(local_allowed, 0.25)").as("q25"))
         .head()
       // no estimator rows (empty queries/entries, or entry nodes absent
       // from `vectors`): treat as median 0 — maximally starved. The walk
@@ -659,9 +660,11 @@ object GraphSearch {
       // queries, which costs nothing) — so routing on zero density is
       // both the safe and the useful degradation, not just an NPE guard.
       val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      val q25 = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
       FilteredSearch.Decision(corpusN, allowedN, Some(med),
         FilteredSearch.route(allowedN, corpusN, med, k,
-          maxExactFraction, maxAutoExactFraction))
+          maxExactFraction, maxAutoExactFraction),
+        Some(q25))
     }
   }
 
@@ -712,8 +715,16 @@ object GraphSearch {
       f"$maxAutoExactFraction — the walk may under-deliver recall " +
       f"(measured 0.22 at 10%% selectivity at 1M, SCALE.md §filtered " +
       f"ANN). Consider label-augmented construction " +
-      f"(KnnGraph.fromLshSameLabel + GraphSearch.labelRing) or raising " +
-      f"maxAutoExactFraction.")
+      f"(KnnGraph.labelAware) or raising maxAutoExactFraction.")
+    if (d.bimodalStarved(k)) log.warn(
+      f"filtered graph search is BIMODALLY starved: the median query " +
+      f"is locally dense (${d.medianLocalAllowed.get}%.1f allowed " +
+      f"among its $beamWidth nearest local candidates) but the " +
+      f"lower-quartile query sees ${d.lowQuartileLocalAllowed.get}%.1f " +
+      f"< k=$k — a correlated even-split filter serves collapsed " +
+      "recall to the starved minority with nothing in the average to " +
+      "observe (SCALE.md §filtered ANN, round 16). Remediation is " +
+      "build-time: KnnGraph.labelAware keyed on the filter column.")
     if (d.route.exact) {
       val subset = vectors.where(allowed)
         .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))

@@ -121,6 +121,51 @@ object KnnGraph {
       .select(col("query_id").as("src"), col("vec_id").as("dst"), col("dist"))
   }
 
+  /** One-call label-AWARE graph construction — the packaged remediation
+    * the `walk_starved` / `probe_starved` warnings name (round 16; the
+    * FilteredDiskANN build-time idea, arXiv:2211.12850, as a single
+    * builder instead of a three-call recipe): the serving edge set is
+    *
+    *   base ∪ same-label k-NN ([[fromLshSameLabel]] — the [[fromLsh]]
+    *   bucket pairs restricted to equal labels, no second forest)
+    *   ∪ per-label connectivity ring
+    *   ([[graft.ann.GraphSearch.labelRing]] — every label value forms
+    *   one cycle, so a constrained walk can always move WITHIN its
+    *   allowed subgraph even where same-label k-NN edges are sparse),
+    *
+    * deduplicated. `base` defaults to the unfiltered [[fromLsh]] k-NN
+    * edges plus [[graft.ann.GraphSearch.randomBackbone]] (the standard
+    * serving-graph base); pass the existing store's edges to augment
+    * in place. This is the STARVED-LARGE regime's answer: when the
+    * allowed subset exceeds `maxAutoExactFraction` the dispatch can
+    * only warn — label-aware construction makes the walk itself
+    * navigate the allowed subgraph (certified >15%-selective by
+    * `q_graph_filtered_labeled` vs DuckDB's own filtered GT).
+    *
+    * Scale shape: every ingredient is the bucket join (shuffles on
+    * (tree_id, hash), occupancy-capped fan-out) or one window over the
+    * corpus keyed by label — no all-pairs anywhere; cost ≈ one extra
+    * [[fromLsh]] pass at build time, zero serve-time cost when the
+    * filter column isn't constrained. */
+  def labelAware(idx: graft.ann.lsh.LshIndex, vectors: DataFrame,
+                 idCol: String, vecCol: String, labelCol: String, k: Int,
+                 metric: ExactNN.Metric = ExactNN.Cosine,
+                 maxBucketOccupancy: Int = Int.MaxValue,
+                 base: Option[DataFrame] = None,
+                 roundTo: Int = 6): DataFrame = {
+    val b = base.getOrElse(
+      fromLsh(idx, vectors, idCol, vecCol, k, metric, maxBucketOccupancy,
+          roundTo)
+        .select(col("src"), col("dst"))
+        .unionByName(GraphSearch.randomBackbone(vectors, idCol)))
+    b.select(col("src"), col("dst"))
+      .unionByName(fromLshSameLabel(idx, vectors, idCol, vecCol, labelCol,
+          k, metric, maxBucketOccupancy, roundTo)
+        .select(col("src"), col("dst")))
+      .unionByName(GraphSearch.labelRing(vectors, idCol, labelCol))
+      .dropDuplicates("src", "dst")
+  }
+
   /** Mark edges whose reverse edge is also in the graph — the
     * mutual-kNN subgraph is the standard robust-clustering reduction
     * (an edge both endpoints agree on). One self-join on the (already

@@ -331,12 +331,15 @@ final class IvfIndex(
       FilteredSearch.Decision(nCorpus, nAllowed, None, FilteredSearch.Probe)
     else {
       val row = localAllowedCounts(queries, ids, beamWidth, metric, roundTo)
-        .agg(expr("percentile(local_allowed, 0.5)").as("med"))
+        .agg(expr("percentile(local_allowed, 0.5)").as("med"),
+          expr("percentile(local_allowed, 0.25)").as("q25"))
         .head()
       val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      val q25 = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
       FilteredSearch.Decision(nCorpus, nAllowed, Some(med),
         FilteredSearch.routeBucket(nAllowed, nCorpus, med, k,
-          maxExactFraction, maxAutoExactFraction))
+          maxExactFraction, maxAutoExactFraction),
+        Some(q25))
     }
   }
 
@@ -386,6 +389,15 @@ final class IvfIndex(
         f"$maxAutoExactFraction — probe-then-filter may under-deliver " +
         "recall (SCALE.md §filtered ANN). Raise nProbe or " +
         "maxAutoExactFraction.")
+      if (d.bimodalStarved(k)) log.warn(
+        f"filtered IVF search is BIMODALLY starved: the median query " +
+        f"is locally dense (${d.medianLocalAllowed.get}%.1f allowed " +
+        f"among its $localBeamWidth nearest own-cell candidates) but " +
+        f"the lower-quartile query sees " +
+        f"${d.lowQuartileLocalAllowed.get}%.1f < k=$k — a correlated " +
+        "even-split filter serves collapsed recall to the starved " +
+        "minority (SCALE.md §filtered ANN, round 16). Remediation is " +
+        "build-time: KnnGraph.labelAware keyed on the filter column.")
       if (d.route.exact) exactSubset
       else searchAll(queries, k, metric, roundTo, allowed = Some(ids))
     }

@@ -406,15 +406,18 @@ final class LshIndex(
       FilteredSearch.Decision(nCorpus, nAllowed, None, FilteredSearch.Probe)
     else {
       val row = localAllowedCounts(queries, ids, beamWidth, metric, roundTo)
-        .agg(expr("percentile(local_allowed, 0.5)").as("med"))
+        .agg(expr("percentile(local_allowed, 0.5)").as("med"),
+          expr("percentile(local_allowed, 0.25)").as("q25"))
         .head()
       // no queries: median 0 — maximally starved, mirroring
       // GraphSearch.filteredDecision's empty-estimate rule (the exact
       // routes serve an empty frame for empty queries, which is free)
       val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      val q25 = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
       FilteredSearch.Decision(nCorpus, nAllowed, Some(med),
         FilteredSearch.routeBucket(nAllowed, nCorpus, med, k,
-          maxExactFraction, maxAutoExactFraction))
+          maxExactFraction, maxAutoExactFraction),
+        Some(q25))
     }
   }
 
@@ -504,6 +507,16 @@ final class LshIndex(
         f"$maxAutoExactFraction — probe-then-filter may under-deliver " +
         "recall (SCALE.md §filtered ANN: the correlated-filter " +
         "collapse). Add trees/probes or raise maxAutoExactFraction.")
+      if (d.bimodalStarved(k)) log.warn(
+        f"filtered LSH search is BIMODALLY starved: the median query " +
+        f"is locally dense (${d.medianLocalAllowed.get}%.1f allowed " +
+        f"among its $localBeamWidth nearest) but the lower-quartile " +
+        f"query sees ${d.lowQuartileLocalAllowed.get}%.1f < k=$k — a " +
+        "filter correlated with geometry at even-split selectivity " +
+        "serves collapsed recall to the starved minority with nothing " +
+        "in the average to observe (measured 0.58 avg = ~1.0/~0.16 " +
+        "halves at 1M shape, SCALE.md §filtered ANN). Remediation is " +
+        "build-time: KnnGraph.labelAware keyed on the filter column.")
       if (d.route.exact) exactSubset
       else searchAll(queries, k, distanceThreshold, metric, roundTo,
         allowed = Some(ids))

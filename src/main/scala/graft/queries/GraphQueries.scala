@@ -636,31 +636,30 @@ object GraphQueries extends QueryPack {
 
 
     // Filter-AWARE graph construction under the oracle
-    // (KnnGraph.fromLshSameLabel + GraphSearch.labelRing — the
-    // FilteredDiskANN build-time idea, arXiv:2211.12850): the serving
-    // graph is augmented with same-label k-NN edges (derived from the
-    // SAME LSH bucket join the base graph used — no second forest) and
-    // a per-label connectivity ring, the walk starts from
-    // filter-aware seeds (the LSH probe restricted to the allowed
-    // subset), and a ~10%-selective `label = 3` predicate constrains
-    // serving. Recall is graded against DuckDB's own exact cosine GT
-    // over the label subset — the regime where SCALE.md measured the
-    // UN-augmented walk density-starved, so this row certifies the
-    // build-time answer end to end.
+    // (KnnGraph.labelAware — the FilteredDiskANN build-time idea,
+    // arXiv:2211.12850, as the round-16 ONE-CALL builder the
+    // walk_starved warning names): the serving graph is augmented with
+    // same-label k-NN edges (derived from the SAME LSH bucket join the
+    // base graph used — no second forest) and a per-label connectivity
+    // ring, the walk starts from filter-aware seeds (the LSH probe
+    // restricted to the allowed subset), and a ~22%-selective
+    // `label IN (3, 4)` predicate constrains serving — deliberately
+    // ABOVE the 15% auto-exact ceiling, i.e. the STARVED-LARGE regime
+    // where the density dispatch can only warn (walk_starved) and
+    // label-aware construction is the prescribed remediation. Recall
+    // is graded against DuckDB's own exact cosine GT over the label
+    // subset, certifying the build-time answer end to end exactly
+    // where no serve-time dispatch can help.
     "q_graph_filtered_labeled" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
       val idx = graphLshIndex(s, dir)
       val base = graphRefinedBackbone(s, dir)
-      val allowed = col("label") === 3
+      val allowed = col("label").isin(3, 4)
       val aug = memoized(s, dir, "graph_label_aug") {
-        base
-          .unionByName(graft.ann.KnnGraph.fromLshSameLabel(idx, e,
-              "vec_id", "embedding", "label", KnnK, ExactNN.Cosine,
-              maxBucketOccupancy = 200)
-            .select(col("src"), col("dst")))
-          .unionByName(graft.ann.GraphSearch.labelRing(e, "vec_id", "label"))
-          .dropDuplicates("src", "dst")
+        graft.ann.KnnGraph.labelAware(idx, e, "vec_id", "embedding",
+            "label", KnnK, ExactNN.Cosine, maxBucketOccupancy = 200,
+            base = Some(base))
           .localCheckpoint()
       }
       val entries = idx.searchAll(q, BeamWidth, Double.MaxValue,
@@ -839,11 +838,13 @@ object GraphQueries extends QueryPack {
 
 
     // Filter-aware construction: augmented-walk recall vs DuckDB's own
-    // exact cosine GT over the ~10% label subset.
+    // exact cosine GT over the ~22% label subset (label IN (3, 4) —
+    // above the 15% auto-exact ceiling, the regime the builder exists
+    // for).
     "q_graph_filtered_labeled" -> LshQueries.recallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/graph_filtered_labeled/*.parquet",
       LshQueries.CosineDistSql, None, K,
-      corpusWhere = "WHERE label = 3"),
+      corpusWhere = "WHERE label IN (3, 4)"),
 
 
     // Density-aware dispatch: DuckDB recomputes the corpus/allowed

@@ -306,13 +306,15 @@ object LshQueries extends QueryPack {
           .select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
         s"$dump/lsh_auto_preds")
       import s.implicits._
+      def r4(v: Double): Double = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       val decisions = results.map { case (name, d, _, _) =>
         (name, d.corpusCount, d.allowedCount,
-          BigDecimal(d.medianLocalAllowed.getOrElse(-1.0))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          d.route.name)
+          r4(d.medianLocalAllowed.getOrElse(-1.0)), d.route.name,
+          r4(d.lowQuartileLocalAllowed.getOrElse(-1.0)),
+          d.bimodalStarved(K))
       }.toDF("arm", "corpus_n", "allowed_n", "median_local_allowed",
-        "route")
+        "route", "low_quartile_local_allowed", "warn_bimodal")
       val recalls = results.map { case (name, _, _, gt) =>
         Eval.setPrecisionRecall(
             preds.where(col("arm") === name).select("query_id", "vec_id"),
@@ -545,7 +547,9 @@ object LshQueries extends QueryPack {
     val laCols = armDefs.map { case (_, _, i) =>
       s"count(*) FILTER (WHERE s.ok_a$i) AS la_a$i" }.mkString(",\n    ")
     val medCols = armDefs.map { case (_, _, i) =>
-      s"round(quantile_cont(la_a$i, 0.5), 4) AS m_a$i" }.mkString(",\n    ")
+      s"round(quantile_cont(la_a$i, 0.5), 4) AS m_a$i,\n    " +
+        s"round(quantile_cont(la_a$i, 0.25), 4) AS q_a$i" }
+      .mkString(",\n    ")
     val cntCols = armDefs.map { case (_, pred, i) =>
       s"(count(*) FILTER (WHERE $pred))::BIGINT AS a_a$i" }
       .mkString(",\n    ")
@@ -587,6 +591,7 @@ object LshQueries extends QueryPack {
          |         WHEN cnts.a_a$i <= $maxAuto * cnts.corpus_n
          |           THEN 'exact_density'
          |         ELSE 'probe_starved' END AS route,
+         |    med.q_a$i AS low_quartile_local_allowed,
          |    r$i.avg_recall, r$i.n_queries
          |  FROM cnts, med, r$i""".stripMargin
     }.mkString("\n  UNION ALL\n")
@@ -633,6 +638,9 @@ object LshQueries extends QueryPack {
        |),
        |$recallCtes
        |SELECT arm, corpus_n, allowed_n, median_local_allowed, route,
+       |       low_quartile_local_allowed,
+       |       (route = 'probe' AND low_quartile_local_allowed < $K)
+       |         AS warn_bimodal,
        |       avg_recall, n_queries
        |FROM (
        |$armRows

@@ -104,6 +104,8 @@ object LshFilteredProbe {
       val (_, tE) = time(exact.count())
       println(f"[fprobe] $tag%-9s sel=${nA.toDouble / n}%.3f " +
         f"median=${d.medianLocalAllowed.getOrElse(-1.0)}%.1f " +
+        f"q25=${d.lowQuartileLocalAllowed.getOrElse(-1.0)}%.1f " +
+        f"bimodal=${d.bimodalStarved(k)} " +
         f"route=${d.route.name}%-17s est=${tDec}%.1fs | " +
         f"probe=${tP}%.1fs (warm ${tP0}%.1f) recall=$pRec%.3f | " +
         f"auto=${tA}%.1fs (warm ${tA0}%.1f) recall=$aRec%.3f | " +

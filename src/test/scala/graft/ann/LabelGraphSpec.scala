@@ -124,4 +124,69 @@ class LabelGraphSpec extends AnyFunSuite with SparkSpecBase {
     assert(augmented > plain + 0.1,
       s"augmentation did not improve: $plain -> $augmented")
   }
+
+  test("labelAware: one call == the three-call recipe, with and without a base") {
+    val e = clustered.withColumn("label", pmod($"vec_id", lit(7)))
+    val idx = Lsh.train(e, "vec_id", "embedding",
+      LshConfig(nTrees = 8, kMinVecs = 40, angular = true, seed = 7L))
+    def edges(df: DataFrame): Set[(Long, Long)] =
+      df.select($"src", $"dst").as[(Long, Long)].collect().toSet
+    val base = KnnGraph.fromLsh(idx, e, "vec_id", "embedding", 5,
+        ExactNN.Cosine)
+      .select($"src", $"dst")
+      .unionByName(GraphSearch.randomBackbone(e, "vec_id"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint()
+    val manual = base
+      .unionByName(KnnGraph.fromLshSameLabel(idx, e, "vec_id",
+        "embedding", "label", 5, ExactNN.Cosine).select($"src", $"dst"))
+      .unionByName(GraphSearch.labelRing(e, "vec_id", "label"))
+      .dropDuplicates("src", "dst")
+    assert(edges(KnnGraph.labelAware(idx, e, "vec_id", "embedding",
+      "label", 5, ExactNN.Cosine, base = Some(base))) === edges(manual))
+    // default base = fromLsh + randomBackbone (the same construction)
+    assert(edges(KnnGraph.labelAware(idx, e, "vec_id", "embedding",
+      "label", 5, ExactNN.Cosine)) === edges(manual))
+  }
+
+  test("starved-LARGE regime (>15%): dispatch can only warn; labelAware construction recovers") {
+    // a 20%-selective label: above the auto-exact ceiling, so
+    // beamFromFiltered routes walk_starved (warn, serve the walk) —
+    // build-time label awareness is the only remediation, which is
+    // exactly what q_graph_filtered_labeled certifies at sf with
+    // label IN (3, 4) (~22%)
+    val e = clustered.withColumn("label", pmod($"vec_id", lit(5)))
+      .localCheckpoint()
+    val allowedPred = $"label" === 3 // 20% — ~2 allowed per cluster
+    val idx = Lsh.train(e, "vec_id", "embedding",
+      LshConfig(nTrees = 8, kMinVecs = 40, angular = true, seed = 7L))
+    val base = KnnGraph.fromLsh(idx, e, "vec_id", "embedding", 5,
+        ExactNN.Cosine)
+      .select($"src", $"dst")
+      .unionByName(GraphSearch.randomBackbone(e, "vec_id"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint()
+    val q = e.orderBy("vec_id").limit(40)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val plainSeeds = idx.searchAll(q, 16, Double.MaxValue, ExactNN.Cosine)
+      .select($"query_id", $"vec_id".as("node"))
+    val d = GraphSearch.filteredDecision(base, e, "vec_id", "embedding",
+      q, plainSeeds, 5, 16, allowedPred, ExactNN.Cosine)
+    assert(d.route === FilteredSearch.WalkStarved, d.toString)
+    val subset = e.where(allowedPred)
+    val gt = ExactNN.topKAgg(q, subset, 5, ExactNN.Cosine)
+    val aug = KnnGraph.labelAware(idx, e, "vec_id", "embedding", "label",
+      5, ExactNN.Cosine, base = Some(base))
+    val filteredSeeds = idx.searchAll(q, 16, Double.MaxValue,
+        ExactNN.Cosine, allowed = Some(subset.select($"vec_id")))
+      .select($"query_id", $"vec_id".as("node"))
+    val rec = graft.eval.Eval.setPrecisionRecall(
+        GraphSearch.beamFrom(aug, e, "vec_id", "embedding", q,
+            filteredSeeds, 5, 16, 4, ExactNN.Cosine,
+            allowed = Some(allowedPred))
+          .select($"query_id", $"vec_id"),
+        gt.select($"query_id", $"vec_id"))
+      .agg(avg("recall")).as[Double].head()
+    assert(rec >= 0.8, s"labelAware starved-large recall $rec")
+  }
 }

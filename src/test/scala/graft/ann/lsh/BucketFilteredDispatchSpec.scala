@@ -156,6 +156,35 @@ class BucketFilteredDispatchSpec extends AnyFunSuite with SparkSpecBase {
     assert(rows(lshDispatch(cl17Pred)) === rows(probe))
   }
 
+  test("bimodal starvation signal: quartile warns where the median routes probe") {
+    import FilteredSearch._
+    // pure rule: warns only on probe/walk routes with a starved lower
+    // quartile — the measured 1M-shape regime where a correlated
+    // even-split filter serves ~1.0 to half the queries and ~0.16 to
+    // the other half (median dense, average mute)
+    assert(Decision(1000, 500, Some(16.0), Probe, Some(2.0))
+      .bimodalStarved(10))
+    assert(Decision(1000, 500, Some(16.0), Walk, Some(2.0))
+      .bimodalStarved(10))
+    assert(!Decision(1000, 500, Some(16.0), Probe, Some(10.0))
+      .bimodalStarved(10))
+    assert(!Decision(1000, 100, Some(2.0), ExactDensity, Some(0.0))
+      .bimodalStarved(10))
+    assert(!Decision(1000, 500, Some(16.0), Probe, None)
+      .bimodalStarved(10))
+    // empirical: a CLUSTER-correlated even-split filter on the spec
+    // geometry — allowed clusters are whole-in/whole-out, so
+    // disallowed-cluster queries see a starved own-leaf while the
+    // median stays dense enough to route probe
+    val cl50 = pmod((col("vec_id") / 10).cast("long"), lit(2)) === 0
+    val d = lshDecide(cl50)
+    assert(d.lowQuartileLocalAllowed.isDefined)
+    assert(d.lowQuartileLocalAllowed.get <
+      d.medianLocalAllowed.get,
+      s"correlated even-split should skew the local-density " +
+        s"distribution: $d")
+  }
+
   test("selectivity cutoff short-circuits before the estimator") {
     val pred = pmod($"vec_id", lit(50)) === 0 // 2% <= 5%
     val d = lshDecide(pred)
