@@ -51,16 +51,20 @@ object PipelineQueries extends QueryPack {
   val IngestDeleteMod = 25L
 
   /** The composed-ingestion store build, memoized per (session, sf)
-    * like the other stored-lifecycle rows: all four stores built on
+    * like the other stored-lifecycle rows: all FIVE stores built on
     * the base corpus, then ONE [[graft.streaming.IngestPipeline]]
     * micro-batch — the rule-derived arrivals gated, fanned to
-    * postings/codes/graph, deletes fanned to all — with the graph on
-    * refineEvery = 1 so the batch ends in a full refine (deleted
-    * nodes physically gone; every live node backbone-linked), making
-    * graph membership a pure liveness predicate. */
+    * postings/codes/forest/graph, deletes fanned to all — with the
+    * graph on refineEvery = 1 so the batch ends in a full refine
+    * (deleted nodes physically gone; every live node backbone-linked),
+    * making graph membership a pure liveness predicate. The serving
+    * LSH forest (round 16's fifth leg — the index the hybrid-retrieval
+    * shape reads) is maintained on the same admitted set in the same
+    * batch. */
   private def ingestStores(s: SparkSession, dir: String)
       : (graft.text.DedupGate, graft.retrieval.PostingsStore,
          graft.ann.CodesMaintainer, graft.ann.GraphMaintainer,
+         graft.ann.lsh.LshMaintainer,
          graft.streaming.IngestPipeline.Report) = {
     import s.implicits._
     memoized(s, dir, "ingest_composed") {
@@ -92,6 +96,11 @@ object PipelineQueries extends QueryPack {
       sq.save(s, s"$root/codes")
       val codes = new graft.ann.CodesMaintainer(s, s"$root/codes",
         encode = a => sq.model.transformDf(a, "vec_id", "embedding"),
+        compactEvery = 100)
+      graft.ann.lsh.Lsh.train(baseVecs, "vec_id", "embedding",
+          graft.ann.lsh.LshConfig(nTrees = 4, kMinVecs = 40, seed = 7L))
+        .save(s, s"$root/forest")
+      val forest = new graft.ann.lsh.LshMaintainer(s, s"$root/forest",
         compactEvery = 100)
       val name = s"ingest_row_${LshQueries.sfName(dir).replace('.', '_')}"
       graft.ann.GraphSearch.dropManagedTables(s, s"${name}_edges",
@@ -127,11 +136,12 @@ object PipelineQueries extends QueryPack {
       val pipeline = new graft.streaming.IngestPipeline(gate, postings,
         codes, graph,
         entriesFor = nv => nv.select(col("vec_id").as("query_id"))
-          .crossJoin(entryIds.toDF("node")))
+          .crossJoin(entryIds.toDF("node")),
+        lsh = Some(forest))
       val report = pipeline.onBatch(arrivals,
         joined.select(col("doc_id").as("vec_id"), col("embedding")),
         Some(deletes))
-      (gate, postings, codes, graph, report)
+      (gate, postings, codes, graph, forest, report)
     }
   }
 
@@ -204,7 +214,8 @@ object PipelineQueries extends QueryPack {
     // dropping an admitted one, or serving a deleted one mismatches
     // the hash.
     "q_ingest_composed" -> ((s, dir) => {
-      val (gate, postings, codes, graph, report) = ingestStores(s, dir)
+      val (gate, postings, codes, graph, forest, report) =
+        ingestStores(s, dir)
       val d = tbl(s, dir, "documents")
       val e = tbl(s, dir, "embeddings").select(col("vec_id"))
       val withEmb = d.join(e, d("doc_id") === e("vec_id"))
@@ -225,11 +236,14 @@ object PipelineQueries extends QueryPack {
         .withColumn("in_codes", lit(true))
       val inGraph = graph.servingEdges.select(col("src").as("doc_id"))
         .distinct().withColumn("in_graph", lit(true))
+      val inForest = forest.index.buckets.select(col("vec_id").as("doc_id"))
+        .distinct().withColumn("in_forest", lit(true))
       ids
         .join(admitted, Seq("doc_id"), "left")
         .join(inBands, Seq("doc_id"), "left")
         .join(inPost, Seq("doc_id"), "left")
         .join(inCodes, Seq("doc_id"), "left")
+        .join(inForest, Seq("doc_id"), "left")
         .join(inGraph, Seq("doc_id"), "left")
         .na.fill(false)
         .orderBy("kind", "doc_id")
@@ -346,14 +360,15 @@ object PipelineQueries extends QueryPack {
          |  WHERE doc_id % $IngestArrivalMod = 0
          |)
          |SELECT doc_id, kind, admitted, in_bands, in_postings, in_codes,
-         |       in_graph
+         |       in_forest, in_graph
          |FROM (
          |  SELECT doc_id, 'arrival' AS kind, adm AS admitted,
          |         adm AS in_bands, adm AS in_postings, adm AS in_codes,
-         |         adm AS in_graph
+         |         adm AS in_forest, adm AS in_graph
          |  FROM arr
          |  UNION ALL
-         |  SELECT doc_id, 'delete', false, false, false, false, false
+         |  SELECT doc_id, 'delete', false, false, false, false, false,
+         |         false
          |  FROM del
          |) ORDER BY kind, doc_id""".stripMargin
   )

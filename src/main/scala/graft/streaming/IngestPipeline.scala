@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ann.{CodesMaintainer, GraphMaintainer}
+import graft.ann.lsh.LshMaintainer
 import graft.retrieval.PostingsStore
 import graft.text.DedupGate
 
@@ -20,10 +21,16 @@ import graft.text.DedupGate
   *      postings (doc_id, toks);
   *   3. [[graft.ann.CodesMaintainer]] encodes + appends the admitted
   *      embeddings through its frozen model;
-  *   4. [[graft.ann.GraphMaintainer]] beam-inserts the admitted
+  *   4. [[graft.ann.lsh.LshMaintainer]] (optional fifth leg) hashes
+  *      the admitted vectors through its frozen forest into the
+  *      serving LSH store — the index the hybrid-retrieval shape
+  *      (`q_hybrid_rrf_indexed`) reads vector candidates from, so a
+  *      deployment serving hybrid retrieval maintains it on the SAME
+  *      admitted set in the same batch;
+  *   5. [[graft.ann.GraphMaintainer]] beam-inserts the admitted
   *      vectors into the serving graph.
   *
-  * Deletes fan out to all four in the same batch. The consistency cut:
+  * Deletes fan out to every store in the same batch. The consistency cut:
   * every store sees exactly the same admitted set (the gate's decision
   * is materialized once and shared — a store can never ingest a doc
   * another store rejected), and each store's batch is individually
@@ -70,7 +77,8 @@ final class IngestPipeline(
     idCol: String = "doc_id",
     textCol: String = "text",
     toksCol: String = "toks",
-    vecCol: String = "embedding") {
+    vecCol: String = "embedding",
+    lsh: Option[LshMaintainer] = None) {
 
   /** One composed maintenance step — safe as a `foreachBatch` body
     * (driver-side state is each store's one Int; everything heavy is
@@ -102,6 +110,12 @@ final class IngestPipeline(
       Some(upserts.select(col(idCol).as("doc_id"))))
     codes.onBatch(Some(admittedVecs),
       Some(upserts.select(col(idCol).as("vec_id"))))
+    // the serving LSH forest rides the same admitted set + upsert-
+    // delete rule as the other flat stores (LshMaintainer's tombstone
+    // log kills strictly-earlier rows only, so replays supersede and
+    // fresh arrivals are untouched — the same at-least-once contract)
+    lsh.foreach(_.onBatch(Some(admittedVecs),
+      Some(upserts.select(col(idCol).as("vec_id")))))
     // the graph's vectors view is its LIVE basis (a scheduled refine
     // treats vectors ∖ tombstones as the corpus — backbone edges are
     // built for every row), so rejected arrivals must not ride along:

@@ -15,11 +15,11 @@ import graft.text.{Dedup, DedupGate}
   * micro-batch flowing through dedup-gate → postings append → codes
   * append → graph insert from the same foreachBatch. Contracts:
   *
-  *   - stream == batch identity ACROSS ALL FOUR STORES: the streaming
-  *     run's final store states (band index, postings, codes, graph
-  *     edges) are row-identical to a driver-side loop applying the
-  *     same splits sequentially;
-  *   - one consistency cut: every admitted doc is in all four stores,
+  *   - stream == batch identity ACROSS ALL FIVE STORES: the streaming
+  *     run's final store states (band index, postings, codes, LSH
+  *     forest, graph edges) are row-identical to a driver-side loop
+  *     applying the same splits sequentially;
+  *   - one consistency cut: every admitted doc is in all five stores,
   *     every rejected doc in none;
   *   - gate semantics across batches: a batch-2 arrival duplicating a
   *     batch-1 ADMISSION is rejected (the stored band index grew), a
@@ -81,11 +81,11 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     if (d.isEmpty) None else Some(d.toDF("doc_id"))
   }
 
-  /** Build the four stores fresh under `tag` and return the pipeline
+  /** Build the five stores fresh under `tag` and return the pipeline
     * plus handles to each store. */
   private def buildStores(tag: String)
       : (IngestPipeline, DedupGate, PostingsStore, CodesMaintainer,
-         GraphMaintainer) = {
+         GraphMaintainer, graft.ann.lsh.LshMaintainer) = {
     val root = java.nio.file.Files
       .createTempDirectory(s"ingest_$tag").toString
     val gate = DedupGate.build(spark, s"$root/gate", baseDocs,
@@ -97,6 +97,11 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     sq.save(spark, s"$root/codes")
     val codes = new CodesMaintainer(spark, s"$root/codes",
       encode = a => sq.model.transformDf(a, "vec_id", "embedding"),
+      compactEvery = 100)
+    graft.ann.lsh.Lsh.train(baseVecs, "vec_id", "embedding",
+        graft.ann.lsh.LshConfig(nTrees = 3, kMinVecs = 8, seed = 7L))
+      .save(spark, s"$root/forest")
+    val forest = new graft.ann.lsh.LshMaintainer(spark, s"$root/forest",
       compactEvery = 100)
     val name = s"ingest_${tag}_graph"
     GraphSearch.dropManagedTables(spark, s"${name}_edges",
@@ -112,8 +117,23 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
       refineEvery = 100, maxReverseDegree = 2)
     val pipeline = new IngestPipeline(gate, postings, codes, graph,
       entriesFor = nv => nv.select($"vec_id".as("query_id"))
-        .crossJoin((0L until 8L).toDF("node")))
-    (pipeline, gate, postings, codes, graph)
+        .crossJoin((0L until 8L).toDF("node")),
+      lsh = Some(forest))
+    (pipeline, gate, postings, codes, graph, forest)
+  }
+
+  /** Forest membership + bucket rows (vec_id, tree_id, hash) of the
+    * serving LSH view — both tables must agree store-wide, so the set
+    * carries the bucket rows, not just ids. */
+  private def forestSet(m: graft.ann.lsh.LshMaintainer)
+      : Set[(Long, Int, Long)] = {
+    val idx = m.index
+    val vecIds = idx.vectors.select($"vec_id").as[Long].collect().toSet
+    val rows = idx.buckets.select($"vec_id", $"tree_id", $"hash")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(rows.map(_._1) === vecIds,
+      "forest vectors and buckets disagree on membership")
+    rows
   }
 
   private def bandsSet(g: DedupGate): Set[(Long, Int, String)] =
@@ -139,9 +159,9 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     g.servingEdges.select($"src", $"dst")
       .as[(Long, Long)].collect().toSet
 
-  test("one micro-batch drives all four stores; stream == batch; rejected in none, admitted in all") {
+  test("one micro-batch drives all five stores; stream == batch; rejected in none, admitted in all") {
     // ---- streaming side ----
-    val (sp, sGate, sPost, sCodes, sGraph) = buildStores("s")
+    val (sp, sGate, sPost, sCodes, sGraph, sForest) = buildStores("s")
     val reports = scala.collection.mutable.ListBuffer
       .empty[IngestPipeline.Report]
     val sAdmitted = scala.collection.mutable.ListBuffer.empty[Long]
@@ -168,7 +188,7 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     } finally q.stop()
 
     // ---- batch twin: same splits, sequential ----
-    val (bp, bGate, bPost, bCodes, bGraph) = buildStores("b")
+    val (bp, bGate, bPost, bCodes, bGraph, bForest) = buildStores("b")
     val bAdmitted = scala.collection.mutable.ListBuffer.empty[Long]
     val bReports = Seq(batch1, batch2).map { rows =>
       val rep = bp.onBatch(arrivalsDf(rows),
@@ -183,6 +203,7 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     assert(sparseSet(sPost) === sparseSet(bPost), "sparse weights diverged")
     assert(codesSet(sCodes) === codesSet(bCodes), "codes diverged")
     assert(edgesSet(sGraph) === edgesSet(bGraph), "graph diverged")
+    assert(forestSet(sForest) === forestSet(bForest), "LSH forest diverged")
 
     // gate semantics: batch 1 rejects the stored-dup and the
     // within-batch higher id; batch 2 rejects the dup of batch 1's
@@ -207,20 +228,23 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     val inPost = postingsSet(sPost).map(_._1)
     val inCodes = codesSet(sCodes).map(_._1)
     val inGraph = edgesSet(sGraph).map(_._1)
+    val inForest = forestSet(sForest).map(_._1)
     admitted.foreach { id =>
       assert(inBands(id), s"admitted $id missing from band index")
       assert(inPost(id), s"admitted $id missing from postings")
       assert(inCodes(id), s"admitted $id missing from codes")
       assert(inGraph(id), s"admitted $id missing from graph")
+      assert(inForest(id), s"admitted $id missing from the LSH forest")
     }
     rejected.foreach { id =>
-      assert(!inBands(id) && !inPost(id) && !inCodes(id) && !inGraph(id),
+      assert(!inBands(id) && !inPost(id) && !inCodes(id) && !inGraph(id)
+          && !inForest(id),
         s"rejected $id leaked into a store")
     }
 
-    // deletes fanned out: doc 7 left postings/codes/bands and is
+    // deletes fanned out: doc 7 left postings/codes/bands/forest and is
     // tombstoned in the graph (served-excluded until the next refine)
-    assert(!inBands(7L) && !inPost(7L) && !inCodes(7L),
+    assert(!inBands(7L) && !inPost(7L) && !inCodes(7L) && !inForest(7L),
       "deleted doc 7 still serving")
     assert(sGraph.tombstones.as[Long].collect().contains(7L),
       "deleted doc 7 not tombstoned in the graph")
@@ -240,12 +264,13 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     // never pairs against itself), and the pipeline's upsert-deletes
     // make the replayed postings/codes rows SUPERSEDE the originals
     // instead of double-serving them.
-    val (p, gate, post, codes, graph) = buildStores("r")
+    val (p, gate, post, codes, graph, forest) = buildStores("r")
     val rows1 = batch1
     p.onBatch(arrivalsDf(rows1), vectorsFor(Nil, rows1), deletesDf(rows1))
     val postOnce = postingsSet(post)
     val sparseOnce = sparseSet(post)
     val codesOnce = codesSet(codes)
+    val forestOnce = forestSet(forest)
     val bandsOnce = bandsSet(gate)
     // replay the SAME batch (fresh seq, same rows)
     val rep2 = p.onBatch(arrivalsDf(rows1), vectorsFor(Nil, rows1),
@@ -254,6 +279,7 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     assert(postingsSet(post) === postOnce, "postings diverged on replay")
     assert(sparseSet(post) === sparseOnce, "sparse weights diverged on replay")
     assert(codesSet(codes) === codesOnce, "codes diverged on replay")
+    assert(forestSet(forest) === forestOnce, "LSH forest diverged on replay")
     // the band index may briefly hold duplicate rows pre-compaction;
     // the candidate-facing SET is unchanged, and compaction collapses
     // the physical duplicates
