@@ -1,5 +1,8 @@
 package graft.ann
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
+
 /** Selectivity dispatch for constrained (metadata-filtered) ANN search.
   *
   * Probe-then-filter (an `allowed` allow-list between candidate
@@ -176,4 +179,76 @@ object FilteredSearch {
       case WalkStarved => ProbeStarved
       case r           => r
     }
+
+  /** The full decision LADDER, shared by all three families (graph /
+    * LSH / IVF — one implementation, so a cutoff fix cannot be applied
+    * twice and forgotten once): selectivity short-circuit, the
+    * dispatch-off probe/walk default, and the density branch — one
+    * aggregate over the family's own `localAllowed` estimator frame
+    * (`(query_id, local_allowed)` rows, by-name) computing the exact
+    * interpolated median AND 25th percentile, then [[route]] /
+    * [[routeBucket]] by `bucket`. An empty estimator frame reads
+    * median 0 — maximally starved: the probe/walk would serve nothing
+    * from an empty neighborhood while the exact routes still serve
+    * real results (or a free empty frame for empty queries), so
+    * routing on zero density is the safe AND useful degradation. */
+  def decide(allowedCount: Long, corpusCount: Long, k: Int,
+             maxExactFraction: Double, maxAutoExactFraction: Double,
+             densityDispatch: Boolean, bucket: Boolean,
+             localAllowed: => DataFrame): Decision =
+    if (useExactScan(allowedCount, corpusCount, maxExactFraction))
+      Decision(corpusCount, allowedCount, None, ExactSelectivity)
+    else if (!densityDispatch)
+      Decision(corpusCount, allowedCount, None,
+        if (bucket) Probe else Walk)
+    else {
+      val row = localAllowed
+        .agg(expr("percentile(local_allowed, 0.5)").as("med"),
+          expr("percentile(local_allowed, 0.25)").as("q25"))
+        .head()
+      val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      val q25 = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+      Decision(corpusCount, allowedCount, Some(med),
+        if (bucket)
+          routeBucket(allowedCount, corpusCount, med, k,
+            maxExactFraction, maxAutoExactFraction)
+        else
+          route(allowedCount, corpusCount, med, k,
+            maxExactFraction, maxAutoExactFraction),
+        Some(q25))
+    }
+
+  /** The 0-2 log-ready warning lines a serve path owes its caller for
+    * `decision` — one implementation for the six call sites
+    * (starved-large and bimodal × three families). `neighborhood`
+    * names the family's local window ("nearest local candidates" /
+    * "nearest own-leaf candidates" / "nearest own-cell candidates");
+    * `remediation` the family's starved-large fix. */
+  def warnings(d: Decision, k: Int, beamWidth: Int, family: String,
+               neighborhood: String, remediation: String): Seq[String] = {
+    val starved =
+      if (d.route != WalkStarved && d.route != ProbeStarved) None
+      else Some(
+        f"filtered $family search is density-starved: the median query " +
+        f"sees ${d.medianLocalAllowed.getOrElse(Double.NaN)}%.1f allowed " +
+        f"rows among its $beamWidth $neighborhood (< k=$k) but the " +
+        f"allowed subset (${d.selectivity * 100}%.1f%% of " +
+        f"${d.corpusCount}%,d rows) exceeds the auto-exact ceiling — " +
+        f"the serve may under-deliver recall (SCALE.md §filtered ANN: " +
+        f"the correlated-filter collapse). $remediation")
+    val bimodal =
+      if (!d.bimodalStarved(k)) None
+      else Some(
+        f"filtered $family search is BIMODALLY starved: the median " +
+        f"query is locally dense (${d.medianLocalAllowed.get}%.1f " +
+        f"allowed among its $beamWidth $neighborhood) but the " +
+        f"lower-quartile query sees " +
+        f"${d.lowQuartileLocalAllowed.get}%.1f < k=$k — a filter " +
+        "correlated with geometry at even-split selectivity serves " +
+        "collapsed recall to the starved minority with nothing in the " +
+        "average to observe (measured 0.58 avg = ~1.0/~0.16 halves at " +
+        "1M shape, SCALE.md §filtered ANN). Remediation is build-time: " +
+        "KnnGraph.labelAware keyed on the filter column.")
+    (starved ++ bimodal).toSeq
+  }
 }

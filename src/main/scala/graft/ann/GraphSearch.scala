@@ -572,9 +572,14 @@ object GraphSearch {
     // left join (the tombstone set is batch-sized).
     val okRaw = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"),
       allowed.cast("boolean").as("ok"))
+    // distinct() on the tombstone side: a raw tombstone log legitimately
+    // carries the same id at several seqs (at-least-once replays), and
+    // this is a plain LEFT join — a duplicate would multiply the vector
+    // row and deflate the density estimate (the serve paths' left_anti
+    // joins are dup-safe; only this flag join needs the guard)
     val vecs = excluded.fold(okRaw) { t =>
       okRaw.join(
-          broadcast(t.select(col("vec_id").as("node"))
+          broadcast(t.select(col("vec_id").as("node")).distinct()
             .withColumn("_excl", lit(true))),
           Seq("node"), "left")
         .select(col("node"), col("nv"),
@@ -641,31 +646,14 @@ object GraphSearch {
         count(when(allowed, lit(1))).as("allowed")).head()
       (counts.getLong(0), counts.getLong(1))
     }
-    if (FilteredSearch.useExactScan(allowedN, corpusN, maxExactFraction))
-      FilteredSearch.Decision(corpusN, allowedN, None,
-        FilteredSearch.ExactSelectivity)
-    else if (!densityDispatch)
-      FilteredSearch.Decision(corpusN, allowedN, None, FilteredSearch.Walk)
-    else {
-      val row = localAllowedCounts(graph, vectors, idCol, vecCol, queries,
-          entries, beamWidth, allowed, metric, roundTo, symmetrize,
-          excluded)
-        .agg(expr("percentile(local_allowed, 0.5)").as("med"),
-          expr("percentile(local_allowed, 0.25)").as("q25"))
-        .head()
-      // no estimator rows (empty queries/entries, or entry nodes absent
-      // from `vectors`): treat as median 0 — maximally starved. The walk
-      // would return NOTHING from an empty frontier, while the exact
-      // routes still serve real results (or an empty frame for empty
-      // queries, which costs nothing) — so routing on zero density is
-      // both the safe and the useful degradation, not just an NPE guard.
-      val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-      val q25 = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
-      FilteredSearch.Decision(corpusN, allowedN, Some(med),
-        FilteredSearch.route(allowedN, corpusN, med, k,
-          maxExactFraction, maxAutoExactFraction),
-        Some(q25))
-    }
+    // the ladder itself (short-circuit order, percentile aggregate,
+    // empty-estimate-is-starved rule) is FilteredSearch.decide — one
+    // implementation across graph/LSH/IVF
+    FilteredSearch.decide(allowedN, corpusN, k, maxExactFraction,
+      maxAutoExactFraction, densityDispatch, bucket = false,
+      localAllowed = localAllowedCounts(graph, vectors, idCol, vecCol,
+        queries, entries, beamWidth, allowed, metric, roundTo, symmetrize,
+        excluded))
   }
 
   /** Constrained graph search under the [[FilteredSearch]] dispatch —
@@ -706,25 +694,11 @@ object GraphSearch {
       entries, k, beamWidth, allowed, metric, roundTo, symmetrize,
       maxExactFraction, maxAutoExactFraction, densityDispatch,
       excluded, knownCounts)
-    if (d.route == FilteredSearch.WalkStarved) log.warn(
-      f"filtered graph search is density-starved: the median query sees " +
-      f"${d.medianLocalAllowed.getOrElse(Double.NaN)}%.1f allowed rows " +
-      f"among its $beamWidth nearest local candidates (< k=$k) but the " +
-      f"allowed subset (${d.selectivity * 100}%.1f%% of " +
-      f"${d.corpusCount}%,d rows) exceeds maxAutoExactFraction=" +
-      f"$maxAutoExactFraction — the walk may under-deliver recall " +
-      f"(measured 0.22 at 10%% selectivity at 1M, SCALE.md §filtered " +
-      f"ANN). Consider label-augmented construction " +
-      f"(KnnGraph.labelAware) or raising maxAutoExactFraction.")
-    if (d.bimodalStarved(k)) log.warn(
-      f"filtered graph search is BIMODALLY starved: the median query " +
-      f"is locally dense (${d.medianLocalAllowed.get}%.1f allowed " +
-      f"among its $beamWidth nearest local candidates) but the " +
-      f"lower-quartile query sees ${d.lowQuartileLocalAllowed.get}%.1f " +
-      f"< k=$k — a correlated even-split filter serves collapsed " +
-      "recall to the starved minority with nothing in the average to " +
-      "observe (SCALE.md §filtered ANN, round 16). Remediation is " +
-      "build-time: KnnGraph.labelAware keyed on the filter column.")
+    FilteredSearch.warnings(d, k, beamWidth, "graph",
+      "nearest local candidates",
+      "Consider label-augmented construction (KnnGraph.labelAware) " +
+        "or raising maxAutoExactFraction.")
+      .foreach(log.warn)
     if (d.route.exact) {
       val subset = vectors.where(allowed)
         .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))

@@ -282,7 +282,9 @@ final class IvfIndex(
     val cands = cells
       .join(broadcast(qCell), "cell")
       .select("query_id", "vec_id")
-    val ids = allowed.select(col("vec_id")).withColumn("ok", lit(true))
+    // dedup before the flag join — the LshIndex.localAllowedCounts rule
+    val ids = allowed.select(col("vec_id")).dropDuplicates("vec_id")
+      .withColumn("ok", lit(true))
     val scored = cands
       .join(vectors, "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))),
@@ -320,27 +322,14 @@ final class IvfIndex(
                        corpusCount: Option[Long] = None,
                        densityDispatch: Boolean = true)
       : graft.ann.FilteredSearch.Decision = {
-    import graft.ann.FilteredSearch
     val ids = allowed.select("vec_id")
-    val nAllowed = allowedCount.getOrElse(ids.count())
-    val nCorpus = corpusCount.getOrElse(vectors.count())
-    if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
-      FilteredSearch.Decision(nCorpus, nAllowed, None,
-        FilteredSearch.ExactSelectivity)
-    else if (!densityDispatch)
-      FilteredSearch.Decision(nCorpus, nAllowed, None, FilteredSearch.Probe)
-    else {
-      val row = localAllowedCounts(queries, ids, beamWidth, metric, roundTo)
-        .agg(expr("percentile(local_allowed, 0.5)").as("med"),
-          expr("percentile(local_allowed, 0.25)").as("q25"))
-        .head()
-      val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-      val q25 = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
-      FilteredSearch.Decision(nCorpus, nAllowed, Some(med),
-        FilteredSearch.routeBucket(nAllowed, nCorpus, med, k,
-          maxExactFraction, maxAutoExactFraction),
-        Some(q25))
-    }
+    graft.ann.FilteredSearch.decide(
+      allowedCount.getOrElse(ids.count()),
+      corpusCount.getOrElse(vectors.count()),
+      k, maxExactFraction, maxAutoExactFraction, densityDispatch,
+      bucket = true,
+      localAllowed = localAllowedCounts(queries, ids, beamWidth, metric,
+        roundTo))
   }
 
   /** Constrained search under the density-aware dispatch — the IVF
@@ -380,24 +369,10 @@ final class IvfIndex(
       val d = filteredDecision(queries, ids, k, localBeamWidth, metric,
         roundTo, maxExactFraction, maxAutoExactFraction,
         Some(nAllowed), Some(nCorpus))
-      if (d.route == FilteredSearch.ProbeStarved) log.warn(
-        f"filtered IVF search is density-starved: the median query has " +
-        f"${d.medianLocalAllowed.getOrElse(Double.NaN)}%.1f allowed " +
-        f"rows among its $localBeamWidth nearest own-cell candidates " +
-        f"(< k=$k) but the allowed subset (${d.selectivity * 100}%.1f%% " +
-        f"of ${d.corpusCount}%,d rows) exceeds maxAutoExactFraction=" +
-        f"$maxAutoExactFraction — probe-then-filter may under-deliver " +
-        "recall (SCALE.md §filtered ANN). Raise nProbe or " +
-        "maxAutoExactFraction.")
-      if (d.bimodalStarved(k)) log.warn(
-        f"filtered IVF search is BIMODALLY starved: the median query " +
-        f"is locally dense (${d.medianLocalAllowed.get}%.1f allowed " +
-        f"among its $localBeamWidth nearest own-cell candidates) but " +
-        f"the lower-quartile query sees " +
-        f"${d.lowQuartileLocalAllowed.get}%.1f < k=$k — a correlated " +
-        "even-split filter serves collapsed recall to the starved " +
-        "minority (SCALE.md §filtered ANN, round 16). Remediation is " +
-        "build-time: KnnGraph.labelAware keyed on the filter column.")
+      FilteredSearch.warnings(d, k, localBeamWidth, "IVF",
+        "nearest own-cell candidates",
+        "Raise nProbe or maxAutoExactFraction.")
+        .foreach(log.warn)
       if (d.route.exact) exactSubset
       else searchAll(queries, k, metric, roundTo, allowed = Some(ids))
     }

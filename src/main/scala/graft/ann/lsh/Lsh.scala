@@ -353,7 +353,13 @@ final class LshIndex(
     val cands = buckets.where(col("tree_id") === treeId)
       .join(broadcast(qHash), "hash")
       .select("query_id", "vec_id")
-    val ids = allowed.select(col("vec_id")).withColumn("ok", lit(true))
+    // dedup BEFORE the flag join: the serve path tolerates duplicate
+    // allow rows (filterCandidates dedups after its join), so the
+    // estimator must too — a doubled allow-list would double-count
+    // every allowed row AND double its window slots, inflating the
+    // median past k in exactly the starved regime this signal catches
+    val ids = allowed.select(col("vec_id")).dropDuplicates("vec_id")
+      .withColumn("ok", lit(true))
     val scored = cands
       .join(vectors, "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))),
@@ -395,30 +401,14 @@ final class LshIndex(
                        corpusCount: Option[Long] = None,
                        densityDispatch: Boolean = true)
       : graft.ann.FilteredSearch.Decision = {
-    import graft.ann.FilteredSearch
     val ids = allowed.select("vec_id")
-    val nAllowed = allowedCount.getOrElse(ids.count())
-    val nCorpus = corpusCount.getOrElse(vectors.count())
-    if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
-      FilteredSearch.Decision(nCorpus, nAllowed, None,
-        FilteredSearch.ExactSelectivity)
-    else if (!densityDispatch)
-      FilteredSearch.Decision(nCorpus, nAllowed, None, FilteredSearch.Probe)
-    else {
-      val row = localAllowedCounts(queries, ids, beamWidth, metric, roundTo)
-        .agg(expr("percentile(local_allowed, 0.5)").as("med"),
-          expr("percentile(local_allowed, 0.25)").as("q25"))
-        .head()
-      // no queries: median 0 — maximally starved, mirroring
-      // GraphSearch.filteredDecision's empty-estimate rule (the exact
-      // routes serve an empty frame for empty queries, which is free)
-      val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-      val q25 = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
-      FilteredSearch.Decision(nCorpus, nAllowed, Some(med),
-        FilteredSearch.routeBucket(nAllowed, nCorpus, med, k,
-          maxExactFraction, maxAutoExactFraction),
-        Some(q25))
-    }
+    graft.ann.FilteredSearch.decide(
+      allowedCount.getOrElse(ids.count()),
+      corpusCount.getOrElse(vectors.count()),
+      k, maxExactFraction, maxAutoExactFraction, densityDispatch,
+      bucket = true,
+      localAllowed = localAllowedCounts(queries, ids, beamWidth, metric,
+        roundTo))
   }
 
   /** Selectivity-aware constrained search — the production answer to
@@ -498,25 +488,10 @@ final class LshIndex(
       val d = filteredDecision(queries, ids, k, localBeamWidth, metric,
         roundTo, maxExactFraction, maxAutoExactFraction,
         Some(nAllowed), Some(nCorpus))
-      if (d.route == FilteredSearch.ProbeStarved) log.warn(
-        f"filtered LSH search is density-starved: the median query has " +
-        f"${d.medianLocalAllowed.getOrElse(Double.NaN)}%.1f allowed " +
-        f"rows among its $localBeamWidth nearest own-leaf candidates " +
-        f"(< k=$k) but the allowed subset (${d.selectivity * 100}%.1f%% " +
-        f"of ${d.corpusCount}%,d rows) exceeds maxAutoExactFraction=" +
-        f"$maxAutoExactFraction — probe-then-filter may under-deliver " +
-        "recall (SCALE.md §filtered ANN: the correlated-filter " +
-        "collapse). Add trees/probes or raise maxAutoExactFraction.")
-      if (d.bimodalStarved(k)) log.warn(
-        f"filtered LSH search is BIMODALLY starved: the median query " +
-        f"is locally dense (${d.medianLocalAllowed.get}%.1f allowed " +
-        f"among its $localBeamWidth nearest) but the lower-quartile " +
-        f"query sees ${d.lowQuartileLocalAllowed.get}%.1f < k=$k — a " +
-        "filter correlated with geometry at even-split selectivity " +
-        "serves collapsed recall to the starved minority with nothing " +
-        "in the average to observe (measured 0.58 avg = ~1.0/~0.16 " +
-        "halves at 1M shape, SCALE.md §filtered ANN). Remediation is " +
-        "build-time: KnnGraph.labelAware keyed on the filter column.")
+      FilteredSearch.warnings(d, k, localBeamWidth, "LSH",
+        "nearest own-leaf candidates",
+        "Add trees/probes or raise maxAutoExactFraction.")
+        .foreach(log.warn)
       if (d.route.exact) exactSubset
       else searchAll(queries, k, distanceThreshold, metric, roundTo,
         allowed = Some(ids))

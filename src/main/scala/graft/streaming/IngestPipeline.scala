@@ -113,8 +113,14 @@ final class IngestPipeline(
     // the serving LSH forest rides the same admitted set + upsert-
     // delete rule as the other flat stores (LshMaintainer's tombstone
     // log kills strictly-earlier rows only, so replays supersede and
-    // fresh arrivals are untouched — the same at-least-once contract)
-    lsh.foreach(_.onBatch(Some(admittedVecs),
+    // fresh arrivals are untouched — the same at-least-once contract).
+    // Rename to the maintainer's fixed (vec_id, embedding) schema here:
+    // unlike the graph leg (whose maintainer takes a vecCol param),
+    // LshMaintainer's store layout hard-codes the column names, and a
+    // custom-vecCol pipeline must not die AFTER three stores committed.
+    lsh.foreach(_.onBatch(
+      Some(admitted.select(col(idCol).as("vec_id"),
+        col(vecCol).as("embedding"))),
       Some(upserts.select(col(idCol).as("vec_id")))))
     // the graph's vectors view is its LIVE basis (a scheduled refine
     // treats vectors ∖ tombstones as the corpus — backbone edges are

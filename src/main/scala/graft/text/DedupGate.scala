@@ -82,7 +82,7 @@ final class DedupGate(
         throw new IllegalStateException(
           s"dedup gate '$path' was configured with maxDocFreqRatio=" +
             s"${cfg.maxDocFreqRatio} (< 1) but has no persisted hot-" +
-            "shingle artifact at $path/hot and none was supplied: " +
+            s"shingle artifact at $p and none was supplied: " +
             "arrivals would band with different geometry than the " +
             "stored index and silently admit near-dups. Rebuild via " +
             "DedupGate.build (which persists the artifact) or pass " +

@@ -26,13 +26,18 @@ import graft.text.{Dedup, DedupGate}
   * deletes of stored ids — the mixed shape a real pipeline sees.
   *
   * Usage: runMain graft.tools.IngestScaleProbe [n] [batch] [batches]
-  * (default: 1000000 1000 3)
+  * [compactEvery] (default: 1000000 1000 3 1000 — pass a small
+  * compactEvery to measure per-batch cost ACROSS a compaction/fold
+  * boundary: every flat store compacts and the graph folds at that
+  * cadence, so e.g. compactEvery=2 over 4 batches pays two compaction
+  * cycles inside the composed loop)
   */
 object IngestScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args.head.toLong else 1000000L
     val b = if (args.length > 1) args(1).toLong else 1000L
     val nBatches = if (args.length > 2) args(2).toInt else 3
+    val compactEvery = if (args.length > 3) args(3).toInt else 1000
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -61,17 +66,20 @@ object IngestScaleProbe {
     val base = corpus.select(col("vec_id").as("doc_id"), col("text"),
       col("toks"), col("embedding"))
     val (gate, tGate) = timed {
-      DedupGate.build(spark, s"$root/gate", base, cfg = cfg)
+      DedupGate.build(spark, s"$root/gate", base, cfg = cfg,
+        compactEvery = compactEvery)
     }
     val (postings, tPost) = timed {
       PostingsStore.build(spark, s"$root/postings",
-        base.select(col("doc_id"), col("toks")))
+        base.select(col("doc_id"), col("toks")),
+        compactEvery = compactEvery)
     }
     val (codesAndSq, tCodes) = timed {
       val sq = graft.ann.sq.Sq.train(corpus, "vec_id", "embedding")
       sq.save(spark, s"$root/codes")
       (new CodesMaintainer(spark, s"$root/codes",
-        encode = a => sq.model.transformDf(a, "vec_id", "embedding")), sq)
+        encode = a => sq.model.transformDf(a, "vec_id", "embedding"),
+        compactEvery = compactEvery), sq)
     }
     val codes = codesAndSq._1
     GraphSearch.dropManagedTables(spark,
@@ -87,15 +95,26 @@ object IngestScaleProbe {
       GraphSearch.saveBucketed(g, "ingest_probe")
       (new GraphMaintainer(spark, "ingest_probe", s"$root/graph",
         "vec_id", "embedding", k = 8, beamWidth = 32, hops = 4,
-        refineEvery = 1000, maxReverseDegree = 2), ix)
+        refineEvery = 1000, maxReverseDegree = 2,
+        compactEvery = compactEvery), ix)
     }
     val graph = graphAndIdx._1
-    println(f"[ingest-scale] n=$n%,d store builds: gate $tGate%.1fs, " +
-      f"postings $tPost%.1fs, codes $tCodes%.1fs, graph $tGraph%.1fs")
+    // fifth leg: the serving LSH forest, maintained on the same
+    // admitted set — REUSES the graph's already-trained forest (same
+    // frozen model the deployment serves hybrid retrieval from)
+    val (forest, tForest) = timed {
+      graphAndIdx._2.save(spark, s"$root/forest")
+      new graft.ann.lsh.LshMaintainer(spark, s"$root/forest",
+        compactEvery = compactEvery)
+    }
+    println(f"[ingest-scale] n=$n%,d compactEvery=$compactEvery store " +
+      f"builds: gate $tGate%.1fs, postings $tPost%.1fs, codes " +
+      f"$tCodes%.1fs, graph $tGraph%.1fs, forest $tForest%.1fs")
 
     val pipeline = new IngestPipeline(gate, postings, codes, graph,
       entriesFor = nv => nv.select(col("vec_id").as("query_id"))
-        .crossJoin((0L until 32L).toDF("node")))
+        .crossJoin((0L until 32L).toDF("node")),
+      lsh = Some(forest))
 
     // ---- composed micro-batches ----
     // batch k: fresh ids n + k*b ..; 10% of the batch reuses a STORED

@@ -107,8 +107,8 @@ object LshFilteredProbe {
         f"q25=${d.lowQuartileLocalAllowed.getOrElse(-1.0)}%.1f " +
         f"bimodal=${d.bimodalStarved(k)} " +
         f"route=${d.route.name}%-17s est=${tDec}%.1fs | " +
-        f"probe=${tP}%.1fs (warm ${tP0}%.1f) recall=$pRec%.3f | " +
-        f"auto=${tA}%.1fs (warm ${tA0}%.1f) recall=$aRec%.3f | " +
+        f"probe=${tP}%.1fs (cold ${tP0}%.1f) recall=$pRec%.3f | " +
+        f"auto=${tA}%.1fs (cold ${tA0}%.1f) recall=$aRec%.3f | " +
         f"exact=${tE}%.1fs")
       allowed.unpersist(); gt.unpersist()
     }
