@@ -126,9 +126,14 @@ object PipelineQueries extends QueryPack {
       // own deletes): the region pass supersedes the deleted nodes'
       // rows in the SERVED view, which is all the membership predicate
       // needs — the full-rewrite refine measured ~3x the cost for the
-      // same observable end state here
+      // same observable end state here. beamWidth 16 / hops 2 (r16,
+      // was 32/4): this row certifies MEMBERSHIP, not edge quality —
+      // the insert links whatever the walk finds and membership holds
+      // for any walk. Measured at sf0.1: the trim takes the composed
+      // onBatch 25.3 s -> 22.2 s; the residual is the scoped refine's
+      // fixed per-stage job count (graph leg 17.9 s), not the walk.
       val graph = new graft.ann.GraphMaintainer(s, name, s"$root/graph",
-        "vec_id", "embedding", k = 5, beamWidth = 32, hops = 4,
+        "vec_id", "embedding", k = 5, beamWidth = 16, hops = 2,
         refineEvery = 1, maxReverseDegree = 2,
         scopedRefine = true, scopeHops = 1)
       // 16 deterministic base entry ids (1..20 minus the multiples of 5)
