@@ -407,6 +407,73 @@ object CompressedQueries extends QueryPack {
     }),
 
 
+    // Density-aware filtered dispatch on the IVF family — the cell
+    // twin of q_lsh_filtered_auto (round 16): the estimator ranks the
+    // query's NEAREST-cell population (IvfIndex.localAllowedCounts),
+    // the same routing rule/cutoffs via FilteredSearch.routeBucket,
+    // and DuckDB re-derives the median + quartile from the dumped
+    // (query_id, cell) assignments + cells table, replays the route
+    // CASE and the bimodal rule, and grades each arm vs its own
+    // filtered exact GT — the shared bucketFilteredAutoOracleSql
+    // builder, so the two families' replays cannot drift.
+    "q_ivf_filtered_auto" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = queriesDf(e)
+      val idx0 = ivfIdx(s, dir)
+      val dump = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
+      // decisions and serves run over the DUMPED cells, so the rows
+      // DuckDB re-derives from are bit-for-bit the rows Spark routed on
+      val cellsD = LshQueries.dumpAndReload(s,
+        idx0.cells.select(col("vec_id"), col("cell")),
+        s"$dump/ivf_auto_cells")
+      val idx = new graft.ann.ivf.IvfIndex(idx0.model, idx0.vectors,
+        cellsD)
+      LshQueries.dumpAndReload(s,
+        idx0.model.transform(q, "query_id", "qv")
+          .select(col("query_id"), col("cell")),
+        s"$dump/ivf_auto_qcell")
+      val arms = GraphQueries.FilteredAutoArms.map { case (name, m, r) =>
+        (name, pmod(col("vec_id"), lit(m)) === r)
+      }
+      val results = arms.map { case (name, pred) =>
+        val allowed = e.where(pred).select("vec_id")
+        val d = idx.filteredDecision(q, allowed, K)
+        val exactSubset = ExactNN.topKAgg(q,
+            e.where(pred).select(col("vec_id"), col("embedding")), K,
+            ExactNN.L2)
+          .localCheckpoint()
+        val res =
+          (if (d.route.exact) exactSubset
+           else idx.searchAll(q, K, ExactNN.L2, allowed = Some(allowed)))
+            .withColumn("arm", lit(name))
+        (name, d, res, exactSubset)
+      }
+      val preds = LshQueries.dumpAndReload(s,
+        results.map(_._3).reduce(_ unionByName _)
+          .select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
+        s"$dump/ivf_auto_preds")
+      import s.implicits._
+      def r4(v: Double): Double = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val decisions = results.map { case (name, d, _, _) =>
+        (name, d.corpusCount, d.allowedCount,
+          r4(d.medianLocalAllowed.getOrElse(-1.0)), d.route.name,
+          r4(d.lowQuartileLocalAllowed.getOrElse(-1.0)),
+          d.bimodalStarved(K))
+      }.toDF("arm", "corpus_n", "allowed_n", "median_local_allowed",
+        "route", "low_quartile_local_allowed", "warn_bimodal")
+      val recalls = results.map { case (name, _, _, gt) =>
+        Eval.setPrecisionRecall(
+            preds.where(col("arm") === name).select("query_id", "vec_id"),
+            gt.select("query_id", "vec_id"))
+          .agg(round(avg("recall"), 4).as("avg_recall"),
+            count(lit(1)).as("n_queries"))
+          .withColumn("arm", lit(name))
+      }.reduce(_ unionByName _)
+      decisions.join(recalls, "arm").orderBy("arm")
+    }),
+
+
     // Recall-targeted operating-point selection under the oracle
     // (graft.ann.AutoTune — the production form of the reference's
     // annbench sweep, annbench.go:165-187): four nProbe arms searched
@@ -1204,6 +1271,17 @@ object CompressedQueries extends QueryPack {
 
     // IVF selective-dispatch recall vs DuckDB's own filtered exact
     // ground truth — must be exactly 1.0 (exact-scan path binds at 2%).
+    // Density-aware IVF dispatch replay (see the query's scaladoc) —
+    // the shared builder with the nearest-cell candidate CTE.
+    "q_ivf_filtered_auto" -> LshQueries.bucketFilteredAutoOracleSql(
+      candSql =
+        s"""  SELECT qc.query_id, ce.vec_id
+           |  FROM read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivf_auto_qcell/*.parquet') qc
+           |  JOIN read_parquet('${LshQueries.SearchDumpRoot}/sf0.01/ivf_auto_cells/*.parquet') ce
+           |    USING (cell)""".stripMargin,
+      predsGlob =
+        s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_auto_preds/*.parquet"),
+
     "q_ivf_search_filtered_selective" -> LshQueries.recallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_filtered_selective/*.parquet",
       LshQueries.L2DistSql, None, K,

@@ -538,6 +538,24 @@ object LshQueries extends QueryPack {
     * join shapes. */
   private def lshFilteredAutoOracleSql: String = {
     val dump = s"$SearchDumpRoot/sf0.01"
+    bucketFilteredAutoOracleSql(
+      candSql = s"""  SELECT qh.query_id, bk.vec_id
+                    |  FROM read_parquet('$dump/lsh_auto_qhash/*.parquet') qh
+                    |  JOIN (SELECT hash, vec_id
+                    |        FROM read_parquet('$dump/lsh_auto_buckets/*.parquet')
+                    |        WHERE tree_id = 0) bk USING (hash)""".stripMargin,
+      predsGlob = s"$dump/lsh_auto_preds/*.parquet")
+  }
+
+  /** The family-parametric decision-replay SQL behind
+    * `q_lsh_filtered_auto` / `q_ivf_filtered_auto` — identical rule,
+    * median+quartile derivation, route CASE, bimodal-warning rule and
+    * per-arm recall grading; only the own-neighborhood candidate CTE
+    * (`candSql`: tree-0 bucket join for LSH, nearest-cell join for
+    * IVF) and the preds dump differ, so the two replays cannot drift. */
+  private[queries] def bucketFilteredAutoOracleSql(candSql: String,
+                                                   predsGlob: String)
+      : String = {
     val beam = graft.ann.lsh.LshIndex.DefaultLocalBeamWidth
     val armDefs = GraphQueries.FilteredAutoArms.zipWithIndex.map {
       case ((name, mod, rem), i) => (name, s"vec_id % $mod = $rem", i)
@@ -601,14 +619,10 @@ object LshQueries extends QueryPack {
        |),
        |preds AS (
        |  SELECT arm, query_id, vec_id
-       |  FROM read_parquet('$dump/lsh_auto_preds/*.parquet')
+       |  FROM read_parquet('$predsGlob')
        |),
        |cand AS (
-       |  SELECT qh.query_id, bk.vec_id
-       |  FROM read_parquet('$dump/lsh_auto_qhash/*.parquet') qh
-       |  JOIN (SELECT hash, vec_id
-       |        FROM read_parquet('$dump/lsh_auto_buckets/*.parquet')
-       |        WHERE tree_id = 0) bk USING (hash)
+       |$candSql
        |),
        |sc AS (
        |  SELECT c.query_id, c.vec_id,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ann.ExactNN
+import graft.ann.ivf.{Ivf, IvfConfig}
 import graft.ann.lsh.{Lsh, LshConfig}
 import graft.eval.Eval
 
@@ -110,6 +111,56 @@ object LshFilteredProbe {
         f"probe=${tP}%.1fs (cold ${tP0}%.1f) recall=$pRec%.3f | " +
         f"auto=${tA}%.1fs (cold ${tA0}%.1f) recall=$aRec%.3f | " +
         f"exact=${tE}%.1fs")
+      allowed.unpersist(); gt.unpersist()
+    }
+    idx.buckets.unpersist(); idx.vectors.unpersist()
+
+    // ---- the IVF twin, same arms ----
+    // The IVF estimator's stated caveat is GRANULARITY: the own-cell
+    // neighborhood blurs when cells are barely larger than the
+    // beamWidth cut (the 200k-shape spec geometry needed nCells sized
+    // so cells ≈ real neighborhoods). At 1M with nCells=1024 a cell
+    // holds ~1000 rows >> 32, so the top-32 cut IS local — this block
+    // measures whether the dispatch discriminates there (the
+    // green-at-gate-doesn't-transfer trap, checked for IVF).
+    val (ivf, tIvfTrain) = time {
+      val i = Ivf.train(corpus, "vec_id", "embedding",
+        IvfConfig(nCells = 1024, nProbe = 32, seed = 42L,
+          sampleCap = 100000))
+      i.cells.persist().count()
+      i.vectors.persist().count()
+      i
+    }
+    println(f"[fprobe] ivf train=${tIvfTrain}%.1fs (nCells=1024 " +
+      "nProbe=32 cap=100k)")
+    for ((tag, pred) <- arms) {
+      val allowed = corpus.where(pred).select("vec_id").localCheckpoint()
+      val nA = allowed.count()
+      val gt = ExactNN.topKAgg(queries, corpus.where(pred), k, ExactNN.L2)
+        .localCheckpoint()
+      def rec(df: org.apache.spark.sql.DataFrame): Double =
+        Eval.setPrecisionRecall(df.select("query_id", "vec_id"),
+            gt.select("query_id", "vec_id"))
+          .agg(avg("recall")).head().getDouble(0)
+      val (d, tDec) = time(ivf.filteredDecision(queries, allowed, k,
+        allowedCount = Some(nA), corpusCount = Some(n)))
+      def probe = ivf.searchAll(queries, k, ExactNN.L2,
+        allowed = Some(allowed))
+      val (_, tP0) = time(probe.count())
+      val (_, tP) = time(probe.count())
+      val pRec = rec(probe)
+      def auto = ivf.searchAllFiltered(queries, allowed, k, ExactNN.L2,
+        allowedCount = Some(nA), corpusCount = Some(n))
+      val (_, tA0) = time(auto.count())
+      val (_, tA) = time(auto.count())
+      val aRec = rec(auto)
+      println(f"[fprobe] ivf:$tag%-9s sel=${nA.toDouble / n}%.3f " +
+        f"median=${d.medianLocalAllowed.getOrElse(-1.0)}%.1f " +
+        f"q25=${d.lowQuartileLocalAllowed.getOrElse(-1.0)}%.1f " +
+        f"bimodal=${d.bimodalStarved(k)} " +
+        f"route=${d.route.name}%-17s est=${tDec}%.1fs | " +
+        f"probe=${tP}%.1fs (cold ${tP0}%.1f) recall=$pRec%.3f | " +
+        f"auto=${tA}%.1fs (cold ${tA0}%.1f) recall=$aRec%.3f")
       allowed.unpersist(); gt.unpersist()
     }
     spark.stop()
