@@ -225,7 +225,9 @@ object FilteredSearch {
     * "nearest own-leaf candidates" / "nearest own-cell candidates");
     * `remediation` the family's starved-large fix. */
   def warnings(d: Decision, k: Int, beamWidth: Int, family: String,
-               neighborhood: String, remediation: String): Seq[String] = {
+               neighborhood: String, remediation: String,
+               maxAutoExactFraction: Double = DefaultMaxAutoExactFraction)
+      : Seq[String] = {
     val starved =
       if (d.route != WalkStarved && d.route != ProbeStarved) None
       else Some(
@@ -233,9 +235,10 @@ object FilteredSearch {
         f"sees ${d.medianLocalAllowed.getOrElse(Double.NaN)}%.1f allowed " +
         f"rows among its $beamWidth $neighborhood (< k=$k) but the " +
         f"allowed subset (${d.selectivity * 100}%.1f%% of " +
-        f"${d.corpusCount}%,d rows) exceeds the auto-exact ceiling — " +
-        f"the serve may under-deliver recall (SCALE.md §filtered ANN: " +
-        f"the correlated-filter collapse). $remediation")
+        f"${d.corpusCount}%,d rows) exceeds maxAutoExactFraction=" +
+        f"$maxAutoExactFraction — the serve may under-deliver recall " +
+        f"(SCALE.md §filtered ANN: the correlated-filter collapse). " +
+        remediation)
     val bimodal =
       if (!d.bimodalStarved(k)) None
       else Some(

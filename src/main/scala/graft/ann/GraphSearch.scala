@@ -697,7 +697,8 @@ object GraphSearch {
     FilteredSearch.warnings(d, k, beamWidth, "graph",
       "nearest local candidates",
       "Consider label-augmented construction (KnnGraph.labelAware) " +
-        "or raising maxAutoExactFraction.")
+        "or raising maxAutoExactFraction.",
+      maxAutoExactFraction)
       .foreach(log.warn)
     if (d.route.exact) {
       val subset = vectors.where(allowed)

@@ -322,7 +322,8 @@ final class IvfIndex(
                        corpusCount: Option[Long] = None,
                        densityDispatch: Boolean = true)
       : graft.ann.FilteredSearch.Decision = {
-    val ids = allowed.select("vec_id")
+    // dedup once — the LshIndex.filteredDecision rule
+    val ids = allowed.select("vec_id").dropDuplicates("vec_id")
     graft.ann.FilteredSearch.decide(
       allowedCount.getOrElse(ids.count()),
       corpusCount.getOrElse(vectors.count()),
@@ -355,7 +356,8 @@ final class IvfIndex(
                           graft.ann.lsh.LshIndex.DefaultLocalBeamWidth)
       : DataFrame = {
     import graft.ann.FilteredSearch
-    val ids = allowed.select("vec_id")
+    // dedup once (the LshIndex.searchAllFiltered rule)
+    val ids = allowed.select("vec_id").dropDuplicates("vec_id")
     val nAllowed = allowedCount.getOrElse(ids.count())
     val nCorpus = corpusCount.getOrElse(vectors.count())
     def exactSubset: DataFrame =
@@ -371,7 +373,8 @@ final class IvfIndex(
         Some(nAllowed), Some(nCorpus))
       FilteredSearch.warnings(d, k, localBeamWidth, "IVF",
         "nearest own-cell candidates",
-        "Raise nProbe or maxAutoExactFraction.")
+        "Raise nProbe or maxAutoExactFraction.",
+        maxAutoExactFraction)
         .foreach(log.warn)
       if (d.route.exact) exactSubset
       else searchAll(queries, k, metric, roundTo, allowed = Some(ids))

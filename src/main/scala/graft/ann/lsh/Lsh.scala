@@ -401,7 +401,10 @@ final class LshIndex(
                        corpusCount: Option[Long] = None,
                        densityDispatch: Boolean = true)
       : graft.ann.FilteredSearch.Decision = {
-    val ids = allowed.select("vec_id")
+    // dedup once: duplicate allow rows would inflate the selectivity
+    // count AND the estimator (the serve path's filterCandidates
+    // dedups after its join; the exact route's vectors join would not)
+    val ids = allowed.select("vec_id").dropDuplicates("vec_id")
     graft.ann.FilteredSearch.decide(
       allowedCount.getOrElse(ids.count()),
       corpusCount.getOrElse(vectors.count()),
@@ -469,7 +472,12 @@ final class LshIndex(
                         localBeamWidth: Int =
                           LshIndex.DefaultLocalBeamWidth): DataFrame = {
     import graft.ann.FilteredSearch
-    val ids = allowed.select("vec_id")
+    // dedup once: the count, the exact subset join, and the estimator
+    // must all see each allowed id once (duplicate allow rows would
+    // inflate selectivity, duplicate exact-route result rows, and
+    // inflate the density median — the probe path's filterCandidates
+    // dedups after its join and was the only dup-safe consumer)
+    val ids = allowed.select("vec_id").dropDuplicates("vec_id")
     val nAllowed = allowedCount.getOrElse(ids.count())
     val nCorpus = corpusCount.getOrElse(vectors.count())
     // exact path: the corpus scan is pre-filtered to the allowed rows
@@ -490,7 +498,8 @@ final class LshIndex(
         Some(nAllowed), Some(nCorpus))
       FilteredSearch.warnings(d, k, localBeamWidth, "LSH",
         "nearest own-leaf candidates",
-        "Add trees/probes or raise maxAutoExactFraction.")
+        "Add trees/probes or raise maxAutoExactFraction.",
+        maxAutoExactFraction)
         .foreach(log.warn)
       if (d.route.exact) exactSubset
       else searchAll(queries, k, distanceThreshold, metric, roundTo,

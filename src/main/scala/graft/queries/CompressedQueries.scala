@@ -1269,8 +1269,6 @@ object CompressedQueries extends QueryPack {
          |FROM r ORDER BY query_id, dist, vec_id""".stripMargin,
 
 
-    // IVF selective-dispatch recall vs DuckDB's own filtered exact
-    // ground truth — must be exactly 1.0 (exact-scan path binds at 2%).
     // Density-aware IVF dispatch replay (see the query's scaladoc) —
     // the shared builder with the nearest-cell candidate CTE.
     "q_ivf_filtered_auto" -> LshQueries.bucketFilteredAutoOracleSql(
@@ -1282,6 +1280,8 @@ object CompressedQueries extends QueryPack {
       predsGlob =
         s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_auto_preds/*.parquet"),
 
+    // IVF selective-dispatch recall vs DuckDB's own filtered exact
+    // ground truth — must be exactly 1.0 (exact-scan path binds at 2%).
     "q_ivf_search_filtered_selective" -> LshQueries.recallOracle(
       s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_filtered_selective/*.parquet",
       LshQueries.L2DistSql, None, K,

@@ -50,8 +50,10 @@ import graft.text.DedupGate
   *
   * Schema contract: `arrivals` carries (`idCol`, `textCol`, `toksCol`,
   * `vecCol`); the graph maintainer must be constructed with
-  * idCol = "vec_id" over `vecCol` (the pipeline renames `idCol` →
-  * vec_id for the vector-keyed stores); `deletes` carries (`idCol`).
+  * idCol = "vec_id" over `vecCol`; the codes/forest legs receive the
+  * CANONICAL (vec_id, embedding) schema regardless of `vecCol` (their
+  * internals hard-code the names), so a CodesMaintainer used here
+  * must encode (vec_id, embedding) rows; `deletes` carries (`idCol`).
   *
   * `vectors` is the LIVE corpus view plus this batch's arrivals
   * (vec_id, `vecCol`) — the graph's scoring AND refine basis, so it
@@ -108,19 +110,24 @@ final class IngestPipeline(
     postings.onBatch(
       Some(admitted.select(col(idCol).as("doc_id"), col(toksCol))),
       Some(upserts.select(col(idCol).as("doc_id"))))
-    codes.onBatch(Some(admittedVecs),
+    // the vector-keyed FLAT stores (codes, LSH forest) receive the
+    // canonical (vec_id, embedding) schema regardless of the caller's
+    // vecCol: their internals hard-code the names (LshMaintainer's
+    // store layout; DriftCheck/VectorStats' drift aggregate reads
+    // col("embedding")), and a custom-vecCol pipeline must not die
+    // AFTER earlier stores committed their batch. Only the graph leg
+    // keeps vecCol naming — its maintainer takes the column as a
+    // constructor param. Contract note: a CodesMaintainer used in this
+    // pipeline must therefore encode (vec_id, embedding) rows.
+    val canonicalVecs = admitted.select(col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"))
+    codes.onBatch(Some(canonicalVecs),
       Some(upserts.select(col(idCol).as("vec_id"))))
     // the serving LSH forest rides the same admitted set + upsert-
     // delete rule as the other flat stores (LshMaintainer's tombstone
     // log kills strictly-earlier rows only, so replays supersede and
-    // fresh arrivals are untouched — the same at-least-once contract).
-    // Rename to the maintainer's fixed (vec_id, embedding) schema here:
-    // unlike the graph leg (whose maintainer takes a vecCol param),
-    // LshMaintainer's store layout hard-codes the column names, and a
-    // custom-vecCol pipeline must not die AFTER three stores committed.
-    lsh.foreach(_.onBatch(
-      Some(admitted.select(col(idCol).as("vec_id"),
-        col(vecCol).as("embedding"))),
+    // fresh arrivals are untouched — the same at-least-once contract)
+    lsh.foreach(_.onBatch(Some(canonicalVecs),
       Some(upserts.select(col(idCol).as("vec_id")))))
     // the graph's vectors view is its LIVE basis (a scheduled refine
     // treats vectors ∖ tombstones as the corpus — backbone edges are

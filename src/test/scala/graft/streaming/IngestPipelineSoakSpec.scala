@@ -241,6 +241,8 @@ class IngestPipelineSoakSpec extends AnyFunSuite with SparkSpecBase {
       "tight gate never compacted")
     assert(!dirExists(s"$tRoot/postings/tfs_delta"),
       "tight postings never compacted")
+    assert(!dirExists(s"$tRoot/codes/codes_delta"),
+      "tight codes never compacted")
     assert(!dirExists(s"$tRoot/forest/buckets_delta"),
       "tight forest never compacted")
     assert(!dirExists(s"$tRoot/graph/edges_delta"),
