@@ -223,10 +223,18 @@ object FilteredSearch {
     * (starved-large and bimodal × three families). `neighborhood`
     * names the family's local window ("nearest local candidates" /
     * "nearest own-leaf candidates" / "nearest own-cell candidates");
-    * `remediation` the family's starved-large fix. */
+    * `remediation` the family's starved-large fix and
+    * `bimodalRemediation` its bimodal fix — each an IN-FAMILY,
+    * measured, packaged API (the round-16 verdict's rule: a warning
+    * that names an ineffective or cross-family action is not a
+    * remediation), defaulting to the graph family's
+    * [[graft.ann.KnnGraph.labelAware]]. */
   def warnings(d: Decision, k: Int, beamWidth: Int, family: String,
                neighborhood: String, remediation: String,
-               maxAutoExactFraction: Double = DefaultMaxAutoExactFraction)
+               maxAutoExactFraction: Double = DefaultMaxAutoExactFraction,
+               bimodalRemediation: String =
+                 "Remediation is build-time: KnnGraph.labelAware keyed " +
+                   "on the filter column.")
       : Seq[String] = {
     val starved =
       if (d.route != WalkStarved && d.route != ProbeStarved) None
@@ -250,8 +258,7 @@ object FilteredSearch {
         "correlated with geometry at even-split selectivity serves " +
         "collapsed recall to the starved minority with nothing in the " +
         "average to observe (measured 0.58 avg = ~1.0/~0.16 halves at " +
-        "1M shape, SCALE.md §filtered ANN). Remediation is build-time: " +
-        "KnnGraph.labelAware keyed on the filter column.")
+        "1M shape, SCALE.md §filtered ANN). " + bimodalRemediation)
     (starved ++ bimodal).toSeq
   }
 }

@@ -601,11 +601,20 @@ object GraphSearch {
         col("ok"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dist"), col("node"))
-    scored.withColumn("rn", row_number().over(w))
+    val counts = scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= beamWidth)
       .groupBy("query_id")
       .agg(sum(when(col("ok"), lit(1L)).otherwise(lit(0L)))
         .as("local_allowed"))
+    // zero-fill queries with no surviving local candidates (entry nodes
+    // absent from `vectors`, empty entry sets): dropping them would
+    // overstate the median in exactly the starved regime this signal
+    // exists to catch — the LshIndex/IvfIndex.localAllowedCounts rule,
+    // applied to the graph estimator (round-16 ADVICE).
+    queries.select(col("query_id"))
+      .join(counts, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("local_allowed"), lit(0L)).as("local_allowed"))
   }
 
   /** The routing decision [[beamFromFiltered]] executes, as data — so

@@ -117,6 +117,23 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
     best
   }
 
+  /** The query's nProbe nearest OCCUPIED cells, ascending (distance,
+    * cell) — the label-scoped probe rule ([[LabeledIvfIndex]]): the
+    * unconstrained [[probeCells]] ranking with unoccupied cells
+    * skipped, so the whole probe budget lands inside the label's
+    * partition instead of being spent on cells the filter empties. */
+  def scopedProbeCells(v0: Array[Double], occupied: Array[Boolean]): Array[Int] = {
+    val v = maybeNormalize(v0)
+    centroids.indices
+      .map(c => (dist2(v, centroids(c)), c))
+      .sortBy(identity)
+      .iterator
+      .map(_._2)
+      .filter(occupied(_))
+      .take(config.nProbe)
+      .toArray
+  }
+
   /** Cell ids of the `nProbe` closest centroids, ascending distance. */
   def probeCells(v0: Array[Double]): Array[Int] = {
     val v = maybeNormalize(v0)
@@ -254,14 +271,22 @@ final class IvfIndex(
 
   private def scoreTopK(cands: DataFrame, queries: DataFrame, k: Int,
                         metric: ExactNN.Metric, roundTo: Int,
-                        topKViaAggregator: Boolean): DataFrame = {
-    val scored = cands
-      .join(vectors, "vec_id")
-      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"))
-    graft.ann.TopK.perQueryTopK(scored, k, topKViaAggregator)
-  }
+                        topKViaAggregator: Boolean): DataFrame =
+    graft.ann.CandidateScoring.scoreTopK(cands, vectors, queries, k, None,
+      metric, roundTo, topKViaAggregator)
+
+  /** Label-partitioned view of this index (see [[LabeledIvfIndex]] and
+    * the [[graft.ann.lsh.LshIndex.withLabels]] twin): the SAME fitted
+    * centroids, the cell table re-keyed by the composite `(label,
+    * cell)`. One build-time join; no refit; multi-label rows land in
+    * every partition their labels name. */
+  def withLabels(labels: DataFrame): LabeledIvfIndex =
+    new LabeledIvfIndex(model, vectors,
+      cells.join(
+        labels.select(col("vec_id"), col("label").cast("string").as("label"))
+          .dropDuplicates("vec_id", "label"),
+        "vec_id")
+        .select("label", "cell", "vec_id"))
 
   /** Per-query count of ALLOWED rows among the query's `beamWidth`
     * NEAREST candidates in its own (nearest) cell — the IVF density
@@ -275,21 +300,33 @@ final class IvfIndex(
   def localAllowedCounts(queries: DataFrame, allowed: DataFrame,
                          beamWidth: Int,
                          metric: ExactNN.Metric = ExactNN.L2,
-                         roundTo: Int = 6): DataFrame = {
+                         roundTo: Int = 6): DataFrame =
+    // dedup before the flag join — the LshIndex.localAllowedCounts rule
+    localAllowedCountsDeduped(queries,
+      allowed.select("vec_id").dropDuplicates("vec_id"), beamWidth, metric,
+      roundTo)
+
+  /** [[localAllowedCounts]] under the pre-deduped contract (the
+    * [[graft.ann.lsh.LshIndex.localAllowedCountsDeduped]] rule: the
+    * public boundary dedups the allow-list exactly once and threads it
+    * through the private chain — never two chained corpus-scale
+    * distincts of the same id set in one plan). */
+  private[ivf] def localAllowedCountsDeduped(queries: DataFrame,
+                                             ids: DataFrame, beamWidth: Int,
+                                             metric: ExactNN.Metric,
+                                             roundTo: Int): DataFrame = {
     val qCell = model.transform(
         queries.select(col("query_id"), col("qv")), "query_id", "qv")
       .select(col("query_id"), col("cell"))
     val cands = cells
       .join(broadcast(qCell), "cell")
       .select("query_id", "vec_id")
-    // dedup before the flag join — the LshIndex.localAllowedCounts rule
-    val ids = allowed.select(col("vec_id")).dropDuplicates("vec_id")
-      .withColumn("ok", lit(true))
+    val flagged = ids.select(col("vec_id")).withColumn("ok", lit(true))
     val scored = cands
       .join(vectors, "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))),
         "query_id")
-      .join(ids, Seq("vec_id"), "left")
+      .join(flagged, Seq("vec_id"), "left")
       .select(col("query_id"), col("vec_id"),
         round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"),
         coalesce(col("ok"), lit(false)).as("ok"))
@@ -321,17 +358,33 @@ final class IvfIndex(
                        allowedCount: Option[Long] = None,
                        corpusCount: Option[Long] = None,
                        densityDispatch: Boolean = true)
-      : graft.ann.FilteredSearch.Decision = {
+      : graft.ann.FilteredSearch.Decision =
     // dedup once — the LshIndex.filteredDecision rule
-    val ids = allowed.select("vec_id").dropDuplicates("vec_id")
+    filteredDecisionDeduped(queries,
+      allowed.select("vec_id").dropDuplicates("vec_id"), k, beamWidth,
+      metric, roundTo, maxExactFraction, maxAutoExactFraction,
+      allowedCount, corpusCount, densityDispatch)
+
+  /** [[filteredDecision]] under the pre-deduped contract (see
+    * [[localAllowedCountsDeduped]]). */
+  private[ivf] def filteredDecisionDeduped(queries: DataFrame,
+                                           ids: DataFrame, k: Int,
+                                           beamWidth: Int,
+                                           metric: ExactNN.Metric,
+                                           roundTo: Int,
+                                           maxExactFraction: Double,
+                                           maxAutoExactFraction: Double,
+                                           allowedCount: Option[Long],
+                                           corpusCount: Option[Long],
+                                           densityDispatch: Boolean)
+      : graft.ann.FilteredSearch.Decision =
     graft.ann.FilteredSearch.decide(
       allowedCount.getOrElse(ids.count()),
       corpusCount.getOrElse(vectors.count()),
       k, maxExactFraction, maxAutoExactFraction, densityDispatch,
       bucket = true,
-      localAllowed = localAllowedCounts(queries, ids, beamWidth, metric,
-        roundTo))
-  }
+      localAllowed = localAllowedCountsDeduped(queries, ids, beamWidth,
+        metric, roundTo))
 
   /** Constrained search under the density-aware dispatch — the IVF
     * twin of [[graft.ann.lsh.LshIndex.searchAllFiltered]], same rule,
@@ -353,32 +406,46 @@ final class IvfIndex(
                           graft.ann.FilteredSearch.DefaultMaxAutoExactFraction,
                         densityDispatch: Boolean = true,
                         localBeamWidth: Int =
-                          graft.ann.lsh.LshIndex.DefaultLocalBeamWidth)
+                          graft.ann.lsh.LshIndex.DefaultLocalBeamWidth,
+                        decision: Option[graft.ann.FilteredSearch.Decision] =
+                          None)
       : DataFrame = {
     import graft.ann.FilteredSearch
-    // dedup once (the LshIndex.searchAllFiltered rule)
+    // dedup once (the LshIndex.searchAllFiltered rule); the private
+    // chain below runs under the pre-deduped contract. A caller-given
+    // `decision` (stable-predicate serving loops) skips the counts
+    // pass and the own-cell estimator entirely — the call only routes.
     val ids = allowed.select("vec_id").dropDuplicates("vec_id")
-    val nAllowed = allowedCount.getOrElse(ids.count())
-    val nCorpus = corpusCount.getOrElse(vectors.count())
     def exactSubset: DataFrame =
       ExactNN.topKAgg(queries, vectors.join(ids, "vec_id"), k, metric,
         roundTo = roundTo)
-    if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
-      exactSubset
-    else if (!densityDispatch)
-      searchAll(queries, k, metric, roundTo, allowed = Some(ids))
-    else {
-      val d = filteredDecision(queries, ids, k, localBeamWidth, metric,
-        roundTo, maxExactFraction, maxAutoExactFraction,
-        Some(nAllowed), Some(nCorpus))
-      FilteredSearch.warnings(d, k, localBeamWidth, "IVF",
-        "nearest own-cell candidates",
-        "Raise nProbe or maxAutoExactFraction.",
-        maxAutoExactFraction)
-        .foreach(log.warn)
-      if (d.route.exact) exactSubset
-      else searchAll(queries, k, metric, roundTo, allowed = Some(ids))
+    val d = decision.getOrElse {
+      val nAllowed = allowedCount.getOrElse(ids.count())
+      val nCorpus = corpusCount.getOrElse(vectors.count())
+      if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
+        FilteredSearch.Decision(nCorpus, nAllowed, None,
+          FilteredSearch.ExactSelectivity)
+      else if (!densityDispatch)
+        FilteredSearch.Decision(nCorpus, nAllowed, None, FilteredSearch.Probe)
+      else
+        filteredDecisionDeduped(queries, ids, k, localBeamWidth, metric,
+          roundTo, maxExactFraction, maxAutoExactFraction,
+          Some(nAllowed), Some(nCorpus), densityDispatch = true)
     }
+    FilteredSearch.warnings(d, k, localBeamWidth, "IVF",
+      "nearest own-cell candidates",
+      "Serve label-equality predicates from the label-partitioned " +
+        "view (IvfIndex.withLabels -> searchAllLabeled; same fitted " +
+        "centroids, no refit — the correlated arms recover at 1M, " +
+        "SCALE.md §filtered ANN) or raise maxAutoExactFraction when " +
+        "the subset is scannable.",
+      maxAutoExactFraction,
+      bimodalRemediation = "Remediation is build-time: " +
+        "IvfIndex.withLabels keyed on the filter column, served via " +
+        "searchAllLabeled.")
+      .foreach(log.warn)
+    if (d.route.exact) exactSubset
+    else searchAll(queries, k, metric, roundTo, allowed = Some(ids))
   }
 
   /** The same index served at a different operating point: `nProbe` is

@@ -296,24 +296,30 @@ final class LshIndex(
       .dropDuplicates("query_id", "vec_id")
 
   /** Steps 4-5 of [[searchAll]]'s pipeline: vec join + distance +
-    * threshold + per-query top-k. */
+    * threshold + per-query top-k — the
+    * [[graft.ann.CandidateScoring.scoreTopK]] shared tail. */
   private def scoreTopK(cands: DataFrame, queries: DataFrame, k: Int,
                         distanceThreshold: Double, metric: ExactNN.Metric,
                         roundTo: Int,
-                        topKViaAggregator: Boolean): DataFrame = {
-    val scored = cands
-      .join(vectors, "vec_id")
-      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"))
-      .where(col("dist") <= distanceThreshold)
-    // The bounded TopK partial aggregation (graft.ann.TopK.perQueryTopK)
-    // is the default tail — per-query shuffle capped at numPartitions * k
-    // instead of every scored candidate, the form that survives a 100x
-    // candidate scale-up. topKViaAggregator=false restores the
-    // row_number() window (row-identical, TopKSpec) for plan comparison.
-    graft.ann.TopK.perQueryTopK(scored, k, topKViaAggregator)
-  }
+                        topKViaAggregator: Boolean): DataFrame =
+    graft.ann.CandidateScoring.scoreTopK(cands, vectors, queries, k,
+      Some(distanceThreshold), metric, roundTo, topKViaAggregator)
+
+  /** Label-partitioned view of this index — the IN-FAMILY remediation
+    * the density dispatch's `probe_starved` / bimodal warnings name
+    * (see [[LabeledLshIndex]]): the SAME fitted forest, the buckets
+    * table re-keyed by the composite `(label, tree_id, hash)`. One
+    * build-time join on vec_id; no refit. `labels` is `(vec_id,
+    * label)`; multi-label rows land in every partition their labels
+    * name (dup rows are collapsed, conflicting labels are both kept —
+    * the multi-label semantics). */
+  def withLabels(labels: DataFrame): LabeledLshIndex =
+    new LabeledLshIndex(model, vectors,
+      buckets.join(
+        labels.select(col("vec_id"), col("label").cast("string").as("label"))
+          .dropDuplicates("vec_id", "label"),
+        "vec_id")
+        .select("label", "tree_id", "hash", "vec_id"))
 
   /** Per-query count of ALLOWED rows among the query's `beamWidth`
     * NEAREST own-leaf candidates — the bucket-index density observable
@@ -345,7 +351,28 @@ final class LshIndex(
   def localAllowedCounts(queries: DataFrame, allowed: DataFrame,
                          beamWidth: Int,
                          metric: ExactNN.Metric = ExactNN.L2,
-                         roundTo: Int = 6, treeId: Int = 0): DataFrame = {
+                         roundTo: Int = 6, treeId: Int = 0): DataFrame =
+    // dedup BEFORE the flag join: the serve path tolerates duplicate
+    // allow rows (filterCandidates dedups after its join), so the
+    // estimator must too — a doubled allow-list would double-count
+    // every allowed row AND double its window slots, inflating the
+    // median past k in exactly the starved regime this signal catches
+    localAllowedCountsDeduped(queries,
+      allowed.select("vec_id").dropDuplicates("vec_id"), beamWidth, metric,
+      roundTo, treeId)
+
+  /** [[localAllowedCounts]] under the pre-deduped contract: `ids` is a
+    * (vec_id) frame the CALLER already deduplicated —
+    * [[searchAllFiltered]]/[[filteredDecision]] dedup the allow-list
+    * exactly once at their public boundary and thread it through here,
+    * so one filtered serve never chains two or three corpus-scale
+    * dropDuplicates shuffles of the same id set (the round-16 ADVICE
+    * cost note). */
+  private[lsh] def localAllowedCountsDeduped(queries: DataFrame,
+                                             ids: DataFrame, beamWidth: Int,
+                                             metric: ExactNN.Metric,
+                                             roundTo: Int,
+                                             treeId: Int = 0): DataFrame = {
     val qHash = model.transform(
         queries.select(col("query_id"), col("qv")), "query_id", "qv")
       .where(col("tree_id") === treeId)
@@ -353,18 +380,12 @@ final class LshIndex(
     val cands = buckets.where(col("tree_id") === treeId)
       .join(broadcast(qHash), "hash")
       .select("query_id", "vec_id")
-    // dedup BEFORE the flag join: the serve path tolerates duplicate
-    // allow rows (filterCandidates dedups after its join), so the
-    // estimator must too — a doubled allow-list would double-count
-    // every allowed row AND double its window slots, inflating the
-    // median past k in exactly the starved regime this signal catches
-    val ids = allowed.select(col("vec_id")).dropDuplicates("vec_id")
-      .withColumn("ok", lit(true))
+    val flagged = ids.select(col("vec_id")).withColumn("ok", lit(true))
     val scored = cands
       .join(vectors, "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))),
         "query_id")
-      .join(ids, Seq("vec_id"), "left")
+      .join(flagged, Seq("vec_id"), "left")
       .select(col("query_id"), col("vec_id"),
         round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"),
         coalesce(col("ok"), lit(false)).as("ok"))
@@ -400,19 +421,35 @@ final class LshIndex(
                        allowedCount: Option[Long] = None,
                        corpusCount: Option[Long] = None,
                        densityDispatch: Boolean = true)
-      : graft.ann.FilteredSearch.Decision = {
+      : graft.ann.FilteredSearch.Decision =
     // dedup once: duplicate allow rows would inflate the selectivity
     // count AND the estimator (the serve path's filterCandidates
     // dedups after its join; the exact route's vectors join would not)
-    val ids = allowed.select("vec_id").dropDuplicates("vec_id")
+    filteredDecisionDeduped(queries,
+      allowed.select("vec_id").dropDuplicates("vec_id"), k, beamWidth,
+      metric, roundTo, maxExactFraction, maxAutoExactFraction,
+      allowedCount, corpusCount, densityDispatch)
+
+  /** [[filteredDecision]] under the pre-deduped contract (see
+    * [[localAllowedCountsDeduped]]). */
+  private[lsh] def filteredDecisionDeduped(queries: DataFrame,
+                                           ids: DataFrame, k: Int,
+                                           beamWidth: Int,
+                                           metric: ExactNN.Metric,
+                                           roundTo: Int,
+                                           maxExactFraction: Double,
+                                           maxAutoExactFraction: Double,
+                                           allowedCount: Option[Long],
+                                           corpusCount: Option[Long],
+                                           densityDispatch: Boolean)
+      : graft.ann.FilteredSearch.Decision =
     graft.ann.FilteredSearch.decide(
       allowedCount.getOrElse(ids.count()),
       corpusCount.getOrElse(vectors.count()),
       k, maxExactFraction, maxAutoExactFraction, densityDispatch,
       bucket = true,
-      localAllowed = localAllowedCounts(queries, ids, beamWidth, metric,
-        roundTo))
-  }
+      localAllowed = localAllowedCountsDeduped(queries, ids, beamWidth,
+        metric, roundTo))
 
   /** Selectivity-aware constrained search — the production answer to
     * the measured correlated-filter failure mode (SCALE.md §filtered
@@ -455,7 +492,11 @@ final class LshIndex(
     * `densityDispatch = false` restores the selectivity-only rule
     * (and skips the estimator's one-leaf cost). The decision itself
     * is available as data via [[filteredDecision]];
-    * `q_lsh_filtered_auto` replays it cross-engine.
+    * `q_lsh_filtered_auto` replays it cross-engine. A serving loop
+    * over a STABLE predicate should compute [[filteredDecision]] once
+    * and pass it as `decision` — the counts pass and the one-leaf
+    * estimator are then skipped entirely and the call only routes
+    * (the graph family's `knownCounts` pattern, one level further).
     *
     * @param allowed (vec_id) allow-list — extra columns are ignored
     */
@@ -470,16 +511,17 @@ final class LshIndex(
                           graft.ann.FilteredSearch.DefaultMaxAutoExactFraction,
                         densityDispatch: Boolean = true,
                         localBeamWidth: Int =
-                          LshIndex.DefaultLocalBeamWidth): DataFrame = {
+                          LshIndex.DefaultLocalBeamWidth,
+                        decision: Option[graft.ann.FilteredSearch.Decision] =
+                          None): DataFrame = {
     import graft.ann.FilteredSearch
     // dedup once: the count, the exact subset join, and the estimator
     // must all see each allowed id once (duplicate allow rows would
     // inflate selectivity, duplicate exact-route result rows, and
     // inflate the density median — the probe path's filterCandidates
-    // dedups after its join and was the only dup-safe consumer)
+    // dedups after its join and was the only dup-safe consumer); the
+    // private call chain below runs under the pre-deduped contract
     val ids = allowed.select("vec_id").dropDuplicates("vec_id")
-    val nAllowed = allowedCount.getOrElse(ids.count())
-    val nCorpus = corpusCount.getOrElse(vectors.count())
     // exact path: the corpus scan is pre-filtered to the allowed rows
     // (join on vec_id, no forced hint — AQE broadcasts the id list
     // when small), then ExactNN's broadcast-queries scan + bounded
@@ -487,24 +529,34 @@ final class LshIndex(
     def exactSubset: DataFrame =
       ExactNN.topKAgg(queries, vectors.join(ids, "vec_id"), k, metric,
         threshold = Some(distanceThreshold), roundTo = roundTo)
-    if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
-      exactSubset
-    else if (!densityDispatch)
-      searchAll(queries, k, distanceThreshold, metric, roundTo,
-        allowed = Some(ids))
-    else {
-      val d = filteredDecision(queries, ids, k, localBeamWidth, metric,
-        roundTo, maxExactFraction, maxAutoExactFraction,
-        Some(nAllowed), Some(nCorpus))
-      FilteredSearch.warnings(d, k, localBeamWidth, "LSH",
-        "nearest own-leaf candidates",
-        "Add trees/probes or raise maxAutoExactFraction.",
-        maxAutoExactFraction)
-        .foreach(log.warn)
-      if (d.route.exact) exactSubset
-      else searchAll(queries, k, distanceThreshold, metric, roundTo,
-        allowed = Some(ids))
+    val d = decision.getOrElse {
+      val nAllowed = allowedCount.getOrElse(ids.count())
+      val nCorpus = corpusCount.getOrElse(vectors.count())
+      if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
+        FilteredSearch.Decision(nCorpus, nAllowed, None,
+          FilteredSearch.ExactSelectivity)
+      else if (!densityDispatch)
+        FilteredSearch.Decision(nCorpus, nAllowed, None, FilteredSearch.Probe)
+      else
+        filteredDecisionDeduped(queries, ids, k, localBeamWidth, metric,
+          roundTo, maxExactFraction, maxAutoExactFraction,
+          Some(nAllowed), Some(nCorpus), densityDispatch = true)
     }
+    FilteredSearch.warnings(d, k, localBeamWidth, "LSH",
+      "nearest own-leaf candidates",
+      "Serve label-equality predicates from the label-partitioned " +
+        "view (LshIndex.withLabels -> searchAllLabeled; same fitted " +
+        "forest, no refit — the correlated arms recover at 1M, " +
+        "SCALE.md §filtered ANN) or raise maxAutoExactFraction when " +
+        "the subset is scannable.",
+      maxAutoExactFraction,
+      bimodalRemediation = "Remediation is build-time: " +
+        "LshIndex.withLabels keyed on the filter column, served via " +
+        "searchAllLabeled.")
+      .foreach(log.warn)
+    if (d.route.exact) exactSubset
+    else searchAll(queries, k, distanceThreshold, metric, roundTo,
+      allowed = Some(ids))
   }
 
   /** The buckets table with a deterministic per-bucket occupancy cap:

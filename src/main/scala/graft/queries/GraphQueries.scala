@@ -1281,9 +1281,11 @@ object GraphQueries extends QueryPack {
        |  JOIN qs ON qs.query_id = c.query_id
        |),
        |la AS (
-       |  SELECT query_id,
+       |  SELECT qs.query_id,
        |    $laCols
-       |  FROM sc WHERE rn <= $BeamWidth GROUP BY query_id
+       |  FROM qs LEFT JOIN (SELECT * FROM sc WHERE rn <= $BeamWidth) s
+       |    ON s.query_id = qs.query_id
+       |  GROUP BY qs.query_id
        |),
        |med AS (
        |  SELECT

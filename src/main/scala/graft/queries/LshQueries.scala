@@ -326,6 +326,84 @@ object LshQueries extends QueryPack {
       decisions.join(recalls, "arm").orderBy("arm")
     }),
 
+    // Label-partitioned store under the oracle (LshIndex.withLabels →
+    // LabeledLshIndex.searchAllLabeled — the round-17 in-family
+    // remediation the probe_starved/bimodal warnings name; the bucket
+    // twin of q_graph_filtered_labeled): every query searches a
+    // CROSS-label subset (target label = (own label + 5) % 10 — a
+    // per-query label-equality predicate, a shape the global
+    // allow-list probe path cannot even express per query). The
+    // composite-key buckets, the per-tree query hashes, and the scoped
+    // probe rows are dumped; DuckDB re-checks the rank-0 probe's
+    // max-common-prefix contract against the label's occupied leaves
+    // (the greedy forced-turn descent's defining property), re-derives
+    // the SERVED top-k itself from the dumped probes ⋈ buckets (same
+    // rounding, same (dist, vec_id) ties), and grades it against its
+    // own per-query-label exact ground truth — probe choice and serve
+    // both cross-engine.
+    "q_lsh_filtered_labeled" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val idx = lshIdx(s, dir, angular = false)
+      val q = e.orderBy("vec_id").limit(VectorQueries.NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          pmod(col("label") + 5, lit(10)).cast("string").as("label"))
+      val dump = s"$SearchDumpRoot/${sfName(dir)}"
+      // the serve runs over the DUMPED composite-key buckets, so the
+      // rows DuckDB re-derives from are bit-for-bit the served store
+      val bk = dumpAndReload(s,
+        idx.withLabels(e.select(col("vec_id"), col("label"))).labeledBuckets,
+        s"$dump/lsh_labeled_buckets")
+      val store = new graft.ann.lsh.LabeledLshIndex(idx.model, idx.vectors,
+        bk)
+      val qh = dumpAndReload(s,
+        idx.model.transform(q, "query_id", "qv"),
+        s"$dump/lsh_labeled_qhash")
+      val probes = dumpAndReload(s, store.scopedProbeRows(q),
+        s"$dump/lsh_labeled_probes")
+      val pred = store.searchAllLabeled(q, K, SelectiveThreshold, ExactNN.L2,
+        probes = Some(probes))
+      // per-query-label exact GT — the filtered ground truth the serve
+      // is graded on (gate-scale dump machinery, like the auto rows')
+      val corp = e.select(col("vec_id"), col("embedding"),
+        col("label").cast("string").as("clabel"))
+      val gtScored = corp.join(broadcast(q), col("clabel") === q("label"))
+        .select(col("query_id"), col("vec_id"),
+          round(ExactNN.L2.dist(col("qv"), col("embedding")), 6).as("dist"))
+        .where(col("dist") <= SelectiveThreshold)
+      val gt = graft.ann.TopK.perQueryTopK(gtScored, K,
+        viaAggregator = true)
+      // rank-0 max-prefix re-check over the DUMPED frames (hashes here
+      // are non-negative — sf-gate trees stop far above depth 63 — so
+      // the lowest-set-bit arithmetic below never meets Long.MinValue)
+      def lcp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+        val x = a.bitwiseXOR(b)
+        when(x === 0L, lit(64))
+          .otherwise(bit_count(x.bitwiseAND(lit(0L) - x) - lit(1)))
+      }
+      val occ = bk.select(col("label"), col("tree_id"), col("hash").as("bh"))
+        .distinct()
+      val r0 = probes.where(col("probe_rank") === 0)
+        .select(col("query_id"), col("label"), col("tree_id"),
+          col("hash").as("sp"))
+      val lcps = r0
+        .join(qh.select(col("query_id"), col("tree_id"),
+          col("hash").as("oh")), Seq("query_id", "tree_id"))
+        .join(occ, Seq("label", "tree_id"))
+        .groupBy("query_id", "tree_id")
+        .agg(max(lcp(col("oh"), col("bh"))).as("best"),
+          first(lcp(col("oh"), col("sp"))).as("got"),
+          max(when(col("bh") === col("sp"), 1).otherwise(0)).as("occ_ok"))
+      val lcpOk = lcps.agg(
+        (min(when(col("got") === col("best") && col("occ_ok") === 1, 1)
+          .otherwise(0)) === 1).as("probes_lcp_ok"))
+      Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),
+          gt.select("query_id", "vec_id"))
+        .agg(round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
+        .crossJoin(lcpOk)
+    }),
+
     // Index lifecycle under the oracle, part 1 — DELETE
     // (LshIndex.withDeletes, the tombstone serve-time view; the
     // reference's store is append-only, store/store.go — deletes are a
@@ -552,7 +630,11 @@ object LshQueries extends QueryPack {
     * median+quartile derivation, route CASE, bimodal-warning rule and
     * per-arm recall grading; only the own-neighborhood candidate CTE
     * (`candSql`: tree-0 bucket join for LSH, nearest-cell join for
-    * IVF) and the preds dump differ, so the two replays cannot drift. */
+    * IVF) and the preds dump differ, so the two replays cannot drift.
+    * The bimodal CASE covers both probe-path route names
+    * (`probe`/`walk` — the Scala `Decision.bimodalStarved` pair), so a
+    * graph-family reuse would not silently drop walk-route warnings
+    * (round-16 ADVICE). */
   private[queries] def bucketFilteredAutoOracleSql(candSql: String,
                                                    predsGlob: String)
       : String = {
@@ -653,7 +735,8 @@ object LshQueries extends QueryPack {
        |$recallCtes
        |SELECT arm, corpus_n, allowed_n, median_local_allowed, route,
        |       low_quartile_local_allowed,
-       |       (route = 'probe' AND low_quartile_local_allowed < $K)
+       |       (route IN ('probe', 'walk')
+       |        AND low_quartile_local_allowed < $K)
        |         AS warn_bimodal,
        |       avg_recall, n_queries
        |FROM (
@@ -766,6 +849,87 @@ object LshQueries extends QueryPack {
 
       // Density-aware dispatch replay (see the query's scaladoc).
       "q_lsh_filtered_auto" -> lshFilteredAutoOracleSql,
+
+      // Label-partitioned store: DuckDB re-derives the served top-k
+      // from the dumped scoped probes ⋈ composite-key buckets, grades
+      // it vs its OWN per-query-label exact GT, and re-checks the
+      // rank-0 probe's max-common-prefix contract (lowest-set-bit
+      // arithmetic is safe: gate-scale hashes are non-negative).
+      "q_lsh_filtered_labeled" -> {
+        val dump = s"$SearchDumpRoot/sf0.01"
+        def lcpSql(a: String, b: String): String =
+          s"CASE WHEN xor($a, $b) = 0 THEN 64 ELSE " +
+            s"bit_count((xor($a, $b) & -xor($a, $b)) - 1) END"
+        s"""WITH qs AS (
+           |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+           |         ((label + 5) % 10)::VARCHAR AS label
+           |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+           |),
+           |bk AS (SELECT * FROM read_parquet('$dump/lsh_labeled_buckets/*.parquet')),
+           |qh AS (SELECT * FROM read_parquet('$dump/lsh_labeled_qhash/*.parquet')),
+           |sp AS (SELECT * FROM read_parquet('$dump/lsh_labeled_probes/*.parquet')),
+           |cand AS (
+           |  SELECT DISTINCT p.query_id, b.vec_id
+           |  FROM sp p JOIN bk b USING (label, tree_id, hash)
+           |),
+           |sc AS (
+           |  SELECT c.query_id, c.vec_id, $L2DistSql AS dist
+           |  FROM cand c
+           |  JOIN embeddings e ON e.vec_id = c.vec_id
+           |  JOIN qs ON qs.query_id = c.query_id
+           |),
+           |p AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+           |    FROM sc WHERE dist <= $SelectiveThreshold
+           |  ) WHERE rn <= $K
+           |),
+           |gsc AS (
+           |  SELECT qs.query_id, e.vec_id, $L2DistSql AS dist
+           |  FROM qs JOIN embeddings e ON e.label::VARCHAR = qs.label
+           |),
+           |gt AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+           |    FROM gsc WHERE dist <= $SelectiveThreshold
+           |  ) WHERE rn <= $K
+           |),
+           |np AS (SELECT query_id, count(*) AS n_pred FROM p GROUP BY query_id),
+           |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
+           |h AS (
+           |  SELECT p.query_id, count(*) AS valid
+           |  FROM p JOIN gt USING (query_id, vec_id) GROUP BY p.query_id
+           |),
+           |pr AS (
+           |  SELECT round(avg(round(coalesce(h.valid, 0) / np.n_pred, 6)), 4)
+           |           AS avg_precision,
+           |         round(avg(round(coalesce(h.valid, 0) / ng.n_gt, 6)), 4)
+           |           AS avg_recall,
+           |         count(*) AS n_queries
+           |  FROM np JOIN ng USING (query_id) LEFT JOIN h USING (query_id)
+           |),
+           |lc AS (
+           |  SELECT r0.query_id, r0.tree_id,
+           |    max(${lcpSql("q.hash", "b.hash")}) AS best,
+           |    max(${lcpSql("q.hash", "r0.hash")}) AS got,
+           |    max(CASE WHEN b.hash = r0.hash THEN 1 ELSE 0 END) AS occ_ok
+           |  FROM (SELECT * FROM sp WHERE probe_rank = 0) r0
+           |  JOIN qh q ON q.query_id = r0.query_id AND q.tree_id = r0.tree_id
+           |  JOIN (SELECT DISTINCT label, tree_id, hash FROM bk) b
+           |    ON b.label = r0.label AND b.tree_id = r0.tree_id
+           |  GROUP BY r0.query_id, r0.tree_id
+           |),
+           |ok AS (
+           |  SELECT (min(CASE WHEN got = best AND occ_ok = 1 THEN 1 ELSE 0 END) = 1)
+           |           AS probes_lcp_ok
+           |  FROM lc
+           |)
+           |SELECT pr.avg_precision, pr.avg_recall, pr.n_queries,
+           |       ok.probes_lcp_ok
+           |FROM pr, ok""".stripMargin
+      },
 
       // Delete view: per-pair distance recompute + tombstone-predicate
       // re-check — a leaked deleted id flips `valid` cross-engine.
