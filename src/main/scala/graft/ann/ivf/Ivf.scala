@@ -117,23 +117,6 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
     best
   }
 
-  /** The query's nProbe nearest OCCUPIED cells, ascending (distance,
-    * cell) — the label-scoped probe rule ([[LabeledIvfIndex]]): the
-    * unconstrained [[probeCells]] ranking with unoccupied cells
-    * skipped, so the whole probe budget lands inside the label's
-    * partition instead of being spent on cells the filter empties. */
-  def scopedProbeCells(v0: Array[Double], occupied: Array[Boolean]): Array[Int] = {
-    val v = maybeNormalize(v0)
-    centroids.indices
-      .map(c => (dist2(v, centroids(c)), c))
-      .sortBy(identity)
-      .iterator
-      .map(_._2)
-      .filter(occupied(_))
-      .take(config.nProbe)
-      .toArray
-  }
-
   /** Cell ids of the `nProbe` closest centroids, ascending distance. */
   def probeCells(v0: Array[Double]): Array[Int] = {
     val v = maybeNormalize(v0)

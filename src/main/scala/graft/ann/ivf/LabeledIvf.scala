@@ -1,87 +1,91 @@
 package graft.ann.ivf
 
-import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftshim.SparkShim
-import org.apache.spark.sql.graftshim.SparkShim.AbstractDataType
-import org.apache.spark.sql.types._
 
 import graft.ann.{CandidateScoring, ExactNN}
 
 /** Label-partitioned IVF store — the IVF half of the in-family
   * remediation behind the bucket dispatch's `probe_starved` / bimodal
   * warnings (see [[graft.ann.lsh.LabeledLshIndex]] for the shared
-  * rationale; this is the same store rule instantiated on k-means cells
-  * instead of forest leaves).
+  * rationale; this is the same store rule on k-means cells instead of
+  * forest leaves).
   *
-  * The label-scoped probe here is SIMPLER and fully re-derivable in SQL
-  * (which `q_ivf_filtered_labeled` exploits): rank ALL centroids by
-  * distance to the query — the unconstrained [[IvfModel.probeCells]]
-  * order, ties to the lower cell id — and take the first `nProbe` cells
-  * the query's label OCCUPIES. Under a correlated filter the label's
-  * rows concentrate in few cells and the unconstrained probe wastes its
-  * whole budget on cells the filter then empties (the measured 1M
-  * collapse: recall 0.655 at correlated 10%); skipping unoccupied cells
-  * spends the same budget entirely inside the label's partition, so the
-  * serve reaches the label's nearest cells no matter how far they sit.
+  * The serving rule — label-CONDITIONAL centroid ranking: per
+  * `(label, cell)` the store keeps the mean of the label's own rows in
+  * the cell ([[cellCentroids]]); a `label = v` query ranks v's cells by
+  * that mean and probes the nearest nProbe. Why not the global cell
+  * centroids with an occupancy filter: under a correlated EVEN-SPLIT
+  * filter the label occupies every cell, so occupancy-scoping is
+  * vacuous and the global ranking keeps serving the starved half its
+  * collapsed recall — measured at 1M (SCALE.md §filtered ANN, round
+  * 17): global nProbe=32 serves 0.941 average hiding a 0.883 starved
+  * half, while the label-conditional ranking at the SAME budget serves
+  * 0.995 (starved 0.99) and 1.000 at nProbe=64. The label's own mass
+  * is the summary that ranks where its rows actually are.
   *
-  * Built from the SAME fitted centroids (`withLabels` is one join, no
-  * refit); the per-label occupancy directory is ≤ nCells booleans per
-  * label — broadcast-safe at any corpus scale. Multi-label rows land in
-  * every partition their labels name. */
+  * Built from the SAME fitted centroids (`withLabels` is one join plus
+  * the per-label mean aggregate; no refit). The sidecar is ≤ |labels| ×
+  * nCells rows — corpus-independent. Multi-label rows land in every
+  * partition their labels name. Probe selection, candidates, and the
+  * serve are all declarative DataFrame work (no driver collect), and
+  * `q_ivf_filtered_labeled` re-derives the WHOLE chain — centroids,
+  * ranking, candidates, top-k — in DuckDB. */
 final class LabeledIvfIndex(
     val model: IvfModel,
-    val vectors: DataFrame,      // (vec_id, embedding)
-    val labeledCells: DataFrame  // (label, cell, vec_id)
-) {
+    val vectors: DataFrame,       // (vec_id, embedding)
+    val labeledCells: DataFrame,  // (label, cell, vec_id)
+    precomputedCentroids: Option[DataFrame] = None) {
 
-  /** (label → occupied-cell flags) for `labels` only — bounded by
-    * |labels| × nCells, never the corpus. */
-  private[ivf] def directoryFor(labels: Seq[String])
-      : Map[String, Array[Boolean]] = {
-    val rows = labeledCells
-      .where(col("label").isin(labels: _*))
-      .select(col("label"), col("cell"))
-      .distinct()
-      .collect()
-    rows.groupBy(_.getString(0)).map { case (lbl, rs) =>
-      val occ = new Array[Boolean](model.config.nCells)
-      rs.foreach(r => occ(r.getInt(1)) = true)
-      lbl -> occ
-    }
+  /** Per-(label, cell) mean of the label's own rows — `(label, cell,
+    * centroid)`, components rounded to 6 decimals (the cross-engine
+    * determinism contract every served distance follows). */
+  lazy val cellCentroids: DataFrame = precomputedCentroids.getOrElse {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    labeledCells
+      .join(vectors, "vec_id")
+      .groupBy("label", "cell")
+      .agg(Summarizer.mean(
+        array_to_vector(col("embedding").cast("array<double>")))
+        .as("mv"))
+      .select(col("label"), col("cell"),
+        transform(vector_to_array(col("mv"), "float64"),
+          x => round(x, 6)).as("centroid"))
   }
 
   /** The label-scoped probe rows, as data — `(query_id, label, cell,
-    * probe_rank)`, rank = position in the distance-ranked occupied
-    * list (the decision `q_ivf_filtered_labeled` re-derives end to end
-    * in DuckDB from the dumped centroids + cell table). Queries:
-    * `(query_id, qv, label)`; unknown labels yield no probes. */
-  def scopedProbeRows(queries: DataFrame): DataFrame = {
-    val labels = queries.select(col("label").cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val dir = directoryFor(labels)
-    queries.select(col("query_id"), col("label").cast("string").as("label"),
-        posexplode(LabeledIvf.scopedProbes(model, dir, col("qv"),
-          col("label"))))
-      .select(col("query_id"), col("label"),
-        col("col").cast(IntegerType).as("cell"),
-        col("pos").cast(IntegerType).as("probe_rank"))
+    * probe_rank)`, rank = position in the label-conditional centroid
+    * ranking ((dist, cell) ties). Queries: `(query_id, qv, label)`;
+    * unknown labels have no centroid rows and yield no probes. */
+  def scopedProbeRows(queries: DataFrame,
+                      nProbe: Int = 0,
+                      metric: ExactNN.Metric = ExactNN.L2): DataFrame = {
+    val p = if (nProbe > 0) nProbe else model.config.nProbe
+    val q = queries.select(col("query_id"), col("qv"),
+      col("label").cast("string").as("label"))
+    val ranked = cellCentroids
+      .join(broadcast(q), "label")
+      .select(col("query_id"), col("label"), col("cell"),
+        round(metric.dist(col("qv"), col("centroid")), 6).as("cd"))
+    val w = Window.partitionBy("query_id").orderBy(col("cd"), col("cell"))
+    ranked.withColumn("probe_rank", row_number().over(w) - 1)
+      .where(col("probe_rank") < p)
+      .select("query_id", "label", "cell", "probe_rank")
   }
 
   /** Label-constrained ANN search over the label-partitioned cell
     * store (the [[graft.ann.lsh.LabeledLshIndex.searchAllLabeled]]
     * twin): candidates come only from the query's label partition, in
-    * its nProbe nearest OCCUPIED cells. Same scoring tail as
-    * [[IvfIndex.searchAll]]. */
+    * the label's nProbe nearest cells by the label's OWN within-cell
+    * mass. Same scoring tail as [[IvfIndex.searchAll]]. */
   def searchAllLabeled(queries: DataFrame, k: Int,
                        metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
                        topKViaAggregator: Boolean = true,
-                       probes: Option[DataFrame] = None): DataFrame = {
-    val pr = probes.getOrElse(scopedProbeRows(queries))
+                       probes: Option[DataFrame] = None,
+                       nProbe: Int = 0): DataFrame = {
+    val pr = probes.getOrElse(scopedProbeRows(queries, nProbe, metric))
     val cands = labeledCells
       .join(broadcast(pr.select("label", "cell", "query_id")),
         Seq("label", "cell"))
@@ -91,10 +95,9 @@ final class LabeledIvfIndex(
       roundTo, topKViaAggregator)
   }
 
-  /** Persist centroids + vectors + the composite-keyed cell table,
-    * `partitionBy(label)` with cell-sorted files — a `label = v` serve
-    * prunes to one label directory and row-group stats skip to its
-    * probed cells. */
+  /** Persist centroids + vectors + the composite-keyed cell table and
+    * the label-centroid sidecar, both `partitionBy(label)` — a
+    * `label = v` serve prunes to one label directory. */
   def save(spark: SparkSession, path: String): Unit = {
     new IvfIndex(model, vectors, labeledCells.select("vec_id", "cell"))
       .saveModel(spark, path)
@@ -105,6 +108,11 @@ final class LabeledIvfIndex(
       .write.mode("overwrite")
       .partitionBy("label")
       .parquet(s"$path/cells")
+    cellCentroids
+      .repartition(col("label"))
+      .write.mode("overwrite")
+      .partitionBy("label")
+      .parquet(s"$path/label_centroids")
   }
 }
 
@@ -126,54 +134,9 @@ object LabeledIvfIndex {
       spark.read.parquet(s"$path/vectors"),
       spark.read.parquet(s"$path/cells")
         .select(col("label").cast("string").as("label"),
-          col("cell").cast("int").as("cell"), col("vec_id")))
+          col("cell").cast("int").as("cell"), col("vec_id")),
+      Some(spark.read.parquet(s"$path/label_centroids")
+        .select(col("label").cast("string").as("label"),
+          col("cell").cast("int").as("cell"), col("centroid"))))
   }
-}
-
-object LabeledIvf {
-  def scopedProbes(model: IvfModel, dir: Map[String, Array[Boolean]],
-                   v: Column, label: Column): Column =
-    SparkShim.column(IvfScopedProbesExpr(SparkShim.expression(v),
-      SparkShim.expression(label), graft.ann.ModelBroadcast.of(model),
-      graft.ann.ModelBroadcast.of(dir)))
-}
-
-/** ARRAY<INT> of the query's nProbe nearest label-OCCUPIED cells,
-  * ascending (distance, cell) — fewer when the label occupies fewer
-  * cells, empty for an unknown label. Probe-side only (one eval per
-  * query row), so interpreted eval is fine. */
-case class IvfScopedProbesExpr(left: Expression, right: Expression,
-                               bcast: Broadcast[IvfModel],
-                               dirBcast: Broadcast[Map[String, Array[Boolean]]])
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-
-  @transient private lazy val model: IvfModel = bcast.value
-  @transient private lazy val dir: Map[String, Array[Boolean]] = dirBcast.value
-
-  override def prettyName: String = "ivf_scoped_probes"
-  override def inputTypes: Seq[AbstractDataType] = Seq(
-    SparkShim.typeCollection(ArrayType(DoubleType), ArrayType(FloatType)),
-    StringType)
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-
-  private def isFloat: Boolean =
-    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-
-  override def nullSafeEval(av: Any, lv: Any): Any = {
-    val occOpt = dir.get(lv.toString)
-    if (occOpt.isEmpty) return new GenericArrayData(Array.empty[Int])
-    val occ = occOpt.get
-    val a = av.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    val v = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      i += 1
-    }
-    new GenericArrayData(model.scopedProbeCells(v, occ))
-  }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression)
-      : Expression = copy(left = l, right = r)
 }

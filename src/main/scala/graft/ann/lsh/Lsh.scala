@@ -313,13 +313,16 @@ final class LshIndex(
     * label)`; multi-label rows land in every partition their labels
     * name (dup rows are collapsed, conflicting labels are both kept —
     * the multi-label semantics). */
-  def withLabels(labels: DataFrame): LabeledLshIndex =
+  def withLabels(labels: DataFrame,
+                 centroidTrees: Int =
+                   LabeledLshIndex.DefaultCentroidTrees): LabeledLshIndex =
     new LabeledLshIndex(model, vectors,
       buckets.join(
         labels.select(col("vec_id"), col("label").cast("string").as("label"))
           .dropDuplicates("vec_id", "label"),
         "vec_id")
-        .select("label", "tree_id", "hash", "vec_id"))
+        .select("label", "tree_id", "hash", "vec_id"),
+      centroidTrees)
 
   /** Per-query count of ALLOWED rows among the query's `beamWidth`
     * NEAREST own-leaf candidates — the bucket-index density observable

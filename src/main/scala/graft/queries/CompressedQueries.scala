@@ -476,15 +476,14 @@ object CompressedQueries extends QueryPack {
 
     // Label-partitioned IVF store under the oracle (IvfIndex.withLabels
     // → LabeledIvfIndex.searchAllLabeled — the q_lsh_filtered_labeled
-    // twin, with the probe CHOICE itself fully re-derivable in SQL):
-    // every query searches a cross-label subset (target = (own label +
-    // 5) % 10); the composite-key cell table, the fitted centroids, and
-    // the scoped probe rows are dumped; DuckDB re-derives the probe
-    // rule from first principles (rank ALL centroids by distance,
-    // (dist, cell) ties, keep the first nProbe cells the label
-    // occupies), asserts the dumped probes equal its derivation
-    // (probes_ok), re-derives the served top-k from ITS OWN probes ⋈
-    // cells, and grades vs its own per-query-label exact GT.
+    // twin): every query searches a cross-label subset (target = (own
+    // label + 5) % 10); the composite-key cell table and the
+    // label-conditional-centroid-ranked probe rows are dumped; DuckDB
+    // recomputes the label centroids from the dumped cells themselves,
+    // re-derives the probe ranking (probes_ok vs the dump), re-derives
+    // the served top-k from ITS OWN probes ⋈ cells, and grades vs its
+    // own per-query-label exact GT — the shared labeledStoreOracleSql
+    // replay.
     "q_ivf_filtered_labeled" -> ((s, dir) => {
       val e = emb(s, dir)
       val idx = ivfIdx(s, dir)
@@ -497,17 +496,12 @@ object CompressedQueries extends QueryPack {
         s"$dump/ivf_labeled_cells")
       val store = new graft.ann.ivf.LabeledIvfIndex(idx.model, idx.vectors,
         cellsD)
-      import s.implicits._
-      LshQueries.dumpAndReload(s,
-        idx.model.centroids.zipWithIndex
-          .map { case (c, i) => (i, c.toSeq) }.toSeq
-          .toDF("cell", "centroid"),
-        s"$dump/ivf_labeled_centroids")
       val probes = LshQueries.dumpAndReload(s, store.scopedProbeRows(q),
         s"$dump/ivf_labeled_probes")
-      // probes_ok (Spark side): the dumped rows survived the round-trip
-      // identical to a fresh derivation; DuckDB's probes_ok re-derives
-      // them from the centroid math instead — same boolean, two roots
+      // probes_ok (Spark side): the dump round-trips identical to a
+      // fresh derivation; DuckDB's probes_ok re-derives the ranking
+      // from recomputed label centroids instead — same boolean, two
+      // independent roots
       val fresh = store.scopedProbeRows(q)
       val probesOk = probes.exceptAll(fresh).isEmpty &&
         fresh.exceptAll(probes).isEmpty
@@ -1335,88 +1329,20 @@ object CompressedQueries extends QueryPack {
       predsGlob =
         s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_auto_preds/*.parquet"),
 
-    // Label-partitioned IVF store: DuckDB re-derives the probe rule
-    // from first principles (all centroids ranked by distance with
-    // (dist, cell) ties, first nProbe label-occupied kept), asserts
-    // the dumped probes match, re-derives the served top-k from its
-    // own probes ⋈ composite-key cells, and grades vs its own
+    // Label-partitioned IVF store: the shared labeledStoreOracleSql
+    // replay — DuckDB recomputes the label-conditional cell centroids
+    // from the dumped cells, re-derives the probe ranking (probes_ok),
+    // re-derives the served top-k, and grades vs its own
     // per-query-label exact GT.
-    "q_ivf_filtered_labeled" -> {
-      val dump = s"${LshQueries.SearchDumpRoot}/sf0.01"
-      s"""WITH qs AS (
-         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
-         |         ((label + 5) % 10)::VARCHAR AS label
-         |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
-         |),
-         |lc AS (SELECT * FROM read_parquet('$dump/ivf_labeled_cells/*.parquet')),
-         |ct AS (SELECT * FROM read_parquet('$dump/ivf_labeled_centroids/*.parquet')),
-         |pd AS (SELECT * FROM read_parquet('$dump/ivf_labeled_probes/*.parquet')),
-         |occ AS (SELECT DISTINCT label, cell FROM lc),
-         |ranked AS (
-         |  SELECT qs.query_id, o.cell,
-         |    row_number() OVER (PARTITION BY qs.query_id
-         |      ORDER BY list_distance(qs.qv, ct.centroid), o.cell) AS rk
-         |  FROM qs
-         |  JOIN occ o ON o.label = qs.label
-         |  JOIN ct ON ct.cell = o.cell
-         |),
-         |dp AS (SELECT query_id, cell FROM ranked WHERE rk <= ${ivfConfig.nProbe}),
-         |pok AS (
-         |  SELECT ((SELECT count(*) FROM dp
-         |           WHERE NOT EXISTS (SELECT 1 FROM pd
-         |             WHERE pd.query_id = dp.query_id AND pd.cell = dp.cell))
-         |        + (SELECT count(*) FROM pd
-         |           WHERE NOT EXISTS (SELECT 1 FROM dp
-         |             WHERE dp.query_id = pd.query_id AND dp.cell = pd.cell))
-         |        = 0) AS probes_ok
-         |),
-         |cand AS (
-         |  SELECT DISTINCT dp.query_id, lc.vec_id
-         |  FROM dp
-         |  JOIN qs ON qs.query_id = dp.query_id
-         |  JOIN lc ON lc.cell = dp.cell AND lc.label = qs.label
-         |),
-         |sc AS (
-         |  SELECT c.query_id, c.vec_id, ${LshQueries.L2DistSql} AS dist
-         |  FROM cand c
-         |  JOIN embeddings e ON e.vec_id = c.vec_id
-         |  JOIN qs ON qs.query_id = c.query_id
-         |),
-         |p AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
-         |    FROM sc
-         |  ) WHERE rn <= $K
-         |),
-         |gsc AS (
-         |  SELECT qs.query_id, e.vec_id, ${LshQueries.L2DistSql} AS dist
-         |  FROM qs JOIN embeddings e ON e.label::VARCHAR = qs.label
-         |),
-         |gt AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
-         |    FROM gsc
-         |  ) WHERE rn <= $K
-         |),
-         |np AS (SELECT query_id, count(*) AS n_pred FROM p GROUP BY query_id),
-         |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
-         |h AS (
-         |  SELECT p.query_id, count(*) AS valid
-         |  FROM p JOIN gt USING (query_id, vec_id) GROUP BY p.query_id
-         |),
-         |pr AS (
-         |  SELECT round(avg(round(coalesce(h.valid, 0) / np.n_pred, 6)), 4)
-         |           AS avg_precision,
-         |         round(avg(round(coalesce(h.valid, 0) / ng.n_gt, 6)), 4)
-         |           AS avg_recall,
-         |         count(*) AS n_queries
-         |  FROM np JOIN ng USING (query_id) LEFT JOIN h USING (query_id)
-         |)
-         |SELECT pr.avg_precision, pr.avg_recall, pr.n_queries, pok.probes_ok
-         |FROM pr, pok""".stripMargin
-    },
+    "q_ivf_filtered_labeled" -> LshQueries.labeledStoreOracleSql(
+      storeGlob =
+        s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_labeled_cells/*.parquet",
+      probesGlob =
+        s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_labeled_probes/*.parquet",
+      keyCols = Seq("cell"),
+      centroidWhere = "",
+      budget = ivfConfig.nProbe,
+      threshold = None),
 
     // IVF selective-dispatch recall vs DuckDB's own filtered exact
     // ground truth — must be exactly 1.0 (exact-scan path binds at 2%).

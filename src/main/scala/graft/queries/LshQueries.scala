@@ -333,14 +333,14 @@ object LshQueries extends QueryPack {
     // CROSS-label subset (target label = (own label + 5) % 10 — a
     // per-query label-equality predicate, a shape the global
     // allow-list probe path cannot even express per query). The
-    // composite-key buckets, the per-tree query hashes, and the scoped
-    // probe rows are dumped; DuckDB re-checks the rank-0 probe's
-    // max-common-prefix contract against the label's occupied leaves
-    // (the greedy forced-turn descent's defining property), re-derives
-    // the SERVED top-k itself from the dumped probes ⋈ buckets (same
-    // rounding, same (dist, vec_id) ties), and grades it against its
-    // own per-query-label exact ground truth — probe choice and serve
-    // both cross-engine.
+    // composite-key buckets and the centroid-ranked probe rows are
+    // dumped; DuckDB recomputes the label-conditional bucket centroids
+    // from the dumped store ITSELF, re-derives the probe ranking and
+    // asserts it equals the dumped probes (probes_ok), re-derives the
+    // served top-k from its own probes ⋈ buckets (same rounding, same
+    // (dist, vec_id) ties), and grades it against its own
+    // per-query-label exact ground truth — centroids, probe choice,
+    // and serve all cross-engine.
     "q_lsh_filtered_labeled" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val idx = lshIdx(s, dir, angular = false)
@@ -355,11 +355,15 @@ object LshQueries extends QueryPack {
         s"$dump/lsh_labeled_buckets")
       val store = new graft.ann.lsh.LabeledLshIndex(idx.model, idx.vectors,
         bk)
-      val qh = dumpAndReload(s,
-        idx.model.transform(q, "query_id", "qv"),
-        s"$dump/lsh_labeled_qhash")
       val probes = dumpAndReload(s, store.scopedProbeRows(q),
         s"$dump/lsh_labeled_probes")
+      // probes_ok (Spark side): the dump round-trips identical to a
+      // fresh derivation; DuckDB's probes_ok re-derives the whole
+      // ranking from recomputed centroids instead — same boolean, two
+      // independent roots
+      val fresh = store.scopedProbeRows(q)
+      val probesOk = probes.exceptAll(fresh).isEmpty &&
+        fresh.exceptAll(probes).isEmpty
       val pred = store.searchAllLabeled(q, K, SelectiveThreshold, ExactNN.L2,
         probes = Some(probes))
       // per-query-label exact GT — the filtered ground truth the serve
@@ -372,36 +376,12 @@ object LshQueries extends QueryPack {
         .where(col("dist") <= SelectiveThreshold)
       val gt = graft.ann.TopK.perQueryTopK(gtScored, K,
         viaAggregator = true)
-      // rank-0 max-prefix re-check over the DUMPED frames (hashes here
-      // are non-negative — sf-gate trees stop far above depth 63 — so
-      // the lowest-set-bit arithmetic below never meets Long.MinValue)
-      def lcp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-        val x = a.bitwiseXOR(b)
-        when(x === 0L, lit(64))
-          .otherwise(bit_count(x.bitwiseAND(lit(0L) - x) - lit(1)))
-      }
-      val occ = bk.select(col("label"), col("tree_id"), col("hash").as("bh"))
-        .distinct()
-      val r0 = probes.where(col("probe_rank") === 0)
-        .select(col("query_id"), col("label"), col("tree_id"),
-          col("hash").as("sp"))
-      val lcps = r0
-        .join(qh.select(col("query_id"), col("tree_id"),
-          col("hash").as("oh")), Seq("query_id", "tree_id"))
-        .join(occ, Seq("label", "tree_id"))
-        .groupBy("query_id", "tree_id")
-        .agg(max(lcp(col("oh"), col("bh"))).as("best"),
-          first(lcp(col("oh"), col("sp"))).as("got"),
-          max(when(col("bh") === col("sp"), 1).otherwise(0)).as("occ_ok"))
-      val lcpOk = lcps.agg(
-        (min(when(col("got") === col("best") && col("occ_ok") === 1, 1)
-          .otherwise(0)) === 1).as("probes_lcp_ok"))
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),
           gt.select("query_id", "vec_id"))
         .agg(round(avg("precision"), 4).as("avg_precision"),
           round(avg("recall"), 4).as("avg_recall"),
           count(lit(1)).as("n_queries"))
-        .crossJoin(lcpOk)
+        .withColumn("probes_ok", lit(probesOk))
     }),
 
     // Index lifecycle under the oracle, part 1 — DELETE
@@ -744,6 +724,117 @@ object LshQueries extends QueryPack {
        |) ORDER BY arm""".stripMargin
   }
 
+  /** The family-parametric labeled-store replay behind
+    * `q_lsh_filtered_labeled` / `q_ivf_filtered_labeled`: from the
+    * dumped composite-key store alone, DuckDB (1) recomputes the
+    * label-conditional centroids (per-dim mean of the label's own rows
+    * per key, components rounded to 6 — the Spark sidecar's exact
+    * recipe), (2) re-derives the probe ranking (rounded centroid
+    * distance, (dist, keys) ties, top-`budget`) and asserts set
+    * equality with the dumped probe rows (`probes_ok`), (3) re-derives
+    * the served top-k from ITS OWN probes joined back to the store
+    * (same rounding, same (dist, vec_id) ties), and (4) grades it
+    * against its own per-query-label exact ground truth (target label
+    * = (own label + 5) % 10, the query builder's rule). Only the key
+    * columns, the centroid scope, and the probe budget differ between
+    * the two families, so the replays cannot drift. */
+  private[queries] def labeledStoreOracleSql(storeGlob: String,
+                                             probesGlob: String,
+                                             keyCols: Seq[String],
+                                             centroidWhere: String,
+                                             budget: Int,
+                                             threshold: Option[Double])
+      : String = {
+    val keys = keyCols.mkString(", ")
+    val bKeys = keyCols.map(k => s"b.$k").mkString(", ")
+    val cKeys = keyCols.map(k => s"c.$k").mkString(", ")
+    val keyEq = keyCols.map(k => s"dp.$k = pd.$k").mkString(" AND ")
+    val keyEqRev = keyCols.map(k => s"pd.$k = dp.$k").mkString(" AND ")
+    val thrP = threshold.fold("")(t => s"WHERE dist <= $t")
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+       |         ((label + 5) % 10)::VARCHAR AS label
+       |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
+       |),
+       |bk AS (SELECT * FROM read_parquet('$storeGlob')),
+       |pd AS (SELECT * FROM read_parquet('$probesGlob')),
+       |cdim AS (
+       |  SELECT b.label, $bKeys, generate_subscripts(e.embedding, 1) AS pos,
+       |         unnest(e.embedding::DOUBLE[]) AS x
+       |  FROM (SELECT * FROM bk $centroidWhere) b
+       |  JOIN embeddings e ON e.vec_id = b.vec_id
+       |),
+       |cm AS (
+       |  SELECT label, $keys, pos, round(avg(x), 6) AS m
+       |  FROM cdim GROUP BY label, $keys, pos
+       |),
+       |cent AS (
+       |  SELECT label, $keys, list(m ORDER BY pos) AS centroid
+       |  FROM cm GROUP BY label, $keys
+       |),
+       |ranked AS (
+       |  SELECT qs.query_id, c.label, $cKeys,
+       |    row_number() OVER (PARTITION BY qs.query_id
+       |      ORDER BY round(list_distance(qs.qv, c.centroid), 6), $cKeys)
+       |      - 1 AS probe_rank
+       |  FROM qs JOIN cent c ON c.label = qs.label
+       |),
+       |dp AS (SELECT * FROM ranked WHERE probe_rank < $budget),
+       |pok AS (
+       |  SELECT ((SELECT count(*) FROM dp
+       |           WHERE NOT EXISTS (SELECT 1 FROM pd
+       |             WHERE pd.query_id = dp.query_id AND $keyEq))
+       |        + (SELECT count(*) FROM pd
+       |           WHERE NOT EXISTS (SELECT 1 FROM dp
+       |             WHERE dp.query_id = pd.query_id AND $keyEqRev))
+       |        = 0) AS probes_ok
+       |),
+       |cand AS (
+       |  SELECT DISTINCT dp.query_id, b.vec_id
+       |  FROM dp JOIN bk b USING (label, $keys)
+       |),
+       |sc AS (
+       |  SELECT c.query_id, c.vec_id, $L2DistSql AS dist
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN qs ON qs.query_id = c.query_id
+       |),
+       |p AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+       |    FROM sc $thrP
+       |  ) WHERE rn <= $K
+       |),
+       |gsc AS (
+       |  SELECT qs.query_id, e.vec_id, $L2DistSql AS dist
+       |  FROM qs JOIN embeddings e ON e.label::VARCHAR = qs.label
+       |),
+       |gt AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+       |    FROM gsc $thrP
+       |  ) WHERE rn <= $K
+       |),
+       |np AS (SELECT query_id, count(*) AS n_pred FROM p GROUP BY query_id),
+       |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
+       |h AS (
+       |  SELECT p.query_id, count(*) AS valid
+       |  FROM p JOIN gt USING (query_id, vec_id) GROUP BY p.query_id
+       |),
+       |pr AS (
+       |  SELECT round(avg(round(coalesce(h.valid, 0) / np.n_pred, 6)), 4)
+       |           AS avg_precision,
+       |         round(avg(round(coalesce(h.valid, 0) / ng.n_gt, 6)), 4)
+       |           AS avg_recall,
+       |         count(*) AS n_queries
+       |  FROM np JOIN ng USING (query_id) LEFT JOIN h USING (query_id)
+       |)
+       |SELECT pr.avg_precision, pr.avg_recall, pr.n_queries, pok.probes_ok
+       |FROM pr, pok""".stripMargin
+  }
+
   /** DuckDB L2 / cosine distance SQL over `qs`/`e` aliases, matching the
     * Spark-side 6-decimal rounding and the cosine near-zero clamp. */
   private[queries] val L2DistSql =
@@ -850,86 +941,21 @@ object LshQueries extends QueryPack {
       // Density-aware dispatch replay (see the query's scaladoc).
       "q_lsh_filtered_auto" -> lshFilteredAutoOracleSql,
 
-      // Label-partitioned store: DuckDB re-derives the served top-k
-      // from the dumped scoped probes ⋈ composite-key buckets, grades
-      // it vs its OWN per-query-label exact GT, and re-checks the
-      // rank-0 probe's max-common-prefix contract (lowest-set-bit
-      // arithmetic is safe: gate-scale hashes are non-negative).
-      "q_lsh_filtered_labeled" -> {
-        val dump = s"$SearchDumpRoot/sf0.01"
-        def lcpSql(a: String, b: String): String =
-          s"CASE WHEN xor($a, $b) = 0 THEN 64 ELSE " +
-            s"bit_count((xor($a, $b) & -xor($a, $b)) - 1) END"
-        s"""WITH qs AS (
-           |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
-           |         ((label + 5) % 10)::VARCHAR AS label
-           |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
-           |),
-           |bk AS (SELECT * FROM read_parquet('$dump/lsh_labeled_buckets/*.parquet')),
-           |qh AS (SELECT * FROM read_parquet('$dump/lsh_labeled_qhash/*.parquet')),
-           |sp AS (SELECT * FROM read_parquet('$dump/lsh_labeled_probes/*.parquet')),
-           |cand AS (
-           |  SELECT DISTINCT p.query_id, b.vec_id
-           |  FROM sp p JOIN bk b USING (label, tree_id, hash)
-           |),
-           |sc AS (
-           |  SELECT c.query_id, c.vec_id, $L2DistSql AS dist
-           |  FROM cand c
-           |  JOIN embeddings e ON e.vec_id = c.vec_id
-           |  JOIN qs ON qs.query_id = c.query_id
-           |),
-           |p AS (
-           |  SELECT query_id, vec_id FROM (
-           |    SELECT query_id, vec_id,
-           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
-           |    FROM sc WHERE dist <= $SelectiveThreshold
-           |  ) WHERE rn <= $K
-           |),
-           |gsc AS (
-           |  SELECT qs.query_id, e.vec_id, $L2DistSql AS dist
-           |  FROM qs JOIN embeddings e ON e.label::VARCHAR = qs.label
-           |),
-           |gt AS (
-           |  SELECT query_id, vec_id FROM (
-           |    SELECT query_id, vec_id,
-           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
-           |    FROM gsc WHERE dist <= $SelectiveThreshold
-           |  ) WHERE rn <= $K
-           |),
-           |np AS (SELECT query_id, count(*) AS n_pred FROM p GROUP BY query_id),
-           |ng AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
-           |h AS (
-           |  SELECT p.query_id, count(*) AS valid
-           |  FROM p JOIN gt USING (query_id, vec_id) GROUP BY p.query_id
-           |),
-           |pr AS (
-           |  SELECT round(avg(round(coalesce(h.valid, 0) / np.n_pred, 6)), 4)
-           |           AS avg_precision,
-           |         round(avg(round(coalesce(h.valid, 0) / ng.n_gt, 6)), 4)
-           |           AS avg_recall,
-           |         count(*) AS n_queries
-           |  FROM np JOIN ng USING (query_id) LEFT JOIN h USING (query_id)
-           |),
-           |lc AS (
-           |  SELECT r0.query_id, r0.tree_id,
-           |    max(${lcpSql("q.hash", "b.hash")}) AS best,
-           |    max(${lcpSql("q.hash", "r0.hash")}) AS got,
-           |    max(CASE WHEN b.hash = r0.hash THEN 1 ELSE 0 END) AS occ_ok
-           |  FROM (SELECT * FROM sp WHERE probe_rank = 0) r0
-           |  JOIN qh q ON q.query_id = r0.query_id AND q.tree_id = r0.tree_id
-           |  JOIN (SELECT DISTINCT label, tree_id, hash FROM bk) b
-           |    ON b.label = r0.label AND b.tree_id = r0.tree_id
-           |  GROUP BY r0.query_id, r0.tree_id
-           |),
-           |ok AS (
-           |  SELECT (min(CASE WHEN got = best AND occ_ok = 1 THEN 1 ELSE 0 END) = 1)
-           |           AS probes_lcp_ok
-           |  FROM lc
-           |)
-           |SELECT pr.avg_precision, pr.avg_recall, pr.n_queries,
-           |       ok.probes_lcp_ok
-           |FROM pr, ok""".stripMargin
-      },
+      // Label-partitioned store: DuckDB recomputes the
+      // label-conditional bucket centroids from the dumped store,
+      // re-derives the probe ranking (probes_ok vs the dump),
+      // re-derives the served top-k from its own probes, and grades
+      // vs its own per-query-label exact GT (the shared
+      // labeledStoreOracleSql builder — the IVF twin differs only in
+      // its key columns and budget, so the two replays cannot drift).
+      "q_lsh_filtered_labeled" -> labeledStoreOracleSql(
+        storeGlob = s"$SearchDumpRoot/sf0.01/lsh_labeled_buckets/*.parquet",
+        probesGlob = s"$SearchDumpRoot/sf0.01/lsh_labeled_probes/*.parquet",
+        keyCols = Seq("tree_id", "hash"),
+        centroidWhere =
+          s"WHERE tree_id < ${graft.ann.lsh.LabeledLshIndex.DefaultCentroidTrees}",
+        budget = graft.ann.lsh.LabeledLshIndex.DefaultMaxProbeBuckets,
+        threshold = Some(SelectiveThreshold)),
 
       // Delete view: per-pair distance recompute + tombstone-predicate
       // re-check — a leaked deleted id flips `valid` cross-engine.

@@ -241,4 +241,34 @@ object DedupGate {
     new DedupGate(spark, path, cfg, idCol, textCol, compactEvery,
       frozenHot)
   }
+
+  /** One-shot migration for capped stores persisted BEFORE the hot
+    * artifact existed (round 16 made them fail loudly at
+    * construction): derive the hot-shingle row from `docs` — the
+    * FIT-TIME corpus, or the closest snapshot available — persist it
+    * at `$path/hot`, and return the reopened gate. Explicit opt-in,
+    * never automatic, because the recomputation is exact ONLY when
+    * `docs` matches the fit-time corpus: the hot set is a
+    * document-frequency threshold cut, so a drifted snapshot can flip
+    * borderline shingles and band arrivals with slightly different
+    * geometry than the stored index (the silent-admit risk the
+    * fail-loud constructor exists to prevent). The stored bands
+    * themselves are hashed and cannot be inverted to recover the set,
+    * which is why this takes a corpus and not nothing. Identity with
+    * a fresh build is pinned in DedupGateSpec for the matching-corpus
+    * case; for a drifted snapshot prefer a full [[build]] rebuild. */
+  def adoptHot(spark: SparkSession, path: String, docs: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text",
+               cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(),
+               compactEvery: Int = graft.ann.LsmStore.DefaultCompactEvery)
+      : DedupGate = {
+    require(cfg.maxDocFreqRatio < 1.0,
+      "adoptHot migrates capped gates only — an uncapped gate has no " +
+        "hot artifact to adopt")
+    val hot = Dedup.hotShingleRow(docs, idCol, textCol, cfg)
+      .localCheckpoint()
+    hot.write.mode("overwrite").parquet(s"$path/hot")
+    new DedupGate(spark, path, cfg, idCol, textCol, compactEvery,
+      Some(hot))
+  }
 }

@@ -26,11 +26,17 @@ import graft.text.{Dedup, DedupGate}
   * deletes of stored ids — the mixed shape a real pipeline sees.
   *
   * Usage: runMain graft.tools.IngestScaleProbe [n] [batch] [batches]
-  * [compactEvery] (default: 1000000 1000 3 1000 — pass a small
-  * compactEvery to measure per-batch cost ACROSS a compaction/fold
-  * boundary: every flat store compacts and the graph folds at that
-  * cadence, so e.g. compactEvery=2 over 4 batches pays two compaction
-  * cycles inside the composed loop)
+  * [compactEvery] [drift] (default: 1000000 1000 3 1000 0 — pass a
+  * small compactEvery to measure per-batch cost ACROSS a
+  * compaction/fold boundary: every flat store compacts and the graph
+  * folds at that cadence, so e.g. compactEvery=2 over 4 batches pays
+  * two compaction cycles inside the composed loop; drift=1 shifts
+  * every batch after the first +8.0 per coordinate (~4 fit-MADs on the
+  * ProbeGen.clustered geometry) so the codes leg's drift check
+  * breaches twice, flips refitDue, and the probe times the
+  * refitAndSwap the breach gates — the round-17 measurement: the
+  * composed drift-refit firing INSIDE the pipeline at corpus scale,
+  * with membership asserted preserved across the swap)
   */
 object IngestScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -38,6 +44,7 @@ object IngestScaleProbe {
     val b = if (args.length > 1) args(1).toLong else 1000L
     val nBatches = if (args.length > 2) args(2).toInt else 3
     val compactEvery = if (args.length > 3) args(3).toInt else 1000
+    val withDrift = args.length > 4 && args(4) == "1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -77,9 +84,19 @@ object IngestScaleProbe {
     val (codesAndSq, tCodes) = timed {
       val sq = graft.ann.sq.Sq.train(corpus, "vec_id", "embedding")
       sq.save(spark, s"$root/codes")
+      val drift =
+        if (!withDrift) None
+        else {
+          graft.ann.DriftCheck.writeFitStats(
+            corpus.select(col("vec_id"), col("embedding")),
+            s"$root/codes_fit_stats")
+          Some(new graft.ann.DriftCheck(spark, s"$root/codes_fit_stats",
+            shiftWatermark = 3.0, ratioWatermark = 100.0))
+        }
       (new CodesMaintainer(spark, s"$root/codes",
         encode = a => sq.model.transformDf(a, "vec_id", "embedding"),
-        compactEvery = compactEvery), sq)
+        compactEvery = compactEvery, driftCheck = drift,
+        refitAfterBreaches = 2), sq)
     }
     val codes = codesAndSq._1
     GraphSearch.dropManagedTables(spark,
@@ -122,7 +139,14 @@ object IngestScaleProbe {
     var liveVecs = corpus.select(col("vec_id"), col("embedding"))
     for (k <- 0 until nBatches) {
       val lo = n + k * b
-      val fresh = ProbeGen.clustered(spark, lo + b).where(col("vec_id") >= lo)
+      val fresh0 = ProbeGen.clustered(spark, lo + b).where(col("vec_id") >= lo)
+      // drift mode: batches after the first arrive ~4 fit-MADs shifted
+      // — the sustained-distribution-change the breach counter gates on
+      val fresh =
+        if (withDrift && k >= 1)
+          fresh0.select(col("vec_id"),
+            transform(col("embedding"), x => x + lit(8.0)).as("embedding"))
+        else fresh0
       val arrivals = withText(fresh.select(col("vec_id")))
         // the dup tail: the last 10% of the batch carries the text of
         // stored doc (vec_id mod n) — an exact copy the gate must catch
@@ -146,10 +170,38 @@ object IngestScaleProbe {
       println(f"[ingest-scale] batch ${k + 1}: ${report.arrived}%,d " +
         f"arrivals -> ${report.admitted}%,d admitted " +
         f"(${report.arrived - report.admitted}%,d rejected), " +
-        f"${deletes.count()}%,d deletes: $tBatch%.1fs")
+        f"${deletes.count()}%,d deletes: $tBatch%.1fs" +
+        codes.lastDrift.fold("")(d =>
+          f" | drift shift=${d._1}%.1f fold=${d._2}%.2f " +
+            s"refitDue=${codes.refitDue}"))
       liveVecs = vectors.join(
         broadcast(report.rejected.select(col("doc_id").as("vec_id"))),
         Seq("vec_id"), "left_anti")
+      // the breach-gated refit, fired INSIDE the composed loop: retrain
+      // the quantizer on the live corpus, swap atomically, verify the
+      // stored membership is untouched — the operator action the
+      // refitDue poll exists for, priced at corpus scale
+      if (withDrift && codes.refitDue) {
+        val before = codes.liveCodes.count()
+        val (_, tRefit) = timed {
+          val live = liveVecs
+            .join(codes.liveCodes.select("vec_id"), Seq("vec_id"),
+              "left_semi")
+          val sq2 = graft.ann.sq.Sq.train(live, "vec_id", "embedding")
+          graft.ann.DriftCheck.writeFitStats(
+            live.select(col("vec_id"), col("embedding")),
+            s"$root/codes_fit_stats")
+          codes.refitAndSwap(liveVecs,
+            a => sq2.model.transformDf(a, "vec_id", "embedding"),
+            writeModel = p => sq2.model.save(spark, p),
+            modelSubs = Seq("bounds", "meta"))
+        }
+        val after = codes.liveCodes.count()
+        println(f"[ingest-scale] refitAndSwap after batch ${k + 1}: " +
+          f"$tRefit%.1fs over $after%,d live codes " +
+          s"(membership preserved: ${before == after}, " +
+          s"refitDue reset: ${!codes.refitDue})")
+      }
     }
     spark.stop()
   }

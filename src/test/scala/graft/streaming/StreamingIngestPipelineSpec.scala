@@ -345,5 +345,28 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
       new DedupGate(spark, s"$bare/gate", cfg.copy(maxDocFreqRatio = 0.5))
     }
     assert(ex.getMessage.contains("hot"))
+
+    // migration (DedupGate.adoptHot): a store persisted BEFORE the
+    // artifact existed — simulated by deleting $path/hot — recovers by
+    // recomputing the hot row from the fit-time corpus; with the
+    // matching corpus the adopted gate bands identically to the fresh
+    // build (same df-threshold cut over the same docs = same set)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/gate/hot"), true)
+    intercept[IllegalStateException] {
+      new DedupGate(spark, s"$root/gate", cfg.copy(maxDocFreqRatio = 0.5))
+    }
+    val migrated = DedupGate.adoptHot(spark, s"$root/gate", docs,
+      cfg = cfg.copy(maxDocFreqRatio = 0.5))
+    val res3 = migrated.onBatch(
+      Seq((300L, s"$boiler unique body u7a u7b u7c u7d"))
+        .toDF("doc_id", "text"))
+    assert(res3.admitted.isEmpty,
+      "migrated gate banded with different geometry and admitted a " +
+        "near-dup of a stored doc")
+    assert(res3.rejected.select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect().toMap === Map(300L -> 7L))
   }
 }
