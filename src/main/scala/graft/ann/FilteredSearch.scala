@@ -82,8 +82,10 @@ object FilteredSearch {
   case object Probe extends Route("probe")
   /** Density-starved bucket probe whose subset is too large for the
     * auto exact dispatch: probe-then-filter runs, a warning names the
-    * measured risk — more trees/probes or a raised ceiling is on the
-    * caller. */
+    * measured risk and the in-family fix — the label-partitioned store
+    * (`LshIndex.withLabels` / `IvfIndex.withLabels` →
+    * `searchAllLabeled`, round 17) for label-equality predicates, or a
+    * raised ceiling when the subset is scannable. */
   case object ProbeStarved extends Route("probe_starved")
 
   /** Routes by name — the inverse specs/oracles use. */
@@ -126,7 +128,9 @@ object FilteredSearch {
       * unchanged (no global route helps: the subset is too large to
       * scan and the dense half is served correctly); callers warn, and
       * the remediation is label-aware construction keyed on the filter
-      * column ([[graft.ann.KnnGraph.labelAware]]). */
+      * column — [[graft.ann.KnnGraph.labelAware]] for the graph
+      * family, the label-partitioned stores (`withLabels` →
+      * `searchAllLabeled`, round 17) for the bucket families. */
     def bimodalStarved(k: Int): Boolean =
       (route == Walk || route == Probe) &&
         lowQuartileLocalAllowed.exists(_ < k)

@@ -488,9 +488,11 @@ final class LshIndex(
     *    exact subset scan (route `exact_density` — recall 1.0 at the
     *    measured ≤15% cost-parity ceiling);
     *  - subset too large to scan → the probe path serves, with a
-    *    logged warning naming the measured risk (route
-    *    `probe_starved` — more trees, more probes, or a raised
-    *    ceiling is on the caller).
+    *    logged warning naming the measured risk and the in-family fix
+    *    (route `probe_starved` — the label-partitioned store,
+    *    [[withLabels]] → `searchAllLabeled`, for label-equality
+    *    predicates; "add trees" is measured-ineffective here, SCALE.md
+    *    §filtered ANN: nTrees 20→40 moved 0.513→0.531).
     *
     * `densityDispatch = false` restores the selectivity-only rule
     * (and skips the estimator's one-leaf cost). The decision itself

@@ -748,8 +748,13 @@ object LshQueries extends QueryPack {
     val keys = keyCols.mkString(", ")
     val bKeys = keyCols.map(k => s"b.$k").mkString(", ")
     val cKeys = keyCols.map(k => s"c.$k").mkString(", ")
-    val keyEq = keyCols.map(k => s"dp.$k = pd.$k").mkString(" AND ")
-    val keyEqRev = keyCols.map(k => s"pd.$k = dp.$k").mkString(" AND ")
+    // rank included: equal SETS with different orders means the two
+    // engines ranked differently — catch it, like the Spark side's
+    // full-row exceptAll does
+    val keyEq = (keyCols :+ "probe_rank")
+      .map(k => s"dp.$k = pd.$k").mkString(" AND ")
+    val keyEqRev = (keyCols :+ "probe_rank")
+      .map(k => s"pd.$k = dp.$k").mkString(" AND ")
     val thrP = threshold.fold("")(t => s"WHERE dist <= $t")
     s"""WITH qs AS (
        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
