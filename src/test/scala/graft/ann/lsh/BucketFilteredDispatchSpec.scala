@@ -185,6 +185,37 @@ class BucketFilteredDispatchSpec extends AnyFunSuite with SparkSpecBase {
         s"distribution: $d")
   }
 
+  test("estimator knobs: default beam clears the false-warn floor; tree choice never unwarns") {
+    // an UNCORRELATED filter's median reads ~selectivity x beam, so a
+    // beam below k/selectivity spuriously warns — the 1M-swept
+    // false-warn floor (SCALE.md §filtered ANN, round 17: beams 8/16
+    // read a 50% uncorrelated filter starved; 32 is the smallest
+    // swept setting with zero false warnings). The per-point mod-2
+    // filter is the spec-scale uncorrelated even-split.
+    val dSmall = idx.filteredDecision(queries, allowedOf(densePred), K,
+      beamWidth = 4, metric = ExactNN.Cosine)
+    assert(dSmall.route === FilteredSearch.ProbeStarved,
+      s"beam 4 should sit under the false-warn floor: $dSmall")
+    assert(lshDecide(densePred).route === FilteredSearch.Probe,
+      "the default beam must not false-warn the uncorrelated filter")
+    // tree choice moves the median but never the WARNED-vs-unwarned
+    // outcome (the 1M sweep's negative result): the correlated
+    // starved-large arm stays warned — starved, or probe with a
+    // starved lower quartile (bimodal) — under every tree
+    for (t <- Seq(0, 3, 7)) {
+      val row = idx.localAllowedCounts(queries, allowedOf(cl17Pred),
+          LshIndex.DefaultLocalBeamWidth, ExactNN.Cosine, treeId = t)
+        .agg(expr("percentile(local_allowed, 0.5)"),
+          expr("percentile(local_allowed, 0.25)")).head()
+      val med = row.getDouble(0)
+      val q25 = row.getDouble(1)
+      val route = FilteredSearch.routeBucket(340L, 2000L, med, K)
+      assert(route === FilteredSearch.ProbeStarved ||
+        (route === FilteredSearch.Probe && q25 < K),
+        s"tree $t unwarned the starved arm: median=$med q25=$q25 $route")
+    }
+  }
+
   test("selectivity cutoff short-circuits before the estimator") {
     val pred = pmod($"vec_id", lit(50)) === 0 // 2% <= 5%
     val d = lshDecide(pred)
