@@ -120,6 +120,13 @@ object GraphQueries extends QueryPack {
         col("vec_id") < n - InsertTailCount).select("vec_id")
       val entries = arrivals.select(col("vec_id").as("query_id"))
         .crossJoin((0L until InsertEntries).toDF("node"))
+      // memo-cost note (round-17 plan audit): this build is ~2 s of
+      // base-graph prep + bucketed save and ~18 s of m.onBatch at
+      // sf0.1 — the insert walk + refineEvery=1 SCOPED refine that
+      // q_graph_scoped_recall exists to certify. The base graph
+      // already rides the memoized exact-GT graph (round 16), so the
+      // remaining cost IS the feature under test, not a redundant
+      // build — left as is rather than weakened.
       m.onBatch(e, arrivals, entries, Some(deletes))
       m
     }

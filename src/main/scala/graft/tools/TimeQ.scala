@@ -18,5 +18,9 @@ object TimeQ {
         spark.catalog.clearCache()
       }
     }
+    // memoized-build attribution (first attempts only — memos build once)
+    import scala.jdk.CollectionConverters._
+    graft.queries.QueryPack.buildSeconds.asScala.toSeq.sortBy(-_._2)
+      .foreach { case (tag, sec) => println(f"TIMEQ memo $tag $sec%.2f s") }
   }
 }
