@@ -95,6 +95,40 @@ final class LabeledIvfIndex(
       roundTo, topKViaAggregator)
   }
 
+  /** Serve-time delete view (the tombstone pattern; sidecar-staleness
+    * contract as in [[graft.ann.lsh.LabeledLshIndex.withDeletes]]:
+    * the label-centroid summary lingers until [[refreshCentroids]],
+    * degrading probe ranking gracefully — it can never serve a
+    * deleted row). */
+  def withDeletes(tombstones: DataFrame): LabeledIvfIndex = {
+    val t = broadcast(tombstones.select("vec_id"))
+    new LabeledIvfIndex(model,
+      vectors.join(t, Seq("vec_id"), "left_anti"),
+      labeledCells.join(t, Seq("vec_id"), "left_anti"),
+      Some(cellCentroids))
+  }
+
+  /** Incremental append of labeled arrivals `(vec_id, embedding,
+    * label)` under the FROZEN centroids (map-side argmin — the
+    * [[IvfIndex.append]] contract); sidecar staleness as in
+    * [[withDeletes]]. */
+  def append(arrivals: DataFrame): LabeledIvfIndex = {
+    val a = arrivals.select(col("vec_id"), col("embedding"),
+      col("label").cast("string").as("label"))
+    new LabeledIvfIndex(model,
+      vectors.unionByName(a.select("vec_id", "embedding")),
+      labeledCells.unionByName(
+        model.transform(a, "vec_id", "embedding")
+          .join(a.select("vec_id", "label"), "vec_id")
+          .select("label", "cell", "vec_id")),
+      Some(cellCentroids))
+  }
+
+  /** Recompute the label-centroid sidecar against the current tables
+    * (see [[graft.ann.lsh.LabeledLshIndex.refreshCentroids]]). */
+  def refreshCentroids(): LabeledIvfIndex =
+    new LabeledIvfIndex(model, vectors, labeledCells)
+
   /** Persist centroids + vectors + the composite-keyed cell table and
     * the label-centroid sidecar, both `partitionBy(label)` — a
     * `label = v` serve prunes to one label directory. */

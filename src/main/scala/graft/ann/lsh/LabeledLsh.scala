@@ -127,6 +127,47 @@ final class LabeledLshIndex(
       Some(distanceThreshold), metric, roundTo, topKViaAggregator)
   }
 
+  /** Serve-time delete view (the [[LshIndex.withDeletes]] tombstone
+    * pattern): both row tables anti-join the broadcast tombstone set
+    * map-side. The centroid SIDECAR is kept as-is by design: it is a
+    * probe-selection summary, so a deleted row's mass lingering in a
+    * bucket mean degrades ranking quality gracefully but can never
+    * serve a deleted row (candidates come from the anti-joined tables)
+    * — recompute via [[refreshCentroids]] when the tombstone set has
+    * grown past batch scale, exactly when the base index would compact. */
+  def withDeletes(tombstones: DataFrame): LabeledLshIndex = {
+    val t = broadcast(tombstones.select("vec_id"))
+    new LabeledLshIndex(model,
+      vectors.join(t, Seq("vec_id"), "left_anti"),
+      labeledBuckets.join(t, Seq("vec_id"), "left_anti"),
+      centroidTrees, Some(bucketCentroids))
+  }
+
+  /** Incremental append: hash labeled arrivals `(vec_id, embedding,
+    * label)` through the FROZEN forest (map-side, no refit — the
+    * [[LshIndex.append]] contract) into their label partitions.
+    * Sidecar staleness contract as in [[withDeletes]]: arrivals serve
+    * immediately (they are in the tables) but do not move the bucket
+    * means until [[refreshCentroids]]. */
+  def append(arrivals: DataFrame): LabeledLshIndex = {
+    val a = arrivals.select(col("vec_id"), col("embedding"),
+      col("label").cast("string").as("label"))
+    new LabeledLshIndex(model,
+      vectors.unionByName(a.select("vec_id", "embedding")),
+      labeledBuckets.unionByName(
+        model.transform(a, "vec_id", "embedding")
+          .join(a.select("vec_id", "label"), "vec_id")
+          .select("label", "tree_id", "hash", "vec_id")),
+      centroidTrees, Some(bucketCentroids))
+  }
+
+  /** Recompute the centroid sidecar against the CURRENT tables — the
+    * maintenance step that flushes [[withDeletes]]/[[append]]
+    * staleness (one [[bucketCentroids]] aggregate; fold it into the
+    * base index's compaction cadence). */
+  def refreshCentroids(): LabeledLshIndex =
+    new LabeledLshIndex(model, vectors, labeledBuckets, centroidTrees)
+
   /** Persist model + vectors + the composite-keyed buckets table
     * (`partitionBy(label, tree_id)`, hash-sorted files — a `label = v`
     * serve prunes to that label's directories at the storage layer)

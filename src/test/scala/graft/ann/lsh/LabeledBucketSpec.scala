@@ -274,6 +274,49 @@ class LabeledBucketSpec extends AnyFunSuite with SparkSpecBase {
       "labeled must not lose to probe-then-filter")
   }
 
+  test("lifecycle: deletes vanish, appends serve, refreshCentroids flushes staleness") {
+    val q = queriesWith("0")
+    // delete the whole first allowed cluster (cluster 0, label6 = 0)
+    val dead = corpus.where($"vec_id" < 10).select("vec_id")
+    val served0 = lidx6.searchAllLabeled(q, K, Double.MaxValue,
+      ExactNN.Cosine).select("vec_id").as[Long].collect().toSet
+    assert(served0.exists(_ < 10L), "cluster 0 should serve pre-delete")
+    val del = lidx6.withDeletes(dead)
+    val servedDel = del.searchAllLabeled(q, K, Double.MaxValue,
+      ExactNN.Cosine).select("vec_id").as[Long].collect().toSet
+    assert(!servedDel.exists(_ < 10L), "a deleted id served")
+    // the stale sidecar is the PRE-delete one by contract…
+    assert(del.bucketCentroids eq lidx6.bucketCentroids)
+    // …and refreshCentroids recomputes against the current tables:
+    // cluster 0's rows no longer contribute to any label-0 bucket mean
+    val refreshed = del.refreshCentroids()
+    val staleCount = lidx6.bucketCentroids.where($"label" === "0").count()
+    val freshCount = refreshed.bucketCentroids.where($"label" === "0").count()
+    assert(freshCount <= staleCount)
+    assert(refreshed.bucketCentroids.where($"label" === "0")
+      .exceptAll(lidx6.bucketCentroids.where($"label" === "0"))
+      .count() > 0L,
+      "refresh must move the means the deleted cluster contributed to")
+    val servedRef = refreshed.searchAllLabeled(q, K, Double.MaxValue,
+      ExactNN.Cosine).select("vec_id").as[Long].collect().toSet
+    assert(!servedRef.exists(_ < 10L))
+    // append: clones of query 0 under label "0" serve immediately
+    val arr = corpus.where($"vec_id" === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding",
+        lit("0").as("label"))
+    val app = lidx6.append(arr)
+    val servedApp = app.searchAllLabeled(q, K, Double.MaxValue,
+      ExactNN.Cosine).select("vec_id").as[Long].collect().toSet
+    assert(servedApp.contains(100000L), "an appended arrival did not serve")
+    // the IVF twin, same contracts
+    val delIvf = livf6.withDeletes(dead)
+    assert(!delIvf.searchAllLabeled(q, K, ExactNN.L2)
+      .select("vec_id").as[Long].collect().exists(_ < 10L))
+    val appIvf = livf6.append(arr)
+    assert(appIvf.searchAllLabeled(q, K, ExactNN.L2)
+      .select("vec_id").as[Long].collect().contains(100000L))
+  }
+
   test("save/load round-trips both labeled stores (centroid sidecar included)") {
     val dir = java.nio.file.Files.createTempDirectory("labeled").toString
     val q = queriesWith("0")
