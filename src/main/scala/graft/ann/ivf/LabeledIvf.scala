@@ -39,8 +39,9 @@ final class LabeledIvfIndex(
     precomputedCentroids: Option[DataFrame] = None) {
 
   /** Per-(label, cell) mean of the label's own rows — `(label, cell,
-    * centroid)`, components rounded to 6 decimals (the cross-engine
-    * determinism contract every served distance follows). */
+    * centroid)`, components rounded to 4 decimals (the
+    * summation-order-noise rule of
+    * [[graft.ann.lsh.LabeledLshIndex.bucketCentroids]]). */
   lazy val cellCentroids: DataFrame = precomputedCentroids.getOrElse {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
@@ -52,7 +53,7 @@ final class LabeledIvfIndex(
         .as("mv"))
       .select(col("label"), col("cell"),
         transform(vector_to_array(col("mv"), "float64"),
-          x => round(x, 6)).as("centroid"))
+          x => round(x, 4)).as("centroid"))
   }
 
   /** The label-scoped probe rows, as data — `(query_id, label, cell,

@@ -59,9 +59,13 @@ final class LabeledLshIndex(
     * only (the probe-selection cell structure; serving quality is
     * bucket-GRANULARITY-bound, not tree-count-bound — SCALE.md's
     * measured curve — so one tree is the default and the knob buys
-    * disjoint re-cuts, not recall). Components are rounded to 6
-    * decimals so the ranking is reproducible cross-engine (the same
-    * determinism contract as every served distance). */
+    * disjoint re-cuts, not recall). Components are rounded to 4
+    * decimals: a ~1k-row mean carries ~1e-12 summation-order noise
+    * between engines (and between evaluations), so a 1e-6 rounding
+    * boundary would flip a component — and the rank-for-rank
+    * `probes_ok` gate — every few percent of runs; 1e-4 puts the
+    * cross-engine agreement at the distance-rounding confidence while
+    * costing the coarse geometric cut nothing. */
   lazy val bucketCentroids: DataFrame = precomputedCentroids.getOrElse {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
@@ -74,7 +78,7 @@ final class LabeledLshIndex(
         .as("mv"))
       .select(col("label"), col("tree_id"), col("hash"),
         transform(vector_to_array(col("mv"), "float64"),
-          x => round(x, 6)).as("centroid"))
+          x => round(x, 4)).as("centroid"))
   }
 
   /** The label-scoped probe rows a [[searchAllLabeled]] call serves

@@ -728,7 +728,7 @@ object LshQueries extends QueryPack {
     * `q_lsh_filtered_labeled` / `q_ivf_filtered_labeled`: from the
     * dumped composite-key store alone, DuckDB (1) recomputes the
     * label-conditional centroids (per-dim mean of the label's own rows
-    * per key, components rounded to 6 — the Spark sidecar's exact
+    * per key, components rounded to 4 — the Spark sidecar's exact
     * recipe), (2) re-derives the probe ranking (rounded centroid
     * distance, (dist, keys) ties, top-`budget`) and asserts set
     * equality with the dumped probe rows (`probes_ok`), (3) re-derives
@@ -770,7 +770,7 @@ object LshQueries extends QueryPack {
        |  JOIN embeddings e ON e.vec_id = b.vec_id
        |),
        |cm AS (
-       |  SELECT label, $keys, pos, round(avg(x), 6) AS m
+       |  SELECT label, $keys, pos, round(avg(x), 4) AS m
        |  FROM cdim GROUP BY label, $keys, pos
        |),
        |cent AS (
