@@ -27,13 +27,14 @@ import graft.ann.{CandidateScoring, ExactNN}
   * the nearest `maxProbeBuckets` — IVF's probe rule with the FITTED
   * forest's leaves as the cell structure and the label's own mass as
   * the summary. Measured at 1M (SCALE.md §filtered ANN, round 17): on
-  * the correlated even-split arm the fixed probe path serves 0.551 and
-  * tree-PATH probe selection saturates at 0.915 even at 32
-  * probes/tree × 20 trees, while centroid ranking over ONE tree's
-  * buckets reaches 0.942 at M=32 and 0.981 at M=128 — the geometric
-  * summary ranks what the path structure cannot (the label's nearest
-  * mass at medium distance), which is why the descent selector was
-  * replaced by this rule.
+  * the correlated even-split arm the fixed probe path serves 0.551
+  * (starved half 0.103) and tree-PATH probe selection saturates at
+  * 0.915 even at 32 probes/tree × 20 trees, while centroid ranking
+  * over ONE tree's buckets serves 0.963 at M=32, 0.978 at the default
+  * M=64 (starved 0.966), and 0.984 at M=128 — the geometric summary
+  * ranks what the path structure cannot (the label's nearest mass at
+  * medium distance), which is why the descent selector was replaced
+  * by this rule, not tuned.
   *
   * Built from the SAME fitted model — `withLabels` is one join plus the
   * centroid aggregate; no second fit, no new planes. Multi-label rows
@@ -198,17 +199,16 @@ final class LabeledLshIndex(
 
 object LabeledLshIndex {
   /** Probe-selection cell structure: buckets of the FIRST fitted tree
-    * only. Measured (SCALE.md §filtered ANN, round 17): centroid
-    * ranking over one tree's ~1.5k buckets already dominates tree-path
-    * selection over all 20 trees (0.942 vs 0.915 at a twentieth of the
-    * probe volume) — more trees re-cut the same space and mostly buy
-    * redundant probes, so the default spends the budget on MORE
-    * BUCKETS (maxProbeBuckets) instead. */
+    * only. Measured at 1M (SCALE.md §filtered ANN, round 17): centroid
+    * ranking over one tree's buckets already dominates tree-path
+    * selection over all 20 trees, and a SECOND tree's re-cut buys
+    * +0.014 at M=64 for ~1.4× the sidecar build — the knob exists for
+    * the last fraction, the default doesn't pay it. */
   val DefaultCentroidTrees = 1
 
   /** Buckets probed per query, read off the measured 1M curve
-    * (SCALE.md §filtered ANN, round 17: M=32 → 0.942, M=64 → 0.97,
-    * M=128 → 0.981 on the hardest arm — the knee; candidate volume is
+    * (SCALE.md §filtered ANN, round 17: M=32 → 0.963, M=64 → 0.978,
+    * M=128 → 0.984 on the hardest arm — the knee; candidate volume is
     * M × occupancy, so 64 ≈ the unconstrained search's 40-probe
     * budget at default occupancy). */
   val DefaultMaxProbeBuckets = 64
