@@ -189,6 +189,21 @@ final class IvfModel(val config: IvfConfig, val centroids: Array[Array[Double]])
       .toArray
   }
 
+  /** Persist centroids + config meta under `path` — the model half of
+    * every IVF-family save (one spelling; [[Ivf.loadModel]] is the
+    * inverse). */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((config.nCells, config.nProbe, config.iters,
+      config.seed, config.sampleCap, config.angular))
+      .toDF("n_cells", "n_probe", "iters", "seed", "sample_cap", "angular")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** (id, cell) assignment — map-side only, native expression (no UDF
     * encoder round-trip on the path that touches every corpus row). */
   def transform(df: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -402,19 +417,11 @@ final class IvfIndex(
     def exactSubset: DataFrame =
       ExactNN.topKAgg(queries, vectors.join(ids, "vec_id"), k, metric,
         roundTo = roundTo)
-    val d = decision.getOrElse {
-      val nAllowed = allowedCount.getOrElse(ids.count())
-      val nCorpus = corpusCount.getOrElse(vectors.count())
-      if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
-        FilteredSearch.Decision(nCorpus, nAllowed, None,
-          FilteredSearch.ExactSelectivity)
-      else if (!densityDispatch)
-        FilteredSearch.Decision(nCorpus, nAllowed, None, FilteredSearch.Probe)
-      else
-        filteredDecisionDeduped(queries, ids, k, localBeamWidth, metric,
-          roundTo, maxExactFraction, maxAutoExactFraction,
-          Some(nAllowed), Some(nCorpus), densityDispatch = true)
-    }
+    // one ladder, via the pre-deduped twin (the LshIndex rule)
+    val d = decision.getOrElse(
+      filteredDecisionDeduped(queries, ids, k, localBeamWidth, metric,
+        roundTo, maxExactFraction, maxAutoExactFraction,
+        allowedCount, corpusCount, densityDispatch))
     FilteredSearch.warnings(d, k, localBeamWidth, "IVF",
       "nearest own-cell candidates",
       "Serve label-equality predicates from the label-partitioned " +
@@ -499,17 +506,8 @@ final class IvfIndex(
   }
 
   /** Centroids + meta only (shared by [[save]] and [[saveBucketed]]). */
-  def saveModel(spark: SparkSession, path: String): Unit = {
-    import spark.implicits._
-    model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((model.config.nCells, model.config.nProbe, model.config.iters,
-      model.config.seed, model.config.sampleCap, model.config.angular))
-      .toDF("n_cells", "n_probe", "iters", "seed", "sample_cap", "angular")
-      .write.mode("overwrite").parquet(s"$path/meta")
-  }
+  def saveModel(spark: SparkSession, path: String): Unit =
+    model.save(spark, path)
 
   /** Persist centroids + vectors + cell table; cells are written
     * `partitionBy(cell)` so a probe of nProbe cells prunes to nProbe
@@ -528,26 +526,12 @@ final class IvfIndex(
 
 object Ivf {
 
-  /** Reopen a bucketed-table index saved by [[IvfIndex.saveBucketed]]. */
-  def loadBucketed(spark: SparkSession, name: String, modelPath: String): IvfIndex = {
-    import spark.implicits._
-    val meta = spark.read.parquet(s"$modelPath/meta").head()
-    val config = IvfConfig(
-      nCells = meta.getAs[Int]("n_cells"),
-      nProbe = meta.getAs[Int]("n_probe"),
-      iters = meta.getAs[Int]("iters"),
-      seed = meta.getAs[Long]("seed"),
-      sampleCap = meta.getAs[Int]("sample_cap"),
-      angular = meta.getAs[Boolean]("angular"))
-    val centroids = spark.read.parquet(s"$modelPath/centroids")
-      .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
-      .sortBy(_._1).map(_._2.toArray)
-    new IvfIndex(new IvfModel(config, centroids),
-      spark.table(s"${name}_vectors"), spark.table(s"${name}_cells"))
-  }
-
-  /** Reopen a saved index. */
-  def load(spark: SparkSession, path: String): IvfIndex = {
+  /** Reopen a persisted [[IvfModel]] (centroids + meta — the inverse
+    * of [[IvfModel.save]]); ONE spelling shared by every IVF-family
+    * loader so a persisted-schema change cannot be applied to one
+    * loader and forgotten in another (round-17 self-review: this block
+    * existed in three copies). */
+  def loadModel(spark: SparkSession, path: String): IvfModel = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta").head()
     val config = IvfConfig(
@@ -560,10 +544,20 @@ object Ivf {
     val centroids = spark.read.parquet(s"$path/centroids")
       .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
       .sortBy(_._1).map(_._2.toArray)
+    new IvfModel(config, centroids)
+  }
+
+  /** Reopen a bucketed-table index saved by [[IvfIndex.saveBucketed]]. */
+  def loadBucketed(spark: SparkSession, name: String, modelPath: String): IvfIndex =
+    new IvfIndex(loadModel(spark, modelPath),
+      spark.table(s"${name}_vectors"), spark.table(s"${name}_cells"))
+
+  /** Reopen a saved index. */
+  def load(spark: SparkSession, path: String): IvfIndex = {
     val vectors = spark.read.parquet(s"$path/vectors")
     val cells = spark.read.parquet(s"$path/cells")
       .select(col("vec_id"), col("cell").cast("int").as("cell"))
-    new IvfIndex(new IvfModel(config, centroids), vectors, cells)
+    new IvfIndex(loadModel(spark, path), vectors, cells)
   }
 
   /** Deterministic init, two regimes. Small k: farthest-first (first

@@ -111,16 +111,23 @@ final class LabeledIvfIndex(
 
   /** Incremental append of labeled arrivals `(vec_id, embedding,
     * label)` under the FROZEN centroids (map-side argmin — the
-    * [[IvfIndex.append]] contract); sidecar staleness as in
-    * [[withDeletes]]. */
+    * [[IvfIndex.append]] contract); sidecar staleness as in the LSH
+    * twin's append: arrivals into already-probed (label, cell) pairs
+    * serve immediately, arrivals OPENING a (label, cell) pair are
+    * unreachable until [[refreshCentroids]]. */
   def append(arrivals: DataFrame): LabeledIvfIndex = {
+    // dedup rules mirror withLabels (see the LSH twin's append note:
+    // an undeduped multi-label arrival would double its vector row
+    // and every subsequent top-k would return it twice)
     val a = arrivals.select(col("vec_id"), col("embedding"),
       col("label").cast("string").as("label"))
+    val vecs = a.select("vec_id", "embedding").dropDuplicates("vec_id")
+    val lbls = a.select("vec_id", "label").dropDuplicates("vec_id", "label")
     new LabeledIvfIndex(model,
-      vectors.unionByName(a.select("vec_id", "embedding")),
+      vectors.unionByName(vecs),
       labeledCells.unionByName(
-        model.transform(a, "vec_id", "embedding")
-          .join(a.select("vec_id", "label"), "vec_id")
+        model.transform(vecs, "vec_id", "embedding")
+          .join(lbls, "vec_id")
           .select("label", "cell", "vec_id")),
       Some(cellCentroids))
   }
@@ -134,8 +141,7 @@ final class LabeledIvfIndex(
     * the label-centroid sidecar, both `partitionBy(label)` — a
     * `label = v` serve prunes to one label directory. */
   def save(spark: SparkSession, path: String): Unit = {
-    new IvfIndex(model, vectors, labeledCells.select("vec_id", "cell"))
-      .saveModel(spark, path)
+    model.save(spark, path)
     vectors.write.mode("overwrite").parquet(s"$path/vectors")
     labeledCells
       .repartition(col("label"))
@@ -153,19 +159,7 @@ final class LabeledIvfIndex(
 
 object LabeledIvfIndex {
   def load(spark: SparkSession, path: String): LabeledIvfIndex = {
-    import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val config = IvfConfig(
-      nCells = meta.getAs[Int]("n_cells"),
-      nProbe = meta.getAs[Int]("n_probe"),
-      iters = meta.getAs[Int]("iters"),
-      seed = meta.getAs[Long]("seed"),
-      sampleCap = meta.getAs[Int]("sample_cap"),
-      angular = meta.getAs[Boolean]("angular"))
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select($"cell", $"centroid").as[(Int, Seq[Double])].collect()
-      .sortBy(_._1).map(_._2.toArray)
-    new LabeledIvfIndex(new IvfModel(config, centroids),
+    new LabeledIvfIndex(Ivf.loadModel(spark, path),
       spark.read.parquet(s"$path/vectors"),
       spark.read.parquet(s"$path/cells")
         .select(col("label").cast("string").as("label"),

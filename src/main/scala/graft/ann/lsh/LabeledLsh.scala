@@ -151,17 +151,28 @@ final class LabeledLshIndex(
   /** Incremental append: hash labeled arrivals `(vec_id, embedding,
     * label)` through the FROZEN forest (map-side, no refit — the
     * [[LshIndex.append]] contract) into their label partitions.
-    * Sidecar staleness contract as in [[withDeletes]]: arrivals serve
-    * immediately (they are in the tables) but do not move the bucket
-    * means until [[refreshCentroids]]. */
+    * Sidecar staleness contract, sharper than [[withDeletes]]'s: an
+    * arrival landing in a bucket its label ALREADY probes serves
+    * immediately, but one that OPENS a new bucket for its label has no
+    * sidecar entry yet and is unreachable until [[refreshCentroids]]
+    * (the classic IVF new-cell directory rule; spec-pinned) — so fold
+    * the refresh into the same cadence as the base index's
+    * maintenance, not "eventually". */
   def append(arrivals: DataFrame): LabeledLshIndex = {
+    // dedup rules mirror withLabels: a multi-label arrival is one
+    // vector row and one bucket row PER LABEL — without the dedups a
+    // two-label arrival would double its vector row and every
+    // subsequent top-k would score (and return) it twice; duplicate
+    // (vec_id, label) rows (at-least-once replays) are collapsed
     val a = arrivals.select(col("vec_id"), col("embedding"),
       col("label").cast("string").as("label"))
+    val vecs = a.select("vec_id", "embedding").dropDuplicates("vec_id")
+    val lbls = a.select("vec_id", "label").dropDuplicates("vec_id", "label")
     new LabeledLshIndex(model,
-      vectors.unionByName(a.select("vec_id", "embedding")),
+      vectors.unionByName(vecs),
       labeledBuckets.unionByName(
-        model.transform(a, "vec_id", "embedding")
-          .join(a.select("vec_id", "label"), "vec_id")
+        model.transform(vecs, "vec_id", "embedding")
+          .join(lbls, "vec_id")
           .select("label", "tree_id", "hash", "vec_id")),
       centroidTrees, Some(bucketCentroids))
   }

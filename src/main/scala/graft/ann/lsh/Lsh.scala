@@ -534,19 +534,14 @@ final class LshIndex(
     def exactSubset: DataFrame =
       ExactNN.topKAgg(queries, vectors.join(ids, "vec_id"), k, metric,
         threshold = Some(distanceThreshold), roundTo = roundTo)
-    val d = decision.getOrElse {
-      val nAllowed = allowedCount.getOrElse(ids.count())
-      val nCorpus = corpusCount.getOrElse(vectors.count())
-      if (FilteredSearch.useExactScan(nAllowed, nCorpus, maxExactFraction))
-        FilteredSearch.Decision(nCorpus, nAllowed, None,
-          FilteredSearch.ExactSelectivity)
-      else if (!densityDispatch)
-        FilteredSearch.Decision(nCorpus, nAllowed, None, FilteredSearch.Probe)
-      else
-        filteredDecisionDeduped(queries, ids, k, localBeamWidth, metric,
-          roundTo, maxExactFraction, maxAutoExactFraction,
-          Some(nAllowed), Some(nCorpus), densityDispatch = true)
-    }
+    // one ladder (FilteredSearch.decide, via the pre-deduped twin):
+    // the selectivity short-circuit and the dispatch-off default both
+    // live THERE — re-implementing them inline here is how a cutoff
+    // fix gets applied twice and forgotten once (round-17 self-review)
+    val d = decision.getOrElse(
+      filteredDecisionDeduped(queries, ids, k, localBeamWidth, metric,
+        roundTo, maxExactFraction, maxAutoExactFraction,
+        allowedCount, corpusCount, densityDispatch))
     FilteredSearch.warnings(d, k, localBeamWidth, "LSH",
       "nearest own-leaf candidates",
       "Serve label-equality predicates from the label-partitioned " +

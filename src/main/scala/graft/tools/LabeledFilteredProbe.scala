@@ -67,13 +67,16 @@ object LabeledFilteredProbe {
     val thr = 1e9
     val arms = Seq(("corr50", 2, 0), ("corr10", 10, 3))
 
-    def report(df: DataFrame, gt: DataFrame, m: Int, tag: String,
+    def report(df: DataFrame, gt: DataFrame, m: Int, r0: Int, tag: String,
                t: Double, t0: Double): Unit = {
+      // dense = the query's OWN cluster is allowed (query_id % m == the
+      // arm's target residue); everything else is starved — the residue
+      // must be the arm's own r (a hardcoded 0-or-3 test silently
+      // bucketed corr10's %10==0 queries as dense, round-17 self-review)
       val r = Eval.setPrecisionRecall(df.select("query_id", "vec_id"),
           gt.select("query_id", "vec_id"))
         .withColumn("half",
-          when(pmod(col("query_id"), lit(m)) === 0
-            || pmod(col("query_id"), lit(m)) === 3, "dense")
+          when(pmod(col("query_id"), lit(m)) === r0, "dense")
             .otherwise("starved"))
       val overall = r.agg(avg("recall")).head().getDouble(0)
       val halves = r.groupBy("half").agg(round(avg("recall"), 3).as("h"))
@@ -113,14 +116,14 @@ object LabeledFilteredProbe {
       def probe = idx.searchAll(q, k, thr, ExactNN.L2,
         allowed = Some(corpus.where(pred).select("vec_id")))
       val (_, tP0) = time(probe.count())
-      report(probe, gt, m, s"lsh:$tag probe-filter " +
+      report(probe, gt, m, r, s"lsh:$tag probe-filter " +
         f"(build=$tBuild%.1fs)", tP0, tP0)
       for (mm <- Seq(16, 32, 64, 128)) {
         def serve = store.searchAllLabeled(q, k, thr, ExactNN.L2,
           maxProbeBuckets = mm)
         val (_, t0) = time(serve.count())
         val (_, t1) = time(serve.count())
-        report(serve, gt, m, s"lsh:$tag labeled M=$mm", t1, t0)
+        report(serve, gt, m, r, s"lsh:$tag labeled M=$mm", t1, t0)
       }
       // pooled-trees reference: does a second tree's re-cut buy recall
       // at the default budget, or only redundant probes?
@@ -134,7 +137,7 @@ object LabeledFilteredProbe {
           maxProbeBuckets = 64)
         val (_, t0) = time(serve2.count())
         val (_, t1) = time(serve2.count())
-        report(serve2, gt, m,
+        report(serve2, gt, m, r,
           f"lsh:$tag labeled trees=2 M=64 (build=$tB2%.1fs)", t1, t0)
         st2.bucketCentroids.unpersist()
       }
@@ -173,13 +176,13 @@ object LabeledFilteredProbe {
       def probe = ivf.searchAll(q, k, ExactNN.L2,
         allowed = Some(corpus.where(pred).select("vec_id")))
       val (_, tP0) = time(probe.count())
-      report(probe, gt, m, s"ivf:$tag probe-filter " +
+      report(probe, gt, m, r, s"ivf:$tag probe-filter " +
         f"(build=$tBuild%.1fs)", tP0, tP0)
       for (np <- Seq(32, 64)) {
         def serve = store.searchAllLabeled(q, k, ExactNN.L2, nProbe = np)
         val (_, t0) = time(serve.count())
         val (_, t1) = time(serve.count())
-        report(serve, gt, m, s"ivf:$tag labeled nProbe=$np", t1, t0)
+        report(serve, gt, m, r, s"ivf:$tag labeled nProbe=$np", t1, t0)
       }
       store.labeledCells.unpersist()
       store.cellCentroids.unpersist()

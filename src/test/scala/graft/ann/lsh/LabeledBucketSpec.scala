@@ -315,6 +315,30 @@ class LabeledBucketSpec extends AnyFunSuite with SparkSpecBase {
     val appIvf = livf6.append(arr)
     assert(appIvf.searchAllLabeled(q, K, ExactNN.L2)
       .select("vec_id").as[Long].collect().contains(100000L))
+    // a MULTI-LABEL arrival appends ONE vector row (the round-17
+    // self-review bug: an undeduped union doubled it and the doubled
+    // row occupied two top-k slots) — served once per result set. Its
+    // label-0 leg lands in a bucket label 0 already probes (cluster
+    // 0's) and serves immediately; its label-3 leg OPENS that bucket
+    // for label 3, so it is unreachable until refreshCentroids — the
+    // append scaladoc's new-bucket directory rule, pinned here.
+    val multiArr = corpus.where($"vec_id" === 0)
+      .select(($"vec_id" + 200000L).as("vec_id"), $"embedding")
+      .crossJoin(Seq("0", "3").toDF("label"))
+    val st = lidx6.append(multiArr)
+    val s0 = st.searchAllLabeled(q, K, Double.MaxValue, ExactNN.Cosine)
+    assert(s0.count() ===
+      s0.dropDuplicates("query_id", "vec_id").count(),
+      "duplicate (query, vec) rows after a multi-label append")
+    assert(s0.select("vec_id").as[Long].collect().contains(200000L))
+    val q3 = queriesWith("3")
+    assert(st.refreshCentroids()
+      .searchAllLabeled(q3, K, Double.MaxValue, ExactNN.Cosine)
+      .select("vec_id").as[Long].collect().contains(200000L),
+      "refreshed sidecar must reach the newly opened (label, bucket)")
+    val ivfMulti = livf6.append(multiArr)
+    val si = ivfMulti.searchAllLabeled(q, K, ExactNN.L2)
+    assert(si.count() === si.dropDuplicates("query_id", "vec_id").count())
   }
 
   test("save/load round-trips both labeled stores (centroid sidecar included)") {
