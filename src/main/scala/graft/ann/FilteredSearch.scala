@@ -32,6 +32,17 @@ object FilteredSearch {
     * allowed subset is preferred to probe-then-filter. */
   val DefaultMaxExactFraction = 0.05
 
+  /** The reserved label under which the bucket indexes' `scopedTo`
+    * views ([[graft.ann.lsh.LshIndex.scopedTo]] /
+    * [[graft.ann.ivf.IvfIndex.scopedTo]]) key an arbitrary allow-list
+    * as a TRANSIENT single-label partition of the same fitted
+    * structure — the serve-time remediation (`searchAllScoped` /
+    * `scopedFallback = true`) behind the starved/bimodal warnings for
+    * predicates that are NOT a stored label column. A user label equal
+    * to this string in a real labeled store is unaffected: the scoped
+    * view is built per allow-list and never persisted. */
+  val ScopedLabel = "_scoped"
+
   /** Ceiling for the DENSITY-triggered exact dispatch (graph family):
     * a density-starved filter above [[DefaultMaxExactFraction]] still
     * dispatches to the exact subset scan as long as the subset costs no
@@ -82,10 +93,13 @@ object FilteredSearch {
   case object Probe extends Route("probe")
   /** Density-starved bucket probe whose subset is too large for the
     * auto exact dispatch: probe-then-filter runs, a warning names the
-    * measured risk and the in-family fix — the label-partitioned store
-    * (`LshIndex.withLabels` / `IvfIndex.withLabels` →
-    * `searchAllLabeled`, round 17) for label-equality predicates, or a
-    * raised ceiling when the subset is scannable. */
+    * measured risk and the in-family fixes — allow-scoped centroid
+    * probing at serve time (`searchAllScoped`, or `scopedFallback =
+    * true` to route here automatically — ANY predicate, no rebuild),
+    * the label-partitioned store (`LshIndex.withLabels` /
+    * `IvfIndex.withLabels` → `searchAllLabeled`, round 17) for stored
+    * label-equality predicates, or a raised ceiling when the subset is
+    * scannable. */
   case object ProbeStarved extends Route("probe_starved")
 
   /** Routes by name — the inverse specs/oracles use. */
@@ -127,10 +141,13 @@ object FilteredSearch {
       * with nothing in the average to observe. The serve rule is
       * unchanged (no global route helps: the subset is too large to
       * scan and the dense half is served correctly); callers warn, and
-      * the remediation is label-aware construction keyed on the filter
-      * column — [[graft.ann.KnnGraph.labelAware]] for the graph
-      * family, the label-partitioned stores (`withLabels` →
-      * `searchAllLabeled`, round 17) for the bucket families. */
+      * the remediations are allow-scoped centroid probing at serve
+      * time for the bucket families (`searchAllScoped` /
+      * `scopedFallback = true` — any predicate, no rebuild) and
+      * label-aware construction keyed on the filter column —
+      * [[graft.ann.KnnGraph.labelAware]] for the graph family, the
+      * label-partitioned stores (`withLabels` → `searchAllLabeled`,
+      * round 17) for stored label-equality predicates. */
     def bimodalStarved(k: Int): Boolean =
       (route == Walk || route == Probe) &&
         lowQuartileLocalAllowed.exists(_ < k)

@@ -286,6 +286,42 @@ final class IvfIndex(
         "vec_id")
         .select("label", "cell", "vec_id"))
 
+  /** Allow-list-SCOPED view: the allow-list as a TRANSIENT
+    * single-label partition ([[graft.ann.FilteredSearch.ScopedLabel]])
+    * of the SAME fitted centroids — the
+    * [[graft.ann.lsh.LshIndex.scopedTo]] twin on cells. The sidecar is
+    * the per-cell mean over the ALLOWED rows (≤ nCells rows), computed
+    * lazily on first serve; hold the view across batches for a stable
+    * predicate. */
+  def scopedTo(allowed: DataFrame): LabeledIvfIndex =
+    withLabels(
+      allowed.select("vec_id")
+        .withColumn("label", lit(graft.ann.FilteredSearch.ScopedLabel)))
+
+  /** Allow-scoped centroid probing — the SERVE-TIME in-family
+    * remediation for the starved/bimodal regimes under an arbitrary
+    * predicate (the [[graft.ann.lsh.LshIndex.searchAllScoped]] twin):
+    * rank cells by the distance to the ALLOW-LIST's own within-cell
+    * mean instead of the fitted centroid and probe the nearest
+    * `nProbe` — the [[LabeledIvfIndex.searchAllLabeled]] rule with the
+    * allow-list as the single label mass, so the measured 1M recovery
+    * (SCALE.md §filtered ANN, round 17: the bimodal even-split's
+    * starved half 0.857 → 1.000 at the same nProbe) carries over
+    * whenever the allow-list equals a label subset. Why not the fitted
+    * centroids with an occupancy filter: under a correlated even-split
+    * filter the allow-list occupies every cell, so occupancy-scoping
+    * is vacuous — the allow-list's own mass is the summary that ranks
+    * where its rows actually are (the [[LabeledIvfIndex]] rationale).
+    * Results are allowed-only by construction. */
+  def searchAllScoped(queries: DataFrame, allowed: DataFrame, k: Int,
+                      metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
+                      nProbe: Int = 0,
+                      topKViaAggregator: Boolean = true): DataFrame =
+    scopedTo(allowed).searchAllLabeled(
+      queries.withColumn("label",
+        lit(graft.ann.FilteredSearch.ScopedLabel)),
+      k, metric, roundTo, topKViaAggregator, nProbe = nProbe)
+
   /** Per-query count of ALLOWED rows among the query's `beamWidth`
     * NEAREST candidates in its own (nearest) cell — the IVF density
     * observable; contract identical to
@@ -391,9 +427,11 @@ final class IvfIndex(
     * subset scan; dense probed cells (median allowed candidates ≥ k)
     * → probe-then-filter; starved with the subset ≤
     * `maxAutoExactFraction` → exact re-serve; starved and too large →
-    * probe with a logged warning. `densityDispatch = false` restores
-    * the selectivity-only rule. Counts are one aggregate each; pass
-    * them when known upstream. */
+    * probe with a logged warning, or — with `scopedFallback = true` —
+    * an upgraded serve via [[searchAllScoped]] (allow-scoped centroid
+    * probing; also covers the bimodal `warn_bimodal` regime).
+    * `densityDispatch = false` restores the selectivity-only rule.
+    * Counts are one aggregate each; pass them when known upstream. */
   def searchAllFiltered(queries: DataFrame, allowed: DataFrame, k: Int,
                         metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
                         maxExactFraction: Double =
@@ -406,7 +444,8 @@ final class IvfIndex(
                         localBeamWidth: Int =
                           graft.ann.lsh.LshIndex.DefaultLocalBeamWidth,
                         decision: Option[graft.ann.FilteredSearch.Decision] =
-                          None)
+                          None,
+                        scopedFallback: Boolean = false)
       : DataFrame = {
     import graft.ann.FilteredSearch
     // dedup once (the LshIndex.searchAllFiltered rule); the private
@@ -422,19 +461,32 @@ final class IvfIndex(
       filteredDecisionDeduped(queries, ids, k, localBeamWidth, metric,
         roundTo, maxExactFraction, maxAutoExactFraction,
         allowedCount, corpusCount, densityDispatch))
-    FilteredSearch.warnings(d, k, localBeamWidth, "IVF",
-      "nearest own-cell candidates",
-      "Serve label-equality predicates from the label-partitioned " +
-        "view (IvfIndex.withLabels -> searchAllLabeled; same fitted " +
-        "centroids, no refit — the correlated arms recover at 1M, " +
-        "SCALE.md §filtered ANN) or raise maxAutoExactFraction when " +
-        "the subset is scannable.",
-      maxAutoExactFraction,
-      bimodalRemediation = "Remediation is build-time: " +
-        "IvfIndex.withLabels keyed on the filter column, served via " +
-        "searchAllLabeled.")
-      .foreach(log.warn)
+    val upgraded = scopedFallback &&
+      (d.route == FilteredSearch.ProbeStarved || d.bimodalStarved(k))
+    if (upgraded)
+      // the warned regime is being remediated in this very call (the
+      // LshIndex.searchAllFiltered rule)
+      log.info("filtered IVF serve upgraded to allow-scoped centroid " +
+        s"probing (searchAllScoped) on route ${d.route.name}" +
+        (if (d.bimodalStarved(k)) " with bimodal starvation" else ""))
+    else
+      FilteredSearch.warnings(d, k, localBeamWidth, "IVF",
+        "nearest own-cell candidates",
+        "Serve with scopedFallback = true / IvfIndex.searchAllScoped " +
+          "(allow-scoped centroid probing — serve-time, any predicate, " +
+          "no rebuild; the correlated arms recover at 1M, SCALE.md " +
+          "§filtered ANN), from the label-partitioned store for stored " +
+          "label-equality predicates (IvfIndex.withLabels -> " +
+          "searchAllLabeled), or raise maxAutoExactFraction when the " +
+          "subset is scannable.",
+        maxAutoExactFraction,
+        bimodalRemediation = "Remediation: scopedFallback = true / " +
+          "IvfIndex.searchAllScoped (serve-time, any predicate), or " +
+          "the label-partitioned store keyed on the filter column " +
+          "(IvfIndex.withLabels -> searchAllLabeled).")
+        .foreach(log.warn)
     if (d.route.exact) exactSubset
+    else if (upgraded) searchAllScoped(queries, ids, k, metric, roundTo)
     else searchAll(queries, k, metric, roundTo, allowed = Some(ids))
   }
 

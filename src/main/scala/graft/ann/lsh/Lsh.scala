@@ -324,6 +324,53 @@ final class LshIndex(
         .select("label", "tree_id", "hash", "vec_id"),
       centroidTrees)
 
+  /** Allow-list-SCOPED view of this index: the allow-list as a
+    * TRANSIENT single-label partition
+    * ([[graft.ann.FilteredSearch.ScopedLabel]]) of the SAME fitted
+    * forest — [[LabeledLshIndex]]'s label-conditional centroid ranking
+    * applied to an ARBITRARY predicate at serve time, where
+    * [[withLabels]] needs a label column and a store build. One join
+    * on vec_id; the centroid sidecar is the aggregate over the ALLOWED
+    * rows' tree-0 buckets (≤ the fitted forest's leaf count —
+    * corpus-independent), computed lazily on first serve. A serving
+    * loop over a stable predicate should hold this view across
+    * batches so the sidecar is paid once. */
+  def scopedTo(allowed: DataFrame,
+               centroidTrees: Int =
+                 LabeledLshIndex.DefaultCentroidTrees): LabeledLshIndex =
+    withLabels(
+      allowed.select("vec_id")
+        .withColumn("label", lit(graft.ann.FilteredSearch.ScopedLabel)),
+      centroidTrees)
+
+  /** Allow-scoped centroid probing — the SERVE-TIME in-family
+    * remediation for the starved/bimodal regimes
+    * ([[searchAllFiltered]]'s `probe_starved` route and
+    * `warn_bimodal`) under an arbitrary predicate: rank tree-0's
+    * buckets by the distance to the ALLOW-LIST's own within-bucket
+    * mean and probe the nearest `maxProbeBuckets` — exactly
+    * [[LabeledLshIndex.searchAllLabeled]]'s rule with the allow-list
+    * as the (single) label mass, so the measured 1M recovery curves
+    * (SCALE.md §filtered ANN, round 17: correlated even-split
+    * 0.551 → 0.978 at the default M=64) carry over whenever the
+    * allow-list equals a label subset — no label column, no store
+    * rebuild, no refit. Results are allowed-only by construction (the
+    * scoped view holds only allowed rows). Same scoring tail as
+    * [[searchAll]]. Prefer `scopedFallback = true` on
+    * [[searchAllFiltered]] to route here only when the density
+    * dispatch says the probe path would collapse. */
+  def searchAllScoped(queries: DataFrame, allowed: DataFrame, k: Int,
+                      distanceThreshold: Double,
+                      metric: ExactNN.Metric = ExactNN.L2, roundTo: Int = 6,
+                      maxProbeBuckets: Int =
+                        LabeledLshIndex.DefaultMaxProbeBuckets,
+                      topKViaAggregator: Boolean = true): DataFrame =
+    scopedTo(allowed).searchAllLabeled(
+      queries.withColumn("label",
+        lit(graft.ann.FilteredSearch.ScopedLabel)),
+      k, distanceThreshold, metric, roundTo, topKViaAggregator,
+      maxProbeBuckets = maxProbeBuckets)
+
   /** Per-query count of ALLOWED rows among the query's `beamWidth`
     * NEAREST own-leaf candidates — the bucket-index density observable
     * ([[graft.ann.FilteredSearch.routeBucket]]'s input), the exact
@@ -487,12 +534,19 @@ final class LshIndex(
     *  - subset ≤ `maxAutoExactFraction` of the corpus → serve the
     *    exact subset scan (route `exact_density` — recall 1.0 at the
     *    measured ≤15% cost-parity ceiling);
-    *  - subset too large to scan → the probe path serves, with a
-    *    logged warning naming the measured risk and the in-family fix
-    *    (route `probe_starved` — the label-partitioned store,
-    *    [[withLabels]] → `searchAllLabeled`, for label-equality
-    *    predicates; "add trees" is measured-ineffective here, SCALE.md
-    *    §filtered ANN: nTrees 20→40 moved 0.513→0.531).
+    *  - subset too large to scan → route `probe_starved`: with
+    *    `scopedFallback = true` the serve upgrades to allow-scoped
+    *    centroid probing ([[searchAllScoped]] — serve-time, any
+    *    predicate, no rebuild; one extra centroid aggregate over the
+    *    allowed rows' tree-0 buckets); at the default the probe path
+    *    serves with a logged warning naming the measured risk and the
+    *    in-family fixes ([[searchAllScoped]], or the label-partitioned
+    *    store [[withLabels]] → `searchAllLabeled` for stored
+    *    label-equality predicates; "add trees" is measured-ineffective
+    *    here, SCALE.md §filtered ANN: nTrees 20→40 moved 0.513→0.531).
+    *    `scopedFallback` also upgrades the BIMODAL regime (route
+    *    `probe` with `warn_bimodal` — the median query is dense, the
+    *    lower-quartile query is starved).
     *
     * `densityDispatch = false` restores the selectivity-only rule
     * (and skips the estimator's one-leaf cost). The decision itself
@@ -518,7 +572,8 @@ final class LshIndex(
                         localBeamWidth: Int =
                           LshIndex.DefaultLocalBeamWidth,
                         decision: Option[graft.ann.FilteredSearch.Decision] =
-                          None): DataFrame = {
+                          None,
+                        scopedFallback: Boolean = false): DataFrame = {
     import graft.ann.FilteredSearch
     // dedup once: the count, the exact subset join, and the estimator
     // must all see each allowed id once (duplicate allow rows would
@@ -542,19 +597,33 @@ final class LshIndex(
       filteredDecisionDeduped(queries, ids, k, localBeamWidth, metric,
         roundTo, maxExactFraction, maxAutoExactFraction,
         allowedCount, corpusCount, densityDispatch))
-    FilteredSearch.warnings(d, k, localBeamWidth, "LSH",
-      "nearest own-leaf candidates",
-      "Serve label-equality predicates from the label-partitioned " +
-        "view (LshIndex.withLabels -> searchAllLabeled; same fitted " +
-        "forest, no refit — the correlated arms recover at 1M, " +
-        "SCALE.md §filtered ANN) or raise maxAutoExactFraction when " +
-        "the subset is scannable.",
-      maxAutoExactFraction,
-      bimodalRemediation = "Remediation is build-time: " +
-        "LshIndex.withLabels keyed on the filter column, served via " +
-        "searchAllLabeled.")
-      .foreach(log.warn)
+    val upgraded = scopedFallback &&
+      (d.route == FilteredSearch.ProbeStarved || d.bimodalStarved(k))
+    if (upgraded)
+      // the regime the warnings name is being remediated in this very
+      // call — warning would tell the caller to do what is being done
+      log.info("filtered LSH serve upgraded to allow-scoped centroid " +
+        s"probing (searchAllScoped) on route ${d.route.name}" +
+        (if (d.bimodalStarved(k)) " with bimodal starvation" else ""))
+    else
+      FilteredSearch.warnings(d, k, localBeamWidth, "LSH",
+        "nearest own-leaf candidates",
+        "Serve with scopedFallback = true / LshIndex.searchAllScoped " +
+          "(allow-scoped centroid probing — serve-time, any predicate, " +
+          "no rebuild; the correlated arms recover at 1M, SCALE.md " +
+          "§filtered ANN), from the label-partitioned store for stored " +
+          "label-equality predicates (LshIndex.withLabels -> " +
+          "searchAllLabeled), or raise maxAutoExactFraction when the " +
+          "subset is scannable.",
+        maxAutoExactFraction,
+        bimodalRemediation = "Remediation: scopedFallback = true / " +
+          "LshIndex.searchAllScoped (serve-time, any predicate), or " +
+          "the label-partitioned store keyed on the filter column " +
+          "(LshIndex.withLabels -> searchAllLabeled).")
+        .foreach(log.warn)
     if (d.route.exact) exactSubset
+    else if (upgraded)
+      searchAllScoped(queries, ids, k, distanceThreshold, metric, roundTo)
     else searchAll(queries, k, distanceThreshold, metric, roundTo,
       allowed = Some(ids))
   }

@@ -522,6 +522,45 @@ object CompressedQueries extends QueryPack {
         .withColumn("probes_ok", lit(probesOk))
     }),
 
+    // Allow-SCOPED IVF serving under the oracle (IvfIndex.scopedTo →
+    // searchAllScoped — the q_lsh_filtered_scoped twin on cells;
+    // scoped == labeled on one transient label, replayed through the
+    // SAME labeledStoreOracleSql builder with the constant ScopedLabel
+    // and the allow predicate as the GT corpus; the API sees ONLY the
+    // id allow-list). `api_ok` pins the public one-call serve to the
+    // replayed chain's rows.
+    "q_ivf_filtered_scoped" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = ivfIdx(s, dir)
+      val q = e.orderBy("vec_id").limit(VectorQueries.NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val allowed = e.where(col("label") < 5).select("vec_id")
+      val dump = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
+      val cellsD = LshQueries.dumpAndReload(s,
+        idx.scopedTo(allowed).labeledCells, s"$dump/ivf_scoped_cells")
+      val store = new graft.ann.ivf.LabeledIvfIndex(idx.model, idx.vectors,
+        cellsD)
+      val qs = q.withColumn("label",
+        lit(graft.ann.FilteredSearch.ScopedLabel))
+      val probes = LshQueries.dumpAndReload(s, store.scopedProbeRows(qs),
+        s"$dump/ivf_scoped_probes")
+      val fresh = store.scopedProbeRows(qs)
+      val probesOk = probes.exceptAll(fresh).isEmpty &&
+        fresh.exceptAll(probes).isEmpty
+      val pred = store.searchAllLabeled(qs, K, ExactNN.L2,
+        probes = Some(probes))
+      val api = idx.searchAllScoped(q, allowed, K, ExactNN.L2)
+      val apiOk = api.exceptAll(pred).isEmpty && pred.exceptAll(api).isEmpty
+      val gt = ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2)
+      Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),
+          gt.select("query_id", "vec_id"))
+        .agg(round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
+        .withColumn("probes_ok", lit(probesOk))
+        .withColumn("api_ok", lit(apiOk))
+    }),
+
 
     // Recall-targeted operating-point selection under the oracle
     // (graft.ann.AutoTune — the production form of the reference's
@@ -1343,6 +1382,25 @@ object CompressedQueries extends QueryPack {
       centroidWhere = "",
       budget = ivfConfig.nProbe,
       threshold = None),
+
+    // Allow-scoped IVF serving: the same builder with the constant
+    // ScopedLabel and the allow predicate as the GT corpus (see
+    // q_lsh_filtered_scoped). api_ok asserted TRUE — the Spark side
+    // measured the public searchAllScoped against the replayed chain.
+    "q_ivf_filtered_scoped" ->
+      s"""SELECT *, TRUE AS api_ok FROM (
+         |${LshQueries.labeledStoreOracleSql(
+            storeGlob =
+              s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_scoped_cells/*.parquet",
+            probesGlob =
+              s"${LshQueries.SearchDumpRoot}/sf0.01/ivf_scoped_probes/*.parquet",
+            keyCols = Seq("cell"),
+            centroidWhere = "",
+            budget = ivfConfig.nProbe,
+            threshold = None,
+            queryLabelSql = s"'${graft.ann.FilteredSearch.ScopedLabel}'",
+            gtWhere = "e.label < 5")}
+         |)""".stripMargin,
 
     // IVF selective-dispatch recall vs DuckDB's own filtered exact
     // ground truth — must be exactly 1.0 (exact-scan path binds at 2%).

@@ -384,6 +384,54 @@ object LshQueries extends QueryPack {
         .withColumn("probes_ok", lit(probesOk))
     }),
 
+    // Allow-SCOPED serving under the oracle (LshIndex.scopedTo →
+    // searchAllScoped — the round-17 SERVE-TIME remediation for
+    // arbitrary predicates; scoped == labeled on one transient label,
+    // so this row replays the labeled chain through the SAME
+    // labeledStoreOracleSql builder with the constant ScopedLabel and
+    // the allow predicate as the GT corpus). The predicate is the
+    // correlated even-split (label < 5 — the bimodal regime the
+    // dispatch can only warn about), but the API sees ONLY the id
+    // allow-list: no label column reaches the serve. DuckDB recomputes
+    // the allow-conditional bucket centroids from the dumped scoped
+    // store, re-derives the probe ranking (probes_ok), re-derives the
+    // served top-k, and grades vs its own exact GT over the allowed
+    // subset; `api_ok` additionally pins the public one-call
+    // searchAllScoped to the replayed chain's rows.
+    "q_lsh_filtered_scoped" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val idx = lshIdx(s, dir, angular = false)
+      val q = e.orderBy("vec_id").limit(VectorQueries.NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val allowed = e.where(col("label") < 5).select("vec_id")
+      val dump = s"$SearchDumpRoot/${sfName(dir)}"
+      val bk = dumpAndReload(s, idx.scopedTo(allowed).labeledBuckets,
+        s"$dump/lsh_scoped_buckets")
+      val store = new graft.ann.lsh.LabeledLshIndex(idx.model, idx.vectors,
+        bk)
+      val qs = q.withColumn("label",
+        lit(graft.ann.FilteredSearch.ScopedLabel))
+      val probes = dumpAndReload(s, store.scopedProbeRows(qs),
+        s"$dump/lsh_scoped_probes")
+      val fresh = store.scopedProbeRows(qs)
+      val probesOk = probes.exceptAll(fresh).isEmpty &&
+        fresh.exceptAll(probes).isEmpty
+      val pred = store.searchAllLabeled(qs, K, SelectiveThreshold,
+        ExactNN.L2, probes = Some(probes))
+      val api = idx.searchAllScoped(q, allowed, K, SelectiveThreshold,
+        ExactNN.L2)
+      val apiOk = api.exceptAll(pred).isEmpty && pred.exceptAll(api).isEmpty
+      val gt = ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2,
+        threshold = Some(SelectiveThreshold))
+      Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),
+          gt.select("query_id", "vec_id"))
+        .agg(round(avg("precision"), 4).as("avg_precision"),
+          round(avg("recall"), 4).as("avg_recall"),
+          count(lit(1)).as("n_queries"))
+        .withColumn("probes_ok", lit(probesOk))
+        .withColumn("api_ok", lit(apiOk))
+    }),
+
     // Index lifecycle under the oracle, part 1 — DELETE
     // (LshIndex.withDeletes, the tombstone serve-time view; the
     // reference's store is append-only, store/store.go — deletes are a
@@ -737,13 +785,26 @@ object LshQueries extends QueryPack {
     * against its own per-query-label exact ground truth (target label
     * = (own label + 5) % 10, the query builder's rule). Only the key
     * columns, the centroid scope, and the probe budget differ between
-    * the two families, so the replays cannot drift. */
+    * the two families, so the replays cannot drift.
+    *
+    * The ALLOW-SCOPED rows (`q_lsh_filtered_scoped` /
+    * `q_ivf_filtered_scoped`, round 17) replay the same chain through
+    * the same builder with two substitutions — every query's label is
+    * the constant [[graft.ann.FilteredSearch.ScopedLabel]]
+    * (`queryLabelSql`) and the ground-truth corpus is the allow
+    * predicate instead of the label-equality join (`gtWhere`) — so the
+    * labeled and scoped replays cannot drift either: scoped serving IS
+    * labeled serving on one transient label. */
   private[queries] def labeledStoreOracleSql(storeGlob: String,
                                              probesGlob: String,
                                              keyCols: Seq[String],
                                              centroidWhere: String,
                                              budget: Int,
-                                             threshold: Option[Double])
+                                             threshold: Option[Double],
+                                             queryLabelSql: String =
+                                               "((label + 5) % 10)::VARCHAR",
+                                             gtWhere: String =
+                                               "e.label::VARCHAR = qs.label")
       : String = {
     val keys = keyCols.mkString(", ")
     val bKeys = keyCols.map(k => s"b.$k").mkString(", ")
@@ -758,7 +819,7 @@ object LshQueries extends QueryPack {
     val thrP = threshold.fold("")(t => s"WHERE dist <= $t")
     s"""WITH qs AS (
        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
-       |         ((label + 5) % 10)::VARCHAR AS label
+       |         $queryLabelSql AS label
        |  FROM embeddings ORDER BY vec_id LIMIT ${VectorQueries.NumQueries}
        |),
        |bk AS (SELECT * FROM read_parquet('$storeGlob')),
@@ -813,7 +874,7 @@ object LshQueries extends QueryPack {
        |),
        |gsc AS (
        |  SELECT qs.query_id, e.vec_id, $L2DistSql AS dist
-       |  FROM qs JOIN embeddings e ON e.label::VARCHAR = qs.label
+       |  FROM qs JOIN embeddings e ON $gtWhere
        |),
        |gt AS (
        |  SELECT query_id, vec_id FROM (
@@ -961,6 +1022,32 @@ object LshQueries extends QueryPack {
           s"WHERE tree_id < ${graft.ann.lsh.LabeledLshIndex.DefaultCentroidTrees}",
         budget = graft.ann.lsh.LabeledLshIndex.DefaultMaxProbeBuckets,
         threshold = Some(SelectiveThreshold)),
+
+      // Allow-scoped serving: the SAME builder replays the scoped
+      // chain — constant ScopedLabel on every query, the allow
+      // predicate (label < 5, the correlated even-split) as the GT
+      // corpus. DuckDB recomputes the allow-conditional centroids from
+      // the dumped scoped store, re-derives the probe ranking
+      // (probes_ok), re-derives the served top-k, and grades vs its
+      // own exact GT over the allowed subset. `api_ok` is asserted
+      // TRUE: the Spark side measured the public one-call
+      // searchAllScoped against the replayed chain, and a false
+      // hash-mismatches here.
+      "q_lsh_filtered_scoped" ->
+        s"""SELECT *, TRUE AS api_ok FROM (
+           |${labeledStoreOracleSql(
+              storeGlob =
+                s"$SearchDumpRoot/sf0.01/lsh_scoped_buckets/*.parquet",
+              probesGlob =
+                s"$SearchDumpRoot/sf0.01/lsh_scoped_probes/*.parquet",
+              keyCols = Seq("tree_id", "hash"),
+              centroidWhere =
+                s"WHERE tree_id < ${graft.ann.lsh.LabeledLshIndex.DefaultCentroidTrees}",
+              budget = graft.ann.lsh.LabeledLshIndex.DefaultMaxProbeBuckets,
+              threshold = Some(SelectiveThreshold),
+              queryLabelSql = s"'${graft.ann.FilteredSearch.ScopedLabel}'",
+              gtWhere = "e.label < 5")}
+           |)""".stripMargin,
 
       // Delete view: per-pair distance recompute + tombstone-predicate
       // re-check — a leaked deleted id flips `valid` cross-engine.
