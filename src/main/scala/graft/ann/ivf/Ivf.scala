@@ -298,6 +298,17 @@ final class IvfIndex(
       allowed.select("vec_id")
         .withColumn("label", lit(graft.ann.FilteredSearch.ScopedLabel)))
 
+  /** [[scopedTo]] under the pre-deduped contract (see
+    * [[graft.ann.lsh.LshIndex.scopedToPreDeduped]]): skips
+    * [[withLabels]]' repeat dedup for ids the caller already
+    * deduplicated — duplicate allow rows would skew the centroid
+    * means, so the public paths dedup exactly once. */
+  private[ivf] def scopedToPreDeduped(ids: DataFrame): LabeledIvfIndex =
+    new LabeledIvfIndex(model, vectors,
+      cells.join(ids.select("vec_id"), "vec_id")
+        .withColumn("label", lit(graft.ann.FilteredSearch.ScopedLabel))
+        .select("label", "cell", "vec_id"))
+
   /** Allow-scoped centroid probing — the SERVE-TIME in-family
     * remediation for the starved/bimodal regimes under an arbitrary
     * predicate (the [[graft.ann.lsh.LshIndex.searchAllScoped]] twin):
@@ -486,7 +497,13 @@ final class IvfIndex(
           "(IvfIndex.withLabels -> searchAllLabeled).")
         .foreach(log.warn)
     if (d.route.exact) exactSubset
-    else if (upgraded) searchAllScoped(queries, ids, k, metric, roundTo)
+    else if (upgraded)
+      // ids are already deduped above — the pre-deduped twin skips
+      // withLabels' repeat dedup (the round-16 allow-dedup rule)
+      scopedToPreDeduped(ids).searchAllLabeled(
+        queries.withColumn("label",
+          lit(graft.ann.FilteredSearch.ScopedLabel)),
+        k, metric, roundTo)
     else searchAll(queries, k, metric, roundTo, allowed = Some(ids))
   }
 

@@ -343,6 +343,19 @@ final class LshIndex(
         .withColumn("label", lit(graft.ann.FilteredSearch.ScopedLabel)),
       centroidTrees)
 
+  /** [[scopedTo]] under the pre-deduped contract (the
+    * `filteredDecisionDeduped` rule): `ids` is already distinct, so
+    * the labeled view is built directly and [[withLabels]]'
+    * `(vec_id, label)` dedup — a corpus-scale shuffle the caller
+    * already paid — is not repeated. Duplicate allow rows would skew
+    * the centroid MEANS (each dup counts twice), which is why the
+    * public paths dedup exactly once. */
+  private[lsh] def scopedToPreDeduped(ids: DataFrame): LabeledLshIndex =
+    new LabeledLshIndex(model, vectors,
+      buckets.join(ids.select("vec_id"), "vec_id")
+        .withColumn("label", lit(graft.ann.FilteredSearch.ScopedLabel))
+        .select("label", "tree_id", "hash", "vec_id"))
+
   /** Allow-scoped centroid probing — the SERVE-TIME in-family
     * remediation for the starved/bimodal regimes
     * ([[searchAllFiltered]]'s `probe_starved` route and
@@ -623,7 +636,12 @@ final class LshIndex(
         .foreach(log.warn)
     if (d.route.exact) exactSubset
     else if (upgraded)
-      searchAllScoped(queries, ids, k, distanceThreshold, metric, roundTo)
+      // ids are already deduped above — the pre-deduped twin skips
+      // withLabels' repeat dedup (the round-16 allow-dedup rule)
+      scopedToPreDeduped(ids).searchAllLabeled(
+        queries.withColumn("label",
+          lit(graft.ann.FilteredSearch.ScopedLabel)),
+        k, distanceThreshold, metric, roundTo)
     else searchAll(queries, k, distanceThreshold, metric, roundTo,
       allowed = Some(ids))
   }

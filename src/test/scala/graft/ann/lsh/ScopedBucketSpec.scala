@@ -154,6 +154,14 @@ class ScopedBucketSpec extends AnyFunSuite with SparkSpecBase {
         ExactNN.Cosine, threshold = Some(Double.MaxValue))))
   }
 
+  test("empty allow-list serves empty, not an error (both families)") {
+    val none = corpus.where(lit(false)).select("vec_id")
+    assert(idx.searchAllScoped(queries, none, K, Double.MaxValue,
+      ExactNN.Cosine).count() === 0L)
+    assert(ivf.searchAllScoped(queries, none, K, ExactNN.L2)
+      .count() === 0L)
+  }
+
   test("scopedFallback upgrades the starved route (IVF)") {
     val starved = FilteredSearch.Decision(2000L, 334L, Some(1.0),
       FilteredSearch.ProbeStarved)
