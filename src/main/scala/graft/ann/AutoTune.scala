@@ -327,6 +327,55 @@ object AutoTune {
       t => idx.withTrees(t).searchAll(queries, k, distanceThreshold, metric),
       metric, dumpArm, gtOpt)
 
+  /** Shared-probes sweep of the labeled/scoped probe budget
+    * (`maxProbeBuckets` — the round-17 serving knob of
+    * [[graft.ann.lsh.LabeledLshIndex.searchAllLabeled]] and the scoped
+    * views): ONE probe ranking at the max arm, ONE scored candidate
+    * pass, smaller arms cut by each candidate's MINIMUM entry rank —
+    * row-identical to the per-arm serve because the centroid ranking
+    * has the prefix property (rank is computed over ALL of the label's
+    * buckets, then cut), so budget-m probes are exactly the max-arm
+    * probes with `probe_rank < m`, and a candidate serves at budget m
+    * iff ANY of its buckets is probed there (`min_rank < m`). |arms|×
+    * fewer probe rankings and candidate scans than the naive sweep;
+    * the identity is spec-pinned (ScopedBucketSpec). Returns
+    * `(arm, query_id, vec_id, dist)` for [[gradeArms]] / the
+    * certification dump. `queries` must carry the store's label column
+    * (for a scoped view: the reserved
+    * [[graft.ann.FilteredSearch.ScopedLabel]]). */
+  def scopedMSharedPreds(store: graft.ann.lsh.LabeledLshIndex,
+                         queries: DataFrame, k: Int, threshold: Double,
+                         arms: Seq[Int],
+                         metric: ExactNN.Metric = ExactNN.L2,
+                         roundTo: Int = 6): DataFrame = {
+    require(arms.nonEmpty, "scopedMSharedPreds: empty arm list")
+    require(arms == arms.sorted && arms.distinct == arms,
+      s"scopedMSharedPreds: arms must be strictly ascending (got $arms)")
+    val pr = store.scopedProbeRows(queries, arms.max, metric)
+    val entry = store.labeledBuckets
+      .join(broadcast(pr.select("label", "tree_id", "hash", "query_id",
+        "probe_rank")), Seq("label", "tree_id", "hash"))
+      .groupBy("query_id", "vec_id").agg(min("probe_rank").as("min_rank"))
+    val scored = entry
+      .join(store.vectors, "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))),
+        "query_id")
+      .select(col("query_id"), col("vec_id"), col("min_rank"),
+        round(metric.dist(col("qv"), col("embedding")), roundTo).as("dist"))
+      .where(col("dist") <= threshold)
+      .persist()
+    scored.count()
+    try graft.text.Dedup.materializeRelease(
+      arms.map(m => TopK.perQueryTopK(
+          scored.where(col("min_rank") < m)
+            .select("query_id", "vec_id", "dist"),
+          k, viaAggregator = true)
+        .withColumn("arm", lit(m)))
+        .reduce(_ unionByName _)
+        .select(col("arm"), col("query_id"), col("vec_id"), col("dist")))
+    finally scored.unpersist(false)
+  }
+
   /** Graph sweep over `beamWidth` — the graph family's cost knob
     * (per-hop work is beamWidth × degree; recall grows with the beam
     * because a wider frontier survives more local minima — the

@@ -25,6 +25,12 @@ object LshQueries extends QueryPack {
   val CosineThreshold = 0.85
   val K = VectorQueries.K
 
+  /** `q_autotune_scoped_m`'s sweep — ascending `maxProbeBuckets` arms
+    * for the labeled/scoped serving knob (the measured 1M knee sits at
+    * 64, SCALE.md §filtered ANN round 17; the gate-scale sweep
+    * certifies the cheapest-arm-meeting-target rule cross-engine). */
+  val ScopedMArms: Seq[Int] = Seq(4, 8, 16, 32, 64)
+
   /** Operating point from a recall/time sweep on the synthetic
     * embeddings: recall 1.0 at sf0.01 and 0.94 at sf0.1 (the reference's
     * published Euclidean operating points are 0.94-0.95, BASELINE.md) at
@@ -430,6 +436,35 @@ object LshQueries extends QueryPack {
           count(lit(1)).as("n_queries"))
         .withColumn("probes_ok", lit(probesOk))
         .withColumn("api_ok", lit(apiOk))
+    }),
+
+    // The labeled/scoped probe-budget knob under the AutoTune oracle
+    // (completing the tuning matrix's round-17 edge: LSH trees / IVF
+    // nProbe / PQ-SQ-BQ depths / graph beam / scoped M). Shared-probes
+    // form: ONE ranking + ONE scored pass at the max arm, smaller arms
+    // cut by each candidate's minimum entry rank — row-identical to
+    // the per-arm serve (prefix property of the centroid ranking;
+    // spec-pinned). All arms' predictions land in one dump; DuckDB
+    // re-derives the exact GT over the allowed subset, every arm's
+    // recall from the dump, and replays the
+    // cheapest-arm-meeting-target choice.
+    "q_autotune_scoped_m" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val idx = lshIdx(s, dir, angular = false)
+      val q = e.orderBy("vec_id").limit(VectorQueries.NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val allowed = e.where(col("label") < 5).select("vec_id")
+      val store = idx.scopedTo(allowed)
+      val qs = q.withColumn("label",
+        lit(graft.ann.FilteredSearch.ScopedLabel))
+      val preds = graft.ann.AutoTune.scopedMSharedPreds(store, qs, K,
+        SelectiveThreshold, ScopedMArms)
+      val reloaded = dumpAndReload(s, preds,
+        s"$SearchDumpRoot/${sfName(dir)}/autotune_scoped_m_arms")
+      val gt = ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2)
+      graft.ann.AutoTune.gradeArms(ScopedMArms, reloaded,
+          gt.select("query_id", "vec_id"), CompressedQueries.AutoTuneTarget)
+        .orderBy("arm")
     }),
 
     // Index lifecycle under the oracle, part 1 — DELETE
@@ -1048,6 +1083,13 @@ object LshQueries extends QueryPack {
               queryLabelSql = s"'${graft.ann.FilteredSearch.ScopedLabel}'",
               gtWhere = "e.label < 5")}
            |)""".stripMargin,
+
+      // The scoped/labeled probe-budget sweep: the shared AutoTune
+      // decision replay (GT over the allowed subset via corpusWhere).
+      "q_autotune_scoped_m" -> CompressedQueries.autotuneOracleSql(
+        "autotune_scoped_m_arms", ScopedMArms,
+        CompressedQueries.AutoTuneTarget, L2DistSql,
+        corpusWhere = "WHERE label < 5"),
 
       // Delete view: per-pair distance recompute + tombstone-predicate
       // re-check — a leaked deleted id flips `valid` cross-engine.

@@ -154,6 +154,22 @@ class ScopedBucketSpec extends AnyFunSuite with SparkSpecBase {
         ExactNN.Cosine, threshold = Some(Double.MaxValue))))
   }
 
+  test("scopedMSharedPreds: every arm row-identical to the per-arm serve") {
+    val store = idx.scopedTo(allowed6)
+    val qs = queries.withColumn("label", lit(FilteredSearch.ScopedLabel))
+    val arms = Seq(4, 16, 64)
+    val preds = graft.ann.AutoTune.scopedMSharedPreds(store, qs, K,
+      Double.MaxValue, arms, ExactNN.Cosine)
+    for (m <- arms) {
+      val shared = preds.where($"arm" === m)
+        .select("query_id", "vec_id", "dist")
+      val direct = store.searchAllLabeled(qs, K, Double.MaxValue,
+        ExactNN.Cosine, maxProbeBuckets = m)
+      assert(rows(shared) === rows(direct),
+        s"shared-probes arm M=$m diverged from the per-arm serve")
+    }
+  }
+
   test("empty allow-list serves empty, not an error (both families)") {
     val none = corpus.where(lit(false)).select("vec_id")
     assert(idx.searchAllScoped(queries, none, K, Double.MaxValue,
