@@ -64,7 +64,7 @@ object PipelineQueries extends QueryPack {
   private def ingestStores(s: SparkSession, dir: String)
       : (graft.text.DedupGate, graft.retrieval.PostingsStore,
          graft.ann.CodesMaintainer, graft.ann.GraphMaintainer,
-         graft.ann.lsh.LshMaintainer,
+         graft.ann.lsh.LshMaintainer, graft.ann.lsh.LabeledLshMaintainer,
          graft.streaming.IngestPipeline.Report) = {
     import s.implicits._
     memoized(s, dir, "ingest_composed") {
@@ -72,8 +72,11 @@ object PipelineQueries extends QueryPack {
         .withColumn("toks", tokens(col("text")))
       val e = tbl(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
+      // the labeled leg's partition column: deterministic from the id
+      // so the oracle replays it as doc_id % 3
       val joined = d.join(e, d("doc_id") === e("vec_id"))
-        .select(col("doc_id"), col("text"), col("toks"), col("embedding"))
+        .select(col("doc_id"), col("text"), col("toks"), col("embedding"),
+          pmod(col("doc_id"), lit(3)).cast("string").as("label"))
         .localCheckpoint()
       val base = joined.where(pmod(col("doc_id"), lit(IngestArrivalMod)) =!= 0)
       val arrivals = joined.where(pmod(col("doc_id"), lit(IngestArrivalMod)) === 0)
@@ -97,11 +100,18 @@ object PipelineQueries extends QueryPack {
       val codes = new graft.ann.CodesMaintainer(s, s"$root/codes",
         encode = a => sq.model.transformDf(a, "vec_id", "embedding"),
         compactEvery = 100)
-      graft.ann.lsh.Lsh.train(baseVecs, "vec_id", "embedding",
-          graft.ann.lsh.LshConfig(nTrees = 4, kMinVecs = 40, seed = 7L))
-        .save(s, s"$root/forest")
+      val lshIdx = graft.ann.lsh.Lsh.train(baseVecs, "vec_id", "embedding",
+        graft.ann.lsh.LshConfig(nTrees = 4, kMinVecs = 40, seed = 7L))
+      lshIdx.save(s, s"$root/forest")
       val forest = new graft.ann.lsh.LshMaintainer(s, s"$root/forest",
         compactEvery = 100)
+      // labeled store (sixth leg): the SAME fitted forest re-keyed by
+      // the docs' label column, maintained on the same admitted set
+      lshIdx.withLabels(base.select(col("doc_id").as("vec_id"),
+          col("label")))
+        .save(s, s"$root/labeled")
+      val labeled = new graft.ann.lsh.LabeledLshMaintainer(s,
+        s"$root/labeled", compactEvery = 100)
       val name = s"ingest_row_${LshQueries.sfName(dir).replace('.', '_')}"
       graft.ann.GraphSearch.dropManagedTables(s, s"${name}_edges",
         s"${name}_swap_edges")
@@ -142,11 +152,11 @@ object PipelineQueries extends QueryPack {
         codes, graph,
         entriesFor = nv => nv.select(col("vec_id").as("query_id"))
           .crossJoin(entryIds.toDF("node")),
-        lsh = Some(forest))
+        lsh = Some(forest), labeledLsh = Some(labeled))
       val report = pipeline.onBatch(arrivals,
         joined.select(col("doc_id").as("vec_id"), col("embedding")),
         Some(deletes))
-      (gate, postings, codes, graph, forest, report)
+      (gate, postings, codes, graph, forest, labeled, report)
     }
   }
 
@@ -205,8 +215,9 @@ object PipelineQueries extends QueryPack {
     }),
 
     // The composed INGESTION lifecycle under the oracle — one arrivals
-    // micro-batch through dedup-gate → postings → codes → graph from
-    // the same IngestPipeline.onBatch (the q_pipeline_demo idea applied
+    // micro-batch through dedup-gate → postings → codes → serving
+    // forest → labeled store → graph from the same
+    // IngestPipeline.onBatch (the q_pipeline_demo idea applied
     // to the OPERATE loop; each store's maintenance is oracle/spec-
     // gated in isolation elsewhere, THIS row certifies the composed
     // end state). Output: one row per arrival and per deleted doc with
@@ -220,14 +231,14 @@ object PipelineQueries extends QueryPack {
     // the hash.
     "q_ingest_composed" -> ((s, dir) => {
       // Serve-cost note (round-17 plan audit, the round-16 verdict's
-      // "union the membership reads" suggestion): the ~2.5 s serve is
-      // six membership views over six DIFFERENT stores — there is no
+      // "union the membership reads" suggestion): the serve is
+      // per-store membership views over DIFFERENT stores — there is no
       // shared scan to union, and any collapse (e.g. forest membership
       // from one tree instead of all, or merging the per-store flags)
       // would weaken exactly the per-store assertion granularity the
-      // oracle replays. Left six-view by design; the cost is the
-      // consistency check's price, not overhead.
-      val (gate, postings, codes, graph, forest, report) =
+      // oracle replays. Left one-view-per-store by design; the cost is
+      // the consistency check's price, not overhead.
+      val (gate, postings, codes, graph, forest, labeled, report) =
         ingestStores(s, dir)
       val d = tbl(s, dir, "documents")
       val e = tbl(s, dir, "embeddings").select(col("vec_id"))
@@ -251,12 +262,24 @@ object PipelineQueries extends QueryPack {
         .distinct().withColumn("in_graph", lit(true))
       val inForest = forest.index.buckets.select(col("vec_id").as("doc_id"))
         .distinct().withColumn("in_forest", lit(true))
+      // labeled store (sixth leg): membership AND partition
+      // correctness — label_ok is true iff the doc's composite rows
+      // carry exactly its one derived label (doc_id % 3), so a row
+      // landing in a wrong or extra partition flips the hash
+      val inLabeled = labeled.index.labeledBuckets
+        .select(col("vec_id").as("doc_id"), col("label")).distinct()
+        .groupBy("doc_id")
+        .agg(((count(lit(1)) === lit(1)) &&
+          (max(col("label")) ===
+            pmod(col("doc_id"), lit(3)).cast("string"))).as("label_ok"))
+        .withColumn("in_labeled", lit(true))
       ids
         .join(admitted, Seq("doc_id"), "left")
         .join(inBands, Seq("doc_id"), "left")
         .join(inPost, Seq("doc_id"), "left")
         .join(inCodes, Seq("doc_id"), "left")
         .join(inForest, Seq("doc_id"), "left")
+        .join(inLabeled, Seq("doc_id"), "left")
         .join(inGraph, Seq("doc_id"), "left")
         .na.fill(false)
         .orderBy("kind", "doc_id")
@@ -373,15 +396,16 @@ object PipelineQueries extends QueryPack {
          |  WHERE doc_id % $IngestArrivalMod = 0
          |)
          |SELECT doc_id, kind, admitted, in_bands, in_postings, in_codes,
-         |       in_forest, in_graph
+         |       in_forest, label_ok, in_labeled, in_graph
          |FROM (
          |  SELECT doc_id, 'arrival' AS kind, adm AS admitted,
          |         adm AS in_bands, adm AS in_postings, adm AS in_codes,
-         |         adm AS in_forest, adm AS in_graph
+         |         adm AS in_forest, adm AS label_ok, adm AS in_labeled,
+         |         adm AS in_graph
          |  FROM arr
          |  UNION ALL
          |  SELECT doc_id, 'delete', false, false, false, false, false,
-         |         false
+         |         false, false, false
          |  FROM del
          |) ORDER BY kind, doc_id""".stripMargin
   )

@@ -27,7 +27,12 @@ import graft.text.DedupGate
   *      (`q_hybrid_rrf_indexed`) reads vector candidates from, so a
   *      deployment serving hybrid retrieval maintains it on the SAME
   *      admitted set in the same batch;
-  *   5. [[graft.ann.GraphMaintainer]] beam-inserts the admitted
+  *   5. [[graft.ann.lsh.LabeledLshMaintainer]] (optional sixth leg)
+  *      lands the admitted vectors in their label partitions of the
+  *      stored labeled index — the constrained-serving store
+  *      (`searchAllLabeled`) maintained on the same admitted set,
+  *      its centroid-sidecar refresh riding its compaction cadence;
+  *   6. [[graft.ann.GraphMaintainer]] beam-inserts the admitted
   *      vectors into the serving graph.
   *
   * Deletes fan out to every store in the same batch. The consistency cut:
@@ -49,7 +54,15 @@ import graft.text.DedupGate
   * including a replayed-batch case).
   *
   * Schema contract: `arrivals` carries (`idCol`, `textCol`, `toksCol`,
-  * `vecCol`); the graph maintainer must be constructed with
+  * `vecCol`), plus `labelCol` when the labeled leg is configured —
+  * ONE row per doc (the pipeline-wide contract: a duplicated id
+  * within a batch would land same-seq duplicate rows in the flat
+  * stores, which the strictly-earlier tombstone rule cannot
+  * collapse). Multi-label docs therefore ride the pipeline with one
+  * PRIMARY label; extra labels go to the labeled maintainer directly
+  * ([[graft.ann.lsh.LabeledLshMaintainer.onBatch]] accepts one row
+  * per label and dedups the vector row). The graph
+  * maintainer must be constructed with
   * idCol = "vec_id" over `vecCol`; the codes/forest legs receive the
   * CANONICAL (vec_id, embedding) schema regardless of `vecCol` (their
   * internals hard-code the names), so a CodesMaintainer used here
@@ -80,7 +93,9 @@ final class IngestPipeline(
     textCol: String = "text",
     toksCol: String = "toks",
     vecCol: String = "embedding",
-    lsh: Option[LshMaintainer] = None) {
+    lsh: Option[LshMaintainer] = None,
+    labeledLsh: Option[graft.ann.lsh.LabeledLshMaintainer] = None,
+    labelCol: String = "label") {
 
   /** One composed maintenance step — safe as a `foreachBatch` body
     * (driver-side state is each store's one Int; everything heavy is
@@ -128,6 +143,17 @@ final class IngestPipeline(
     // log kills strictly-earlier rows only, so replays supersede and
     // fresh arrivals are untouched — the same at-least-once contract)
     lsh.foreach(_.onBatch(Some(canonicalVecs),
+      Some(upserts.select(col(idCol).as("vec_id")))))
+    // the labeled store (optional sixth leg) rides the same admitted
+    // set + upsert-delete rule; `arrivals` must carry `labelCol` when
+    // it is configured (multi-label docs as one row per label — the
+    // maintainer's per-batch dedup collapses the vector row). The
+    // sidecar refresh rides ITS compaction cadence, so a constrained
+    // serve's staleness window is bounded by the same knob as every
+    // other store's log growth.
+    labeledLsh.foreach(_.onBatch(
+      Some(admitted.select(col(idCol).as("vec_id"),
+        col(vecCol).as("embedding"), col(labelCol).as("label"))),
       Some(upserts.select(col(idCol).as("vec_id")))))
     // the graph's vectors view is its LIVE basis (a scheduled refine
     // treats vectors ∖ tombstones as the corpus — backbone edges are

@@ -58,6 +58,7 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     (0L until 40L).map(i => (i, baseText(i), vecs(i)))
       .toDF("doc_id", "text", "embedding")
       .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("label", pmod(col("doc_id"), lit(3)).cast("string"))
 
   // the pipeline's `vectors` contract: live corpus (base ∪ admitted so
   // far) ∪ the CURRENT batch's arrivals — prior batches' rejections
@@ -75,17 +76,19 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
       .map { case (i, t, _) => (i, t, vecs(i)) }
       .toDF("doc_id", "text", "embedding")
       .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("label", pmod(col("doc_id"), lit(3)).cast("string"))
 
   private def deletesDf(rows: Seq[(Long, String, String)]): Option[DataFrame] = {
     val d = rows.filter(_._3 == "del").map(_._1)
     if (d.isEmpty) None else Some(d.toDF("doc_id"))
   }
 
-  /** Build the five stores fresh under `tag` and return the pipeline
+  /** Build the six stores fresh under `tag` and return the pipeline
     * plus handles to each store. */
   private def buildStores(tag: String)
       : (IngestPipeline, DedupGate, PostingsStore, CodesMaintainer,
-         GraphMaintainer, graft.ann.lsh.LshMaintainer) = {
+         GraphMaintainer, graft.ann.lsh.LshMaintainer,
+         graft.ann.lsh.LabeledLshMaintainer) = {
     val root = java.nio.file.Files
       .createTempDirectory(s"ingest_$tag").toString
     val gate = DedupGate.build(spark, s"$root/gate", baseDocs,
@@ -98,11 +101,18 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     val codes = new CodesMaintainer(spark, s"$root/codes",
       encode = a => sq.model.transformDf(a, "vec_id", "embedding"),
       compactEvery = 100)
-    graft.ann.lsh.Lsh.train(baseVecs, "vec_id", "embedding",
-        graft.ann.lsh.LshConfig(nTrees = 3, kMinVecs = 8, seed = 7L))
-      .save(spark, s"$root/forest")
+    val lshIdx = graft.ann.lsh.Lsh.train(baseVecs, "vec_id", "embedding",
+      graft.ann.lsh.LshConfig(nTrees = 3, kMinVecs = 8, seed = 7L))
+    lshIdx.save(spark, s"$root/forest")
     val forest = new graft.ann.lsh.LshMaintainer(spark, s"$root/forest",
       compactEvery = 100)
+    // the labeled store: the SAME fitted forest re-keyed by the docs'
+    // label column (the withLabels contract), maintained as the
+    // pipeline's sixth leg
+    lshIdx.withLabels(baseDocs.select($"doc_id".as("vec_id"), $"label"))
+      .save(spark, s"$root/labeled")
+    val labeled = new graft.ann.lsh.LabeledLshMaintainer(spark,
+      s"$root/labeled", compactEvery = 100)
     val name = s"ingest_${tag}_graph"
     GraphSearch.dropManagedTables(spark, s"${name}_edges",
       s"${name}_swap_edges")
@@ -118,8 +128,23 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     val pipeline = new IngestPipeline(gate, postings, codes, graph,
       entriesFor = nv => nv.select($"vec_id".as("query_id"))
         .crossJoin((0L until 8L).toDF("node")),
-      lsh = Some(forest))
-    (pipeline, gate, postings, codes, graph, forest)
+      lsh = Some(forest), labeledLsh = Some(labeled))
+    (pipeline, gate, postings, codes, graph, forest, labeled)
+  }
+
+  /** Labeled-store membership: composite rows (vec_id, label, tree_id,
+    * hash) of the serving view, with vectors/buckets agreement asserted
+    * (the forestSet rule on the composite key). */
+  private def labeledSet(m: graft.ann.lsh.LabeledLshMaintainer)
+      : Set[(Long, String, Int, Long)] = {
+    val idx = m.index
+    val vecIds = idx.vectors.select($"vec_id").as[Long].collect().toSet
+    val rows = idx.labeledBuckets
+      .select($"vec_id", $"label", $"tree_id", $"hash")
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(rows.map(_._1) === vecIds,
+      "labeled vectors and buckets disagree on membership")
+    rows
   }
 
   /** Forest membership + bucket rows (vec_id, tree_id, hash) of the
@@ -159,9 +184,9 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     g.servingEdges.select($"src", $"dst")
       .as[(Long, Long)].collect().toSet
 
-  test("one micro-batch drives all five stores; stream == batch; rejected in none, admitted in all") {
+  test("one micro-batch drives all six stores; stream == batch; rejected in none, admitted in all") {
     // ---- streaming side ----
-    val (sp, sGate, sPost, sCodes, sGraph, sForest) = buildStores("s")
+    val (sp, sGate, sPost, sCodes, sGraph, sForest, sLab) = buildStores("s")
     val reports = scala.collection.mutable.ListBuffer
       .empty[IngestPipeline.Report]
     val sAdmitted = scala.collection.mutable.ListBuffer.empty[Long]
@@ -188,7 +213,7 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     } finally q.stop()
 
     // ---- batch twin: same splits, sequential ----
-    val (bp, bGate, bPost, bCodes, bGraph, bForest) = buildStores("b")
+    val (bp, bGate, bPost, bCodes, bGraph, bForest, bLab) = buildStores("b")
     val bAdmitted = scala.collection.mutable.ListBuffer.empty[Long]
     val bReports = Seq(batch1, batch2).map { rows =>
       val rep = bp.onBatch(arrivalsDf(rows),
@@ -204,6 +229,7 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     assert(codesSet(sCodes) === codesSet(bCodes), "codes diverged")
     assert(edgesSet(sGraph) === edgesSet(bGraph), "graph diverged")
     assert(forestSet(sForest) === forestSet(bForest), "LSH forest diverged")
+    assert(labeledSet(sLab) === labeledSet(bLab), "labeled store diverged")
 
     // gate semantics: batch 1 rejects the stored-dup and the
     // within-batch higher id; batch 2 rejects the dup of batch 1's
@@ -229,22 +255,30 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     val inCodes = codesSet(sCodes).map(_._1)
     val inGraph = edgesSet(sGraph).map(_._1)
     val inForest = forestSet(sForest).map(_._1)
+    val labRows = labeledSet(sLab)
+    val inLabeled = labRows.map(_._1)
     admitted.foreach { id =>
       assert(inBands(id), s"admitted $id missing from band index")
       assert(inPost(id), s"admitted $id missing from postings")
       assert(inCodes(id), s"admitted $id missing from codes")
       assert(inGraph(id), s"admitted $id missing from graph")
       assert(inForest(id), s"admitted $id missing from the LSH forest")
+      assert(inLabeled(id), s"admitted $id missing from the labeled store")
+      // and it landed in ITS label's partition only
+      assert(labRows.filter(_._1 == id).map(_._2) === Set((id % 3).toString),
+        s"admitted $id in the wrong label partition")
     }
     rejected.foreach { id =>
       assert(!inBands(id) && !inPost(id) && !inCodes(id) && !inGraph(id)
-          && !inForest(id),
+          && !inForest(id) && !inLabeled(id),
         s"rejected $id leaked into a store")
     }
 
-    // deletes fanned out: doc 7 left postings/codes/bands/forest and is
-    // tombstoned in the graph (served-excluded until the next refine)
-    assert(!inBands(7L) && !inPost(7L) && !inCodes(7L) && !inForest(7L),
+    // deletes fanned out: doc 7 left postings/codes/bands/forest/
+    // labeled and is tombstoned in the graph (served-excluded until
+    // the next refine)
+    assert(!inBands(7L) && !inPost(7L) && !inCodes(7L) && !inForest(7L)
+        && !inLabeled(7L),
       "deleted doc 7 still serving")
     assert(sGraph.tombstones.as[Long].collect().contains(7L),
       "deleted doc 7 not tombstoned in the graph")
@@ -264,13 +298,14 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     // never pairs against itself), and the pipeline's upsert-deletes
     // make the replayed postings/codes rows SUPERSEDE the originals
     // instead of double-serving them.
-    val (p, gate, post, codes, graph, forest) = buildStores("r")
+    val (p, gate, post, codes, graph, forest, lab) = buildStores("r")
     val rows1 = batch1
     p.onBatch(arrivalsDf(rows1), vectorsFor(Nil, rows1), deletesDf(rows1))
     val postOnce = postingsSet(post)
     val sparseOnce = sparseSet(post)
     val codesOnce = codesSet(codes)
     val forestOnce = forestSet(forest)
+    val labeledOnce = labeledSet(lab)
     val bandsOnce = bandsSet(gate)
     // replay the SAME batch (fresh seq, same rows)
     val rep2 = p.onBatch(arrivalsDf(rows1), vectorsFor(Nil, rows1),
@@ -280,6 +315,7 @@ class StreamingIngestPipelineSpec extends AnyFunSuite with SparkSpecBase {
     assert(sparseSet(post) === sparseOnce, "sparse weights diverged on replay")
     assert(codesSet(codes) === codesOnce, "codes diverged on replay")
     assert(forestSet(forest) === forestOnce, "LSH forest diverged on replay")
+    assert(labeledSet(lab) === labeledOnce, "labeled store diverged on replay")
     // the band index may briefly hold duplicate rows pre-compaction;
     // the candidate-facing SET is unchanged, and compaction collapses
     // the physical duplicates
