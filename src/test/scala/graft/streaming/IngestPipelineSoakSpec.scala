@@ -27,6 +27,11 @@ import graft.text.{Dedup, DedupGate}
   *   - the maintenance really fired: the tight twin's LSM log dirs are
   *     dropped by the compaction commit while the loose twin's are
   *     still on disk;
+  *   - the labeled store (sixth leg, round 17) holds the same row
+  *     identity across the twins, and its compaction REFRESHED the
+  *     centroid sidecar: the tight twin's persisted sidecar equals a
+  *     fresh recompute over the live tables (the staleness-cadence
+  *     contract observed through the composition);
   *   - a sustained drift breach observed THROUGH the pipeline flips
   *     `codes.refitDue`, and `refitAndSwap` mid-composition preserves
   *     the codes store's membership exactly (same live ids, new
@@ -54,6 +59,7 @@ class IngestPipelineSoakSpec extends AnyFunSuite with SparkSpecBase {
     (0L until 40L).map(i => (i, baseText(i), vecOf(i)))
       .toDF("doc_id", "text", "embedding")
       .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("label", pmod(col("doc_id"), lit(3)).cast("string"))
 
   // batch k (k = 0..5): three fresh arrivals, one near-dup of stored
   // doc k (rejected — its anchor stays stored), one delete of stored
@@ -66,6 +72,7 @@ class IngestPipelineSoakSpec extends AnyFunSuite with SparkSpecBase {
         ((300L + k).toLong, baseText(k), vecOf(300L + k, shift)))
       .toDF("doc_id", "text", "embedding")
       .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("label", pmod(col("doc_id"), lit(3)).cast("string"))
 
   private def deletesOf(k: Int): Option[DataFrame] =
     Some(Seq(30L + k).toDF("doc_id"))
@@ -83,11 +90,12 @@ class IngestPipelineSoakSpec extends AnyFunSuite with SparkSpecBase {
       .map(i => (i, vecOf(i, if (i >= shiftedFrom) 5.0 else 0.0)))
       .toDF("vec_id", "embedding")
 
-  /** Five stores + pipeline under `tag` with the given cadences. */
+  /** Six stores + pipeline under `tag` with the given cadences. */
   private def build(tag: String, compactEvery: Int, foldEvery: Int,
                     refineEvery: Int, withDrift: Boolean)
       : (IngestPipeline, DedupGate, PostingsStore, CodesMaintainer,
-         GraphMaintainer, graft.ann.lsh.LshMaintainer, String) = {
+         GraphMaintainer, graft.ann.lsh.LshMaintainer,
+         graft.ann.lsh.LabeledLshMaintainer, String) = {
     val root = java.nio.file.Files
       .createTempDirectory(s"soak_$tag").toString
     val gate = DedupGate.build(spark, s"$root/gate", baseDocs,
@@ -108,11 +116,15 @@ class IngestPipelineSoakSpec extends AnyFunSuite with SparkSpecBase {
       encode = a => sq.model.transformDf(a, "vec_id", "embedding"),
       compactEvery = compactEvery, driftCheck = drift,
       refitAfterBreaches = 2)
-    graft.ann.lsh.Lsh.train(baseVecs, "vec_id", "embedding",
-        graft.ann.lsh.LshConfig(nTrees = 3, kMinVecs = 8, seed = 7L))
-      .save(spark, s"$root/forest")
+    val lshIdx = graft.ann.lsh.Lsh.train(baseVecs, "vec_id", "embedding",
+      graft.ann.lsh.LshConfig(nTrees = 3, kMinVecs = 8, seed = 7L))
+    lshIdx.save(spark, s"$root/forest")
     val forest = new graft.ann.lsh.LshMaintainer(spark, s"$root/forest",
       compactEvery = compactEvery)
+    lshIdx.withLabels(baseDocs.select($"doc_id".as("vec_id"), $"label"))
+      .save(spark, s"$root/labeled")
+    val labeled = new graft.ann.lsh.LabeledLshMaintainer(spark,
+      s"$root/labeled", compactEvery = compactEvery)
     val name = s"soak_${tag}_graph"
     GraphSearch.dropManagedTables(spark, s"${name}_edges",
       s"${name}_swap_edges")
@@ -129,9 +141,14 @@ class IngestPipelineSoakSpec extends AnyFunSuite with SparkSpecBase {
     val pipeline = new IngestPipeline(gate, postings, codes, graph,
       entriesFor = nv => nv.select($"vec_id".as("query_id"))
         .crossJoin((0L until 8L).toDF("node")),
-      lsh = Some(forest))
-    (pipeline, gate, postings, codes, graph, forest, root)
+      lsh = Some(forest), labeledLsh = Some(labeled))
+    (pipeline, gate, postings, codes, graph, forest, labeled, root)
   }
+
+  private def labeledSet(m: graft.ann.lsh.LabeledLshMaintainer)
+      : Set[(Long, String, Int, Long)] =
+    m.index.labeledBuckets.select($"vec_id", $"label", $"tree_id", $"hash")
+      .as[(Long, String, Int, Long)].collect().toSet
 
   private def bandsSet(g: DedupGate): Set[(Long, Int, String)] =
     g.servingBands.select($"doc_id", $"band", $"bkey")
@@ -169,10 +186,10 @@ class IngestPipelineSoakSpec extends AnyFunSuite with SparkSpecBase {
     // folds every 3 and refines every 2 — over 6 batches each cadence
     // fires at least twice INSIDE the composition. loose: identical
     // logical schedule (refineEvery = 2) but no compaction/fold fires.
-    val (tp, tGate, tPost, tCodes, tGraph, tForest, tRoot) =
+    val (tp, tGate, tPost, tCodes, tGraph, tForest, tLab, tRoot) =
       build("tight", compactEvery = 2, foldEvery = 3, refineEvery = 2,
         withDrift = true)
-    val (lp, lGate, lPost, lCodes, lGraph, lForest, lRoot) =
+    val (lp, lGate, lPost, lCodes, lGraph, lForest, lLab, lRoot) =
       build("loose", compactEvery = 100, foldEvery = 100, refineEvery = 2,
         withDrift = false)
 
@@ -229,16 +246,29 @@ class IngestPipelineSoakSpec extends AnyFunSuite with SparkSpecBase {
       "compacted stats do not describe the live corpus")
     assert(codesSet(tCodes) === codesSet(lCodes), "codes diverged")
     assert(forestSet(tForest) === forestSet(lForest), "forest diverged")
+    // the labeled store's ROW identity matches (membership); its
+    // SIDECAR legitimately differs — the tight twin's compactions
+    // refreshed it (the staleness-cadence contract), so assert the
+    // tight sidecar equals a fresh recompute over the live tables
+    // while the loose one is still the base fit's
+    assert(labeledSet(tLab) === labeledSet(lLab), "labeled store diverged")
+    val tIdx = tLab.index
+    assert(tIdx.bucketCentroids.exceptAll(
+        tIdx.refreshCentroids().bucketCentroids).isEmpty,
+      "tight twin's compacted sidecar is not the live recompute")
     assert(edgesSet(tGraph) === edgesSet(lGraph), "graph diverged")
 
     // the maintenance really fired: the tight twin's compaction commit
     // dropped the LSM logs; the loose twin's are still on disk
     for (sub <- Seq("gate/bands_delta", "postings/tfs_delta",
-        "codes/codes_delta", "forest/buckets_delta")) {
+        "codes/codes_delta", "forest/buckets_delta",
+        "labeled/buckets_delta")) {
       assert(dirExists(s"$lRoot/$sub"), s"loose twin never logged $sub")
     }
     assert(!dirExists(s"$tRoot/gate/bands_delta"),
       "tight gate never compacted")
+    assert(!dirExists(s"$tRoot/labeled/buckets_delta"),
+      "tight labeled store never compacted")
     assert(!dirExists(s"$tRoot/postings/tfs_delta"),
       "tight postings never compacted")
     assert(!dirExists(s"$tRoot/codes/codes_delta"),
@@ -255,6 +285,8 @@ class IngestPipelineSoakSpec extends AnyFunSuite with SparkSpecBase {
       assert(!postingsSet(tPost).exists(_._1 == id))
       assert(!codesSet(tCodes).exists(_._1 == id))
       assert(!forestSet(tForest).exists(_._1 == id))
+      assert(!labeledSet(tLab).exists(_._1 == id),
+        s"deleted $id still in the labeled store")
       assert(!edgesSet(tGraph).exists(_._1 == id),
         s"deleted $id still serving in the graph after refines")
     }
