@@ -26,7 +26,8 @@ import graft.text.{Dedup, DedupGate}
   * deletes of stored ids — the mixed shape a real pipeline sees.
   *
   * Usage: runMain graft.tools.IngestScaleProbe [n] [batch] [batches]
-  * [compactEvery] [drift] (default: 1000000 1000 3 1000 0 — pass a
+  * [compactEvery] [drift] [labeled] (default: 1000000 1000 3 1000 0 0
+  * — pass a
   * small compactEvery to measure per-batch cost ACROSS a
   * compaction/fold boundary: every flat store compacts and the graph
   * folds at that cadence, so e.g. compactEvery=2 over 4 batches pays
@@ -36,7 +37,10 @@ import graft.text.{Dedup, DedupGate}
   * breaches twice, flips refitDue, and the probe times the
   * refitAndSwap the breach gates — the round-17 measurement: the
   * composed drift-refit firing INSIDE the pipeline at corpus scale,
-  * with membership asserted preserved across the swap)
+  * with membership asserted preserved across the swap; labeled=1 adds
+  * the SIXTH leg — the label-partitioned store over the same trained
+  * forest, pricing the composed batch with constrained serving
+  * maintained in the same loop)
   */
 object IngestScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -45,6 +49,7 @@ object IngestScaleProbe {
     val nBatches = if (args.length > 2) args(2).toInt else 3
     val compactEvery = if (args.length > 3) args(3).toInt else 1000
     val withDrift = args.length > 4 && args(4) == "1"
+    val withLabeled = args.length > 5 && args(5) == "1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -124,6 +129,22 @@ object IngestScaleProbe {
       new graft.ann.lsh.LshMaintainer(spark, s"$root/forest",
         compactEvery = compactEvery)
     }
+    // sixth leg (labeled=1): the label-partitioned store over the SAME
+    // trained forest, label = vec_id % 10 (geometry-correlated on the
+    // replica recipe — the constrained-serving shape)
+    val labeledOpt =
+      if (!withLabeled) None
+      else {
+        val (m, tLab) = timed {
+          graphAndIdx._2.withLabels(corpus.select(col("vec_id"),
+              pmod(col("vec_id"), lit(10)).cast("string").as("label")))
+            .save(spark, s"$root/labeled")
+          new graft.ann.lsh.LabeledLshMaintainer(spark, s"$root/labeled",
+            compactEvery = compactEvery)
+        }
+        println(f"[ingest-scale] labeled store build: $tLab%.1fs")
+        Some(m)
+      }
     println(f"[ingest-scale] n=$n%,d compactEvery=$compactEvery store " +
       f"builds: gate $tGate%.1fs, postings $tPost%.1fs, codes " +
       f"$tCodes%.1fs, graph $tGraph%.1fs, forest $tForest%.1fs")
@@ -131,7 +152,7 @@ object IngestScaleProbe {
     val pipeline = new IngestPipeline(gate, postings, codes, graph,
       entriesFor = nv => nv.select(col("vec_id").as("query_id"))
         .crossJoin((0L until 32L).toDF("node")),
-      lsh = Some(forest))
+      lsh = Some(forest), labeledLsh = labeledOpt)
 
     // ---- composed micro-batches ----
     // batch k: fresh ids n + k*b ..; 10% of the batch reuses a STORED
@@ -159,7 +180,8 @@ object IngestScaleProbe {
         .withColumn("toks", split(col("text"), " "))
         .join(fresh.select(col("vec_id"), col("embedding")), "vec_id")
         .select(col("vec_id").as("doc_id"), col("text"), col("toks"),
-          col("embedding"))
+          col("embedding"),
+          pmod(col("vec_id"), lit(10)).cast("string").as("label"))
       val deletes = (0 until (b / 20).toInt)
         .map(i => (k * 1000L + i * 37L) % n).distinct.toDF("doc_id")
       val vectors = liveVecs.unionByName(
