@@ -167,7 +167,11 @@ final class LabeledLshMaintainer(
     }
     markBatchCommitted(seq)
     if (occupancyWatermark > 0)
-      arrivals.foreach(a => atRestRows += a.count())
+      // count VECTOR rows, not label rows: a multi-label arrival is
+      // one vectors_delta row (the dedup above), and occupancy tracks
+      // the at-rest vector table the frozen forest was fit for
+      arrivals.foreach(a =>
+        atRestRows += a.select("vec_id").dropDuplicates("vec_id").count())
     val batchDrift = for (dc <- driftCheck; a <- arrivals)
       yield dc.maxDrift(a.select("vec_id", "embedding")
         .dropDuplicates("vec_id"))
