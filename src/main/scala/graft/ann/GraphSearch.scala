@@ -706,7 +706,11 @@ object GraphSearch {
     FilteredSearch.warnings(d, k, beamWidth, "graph",
       "nearest local candidates",
       "Consider label-augmented construction (KnnGraph.labelAware) " +
-        "or raising maxAutoExactFraction.",
+        "or raising maxAutoExactFraction; for an ARBITRARY (non-label) " +
+        "predicate there is no in-graph serve-time fix — the measured " +
+        "collapse is reachability, not budget — but a bucket index " +
+        "over the same corpus serves it scoped " +
+        "(LshIndex/IvfIndex.searchAllScoped, recovery measured at 1M).",
       maxAutoExactFraction)
       .foreach(log.warn)
     if (d.route.exact) {

@@ -262,10 +262,13 @@ object PipelineQueries extends QueryPack {
         .distinct().withColumn("in_graph", lit(true))
       val inForest = forest.index.buckets.select(col("vec_id").as("doc_id"))
         .distinct().withColumn("in_forest", lit(true))
-      // labeled store (sixth leg): membership AND partition
-      // correctness — label_ok is true iff the doc's composite rows
-      // carry exactly its one derived label (doc_id % 3), so a row
-      // landing in a wrong or extra partition flips the hash
+      // labeled store (sixth leg): membership (in_labeled) AND
+      // partition correctness (label_ok) — label_ok is true unless
+      // the store holds a row for this doc in a wrong or EXTRA
+      // partition (vacuously true for absent docs: membership itself
+      // is in_labeled's claim), so it is all-true in a correct run —
+      // the smoke spec's *_ok invariant — and a misplaced row flips
+      // both it and the cross-engine hash
       val inLabeled = labeled.index.labeledBuckets
         .select(col("vec_id").as("doc_id"), col("label")).distinct()
         .groupBy("doc_id")
@@ -282,6 +285,7 @@ object PipelineQueries extends QueryPack {
         .join(inLabeled, Seq("doc_id"), "left")
         .join(inGraph, Seq("doc_id"), "left")
         .na.fill(false)
+        .withColumn("label_ok", !col("in_labeled") || col("label_ok"))
         .orderBy("kind", "doc_id")
     })
   )
@@ -400,12 +404,12 @@ object PipelineQueries extends QueryPack {
          |FROM (
          |  SELECT doc_id, 'arrival' AS kind, adm AS admitted,
          |         adm AS in_bands, adm AS in_postings, adm AS in_codes,
-         |         adm AS in_forest, adm AS label_ok, adm AS in_labeled,
+         |         adm AS in_forest, true AS label_ok, adm AS in_labeled,
          |         adm AS in_graph
          |  FROM arr
          |  UNION ALL
          |  SELECT doc_id, 'delete', false, false, false, false, false,
-         |         false, false, false
+         |         true, false, false
          |  FROM del
          |) ORDER BY kind, doc_id""".stripMargin
   )
