@@ -347,10 +347,29 @@ object AutoTune {
                          queries: DataFrame, k: Int, threshold: Double,
                          arms: Seq[Int],
                          metric: ExactNN.Metric = ExactNN.L2,
-                         roundTo: Int = 6): DataFrame = {
+                         roundTo: Int = 6,
+                         maxSharedRows: Long = 50000000L): DataFrame = {
     require(arms.nonEmpty, "scopedMSharedPreds: empty arm list")
     require(arms == arms.sorted && arms.distinct == arms,
       s"scopedMSharedPreds: arms must be strictly ascending (got $arms)")
+    // the sibling ivfNProbeSharedPreds' executable footprint contract:
+    // the persisted scored frame is |queries| × rows × maxArm/buckets;
+    // past maxSharedRows, run the arms as independent serves instead
+    // (row-identical — the same per-arm path the identity spec pins).
+    // The bucket count reads the BOUNDED sidecar; rows one aggregate.
+    val nBuckets = store.bucketCentroids.count()
+    if (!sharedSweepFits(queries.count(), store.vectors.count(), arms.max,
+        math.max(1, nBuckets).toInt, maxSharedRows)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"scopedMSharedPreds: estimated scored-scan footprint exceeds " +
+          s"maxSharedRows=$maxSharedRows for arms=$arms — running the " +
+          "arms as independent serves (row-identical).")
+      return graft.text.Dedup.materializeRelease(
+        arms.map(m => store.searchAllLabeled(queries, k, threshold,
+            metric, roundTo, maxProbeBuckets = m).withColumn("arm", lit(m)))
+          .reduce(_ unionByName _)
+          .select(col("arm"), col("query_id"), col("vec_id"), col("dist")))
+    }
     val pr = store.scopedProbeRows(queries, arms.max, metric)
     val entry = store.labeledBuckets
       .join(broadcast(pr.select("label", "tree_id", "hash", "query_id",

@@ -456,7 +456,8 @@ final class IvfIndex(
                           graft.ann.lsh.LshIndex.DefaultLocalBeamWidth,
                         decision: Option[graft.ann.FilteredSearch.Decision] =
                           None,
-                        scopedFallback: Boolean = false)
+                        scopedFallback: Boolean = false,
+                        scopedNProbe: Int = 0)
       : DataFrame = {
     import graft.ann.FilteredSearch
     // dedup once (the LshIndex.searchAllFiltered rule); the private
@@ -499,11 +500,13 @@ final class IvfIndex(
     if (d.route.exact) exactSubset
     else if (upgraded)
       // ids are already deduped above — the pre-deduped twin skips
-      // withLabels' repeat dedup (the round-16 allow-dedup rule)
+      // withLabels' repeat dedup (the round-16 allow-dedup rule);
+      // scopedNProbe carries a tuned operating point onto the
+      // dispatch path (0 = the model's configured nProbe)
       scopedToPreDeduped(ids).searchAllLabeled(
         queries.withColumn("label",
           lit(graft.ann.FilteredSearch.ScopedLabel)),
-        k, metric, roundTo)
+        k, metric, roundTo, nProbe = scopedNProbe)
     else searchAll(queries, k, metric, roundTo, allowed = Some(ids))
   }
 

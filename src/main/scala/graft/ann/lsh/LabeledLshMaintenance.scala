@@ -146,12 +146,20 @@ final class LabeledLshMaintainer(
     if (occupancyWatermark > 0) ensureCounts(
       spark.read.parquet(s"$path/vectors").count(),
       readOr("vectors_delta", emptySeqIds).count())
-    arrivals.foreach { a0 =>
-      // the LabeledLshIndex.append dedup rules, per delta batch
-      val a = a0.select(col("vec_id"), col("embedding"),
-        col("label").cast("string").as("label"))
-      val vecs = a.select("vec_id", "embedding").dropDuplicates("vec_id")
-      val lbls = a.select("vec_id", "label")
+    // the LabeledLshIndex.append dedup rules, per delta batch —
+    // CHECKPOINTED ONCE: dropDuplicates is nondeterministic per action
+    // when a batch carries conflicting embeddings for one id, and the
+    // vectors write, the hash transform, the occupancy count, and the
+    // drift aggregate below MUST all read the same snapshot (a
+    // vectors_delta row paired with another embedding's bucket hashes
+    // would be durable store corruption); the checkpoint also stops
+    // the dedup shuffle re-running per consumer
+    val vecsOpt = arrivals.map(a0 =>
+      a0.select("vec_id", "embedding").dropDuplicates("vec_id")
+        .localCheckpoint())
+    arrivals.zip(vecsOpt).foreach { case (a0, vecs) =>
+      val lbls = a0.select(col("vec_id"),
+          col("label").cast("string").as("label"))
         .dropDuplicates("vec_id", "label")
       vecs.withColumn("seq", lit(seq))
         .write.mode("append").parquet(s"$path/vectors_delta")
@@ -170,11 +178,9 @@ final class LabeledLshMaintainer(
       // count VECTOR rows, not label rows: a multi-label arrival is
       // one vectors_delta row (the dedup above), and occupancy tracks
       // the at-rest vector table the frozen forest was fit for
-      arrivals.foreach(a =>
-        atRestRows += a.select("vec_id").dropDuplicates("vec_id").count())
-    val batchDrift = for (dc <- driftCheck; a <- arrivals)
-      yield dc.maxDrift(a.select("vec_id", "embedding")
-        .dropDuplicates("vec_id"))
+      vecsOpt.foreach(vecs => atRestRows += vecs.count())
+    val batchDrift = for (dc <- driftCheck; vecs <- vecsOpt)
+      yield dc.maxDrift(vecs)
     batchDrift.foreach(d => lastDrift = Some(d))
     batchDrift.foreach { case (shift, fold) =>
       val dc = driftCheck.get

@@ -586,7 +586,9 @@ final class LshIndex(
                           LshIndex.DefaultLocalBeamWidth,
                         decision: Option[graft.ann.FilteredSearch.Decision] =
                           None,
-                        scopedFallback: Boolean = false): DataFrame = {
+                        scopedFallback: Boolean = false,
+                        scopedMaxProbeBuckets: Int =
+                          LabeledLshIndex.DefaultMaxProbeBuckets): DataFrame = {
     import graft.ann.FilteredSearch
     // dedup once: the count, the exact subset join, and the estimator
     // must all see each allowed id once (duplicate allow rows would
@@ -637,11 +639,14 @@ final class LshIndex(
     if (d.route.exact) exactSubset
     else if (upgraded)
       // ids are already deduped above — the pre-deduped twin skips
-      // withLabels' repeat dedup (the round-16 allow-dedup rule)
+      // withLabels' repeat dedup (the round-16 allow-dedup rule);
+      // scopedMaxProbeBuckets carries the q_autotune_scoped_m-tuned
+      // operating point onto the dispatch path
       scopedToPreDeduped(ids).searchAllLabeled(
         queries.withColumn("label",
           lit(graft.ann.FilteredSearch.ScopedLabel)),
-        k, distanceThreshold, metric, roundTo)
+        k, distanceThreshold, metric, roundTo,
+        maxProbeBuckets = scopedMaxProbeBuckets)
     else searchAll(queries, k, distanceThreshold, metric, roundTo,
       allowed = Some(ids))
   }

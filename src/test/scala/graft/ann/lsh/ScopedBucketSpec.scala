@@ -129,6 +129,14 @@ class ScopedBucketSpec extends AnyFunSuite with SparkSpecBase {
     val scoped = idx.searchAllScoped(queries, allowed6, K,
       Double.MaxValue, ExactNN.Cosine)
     assert(rows(fallback) === rows(scoped))
+    // a TUNED budget (the q_autotune_scoped_m operating point) threads
+    // through the dispatch path
+    assert(rows(idx.searchAllFiltered(queries, allowed6, K,
+      Double.MaxValue, ExactNN.Cosine, decision = Some(d),
+      scopedFallback = true, scopedMaxProbeBuckets = 8)) ===
+      rows(idx.searchAllScoped(queries, allowed6, K, Double.MaxValue,
+        ExactNN.Cosine, maxProbeBuckets = 8)),
+      "scopedMaxProbeBuckets did not thread to the upgraded serve")
     // a forced BIMODAL decision (route probe, quartile < k) upgrades too
     val bimodal = FilteredSearch.Decision(2000L, 334L, Some(K + 3.0),
       FilteredSearch.Probe, Some(K - 3.0))

@@ -253,8 +253,9 @@ class IngestPipelineSoakSpec extends AnyFunSuite with SparkSpecBase {
     // while the loose one is still the base fit's
     assert(labeledSet(tLab) === labeledSet(lLab), "labeled store diverged")
     val tIdx = tLab.index
-    assert(tIdx.bucketCentroids.exceptAll(
-        tIdx.refreshCentroids().bucketCentroids).isEmpty,
+    val freshSidecar = tIdx.refreshCentroids().bucketCentroids
+    assert(tIdx.bucketCentroids.exceptAll(freshSidecar).isEmpty &&
+        freshSidecar.exceptAll(tIdx.bucketCentroids).isEmpty,
       "tight twin's compacted sidecar is not the live recompute")
     assert(edgesSet(tGraph) === edgesSet(lGraph), "graph diverged")
 
