@@ -38,6 +38,17 @@ import graft.ann.lsh.LshIndex
   */
 object AutoTune {
 
+  /** Run independent guard-count actions as concurrent jobs (they are
+    * each one tiny aggregate whose wall cost is scheduled-stage
+    * latency, not compute). */
+  private def par[T](thunks: (() => T)*): Seq[T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(thunks.map(t => Future(t())).toSeq),
+      scala.concurrent.duration.Duration.Inf)
+  }
+
   /** Grade a combined predictions frame against the exact ground truth
     * and apply the cheapest-arm-meeting-target rule.
     *
@@ -59,37 +70,40 @@ object AutoTune {
       s"AutoTune.gradeArms: arms must be strictly ascending (got $arms)")
     val spark = preds.sparkSession
     import spark.implicits._
-    val ng = gt.groupBy("query_id").agg(count(lit(1)).as("n_gt"))
-    // |arms| x |validation queries| rows — bounded by construction
-    val armQueries = arms.toDF("arm").crossJoin(ng)
-    val hits = preds
-      .join(gt.select("query_id", "vec_id"), Seq("query_id", "vec_id"),
-        "left_semi")
-      .groupBy("arm", "query_id").agg(count(lit(1)).as("valid"))
-    val perQuery = armQueries
-      .join(hits, Seq("arm", "query_id"), "left")
-      .na.fill(0L, Seq("valid"))
-      .select(col("arm"),
-        round(col("valid") / col("n_gt"), 6).as("recall"))
-    val graded = perQuery.groupBy("arm")
+    // One union + two keyed aggregations (the Eval.setPrecisionRecall
+    // shuffle shape) instead of per-arm scaffold joins, and the
+    // cheapest-arm-meeting-target choice computed driver-side over the
+    // collected |arms|-row grade — the original ran TWO persist+count
+    // materializations (graded, then out) plus ~6 Exchanges; this is
+    // one collect of |arms| rows. Row-identical: the gt side is
+    // replicated per arm (gt-side grading — a query an arm returned
+    // nothing for scores 0, the class-doc rule), duplicate pred rows
+    // count as the left-semi form counted them, pred rows for queries
+    // outside gt drop (n_gt > 0, the old inner armQueries join).
+    val gtArms = arms.toDF("arm").crossJoin(gt.select("query_id", "vec_id"))
+    val both = preds.select(col("arm"), col("query_id"), col("vec_id"),
+        lit(1L).as("pc"), lit(0L).as("gc"))
+      .unionByName(gtArms.select(col("arm"), col("query_id"), col("vec_id"),
+        lit(0L).as("pc"), lit(1L).as("gc")))
+    val graded = both.groupBy("arm", "query_id", "vec_id")
+      .agg(sum("pc").as("pc"), sum("gc").as("gc"))
+      .groupBy("arm", "query_id")
+      .agg(sum("gc").as("n_gt"),
+        sum(when(col("gc") > 0, col("pc")).otherwise(lit(0L))).as("valid"))
+      .where(col("n_gt") > 0)
+      .select(col("arm"), round(col("valid") / col("n_gt"), 6).as("recall"))
+      .groupBy("arm")
       .agg(round(avg("recall"), 4).as("avg_recall"),
         count(lit(1)).as("n_queries"))
-      .persist()
-    graded.count()
-    // cheapest arm meeting target, else the last (best-effort) arm —
-    // one row, broadcast back over the |arms|-row frame
-    val choice = graded.agg(
-      min(when(col("avg_recall") >= targetRecall, col("arm")))
-        .as("first_meeting"),
-      max(col("arm")).as("last_arm"))
-    val out = graded.crossJoin(broadcast(choice))
-      .select(col("arm"), col("avg_recall"), col("n_queries"),
-        (col("arm") === coalesce(col("first_meeting"), col("last_arm")))
-          .as("chosen"))
-      .persist()
-    out.count() // materialize, then release the per-arm scaffold
-    graded.unpersist(false)
-    out
+      .collect()
+    val byArm = graded.map(r => r.getInt(0) ->
+      (r.getDouble(1), r.getLong(2))).toMap
+    val firstMeeting = arms.find(a =>
+      byArm.get(a).exists(_._1 >= targetRecall))
+    val chosenArm = firstMeeting.getOrElse(arms.last)
+    arms.flatMap { a =>
+      byArm.get(a).map { case (rec, nq) => (a, rec, nq, a == chosenArm) }
+    }.toDF("arm", "avg_recall", "n_queries", "chosen")
   }
 
   /** Grade `arms` (ascending cost order) on `queries` vs exact ground
@@ -181,7 +195,8 @@ object AutoTune {
                            gtOpt: Option[DataFrame] = None,
                            maxSharedRows: Long = 50000000L): DataFrame = {
     require(arms.nonEmpty, "sweepIvfNProbeShared: empty arm list")
-    if (!sharedSweepFits(queries.count(), idx.vectors.count(), arms.max,
+    val guards = par(() => queries.count(), () => idx.vectors.count())
+    if (!sharedSweepFits(guards(0), guards(1), arms.max,
         idx.model.config.nCells, maxSharedRows)) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"sweepIvfNProbeShared: estimated scored-scan footprint exceeds " +
@@ -250,7 +265,8 @@ object AutoTune {
         arms.map(p => armPred(p).withColumn("arm", lit(p)))
           .reduce(_ unionByName _)
           .select(col("arm"), col("query_id"), col("vec_id"), col("dist")))
-    if (!sharedSweepFits(queries.count(), idx.vectors.count(), arms.max,
+    val guards = par(() => queries.count(), () => idx.vectors.count())
+    if (!sharedSweepFits(guards(0), guards(1), arms.max,
         idx.model.config.nCells, maxSharedRows)) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"ivfNProbeSharedPreds: estimated scored-scan footprint exceeds " +
@@ -357,8 +373,14 @@ object AutoTune {
     // past maxSharedRows, run the arms as independent serves instead
     // (row-identical — the same per-arm path the identity spec pins).
     // The bucket count reads the BOUNDED sidecar; rows one aggregate.
-    val nBuckets = store.bucketCentroids.count()
-    if (!sharedSweepFits(queries.count(), store.vectors.count(), arms.max,
+    // The three guard counts are independent one-row aggregates — run
+    // them concurrently (stage latency, not compute).
+    val guards = par(
+      () => store.bucketCentroids.count(),
+      () => queries.count(),
+      () => store.vectors.count())
+    val (nBuckets, nQueries, nVectors) = (guards(0), guards(1), guards(2))
+    if (!sharedSweepFits(nQueries, nVectors, arms.max,
         math.max(1, nBuckets).toInt, maxSharedRows)) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"scopedMSharedPreds: estimated scored-scan footprint exceeds " +

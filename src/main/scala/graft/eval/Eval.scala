@@ -22,14 +22,26 @@ object Eval {
     * (reference: annbench/annbench.go:144-162).
     */
   def setPrecisionRecall(pred: DataFrame, gt: DataFrame): DataFrame = {
-    val nPred = pred.groupBy("query_id").agg(count("*").as("n_pred"))
-    val nGt = gt.groupBy("query_id").agg(count("*").as("n_gt"))
-    val hits = pred
-      .join(gt.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_semi")
-      .groupBy("query_id").agg(count("*").as("valid"))
-    nPred.join(nGt, Seq("query_id"))
-      .join(hits, Seq("query_id"), "left")
-      .na.fill(0L, Seq("valid"))
+    // One union + two keyed aggregations instead of the original three
+    // independent aggregates re-joined per query (two joins + a
+    // left-semi — ~6 Exchanges per grade, and every recall row on the
+    // board pays this tail). Row-identical by construction: per
+    // (query_id, vec_id) count pred rows (pc) and gt rows (gc), then
+    // per query n_pred = Σpc, n_gt = Σgc, valid = Σpc over pairs
+    // present in gt — the same "pred rows that exist in gt" count the
+    // left-semi form produced (duplicate pred rows count, duplicate gt
+    // rows don't multiply). Queries present in only one side drop out
+    // exactly as the old inner join dropped them (n_pred>0 AND n_gt>0).
+    val both = pred.select(col("query_id"), col("vec_id"),
+        lit(1L).as("pc"), lit(0L).as("gc"))
+      .unionByName(gt.select(col("query_id"), col("vec_id"),
+        lit(0L).as("pc"), lit(1L).as("gc")))
+    both.groupBy("query_id", "vec_id")
+      .agg(sum("pc").as("pc"), sum("gc").as("gc"))
+      .groupBy("query_id")
+      .agg(sum("pc").as("n_pred"), sum("gc").as("n_gt"),
+        sum(when(col("gc") > 0, col("pc")).otherwise(lit(0L))).as("valid"))
+      .where(col("n_pred") > 0 && col("n_gt") > 0)
       .select(
         col("query_id"),
         round(col("valid") / col("n_pred"), 6).as("precision"),

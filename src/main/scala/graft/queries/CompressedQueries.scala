@@ -421,33 +421,52 @@ object CompressedQueries extends QueryPack {
       val q = queriesDf(e)
       val idx0 = ivfIdx(s, dir)
       val dump = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
-      // decisions and serves run over the DUMPED cells, so the rows
-      // DuckDB re-derives from are bit-for-bit the rows Spark routed on
-      val cellsD = LshQueries.dumpAndReload(s,
-        idx0.cells.select(col("vec_id"), col("cell")),
-        s"$dump/ivf_auto_cells")
+      // the two oracle-input dumps are independent legs — overlap them
+      // (guide §2.6). Decisions and serves run over the DUMPED cells,
+      // so the rows DuckDB re-derives from are bit-for-bit the rows
+      // Spark routed on.
+      val dumps = inParallel(
+        () => LshQueries.dumpAndReload(s,
+          idx0.cells.select(col("vec_id"), col("cell")),
+          s"$dump/ivf_auto_cells"),
+        () => LshQueries.dumpAndReload(s,
+          idx0.model.transform(q, "query_id", "qv")
+            .select(col("query_id"), col("cell")),
+          s"$dump/ivf_auto_qcell"))
       val idx = new graft.ann.ivf.IvfIndex(idx0.model, idx0.vectors,
-        cellsD)
-      LshQueries.dumpAndReload(s,
-        idx0.model.transform(q, "query_id", "qv")
-          .select(col("query_id"), col("cell")),
-        s"$dump/ivf_auto_qcell")
+        dumps(0))
       val arms = GraphQueries.FilteredAutoArms.map { case (name, m, r) =>
         (name, pmod(col("vec_id"), lit(m)) === r)
       }
-      val results = arms.map { case (name, pred) =>
-        val allowed = e.where(pred).select("vec_id")
-        val d = idx.filteredDecision(q, allowed, K)
-        val exactSubset = ExactNN.topKAgg(q,
-            e.where(pred).select(col("vec_id"), col("embedding")), K,
-            ExactNN.L2)
-          .localCheckpoint()
-        val res =
-          (if (d.route.exact) exactSubset
-           else idx.searchAll(q, K, ExactNN.L2, allowed = Some(allowed)))
-            .withColumn("arm", lit(name))
-        (name, d, res, exactSubset)
+      // ONE corpus aggregate for every arm's counts (guide §2.3),
+      // threaded via the decision's pass-through params; arms run as
+      // concurrent jobs, decision ∥ exact scan within each arm —
+      // the q_lsh_filtered_auto form
+      val cntCols = arms.zipWithIndex.map { case ((_, pred), i) =>
+        count(when(pred, lit(1))).as(s"a$i")
       }
+      val cntRow = e.agg(count(lit(1)).as("c"), cntCols: _*).head()
+      val nCorpus = cntRow.getLong(0)
+      val results = inParallel(arms.zipWithIndex.map {
+        case ((name, pred), i) => () => {
+          val allowed = e.where(pred).select("vec_id")
+          val legs = inParallel(
+            () => idx.filteredDecision(q, allowed, K,
+              allowedCount = Some(cntRow.getLong(i + 1)),
+              corpusCount = Some(nCorpus)),
+            () => ExactNN.topKAgg(q,
+                e.where(pred).select(col("vec_id"), col("embedding")), K,
+                ExactNN.L2)
+              .localCheckpoint())
+          val d = legs(0).asInstanceOf[graft.ann.FilteredSearch.Decision]
+          val exactSubset = legs(1).asInstanceOf[DataFrame]
+          val res =
+            (if (d.route.exact) exactSubset
+             else idx.searchAll(q, K, ExactNN.L2, allowed = Some(allowed)))
+              .withColumn("arm", lit(name))
+          (name, d, res, exactSubset)
+        }
+      }: _*)
       val preds = LshQueries.dumpAndReload(s,
         results.map(_._3).reduce(_ unionByName _)
           .select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
@@ -501,10 +520,11 @@ object CompressedQueries extends QueryPack {
       // probes_ok (Spark side): the dump round-trips identical to a
       // fresh derivation; DuckDB's probes_ok re-derives the ranking
       // from recomputed label centroids instead — same boolean, two
-      // independent roots
+      // independent roots. Both exceptAll directions fold into ONE
+      // action (empty iff both legs empty — the && of the old pair).
       val fresh = store.scopedProbeRows(q)
-      val probesOk = probes.exceptAll(fresh).isEmpty &&
-        fresh.exceptAll(probes).isEmpty
+      val probesOk = probes.exceptAll(fresh)
+        .unionByName(fresh.exceptAll(probes)).isEmpty
       val pred = store.searchAllLabeled(q, K, ExactNN.L2,
         probes = Some(probes))
       val corp = e.select(col("vec_id"), col("embedding"),
@@ -545,12 +565,18 @@ object CompressedQueries extends QueryPack {
       val probes = LshQueries.dumpAndReload(s, store.scopedProbeRows(qs),
         s"$dump/ivf_scoped_probes")
       val fresh = store.scopedProbeRows(qs)
-      val probesOk = probes.exceptAll(fresh).isEmpty &&
-        fresh.exceptAll(probes).isEmpty
       val pred = store.searchAllLabeled(qs, K, ExactNN.L2,
         probes = Some(probes))
       val api = idx.searchAllScoped(q, allowed, K, ExactNN.L2)
-      val apiOk = api.exceptAll(pred).isEmpty && pred.exceptAll(api).isEmpty
+      // one action per identity check (union of both exceptAll
+      // directions), the two checks overlapped — the
+      // q_lsh_filtered_scoped form
+      val oks = inParallel(
+        () => probes.exceptAll(fresh)
+          .unionByName(fresh.exceptAll(probes)).isEmpty,
+        () => api.exceptAll(pred)
+          .unionByName(pred.exceptAll(api)).isEmpty)
+      val (probesOk, apiOk) = (oks(0), oks(1))
       val gt = ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2)
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),
           gt.select("query_id", "vec_id"))
@@ -913,11 +939,15 @@ object CompressedQueries extends QueryPack {
       val idx = pqIdx(s, dir)
       val gt = exactGtL2(s, dir)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
-      val adcPred = LshQueries.dumpAndReload(s, idx.searchAll(q, K),
-        s"$dumpBase/pq_adc")
-      val rerPred = LshQueries.dumpAndReload(s,
-        idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K, 100),
-        s"$dumpBase/pq_rerank")
+      // the two search+dump legs are independent — overlap them
+      val dumps = inParallel(
+        () => LshQueries.dumpAndReload(s, idx.searchAll(q, K),
+          s"$dumpBase/pq_adc"),
+        () => LshQueries.dumpAndReload(s,
+          idx.searchRerank(q, e.select(col("vec_id"), col("embedding")), K,
+            100),
+          s"$dumpBase/pq_rerank"))
+      val (adcPred, rerPred) = (dumps(0), dumps(1))
       val adc = Eval.setPrecisionRecall(adcPred, gt)
         .agg(round(avg("recall"), 4).as("adc_recall"))
       val rer = Eval.setPrecisionRecall(rerPred, gt)
@@ -940,10 +970,13 @@ object CompressedQueries extends QueryPack {
       val opq = opqIdx(s, dir)
       val gt = exactGtL2(s, dir)
       val dumpBase = s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}"
-      val pqPred = LshQueries.dumpAndReload(s, pq.searchAll(q, K),
-        s"$dumpBase/opq_pq_adc")
-      val opqPred = LshQueries.dumpAndReload(s, opq.searchAll(q, K),
-        s"$dumpBase/opq_adc")
+      // the two search+dump legs are independent — overlap them
+      val dumps = inParallel(
+        () => LshQueries.dumpAndReload(s, pq.searchAll(q, K),
+          s"$dumpBase/opq_pq_adc"),
+        () => LshQueries.dumpAndReload(s, opq.searchAll(q, K),
+          s"$dumpBase/opq_adc"))
+      val (pqPred, opqPred) = (dumps(0), dumps(1))
       val a = Eval.setPrecisionRecall(pqPred, gt)
         .agg(round(avg("recall"), 4).as("pq_recall"))
       val b = Eval.setPrecisionRecall(opqPred, gt)

@@ -87,13 +87,13 @@ object GraphQueries extends QueryPack {
     // resolved BEFORE the memo lambda (the mutualExactClusters rule:
     // nested computeIfAbsent on one map throws "Recursive update")
     val gx = graphExact(s, dir)
+    val n = SimilarityQueries.embCount(s, dir)
     memoized(s, dir, "scoped_graph_store") {
       val e = emb(s, dir)
       import s.implicits._
       val name = s"scoped_row_${LshQueries.sfName(dir).replace('.', '_')}"
       graft.ann.GraphSearch.dropManagedTables(s,
         s"${name}_edges", s"${name}_swap_edges")
-      val n = e.count()
       val base = e.where(col("vec_id") < n - InsertTailCount)
       // base graph = the session's exact-GT graph (memoized once,
       // consumed by four other rows — this was a second quadratic kNN
@@ -129,6 +129,27 @@ object GraphQueries extends QueryPack {
       // build — left as is rather than weakened.
       m.onBatch(e, arrivals, entries, Some(deletes))
       m
+    }
+  }
+
+  /** Shared coarse-seeded entry sets for the standard query set — the
+    * LSH probe (`graphLshIndex.searchAll` at beam width, no threshold)
+    * that five graph-family queries re-derived identically per call
+    * (`q_graph_filtered_recall` / `_selective` / `_auto`,
+    * `q_autotune_filtered`, `q_graph_beam_seeded` — each ~6 scheduled
+    * stage-jobs of probe + bucket join + dedup + score + top-k at
+    * sf0.1). Seeded and dump-free, so sharing deletes the redundant
+    * searches without changing a row; the queries that dump the entry
+    * set for their oracle replay still dump per call. */
+  private def graphEntries(s: SparkSession, dir: String): DataFrame = {
+    // dependencies resolved BEFORE the memo lambda (nested
+    // computeIfAbsent on the shared map is unsupported)
+    val idx = graphLshIndex(s, dir)
+    val q = queriesDf(emb(s, dir))
+    memoized(s, dir, "graph_entries") {
+      idx.searchAll(q, BeamWidth, Double.MaxValue, ExactNN.Cosine)
+        .select(col("query_id"), col("vec_id").as("node"))
+        .localCheckpoint()
     }
   }
 
@@ -418,7 +439,7 @@ object GraphQueries extends QueryPack {
       val e = emb(s, dir)
       // per-sf cut: the LAST InsertTailCount ids arrive (see the knob
       // scaladoc — at sf0.01 this is the historical vec_id >= 480)
-      val cut = e.agg(max("vec_id")).head().getLong(0) + 1 - InsertTailCount
+      val cut = SimilarityQueries.embMaxId(s, dir) + 1 - InsertTailCount
       val arriving = e.where(col("vec_id") >= cut)
       val existing = e.where(col("vec_id") < cut)
       // the base graph EXCLUDES the arriving ids, so it cannot reuse
@@ -483,16 +504,16 @@ object GraphQueries extends QueryPack {
     // composition, not just the demo form.
     "q_graph_beam_seeded" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = graphLshIndex(s, dir)
       val withBackbone = graphRefinedBackbone(s, dir)
-      val dumpedG = LshQueries.dumpAndReload(s, withBackbone,
-        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_graph_seeded")
       val q = queriesDf(e)
-      val entries = idx.searchAll(q, BeamWidth, Double.MaxValue,
-          ExactNN.Cosine)
-        .select(col("query_id"), col("vec_id").as("node"))
-      val dumpedE = LshQueries.dumpAndReload(s, entries,
-        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_entries")
+      // the graph dump and the (shared-build) entry dump are
+      // independent legs — run them as concurrent jobs (guide §2.6)
+      val dumped = inParallel(
+        () => LshQueries.dumpAndReload(s, withBackbone,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_graph_seeded"),
+        () => LshQueries.dumpAndReload(s, graphEntries(s, dir),
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/beam_entries"))
+      val (dumpedG, dumpedE) = (dumped(0), dumped(1))
       graft.ann.GraphSearch.beamFrom(dumpedG, e, "vec_id", "embedding",
           q, dumpedE, K, BeamWidth, BeamHops)
         .orderBy("query_id", "dist", "vec_id")
@@ -543,7 +564,7 @@ object GraphQueries extends QueryPack {
       // deletes apply only BELOW the tail cut, so a tail arrival whose
       // id happens to be a TombstoneMod multiple (possible at other
       // corpus sizes) stays live AND graded
-      val nRows = e.count()
+      val nRows = SimilarityQueries.embCount(s, dir)
       val gt = memoized(s, dir, "exact_gt_cos_live") {
         ExactNN.topKAgg(q,
             e.where(!(pmod(col("vec_id"), lit(TombstoneMod)) === 0 &&
@@ -591,11 +612,8 @@ object GraphQueries extends QueryPack {
     "q_graph_filtered_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graphLshIndex(s, dir)
       val g = graphRefinedBackbone(s, dir)
-      val entries = idx.searchAll(q, BeamWidth, Double.MaxValue,
-          ExactNN.Cosine)
-        .select(col("query_id"), col("vec_id").as("node"))
+      val entries = graphEntries(s, dir)
       val pred = LshQueries.dumpAndReload(s,
         graft.ann.GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
           entries, K, BeamWidth, BeamHops,
@@ -621,11 +639,8 @@ object GraphQueries extends QueryPack {
     "q_graph_filtered_selective" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graphLshIndex(s, dir)
       val g = graphRefinedBackbone(s, dir)
-      val entries = idx.searchAll(q, BeamWidth, Double.MaxValue,
-          ExactNN.Cosine)
-        .select(col("query_id"), col("vec_id").as("node"))
+      val entries = graphEntries(s, dir)
       val pred = LshQueries.dumpAndReload(s,
         graft.ann.GraphSearch.beamFromFiltered(g, e, "vec_id", "embedding",
           q, entries, K, BeamWidth, BeamHops,
@@ -704,17 +719,26 @@ object GraphQueries extends QueryPack {
     "q_graph_filtered_auto" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graphLshIndex(s, dir)
       val g = graphRefinedBackbone(s, dir)
-      val entries = LshQueries.dumpAndReload(s,
-        idx.searchAll(q, BeamWidth, Double.MaxValue, ExactNN.Cosine)
-          .select(col("query_id"), col("vec_id").as("node")),
-        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_auto_entries")
-      val gDumped = LshQueries.dumpAndReload(s, g,
-        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_auto_edges")
+      // the two oracle-input dumps are independent legs — overlap them
+      // (guide §2.6); the entry set itself is the shared build
+      val dumps = inParallel(
+        () => LshQueries.dumpAndReload(s, graphEntries(s, dir),
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_auto_entries"),
+        () => LshQueries.dumpAndReload(s, g,
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_auto_edges"))
+      val (entries, gDumped) = (dumps(0), dumps(1))
       val arms = FilteredAutoArms.map { case (name, mod, rem) =>
         (name, pmod(col("vec_id"), lit(mod)) === rem)
       }
+      // ONE corpus aggregate for every arm's (corpus, allowed) counts —
+      // filteredDecision otherwise pays a counts pass per arm (guide
+      // §2.3: aggregate once, reuse), threaded via knownCounts
+      val cntCols = arms.zipWithIndex.map { case ((_, pred), i) =>
+        count(when(pred, lit(1))).as(s"a$i")
+      }
+      val cntRow = e.agg(count(lit(1)).as("c"), cntCols: _*).head()
+      val nCorpus = cntRow.getLong(0)
       // decision computed ONCE per arm, then its route executed
       // directly — row-identical to beamFromFiltered by construction
       // (each route IS one of these two serves; the identity is
@@ -722,22 +746,32 @@ object GraphQueries extends QueryPack {
       // counts pass + density estimator a second time. The exact
       // subset scan doubles as the arm's ground truth (recall 1.0 by
       // construction on exact routes — exactly the dispatch's claim).
-      val results = arms.map { case (name, pred) =>
-        val d = graft.ann.GraphSearch.filteredDecision(gDumped, e,
-          "vec_id", "embedding", q, entries, K, BeamWidth, pred,
-          ExactNN.Cosine)
-        val exactSubset = ExactNN.topKAgg(q,
-            e.where(pred).select(col("vec_id"), col("embedding")), K,
-            ExactNN.Cosine)
-          .localCheckpoint()
-        val res =
-          (if (d.route.exact) exactSubset
-           else graft.ann.GraphSearch.beamFrom(gDumped, e, "vec_id",
-             "embedding", q, entries, K, BeamWidth, BeamHops,
-             ExactNN.Cosine, allowed = Some(pred)))
-            .withColumn("arm", lit(name))
-        (name, d, res, exactSubset)
-      }
+      // The arms are independent decision+serve chains of tiny stages —
+      // run them as concurrent jobs (the q_autotune_graph_beam form).
+      val results = inParallel(arms.zipWithIndex.map {
+        case ((name, pred), i) => () => {
+          // the decision's estimator .head() and the exact scan's
+          // checkpoint are themselves independent actions — overlap
+          val legs = inParallel(
+            () => graft.ann.GraphSearch.filteredDecision(gDumped, e,
+              "vec_id", "embedding", q, entries, K, BeamWidth, pred,
+              ExactNN.Cosine,
+              knownCounts = Some((nCorpus, cntRow.getLong(i + 1)))),
+            () => ExactNN.topKAgg(q,
+                e.where(pred).select(col("vec_id"), col("embedding")), K,
+                ExactNN.Cosine)
+              .localCheckpoint())
+          val d = legs(0).asInstanceOf[graft.ann.FilteredSearch.Decision]
+          val exactSubset = legs(1).asInstanceOf[DataFrame]
+          val res =
+            (if (d.route.exact) exactSubset
+             else graft.ann.GraphSearch.beamFrom(gDumped, e, "vec_id",
+               "embedding", q, entries, K, BeamWidth, BeamHops,
+               ExactNN.Cosine, allowed = Some(pred)))
+              .withColumn("arm", lit(name))
+          (name, d, res, exactSubset)
+        }
+      }: _*)
       val preds = LshQueries.dumpAndReload(s,
         results.map(_._3).reduce(_ unionByName _)
           .select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
@@ -779,24 +813,25 @@ object GraphQueries extends QueryPack {
     "q_autotune_filtered" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = queriesDf(e)
-      val idx = graphLshIndex(s, dir)
       val g = graphRefinedBackbone(s, dir)
       val pred = pmod(col("vec_id"), lit(10)) === 3
-      val entries = idx.searchAll(q, BeamWidth, Double.MaxValue,
-          ExactNN.Cosine)
-        .select(col("query_id"), col("vec_id").as("node"))
+      val entries = graphEntries(s, dir)
       val counts = e.agg(count(lit(1)).as("c"),
         count(when(pred, lit(1))).as("a")).head()
       val (nCorpus, nAllowed) = (counts.getLong(0), counts.getLong(1))
-      val walk = graft.ann.GraphSearch.beamFrom(g, e, "vec_id",
-        "embedding", q, entries, K, BeamWidth, BeamHops, ExactNN.Cosine,
-        allowed = Some(pred))
+      // the walk (eager — beamFrom materializes its result) and the
+      // exact scan are independent legs — overlap them (guide §2.6);
       // the exact serve IS the ground truth (same subset, same k, same
-      // metric) — one scan serves both the exact arms and the grading
-      val exact = ExactNN.topKAgg(q,
-          e.where(pred).select(col("vec_id"), col("embedding")), K,
-          ExactNN.Cosine)
-        .localCheckpoint()
+      // metric), one scan serving both the exact arms and the grading
+      val legs = inParallel(
+        () => graft.ann.GraphSearch.beamFrom(g, e, "vec_id",
+          "embedding", q, entries, K, BeamWidth, BeamHops, ExactNN.Cosine,
+          allowed = Some(pred)),
+        () => ExactNN.topKAgg(q,
+            e.where(pred).select(col("vec_id"), col("embedding")), K,
+            ExactNN.Cosine)
+          .localCheckpoint())
+      val (walk, exact) = (legs(0), legs(1))
       val armFrames = FilteredCutoffArms.map { a =>
         val serve =
           if (graft.ann.FilteredSearch.useExactScan(nAllowed, nCorpus,

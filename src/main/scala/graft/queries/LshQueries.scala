@@ -276,37 +276,58 @@ object LshQueries extends QueryPack {
       val q = queriesDf(emb)
       val idx0 = lshIdx(s, dir, angular = false)
       val dump = s"$SearchDumpRoot/${sfName(dir)}"
-      // decisions and serves run over the DUMPED buckets, so the rows
-      // DuckDB re-derives from are bit-for-bit the rows Spark routed on
-      val bk = dumpAndReload(s, idx0.buckets, s"$dump/lsh_auto_buckets")
-      val idx = new LshIndex(idx0.model, idx0.vectors, bk)
-      dumpAndReload(s,
-        idx0.model.transform(q, "query_id", "qv")
-          .where(col("tree_id") === 0).select("query_id", "hash"),
-        s"$dump/lsh_auto_qhash")
+      // the two oracle-input dumps are independent legs — overlap them
+      // (guide §2.6). Decisions and serves run over the DUMPED buckets,
+      // so the rows DuckDB re-derives from are bit-for-bit the rows
+      // Spark routed on.
+      val dumps = inParallel(
+        () => dumpAndReload(s, idx0.buckets, s"$dump/lsh_auto_buckets"),
+        () => dumpAndReload(s,
+          idx0.model.transform(q, "query_id", "qv")
+            .where(col("tree_id") === 0).select("query_id", "hash"),
+          s"$dump/lsh_auto_qhash"))
+      val idx = new LshIndex(idx0.model, idx0.vectors, dumps(0))
       val arms = GraphQueries.FilteredAutoArms.map { case (name, m, r) =>
         (name, pmod(col("vec_id"), lit(m)) === r)
       }
+      // ONE corpus aggregate for every arm's (corpus, allowed) counts,
+      // threaded through filteredDecision's pass-through params (guide
+      // §2.3: aggregate once) — filteredDecision otherwise runs a
+      // count job per arm per side
+      val cntCols = arms.zipWithIndex.map { case ((_, pred), i) =>
+        count(when(pred, lit(1))).as(s"a$i")
+      }
+      val cntRow = emb.agg(count(lit(1)).as("c"), cntCols: _*).head()
+      val nCorpus = cntRow.getLong(0)
       // decision computed ONCE per arm, then its route executed
       // directly (the q_graph_filtered_auto form — row-identical to
       // searchAllFiltered by construction, BucketFilteredDispatchSpec
       // pins the identity, without paying the counts + estimator
       // twice). The exact subset scan doubles as each arm's ground
-      // truth.
-      val results = arms.map { case (name, pred) =>
-        val allowed = emb.where(pred).select("vec_id")
-        val d = idx.filteredDecision(q, allowed, K, metric = ExactNN.L2)
-        val exactSubset = graft.ann.ExactNN.topKAgg(q,
-            emb.where(pred).select(col("vec_id"), col("embedding")), K,
-            ExactNN.L2, threshold = Some(SelectiveThreshold))
-          .localCheckpoint()
-        val res =
-          (if (d.route.exact) exactSubset
-           else idx.searchAll(q, K, SelectiveThreshold, ExactNN.L2,
-             allowed = Some(allowed)))
-            .withColumn("arm", lit(name))
-        (name, d, res, exactSubset)
-      }
+      // truth. Arms are independent decision+serve chains — run them
+      // as concurrent jobs (guide §2.6), decision ∥ exact scan within
+      // each arm.
+      val results = inParallel(arms.zipWithIndex.map {
+        case ((name, pred), i) => () => {
+          val allowed = emb.where(pred).select("vec_id")
+          val legs = inParallel(
+            () => idx.filteredDecision(q, allowed, K, metric = ExactNN.L2,
+              allowedCount = Some(cntRow.getLong(i + 1)),
+              corpusCount = Some(nCorpus)),
+            () => graft.ann.ExactNN.topKAgg(q,
+                emb.where(pred).select(col("vec_id"), col("embedding")), K,
+                ExactNN.L2, threshold = Some(SelectiveThreshold))
+              .localCheckpoint())
+          val d = legs(0).asInstanceOf[graft.ann.FilteredSearch.Decision]
+          val exactSubset = legs(1).asInstanceOf[DataFrame]
+          val res =
+            (if (d.route.exact) exactSubset
+             else idx.searchAll(q, K, SelectiveThreshold, ExactNN.L2,
+               allowed = Some(allowed)))
+              .withColumn("arm", lit(name))
+          (name, d, res, exactSubset)
+        }
+      }: _*)
       val preds = dumpAndReload(s,
         results.map(_._3).reduce(_ unionByName _)
           .select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
@@ -366,10 +387,13 @@ object LshQueries extends QueryPack {
       // probes_ok (Spark side): the dump round-trips identical to a
       // fresh derivation; DuckDB's probes_ok re-derives the whole
       // ranking from recomputed centroids instead — same boolean, two
-      // independent roots
+      // independent roots. Both exceptAll directions are unioned into
+      // ONE action (empty iff both legs are empty — the && of the old
+      // two isEmpty jobs, each of which re-evaluated the centroid
+      // ranking plan).
       val fresh = store.scopedProbeRows(q)
-      val probesOk = probes.exceptAll(fresh).isEmpty &&
-        fresh.exceptAll(probes).isEmpty
+      val probesOk = probes.exceptAll(fresh)
+        .unionByName(fresh.exceptAll(probes)).isEmpty
       val pred = store.searchAllLabeled(q, K, SelectiveThreshold, ExactNN.L2,
         probes = Some(probes))
       // per-query-label exact GT — the filtered ground truth the serve
@@ -420,13 +444,20 @@ object LshQueries extends QueryPack {
       val probes = dumpAndReload(s, store.scopedProbeRows(qs),
         s"$dump/lsh_scoped_probes")
       val fresh = store.scopedProbeRows(qs)
-      val probesOk = probes.exceptAll(fresh).isEmpty &&
-        fresh.exceptAll(probes).isEmpty
       val pred = store.searchAllLabeled(qs, K, SelectiveThreshold,
         ExactNN.L2, probes = Some(probes))
       val api = idx.searchAllScoped(q, allowed, K, SelectiveThreshold,
         ExactNN.L2)
-      val apiOk = api.exceptAll(pred).isEmpty && pred.exceptAll(api).isEmpty
+      // each identity check folds its two exceptAll directions into ONE
+      // action (empty iff both legs empty — the && of the old pair of
+      // isEmpty jobs), and the two checks are independent legs run as
+      // concurrent jobs (guide §2.6)
+      val oks = inParallel(
+        () => probes.exceptAll(fresh)
+          .unionByName(fresh.exceptAll(probes)).isEmpty,
+        () => api.exceptAll(pred)
+          .unionByName(pred.exceptAll(api)).isEmpty)
+      val (probesOk, apiOk) = (oks(0), oks(1))
       val gt = ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2,
         threshold = Some(SelectiveThreshold))
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),

@@ -45,6 +45,22 @@ trait QueryPack {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]]())
+  /** Run independent query legs as concurrent Spark jobs (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially — at board scale most legs are chains of tiny stages
+    * that leave the cores idle, so overlapping them converts sequential
+    * stage latency into concurrent stage latency). Each thunk must be
+    * an INDEPENDENT computation (no shared mutable state, memo
+    * dependencies resolved by the caller first); results are returned
+    * in argument order, so scheduling cannot change a row. */
+  protected def inParallel[T](thunks: (() => T)*): Seq[T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(thunks.map(t => Future(t())).toSeq),
+      scala.concurrent.duration.Duration.Inf)
+  }
+
   protected def memoized[T <: AnyRef](s: SparkSession, dir: String,
                                       tag: String)(f: => T): T = {
     val perSession = buildMemo.synchronized {

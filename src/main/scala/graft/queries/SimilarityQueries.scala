@@ -42,6 +42,24 @@ object SimilarityQueries extends QueryPack {
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings")
 
+  /** Memoized corpus row count / max id — several graph-family serves
+    * re-ran the same one-row aggregate per call (one scheduled job
+    * each at board scale); the table is immutable for a (session, sf),
+    * so the value is a shared build like any other. */
+  private[queries] def embCount(s: SparkSession, dir: String): Long = {
+    val e = emb(s, dir)
+    memoized(s, dir, "emb_count") {
+      java.lang.Long.valueOf(e.count())
+    }.longValue()
+  }
+  private[queries] def embMaxId(s: SparkSession, dir: String): Long = {
+    val e = emb(s, dir)
+    memoized(s, dir, "emb_max_id") {
+      java.lang.Long.valueOf(
+        e.agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0))
+    }.longValue()
+  }
+
   /** The SemDeDup within-cell prune (see `q_semdedup`): per cell,
     * n_vectors / n_dropped / drop_ratio under the deterministic min-id
     * keep rule, plus the assignment-completeness invariant. `cells` is
@@ -119,7 +137,15 @@ object SimilarityQueries extends QueryPack {
     // Exact embedding near-dup pairs (quadratic baseline, oracle-checked).
     "q_embedding_near_dup" -> ((s, dir) => {
       val e = emb(s, dir)
+      // the quadratic baseline's streamed side is ONE scan partition
+      // (one small parquet file), so the O(n²) distance pass ran as a
+      // single task while the other cores idled (measured: this query
+      // was 2.5 s of one-task compute, 4 jobs total). Repartition the
+      // streamed side to the session's parallelism — scale-adaptive,
+      // not a constant — so the BroadcastNestedLoopJoin's distance
+      // work is partition-parallel; row set unchanged.
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
