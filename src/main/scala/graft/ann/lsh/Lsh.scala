@@ -279,8 +279,22 @@ final class LshIndex(
     * shared with the density-aware filtered dispatch so the dispatch's
     * observable and the search's candidate set can never drift. */
   private def probedCandidates(queries: DataFrame): DataFrame = {
-    val probes = model.probeRows(queries, "query_id", "qv")
-      .dropDuplicates("query_id", "tree_id", "hash")
+    // Probe dedup WITHOUT an Exchange: probes are generated one array
+    // per query row, so duplicate (tree_id, hash) pairs can only occur
+    // within that row's own array (a bucket whose bit-flip neighbor is
+    // itself) — array_distinct over (tree_id, hash) structs replaces
+    // the old dropDuplicates shuffle, one fewer scheduled exchange on
+    // EVERY LSH search. Identical candidate rows: the per-query
+    // distinct set of (tree_id, hash) is unchanged (callers passing a
+    // duplicated query row are collapsed by the candidate-level dedup
+    // below, as before).
+    val probes = queries.select(col("query_id"),
+        explode(array_distinct(transform(
+          LshExpressions.lshProbes(model, col("qv")),
+          (h, i) => struct((i / 2).cast(IntegerType).as("tree_id"),
+            h.as("hash"))))).as("p"))
+      .select(col("query_id"), col("p.tree_id").as("tree_id"),
+        col("p.hash").as("hash"))
     buckets
       .join(broadcast(probes.select("query_id", "tree_id", "hash")),
         Seq("tree_id", "hash"))

@@ -429,10 +429,19 @@ object Opq {
     val starts: Seq[RotationMatrix] = identity +:
       (1 until math.max(1, numInits)).map(i =>
         randomRotation(dims, config.seed * 7919L + i))
-    val candidates = starts.map { r0 =>
+    // the starts are independent pure computations — run them
+    // concurrently (each alternation is already subvector-parallel,
+    // but the three starts ran back-to-back: the costliest driver-side
+    // fit on the board, ~12 s at sf0.1, is wall-bounded by the SUM of
+    // starts instead of the max). Results land in start order, so the
+    // deterministic ties-to-earlier-init rule is unchanged.
+    val candidates =
+      new Array[(Double, OpqModel)](starts.length)
+    graft.ann.ParallelFit.run(starts.length) { i =>
+      val r0 = starts(i)
       val model = alternate(vecs, config, opqIters, r0,
         Pq.fitCodebooks(parMap(vecs)(r0(_)), config))
-      (Opq.sampleError(vecs, model), model)
+      candidates(i) = (Opq.sampleError(vecs, model), model)
     }
     candidates.minBy(_._1)._2
   }

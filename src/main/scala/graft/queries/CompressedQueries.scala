@@ -565,18 +565,21 @@ object CompressedQueries extends QueryPack {
       val probes = LshQueries.dumpAndReload(s, store.scopedProbeRows(qs),
         s"$dump/ivf_scoped_probes")
       val fresh = store.scopedProbeRows(qs)
-      val pred = store.searchAllLabeled(qs, K, ExactNN.L2,
-        probes = Some(probes))
-      val api = idx.searchAllScoped(q, allowed, K, ExactNN.L2)
-      // one action per identity check (union of both exceptAll
-      // directions), the two checks overlapped — the
-      // q_lsh_filtered_scoped form
-      val oks = inParallel(
+      // the q_lsh_filtered_scoped form: checkpoint pred/api once (pred
+      // is read by both apiOk directions + the final grade), overlap
+      // with the probes identity check; one action per identity check
+      val legs = inParallel(
+        () => store.searchAllLabeled(qs, K, ExactNN.L2,
+          probes = Some(probes)).localCheckpoint(),
+        () => idx.searchAllScoped(q, allowed, K, ExactNN.L2)
+          .localCheckpoint(),
         () => probes.exceptAll(fresh)
-          .unionByName(fresh.exceptAll(probes)).isEmpty,
-        () => api.exceptAll(pred)
-          .unionByName(pred.exceptAll(api)).isEmpty)
-      val (probesOk, apiOk) = (oks(0), oks(1))
+          .unionByName(fresh.exceptAll(probes)).isEmpty)
+      val pred = legs(0).asInstanceOf[DataFrame]
+      val api = legs(1).asInstanceOf[DataFrame]
+      val probesOk = legs(2).asInstanceOf[Boolean]
+      val apiOk = api.exceptAll(pred)
+        .unionByName(pred.exceptAll(api)).isEmpty
       val gt = ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2)
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),
           gt.select("query_id", "vec_id"))

@@ -444,20 +444,24 @@ object LshQueries extends QueryPack {
       val probes = dumpAndReload(s, store.scopedProbeRows(qs),
         s"$dump/lsh_scoped_probes")
       val fresh = store.scopedProbeRows(qs)
-      val pred = store.searchAllLabeled(qs, K, SelectiveThreshold,
-        ExactNN.L2, probes = Some(probes))
-      val api = idx.searchAllScoped(q, allowed, K, SelectiveThreshold,
-        ExactNN.L2)
-      // each identity check folds its two exceptAll directions into ONE
-      // action (empty iff both legs empty — the && of the old pair of
-      // isEmpty jobs), and the two checks are independent legs run as
-      // concurrent jobs (guide §2.6)
-      val oks = inParallel(
+      // pred is read three times (both apiOk directions + the final
+      // grade) and api twice — checkpoint each ONCE so the serve plans
+      // evaluate once, and run the three eager legs concurrently with
+      // the probes identity check (guide §2.6). Each identity check
+      // folds its two exceptAll directions into ONE action (empty iff
+      // both legs empty — the && of the old pair of isEmpty jobs).
+      val legs = inParallel(
+        () => store.searchAllLabeled(qs, K, SelectiveThreshold,
+          ExactNN.L2, probes = Some(probes)).localCheckpoint(),
+        () => idx.searchAllScoped(q, allowed, K, SelectiveThreshold,
+          ExactNN.L2).localCheckpoint(),
         () => probes.exceptAll(fresh)
-          .unionByName(fresh.exceptAll(probes)).isEmpty,
-        () => api.exceptAll(pred)
-          .unionByName(pred.exceptAll(api)).isEmpty)
-      val (probesOk, apiOk) = (oks(0), oks(1))
+          .unionByName(fresh.exceptAll(probes)).isEmpty)
+      val pred = legs(0).asInstanceOf[DataFrame]
+      val api = legs(1).asInstanceOf[DataFrame]
+      val probesOk = legs(2).asInstanceOf[Boolean]
+      val apiOk = api.exceptAll(pred)
+        .unionByName(pred.exceptAll(api)).isEmpty
       val gt = ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2,
         threshold = Some(SelectiveThreshold))
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),

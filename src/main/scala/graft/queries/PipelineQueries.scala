@@ -89,30 +89,52 @@ object PipelineQueries extends QueryPack {
         maxDocFreqRatio = 1.0)
       val root = java.nio.file.Files
         .createTempDirectory("ingest_row").toString
-      val gate = graft.text.DedupGate.build(s, s"$root/gate", base,
-        cfg = cfg, compactEvery = 100)
-      val postings = graft.retrieval.PostingsStore.build(s,
-        s"$root/postings", base.select(col("doc_id"), col("toks")),
-        compactEvery = 100)
       val baseVecs = base.select(col("doc_id").as("vec_id"), col("embedding"))
-      val sq = graft.ann.sq.Sq.train(baseVecs, "vec_id", "embedding")
-      sq.save(s, s"$root/codes")
-      val codes = new graft.ann.CodesMaintainer(s, s"$root/codes",
-        encode = a => sq.model.transformDf(a, "vec_id", "embedding"),
-        compactEvery = 100)
-      val lshIdx = graft.ann.lsh.Lsh.train(baseVecs, "vec_id", "embedding",
-        graft.ann.lsh.LshConfig(nTrees = 4, kMinVecs = 40, seed = 7L))
-      lshIdx.save(s, s"$root/forest")
-      val forest = new graft.ann.lsh.LshMaintainer(s, s"$root/forest",
-        compactEvery = 100)
-      // labeled store (sixth leg): the SAME fitted forest re-keyed by
-      // the docs' label column, maintained on the same admitted set
-      lshIdx.withLabels(base.select(col("doc_id").as("vec_id"),
-          col("label")))
-        .save(s, s"$root/labeled")
-      val labeled = new graft.ann.lsh.LabeledLshMaintainer(s,
-        s"$root/labeled", compactEvery = 100)
       val name = s"ingest_row_${LshQueries.sfName(dir).replace('.', '_')}"
+      // the exact-GT graph memo is resolved in THIS thread before the
+      // build fan-out (the memoized-dependency rule)
+      val gx = GraphQueries.graphExact(s, dir)
+      val arrIds = arrivals.select(col("doc_id")).localCheckpoint()
+      // The five store builds write to DISJOINT directories/tables from
+      // the same checkpointed base — independent legs, run as
+      // concurrent jobs (guide §2.6; this memo was the board's largest
+      // single build, sequential-build wall ≈ the SUM of the legs).
+      var gate: graft.text.DedupGate = null
+      var postings: graft.retrieval.PostingsStore = null
+      var codes: graft.ann.CodesMaintainer = null
+      var forest: graft.ann.lsh.LshMaintainer = null
+      var labeled: graft.ann.lsh.LabeledLshMaintainer = null
+      graft.ann.ParallelFit.run(4) {
+        case 0 => gate = graft.text.DedupGate.build(s, s"$root/gate", base,
+          cfg = cfg, compactEvery = 100)
+        case 1 => postings = graft.retrieval.PostingsStore.build(s,
+          s"$root/postings", base.select(col("doc_id"), col("toks")),
+          compactEvery = 100)
+        case 2 =>
+          val sq = graft.ann.sq.Sq.train(baseVecs, "vec_id", "embedding")
+          sq.save(s, s"$root/codes")
+          codes = new graft.ann.CodesMaintainer(s, s"$root/codes",
+            encode = a => sq.model.transformDf(a, "vec_id", "embedding"),
+            compactEvery = 100)
+        case 3 =>
+          // forest + labeled share one fitted model (no second fit),
+          // so they stay one leg; graph-base prep rides here too (it
+          // reads the pre-resolved exact-GT memo, no fit of its own)
+          val lshIdx = graft.ann.lsh.Lsh.train(baseVecs, "vec_id",
+            "embedding",
+            graft.ann.lsh.LshConfig(nTrees = 4, kMinVecs = 40, seed = 7L))
+          lshIdx.save(s, s"$root/forest")
+          forest = new graft.ann.lsh.LshMaintainer(s, s"$root/forest",
+            compactEvery = 100)
+          // labeled store (sixth leg): the SAME fitted forest re-keyed
+          // by the docs' label column, maintained on the same admitted
+          // set
+          lshIdx.withLabels(base.select(col("doc_id").as("vec_id"),
+              col("label")))
+            .save(s, s"$root/labeled")
+          labeled = new graft.ann.lsh.LabeledLshMaintainer(s,
+            s"$root/labeled", compactEvery = 100)
+      }
       graft.ann.GraphSearch.dropManagedTables(s, s"${name}_edges",
         s"${name}_swap_edges")
       // base graph = the session's memoized exact-GT graph restricted
@@ -122,8 +144,7 @@ object PipelineQueries extends QueryPack {
       // top-k includes an arrival starts with k-1 out-edges, fine for
       // a starting graph — membership, not edge quality, is what this
       // row certifies
-      val arrIds = arrivals.select(col("doc_id")).localCheckpoint()
-      val g = GraphQueries.graphExact(s, dir)
+      val g = gx
         .join(broadcast(arrIds.select(col("doc_id").as("src"))),
           Seq("src"), "left_anti")
         .join(broadcast(arrIds.select(col("doc_id").as("dst"))),

@@ -178,11 +178,28 @@ object TextQueries extends QueryPack {
     * threshold) and `q_pagerank_sim_graph` (low similarity threshold,
     * richer graph). One shingle-keyed self-join; the hot-shingle DF cap
     * keeps the join fan-out flat on boilerplate-heavy corpora. */
-  private def ngramJaccardPairs(s: SparkSession, dir: String,
-                                threshold: Double): DataFrame =
-    memoized(s, dir, s"ngram_jaccard_pairs_$threshold") {
-      ngramJaccardPairsBuild(s, dir, threshold).localCheckpoint()
+  /** One verified pair base at the LOWEST consumer threshold
+    * ([[PrJaccardThreshold]], the pagerank graph) with the UNROUNDED
+    * jaccard kept: every higher-threshold consumer's pair set is
+    * exactly this base re-filtered at its own threshold BEFORE
+    * rounding, so the board runs ONE shingle self-join instead of one
+    * per threshold (~5 s each at sf0.1). Rows are bit-identical to the
+    * old per-threshold builds: the filter applies to the same
+    * unrounded jac, and rounding happens after it, as before. */
+  private def ngramJaccardPairsBase(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "ngram_jaccard_pairs_base") {
+      ngramJaccardPairsBuild(s, dir, PrJaccardThreshold).localCheckpoint()
     }
+
+  private def ngramJaccardPairs(s: SparkSession, dir: String,
+                                threshold: Double): DataFrame = {
+    require(threshold >= PrJaccardThreshold,
+      s"ngramJaccardPairs: threshold $threshold below the memoized base's " +
+        s"$PrJaccardThreshold")
+    ngramJaccardPairsBase(s, dir)
+      .where(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+  }
 
   private def ngramJaccardPairsBuild(s: SparkSession, dir: String,
                                      threshold: Double): DataFrame = {
@@ -209,7 +226,10 @@ object TextQueries extends QueryPack {
         (col("i").cast(DoubleType) /
           (col("na") + col("nb") - col("i"))).as("jac"))
       .where(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      // jac stays UNROUNDED here: [[ngramJaccardPairs]] rounds after
+      // its own threshold filter, exactly where the old per-threshold
+      // builds rounded
+      .select(col("doc_a"), col("doc_b"), col("jac"))
     graft.text.Dedup.materializeRelease(pairs, withSh)
   }
 

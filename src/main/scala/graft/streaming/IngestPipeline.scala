@@ -122,9 +122,6 @@ final class IngestPipeline(
     val admittedIds = admitted.select(col(idCol)).localCheckpoint()
     val upserts = delIds.fold(admittedIds)(d =>
       d.unionByName(admittedIds).distinct())
-    postings.onBatch(
-      Some(admitted.select(col(idCol).as("doc_id"), col(toksCol))),
-      Some(upserts.select(col(idCol).as("doc_id"))))
     // the vector-keyed FLAT stores (codes, LSH forest) receive the
     // canonical (vec_id, embedding) schema regardless of the caller's
     // vecCol: their internals hard-code the names (LshMaintainer's
@@ -136,25 +133,6 @@ final class IngestPipeline(
     // pipeline must therefore encode (vec_id, embedding) rows.
     val canonicalVecs = admitted.select(col(idCol).as("vec_id"),
       col(vecCol).as("embedding"))
-    codes.onBatch(Some(canonicalVecs),
-      Some(upserts.select(col(idCol).as("vec_id"))))
-    // the serving LSH forest rides the same admitted set + upsert-
-    // delete rule as the other flat stores (LshMaintainer's tombstone
-    // log kills strictly-earlier rows only, so replays supersede and
-    // fresh arrivals are untouched — the same at-least-once contract)
-    lsh.foreach(_.onBatch(Some(canonicalVecs),
-      Some(upserts.select(col(idCol).as("vec_id")))))
-    // the labeled store (optional sixth leg) rides the same admitted
-    // set + upsert-delete rule; `arrivals` must carry `labelCol` when
-    // it is configured (multi-label docs as one row per label — the
-    // maintainer's per-batch dedup collapses the vector row). The
-    // sidecar refresh rides ITS compaction cadence, so a constrained
-    // serve's staleness window is bounded by the same knob as every
-    // other store's log growth.
-    labeledLsh.foreach(_.onBatch(
-      Some(admitted.select(col(idCol).as("vec_id"),
-        col(vecCol).as("embedding"), col(labelCol).as("label"))),
-      Some(upserts.select(col(idCol).as("vec_id")))))
     // the graph's vectors view is its LIVE basis (a scheduled refine
     // treats vectors ∖ tombstones as the corpus — backbone edges are
     // built for every row), so rejected arrivals must not ride along:
@@ -164,10 +142,44 @@ final class IngestPipeline(
     val graphVectors = vectors.join(
       broadcast(res.rejected.select(col("doc_id").as("vec_id"))),
       Seq("vec_id"), "left_anti")
-    graph.onBatch(graphVectors, admittedVecs, entriesFor(admittedVecs),
-      delIds.map(_.select(col(idCol).as("vec_id"))))
+    // Every leg below ingests the SAME materialized admitted set into
+    // ITS OWN store, so the legs are independent — run them as
+    // concurrent Spark jobs (guide §2.6: actions are only sequential
+    // because driver code calls them sequentially; the graph leg's
+    // walk+refine dominates the batch, and the flat stores' appends
+    // now ride under it instead of after it). Cross-store atomicity
+    // was ALREADY by replay, not by ordering (class doc): a crash with
+    // k of the legs committed replays the batch and every store treats
+    // the re-arrival as an upsert, whichever k it was.
+    //
+    // - the serving LSH forest and the labeled store ride the same
+    //   admitted set + upsert-delete rule as the other flat stores
+    //   (tombstones kill strictly-earlier rows only, so replays
+    //   supersede and fresh arrivals are untouched);
+    // - `arrivals` must carry `labelCol` when the labeled leg is
+    //   configured (multi-label docs as one row per label — the
+    //   maintainer's per-batch dedup collapses the vector row); its
+    //   sidecar refresh rides ITS compaction cadence.
+    val arrivedCount = new java.util.concurrent.atomic.AtomicLong()
+    graft.ann.ParallelFit.run(6) {
+      case 0 => postings.onBatch(
+        Some(admitted.select(col(idCol).as("doc_id"), col(toksCol))),
+        Some(upserts.select(col(idCol).as("doc_id"))))
+      case 1 => codes.onBatch(Some(canonicalVecs),
+        Some(upserts.select(col(idCol).as("vec_id"))))
+      case 2 => lsh.foreach(_.onBatch(Some(canonicalVecs),
+        Some(upserts.select(col(idCol).as("vec_id")))))
+      case 3 => labeledLsh.foreach(_.onBatch(
+        Some(admitted.select(col(idCol).as("vec_id"),
+          col(vecCol).as("embedding"), col(labelCol).as("label"))),
+        Some(upserts.select(col(idCol).as("vec_id")))))
+      case 4 => graph.onBatch(graphVectors, admittedVecs,
+        entriesFor(admittedVecs),
+        delIds.map(_.select(col(idCol).as("vec_id"))))
+      case 5 => arrivedCount.set(arrivals.count())
+    }
     IngestPipeline.Report(
-      arrived = arrivals.count(),
+      arrived = arrivedCount.get(),
       admitted = admitted.count(),
       rejected = res.rejected,
       admittedRows = admitted)
