@@ -54,6 +54,9 @@ final class LabeledIvfIndex(
       .select(col("label"), col("cell"),
         transform(vector_to_array(col("mv"), "float64"),
           x => round(x, 4)).as("centroid"))
+      // lazily checkpointed — bounded sidecar, re-read per action
+      // otherwise (see LabeledLshIndex.bucketCentroids)
+      .localCheckpoint(eager = false)
   }
 
   /** The label-scoped probe rows, as data — `(query_id, label, cell,

@@ -80,6 +80,13 @@ final class LabeledLshIndex(
       .select(col("label"), col("tree_id"), col("hash"),
         transform(vector_to_array(col("mv"), "float64"),
           x => round(x, 4)).as("centroid"))
+      // lazily checkpointed: the sidecar is BOUNDED (≤ the fitted
+      // forest's leaf count per label — class doc) and every probe
+      // ranking, identity check, and guard count otherwise re-runs the
+      // corpus-side aggregate per action; blocks materialize on first
+      // use and are reused for the index instance's lifetime (the
+      // GraphSearch hop-checkpoint rationale, applied to the sidecar)
+      .localCheckpoint(eager = false)
   }
 
   /** The label-scoped probe rows a [[searchAllLabeled]] call serves

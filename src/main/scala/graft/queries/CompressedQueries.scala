@@ -395,10 +395,14 @@ object CompressedQueries extends QueryPack {
       val q = queriesDf(e)
       val idx = ivfIdx(s, dir)
       val allowed = e.where(col("vec_id") % 50 === 0)
-      val pred = LshQueries.dumpAndReload(s,
-        idx.searchAllFiltered(q, allowed, K, ExactNN.L2),
-        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_filtered_selective")
-      val gt = ExactNN.topK(q, allowed, K, ExactNN.L2)
+      // dispatch+serve+dump ∥ the subset exact GT (the
+      // q_lsh_search_filtered_selective form)
+      val legs = inParallel(
+        () => LshQueries.dumpAndReload(s,
+          idx.searchAllFiltered(q, allowed, K, ExactNN.L2),
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/ivf_filtered_selective"),
+        () => ExactNN.topK(q, allowed, K, ExactNN.L2).localCheckpoint())
+      val (pred, gt) = (legs(0), legs(1))
       Eval.setPrecisionRecall(pred, gt)
         .agg(
           round(avg("precision"), 4).as("avg_precision"),
@@ -521,19 +525,23 @@ object CompressedQueries extends QueryPack {
       // fresh derivation; DuckDB's probes_ok re-derives the ranking
       // from recomputed label centroids instead — same boolean, two
       // independent roots. Both exceptAll directions fold into ONE
-      // action (empty iff both legs empty — the && of the old pair).
+      // action (empty iff both legs empty — the && of the old pair);
+      // the per-query-label exact GT runs as the concurrent leg.
       val fresh = store.scopedProbeRows(q)
-      val probesOk = probes.exceptAll(fresh)
-        .unionByName(fresh.exceptAll(probes)).isEmpty
-      val pred = store.searchAllLabeled(q, K, ExactNN.L2,
-        probes = Some(probes))
       val corp = e.select(col("vec_id"), col("embedding"),
         col("label").cast("string").as("clabel"))
       val gtScored = corp.join(broadcast(q), col("clabel") === q("label"))
         .select(col("query_id"), col("vec_id"),
           round(ExactNN.L2.dist(col("qv"), col("embedding")), 6).as("dist"))
-      val gt = graft.ann.TopK.perQueryTopK(gtScored, K,
-        viaAggregator = true)
+      val legs = inParallel(
+        () => probes.exceptAll(fresh)
+          .unionByName(fresh.exceptAll(probes)).isEmpty,
+        () => graft.ann.TopK.perQueryTopK(gtScored, K,
+          viaAggregator = true).localCheckpoint())
+      val probesOk = legs(0).asInstanceOf[Boolean]
+      val gt = legs(1).asInstanceOf[DataFrame]
+      val pred = store.searchAllLabeled(q, K, ExactNN.L2,
+        probes = Some(probes))
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),
           gt.select("query_id", "vec_id"))
         .agg(round(avg("precision"), 4).as("avg_precision"),
@@ -574,13 +582,15 @@ object CompressedQueries extends QueryPack {
         () => idx.searchAllScoped(q, allowed, K, ExactNN.L2)
           .localCheckpoint(),
         () => probes.exceptAll(fresh)
-          .unionByName(fresh.exceptAll(probes)).isEmpty)
+          .unionByName(fresh.exceptAll(probes)).isEmpty,
+        () => ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2)
+          .localCheckpoint())
       val pred = legs(0).asInstanceOf[DataFrame]
       val api = legs(1).asInstanceOf[DataFrame]
       val probesOk = legs(2).asInstanceOf[Boolean]
+      val gt = legs(3).asInstanceOf[DataFrame]
       val apiOk = api.exceptAll(pred)
         .unionByName(pred.exceptAll(api)).isEmpty
-      val gt = ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2)
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),
           gt.select("query_id", "vec_id"))
         .agg(round(avg("precision"), 4).as("avg_precision"),

@@ -402,18 +402,25 @@ object GraphQueries extends QueryPack {
         .agg(coalesce(sum((round(exprs.cosineDistNative(col("ea"), col("eb")), 6)
           =!= col("dist") || col("dist") > MutualDistMax).cast("long")), lit(0L))
           .as("bad_dist_pairs"))
-      val lshC = graft.text.Dedup.connectedComponents(
-        dumped.select("doc_a", "doc_b"))
       val exC = mutualExactClusters(s, dir)
       // co-clustered pairs (the transitive closure as a pair relation) —
-      // cluster-bounded self-joins, then one semi-join for the overlap
+      // cluster-bounded self-joins, then one semi-join for the overlap.
+      // The LSH-side CC loop (+ its co-pairs) and the exact side's
+      // co-pairs are independent action chains — overlapped (§2.6).
       def co(c: DataFrame) = c
         .select(col("cluster_id"), col("doc_id").as("a"))
         .join(c.select(col("cluster_id"), col("doc_id").as("b")), "cluster_id")
         .where(col("a") < col("b"))
         .select("a", "b")
-      val coL = graft.text.Dedup.materializeRelease(co(lshC))
-      val coE = graft.text.Dedup.materializeRelease(co(exC))
+      val legs = inParallel(
+        () => {
+          val c = graft.text.Dedup.connectedComponents(
+            dumped.select("doc_a", "doc_b"))
+          (c, graft.text.Dedup.materializeRelease(co(c)))
+        },
+        () => (exC, graft.text.Dedup.materializeRelease(co(exC))))
+      val (lshC, coL) = legs(0).asInstanceOf[(DataFrame, DataFrame)]
+      val coE = legs(1).asInstanceOf[(DataFrame, DataFrame)]._2
       coL.agg(count(lit(1)).as("n_copairs_lsh"))
         .crossJoin(coE.agg(count(lit(1)).as("n_copairs_exact")))
         .crossJoin(coL.join(coE, Seq("a", "b"), "left_semi")
@@ -555,23 +562,26 @@ object GraphQueries extends QueryPack {
       import s.implicits._
       val entries = q.select(col("query_id"))
         .crossJoin((0L until BeamEntries).toDF("node"))
-      val pred = LshQueries.dumpAndReload(s,
-        graft.ann.GraphSearch.beamFrom(g, e, "vec_id",
-          "embedding", q, entries, K, BeamWidth, BeamHops,
-          excluded = Some(m.tombstones)),
-        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_scoped_recall")
       // the live-corpus rule mirrors the STORE's delete rule exactly —
       // deletes apply only BELOW the tail cut, so a tail arrival whose
       // id happens to be a TombstoneMod multiple (possible at other
       // corpus sizes) stays live AND graded
       val nRows = SimilarityQueries.embCount(s, dir)
-      val gt = memoized(s, dir, "exact_gt_cos_live") {
-        ExactNN.topKAgg(q,
-            e.where(!(pmod(col("vec_id"), lit(TombstoneMod)) === 0 &&
-              col("vec_id") < nRows - InsertTailCount)),
-            K, ExactNN.Cosine)
-          .localCheckpoint()
-      }
+      // serve+dump ∥ the live-corpus exact GT (memo first touch)
+      val legs = inParallel(
+        () => LshQueries.dumpAndReload(s,
+          graft.ann.GraphSearch.beamFrom(g, e, "vec_id",
+            "embedding", q, entries, K, BeamWidth, BeamHops,
+            excluded = Some(m.tombstones)),
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_scoped_recall"),
+        () => memoized(s, dir, "exact_gt_cos_live") {
+          ExactNN.topKAgg(q,
+              e.where(!(pmod(col("vec_id"), lit(TombstoneMod)) === 0 &&
+                col("vec_id") < nRows - InsertTailCount)),
+              K, ExactNN.Cosine)
+            .localCheckpoint()
+        })
+      val (pred, gt) = (legs(0), legs(1))
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"), gt)
         .agg(
           round(avg("precision"), 4).as("avg_precision"),
@@ -614,13 +624,18 @@ object GraphQueries extends QueryPack {
       val q = queriesDf(e)
       val g = graphRefinedBackbone(s, dir)
       val entries = graphEntries(s, dir)
-      val pred = LshQueries.dumpAndReload(s,
-        graft.ann.GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
-          entries, K, BeamWidth, BeamHops,
-          allowed = Some(col("label") % 2 === 0)),
-        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_filtered_recall")
-      val gt = ExactNN.topKAgg(q, e.where(col("label") % 2 === 0), K,
-        ExactNN.Cosine)
+      // walk+dump and the filtered exact GT are independent legs —
+      // overlap them (the GT otherwise evaluates serially inside the
+      // final grading action)
+      val legs = inParallel(
+        () => LshQueries.dumpAndReload(s,
+          graft.ann.GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
+            entries, K, BeamWidth, BeamHops,
+            allowed = Some(col("label") % 2 === 0)),
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_filtered_recall"),
+        () => ExactNN.topKAgg(q, e.where(col("label") % 2 === 0), K,
+          ExactNN.Cosine).localCheckpoint())
+      val (pred, gt) = (legs(0), legs(1))
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"), gt)
         .agg(
           round(avg("precision"), 4).as("avg_precision"),
@@ -641,14 +656,19 @@ object GraphQueries extends QueryPack {
       val q = queriesDf(e)
       val g = graphRefinedBackbone(s, dir)
       val entries = graphEntries(s, dir)
-      val pred = LshQueries.dumpAndReload(s,
-        graft.ann.GraphSearch.beamFromFiltered(g, e, "vec_id", "embedding",
-          q, entries, K, BeamWidth, BeamHops,
-          allowed = pmod(col("vec_id"), lit(50)) === 0,
-          metric = ExactNN.Cosine),
-        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_filtered_selective")
-      val gt = ExactNN.topKAgg(q,
-        e.where(pmod(col("vec_id"), lit(50)) === 0), K, ExactNN.Cosine)
+      // dispatch+serve+dump and the filtered exact GT overlapped (the
+      // q_graph_filtered_recall form)
+      val legs = inParallel(
+        () => LshQueries.dumpAndReload(s,
+          graft.ann.GraphSearch.beamFromFiltered(g, e, "vec_id", "embedding",
+            q, entries, K, BeamWidth, BeamHops,
+            allowed = pmod(col("vec_id"), lit(50)) === 0,
+            metric = ExactNN.Cosine),
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_filtered_selective"),
+        () => ExactNN.topKAgg(q,
+          e.where(pmod(col("vec_id"), lit(50)) === 0), K, ExactNN.Cosine)
+          .localCheckpoint())
+      val (pred, gt) = (legs(0), legs(1))
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"), gt)
         .agg(
           round(avg("precision"), 4).as("avg_precision"),
@@ -687,12 +707,17 @@ object GraphQueries extends QueryPack {
       val entries = idx.searchAll(q, BeamWidth, Double.MaxValue,
           ExactNN.Cosine, allowed = Some(e.where(allowed).select("vec_id")))
         .select(col("query_id"), col("vec_id").as("node"))
-      val pred = LshQueries.dumpAndReload(s,
-        graft.ann.GraphSearch.beamFrom(aug, e, "vec_id", "embedding", q,
-          entries, K, BeamWidth, BeamHops, ExactNN.Cosine,
-          allowed = Some(allowed)),
-        s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_filtered_labeled")
-      val gt = ExactNN.topKAgg(q, e.where(allowed), K, ExactNN.Cosine)
+      // seeded walk+dump ∥ the label-subset exact GT (the
+      // q_graph_filtered_recall form)
+      val legs = inParallel(
+        () => LshQueries.dumpAndReload(s,
+          graft.ann.GraphSearch.beamFrom(aug, e, "vec_id", "embedding", q,
+            entries, K, BeamWidth, BeamHops, ExactNN.Cosine,
+            allowed = Some(allowed)),
+          s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_filtered_labeled"),
+        () => ExactNN.topKAgg(q, e.where(allowed), K, ExactNN.Cosine)
+          .localCheckpoint())
+      val (pred, gt) = (legs(0), legs(1))
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"), gt)
         .agg(
           round(avg("precision"), 4).as("avg_precision"),

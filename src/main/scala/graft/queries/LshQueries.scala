@@ -216,12 +216,15 @@ object LshQueries extends QueryPack {
       val q = queriesDf(emb)
       val idx = lshIdx(s, dir, angular = false)
       val allowed = emb.where(col("label") % 2 === 0)
-      val pred = dumpAndReload(s,
-        idx.searchAll(q, K, L2Threshold, ExactNN.L2,
-          allowed = Some(allowed.select("vec_id"))),
-        s"$SearchDumpRoot/${sfName(dir)}/lsh_filtered_recall")
-      val gt = ExactNN.topK(q, allowed, K, ExactNN.L2,
-        threshold = Some(L2Threshold))
+      // filtered search+dump ∥ the filtered exact GT
+      val legs = inParallel(
+        () => dumpAndReload(s,
+          idx.searchAll(q, K, L2Threshold, ExactNN.L2,
+            allowed = Some(allowed.select("vec_id"))),
+          s"$SearchDumpRoot/${sfName(dir)}/lsh_filtered_recall"),
+        () => ExactNN.topK(q, allowed, K, ExactNN.L2,
+          threshold = Some(L2Threshold)).localCheckpoint())
+      val (pred, gt) = (legs(0), legs(1))
       Eval.setPrecisionRecall(pred, gt)
         .agg(
           round(avg("precision"), 4).as("avg_precision"),
@@ -245,10 +248,14 @@ object LshQueries extends QueryPack {
       val q = queriesDf(emb)
       val idx = lshIdx(s, dir, angular = false)
       val allowed = emb.where(col("vec_id") % 50 === 0)
-      val pred = dumpAndReload(s,
-        idx.searchAllFiltered(q, allowed, K, SelectiveThreshold, ExactNN.L2),
-        s"$SearchDumpRoot/${sfName(dir)}/lsh_filtered_selective")
-      val gt = ExactNN.topK(q, allowed, K, ExactNN.L2)
+      // dispatch+serve+dump ∥ the subset exact GT
+      val legs = inParallel(
+        () => dumpAndReload(s,
+          idx.searchAllFiltered(q, allowed, K, SelectiveThreshold,
+            ExactNN.L2),
+          s"$SearchDumpRoot/${sfName(dir)}/lsh_filtered_selective"),
+        () => ExactNN.topK(q, allowed, K, ExactNN.L2).localCheckpoint())
+      val (pred, gt) = (legs(0), legs(1))
       Eval.setPrecisionRecall(pred, gt)
         .agg(
           round(avg("precision"), 4).as("avg_precision"),
@@ -390,22 +397,25 @@ object LshQueries extends QueryPack {
       // independent roots. Both exceptAll directions are unioned into
       // ONE action (empty iff both legs are empty — the && of the old
       // two isEmpty jobs, each of which re-evaluated the centroid
-      // ranking plan).
+      // ranking plan); the per-query-label exact GT — the filtered
+      // ground truth the serve is graded on (gate-scale dump machinery,
+      // like the auto rows') — runs as the concurrent leg.
       val fresh = store.scopedProbeRows(q)
-      val probesOk = probes.exceptAll(fresh)
-        .unionByName(fresh.exceptAll(probes)).isEmpty
-      val pred = store.searchAllLabeled(q, K, SelectiveThreshold, ExactNN.L2,
-        probes = Some(probes))
-      // per-query-label exact GT — the filtered ground truth the serve
-      // is graded on (gate-scale dump machinery, like the auto rows')
       val corp = e.select(col("vec_id"), col("embedding"),
         col("label").cast("string").as("clabel"))
       val gtScored = corp.join(broadcast(q), col("clabel") === q("label"))
         .select(col("query_id"), col("vec_id"),
           round(ExactNN.L2.dist(col("qv"), col("embedding")), 6).as("dist"))
         .where(col("dist") <= SelectiveThreshold)
-      val gt = graft.ann.TopK.perQueryTopK(gtScored, K,
-        viaAggregator = true)
+      val legs = inParallel(
+        () => probes.exceptAll(fresh)
+          .unionByName(fresh.exceptAll(probes)).isEmpty,
+        () => graft.ann.TopK.perQueryTopK(gtScored, K,
+          viaAggregator = true).localCheckpoint())
+      val probesOk = legs(0).asInstanceOf[Boolean]
+      val gt = legs(1).asInstanceOf[DataFrame]
+      val pred = store.searchAllLabeled(q, K, SelectiveThreshold, ExactNN.L2,
+        probes = Some(probes))
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),
           gt.select("query_id", "vec_id"))
         .agg(round(avg("precision"), 4).as("avg_precision"),
@@ -456,14 +466,15 @@ object LshQueries extends QueryPack {
         () => idx.searchAllScoped(q, allowed, K, SelectiveThreshold,
           ExactNN.L2).localCheckpoint(),
         () => probes.exceptAll(fresh)
-          .unionByName(fresh.exceptAll(probes)).isEmpty)
+          .unionByName(fresh.exceptAll(probes)).isEmpty,
+        () => ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2,
+          threshold = Some(SelectiveThreshold)).localCheckpoint())
       val pred = legs(0).asInstanceOf[DataFrame]
       val api = legs(1).asInstanceOf[DataFrame]
       val probesOk = legs(2).asInstanceOf[Boolean]
+      val gt = legs(3).asInstanceOf[DataFrame]
       val apiOk = api.exceptAll(pred)
         .unionByName(pred.exceptAll(api)).isEmpty
-      val gt = ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2,
-        threshold = Some(SelectiveThreshold))
       Eval.setPrecisionRecall(pred.select("query_id", "vec_id"),
           gt.select("query_id", "vec_id"))
         .agg(round(avg("precision"), 4).as("avg_precision"),
@@ -494,9 +505,14 @@ object LshQueries extends QueryPack {
         lit(graft.ann.FilteredSearch.ScopedLabel))
       val preds = graft.ann.AutoTune.scopedMSharedPreds(store, qs, K,
         SelectiveThreshold, ScopedMArms)
-      val reloaded = dumpAndReload(s, preds,
-        s"$SearchDumpRoot/${sfName(dir)}/autotune_scoped_m_arms")
-      val gt = ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2)
+      // dump round-trip ∥ the exact GT (otherwise the GT evaluates
+      // serially inside gradeArms' collect)
+      val legs = inParallel(
+        () => dumpAndReload(s, preds,
+          s"$SearchDumpRoot/${sfName(dir)}/autotune_scoped_m_arms"),
+        () => ExactNN.topKAgg(q, e.join(allowed, "vec_id"), K, ExactNN.L2)
+          .localCheckpoint())
+      val (reloaded, gt) = (legs(0), legs(1))
       graft.ann.AutoTune.gradeArms(ScopedMArms, reloaded,
           gt.select("query_id", "vec_id"), CompressedQueries.AutoTuneTarget)
         .orderBy("arm")
@@ -534,11 +550,14 @@ object LshQueries extends QueryPack {
       val q = queriesDf(emb)
       val idx = lshIdx(s, dir, angular = false)
       val dead = emb.where(col("vec_id") % 7 === 0).select("vec_id")
-      val pred = dumpAndReload(s,
-        idx.withDeletes(dead).searchAll(q, K, L2Threshold, ExactNN.L2),
-        s"$SearchDumpRoot/${sfName(dir)}/lsh_deleted_recall")
-      val gt = ExactNN.topK(q, emb.where(col("vec_id") % 7 =!= 0), K,
-        ExactNN.L2, threshold = Some(L2Threshold))
+      // tombstoned search+dump ∥ the remaining-corpus exact GT
+      val legs = inParallel(
+        () => dumpAndReload(s,
+          idx.withDeletes(dead).searchAll(q, K, L2Threshold, ExactNN.L2),
+          s"$SearchDumpRoot/${sfName(dir)}/lsh_deleted_recall"),
+        () => ExactNN.topK(q, emb.where(col("vec_id") % 7 =!= 0), K,
+          ExactNN.L2, threshold = Some(L2Threshold)).localCheckpoint())
+      val (pred, gt) = (legs(0), legs(1))
       Eval.setPrecisionRecall(pred, gt)
         .agg(
           round(avg("precision"), 4).as("avg_precision"),
@@ -594,9 +613,14 @@ object LshQueries extends QueryPack {
     val emb = tbl(s, dir, "embeddings")
     val q = queriesDf(emb)
     val idx = lshIdx(s, dir, angular)
-    val pred = dumpAndReload(s, idx.searchAll(q, K, threshold, metric),
-      s"$SearchDumpRoot/${sfName(dir)}/$sub")
-    val gt = ExactNN.topK(q, emb, K, metric, threshold = Some(threshold))
+    // search+dump ∥ the exact GT (otherwise the GT evaluates serially
+    // inside the final grading action)
+    val legs = inParallel(
+      () => dumpAndReload(s, idx.searchAll(q, K, threshold, metric),
+        s"$SearchDumpRoot/${sfName(dir)}/$sub"),
+      () => ExactNN.topK(q, emb, K, metric, threshold = Some(threshold))
+        .localCheckpoint())
+    val (pred, gt) = (legs(0), legs(1))
     Eval.setPrecisionRecall(pred, gt)
       .agg(
         round(avg("precision"), 4).as("avg_precision"),
