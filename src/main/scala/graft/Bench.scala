@@ -62,6 +62,19 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_SPREAD.json")), "UTF-8")
+        // core-count guard: the spread file stamps the cpu count it ran
+        // with; a prior measured at a DIFFERENT core count (the driver
+        // also runs an 8-core scaling board, which overwrites the file)
+        // is not a valid >3x-outlier reference — skip the re-attempt
+        // logic rather than chase phantom outliers against it
+        val priorCpus = """"cpus"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (priorCpus.exists(_ != cpus)) {
+          System.err.println(s"[bench] BENCH_SPREAD.json prior was " +
+            s"measured at cpus=${priorCpus.get} (this run: $cpus) — " +
+            "outlier re-attempts disabled for this board")
+          throw new java.io.IOException("prior cpus mismatch")
+        }
         // whitespace-tolerant: the file is normally this class's own
         // compact output, but any JSON-aware tool that rewrites it
         // (pretty-printers, jq) adds spaces after colons

@@ -42,11 +42,19 @@ object AutoTune {
     * each one tiny aggregate whose wall cost is scheduled-stage
     * latency, not compute). */
   private def par[T](thunks: (() => T)*): Seq[T] = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{blocking, Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
-      Future.sequence(thunks.map(t => Future(t())).toSeq),
-      scala.concurrent.duration.Duration.Inf)
+    // await-all-then-rethrow + managed blocking — the QueryPack
+    // .inParallel discipline (no orphaned legs after a failure, no
+    // unbounded compensation-thread burst under nesting)
+    val settled = blocking {
+      Await.result(
+        Future.sequence(thunks.map(t =>
+          Future(scala.util.Try(t()))).toSeq),
+        scala.concurrent.duration.Duration.Inf)
+    }
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
+    settled.map(_.get)
   }
 
   /** Grade a combined predictions frame against the exact ground truth
@@ -85,7 +93,12 @@ object AutoTune {
         lit(1L).as("pc"), lit(0L).as("gc"))
       .unionByName(gtArms.select(col("arm"), col("query_id"), col("vec_id"),
         lit(0L).as("pc"), lit(1L).as("gc")))
-    val graded = both.groupBy("arm", "query_id", "vec_id")
+    // one shuffle for the pair- and query-level aggregations (the
+    // Eval.setPrecisionRecall treatment: partitioning on a subset of
+    // the grouping keys satisfies both distributions); the arm-level
+    // re-aggregation below still pays its own (tiny) exchange
+    val graded = both.repartition(col("arm"), col("query_id"))
+      .groupBy("arm", "query_id", "vec_id")
       .agg(sum("pc").as("pc"), sum("gc").as("gc"))
       .groupBy("arm", "query_id")
       .agg(sum("gc").as("n_gt"),

@@ -259,8 +259,8 @@ object GraphSearch {
       .where(col("src") =!= col("dst"))
   }
 
-  private[ann] def undirected(graph: DataFrame,
-                              symmetrize: Boolean): DataFrame =
+  private[graft] def undirected(graph: DataFrame,
+                                symmetrize: Boolean): DataFrame =
     if (!symmetrize) graph.select(col("src"), col("dst"))
     else graph.select(col("src"), col("dst"))
       .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
@@ -352,7 +352,7 @@ object GraphSearch {
                allowed: Option[org.apache.spark.sql.Column] = None,
                pruneScanMax: Int = 0): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
-    val und = undirected(graph, symmetrize)
+    val und0 = undirected(graph, symmetrize)
     val vecs = allowed match {
       case Some(p) => vectors.select(col(idCol).as("node"),
         col(vecCol).as("nv"), p.cast("boolean").as("ok"))
@@ -468,6 +468,17 @@ object GraphSearch {
     // beam cut and the pool cut, so filtering adds zero extra scoring
     // passes — one bounded k-cut per hop is the whole cost. The
     // unfiltered path is UNTOUCHED plan-for-plan (absorb is identity).
+    // Symmetrize ONCE per walk, not once per hop: `und` is referenced
+    // by every hop's expansion join, and because each hop's beam plan
+    // is checkpoint-truncated, each hop's execution would otherwise
+    // re-run the union + dropDuplicates shuffle over the full edge
+    // table — (hops + 1) redundant O(E) dedup rounds per walk (guide
+    // §2.4: remove shuffles outright). The lazy checkpoint
+    // materializes inside the first hop's job and is released with
+    // the hop RDDs. The pre-symmetrized path (symmetrize = false)
+    // keeps the raw scan: a bucketed store plans it with zero
+    // Exchange, and a checkpoint would only pin corpus-sized blocks.
+    val und = if (symmetrize) hopCheckpoint(und0) else und0
     var best: Option[DataFrame] = None
     def absorb(scored: DataFrame): DataFrame = allowed match {
       case None => scored

@@ -435,6 +435,14 @@ object Opq {
     // fit on the board, ~12 s at sf0.1, is wall-bounded by the SUM of
     // starts instead of the max). Results land in start order, so the
     // deterministic ties-to-earlier-init rule is unchanged.
+    // Resource envelope: driver thread count and peak sample memory
+    // scale as numInits × numSubvectors while the concurrent starts
+    // run (each alternation is itself subvector-parallel and holds its
+    // own codebook/rotation working set over the SHARED `vecs` sample)
+    // — numInits is 3 by default and the sample is bounded by
+    // Pq.fitSample's cap, so the multiplier is small by construction;
+    // a caller raising numInits well past the default should size the
+    // driver accordingly or run the extra starts in batches.
     val candidates =
       new Array[(Double, OpqModel)](starts.length)
     graft.ann.ParallelFit.run(starts.length) { i =>

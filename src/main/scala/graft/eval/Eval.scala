@@ -36,7 +36,18 @@ object Eval {
         lit(1L).as("pc"), lit(0L).as("gc"))
       .unionByName(gt.select(col("query_id"), col("vec_id"),
         lit(0L).as("pc"), lit(1L).as("gc")))
-    both.groupBy("query_id", "vec_id")
+    // ONE shuffle for both keyed aggregations (guide §2.4 "two
+    // operations keyed the same way can share one exchange"): hash
+    // partitioning on query_id alone satisfies the clustered
+    // distribution of BOTH groupBys (query_id is a subset of
+    // (query_id, vec_id)), so the explicit repartition replaces the
+    // two per-aggregate Exchanges the planner would insert. Rows are
+    // unchanged — only the physical partitioning moves. The shuffle
+    // now carries raw union rows instead of pair-aggregated ones;
+    // both are bounded by |pred| + |gt| (pair duplicates are rare by
+    // construction), so the byte delta is noise at any scale.
+    both.repartition(col("query_id"))
+      .groupBy("query_id", "vec_id")
       .agg(sum("pc").as("pc"), sum("gc").as("gc"))
       .groupBy("query_id")
       .agg(sum("pc").as("n_pred"), sum("gc").as("n_gt"),

@@ -555,9 +555,23 @@ object GraphQueries extends QueryPack {
       val m = scopedGraphStore(s, dir)
       // the serving view is base+delta+supersede JOINS re-evaluated per
       // walk hop — materialize it once (n×k rows, the graph itself);
-      // dependency (the store) resolved before the memo lambda
+      // dependency (the store) resolved before the memo lambda.
+      // SYMMETRIZED in the memo: beamFrom's per-call symmetrize prep
+      // (union + dropDuplicates over the full view — a scoped refine
+      // can leave region-boundary edges one-directional, so the prep
+      // is not a no-op) is the walk's own `undirected`, folded into
+      // the one-time build so serves pass symmetrize = false and skip
+      // the per-serve shuffle. Row-identical by construction: the
+      // walk reads exactly the frame it would have computed.
       val g = memoized(s, dir, "scoped_graph_serving") {
-        m.servingEdges.localCheckpoint()
+        graft.ann.GraphSearch.undirected(m.servingEdges,
+          symmetrize = true).localCheckpoint()
+      }
+      // the ACTIVE tombstone set re-derives from two LSM log reads +
+      // an anti-join per action — it is stable once the store's one
+      // batch landed, so materialize it once beside the serving view
+      val tombs = memoized(s, dir, "scoped_tombstones") {
+        m.tombstones.localCheckpoint()
       }
       import s.implicits._
       val entries = q.select(col("query_id"))
@@ -572,7 +586,7 @@ object GraphQueries extends QueryPack {
         () => LshQueries.dumpAndReload(s,
           graft.ann.GraphSearch.beamFrom(g, e, "vec_id",
             "embedding", q, entries, K, BeamWidth, BeamHops,
-            excluded = Some(m.tombstones)),
+            symmetrize = false, excluded = Some(tombs)),
           s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/graph_scoped_recall"),
         () => memoized(s, dir, "exact_gt_cos_live") {
           ExactNN.topKAgg(q,

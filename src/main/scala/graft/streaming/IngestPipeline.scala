@@ -40,8 +40,9 @@ import graft.text.DedupGate
   * is materialized once and shared — a store can never ingest a doc
   * another store rejected), and each store's batch is individually
   * atomic (the LSM batch-commit record). Cross-store atomicity is BY
-  * REPLAY, not by transaction: a crash between two stores' appends
-  * leaves the earlier store one batch ahead; the stream checkpoint
+  * REPLAY, not by transaction: the store legs run concurrently, so a
+  * crash mid-batch leaves an ARBITRARY SUBSET of the legs committed
+  * (any k of the n stores, not a prefix); the stream checkpoint
   * replays the batch and every store treats the re-arrival as an
   * UPSERT — the gate never pairs a doc against its own id (and its
   * compaction collapses replay-duplicated band rows), the pipeline
@@ -142,6 +143,15 @@ final class IngestPipeline(
     val graphVectors = vectors.join(
       broadcast(res.rejected.select(col("doc_id").as("vec_id"))),
       Seq("vec_id"), "left_anti")
+    // entry sets materialized BEFORE the concurrent fan-out: the class
+    // doc allows `entriesFor` to be coarse-index seeds, and such an
+    // implementation reads a maintained store — evaluated lazily inside
+    // the graph leg it would race the LSH legs' appends/compaction
+    // (nondeterministic entry sets, possible reads of files compaction
+    // deletes). The checkpoint pins PRE-BATCH semantics: entries are
+    // derived from the stores as they stood when the batch arrived,
+    // which is also what the sequential-leg pipeline computed.
+    val entries = entriesFor(admittedVecs).localCheckpoint()
     // Every leg below ingests the SAME materialized admitted set into
     // ITS OWN store, so the legs are independent — run them as
     // concurrent Spark jobs (guide §2.6: actions are only sequential
@@ -173,8 +183,7 @@ final class IngestPipeline(
         Some(admitted.select(col(idCol).as("vec_id"),
           col(vecCol).as("embedding"), col(labelCol).as("label"))),
         Some(upserts.select(col(idCol).as("vec_id")))))
-      case 4 => graph.onBatch(graphVectors, admittedVecs,
-        entriesFor(admittedVecs),
+      case 4 => graph.onBatch(graphVectors, admittedVecs, entries,
         delIds.map(_.select(col(idCol).as("vec_id"))))
       case 5 => arrivedCount.set(arrivals.count())
     }
