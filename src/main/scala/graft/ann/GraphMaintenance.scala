@@ -325,12 +325,18 @@ final class GraphMaintainer(
     // stay at a seq no retry reuses (same-instance or post-restart),
     // so markBatchCommitted can never bless a failed attempt's orphans
     batches = seq
-    deletes.foreach(_.select(col("vec_id"), lit(seq).as("seq"))
-      .write.mode("append").parquet(s"$path/tombstones"))
-    // arrivals logged BEFORE the tombstone view is taken, so a
-    // same-batch delete+insert of one id is an upsert (arrival wins)
-    newVectors.select(col(idCol).as("vec_id"), lit(seq).as("seq"))
-      .write.mode("append").parquet(s"$path/arrivals")
+    // the two log appends land in DISJOINT directories and neither is
+    // visible until markBatchCommitted below — independent jobs, run
+    // concurrently (guide §2.6; each is a small fixed-latency write).
+    // The old "arrivals logged BEFORE the tombstone view" ordering note
+    // still holds observably: visibility is the commit record, not the
+    // write order, and the tombstone view is taken only after both.
+    graft.ann.ParallelFit.run(2) {
+      case 0 => deletes.foreach(_.select(col("vec_id"), lit(seq).as("seq"))
+        .write.mode("append").parquet(s"$path/tombstones"))
+      case 1 => newVectors.select(col(idCol).as("vec_id"), lit(seq).as("seq"))
+        .write.mode("append").parquet(s"$path/arrivals")
+    }
     // atomic log visibility BEFORE the walk: a crash between the two
     // log writes leaves a partial batch (a delete without its upsert
     // arrival) invisible. A crash during the walk/edge append leaves
@@ -886,9 +892,15 @@ final class GraphMaintainer(
       .unionByName(additive)
       .withColumn("seq", lit(seq))
       .localCheckpoint(eager = false)
-    region.select(col("node").as("src"), lit(seq).as("seq"))
-      .write.mode("append").parquet(s"$path/superseded")
-    out.write.mode("append").parquet(s"$path/edges_delta")
+    // disjoint-directory appends, invisible until the commit record —
+    // concurrent like onBatch's log writes (the `out` checkpoint
+    // materializes inside its own write job; `region` is already
+    // collected/checkpointed)
+    graft.ann.ParallelFit.run(2) {
+      case 0 => region.select(col("node").as("src"), lit(seq).as("seq"))
+        .write.mode("append").parquet(s"$path/superseded")
+      case 1 => out.write.mode("append").parquet(s"$path/edges_delta")
+    }
     // one commit record makes supersede + replacement visible
     // ATOMICALLY — a crash above leaves both halves invisible and the
     // burned seq dead

@@ -540,6 +540,104 @@ object GraphSearch {
     result
   }
 
+  /** ONE walk serving SEVERAL beamWidth operating points — the sweep
+    * form of [[beamFrom]] (the `q_autotune_graph_beam` arms). The
+    * per-(arm, query) beams evolve independently, so |widths| separate
+    * walks compute row-identical results — but each separate walk pays
+    * its own Exchange + broadcast pair per hop, and at sweep shapes
+    * that triples every hop's scheduled-job latency. Here the arm
+    * dimension rides the rows instead: every frame is keyed
+    * (arm, query_id), each hop is ONE expansion join + ONE scoring
+    * pass + ONE bounded cut for all arms together.
+    *
+    * Row-for-row identity with the per-arm walks (spec-pinned,
+    * GraphSearchSpec "beamFromWidths"): a beam cut at width w is the
+    * w-prefix of the distinct-aware (dist, node) order, and the
+    * [[TopK.topKDistinct]] buffer at capacity max(widths) holds the
+    * max-width smallest distinct pairs — so `slice(nn, 1, arm)` IS the
+    * capacity-`arm` buffer's content, hop for hop (the buffer keeps
+    * pairs sorted; dedup-evicted pairs fail the same rank test at any
+    * capacity ≥ w). Scoring, rounding, and the final k-cut are the
+    * same code paths as [[beamFrom]].
+    *
+    * Plain-walk form only (no filtered pool / tombstones / pruned
+    * scans — the sweep grades raw operating points; compose those
+    * features per-arm via [[beamFrom]] when needed).
+    *
+    * @param widths strictly ascending beamWidth arms, all ≥ k
+    * @return (arm, query_id, vec_id, dist) — arm = the beamWidth
+    */
+  def beamFromWidths(graph: DataFrame, vectors: DataFrame, idCol: String,
+                     vecCol: String, queries: DataFrame, entries: DataFrame,
+                     k: Int, widths: Seq[Int], hops: Int,
+                     metric: ExactNN.Metric = ExactNN.Cosine,
+                     roundTo: Int = 6,
+                     symmetrize: Boolean = true): DataFrame = {
+    require(widths.nonEmpty, "beamFromWidths: empty width list")
+    require(widths == widths.sorted && widths.distinct == widths,
+      s"beamFromWidths: widths must be strictly ascending (got $widths)")
+    require(widths.forall(_ >= k),
+      s"beamFromWidths: every width must be >= k=$k (got $widths)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val maxW = widths.max
+    val armsDf = widths.toDF("arm")
+    val vecs = vectors.select(col(idCol).as("node"), col(vecCol).as("nv"))
+    val q = broadcast(queries.select(col("query_id"), col("qv")))
+    val hopRdds = scala.collection.mutable.ListBuffer.empty[
+      org.apache.spark.rdd.RDD[_]]
+    def hopCheckpoint(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(eager = false)
+      ck.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          hopRdds += lr.rdd
+        case _ =>
+      }
+      ck
+    }
+    val und = {
+      val u = undirected(graph, symmetrize)
+      if (symmetrize) hopCheckpoint(u) else u
+    }
+    // the arm replication is a 3-ish-row broadcast nested-loop — no
+    // shuffle; qv stays OUT of the replicated frames (the scoring join
+    // reattaches it per query_id, identical for every arm)
+    val entriesA = entries.select(col("query_id"), col("node"))
+      .crossJoin(broadcast(armsDf))
+    def score(cands: DataFrame): DataFrame =
+      vecs.join(broadcast(cands), "node")
+        .join(q, "query_id")
+        .select(col("arm"), col("query_id"), col("node"),
+          round(metric.dist(col("qv"), col("nv")), roundTo).as("dist"))
+    // one distinct-aware buffer at the MAX width; each arm's beam is
+    // the sorted buffer's arm-prefix (identity argument in the doc)
+    def cutBeams(scored: DataFrame): DataFrame =
+      scored.groupBy("arm", "query_id")
+        .agg(TopK.topKDistinct(maxW)(col("node"), col("dist")).as("nn"))
+        .select(col("arm"), col("query_id"),
+          explode(slice(col("nn"), lit(1), col("arm"))).as("n"))
+        .select(col("arm"), col("query_id"), col("n.vec_id").as("node"),
+          col("n.dist").as("dist"))
+    var beam = hopCheckpoint(cutBeams(score(entriesA)))
+    for (_ <- 1 to hops) {
+      val nbrs = und
+        .join(broadcast(beam.select(col("arm"), col("query_id"),
+          col("node").as("src"))), "src")
+        .select(col("arm"), col("query_id"), col("dst").as("node"))
+      val cands = nbrs.unionByName(
+        beam.select(col("arm"), col("query_id"), col("node")))
+      beam = hopCheckpoint(cutBeams(score(cands)))
+    }
+    val result = graft.text.Dedup.materializeRelease(
+      beam.groupBy("arm", "query_id")
+        .agg(TopK.topKDistinct(k)(col("node"), col("dist")).as("nn"))
+        .select(col("arm"), col("query_id"), explode(col("nn")).as("n"))
+        .select(col("arm"), col("query_id"), col("n.vec_id").as("vec_id"),
+          col("n.dist").as("dist")))
+    hopRdds.foreach(_.unpersist(false))
+    result
+  }
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Per-query allowed count within the walk's LOCAL neighborhood —

@@ -259,20 +259,15 @@ object GraphQueries extends QueryPack {
       import s.implicits._
       val entries = q.select(col("query_id"))
         .crossJoin((0L until BeamEntries).toDF("node"))
-      // the three arm walks are independent bounded-job chains whose
-      // per-hop stages leave most cores idle — run them concurrently
-      // (beamFrom materializes eagerly, so each Future IS the walk);
-      // results are arm-independent, so scheduling cannot change a row
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val armFrames = Await.result(
-        Future.sequence(GraphBeamArms.map { b => Future {
-          graft.ann.GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
-              entries, K, b, BeamHops)
-            .withColumn("arm", lit(b))
-        }}),
-        scala.concurrent.duration.Duration.Inf)
-      val preds = armFrames.reduce(_ unionByName _)
+      // ONE walk for all three arms (GraphSearch.beamFromWidths): the
+      // per-(arm, query) beams ride the same hop chain, so each hop is
+      // one expansion + one scoring pass + one bounded cut instead of
+      // one per arm — row-identical to the per-arm walks (the width-w
+      // beam is the w-prefix of the shared max-width distinct buffer;
+      // spec-pinned) and ~3x fewer scheduled jobs than the previous
+      // three concurrent walks
+      val preds = graft.ann.GraphSearch.beamFromWidths(g, e, "vec_id",
+        "embedding", q, entries, K, GraphBeamArms, BeamHops)
       val reloaded = LshQueries.dumpAndReload(s,
         preds.select(col("arm"), col("query_id"), col("vec_id"), col("dist")),
         s"${LshQueries.SearchDumpRoot}/${LshQueries.sfName(dir)}/autotune_beam_arms")

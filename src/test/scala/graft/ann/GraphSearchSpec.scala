@@ -302,4 +302,37 @@ class GraphSearchSpec extends AnyFunSuite with SparkSpecBase {
       entriesOf(q, 32), 10, 32, 6, $"vec_id" % 2 === 0, ExactNN.Cosine)
     assert(walk.where($"vec_id" % 2 =!= 0).isEmpty)
   }
+
+  test("beamFromWidths: each arm row-identical to its own beamFrom walk") {
+    // the sweep form's contract: the batched walk's (arm, query) beams
+    // evolve exactly as |widths| independent walks — pinned per arm,
+    // per row (ids AND dists), on the clustered+backboned corpus where
+    // beams genuinely diverge across widths
+    val e = clustered
+    val g = backboned(e)
+    val q = queriesOf(e, 25)
+    val entries = entriesOf(q, 16)
+    val widths = Seq(10, 16, 32)
+    val batched = GraphSearch.beamFromWidths(g, e, "vec_id", "embedding",
+      q, entries, 10, widths, 4)
+    widths.foreach { w =>
+      val solo = GraphSearch.beamFrom(g, e, "vec_id", "embedding", q,
+          entries, 10, w, 4)
+        .select($"query_id", $"vec_id", $"dist")
+        .as[(Long, Long, Double)].collect().toSet
+      val arm = batched.where($"arm" === w)
+        .select($"query_id", $"vec_id", $"dist")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(arm === solo, s"arm $w diverged from its solo walk")
+    }
+    // guards: ascending widths, every width >= k
+    intercept[IllegalArgumentException] {
+      GraphSearch.beamFromWidths(g, e, "vec_id", "embedding", q, entries,
+        10, Seq(32, 16), 4)
+    }
+    intercept[IllegalArgumentException] {
+      GraphSearch.beamFromWidths(g, e, "vec_id", "embedding", q, entries,
+        10, Seq(5, 16), 4)
+    }
+  }
 }
