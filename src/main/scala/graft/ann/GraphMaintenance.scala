@@ -345,7 +345,18 @@ final class GraphMaintainer(
     // the live vectors, which include it); with backbone = false no
     // refine creates edges for an absent node — re-insert the id
     markBatchCommitted(seq)
-    val stored = servingEdges
+    // Scoped mode's served view is base ∪ delta + a supersede join over
+    // two LSM log scans — NOT the bare bucketed read — and the insert
+    // walk below re-evaluates its edge frame once per hop (plus the
+    // dup-reference probe): checkpoint it lazily ONCE per batch so the
+    // hops read persisted blocks instead of re-running the view's
+    // joins/scans (hops + 2)× (guide §2.4). Full-refine mode keeps the
+    // raw bucketed scan — zero-Exchange per hop, nothing to save. The
+    // blocks are released at the end of the batch.
+    val stored0 = servingEdges
+    val storedCk =
+      if (scopedRefine) stored0.localCheckpoint(eager = false) else stored0
+    val stored = storedCk
     val pending = tombstones
     val excl = if (pending.isEmpty) None else Some(pending)
     val extended = GraphSearch.insert(
@@ -429,6 +440,15 @@ final class GraphMaintainer(
           s"accumulation is outrunning the refine cadence (every " +
           s"$refineEvery) — lower refineEvery or maxReverseDegree " +
           "(GraphSearch.insert degree-growth caveat).")
+    }
+    // release the batch's served-view blocks (deltaNew above is an
+    // EAGER checkpoint and the refine paths derive their own view, so
+    // nothing still needs them; a truncated-lineage RDD would be
+    // unrecoverable if left pinned across a long-running loop anyway)
+    if (scopedRefine) storedCk.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ =>
     }
     // the APPENDED delta — post-dedup, matching what actually landed
     // in edges_delta/the bucketed table, so a caller mirroring the
@@ -634,7 +654,16 @@ final class GraphMaintainer(
     // burned up front, like onBatch: a failed attempt's partial
     // supersede/replacement rows stay at a seq no retry reuses
     batches = seq
-    val serving = servingEdges
+    // the served view feeds the reverse-hop seed scan, every hop
+    // expansion, and both touched slices — checkpoint it lazily once
+    // (the onBatch treatment: scoped mode's view is joins + log scans,
+    // not a bare bucketed read); blocks released before returning
+    val serving = servingEdges.localCheckpoint(eager = false)
+    def releaseServing(): Unit = serving.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ =>
+    }
     val arr = visibleFilter(readOr("arrivals", emptySeqIds))
       .where(col("seq") > sf).select(col("vec_id").as("node"))
     val tombWindow = visibleFilter(readOr("tombstones", emptySeqIds))
@@ -727,6 +756,7 @@ final class GraphMaintainer(
       // probes attribute the empty-window call to the wrong path
       lastScopedPrune = Some(pruneActive && regionIds.isDefined)
       if (sf < seq) publishMarker("_scope_fence", seq.toString)
+      releaseServing()
       return empty
     }
     def hopExpand(r: DataFrame): DataFrame = {
@@ -906,6 +936,9 @@ final class GraphMaintainer(
     // burned seq dead
     markBatchCommitted(seq)
     publishMarker("_scope_fence", seq.toString)
+    // the writes above materialized every frame derived from the view
+    // (truncated-lineage blocks spill, never recompute) — safe to drop
+    releaseServing()
     if (log.isInfoEnabled) log.info(
       s"stored graph '$name' scope-refined through seq $seq")
     refined

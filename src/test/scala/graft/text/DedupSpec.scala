@@ -103,6 +103,46 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(cc.values.forall(_ == 0L))
   }
 
+  test("connectedComponents pointer jump: deep chain converges within the doubling bound") {
+    // a 40-deep chain needs ~40 plain min-propagation rounds; with the
+    // round-2+ label(label(v)) jump, covered distance follows
+    // d <- 2d + 1 (1, 3, 7, 15, 31, 63...), so round 6 covers the
+    // whole chain and round 7 confirms — maxIters = 8 would leave the
+    // plain loop visibly unconverged and pins the doubling behavior
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 41)
+    assert(cc.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents pointer jump: labels identical to brute-force components") {
+    // randomized pair graph (fixed seed) — the converged labeling must
+    // be exactly min-id-of-component, the same contract the plain loop
+    // served; brute force via union-find in the test
+    val rnd = new scala.util.Random(42L)
+    val pairs = (0 until 120).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    }.filter { case (a, b) => a != b }
+    val parent = Array.tabulate(60)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(d => d -> {
+        // min id within d's component, over ids that appear in pairs
+        val root = find(d.toInt)
+        pairs.flatMap(p => Seq(p._1, p._2)).distinct
+          .filter(o => find(o.toInt) == root).min
+      }).toMap
+    val cc = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === expected)
+  }
+
   test("maxDocFreqRatio drops ubiquitous shingles") {
     // every doc shares the same leading 3 tokens -> that shingle is hot
     val shared = Seq(
