@@ -479,20 +479,20 @@ object GraphSearch {
     // keeps the raw scan: a bucketed store plans it with zero
     // Exchange, and a checkpoint would only pin corpus-sized blocks.
     val und = if (symmetrize) hopCheckpoint(und0) else und0
-    var best: Option[DataFrame] = None
+    // `absorb` shares one lazy checkpoint of the hop's scored
+    // candidates between the beam cut and the pool, and only COLLECTS
+    // the hop's allowed rows — the pool is cut ONCE after the loop:
+    // iterated per-hop top-w over unions equals top-w of the total
+    // union (bounded top-k is idempotent/associative over unions), so
+    // deferring the cut deletes one aggregation Exchange per hop at
+    // identical rows (guide §2.4).
+    var allowedParts: List[DataFrame] = Nil
     def absorb(scored: DataFrame): DataFrame = allowed match {
       case None => scored
       case Some(_) =>
         val ck = hopCheckpoint(scored)
-        val allowedRows = ck.where(col("ok"))
+        allowedParts ::= ck.where(col("ok"))
           .select(col("query_id"), col("node"), col("dist"))
-        val pool = best.fold(allowedRows)(allowedRows.unionByName(_))
-        // the pool keeps beamWidth (not k) allowed rows: the excluded
-        // anti-join runs AFTER the walk, and a tombstoned-but-allowed
-        // node cut into a k-sized pool would permanently evict a live
-        // allowed candidate — the same `beamWidth ≥ k + expected
-        // deletes` slack the beam's own final cut relies on
-        best = Some(hopCheckpoint(cut(pool, beamWidth)))
         ck
     }
     val entryIds = collectIds(entries.select(col("node")), pruneScanMax)
@@ -528,7 +528,18 @@ object GraphSearch {
       val cands = nbrs.unionByName(beam.select(col("query_id"), col("node")))
       beam = hopCheckpoint(cut(absorb(score(cands, candIds)), beamWidth))
     }
-    val pool = best.getOrElse(beam)
+    val pool = allowed match {
+      case None => beam
+      case Some(_) =>
+        val all = allowedParts.reduce(_ unionByName _)
+        // the beamWidth (not k) pool cut only matters when `excluded`
+        // rows must not evict live allowed candidates before the
+        // anti-join (the `beamWidth ≥ k + expected deletes` slack);
+        // with no exclusions the final k-cut below subsumes it — the
+        // k-prefix of a top-w order IS the top-k — so skip the extra
+        // aggregation entirely
+        if (excluded.isDefined) cut(all, beamWidth) else all
+    }
     val served = excluded.fold(pool) { t =>
       pool.join(broadcast(t.select(col("vec_id").as("node"))),
         Seq("node"), "left_anti")

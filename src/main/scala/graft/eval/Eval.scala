@@ -93,12 +93,20 @@ object Eval {
     * @return (query_id, precision, recall) rounded to 6 decimals.
     */
   def distanceBasedPrecisionRecall(pred: DataFrame, gt: DataFrame, eps: Double): DataFrame = {
-    val nPred = pred.groupBy("query_id").agg(count("*").as("n_pred"))
-    val nGt = gt.groupBy("query_id").agg(count("*").as("n_gt"))
-    val gtIds = gt.select("query_id", "vec_id").distinct()
+    // ONE exchange per input (the setPrecisionRecall treatment): every
+    // aggregate and join key below starts with query_id, so hash
+    // partitioning on it alone satisfies all of their distributions —
+    // the counts, the distinct, the pos-join, and the membership join
+    // all reuse these two exchanges (ReuseExchange dedups the repeated
+    // references within the one plan). Rows unchanged.
+    val p = pred.repartition(col("query_id"))
+    val g = gt.repartition(col("query_id"))
+    val nPred = p.groupBy("query_id").agg(count("*").as("n_pred"))
+    val nGt = g.groupBy("query_id").agg(count("*").as("n_gt"))
+    val gtIds = g.select("query_id", "vec_id").distinct()
       .withColumn("is_member", lit(1))
-    val paired = pred
-      .join(gt.select(col("query_id"), col("pos"), col("dist").as("gt_dist")),
+    val paired = p
+      .join(g.select(col("query_id"), col("pos"), col("dist").as("gt_dist")),
         Seq("query_id", "pos")) // inner join == truncation to min length
       .join(gtIds, Seq("query_id", "vec_id"), "left")
     val valid = paired
