@@ -510,16 +510,19 @@ object Dedup {
     * doc id as `cluster_id`, so "keep one per cluster" is a trivial
     * `doc_id === cluster_id` filter.
     *
-    * Min-label propagation with POINTER JUMPING from round 2: each
+    * Min-label propagation with POINTER JUMPING from round 3: each
     * round every node adopts the minimum label in its closed
-    * neighborhood, then (rounds ≥ 2) shortcuts to its label's label —
+    * neighborhood, then (rounds ≥ 3) shortcuts to its label's label —
     * covered distance roughly doubles per round, so convergence is
     * O(log diameter) rounds instead of O(diameter). Near-dup
-    * components are shallow cliques (measured 2 rounds — they converge
-    * before a jump could help, so round 1 stays plain and they never
-    * pay the self-join), but the mutual-kNN cluster graphs measured 17
-    * and 9 plain rounds at sf0.1 (CcRoundsProbe) — the regime the jump
-    * exists for. Each round is one equi-join + one aggregation + (from
+    * components are shallow cliques (measured 2 rounds INCLUDING the
+    * no-change confirm round — they converge before a jump could help,
+    * so rounds 1-2 stay plain and they never pay the self-join), but
+    * the mutual-kNN cluster graphs measured 17 and 9 plain rounds at
+    * sf0.1 (CcRoundsProbe) — the regime the jump exists for (17→11,
+    * 9→7 measured; starting the jump at round 2 instead saved no
+    * rounds on the 17-case and one on the 9-case while taxing every
+    * shallow caller's confirm round — measured, not guessed). Each round is one equi-join + one aggregation + (from
     * round 2) one label-keyed self-join over the EDGE/label lists only
     * — never all-pairs, no driver-side graph, state is one row per
     * node; the converged labeling (min id per component) is identical
@@ -557,7 +560,7 @@ object Dedup {
         .select(col("doc_id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("mid"))
-      // Pointer jumping from round 2 (label(v) ← label(label(v)), the
+      // Pointer jumping from round 3 (label(v) ← label(label(v)), the
       // classic doubling step): plain propagation converges in
       // O(component diameter) rounds, and the board's mutual-kNN
       // cluster graphs MEASURE 17 and 9 rounds at sf0.1 (CcRoundsProbe)
@@ -565,9 +568,11 @@ object Dedup {
       // 2-3-round assumption covered. The jump makes covered distance
       // roughly double per round (d ← 2d+1), so deep components
       // converge in O(log diameter) rounds at the cost of one
-      // label-keyed self-join per round. Round 1 stays plain: clique-
-      // shaped inputs (every near-dup consumer — measured 2 rounds)
-      // converge before a jump could help and never pay the join.
+      // label-keyed self-join per round. Rounds 1-2 stay plain:
+      // clique-shaped inputs (every near-dup consumer — measured 2
+      // rounds incl. the confirm round) converge before a jump could
+      // help and never pay the join, and the deep cases measured the
+      // same round count as a round-2 start (class doc).
       // Label values are always ids of nodes in the same component
       // (min over member ids, inductively), so the jump join always
       // finds its target and the converged output is the identical
@@ -577,7 +582,7 @@ object Dedup {
       // prop is referenced twice below — lazy checkpoint so the round's
       // join work runs once, inside the eager checkpoint's job.
       val next =
-        if (iter == 0) prop
+        if (iter < 2) prop
           .select(col("doc_id"), col("mid").as("cluster_id"),
             (col("mid") < col("old_label")).as("changed"))
           .localCheckpoint()
